@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+
+/** Table readers for the driver-provided parquet fixtures.
+  *
+  * Every query goes through here so session-level gotchas are handled in
+  * exactly one place:
+  *
+  *  - `events.ts` is parquet TIMESTAMP(NANOS); Spark 4 refuses it unless
+  *    `spark.sql.legacy.parquet.nanosAsLong=true`, after which the column
+  *    reads as BIGINT nanoseconds since epoch (SURVEY.md §7 G1). The
+  *    DuckDB oracle reads the same column natively as TIMESTAMP_NS, so
+  *    oracle SQL compares via `epoch_ns(ts)` or converts both sides.
+  *  - Session timezone is pinned to UTC so date extraction matches the
+  *    (timezone-less) DuckDB timestamps.
+  *
+  * Scale posture: plain `spark.read.parquet` — schema comes from the
+  * footer, column pruning + predicate pushdown are Catalyst's job. At
+  * 100 TB these would be partitioned directory layouts; the read path is
+  * unchanged.
+  */
+object Tables {
+  /** Idempotent per-session configuration. Verify/Bench build their own
+    * sessions without the nanos flag, so it must be set here, before the
+    * first read of events.parquet. */
+  def configure(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    configure(spark)
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** events.ts (BIGINT nanos) → TimestampType (microsecond precision).
+    * DuckDB equivalent used in oracles: `date_trunc('microsecond', ts)`
+    * has ns precision; match by truncating DuckDB side too when calendar
+    * ops are compared, or compare raw nanos via `epoch_ns(ts)`. */
+  def tsFromNanos(nanos: Column): Column = timestamp_micros(nanos / lit(1000L) cast "long")
+
+  /** Exact-decimal view of a 2-decimal money/ratio double column.
+    * FIXTURES.md: l_discount/l_tax/l_extendedprice/o_totalprice/acctbal
+    * are exactly 2-decimal, so this cast is lossless; aggregation in
+    * decimal is then order-independent (the FP-determinism rule,
+    * SURVEY.md §7 G2). */
+  def dec2(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** events.value is exactly 4-decimal (verified against the fixtures). */
+  def dec4(c: Column): Column = c.cast("decimal(18,4)")
+}
