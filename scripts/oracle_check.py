@@ -27,28 +27,32 @@ def main():
         if not files:
             print(f"FAIL {name}: no spark result parquet"); n_fail += 1; continue
         try:
-            got = con.execute(f"SELECT * FROM read_parquet('{files[0]}')").fetchdf()
-            want = con.execute(sql).fetchdf()
+            cur = con.execute(f"SELECT * FROM read_parquet('{files[0]}')")
+            gcols = [d[0] for d in cur.description]
+            got = cur.fetchall()
+            cur = con.execute(sql)
+            wcols = [d[0] for d in cur.description]
+            want = cur.fetchall()
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
-        got = got[sorted(got.columns)]
-        want = want[sorted(want.columns)]
-        if list(got.columns) != list(want.columns):
-            print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}"); n_fail += 1; continue
+        if sorted(gcols) != sorted(wcols):
+            print(f"FAIL {name}: columns {sorted(gcols)} vs {sorted(wcols)}"); n_fail += 1; continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); n_fail += 1; continue
+        # reorder columns by sorted name (driver semantics)
+        gidx = [gcols.index(c) for c in sorted(gcols)]
+        widx = [wcols.index(c) for c in sorted(wcols)]
         ok = True
-        for c in got.columns:
-            a, b = got[c].tolist(), want[c].tolist()
-            for i, (x, y) in enumerate(zip(a, b)):
+        for i, (gr, wr) in enumerate(zip(got, want)):
+            for j, (gi, wi) in enumerate(zip(gidx, widx)):
+                x, y = gr[gi], wr[wi]
                 same = (x == y) or (x is None and y is None) \
                     or (isinstance(x, float) and isinstance(y, float)
-                        and (x == y or (math.isnan(x) and math.isnan(y))))
-                # numpy/py scalar None-vs-NaN mismatch tolerance for missing
+                        and math.isnan(x) and math.isnan(y))
                 if not same and str(x) == str(y):
                     same = True
                 if not same:
-                    print(f"FAIL {name}: col {c} row {i}: spark={x!r} duckdb={y!r}")
+                    print(f"FAIL {name}: col {sorted(gcols)[j]} row {i}: spark={x!r} duckdb={y!r}")
                     ok = False; break
             if not ok: break
         if ok:

@@ -47,11 +47,17 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** events.ts (BIGINT nanos) → TimestampType (microsecond precision).
-    * DuckDB equivalent used in oracles: `date_trunc('microsecond', ts)`
-    * has ns precision; match by truncating DuckDB side too when calendar
-    * ops are compared, or compare raw nanos via `epoch_ns(ts)`. */
-  def tsFromNanos(nanos: Column): Column = timestamp_micros(nanos / lit(1000L) cast "long")
+  /** Exact floor-division of a BIGINT nanos column by 1000 → micros.
+    * NOT `c / 1000`: Column./ is double division, which both loses
+    * precision above 2^53 (epoch-nanos ≈ 1.7e18) and rounds instead of
+    * flooring. Decimal division + long cast truncates exactly, matching
+    * DuckDB's `epoch_us` (its parquet reader already truncates
+    * TIMESTAMP_NS to microseconds). */
+  def nsToUs(nanos: Column): Column =
+    (nanos.cast("decimal(38,0)") / lit(1000)).cast("long")
+
+  /** events.ts (BIGINT nanos) → TimestampType (microsecond precision). */
+  def tsFromNanos(nanos: Column): Column = timestamp_micros(nsToUs(nanos))
 
   /** Exact-decimal view of a 2-decimal money/ratio double column.
     * FIXTURES.md: l_discount/l_tax/l_extendedprice/o_totalprice/acctbal

@@ -1,0 +1,288 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{QueryFn, Tables}
+
+/** Scans, filters, projections and joins (SURVEY.md §2.1–2.3).
+  *
+  * The Hadoop-MR reference class expresses scans as InputFormat splits,
+  * filters/projections as map-side user code, and joins as either
+  * reduce-side repartition joins or map-side distributed-cache joins.
+  * Here each is a declarative plan; Catalyst provides pushdown, pruning
+  * and join-strategy selection, AQE re-plans at runtime.
+  */
+object Relational {
+
+  // ---- §2.1 scans / sources -------------------------------------------
+
+  /** Full-scan count (MR input-split read analog). The count aggregates
+    * per-split partial counts — no shuffle of row data at any scale. */
+  def scanParquet(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(count(lit(1)).as("n_rows"))
+
+  /** Column-pruned scan: parquet reader materializes only 2 of 11
+    * columns (check ReadSchema in explain). At 100 TB this is the
+    * difference between reading ~18% and 100% of the bytes. */
+  def scanProjectionPruning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_quantity")
+      .orderBy($"l_orderkey", $"l_quantity")
+  }
+
+  /** Semi-structured ingestion: JSON string column → typed field.
+    * get_json_object is codegen'd; no UDF, pushdown unaffected. */
+  def sourceJsonProps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_id", get_json_object($"props", "$.k").cast(IntegerType).as("k"))
+      .orderBy($"event_id")
+  }
+
+  /** CSV round-trip (MR TextInputFormat analog): export nation to CSV,
+    * read it back with an explicit schema (schema inference would cost
+    * an extra full pass at scale). Bench-only: depends on local tmp. */
+  def sourceCsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = "/root/repo/target/tmp/csv_roundtrip"
+    Tables.nation(spark, dir).write.mode("overwrite").option("header", "true").csv(tmp)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    spark.read.option("header", "true").schema(schema).csv(tmp)
+      .orderBy($"n_nationkey")
+  }
+
+  // ---- §2.2 filters / projections -------------------------------------
+
+  /** Distributed grep — the canonical MR demo workload. rlike is a
+    * codegen'd regex filter; the scan prunes to (doc_id, text). */
+  def filterGrep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter($"text".rlike("\\bjoin\\b"))
+      .select($"doc_id", $"text")
+      .orderBy($"doc_id")
+  }
+
+  /** Compound predicate: range + IN + comparison, all pushable to the
+    * parquet reader (row-group/page skipping at scale). */
+  def filterPredicates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" <= lit("1998-12-31").cast("timestamp")
+        && $"l_returnflag".isin("A", "R")
+        && $"l_quantity" > 25)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag", $"l_shipdate")
+      // (l_orderkey, l_linenumber) is NOT unique in this data — order by
+      // every output column so the multiset order is total.
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag", $"l_shipdate")
+  }
+
+  /** Projection with computed column (map-side emit). Money math in
+    * exact decimal, presented as double (SURVEY.md §7 G2). */
+  def projectDerived(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_linenumber",
+        (Tables.dec2($"l_extendedprice") * (lit(BigDecimal(1)) - Tables.dec2($"l_discount")))
+          .cast("double").as("revenue"))
+      .orderBy($"l_orderkey", $"l_linenumber", $"revenue")
+  }
+
+  // ---- §2.3 joins ------------------------------------------------------
+
+  /** Reduce-side repartition equi-join (MR's standard join): both sides
+    * shuffle on the key → SortMergeJoin/ShuffledHashJoin. At scale this
+    * is the shuffle-heavy path; key choice = FK so no skew. */
+  def joinShuffleEqui(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), $"o_orderkey" === $"l_orderkey", "inner")
+      .select($"o_orderkey", $"l_linenumber", $"o_totalprice", $"l_quantity")
+      .orderBy($"o_orderkey", $"l_linenumber", $"o_totalprice", $"l_quantity")
+  }
+
+  /** Map-side join (MR distributed-cache analog): part is dim-sized, so
+    * broadcast it — zero shuffle of the fact table at any scale. */
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"l_linenumber", $"p_name", $"p_retailprice")
+      .orderBy($"l_orderkey", $"l_linenumber", $"p_name", $"p_retailprice")
+  }
+
+  /** 4-table star join rolled up to region revenue. The three dim tables
+    * are broadcast (region/nation trivially, customer is 1.5M rows at
+    * sf100 — still broadcastable; at larger scale AQE falls back to
+    * shuffle join on the FK). */
+  def joinMultiwayStar(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, dir)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(Tables.dec2($"o_totalprice")).cast("double").as("revenue"))
+      .orderBy($"r_name")
+  }
+
+  /** Left outer join preserving customers without orders, aggregated to
+    * per-customer order count + spend. */
+  def joinLeftOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("n_orders"),
+        coalesce(sum(Tables.dec2($"o_totalprice")).cast("double"), lit(0.0)).as("spent"))
+      .orderBy($"c_custkey")
+  }
+
+  /** Left-semi: customers having at least one URGENT order (EXISTS).
+    * Semi-join ships only the key column of the right side. */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val urgent = Tables.orders(spark, dir).filter($"o_orderpriority" === "1-URGENT")
+    Tables.customer(spark, dir)
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** Left-anti: customers with no orders at all (NOT EXISTS). */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** Range/theta join, bucketized: lineitems shipped within 7 days of
+    * each order's date. A naive theta join is BroadcastNestedLoopJoin
+    * (O(n·m) — lethal at scale); instead explode each order into its 7
+    * day-keys and equi-join on the day (dates are midnight-aligned in
+    * this data, so the bucket join is exact, no residual filter).
+    * Shuffle volume: 7×|orders| + |lineitem|, both keyed on day. */
+  def joinRangeTheta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .select($"o_orderkey", explode(sequence(to_date($"o_orderdate"),
+        date_add(to_date($"o_orderdate"), 6))).as("d"))
+    val l = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", to_date($"l_shipdate").as("ship_d"))
+    o.join(l, $"d" === $"ship_d", "left")
+      .groupBy($"o_orderkey")
+      .agg(count($"l_orderkey").as("n_items"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** As-of self join: for every click, the most recent strictly-earlier
+    * purchase by the same user. Implemented scalably as one pass over a
+    * tagged union with a window (no nested-loop join): partition by
+    * user, order by (ts, kind) with clicks before purchases at equal ts
+    * so the strict `<` holds, then last(purchase_ts) over rows
+    * [unbounded, -1]. DuckDB oracle uses its native ASOF JOIN. */
+  def joinSelfAsof(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"event_id", $"user_id", $"ts", $"event_type",
+        when($"event_type" === "purchase", $"ts").as("pts"),
+        when($"event_type" === "click", lit(0)).otherwise(lit(1)).as("kind"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"kind", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("prev_purchase_ts", last($"pts", ignoreNulls = true).over(w))
+      .filter($"event_type" === "click")
+      // Comparison precision: DuckDB truncates TIMESTAMP_NS parquet to
+      // microseconds on read, so present micros. coalesce to -1: nullable
+      // int64 would round-trip through float64 in pandas-based comparators.
+      .select($"event_id", $"user_id", Tables.nsToUs($"ts").as("ts_us"),
+        coalesce(Tables.nsToUs($"prev_purchase_ts"), lit(-1L)).as("prev_purchase_us"))
+      .orderBy($"event_id")
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "scan_parquet" -> (scanParquet(_, _)),
+    "scan_projection_pruning" -> (scanProjectionPruning(_, _)),
+    "source_json_props" -> (sourceJsonProps(_, _)),
+    "source_csv_roundtrip" -> (sourceCsvRoundtrip(_, _)),
+    "filter_grep" -> (filterGrep(_, _)),
+    "filter_predicates" -> (filterPredicates(_, _)),
+    "project_derived" -> (projectDerived(_, _)),
+    "join_shuffle_equi" -> (joinShuffleEqui(_, _)),
+    "join_broadcast" -> (joinBroadcast(_, _)),
+    "join_multiway_star" -> (joinMultiwayStar(_, _)),
+    "join_left_outer" -> (joinLeftOuter(_, _)),
+    "join_semi" -> (joinSemi(_, _)),
+    "join_anti" -> (joinAnti(_, _)),
+    "join_range_theta" -> (joinRangeTheta(_, _)),
+    "join_self_asof" -> (joinSelfAsof(_, _))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "scan_parquet" -> "SELECT count(*) AS n_rows FROM lineitem",
+    "scan_projection_pruning" ->
+      "SELECT l_orderkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_quantity",
+    "source_json_props" ->
+      "SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k FROM events ORDER BY event_id",
+    // source_csv_roundtrip: ✖ tmp-file dependent, bench-only
+    "filter_grep" ->
+      "SELECT doc_id, text FROM documents WHERE regexp_matches(text, '\\bjoin\\b') ORDER BY doc_id",
+    "filter_predicates" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-12-31' AND l_returnflag IN ('A','R') AND l_quantity > 25
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate""".stripMargin,
+    "project_derived" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue""".stripMargin,
+    "join_shuffle_equi" ->
+      """SELECT o_orderkey, l_linenumber, o_totalprice, l_quantity
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey, l_linenumber, o_totalprice, l_quantity""".stripMargin,
+    "join_broadcast" ->
+      """SELECT l_orderkey, l_linenumber, p_name, p_retailprice
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |ORDER BY l_orderkey, l_linenumber, p_name, p_retailprice""".stripMargin,
+    "join_multiway_star" ->
+      """SELECT r_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "join_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_range_theta" ->
+      """SELECT o_orderkey, count(l_orderkey) AS n_items
+        |FROM orders LEFT JOIN lineitem
+        |  ON l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 7 DAY
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    "join_self_asof" ->
+      """SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, coalesce(epoch_us(p.ts), -1) AS prev_purchase_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND p.ts < c.ts
+        |ORDER BY c.event_id""".stripMargin
+  )
+}
