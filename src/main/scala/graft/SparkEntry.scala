@@ -7,9 +7,15 @@ object SparkEntry {
     operators.Aggregations.aggGroupbySum(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Aggregations.queries ++ operators.Relational.queries
+    operators.Aggregations.queries ++ operators.Relational.queries ++
+      operators.Windows.queries ++ functions.Scalars.queries ++
+      functions.UserCode.queries ++ operators.LlmOps.queries ++
+      streaming.Streamy.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.Aggregations.oracleSql ++ operators.Relational.oracleSql
+    operators.Aggregations.oracleSql ++ operators.Relational.oracleSql ++
+      operators.Windows.oracleSql ++ functions.Scalars.oracleSql ++
+      functions.UserCode.oracleSql ++ operators.LlmOps.oracleSql ++
+      streaming.Streamy.oracleSql
 }

@@ -33,8 +33,87 @@ object Aggregations {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** Exact distinct count per group. Spark plans this as Expand +
+    * two-phase aggregate — the same two-job pattern MR uses, fused into
+    * one DAG. Shuffle key = (group, user) so hot groups don't bottleneck
+    * a single reducer. */
+  def aggCountDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"event_type")
+  }
+
+  /** HLL approximate distinct — the 100 TB-scale answer to distinct
+    * counting: fixed-size sketch, single shuffle of sketches, mergeable.
+    * Bench-only (✖ oracle): HLL implementations differ across engines. */
+  def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", 0.02).as("approx_users"))
+      .orderBy($"event_type")
+  }
+
+  /** Rollup subtotals over the region→nation hierarchy (the chained-MR
+    * subtotal-jobs pattern, one Expand-based aggregate here). */
+  def aggRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, dir)), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_cust"),
+        sum(Tables.dec2($"c_acctbal")).cast("double").as("acctbal"))
+      // Spark ASC = NULLS FIRST; oracle SQL must say NULLS FIRST (DuckDB
+      // defaults to NULLS LAST)
+      .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
+  /** Cube over (mktsegment, orderpriority) — all margin combinations.
+    * Bench-only: same Expand machinery as rollup, kept off the oracle
+    * surface (SURVEY.md §2.4). */
+  def aggCube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .cube($"c_mktsegment", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"c_mktsegment".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  /** Word count — THE canonical MR program. explode(split) is a
+    * Generate node feeding a partial aggregate: the shuffle carries
+    * (word, partial count), not tokens. */
+  def aggWordcount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .orderBy($"w")
+  }
+
+  /** Numeric histogram of events.value in buckets of 50. floor() on
+    * IEEE doubles is engine-independent; bucket presented as BIGINT. */
+  def aggHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(floor($"value" / 50).as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(Tables.dec4($"value")).cast("double").as("sum_value"))
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, QueryFn] = Map(
-    "agg_groupby_sum" -> (aggGroupbySum(_, _))
+    "agg_groupby_sum" -> (aggGroupbySum(_, _)),
+    "agg_count_distinct" -> (aggCountDistinct(_, _)),
+    "agg_approx_distinct" -> (aggApproxDistinct(_, _)),
+    "agg_rollup" -> (aggRollup(_, _)),
+    "agg_cube" -> (aggCube(_, _)),
+    "agg_wordcount" -> (aggWordcount(_, _)),
+    "agg_histogram" -> (aggHistogram(_, _))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -48,6 +127,27 @@ object Aggregations {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // agg_approx_distinct: ✖ HLL implementations differ between engines
+    "agg_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    // agg_cube: ✖ covered by rollup (same Expand machinery), bench-only
+    "agg_wordcount" ->
+      """SELECT w, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |WHERE w <> '' GROUP BY w ORDER BY w""".stripMargin,
+    "agg_histogram" ->
+      """SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
   )
 }

@@ -1,0 +1,315 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryFn, Tables}
+
+/** LLM-training-data pipeline operators (SURVEY.md §2.11): dedup (exact
+  * and MinHash/LSH near-dup), similarity search, text analysis/quality,
+  * multimodal join, n-grams.
+  *
+  * Scale posture: these are the operators that must survive 100 TB.
+  *  - exact dedup: hash-groupBy — shuffle carries (hash, id), not text;
+  *  - near-dup: MinHash signatures + LSH banding keeps candidate
+  *    generation at O(n·bands) instead of O(n²) pairs (Broder '97);
+  *  - similarity: brute-force cosine against a small broadcast query
+  *    set — the scale path swaps in LSH/IVF bucketing with the same
+  *    scoring expression;
+  *  - everything is DataFrame ops: no collect(), no driver loops.
+  */
+object LlmOps {
+
+  // ---- dedup -----------------------------------------------------------
+
+  /** Exact dedup by normalized text. Groups on sha2(text) so the
+    * shuffle key is 32 bytes regardless of document size; survivor =
+    * min(doc_id) for determinism. The DuckDB oracle groups on the
+    * normalized text itself — identical result barring a SHA-256
+    * collision. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy(sha2(lower(trim($"text")), 256).as("h"))
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_dups"))
+      .select($"doc_id", $"n_dups")
+      .orderBy($"doc_id")
+  }
+
+  /** Word 3-shingles per document, distinct. */
+  private def shingles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(1, size(toks) - 2),
+          |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))""".stripMargin))
+        .as("sh"))
+      .distinct()
+  }
+
+  private val MinhashK = 16 // signature length
+  private val Bands = 4     // LSH bands of r = K/Bands rows each
+
+  /** Near-duplicate pairs via MinHash + LSH banding, Jaccard-verified.
+    *
+    * shingle → K seeded Murmur3 min-hashes per doc (one groupBy; the
+    * seeds ride along as K agg expressions, so one pass) → Bands band
+    * keys per doc (hash of K/Bands consecutive signature slots) →
+    * self-join on (band, bandhash) for candidates (AQE's skew-join
+    * handles hot bands; at extreme scale salt the band key) → exact
+    * shingle-Jaccard verification ≥ 0.5.
+    *
+    * ✖ oracle: the pipeline is not ANSI-SQL-expressible; its exact-
+    * Jaccard verifier is separately oracled as dedup_jaccard_verify.
+    * Deterministic: fixed seeds, survivor ordering on (doc_a, doc_b). */
+  def dedupMinhashNear(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingles(spark, dir).cache()
+    val sigCols = (0 until MinhashK).map(i => min(hash($"sh", lit(i))).as(s"h$i"))
+    val sigs = sh.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val r = MinhashK / Bands
+    val bandCols = (0 until Bands).map { b =>
+      struct(lit(b).as("band"), hash((b * r until (b + 1) * r).map(i => col(s"h$i")): _*).as("bh"))
+    }
+    val banded = sigs.select($"doc_id", explode(array(bandCols: _*)).as("bk"))
+      .select($"doc_id", $"bk.band", $"bk.bh")
+    val cand = banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    val jac = exactJaccard(cand, sh)
+    jac.filter($"jaccard" >= 0.5)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Exact shingle-set Jaccard for given candidate pairs: set sizes via
+    * groupBy, intersection size via a two-way join on the shingle value
+    * — no arrays collected to the driver, no O(n²) comparisons. */
+  private def exactJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    import sh.sparkSession.implicits._
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.as("sa"), $"doc_a" === $"sa.doc_id")
+      .join(sh.as("sb"), $"doc_b" === $"sb.doc_id" && $"sa.sh" === $"sb.sh")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("ni"))
+    inter
+      .join(sizes.as("na"), $"doc_a" === $"na.doc_id")
+      .join(sizes.as("nb"), $"doc_b" === $"nb.doc_id")
+      .select($"doc_a", $"doc_b",
+        ($"ni".cast("double") / ($"na.n" + $"nb.n" - $"ni")).as("jaccard"))
+  }
+
+  /** Oracled companion to the MinHash pipeline: exact Jaccard over
+    * candidate pairs that share their first-5-token prefix (a cheap,
+    * SQL-expressible candidate generator with real signal in this
+    * data — FIXTURES.md notes 233 shared prefixes at sf0.1). */
+  def dedupJaccardVerify(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("toks"))
+    val pref = docs.select($"doc_id",
+      concat_ws(" ", slice($"toks", 1, 5)).as("p"))
+    val pairs = pref.as("a").join(pref.as("b"),
+        $"a.p" === $"b.p" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+    val toks = docs.select($"doc_id", explode($"toks").as("sh")).distinct()
+    exactJaccard(pairs, toks).orderBy($"doc_a", $"doc_b")
+  }
+
+  // ---- similarity search ----------------------------------------------
+
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Brute-force cosine top-k: fixed query set (vec_id < 5) broadcast
+    * against all embeddings; score = sequential-fold dot product over
+    * doubles (same fold order as DuckDB's list_dot_product ⇒ identical
+    * bits, rounded to 6 anyway), per-query top-10 via row_number.
+    * Scale path: same scoring expression over LSH/IVF-bucketed
+    * candidates instead of the full cross product. */
+  def simsearchCosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("qe"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        round(dotD($"qe", $"embedding") /
+          (sqrt(dotD($"qe", $"qe")) * sqrt(dotD($"embedding", $"embedding"))), 6).as("score"))
+    val w = Window.partitionBy($"q_id").orderBy($"score".desc, $"vec_id")
+    scored.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 10)
+      .select($"q_id", $"rn", $"vec_id", $"score")
+      .orderBy($"q_id", $"rn")
+  }
+
+  /** Fixed-point scale for exact centroid summation: multiplying a
+    * double by 2^40 is a pure exponent shift (no rounding), floor() is
+    * exact, and the resulting integers sum associatively — so the group
+    * aggregate is order-independent (double sums are not even
+    * Spark-vs-Spark deterministic: shuffle fetch order varies).
+    * Headroom: |x| < 1 ⇒ |fx| < 2^40; exact up to 2^13 rows/group in
+    * double, unboundedly exact if summed as decimal. */
+  private val FxScale = 1099511627776.0 // 2^40
+
+  /** Per-label centroids: posexplode the vectors, aggregate per
+    * (label, dimension) in fixed-point. */
+  def simsearchLabelCentroid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"label", posexplode($"embedding").as(Seq("pos0", "x")))
+      .select($"label", ($"pos0" + 1).cast("long").as("pos"),
+        floor($"x".cast("double") * lit(FxScale)).as("fx"))
+      .groupBy($"label", $"pos")
+      .agg((sum($"fx").cast("decimal(38,0)").cast("double") / lit(FxScale) / count(lit(1)))
+        .as("centroid"))
+      .orderBy($"label", $"pos")
+  }
+
+  // ---- text analysis ---------------------------------------------------
+
+  /** Per-language corpus statistics: doc count, mean length, token
+    * totals, type-token ratio. Two aggregations (doc-grain + token-
+    * grain) joined on lang — each is a partial-agg-friendly groupBy. */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val byDoc = docs.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+    val toks = docs.select($"lang", explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct($"w").as("n_distinct"))
+    byDoc.join(toks, "lang")
+      .select($"lang", $"n_docs",
+        ($"sum_chars".cast("double") / $"n_docs").as("avg_chars"),
+        $"n_tokens", $"n_distinct",
+        ($"n_distinct".cast("double") / $"n_tokens").as("ttr"))
+      .orderBy($"lang")
+  }
+
+  /** Corpus quality gate: length bounds, language whitelist, minimum
+    * token count — the standard pre-training filter chain, all
+    * pushdown-friendly predicates. */
+  def textQualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter($"n_chars".between(100, 400)
+        && $"lang".isin("en", "fr", "es")
+        && size(split($"text", " ")) >= 20)
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  /** Multimodal frame: text modality joined to vector modality on
+    * doc_id = vec_id (scalar fields projected for the oracle; the
+    * struct packaging is exercised in unit tests). */
+  def multimodalJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .join(Tables.embeddings(spark, dir), $"doc_id" === $"vec_id")
+      .select($"doc_id", $"lang", $"n_chars", $"label",
+        size($"embedding").cast("long").as("dim"),
+        element_at($"embedding", 1).as("first_el"))
+      .orderBy($"doc_id")
+  }
+
+  /** Bigram generation with position (n-gram analysis primitive). */
+  def ngramGenerate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 2)
+      .select($"doc_id", posexplode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))""".stripMargin))
+        .as(Seq("pos0", "bigram")))
+      .select($"doc_id", ($"pos0" + 1).cast("long").as("pos"), $"bigram")
+      .orderBy($"doc_id", $"pos")
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "dedup_exact" -> (dedupExact(_, _)),
+    "dedup_minhash_near" -> (dedupMinhashNear(_, _)),
+    "dedup_jaccard_verify" -> (dedupJaccardVerify(_, _)),
+    "simsearch_cosine_topk" -> (simsearchCosineTopk(_, _)),
+    "simsearch_label_centroid" -> (simsearchLabelCentroid(_, _)),
+    "text_stats" -> (textStats(_, _)),
+    "text_quality_filter" -> (textQualityFilter(_, _)),
+    "multimodal_join" -> (multimodalJoin(_, _)),
+    "ngram_generate" -> (ngramGenerate(_, _))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+        |FROM documents GROUP BY lower(trim(text)) ORDER BY doc_id""".stripMargin,
+    // dedup_minhash_near: ✖ not ANSI-expressible; verified by unit tests +
+    // the oracled dedup_jaccard_verify companion
+    "dedup_jaccard_verify" ->
+      """WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+        |pref AS (SELECT doc_id, array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS p FROM documents),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM pref a JOIN pref b ON a.p = b.p AND a.doc_id < b.doc_id),
+        |inter AS (SELECT doc_a, doc_b, count(*) AS ni
+        |          FROM pairs
+        |          JOIN toks ta ON ta.doc_id = doc_a
+        |          JOIN toks tb ON tb.doc_id = doc_b AND ta.w = tb.w
+        |          GROUP BY doc_a, doc_b)
+        |SELECT doc_a, doc_b,
+        |  CAST(ni AS DOUBLE) / (na.n + nb.n - ni) AS jaccard
+        |FROM inter
+        |JOIN sizes na ON na.doc_id = doc_a
+        |JOIN sizes nb ON nb.doc_id = doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "simsearch_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q_id, vec_id,
+        |        round(list_dot_product(qe, CAST(embedding AS DOUBLE[])) /
+        |          (sqrt(list_dot_product(qe, qe)) *
+        |           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 6) AS score
+        |      FROM q, embeddings WHERE vec_id <> q_id),
+        |r AS (SELECT q_id, vec_id, score,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+        |      FROM s)
+        |SELECT q_id, rn, vec_id, score FROM r WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
+    "simsearch_label_centroid" ->
+      """WITH x AS (SELECT label, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+        |             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1099511627776.0) AS BIGINT) AS fx
+        |           FROM embeddings)
+        |SELECT label, pos, CAST(sum(fx) AS DOUBLE) / 1099511627776.0 / count(*) AS centroid
+        |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    "text_stats" ->
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tok AS (SELECT lang, count(*) AS n_tokens, count(DISTINCT w) AS n_distinct
+        |        FROM t WHERE w <> '' GROUP BY lang),
+        |doc AS (SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |        FROM documents GROUP BY lang)
+        |SELECT lang, n_docs, CAST(sum_chars AS DOUBLE) / n_docs AS avg_chars,
+        |       n_tokens, n_distinct, CAST(n_distinct AS DOUBLE) / n_tokens AS ttr
+        |FROM doc JOIN tok USING (lang) ORDER BY lang""".stripMargin,
+    "text_quality_filter" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE n_chars BETWEEN 100 AND 400 AND lang IN ('en','fr','es')
+        |  AND len(string_split(text, ' ')) >= 20
+        |ORDER BY doc_id""".stripMargin,
+    "multimodal_join" ->
+      """SELECT doc_id, lang, n_chars, label,
+        |  CAST(len(embedding) AS BIGINT) AS dim, embedding[1] AS first_el
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY doc_id""".stripMargin,
+    "ngram_generate" ->
+      """SELECT doc_id, CAST(generate_subscripts(bl, 1) AS BIGINT) AS pos, unnest(bl) AS bigram
+        |FROM (SELECT doc_id,
+        |        list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS bl
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |      WHERE len(toks) >= 2)
+        |ORDER BY doc_id, pos""".stripMargin
+  )
+}

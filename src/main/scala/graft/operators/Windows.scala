@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryFn, Tables}
+
+/** Window functions, global sorts / top-k, and set operations
+  * (SURVEY.md §2.5–2.7).
+  *
+  * The MR reference class implements these via secondary sort (windows),
+  * TotalOrderPartitioner (global sort), single-reducer top-k, and
+  * concat+dedup jobs (set ops). Spark: WindowExec after a hash
+  * repartition, range-partitioned SortExec, TakeOrderedAndProject, and
+  * Expand/aggregate-based set operators.
+  */
+object Windows {
+
+  // ---- §2.5 window functions ------------------------------------------
+
+  /** Top-3 orders per customer by price (MR secondary-sort shape).
+    * row_number with a unique tie-break (o_orderkey) keeps the pick
+    * deterministic; the filter happens before any further shuffle, so
+    * downstream sees ≤3 rows/customer regardless of skew. */
+  def windowTopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"rn", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  /** rank / dense_rank of suppliers by account balance within nation.
+    * Rank values are tie-order independent, so ordering within the
+    * window by the (possibly tied) balance alone is still deterministic
+    * output-wise; the final ORDER BY ends in the unique s_suppkey. */
+  def windowRankDense(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"s_nationkey").orderBy($"s_acctbal".desc)
+    Tables.supplier(spark, dir)
+      .select($"s_nationkey", $"s_suppkey", $"s_acctbal",
+        rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
+      .orderBy($"s_nationkey", $"rnk", $"s_suppkey")
+  }
+
+  /** Per-user inter-event gap via lag. Window order uses the
+    * microsecond-truncated ts (plus unique event_id) so Spark and the
+    * DuckDB oracle — whose parquet reader truncates TIMESTAMP_NS to
+    * micros — order identically. */
+  def windowLag(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", Tables.nsToUs($"ts").as("ts_us"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    e.withColumn("gap_us", $"ts_us" - lag($"ts_us", 1).over(w))
+      .select($"event_id", $"user_id", $"ts_us", coalesce($"gap_us", lit(-1L)).as("gap_us"))
+      .orderBy($"event_id")
+  }
+
+  /** Running revenue per customer (frame unboundedPreceding..current).
+    * Accumulates in exact decimal so the running values are
+    * order-of-addition independent, then presents double. */
+  def windowRunningSum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+        sum(Tables.dec2($"o_totalprice")).over(w).cast("double").as("running_spend"))
+      .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+  }
+
+  // ---- §2.6 global sort / top-k ---------------------------------------
+
+  /** Total-order sort (TeraSort pattern): Spark samples the key range
+    * and range-partitions, so each partition sorts independently —
+    * no single-reducer bottleneck at scale. */
+  def sortGlobal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+  }
+
+  /** Global top-10 by price → TakeOrderedAndProject: each partition
+    * keeps its local top-10, driver merges — O(k) memory, no shuffle. */
+  def topkLimit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  // ---- §2.7 set operations --------------------------------------------
+
+  private def users(spark: SparkSession, dir: String, typ: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir).filter($"event_type" === typ).select($"user_id")
+  }
+
+  /** Distinct union of click/purchase user sets (MR concat+dedup). */
+  def setopUnionDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    users(spark, dir, "click").union(users(spark, dir, "purchase"))
+      .distinct().orderBy($"user_id")
+  }
+
+  /** Users present in both sets (INTERSECT = distinct semantics). */
+  def setopIntersect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    users(spark, dir, "click").intersect(users(spark, dir, "purchase"))
+      .orderBy($"user_id")
+  }
+
+  /** Users clicking but never purchasing (EXCEPT). */
+  def setopExcept(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    users(spark, dir, "click").except(users(spark, dir, "purchase"))
+      .orderBy($"user_id")
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "window_topk_per_group" -> (windowTopkPerGroup(_, _)),
+    "window_rank_dense" -> (windowRankDense(_, _)),
+    "window_lag" -> (windowLag(_, _)),
+    "window_running_sum" -> (windowRunningSum(_, _)),
+    "sort_global" -> (sortGlobal(_, _)),
+    "topk_limit" -> (topkLimit(_, _)),
+    "setop_union_distinct" -> (setopUnionDistinct(_, _)),
+    "setop_intersect" -> (setopIntersect(_, _)),
+    "setop_except" -> (setopExcept(_, _))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "window_topk_per_group" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "window_rank_dense" ->
+      """SELECT s_nationkey, s_suppkey, s_acctbal,
+        |  rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS rnk,
+        |  dense_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS drnk
+        |FROM supplier ORDER BY s_nationkey, rnk, s_suppkey""".stripMargin,
+    "window_lag" ->
+      """SELECT event_id, user_id, ts_us,
+        |  coalesce(ts_us - lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id), -1) AS gap_us
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
+        |ORDER BY event_id""".stripMargin,
+    "window_running_sum" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "sort_global" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey",
+    "topk_limit" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "setop_union_distinct" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |UNION
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+    "setop_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+    "setop_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin
+  )
+}

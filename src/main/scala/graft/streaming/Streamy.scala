@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryFn, Tables}
+
+/** Stream-shaped operators over the events table (SURVEY.md §2.9).
+  *
+  * The Hadoop-MR reference class is batch-only; the driver ships events
+  * as "a stream table", so these operators are declared in their batch
+  * form (oracle-able — batch sees complete data, so watermark/late-data
+  * semantics are vacuous) and mirrored 1:1 in Structured Streaming by
+  * [[StreamingMirror]], which the test suite runs with a file source and
+  * Trigger.AvailableNow. The transformation code is shared: each batch
+  * query here calls the same frame-builder the streaming mirror uses.
+  */
+object Streamy {
+
+  /** events with a proper TimestampType event-time column. */
+  private[streaming] def eventsWithTime(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir).withColumn("ts_ts", Tables.tsFromNanos($"ts"))
+  }
+
+  /** Tumbling 1-day window per event type — the TimeWindow operator
+    * (groupBy(window(...))). In streaming this is an incremental
+    * stateful agg with watermark eviction; in batch the same plan is a
+    * plain two-phase aggregate. */
+  private[streaming] def tumblingFrame(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.groupBy(window($"ts_ts", "1 day").as("w"), $"event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum(Tables.dec4($"value")).cast("double").as("sum_value"))
+      .select($"w.start".cast("date").as("day"), $"event_type", $"cnt", $"sum_value")
+  }
+
+  def streamTumblingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    tumblingFrame(eventsWithTime(spark, dir)).orderBy($"day", $"event_type")
+  }
+
+  /** Sliding window: 1-day length every 6 hours. Bench-only (✖):
+    * overlapping windows are awkward to express faithfully in ANSI SQL;
+    * the operator itself is the same TimeWindow Expand machinery. */
+  def streamSlidingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    eventsWithTime(spark, dir)
+      .groupBy(window($"ts_ts", "1 day", "6 hours").as("w"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .select($"w.start".cast("timestamp_ntz").as("w_start"), $"event_type", $"cnt")
+      .orderBy($"w_start", $"event_type")
+  }
+
+  /** Sessionization with a 30-minute inactivity gap, batch form:
+    * lag → new-session flag → running sum = session index, then one
+    * aggregate per (user, session). Two window passes over the same
+    * (user_id, time) partitioning — Spark reuses the sort. The
+    * streaming mirror uses session_window (state-store sessions with
+    * watermark); semantics coincide on complete data. */
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 30L * 60 * 1000 * 1000
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val flagged = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", Tables.nsToUs($"ts").as("ts_us"))
+      .withColumn("is_new",
+        when(lag($"ts_us", 1).over(w).isNull
+          || $"ts_us" - lag($"ts_us", 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum($"is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min($"ts_us").as("start_us"), max($"ts_us").as("end_us"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "stream_tumbling_window" -> (streamTumblingWindow(_, _)),
+    "stream_sliding_window" -> (streamSlidingWindow(_, _)),
+    "stream_sessionize" -> (streamSessionize(_, _))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "stream_tumbling_window" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    // stream_sliding_window: ✖ overlapping windows not cleanly ANSI-expressible
+    "stream_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+        |f AS (SELECT user_id, ts_us, event_id,
+        |        CASE WHEN lag(ts_us, 1) OVER w IS NULL
+        |               OR ts_us - lag(ts_us, 1) OVER w > 30 * 60 * 1000000
+        |             THEN 1 ELSE 0 END AS is_new
+        |      FROM e
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (SELECT user_id, ts_us,
+        |        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |      FROM f)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts_us) AS start_us, max(ts_us) AS end_us
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+  )
+}
