@@ -123,6 +123,9 @@ object LlmOps {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Sequential-fold double dot product, shared with the ANN variant. */
+  private[operators] def dotDPublic(a: Column, b: Column): Column = dotD(a, b)
+
   /** Brute-force cosine top-k: fixed query set (vec_id < 5) broadcast
     * against all embeddings; score = sequential-fold dot product over
     * doubles (same fold order as DuckDB's list_dot_product ⇒ identical

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.Tables
+
+/** Structured Streaming runtime mirror (SURVEY.md §2.9): the same
+  * event-time transformations as the batch forms in [[Streamy]], run as
+  * a real micro-batch stream — file source over a staged copy of
+  * events.parquet, watermark-based late-data handling, memory sink.
+  *
+  * Not part of SparkEntry.queries (a streaming Dataset can't be
+  * .count()'d by the bench driver — SURVEY.md §7 G7); the test suite
+  * runs it with Trigger.AvailableNow and asserts the result equals the
+  * batch form, which is the correctness statement that matters: batch
+  * sees complete data, so a correct incremental execution must agree.
+  *
+  * At scale this is the production shape: readStream from an
+  * append-only directory, watermark bounds state, checkpointed sink.
+  */
+object StreamingMirror {
+
+  /** Stage events.parquet into a directory usable as a file-stream
+    * source (file sources need a directory + explicit schema). */
+  def stageEvents(spark: SparkSession, dir: String, stageDir: String): String = {
+    Tables.events(spark, dir).write.mode("overwrite").parquet(stageDir)
+    stageDir
+  }
+
+  /** Streaming tumbling-window aggregate with a 1-hour watermark,
+    * mirroring Streamy.tumblingFrame. */
+  def tumblingStream(spark: SparkSession, stageDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.configure(spark)
+    val schema = spark.read.parquet(stageDir).schema
+    val src = spark.readStream.schema(schema).parquet(stageDir)
+      .withColumn("ts_ts", Tables.tsFromNanos($"ts"))
+      .withWatermark("ts_ts", "1 hour")
+    Streamy.tumblingFrame(src)
+  }
+
+  /** Streaming sessionization via session_window (30-minute gap),
+    * state-store backed. */
+  def sessionStream(spark: SparkSession, stageDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.configure(spark)
+    val schema = spark.read.parquet(stageDir).schema
+    spark.readStream.schema(schema).parquet(stageDir)
+      .withColumn("ts_ts", Tables.tsFromNanos($"ts"))
+      .withWatermark("ts_ts", "1 hour")
+      .groupBy(session_window($"ts_ts", "30 minutes").as("sw"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"sw.start".as("session_start"), $"n_events")
+  }
+
+  /** Run a streaming frame to completion (AvailableNow = process all
+    * currently-available input then stop) into an in-memory table and
+    * return its final contents. Complete output mode: every trigger
+    * emits the full result — right for the equality check vs batch. */
+  def runToCompletion(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+/** Determinism regression (SURVEY.md §5.4): every declared query must
+  * produce identical results across runs and across different
+  * parallelism — the local proxy for the driver's hash-match gate.
+  * Catches FP-order and sort-tie nondeterminism early. */
+class DeterminismSpec extends SparkSuite {
+
+  // csv roundtrip excluded: rewrites its own tmp input mid-plan
+  private val skip = Set("source_csv_roundtrip")
+
+  test("every query is run-to-run deterministic at sf0.001") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if skip(name) => None
+      case (name, fn) =>
+        val a = fn(spark, sf0001).collect().map(_.toString).toSeq
+        val b = fn(spark, sf0001).collect().map(_.toString).toSeq
+        if (a == b) None else Some(name)
+    }
+    assert(failures.isEmpty, s"nondeterministic queries: $failures")
+  }
+
+  test("query results are invariant to shuffle partition count") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val results = SparkEntry.queries.toSeq.sortBy(_._1).collect {
+        case (name, fn) if !skip(name) =>
+          spark.conf.set("spark.sql.shuffle.partitions", "3")
+          val a = fn(spark, sf0001).collect().map(_.toString).toSeq
+          spark.conf.set("spark.sql.shuffle.partitions", "7")
+          val b = fn(spark, sf0001).collect().map(_.toString).toSeq
+          (name, a == b)
+      }
+      val bad = results.filter(!_._2).map(_._1)
+      assert(bad.isEmpty, s"partition-count-sensitive queries: $bad")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.functions.{Scalars, UserCode}
+import graft.streaming.Streamy
+
+/** Per-category unit assertions against known fixture values
+  * (FIXTURES.md; recomputed with DuckDB during this session). */
+class OperatorsSpec extends SparkSuite {
+
+  test("scan_parquet counts all lineitem rows") {
+    assert(Relational.scanParquet(spark, sf0001).head().getLong(0) === 6000L)
+  }
+
+  test("filter_grep finds documents containing 'join'") {
+    assert(Relational.filterGrep(spark, sf0001).count() === 380L)
+  }
+
+  test("agg_groupby_sum returnflag totals match fixtures") {
+    val m = Tables.lineitem(spark, sf0001)
+      .groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m === Map("N" -> 2070L, "R" -> 1968L, "A" -> 1962L))
+  }
+
+  test("agg_wordcount token totals match fixtures") {
+    val wc = Aggregations.aggWordcount(spark, sf0001)
+    assert(wc.count() === 31L) // distinct words
+    assert(wc.agg(sum("cnt")).head().getLong(0) === 27939L) // total tokens
+  }
+
+  test("event type counts match fixtures") {
+    val m = Tables.events(spark, sf0001)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m === Map("click" -> 210L, "purchase" -> 202L, "error" -> 201L,
+      "signup" -> 199L, "view" -> 188L))
+  }
+
+  test("window_topk_per_group emits at most 3 rows per customer") {
+    val over = Windows.windowTopkPerGroup(spark, sf0001)
+      .groupBy("o_custkey").count().filter(col("count") > 3)
+    assert(over.count() === 0L)
+  }
+
+  test("semi and anti join partition the left side") {
+    val cust = Tables.customer(spark, sf0001).count()
+    val semiAll = Tables.customer(spark, sf0001)
+      .join(Tables.orders(spark, sf0001),
+        col("c_custkey") === col("o_custkey"), "left_semi").count()
+    val anti = Relational.joinAnti(spark, sf0001).count()
+    assert(semiAll + anti === cust)
+    assert(anti === 0L) // every sf0.001 customer has orders (fixture)
+  }
+
+  test("join_range_theta keeps every order exactly once") {
+    val df = Relational.joinRangeTheta(spark, sf0001)
+    assert(df.count() === 1500L)
+    assert(df.select("o_orderkey").distinct().count() === 1500L)
+  }
+
+  test("setops: intersect ⊆ union, except ∩ intersect = ∅") {
+    val u = Windows.setopUnionDistinct(spark, sf0001)
+    val i = Windows.setopIntersect(spark, sf0001)
+    val x = Windows.setopExcept(spark, sf0001)
+    assert(i.count() <= u.count())
+    assert(x.intersect(i).count() === 0L)
+  }
+
+  test("stream_sessionize: 30-minute-gap sessions match oracle count") {
+    val s = Streamy.streamSessionize(spark, sf0001)
+    assert(s.count() === 946L)
+    // session bounds are consistent
+    assert(s.filter(col("end_us") < col("start_us")).count() === 0L)
+  }
+
+  test("stream_tumbling_window covers 150 (day, type) groups") {
+    assert(Streamy.streamTumblingWindow(spark, sf0001).count() === 150L)
+  }
+
+  test("udaf_typed: stable moments equal exact mean/variance") {
+    val got = UserCode.udafTyped(spark, sf0001).collect()
+      .map(r => (r.getInt(0), (r.getDouble(1), r.getDouble(2)))).toMap
+    val want = Tables.supplier(spark, sf0001)
+      .groupBy("s_nationkey")
+      // var_samp of a single-member group is NULL; the aggregator
+      // defines it as 0.0 — align with coalesce
+      .agg(round(avg("s_acctbal"), 4).as("m"),
+        coalesce(round(var_samp("s_acctbal"), 4), lit(0.0)).as("v"))
+      .collect().map(r => (r.getInt(0), (r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, (m, v)) =>
+      assert(math.abs(m - want(k)._1) < 1e-6, s"mean nation $k")
+      assert(math.abs(v - want(k)._2) < 1e-4, s"var nation $k")
+    }
+  }
+
+  test("scalar_array: dims are 64 and n_pos bounded") {
+    val a = Scalars.scalarArray(spark, sf0001)
+    assert(a.filter(col("dim") =!= 64).count() === 0L)
+    assert(a.filter(col("n_pos") > 64 || col("n_pos") < 0).count() === 0L)
+  }
+}
