@@ -35,7 +35,11 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
-  /** Word 3-shingles per document, distinct. */
+  /** Word 3-shingles per document, distinct, pre-hashed to 64-bit ids:
+    * every downstream shuffle (distinct, signature agg, Jaccard joins)
+    * then moves 8-byte longs instead of ~20-byte strings — at 100 TB
+    * that is the difference between shuffling shingle text and shuffling
+    * fingerprints. xxhash64 collisions (~n²/2⁶⁴) are negligible. */
   private def shingles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
@@ -44,7 +48,8 @@ object LlmOps {
       .select($"doc_id", explode(expr(
         """transform(sequence(1, size(toks) - 2),
           |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))""".stripMargin))
-        .as("sh"))
+        .as("sh_str"))
+      .select($"doc_id", xxhash64($"sh_str").as("sh"))
       .distinct()
   }
 
@@ -78,6 +83,9 @@ object LlmOps {
         $"a.band" === $"b.band" && $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
+    // The candidate pair set is small enough to broadcast, so the
+    // verification joins stream the cached shingle table with no extra
+    // shuffle — pre-pruning it would only add serialized jobs.
     val jac = exactJaccard(cand, sh)
     jac.filter($"jaccard" >= 0.5)
       .orderBy($"doc_a", $"doc_b")
