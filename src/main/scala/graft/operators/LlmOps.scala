@@ -135,22 +135,24 @@ object LlmOps {
   private[operators] def dotDPublic(a: Column, b: Column): Column = dotD(a, b)
 
   /** Brute-force cosine top-k: fixed query set (vec_id < 5) broadcast
-    * against all embeddings; score = sequential-fold dot product over
-    * doubles (same fold order as DuckDB's list_dot_product ⇒ identical
-    * bits, rounded to 6 anyway), per-query top-10 via row_number.
-    * Scale path: same scoring expression over LSH/IVF-bucketed
-    * candidates instead of the full cross product. */
+    * against all embeddings; scored by the native codegen'd
+    * [[graft.functions.CosineSimilarity]] expression (bit-identical to
+    * the HOF fold and to DuckDB's list_dot_product on DOUBLE[] — all
+    * sequential IEEE double ops — but one fused loop per pair).
+    * Per-query top-10 via row_number. Scale path: same scoring
+    * expression over LSH/IVF-bucketed candidates (simsearch_ann_ivf)
+    * instead of the full cross product. */
   def simsearchCosineTopk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorOps.registerAll(spark)
     val e = Tables.embeddings(spark, dir)
     val q = e.filter($"vec_id" < 5)
       .select($"vec_id".as("q_id"), $"embedding".as("qe"))
     val scored = e.crossJoin(broadcast(q))
       .filter($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id",
-        round(dotD($"qe", $"embedding") /
-          (sqrt(dotD($"qe", $"qe")) * sqrt(dotD($"embedding", $"embedding"))), 6).as("score"))
+        round(expr("cosine_similarity(qe, embedding)"), 6).as("score"))
     val w = Window.partitionBy($"q_id").orderBy($"score".desc, $"vec_id")
     scored.withColumn("rn", row_number().over(w))
       .filter($"rn" <= 10)

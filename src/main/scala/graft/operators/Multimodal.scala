@@ -87,14 +87,14 @@ object Multimodal {
       .withColumn("cr", row_number().over(wq))
       .filter($"cr" <= nprobe)
       .select($"q_id", $"qe", $"cell")
-    // score only vectors in probed cells
+    // score only vectors in probed cells (native codegen'd cosine;
+    // the centroid probe above stays HOF — centroids are double[])
+    graft.functions.VectorOps.registerAll(spark)
     val ws = Window.partitionBy($"q_id").orderBy($"score".desc, $"vec_id")
     probed.join(e, $"cell" === $"label")
       .filter($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id",
-        round(LlmOps.dotDPublic($"qe", $"embedding") /
-          (sqrt(LlmOps.dotDPublic($"qe", $"qe")) *
-            sqrt(LlmOps.dotDPublic($"embedding", $"embedding"))), 6).as("score"))
+        round(expr("cosine_similarity(qe, embedding)"), 6).as("score"))
       .withColumn("rn", row_number().over(ws))
       .filter($"rn" <= 10)
       .select($"q_id", $"rn", $"vec_id", $"score")
