@@ -125,6 +125,69 @@ object LlmOps {
     exactJaccard(pairs, toks).orderBy($"doc_a", $"doc_b")
   }
 
+  /** SimHash near-dup detection: 64-bit fingerprint = sign-aggregated
+    * token hashes; candidate pairs share at least one of 4 16-bit
+    * blocks (pigeonhole: hamming ≤ 3 ⇒ some block identical); verified
+    * by exact hamming distance via xor+bit_count. All integer ops —
+    * deterministic — but the fingerprint depends on Spark's Murmur3, so
+    * no cross-engine oracle (✖); unit tests pin the known duplicates.
+    * Scale: fingerprints are 8 bytes/doc, candidates O(n·blocks). */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("t"))
+      .filter($"t" =!= "")
+      .select($"doc_id", xxhash64($"t").as("h"))
+    // per bit b: sum(+1 if bit set else -1); fingerprint bit b = sign
+    val bitCols = (0 until 64).map { b =>
+      sum(when(shiftright($"h", b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b")
+    }
+    val fp = tok.groupBy($"doc_id").agg(bitCols.head, bitCols.tail: _*)
+      .select($"doc_id",
+        (0 until 64).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_.bitwiseOR(_)).as("fp"))
+    val blocks = fp.select($"doc_id", $"fp", explode(array((0 until 4).map(k =>
+      struct(lit(k).as("blk"), shiftright($"fp", k * 16).bitwiseAND(0xFFFF).as("bv"))): _*)).as("b"))
+      .select($"doc_id", $"fp", $"b.blk", $"b.bv")
+    blocks.as("a").join(blocks.as("b"),
+        $"a.blk" === $"b.blk" && $"a.bv" === $"b.bv" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        bit_count($"a.fp".bitwiseXOR($"b.fp")).as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 3)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Embedding-cosine near-dup: each vector's nearest neighbour when
+    * cosine ≥ 0.4, scored by the native codegen'd expression. Exact
+    * (documented-quadratic) formulation — the LSH/IVF candidate
+    * generation of simsearch_ann_ivf is the scale path; this operator
+    * is the oracled ground truth it approximates. */
+  def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.VectorOps.registerAll(spark)
+    // Precompute each side's norm once: pairwise scoring then does one
+    // dot product per pair instead of three (score math stays
+    // bit-identical — same folds, same sqrt/multiply/divide order).
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding",
+        sqrt(expr("dot_product(embedding, embedding)")).as("nrm"))
+    val pairs = e.select($"vec_id".as("a_id"), $"embedding".as("ae"), $"nrm".as("an"))
+      .crossJoin(e.select($"vec_id".as("b_id"), $"embedding".as("be"), $"nrm".as("bn")))
+      .filter($"a_id" =!= $"b_id")
+      .select($"a_id", $"b_id",
+        round(expr("dot_product(ae, be)") / ($"an" * $"bn"), 6).as("cos"))
+    // argmax as a partial-aggregating max(struct(cos, -b_id)): combines
+    // map-side, so the shuffle carries one row per vector instead of the
+    // full n² scored pairs (a row_number window would shuffle them all).
+    // Tie-break: max(-b_id) = min b_id, matching the oracle's ORDER BY.
+    pairs.groupBy($"a_id")
+      .agg(max(struct($"cos", (-$"b_id").as("negb"))).as("m"))
+      .filter($"m.cos" >= 0.4)
+      .select($"a_id".as("vec_id"), (-$"m.negb").as("nn_id"), $"m.cos".as("cos"))
+      .orderBy($"vec_id")
+  }
+
   // ---- similarity search ----------------------------------------------
 
   private def dotD(a: Column, b: Column): Column =
@@ -231,6 +294,50 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** Position-weighted polynomial document fingerprint: Σ pos·v(token)
+    * mod M, with v(token) = 131·len + ascii(first char). Order-aware
+    * (position weights) yet commutative-summable — so it is both a
+    * partial-agg-friendly one-shuffle aggregate AND exactly expressible
+    * in ANSI SQL (a left-fold rolling hash would be neither). Integer
+    * arithmetic stays below 2^62 ⇒ no overflow in either engine. */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val M = 2147483647L
+    Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos0", "t")))
+      .filter($"t" =!= "")
+      .select($"doc_id", (($"pos0" + 1) *
+        (length($"t") * 131 + ascii(substring($"t", 1, 1)))).as("term"))
+      .groupBy($"doc_id")
+      .agg(pmod(sum($"term"), lit(M)).as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  /** Language identification by token-profile scoring: per-language
+    * token frequencies (learned from the corpus itself) score each
+    * document; prediction = argmax with deterministic tie-break.
+    * Integer scores only — no log-likelihood — so it oracles exactly.
+    * Honest caveat for this fixture: the synthetic corpus shares one
+    * vocabulary across languages, so accuracy is chance — what's
+    * exercised is the real profile-scoring machinery (build profile →
+    * score join → argmax), which is the 100 TB-relevant part. */
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("t"))
+      .filter($"t" =!= "")
+    val profile = tok.groupBy($"t", $"lang").agg(count(lit(1)).as("c"))
+    val scores = tok.select($"doc_id", $"t")
+      .join(profile.withColumnRenamed("lang", "cand"), "t")
+      .groupBy($"doc_id", $"cand").agg(sum($"c").as("score"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"cand")
+    scores.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"cand".as("pred_lang"), $"score")
+      .orderBy($"doc_id")
+  }
+
   /** Bigram generation with position (n-gram analysis primitive). */
   def ngramGenerate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -249,6 +356,10 @@ object LlmOps {
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_minhash_near" -> (dedupMinhashNear(_, _)),
     "dedup_jaccard_verify" -> (dedupJaccardVerify(_, _)),
+    "dedup_simhash" -> (dedupSimhash(_, _)),
+    "dedup_embedding_cosine" -> (dedupEmbeddingCosine(_, _)),
+    "text_fingerprint" -> (textFingerprint(_, _)),
+    "text_langid" -> (textLangid(_, _)),
     "simsearch_cosine_topk" -> (simsearchCosineTopk(_, _)),
     "simsearch_label_centroid" -> (simsearchLabelCentroid(_, _)),
     "text_stats" -> (textStats(_, _)),
@@ -280,6 +391,33 @@ object LlmOps {
         |JOIN sizes na ON na.doc_id = doc_a
         |JOIN sizes nb ON nb.doc_id = doc_b
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // dedup_simhash: ✖ fingerprint depends on Spark's hash family —
+    // integer-deterministic, pinned by unit tests
+    "dedup_embedding_cosine" ->
+      """WITH p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        |    (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+        |     sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos
+        |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+        |r AS (SELECT a_id, b_id, cos,
+        |        row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn FROM p)
+        |SELECT a_id AS vec_id, b_id AS nn_id, cos FROM r
+        |WHERE rn = 1 AND cos >= 0.4 ORDER BY vec_id""".stripMargin,
+    "text_fingerprint" ->
+      """WITH t AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok
+        |           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+        |SELECT doc_id,
+        |  CAST(sum(pos * (length(tok) * 131 + ascii(substring(tok, 1, 1)))) % 2147483647 AS BIGINT) AS fingerprint
+        |FROM t WHERE tok <> '' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tok2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+        |profile AS (SELECT t, lang AS cand, count(*) AS c FROM tok WHERE t <> '' GROUP BY t, lang),
+        |scores AS (SELECT doc_id, cand, CAST(sum(c) AS BIGINT) AS score
+        |           FROM tok2 JOIN profile USING (t) GROUP BY doc_id, cand),
+        |r AS (SELECT doc_id, cand, score,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn FROM scores)
+        |SELECT doc_id, cand AS pred_lang, score FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "simsearch_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
         |           FROM embeddings WHERE vec_id < 5),

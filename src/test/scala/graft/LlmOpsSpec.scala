@@ -34,6 +34,46 @@ class LlmOpsSpec extends SparkSuite {
     assert(near.filter(col("jaccard") < 0.5).count() === 0L)
   }
 
+  test("dedup_simhash finds all exact duplicates with hamming 0") {
+    val sim = LlmOps.dedupSimhash(spark, sf01).cache()
+    val exactPairs = Tables.documents(spark, sf01)
+      .groupBy(lower(trim(col("text"))).as("t"))
+      .agg(min("doc_id").as("doc_a"), max("doc_id").as("doc_b"), count(lit(1)).as("c"))
+      .filter(col("c") === 2)
+      .select("doc_a", "doc_b")
+    val missed = exactPairs.join(sim.filter(col("hamming") === 0),
+      Seq("doc_a", "doc_b"), "left_anti")
+    assert(missed.count() === 0L)
+    assert(sim.filter(col("hamming") > 3).count() === 0L)
+  }
+
+  test("text_fingerprint: one stable fingerprint per document, dups collide") {
+    val fp = LlmOps.textFingerprint(spark, sf01).cache()
+    assert(fp.count() === 5000L)
+    // the 8 exact-duplicate text pairs must produce equal fingerprints
+    val dupFp = Tables.documents(spark, sf01)
+      .groupBy(lower(trim(col("text"))).as("t")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+    val collisions = Tables.documents(spark, sf01)
+      .join(fp, "doc_id")
+      .groupBy("text").agg(countDistinct("fingerprint").as("nfp"))
+      .filter(col("nfp") > 1)
+    assert(collisions.count() === 0L)
+    assert(dupFp.count() === 8L)
+  }
+
+  test("text_langid predicts a language for every document") {
+    val l = LlmOps.textLangid(spark, sf0001).cache()
+    assert(l.count() === Tables.documents(spark, sf0001).count())
+    assert(l.filter(!col("pred_lang").isin("de", "en", "es", "fr", "zh")).count() === 0L)
+  }
+
+  test("dedup_embedding_cosine: NN pairs are symmetric-consistent and above threshold") {
+    val nn = LlmOps.dedupEmbeddingCosine(spark, sf0001).cache()
+    assert(nn.filter(col("cos") < 0.4).count() === 0L)
+    assert(nn.filter(col("vec_id") === col("nn_id")).count() === 0L)
+  }
+
   test("simsearch_cosine_topk: 10 neighbours per query, no self, scores in [-1,1]") {
     val t = LlmOps.simsearchCosineTopk(spark, sf0001).cache()
     assert(t.count() === 50L) // 5 queries × 10
