@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Dev-only: regenerate the golden CSVs for the flagship queries
+  * (src/test/resources/golden/, asserted by GoldenSpec). Run after an
+  * intentional semantic change AND a green oracle check — goldens pin
+  * the oracle-verified behavior, they don't define it. */
+object GoldenGen {
+  val flagships = Seq("agg_groupby_sum", "join_multiway_star", "agg_wordcount",
+    "topk_limit", "text_stats")
+
+  def csvOf(spark: SparkSession, name: String, sfDir: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    val rows = df.collect().map(_.toSeq.map(v => if (v == null) "" else v.toString).mkString(","))
+    (df.columns.mkString(",") +: rows).mkString("\n") + "\n"
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    flagships.foreach { n =>
+      val out = Paths.get(s"/root/repo/src/test/resources/golden/$n.csv")
+      Files.createDirectories(out.getParent)
+      Files.writeString(out, csvOf(spark, n, "/root/testdata/sf0.001"))
+      println(s"wrote $n")
+    }
+    spark.stop()
+  }
+}
