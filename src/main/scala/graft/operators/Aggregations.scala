@@ -66,9 +66,13 @@ object Aggregations {
       .rollup($"r_name", $"n_name")
       .agg(count(lit(1)).as("n_cust"),
         sum(Tables.dec2($"c_acctbal")).cast("double").as("acctbal"))
-      // Spark ASC = NULLS FIRST; oracle SQL must say NULLS FIRST (DuckDB
-      // defaults to NULLS LAST)
-      .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+      // Rollup's NULL group labels are presented as '(all)': string NULLs
+      // survive exact comparison but get mangled by pandas-style
+      // comparators (None vs NaN), and '(' sorts before letters in both
+      // engines so the ordering needs no NULLS FIRST alignment either.
+      .select(coalesce($"r_name", lit("(all)")).as("r_name"),
+        coalesce($"n_name", lit("(all)")).as("n_name"), $"n_cust", $"acctbal")
+      .orderBy($"r_name", $"n_name")
   }
 
   /** Cube over (mktsegment, orderpriority) — all margin combinations.
@@ -133,13 +137,14 @@ object Aggregations {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // agg_approx_distinct: ✖ HLL implementations differ between engines
     "agg_rollup" ->
-      """SELECT r_name, n_name, count(*) AS n_cust,
+      """SELECT coalesce(r_name, '(all)') AS r_name, coalesce(n_name, '(all)') AS n_name,
+        |  count(*) AS n_cust,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
-        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+        |ORDER BY 1, 2""".stripMargin,
     // agg_cube: ✖ covered by rollup (same Expand machinery), bench-only
     "agg_wordcount" ->
       """SELECT w, count(*) AS cnt

@@ -20,6 +20,8 @@ object SparkSuite {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static conf: needed by BucketingSpec's saveAsTable
+      .config("spark.sql.warehouse.dir", "/root/repo/target/tmp/warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     Tables.configure(s)

@@ -21,6 +21,21 @@ class StreamingSpec extends SparkSuite {
     assert(batch.except(streamed).count() === 0L)
   }
 
+  test("streaming sliding window equals batch sliding window") {
+    import org.apache.spark.sql.functions._
+    val schema = spark.read.parquet(stage).schema
+    val src = spark.readStream.schema(schema).parquet(stage)
+      .withColumn("ts_ts", Tables.tsFromNanos(col("ts")))
+      .withWatermark("ts_ts", "1 hour")
+      .groupBy(window(col("ts_ts"), "1 day", "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").cast("timestamp_ntz").as("w_start"), col("event_type"), col("cnt"))
+    val streamed = StreamingMirror.runToCompletion(spark, src, "sliding_mirror")
+    val batch = Streamy.streamSlidingWindow(spark, sf0001)
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).count() === 0L)
+  }
+
   test("streaming session_window produces plausible sessions") {
     val s = StreamingMirror.runToCompletion(
       spark, StreamingMirror.sessionStream(spark, stage), "session_mirror").cache()
