@@ -17,6 +17,9 @@ import graft.{QueryFn, Tables}
 object Streamy {
 
   /** events with a proper TimestampType event-time column. */
+  def eventsWithTimePublic(spark: SparkSession, dir: String): DataFrame =
+    eventsWithTime(spark, dir)
+
   private[streaming] def eventsWithTime(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir).withColumn("ts_ts", Tables.tsFromNanos($"ts"))
