@@ -71,11 +71,14 @@ object LlmOps {
   def dedupMinhashNear(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sh = shingles(spark, dir).cache()
-    val sigCols = (0 until MinhashK).map(i => min(hash($"sh", lit(i))).as(s"h$i"))
-    val sigs = sh.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // one-pass signature via the custom aggregator (see MinHashSig
+    // scaladoc for the measurement vs 16 declarative min(hash) columns)
+    val sigUdaf = udaf(new graft.functions.MinHashSig(MinhashK))
+    val sigs = sh.groupBy($"doc_id").agg(sigUdaf($"sh").as("sig"))
     val r = MinhashK / Bands
     val bandCols = (0 until Bands).map { b =>
-      struct(lit(b).as("band"), hash((b * r until (b + 1) * r).map(i => col(s"h$i")): _*).as("bh"))
+      struct(lit(b).as("band"),
+        hash((b * r until (b + 1) * r).map(i => element_at($"sig", i + 1)): _*).as("bh"))
     }
     val banded = sigs.select($"doc_id", explode(array(bandCols: _*)).as("bk"))
       .select($"doc_id", $"bk.band", $"bk.bh")
