@@ -22,6 +22,50 @@ class StatefulStreamingSpec extends SparkSuite {
     assert(wind.join(got, "user_id").filter(col("w") =!= col("g")).count() === 0L)
   }
 
+  test("watermark drops late data in the streaming aggregate") {
+    import spark.implicits._
+    import graft.streaming.Streamy
+    val dir = "/root/repo/target/tmp/late_data_stage"
+    // batch 1: the real events; batch 2: one event 10 days older than
+    // everything — far beyond the 1h watermark when batch 2 runs.
+    val e = Tables.events(spark, sf0001)
+    val minTs = e.agg(min("ts")).head().getLong(0)
+    e.write.mode("overwrite").parquet(dir)
+    // FileStreamSource orders batches by file modification time, and a
+    // batch's data only advances the watermark EFFECTIVE the
+    // next-plus-one batch — so stage an intermediate normal batch
+    // between the bulk and the late arrival.
+    val maxTs = e.agg(max("ts")).head().getLong(0)
+    Thread.sleep(1500)
+    e.limit(1).withColumn("ts", lit(maxTs))
+      .withColumn("event_type", lit("fresh_marker"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(1500)
+    val late = e.limit(1)
+      .withColumn("ts", lit(minTs - 10L * 24 * 3600 * 1000000000L))
+      .withColumn("event_type", lit("late_marker"))
+    late.coalesce(1).write.mode("append").parquet(dir)
+
+    val schema = spark.read.parquet(dir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .withColumn("ts_ts", Tables.tsFromNanos(col("ts")))
+      .withWatermark("ts_ts", "1 hour")
+      .groupBy(window(col("ts_ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").cast("date").as("day"), col("event_type"), col("cnt"))
+    val q = src.writeStream.format("memory").queryName("late_check")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // append mode emits only watermark-finalized windows; the late
+    // marker's window closed before its event arrived → dropped.
+    val res = spark.table("late_check")
+    assert(res.filter(col("event_type") === "late_marker").count() === 0L)
+    assert(res.count() > 0L)
+  }
+
   test("streaming flatMapGroupsWithState emits closed sessions matching batch") {
     val stage = StreamingMirror.stageEvents(spark, sf0001,
       "/root/repo/target/tmp/events_stage_fmgws")
