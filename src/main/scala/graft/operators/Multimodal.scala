@@ -101,9 +101,28 @@ object Multimodal {
       .orderBy($"q_id", $"rn")
   }
 
+  /** Frame sampling over a chunked binary payload — the video-frame /
+    * audio-window access pattern: split the payload into fixed 64-byte
+    * frames, take every 4th, emit per-frame digests. Pure expression
+    * work (sequence + substring + sha2), so it rides whole-stage
+    * codegen; payload bytes never leave the executor un-chunked. */
+  def multimodalFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+      .select($"doc_id", $"payload",
+        explode(sequence(lit(1),
+          ceil(octet_length($"payload") / 64.0).cast("int"), lit(4))).as("fidx"))
+      .select($"doc_id", $"fidx".cast("long").as("fidx"),
+        sha2(substring($"payload", ($"fidx" - 1) * 64 + 1, lit(64)), 256).as("frame_sha"),
+        octet_length(substring($"payload", ($"fidx" - 1) * 64 + 1, lit(64))).cast("long").as("frame_len"))
+      .orderBy($"doc_id", $"fidx")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "multimodal_binary_meta" -> (multimodalBinaryMeta(_, _)),
     "multimodal_decode_stub" -> (multimodalDecodeStub(_, _)),
+    "multimodal_frame_sample" -> (multimodalFrameSample(_, _)),
     "simsearch_ann_ivf" -> (simsearchAnnIvf(_, _))
   )
 
@@ -112,9 +131,17 @@ object Multimodal {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS content_sha,
         |  'text/plain;len=' || octet_length(encode(text)) AS mime
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // multimodal_decode_stub: ✖ stubbed decode — the batched
     // binary→vector plumbing is the operator; unit-tested
     // simsearch_ann_ivf: ✖ approximate by design; recall unit-tested
+    "multimodal_frame_sample" ->
+      """SELECT doc_id, CAST(fidx AS BIGINT) AS fidx,
+        |  sha256(substring(text, (fidx - 1) * 64 + 1, 64)) AS frame_sha,
+        |  CAST(length(substring(text, (fidx - 1) * 64 + 1, 64)) AS BIGINT) AS frame_len
+        |FROM (SELECT doc_id, text,
+        |        unnest(range(1, CAST(ceil(length(text) / 64.0) AS INT) + 1, 4)) AS fidx
+        |      FROM documents)
+        |ORDER BY doc_id, fidx""".stripMargin
   )
 }
