@@ -10,12 +10,14 @@ object SparkEntry {
     operators.Aggregations.queries ++ operators.Relational.queries ++
       operators.Windows.queries ++ functions.Scalars.queries ++
       functions.UserCode.queries ++ operators.LlmOps.queries ++
-      operators.Multimodal.queries ++ streaming.Streamy.queries
+      operators.Multimodal.queries ++ operators.Flagship.queries ++
+      streaming.Streamy.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Aggregations.oracleSql ++ operators.Relational.oracleSql ++
       operators.Windows.oracleSql ++ functions.Scalars.oracleSql ++
       functions.UserCode.oracleSql ++ operators.LlmOps.oracleSql ++
-      operators.Multimodal.oracleSql ++ streaming.Streamy.oracleSql
+      operators.Multimodal.oracleSql ++ operators.Flagship.oracleSql ++
+      streaming.Streamy.oracleSql
 }

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryFn, Tables}
+
+/** Composed flagship queries — classic TPC-H shapes built from the
+  * primitive operators, demonstrating multi-join + agg + top-k
+  * composition end to end (the "a user could run their reporting
+  * queries" claim). Also exact percentile aggregation.
+  */
+object Flagship {
+
+  /** Q3 shape — shipping priority: top-10 unshipped-revenue orders for
+    * one market segment. Dims broadcast, facts join on FK, final top-k
+    * is TakeOrderedAndProject. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cutoff = lit("1998-06-30").cast("timestamp")
+    val c = Tables.customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val o = Tables.orders(spark, dir).filter($"o_orderdate" < cutoff)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
+    val l = Tables.lineitem(spark, dir).filter($"l_shipdate" > cutoff)
+      .select($"l_orderkey",
+        (Tables.dec2($"l_extendedprice") * (lit(BigDecimal(1)) - Tables.dec2($"l_discount")))
+          .as("rev"))
+    o.join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(l, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(sum($"rev").cast("double").as("revenue"))
+      .select($"o_orderkey", to_date($"o_orderdate").as("o_date"), $"o_orderpriority", $"revenue")
+      .orderBy($"revenue".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  /** Q5 shape — local supplier volume: revenue by nation where customer
+    * and supplier share the nation, one region, one date year. */
+  def q5LocalSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val r = Tables.region(spark, dir).filter($"r_name" === "ASIA")
+    val n = Tables.nation(spark, dir).join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val c = Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")
+    val s = Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey")
+    val o = Tables.orders(spark, dir)
+      .filter(year($"o_orderdate") === 1997)
+      .select($"o_orderkey", $"o_custkey")
+    val l = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_suppkey",
+        (Tables.dec2($"l_extendedprice") * (lit(BigDecimal(1)) - Tables.dec2($"l_discount")))
+          .as("rev"))
+    o.join(c, $"o_custkey" === $"c_custkey")
+      .join(l, $"o_orderkey" === $"l_orderkey")
+      .join(broadcast(s), $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(sum($"rev").cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  /** Exact percentiles per group: Spark's percentile() and DuckDB's
+    * quantile_cont() both use linear interpolation over the sorted
+    * values — exact arithmetic on the two neighbours, rounded to 6 to
+    * absorb any last-ulp divergence in the interpolation products. */
+  def aggPercentile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      .orderBy($"event_type")
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "q3_shipping_priority" -> (q3ShippingPriority(_, _)),
+    "q5_local_supplier_volume" -> (q5LocalSupplierVolume(_, _)),
+    "agg_percentile" -> (aggPercentile(_, _))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q3_shipping_priority" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-30'
+        |  AND l_shipdate > TIMESTAMP '1998-06-30'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND year(o_orderdate) = 1997
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "agg_percentile" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}
