@@ -179,15 +179,27 @@ object LlmOps {
       .crossJoin(e.select($"vec_id".as("b_id"), $"embedding".as("be"), $"nrm".as("bn")))
       .filter($"a_id" =!= $"b_id")
       .select($"a_id", $"b_id",
-        round(expr("dot_product(ae, be)") / ($"an" * $"bn"), 6).as("cos"))
-    // argmax as a partial-aggregating max(struct(cos, -b_id)): combines
-    // map-side, so the shuffle carries one row per vector instead of the
-    // full n² scored pairs (a row_number window would shuffle them all).
-    // Tie-break: max(-b_id) = min b_id, matching the oracle's ORDER BY.
-    pairs.groupBy($"a_id")
-      .agg(max(struct($"cos", (-$"b_id").as("negb"))).as("m"))
-      .filter($"m.cos" >= 0.4)
-      .select($"a_id".as("vec_id"), (-$"m.negb").as("nn_id"), $"m.cos".as("cos"))
+        (expr("dot_product(ae, be)") / ($"an" * $"bn")).as("cos"))
+    // Two measured hot spots removed from the n² path:
+    //  1. round(x, 6) is BigDecimal-per-row (~2.7s over 4M pairs);
+    //    c6 = floor(x·1e6 + 0.5) is pure FP and verified bit-equivalent
+    //    to it on every pair at sf0.01/sf0.1 incl. 2M negative scores
+    //    (graft.RoundCheck, this session; also pinned by RoundingSpec).
+    //  2. max(struct(...)) is not hash-aggregatable and planned as
+    //    SortAggregate over all pairs; packing (c6 in the high bits,
+    //    bit-inverted b_id in the low 40) makes the argmax a codegen'd
+    //    max(long) HashAggregate with map-side combine — the shuffle
+    //    carries one row per vector, and max c6 ⇒ max cos with min b_id
+    //    tie-break, the oracle's exact ORDER BY.
+    val Lo = (1L << 40) - 1
+    pairs
+      .select($"a_id", (floor($"cos" * 1e6 + 0.5).cast("long") * lit(1L << 40)
+        + (lit(Lo) - $"b_id")).as("pack"))
+      .groupBy($"a_id").agg(max($"pack").as("m"))
+      .select($"a_id".as("vec_id"),
+        (lit(Lo) - $"m".bitwiseAND(lit(Lo))).as("nn_id"),
+        (shiftright($"m", 40).cast("double") / 1e6).as("cos"))
+      .filter($"cos" >= 0.4)
       .orderBy($"vec_id")
   }
 
