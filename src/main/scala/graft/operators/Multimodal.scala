@@ -119,11 +119,54 @@ object Multimodal {
       .orderBy($"doc_id", $"fidx")
   }
 
+  /** Sign-LSH bucketed cosine search — the random-hyperplane variant of
+    * the ANN scale path (SimHash's geometric cousin): 12 fixed
+    * hyperplanes (deterministic seeded PRNG) → 12-bit sign bucket per
+    * vector → candidates share the query's bucket in at least one of 3
+    * 4-bit bands → exact scoring of candidates only. Bucket join is an
+    * equi-join: O(n·bands) shuffle, never O(n²). ✖ oracle (approximate
+    * by design); recall/mechanics unit-tested like the IVF variant. */
+  def simsearchLshBucket(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorOps.registerAll(spark)
+    val Planes = 12; val Bands = 3; val R = Planes / Bands
+    val rnd = new scala.util.Random(42) // java.util.Random: specified algorithm, deterministic
+    val planes = Array.fill(Planes, 64)(rnd.nextGaussian())
+    // bit b set iff dot(embedding, plane_b) > 0 — sequential fold, deterministic
+    def planeDot(b: Int) = aggregate(
+      zip_with($"embedding", typedLit(planes(b).toSeq), (x, w) => x.cast("double") * w),
+      lit(0.0), (a, v) => a + v)
+    val sig = (0 until Planes)
+      .map(b => when(planeDot(b) > 0, lit(1 << b)).otherwise(lit(0)))
+      .reduce(_ + _)
+    val mask = (1 << R) - 1
+    val bands = array((0 until Bands)
+      .map(b => shiftright($"sig", b * R).bitwiseAND(mask)): _*)
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("sig", sig)
+      .select($"vec_id", $"embedding", bands.as("bands"))
+    val banded = e.select($"vec_id", $"embedding", posexplode($"bands").as(Seq("band", "bv")))
+    val q = banded.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("qe"), $"band", $"bv")
+    val cand = banded.join(q, Seq("band", "bv"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"qe", $"vec_id", $"embedding").distinct()
+    val w = Window.partitionBy($"q_id").orderBy($"score".desc, $"vec_id")
+    cand.select($"q_id", $"vec_id",
+        round(expr("cosine_similarity(qe, embedding)"), 6).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 10)
+      .select($"q_id", $"rn", $"vec_id", $"score")
+      .orderBy($"q_id", $"rn")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "multimodal_binary_meta" -> (multimodalBinaryMeta(_, _)),
     "multimodal_decode_stub" -> (multimodalDecodeStub(_, _)),
     "multimodal_frame_sample" -> (multimodalFrameSample(_, _)),
-    "simsearch_ann_ivf" -> (simsearchAnnIvf(_, _))
+    "simsearch_ann_ivf" -> (simsearchAnnIvf(_, _)),
+    "simsearch_lsh_bucket" -> (simsearchLshBucket(_, _))
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -99,6 +99,16 @@ class LlmOpsSpec extends SparkSuite {
     assert(hit / total >= 0.1, s"recall ${hit / total}")
   }
 
+  test("simsearch_lsh_bucket: ≤10 candidates per query, recall above random floor") {
+    val exact = LlmOps.simsearchCosineTopk(spark, sf0001).select("q_id", "vec_id")
+    val lsh = Multimodal.simsearchLshBucket(spark, sf0001).cache()
+    assert(lsh.groupBy("q_id").count().filter(col("count") > 10).count() === 0L)
+    val hit = exact.intersect(lsh.select("q_id", "vec_id")).count().toDouble
+    // random unit vectors: sign-LSH buckets retain near neighbours far
+    // above the 3·2^-4-band random floor; assert comfortably above it
+    assert(hit / exact.count() >= 0.2, s"recall ${hit / exact.count()}")
+  }
+
   test("simsearch_label_centroid: 10 labels × 64 dims") {
     val c = LlmOps.simsearchLabelCentroid(spark, sf0001)
     assert(c.count() === 640L)
