@@ -110,7 +110,40 @@ object Aggregations {
       .orderBy($"bucket")
   }
 
+  /** Pivot: event counts per user, one column per event type. The
+    * value list is explicit — with it Spark skips the extra distinct
+    * pass AND the output schema is deterministic (required for the
+    * oracle, whose SQL spells the same CASE columns). */
+  def aggPivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, dir)
+      .groupBy($"user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy($"user_id")
+  }
+
+  /** Correlated scalar subquery through the SQL interface: parts priced
+    * above their brand's average. Exercises Catalyst's subquery
+    * decorrelation (RewriteCorrelatedScalarSubquery → aggregate+join).
+    * The average is computed as exact-decimal sum / count (a plain AVG
+    * over doubles would be partial-sum-order nondeterministic). */
+  def sqlCorrelatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir).createOrReplaceTempView("part_v")
+    spark.sql(
+      """SELECT p_partkey, p_brand, p_retailprice
+        |FROM part_v p
+        |WHERE p_retailprice > (
+        |  SELECT CAST(sum(CAST(p2.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |  FROM part_v p2 WHERE p2.p_brand = p.p_brand)
+        |ORDER BY p_partkey""".stripMargin)
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "agg_pivot" -> (aggPivot(_, _)),
+    "sql_correlated_subquery" -> (sqlCorrelatedSubquery(_, _)),
     "agg_groupby_sum" -> (aggGroupbySum(_, _)),
     "agg_count_distinct" -> (aggCountDistinct(_, _)),
     "agg_approx_distinct" -> (aggApproxDistinct(_, _)),
@@ -132,6 +165,21 @@ object Aggregations {
         |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "sql_correlated_subquery" ->
+      """SELECT p_partkey, p_brand, p_retailprice
+        |FROM part p
+        |WHERE p_retailprice > (
+        |  SELECT CAST(sum(CAST(p2.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |  FROM part p2 WHERE p2.p_brand = p.p_brand)
+        |ORDER BY p_partkey""".stripMargin,
     "agg_count_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
