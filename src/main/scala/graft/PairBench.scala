@@ -51,3 +51,28 @@ object RoundCheck {
     spark.stop()
   }
 }
+/** Dev-only: stage timings for the minhash pipeline. */
+object MinhashStageBench {
+  def main(a: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions","4").config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.1"
+    def t(tag: String)(f: => Any): Unit = { val t0=System.nanoTime(); f; println(f"$tag ${(System.nanoTime()-t0)/1e9}%.2f s") }
+    for (_ <- 1 to 2) {
+      val docs = Tables.documents(spark, dir).select($"doc_id", split($"text"," ").as("toks")).filter(size($"toks") >= 3)
+      val shRaw = docs.select($"doc_id", explode(expr(
+        "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))")).as("sh_str"))
+      t("explode only      ") { shRaw.count() }
+      val sh = shRaw.select($"doc_id", xxhash64($"sh_str").as("sh"))
+      t("explode+hash+dist ") { sh.distinct().count() }
+      val shD = sh.distinct().cache(); shD.count()
+      val sigUdaf = udaf(new graft.functions.MinHashSig(16))
+      t("signatures        ") { shD.groupBy($"doc_id").agg(sigUdaf($"sh").as("sig")).count() }
+      t("full operator     ") { operators.LlmOps.dedupMinhashNear(spark, dir).count() }
+      shD.unpersist()
+    }
+    spark.stop()
+  }
+}
