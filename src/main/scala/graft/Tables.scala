@@ -28,6 +28,12 @@ object Tables {
   def configure(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // AQE: honor the 64MB advisory partition size when coalescing
+    // post-shuffle partitions instead of maximizing parallelism
+    // (parallelismFirst=true, the default, keeps tiny partitions —
+    // pure scheduling overhead at small data, and the Spark docs
+    // recommend false for production clusters too).
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
     spark
   }
 
