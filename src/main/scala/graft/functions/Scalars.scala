@@ -98,7 +98,25 @@ object Scalars {
       .orderBy($"event_id")
   }
 
+  /** Collection family over documents: distinct/sort/slice/contains on
+    * token arrays. Outputs flattened to scalars (concat_ws) — array-
+    * typed result columns compare fragilely across engines. Ordering
+    * normalized via array_sort (binary collation, identical for this
+    * ASCII corpus in both engines). */
+  def scalarCollection(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = split($"text", " ")
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        concat_ws(",", slice(array_sort(array_distinct(toks)), 1, 3)).as("first3_sorted"),
+        array_contains(toks, "join").as("has_join"),
+        element_at(array_sort(toks), -1).as("max_token"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "scalar_collection" -> (scalarCollection(_, _)),
     "scalar_string" -> (scalarString(_, _)),
     "scalar_date" -> (scalarDate(_, _)),
     "scalar_math" -> (scalarMath(_, _)),
@@ -107,6 +125,13 @@ object Scalars {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "scalar_collection" ->
+      """SELECT doc_id,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |  array_to_string(list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 3), ',') AS first3_sorted,
+        |  list_contains(string_split(text, ' '), 'join') AS has_join,
+        |  list_sort(string_split(text, ' '))[-1] AS max_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "scalar_string" ->
       """SELECT p_partkey, lower(p_name) AS lname, upper(p_brand) AS ubrand,
         |  substring(p_type, 1, 6) AS t6, p_brand || '-' || p_type AS cc,
