@@ -163,6 +163,21 @@ object Relational {
       .orderBy($"c_custkey")
   }
 
+  /** Full outer join with genuinely unmatched rows on BOTH sides
+    * (even-keyed customers vs 1997 orders). Null keys surface as -1:
+    * nullable BIGINTs are comparator hazards (SURVEY.md §7 G2). */
+  def joinFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir).filter($"c_custkey" % 2 === 0)
+      .select($"c_custkey")
+    val o = Tables.orders(spark, dir).filter(year($"o_orderdate") === 1997)
+      .select($"o_orderkey", $"o_custkey")
+    c.join(o, $"c_custkey" === $"o_custkey", "full_outer")
+      .select(coalesce($"c_custkey", lit(-1L)).as("ck"),
+        coalesce($"o_orderkey", lit(-1L)).as("ok"))
+      .orderBy($"ck", $"ok")
+  }
+
   /** Range/theta join, bucketized: lineitems shipped within 7 days of
     * each order's date. A naive theta join is BroadcastNestedLoopJoin
     * (O(n·m) — lethal at scale); instead explode each order into its 7
@@ -222,6 +237,7 @@ object Relational {
     "join_left_outer" -> (joinLeftOuter(_, _)),
     "join_semi" -> (joinSemi(_, _)),
     "join_anti" -> (joinAnti(_, _)),
+    "join_full_outer" -> (joinFullOuter(_, _)),
     "join_range_theta" -> (joinRangeTheta(_, _)),
     "join_self_asof" -> (joinSelfAsof(_, _))
   )
@@ -273,6 +289,12 @@ object Relational {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    "join_full_outer" ->
+      """SELECT coalesce(c_custkey, -1) AS ck, coalesce(o_orderkey, -1) AS ok
+        |FROM (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0) c
+        |FULL OUTER JOIN (SELECT o_orderkey, o_custkey FROM orders WHERE year(o_orderdate) = 1997) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY ck, ok""".stripMargin,
     "join_range_theta" ->
       """SELECT o_orderkey, count(l_orderkey) AS n_items
         |FROM orders LEFT JOIN lineitem

@@ -72,6 +72,21 @@ object Windows {
       .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
   }
 
+  /** Distribution window functions: ntile / percent_rank / cume_dist of
+    * order prices within customer. All rank-derived rationals (integer
+    * counts divided) — deterministic in both engines; o_orderkey
+    * tie-break makes ntile assignment total. */
+  def windowDistribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy($"o_custkey", $"o_totalprice", $"o_orderkey")
+  }
+
   // ---- §2.6 global sort / top-k ---------------------------------------
 
   /** Total-order sort (TeraSort pattern): Spark samples the key range
@@ -108,6 +123,14 @@ object Windows {
       .distinct().orderBy($"user_id")
   }
 
+  /** Bag-semantics union (UNION ALL): pure concatenation, no shuffle at
+    * all — partitions of both inputs are simply appended. */
+  def setopUnionAll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    users(spark, dir, "click").union(users(spark, dir, "purchase"))
+      .orderBy($"user_id")
+  }
+
   /** Users present in both sets (INTERSECT = distinct semantics). */
   def setopIntersect(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -127,6 +150,8 @@ object Windows {
     "window_rank_dense" -> (windowRankDense(_, _)),
     "window_lag" -> (windowLag(_, _)),
     "window_running_sum" -> (windowRunningSum(_, _)),
+    "window_distribution" -> (windowDistribution(_, _)),
+    "setop_union_all" -> (setopUnionAll(_, _)),
     "sort_global" -> (sortGlobal(_, _)),
     "topk_limit" -> (topkLimit(_, _)),
     "setop_union_distinct" -> (setopUnionDistinct(_, _)),
@@ -157,6 +182,19 @@ object Windows {
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
         |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "window_distribution" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_totalprice, o_orderkey""".stripMargin,
+    "setop_union_all" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
     "sort_global" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey",
     "topk_limit" ->
