@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Output sinks — the DFS-write side of the reference class, shaped for
+  * 100 TB reads-after-write:
+  *
+  *  - [[writePartitioned]]: hive-style directory partitioning on
+  *    low-cardinality columns (date, lang, label) → readers prune whole
+  *    directories (`PartitionFilters` — proven in ExtensionsSpec).
+  *  - [[writeBucketed]]: pre-shuffled bucket layout on a join/group key
+  *    → co-located joins and aggregations with NO exchange (proven in
+  *    BucketingSpec).
+  *  - [[writeSorted]]: plain parquet with in-file ordering on a filter
+  *    column → parquet min/max row-group statistics make point/range
+  *    filters skip row groups.
+  *
+  * All three keep writes distributed (one file per task); never
+  * coalesce(1) outside the dev harness.
+  */
+object Sinks {
+
+  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+
+  def writeSorted(df: DataFrame, path: String, col: String): Unit =
+    df.sortWithinPartitions(col).write.mode("overwrite").parquet(path)
+}

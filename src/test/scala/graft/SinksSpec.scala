@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Sinks
+
+/** Sink layouts must round-trip and enable their read-side optimization. */
+class SinksSpec extends SparkSuite {
+
+  test("writePartitioned round-trips and prunes") {
+    val dir = "/root/repo/target/tmp/sink_part"
+    Sinks.writePartitioned(Tables.documents(spark, sf0001), dir, "lang")
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 500L)
+    val plan = back.filter(col("lang") === "en").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan.take(500))
+  }
+
+  test("writeSorted produces row-group-skippable files") {
+    val dir = "/root/repo/target/tmp/sink_sorted"
+    Sinks.writeSorted(Tables.orders(spark, sf0001), dir, "o_totalprice")
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 1500L)
+    // filter on the sort column is pushed to the scan (row-group stats usable)
+    val plan = back.filter(col("o_totalprice") > 50000.0)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("GreaterThan(o_totalprice"), plan.take(800))
+  }
+}
