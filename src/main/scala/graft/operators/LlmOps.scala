@@ -353,6 +353,22 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** Token counting two ways per document: whitespace split and a
+    * BPE-ish regex tokenizer (`[a-z]+|[0-9]+|punct` pieces — the
+    * pre-tokenization pattern BPE vocabularies train over). Both are
+    * codegen'd expressions; identical regex semantics in Java and RE2
+    * for this character class. */
+  def textTokenCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        size(filter(split($"text", " "), t => t =!= "")).cast("long").as("n_ws_tokens"),
+        // idx 0 = whole match (Spark defaults to capture group 1)
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("long")
+          .as("n_bpe_pieces"))
+      .orderBy($"doc_id")
+  }
+
   /** Bigram generation with position (n-gram analysis primitive). */
   def ngramGenerate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -375,6 +391,7 @@ object LlmOps {
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine(_, _)),
     "text_fingerprint" -> (textFingerprint(_, _)),
     "text_langid" -> (textLangid(_, _)),
+    "text_token_count" -> (textTokenCount(_, _)),
     "simsearch_cosine_topk" -> (simsearchCosineTopk(_, _)),
     "simsearch_label_centroid" -> (simsearchLabelCentroid(_, _)),
     "text_stats" -> (textStats(_, _)),
@@ -433,6 +450,11 @@ object LlmOps {
         |r AS (SELECT doc_id, cand, score,
         |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn FROM scores)
         |SELECT doc_id, cand AS pred_lang, score FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_pieces
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "simsearch_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
         |           FROM embeddings WHERE vec_id < 5),

@@ -101,6 +101,32 @@ object Multimodal {
       .orderBy($"q_id", $"rn")
   }
 
+  /** Resize stub: nearest-neighbour downsample of the payload to a
+    * fixed 128 bytes (the image-resize shape: fixed output dims,
+    * strided source sampling). Per-partition batched like the decode
+    * stub; a real resizer swaps the sampling kernel, the plumbing —
+    * fixed-size output schema, no driver round-trip — stays. Bench-only
+    * (✖): stub arithmetic. */
+  def multimodalResizeStub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val Target = 128
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"text".cast("binary").as("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val out = new Array[Byte](Target)
+          val n = math.max(bytes.length, 1)
+          var i = 0
+          while (i < Target) { out(i) = bytes((i.toLong * n / Target).toInt % n); i += 1 }
+          (id, out, bytes.length.toLong)
+        }
+      }
+      .toDF("doc_id", "resized", "orig_bytes")
+      .select($"doc_id", octet_length($"resized").cast("long").as("resized_bytes"),
+        sha2($"resized", 256).as("resized_sha"), $"orig_bytes")
+      .orderBy($"doc_id")
+  }
+
   /** Frame sampling over a chunked binary payload — the video-frame /
     * audio-window access pattern: split the payload into fixed 64-byte
     * frames, take every 4th, emit per-frame digests. Pure expression
@@ -164,6 +190,7 @@ object Multimodal {
   val queries: Map[String, QueryFn] = Map(
     "multimodal_binary_meta" -> (multimodalBinaryMeta(_, _)),
     "multimodal_decode_stub" -> (multimodalDecodeStub(_, _)),
+    "multimodal_resize_stub" -> (multimodalResizeStub(_, _)),
     "multimodal_frame_sample" -> (multimodalFrameSample(_, _)),
     "simsearch_ann_ivf" -> (simsearchAnnIvf(_, _)),
     "simsearch_lsh_bucket" -> (simsearchLshBucket(_, _))
