@@ -55,6 +55,26 @@ object Relational {
       .orderBy($"n_nationkey")
   }
 
+  /** ORC round-trip: same dance as CSV through Spark's second columnar
+    * format (predicate pushdown + vectorized read apply to ORC too).
+    * Bench-only: tmp-dir dependent. */
+  def sourceOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = "/root/repo/target/tmp/orc_roundtrip"
+    Tables.supplier(spark, dir).write.mode("overwrite").orc(tmp)
+    spark.read.orc(tmp).orderBy($"s_suppkey")
+  }
+
+  /** JSON-lines round-trip with explicit schema (inference would scan
+    * twice). Bench-only: tmp-dir dependent. */
+  def sourceJsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = "/root/repo/target/tmp/jsonl_roundtrip"
+    val src = Tables.region(spark, dir)
+    src.write.mode("overwrite").json(tmp)
+    spark.read.schema(src.schema).json(tmp).orderBy($"r_regionkey")
+  }
+
   // ---- §2.2 filters / projections -------------------------------------
 
   /** Distributed grep — the canonical MR demo workload. rlike is a
@@ -228,6 +248,8 @@ object Relational {
     "scan_projection_pruning" -> (scanProjectionPruning(_, _)),
     "source_json_props" -> (sourceJsonProps(_, _)),
     "source_csv_roundtrip" -> (sourceCsvRoundtrip(_, _)),
+    "source_orc_roundtrip" -> (sourceOrcRoundtrip(_, _)),
+    "source_jsonl_roundtrip" -> (sourceJsonlRoundtrip(_, _)),
     "filter_grep" -> (filterGrep(_, _)),
     "filter_predicates" -> (filterPredicates(_, _)),
     "project_derived" -> (projectDerived(_, _)),
