@@ -226,20 +226,26 @@ object Relational {
   def joinSelfAsof(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    // All comparisons happen at MICROsecond precision: DuckDB truncates
+    // TIMESTAMP_NS parquet to µs on read, so its ASOF strictness test is
+    // p.ts_us < c.ts_us. Ordering the window by raw nanos would include a
+    // purchase that precedes a click within the same microsecond — a row
+    // the oracle excludes. (kind: clicks sort before purchases at equal
+    // ts_us, so rows [unbounded, -1] sees only strictly-earlier-µs
+    // purchases.)
     val e = Tables.events(spark, dir)
       .filter($"event_type".isin("click", "purchase"))
-      .select($"event_id", $"user_id", $"ts", $"event_type",
-        when($"event_type" === "purchase", $"ts").as("pts"),
+      .select($"event_id", $"user_id", Tables.nsToUs($"ts").as("ts_us"), $"event_type",
+        when($"event_type" === "purchase", Tables.nsToUs($"ts")).as("pts_us"),
         when($"event_type" === "click", lit(0)).otherwise(lit(1)).as("kind"))
-    val w = Window.partitionBy($"user_id").orderBy($"ts", $"kind", $"event_id")
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"kind", $"event_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    e.withColumn("prev_purchase_ts", last($"pts", ignoreNulls = true).over(w))
+    e.withColumn("prev_purchase_us0", last($"pts_us", ignoreNulls = true).over(w))
       .filter($"event_type" === "click")
-      // Comparison precision: DuckDB truncates TIMESTAMP_NS parquet to
-      // microseconds on read, so present micros. coalesce to -1: nullable
-      // int64 would round-trip through float64 in pandas-based comparators.
-      .select($"event_id", $"user_id", Tables.nsToUs($"ts").as("ts_us"),
-        coalesce(Tables.nsToUs($"prev_purchase_ts"), lit(-1L)).as("prev_purchase_us"))
+      // coalesce to -1: nullable int64 would round-trip through float64
+      // in pandas-based comparators.
+      .select($"event_id", $"user_id", $"ts_us",
+        coalesce($"prev_purchase_us0", lit(-1L)).as("prev_purchase_us"))
       .orderBy($"event_id")
   }
 

@@ -20,6 +20,25 @@ class DeterminismSpec extends SparkSuite {
     assert(failures.isEmpty, s"nondeterministic queries: $failures")
   }
 
+  test("no declared query output has array/map/struct columns") {
+    // The driver canonicalizes EVERY declared output (even non-oracled
+    // ones) via pandas sort_values; nested-typed cells arrive as numpy
+    // arrays, which are unhashable and grade the key as a driver-side
+    // error (round-1 lesson: multimodal_decode_stub). Scalar columns only.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if skip(name) => None
+      case (name, fn) =>
+        val nested = fn(spark, sf0001).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType]
+            || f.dataType.isInstanceOf[MapType]
+            || f.dataType.isInstanceOf[StructType] => f.name
+        }
+        if (nested.isEmpty) None else Some(s"$name(${nested.mkString(",")})")
+    }
+    assert(offenders.isEmpty, s"nested-typed output columns: $offenders")
+  }
+
   test("query results are invariant to shuffle partition count") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {

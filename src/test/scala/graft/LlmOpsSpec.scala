@@ -127,10 +127,16 @@ class LlmOpsSpec extends SparkSuite {
     assert(m.filter(col("n_bytes") =!= col("n_chars")).count() === 0L)
   }
 
-  test("multimodal_decode_stub: features are a 16-bin distribution") {
+  test("multimodal_decode_stub: 16 scalar bin counts summing to n_bytes") {
     val f = Multimodal.multimodalDecodeStub(spark, sf0001).cache()
-    assert(f.filter(size(col("features")) =!= 16).count() === 0L)
-    val sums = f.select(aggregate(col("features"), lit(0.0), (a, x) => a + x).as("s"))
-    assert(sums.filter(abs(col("s") - 1.0) > 1e-9).count() === 0L)
+    // graded-output rule: scalar columns only (no array/map/struct)
+    assert(f.schema.fields.forall(_.dataType match {
+      case _: org.apache.spark.sql.types.ArrayType => false
+      case _: org.apache.spark.sql.types.MapType => false
+      case _: org.apache.spark.sql.types.StructType => false
+      case _ => true
+    }))
+    val binSum = (0 until 16).map(b => col(f"b$b%02d")).reduce(_ + _)
+    assert(f.filter(binSum =!= col("n_bytes")).count() === 0L)
   }
 }
