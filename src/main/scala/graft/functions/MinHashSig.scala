@@ -12,11 +12,15 @@ import org.apache.spark.sql.expressions.Aggregator
   * family. Merge is elementwise min ⇒ associative + commutative ⇒
   * map-side combine works.
   *
-  * Measured (sf0.1, local[4], graft.SigBench, this session): warm runs
+  * Measured (sf0.1, local[4], graft.SigBench): warm signature-only runs
   * ~0.21s vs ~0.23s for the declarative 16×min(hash(sh, seed))
   * formulation — the single tight-loop buffer edges out 16 codegen'd
-  * agg columns, and the gap grows with k (no unrolling limit).
-  * dedup_minhash_near uses this aggregator.
+  * agg columns, and the gap grows with k (no unrolling limit). Over the
+  * FULL dedup_minhash_near pipeline, however, the declarative form wins
+  * decisively cold AND warm (graft.ProfMinhash), so the query uses the
+  * declarative signature; this aggregator remains as the library's
+  * custom-Aggregator surface (MinHashSigSpec) and the better choice at
+  * larger k.
   */
 class MinHashSig(k: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
   private val Golden = 0x9E3779B97F4A7C15L

@@ -166,27 +166,31 @@ object Multimodal {
     val Planes = 12; val Bands = 3; val R = Planes / Bands
     val rnd = new scala.util.Random(42) // java.util.Random: specified algorithm, deterministic
     val planes = Array.fill(Planes, 64)(rnd.nextGaussian())
-    // bit b set iff dot(embedding, plane_b) > 0 — sequential fold, deterministic
-    def planeDot(b: Int) = aggregate(
-      zip_with($"embedding", typedLit(planes(b).toSeq), (x, w) => x.cast("double") * w),
-      lit(0.0), (a, v) => a + v)
-    val sig = (0 until Planes)
-      .map(b => when(planeDot(b) > 0, lit(1 << b)).otherwise(lit(0)))
-      .reduce(_ + _)
+    // Whole signature = ONE native codegen'd expression (PlaneSignature):
+    // the previous 12 aggregate(zip_with(..., 64-element literal)) folds
+    // cost seconds of cold codegen for the same sequential-fold numerics.
+    graft.functions.PlaneSignature.register(spark, planes)
     val mask = (1 << R) - 1
     val bands = array((0 until Bands)
       .map(b => shiftright($"sig", b * R).bitwiseAND(mask)): _*)
     val e = Tables.embeddings(spark, dir)
-      .withColumn("sig", sig)
-      .select($"vec_id", $"embedding", bands.as("bands"))
-    val banded = e.select($"vec_id", $"embedding", posexplode($"bands").as(Seq("band", "bv")))
-    val q = banded.filter($"vec_id" < 5)
-      .select($"vec_id".as("q_id"), $"embedding".as("qe"), $"band", $"bv")
-    val cand = banded.join(q, Seq("band", "bv"))
+    val banded = e.withColumn("sig", expr("plane_signature(embedding)"))
+      .select($"vec_id", posexplode(bands).as(Seq("band", "bv")))
+    val qb = banded.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"band", $"bv")
+    // Candidate dedup on (q_id, vec_id) IDS ONLY — 16 bytes/row through
+    // the distinct's exchange; embeddings are re-joined for scoring
+    // afterwards instead of riding every banded candidate row (round-1
+    // finding: the old distinct shuffled two full 64-float vectors per
+    // candidate).
+    val cand = banded.join(qb, Seq("band", "bv"))
       .filter($"vec_id" =!= $"q_id")
-      .select($"q_id", $"qe", $"vec_id", $"embedding").distinct()
+      .select($"q_id", $"vec_id").distinct()
+    val qe = e.filter($"vec_id" < 5).select($"vec_id".as("q_id"), $"embedding".as("qe"))
     val w = Window.partitionBy($"q_id").orderBy($"score".desc, $"vec_id")
-    cand.select($"q_id", $"vec_id",
+    cand.join(broadcast(qe), "q_id")
+      .join(e.select($"vec_id", $"embedding"), "vec_id")
+      .select($"q_id", $"vec_id",
         round(expr("cosine_similarity(qe, embedding)"), 6).as("score"))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= 10)
