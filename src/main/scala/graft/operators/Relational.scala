@@ -75,6 +75,34 @@ object Relational {
     spark.read.schema(src.schema).json(tmp).orderBy($"r_regionkey")
   }
 
+  /** Partitioned-layout round trip — the 100 TB read path made a graded
+    * artifact: events land hive-partitioned by day
+    * (Sinks.writePartitioned), and the readback filters a 7-day range so
+    * the scan prunes 23 of 30 day directories before reading a byte
+    * (`PartitionFilters` — asserted in SinksSpec). Day is computed with
+    * exact integer division on microseconds (`div`, not `/`: Column./
+    * is double division) so it matches DuckDB's `//` on `epoch_us`.
+    * The oracle runs on the ORIGINAL events parquet — the round trip
+    * must be value-preserving for the hash to match. */
+  def sinkPartitionedRead(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = "/root/repo/target/tmp/partitioned_events"
+    val src = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"event_type", $"value",
+        Tables.nsToUs($"ts").as("ts_us"))
+      .withColumn("day", expr("ts_us div 86400000000"))
+    graft.sources.Sinks.writePartitioned(src, tmp, "day")
+    spark.read.parquet(tmp)
+      // partition-column values come back via directory-name inference
+      // (int), so pin the type before grouping
+      .withColumn("day", $"day".cast("long"))
+      .filter($"day" >= 19730L && $"day" <= 19736L)
+      .groupBy($"day", $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(Tables.dec4($"value")).cast("double").as("sum_value"))
+      .orderBy($"day", $"event_type")
+  }
+
   // ---- §2.2 filters / projections -------------------------------------
 
   /** Distributed grep — the canonical MR demo workload. rlike is a
@@ -256,6 +284,7 @@ object Relational {
     "source_csv_roundtrip" -> (sourceCsvRoundtrip(_, _)),
     "source_orc_roundtrip" -> (sourceOrcRoundtrip(_, _)),
     "source_jsonl_roundtrip" -> (sourceJsonlRoundtrip(_, _)),
+    "sink_partitioned_read" -> (sinkPartitionedRead(_, _)),
     "filter_grep" -> (filterGrep(_, _)),
     "filter_predicates" -> (filterPredicates(_, _)),
     "project_derived" -> (projectDerived(_, _)),
@@ -277,6 +306,14 @@ object Relational {
     "source_json_props" ->
       "SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k FROM events ORDER BY event_id",
     // source_csv_roundtrip: ✖ tmp-file dependent, bench-only
+    "sink_partitioned_read" ->
+      """SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE epoch_us(ts) // 86400000000 BETWEEN 19730 AND 19736
+        |GROUP BY 1, 2
+        |ORDER BY day, event_type""".stripMargin,
     "filter_grep" ->
       "SELECT doc_id, text FROM documents WHERE regexp_matches(text, '\\bjoin\\b') ORDER BY doc_id",
     "filter_predicates" ->

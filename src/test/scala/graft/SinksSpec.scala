@@ -15,6 +15,16 @@ class SinksSpec extends SparkSuite {
     assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan.take(500))
   }
 
+  test("sink_partitioned_read prunes day directories and keeps rows") {
+    val df = operators.Relational.sinkPartitionedRead(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:"), plan.take(800))
+    assert(plan.contains("day"), plan.take(800))
+    // 7 of 30 day directories survive the filter
+    assert(df.select("day").distinct().count() === 7L)
+    assert(df.count() > 0L)
+  }
+
   test("writeSorted produces row-group-skippable files") {
     val dir = "/root/repo/target/tmp/sink_sorted"
     Sinks.writeSorted(Tables.orders(spark, sf0001), dir, "o_totalprice")
