@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryFn, Tables}
+
+/** Training-data pipeline operators beyond per-row transforms: duplicate
+  * CLUSTERING (pairs → connected components → survivor election),
+  * deterministic stratified SAMPLING, and sequence PACKING into
+  * fixed-token training bins.
+  *
+  * These are the steps that turn the dedup/scoring primitives in
+  * [[LlmOps]] into an end-to-end corpus pipeline: near-dup detection
+  * yields PAIRS, but a corpus needs one survivor per duplicate CLASS
+  * (transitive closure); training needs reproducible subsets and
+  * context-window-sized batches.
+  *
+  * Scale posture:
+  *  - clustering is iterative min-label propagation — each round is one
+  *    shuffle join carrying (id, label) longs only; rounds = graph
+  *    diameter, tiny for near-dup graphs (duplicate classes are dense).
+  *    For adversarially long chains swap the same loop body for
+  *    alternating large-star/small-star contraction (Kiveris et al.,
+  *    "Connected Components in MapReduce and Beyond", SoCC '14) —
+  *    O(log n) rounds, identical per-round plan shape;
+  *  - sampling is a pure codegen'd filter on a content hash — zero
+  *    shuffle, resumable, and identical on any cluster/partitioning;
+  *  - packing windows over (lang, shard) so no window partition ever
+  *    exceeds one shard of one language — bounded memory at any corpus
+  *    size, and shards parallelize the packing across executors.
+  */
+object Pipelines {
+
+  // ---- duplicate clustering (connected components) ---------------------
+
+  /** Near-dup pairs → duplicate classes via connected components.
+    *
+    * Edge generation is the SQL-expressible bucket-star form so the
+    * whole operator can be oracled: each document keys on its first-4
+    * and last-4 token windows; every member of a bucket gets one edge to
+    * the bucket's min doc_id (star edges: O(n·keys) edges total, never
+    * the O(k²) bucket clique). Components then form transitively —
+    * doc A sharing a prefix with B, and B a suffix with C, lands A, B, C
+    * in one class. The same loop runs unchanged over MinHash/SimHash
+    * candidate pairs (LlmOps.dedupMinhashNear) in production.
+    *
+    * The propagation loop is driver-coordinated but fully distributed:
+    * label(x) ← min(label(x), min over neighbours' labels) until a
+    * fixed point, each round one equi-join + partial agg on 16-byte
+    * rows, lineage cut per round via localCheckpoint. Deterministic:
+    * the fixed point (component-min labels) is partitioning-invariant.
+    *
+    * Oracled via a DuckDB recursive CTE computing the same reachability
+    * min-label. */
+  def dedupClusterCc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 4)
+    val keys = toks
+      .select($"doc_id", concat(lit("p"), concat_ws(" ", slice($"t", 1, 4))).as("k"))
+      .unionAll(toks
+        .select($"doc_id", concat(lit("s"), concat_ws(" ", slice($"t", -4, 4))).as("k")))
+    // one window pass feeds both the edge list and the label seed
+    val star = keys.withColumn("m", min($"doc_id").over(Window.partitionBy($"k")))
+      .select($"doc_id", $"m").localCheckpoint(true)
+    val e0 = star.filter($"m" =!= $"doc_id")
+      .select($"doc_id".as("a"), $"m".as("b")).distinct()
+    // symmetric closure, materialized once — reused every round
+    val edges = e0.unionAll(e0.select($"b".as("a"), $"a".as("b")))
+      .localCheckpoint(true)
+    // Seed with the min over the doc's own buckets — the first
+    // propagation round for free (same window pass that built the
+    // edges), so single-bucket duplicate classes converge immediately.
+    val seed = star.groupBy($"doc_id").agg(min($"m").as("lbl0"))
+    var labels = Tables.documents(spark, dir).select($"doc_id")
+      .join(seed, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"lbl0", $"doc_id").as("lbl"))
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 64) { // 64 = safety bound, not a cap hit in practice
+      val prop = edges
+        .join(labels.select($"doc_id".as("nb"), $"lbl".as("nlbl")), $"b" === $"nb")
+        .groupBy($"a").agg(min($"nlbl").as("nlbl"))
+      val next = labels.join(prop, $"doc_id" === $"a", "left")
+        .select($"doc_id", $"lbl".as("old"),
+          least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl"))
+        .localCheckpoint(true)
+      converged = next.filter($"lbl" =!= $"old").limit(1).count() == 0
+      labels = next.select($"doc_id", $"lbl")
+      rounds += 1
+    }
+    labels.select($"doc_id", $"lbl".as("cluster_rep"))
+      .withColumn("cluster_sz", count(lit(1)).over(Window.partitionBy($"cluster_rep")))
+      .orderBy($"doc_id")
+  }
+
+  // ---- deterministic stratified sampling -------------------------------
+
+  /** Per-stratum deterministic Bernoulli sampling: keep an event iff the
+    * first hex byte of sha2(event_id) falls below the stratum's
+    * threshold (e.g. '10' ⇒ 16/256 ≈ 6.25%). Content-hash gating — not
+    * `rand()` — is what a training pipeline needs: the sample is
+    * reproducible across runs, engines, partitionings and restarts, and
+    * audit-able row by row. Down-weights the dominant 'view' stratum,
+    * keeps nearly every rare 'purchase'.
+    *
+    * One codegen'd filter, no shuffle (the final sort is oracle-driven).
+    * Oracled: Spark sha2 and DuckDB sha256 emit identical lowercase hex
+    * of the UTF-8 key, and hex-string comparison is binary in both. */
+  def sampleHashStratified(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val threshold = expr(
+      """CASE event_type WHEN 'view' THEN '08' WHEN 'click' THEN '10'
+        |     WHEN 'error' THEN '20' WHEN 'signup' THEN '30' ELSE 'c0' END""".stripMargin)
+    Tables.events(spark, dir)
+      .filter(substring(sha2($"event_id".cast("string"), 256), 1, 2) < threshold)
+      .select($"event_id", $"user_id", $"event_type",
+        Tables.nsToUs($"ts").as("ts_us"), $"value")
+      .orderBy($"event_id")
+  }
+
+  // ---- sequence packing ------------------------------------------------
+
+  private val PackBudget = 512 // tokens per training bin (fixture-sized)
+  private val PackShards = 4
+
+  /** Pack documents into ≈[[PackBudget]]-token training bins: within
+    * each (lang, shard), documents in doc_id order join the bin their
+    * cumulative token offset falls in (pack_id = ⌊tokens-before/budget⌋).
+    * A document always lands wholly in the bin where it starts, so bins
+    * overflow by at most one document — the standard "document packing
+    * with boundary overflow" used for LLM context-window batching.
+    *
+    * The cumulative window partitions by (lang, shard): no partition
+    * outgrows one shard of one language regardless of corpus size, and
+    * shards spread the packing across the cluster. Output is the
+    * per-bin manifest (doc count, token total, doc_id range) a batch
+    * loader would consume. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir).select($"doc_id", $"lang",
+      ($"doc_id" % PackShards).as("shard"),
+      expr("size(filter(split(text, ' '), w -> w <> ''))").cast("long").as("n_tok"))
+    val w = Window.partitionBy($"lang", $"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("cum_before", coalesce(sum($"n_tok").over(w), lit(0L)))
+      .withColumn("pack_id", floor($"cum_before" / lit(PackBudget.toDouble)).cast("long"))
+      .groupBy($"lang", $"shard", $"pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("sum_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"lang", $"shard", $"pack_id")
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "dedup_cluster_cc" -> (dedupClusterCc(_, _)),
+    "sample_hash_stratified" -> (sampleHashStratified(_, _)),
+    "pack_sequences" -> (packSequences(_, _))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_cluster_cc" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |keys AS (
+        |  SELECT doc_id, 'p' || array_to_string(list_slice(t, 1, 4), ' ') AS k
+        |  FROM toks WHERE len(t) >= 4
+        |  UNION ALL
+        |  SELECT doc_id, 's' || array_to_string(list_slice(t, -4, -1), ' ') AS k
+        |  FROM toks WHERE len(t) >= 4
+        |),
+        |star AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY k) AS m FROM keys),
+        |e0 AS (SELECT DISTINCT doc_id AS a, m AS b FROM star WHERE m <> doc_id),
+        |edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        |reach(doc_id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, r.lbl FROM reach r JOIN edges e ON e.b = r.doc_id
+        |),
+        |cc AS (SELECT doc_id, CAST(min(lbl) AS BIGINT) AS cluster_rep
+        |       FROM reach GROUP BY doc_id)
+        |SELECT doc_id, cluster_rep,
+        |  count(*) OVER (PARTITION BY cluster_rep) AS cluster_sz
+        |FROM cc ORDER BY doc_id""".stripMargin,
+    "sample_hash_stratified" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+        |FROM events
+        |WHERE substr(sha256(CAST(event_id AS VARCHAR)), 1, 2) <
+        |  CASE event_type WHEN 'view' THEN '08' WHEN 'click' THEN '10'
+        |       WHEN 'error' THEN '20' WHEN 'signup' THEN '30' ELSE 'c0' END
+        |ORDER BY event_id""".stripMargin,
+    "pack_sequences" ->
+      """WITH d AS (SELECT doc_id, lang, doc_id % 4 AS shard,
+        |  CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, shard, n_tok,
+        |  CAST(coalesce(sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM d)
+        |SELECT lang, shard, CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY lang, shard, pack_id
+        |ORDER BY lang, shard, pack_id""".stripMargin
+  )
+}

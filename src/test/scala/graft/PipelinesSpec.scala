@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Pipelines
+
+/** Assertions for the corpus-pipeline operators (clustering, sampling,
+  * packing). The CC transitivity test uses a synthetic fixture because
+  * the driver fixtures only exercise single-bucket merges. */
+class PipelinesSpec extends SparkSuite {
+
+  test("dedup_cluster_cc: transitive merge across different bucket keys") {
+    import spark.implicits._
+    // 0–1 share a prefix bucket, 1–2 share a suffix bucket: one class.
+    val dir = "/root/repo/target/tmp/ccdocs"
+    Seq(
+      (0L, "alpha beta gamma delta xx yy zz pp qq rr ss"),
+      (1L, "alpha beta gamma delta uu vv ww mm nn oo zz"),
+      (2L, "q1 q2 q3 w1 w2 w3 w4 mm nn oo zz"),
+      (3L, "totally unrelated text with nothing shared here at all")
+    ).toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cc = Pipelines.dedupClusterCc(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(cc(0L) === (0L, 3L))
+    assert(cc(1L) === (0L, 3L)) // joined 0 via prefix
+    assert(cc(2L) === (0L, 3L)) // joined 1 via suffix → transitively 0
+    assert(cc(3L) === (3L, 1L)) // isolated
+  }
+
+  test("dedup_cluster_cc: labels are self-consistent component minima (sf0.01)") {
+    val cc = Pipelines.dedupClusterCc(spark, sf001).cache()
+    assert(cc.count() === 500L) // every document labeled exactly once
+    assert(cc.filter(col("cluster_rep") > col("doc_id")).count() === 0L)
+    // the representative's own representative is itself (fixed point)
+    val reps = cc.select(col("cluster_rep").as("r")).distinct()
+    val bad = reps.join(cc, reps("r") === cc("doc_id"))
+      .filter(col("cluster_rep") =!= col("r"))
+    assert(bad.count() === 0L)
+    // non-trivial clusters exist in the fixture
+    assert(cc.filter(col("cluster_sz") > 1).count() > 0L)
+    cc.unpersist()
+  }
+
+  test("sample_hash_stratified: deterministic, a subset, stratum rates near thresholds") {
+    val a = Pipelines.sampleHashStratified(spark, sf001)
+    val b = Pipelines.sampleHashStratified(spark, sf001)
+    assert(a.collect().toSeq === b.collect().toSeq) // bit-reproducible
+    val ev = Tables.events(spark, sf001)
+    assert(a.count() > 0 && a.count() < ev.count())
+    // per-stratum empirical rate within ±50% relative of the hash threshold
+    val rates = Map("view" -> 8.0 / 256, "click" -> 16.0 / 256,
+      "error" -> 32.0 / 256, "signup" -> 48.0 / 256, "purchase" -> 192.0 / 256)
+    val tot = ev.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = a.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((t, p) <- rates; n <- tot.get(t)) {
+      val emp = got.getOrElse(t, 0L).toDouble / n
+      assert(math.abs(emp - p) < 0.5 * p + 0.02, s"stratum $t: emp=$emp expected≈$p")
+    }
+  }
+
+  test("pack_sequences matches a sequential reference packing") {
+    import spark.implicits._
+    val out = Pipelines.packSequences(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // reference: plain Scala fold over the same doc stream
+    val docs = Tables.documents(spark, sf001)
+      .select($"doc_id", $"lang",
+        expr("size(filter(split(text, ' '), w -> w <> ''))").cast("long").as("n"))
+      .collect().map(r => (r.getString(1), r.getLong(0) % 4, r.getLong(0), r.getLong(2)))
+      .sortBy(t => (t._1, t._2, t._3))
+    val assigned = docs.groupBy(t => (t._1, t._2)).toSeq.flatMap { case ((lang, shard), ds) =>
+      var cum = 0L
+      ds.toSeq.map { case (_, _, id, n) =>
+        val pack = cum / 512; cum += n; (lang, shard, pack, id, n)
+      }
+    }
+    val ref = assigned.groupBy(t => (t._1, t._2, t._3)).map { case (k, vs) =>
+      k -> ((vs.size.toLong, vs.map(_._5).sum, vs.map(_._4).min, vs.map(_._4).max))
+    }
+    assert(out === ref)
+  }
+}
