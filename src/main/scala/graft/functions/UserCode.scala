@@ -83,9 +83,10 @@ object UserCode {
 
   /** Hadoop-Streaming analog: a per-partition imperative transform via
     * mapPartitions (kept JVM-internal — no subprocess). Computes a
-    * per-document token count the "user code" way. Bench-only: the
-    * same result is SQL-expressible, but the point of this operator is
-    * the per-partition iterator contract. */
+    * per-document token count the "user code" way. The point is the
+    * per-partition iterator contract; since the result is also
+    * SQL-expressible it is oracled — imperative user code must not
+    * lose or duplicate rows. */
   def pipePartitions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
@@ -114,8 +115,13 @@ object UserCode {
     "udtf_explode" ->
       """SELECT doc_id, CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos, unnest(toks) AS token
         |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-        |ORDER BY doc_id, pos""".stripMargin
-    // pipe_partitions: ✖ the operator under test is the per-partition
-    // iterator contract itself, not the SQL-expressible result
+        |ORDER BY doc_id, pos""".stripMargin,
+    // pipe_partitions: the operator under test is the per-partition
+    // iterator contract; the result happens to be SQL-expressible, so
+    // grade it too — imperative user code must not lose/dup rows.
+    "pipe_partitions" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

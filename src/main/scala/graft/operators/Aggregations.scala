@@ -76,15 +76,17 @@ object Aggregations {
   }
 
   /** Cube over (mktsegment, orderpriority) — all margin combinations.
-    * Bench-only: same Expand machinery as rollup, kept off the oracle
-    * surface (SURVEY.md §2.4). */
+    * Same Expand machinery as rollup, same '(all)' sentinel treatment
+    * for the margin NULLs (see aggRollup), so oracled the same way. */
   def aggCube(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
       .cube($"c_mktsegment", $"o_orderpriority")
       .agg(count(lit(1)).as("n_orders"))
-      .orderBy($"c_mktsegment".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+      .select(coalesce($"c_mktsegment", lit("(all)")).as("c_mktsegment"),
+        coalesce($"o_orderpriority", lit("(all)")).as("o_orderpriority"), $"n_orders")
+      .orderBy($"c_mktsegment", $"o_orderpriority")
   }
 
   /** Word count — THE canonical MR program. explode(split) is a
@@ -193,7 +195,13 @@ object Aggregations {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY 1, 2""".stripMargin,
-    // agg_cube: ✖ covered by rollup (same Expand machinery), bench-only
+    "agg_cube" ->
+      """SELECT coalesce(c_mktsegment, '(all)') AS c_mktsegment,
+        |  coalesce(o_orderpriority, '(all)') AS o_orderpriority,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE (c_mktsegment, o_orderpriority)
+        |ORDER BY 1, 2""".stripMargin,
     "agg_wordcount" ->
       """SELECT w, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)

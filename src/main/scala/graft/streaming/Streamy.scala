@@ -42,16 +42,19 @@ object Streamy {
     tumblingFrame(eventsWithTime(spark, dir)).orderBy($"day", $"event_type")
   }
 
-  /** Sliding window: 1-day length every 6 hours. Bench-only (✖):
-    * overlapping windows are awkward to express faithfully in ANSI SQL;
-    * the operator itself is the same TimeWindow Expand machinery. */
+  /** Sliding window: 1-day length every 6 hours — the TimeWindow Expand
+    * machinery fans each event into length/slide = 4 overlapping
+    * windows before the aggregate. Window starts are emitted as BIGINT
+    * epoch-µs; the oracle replays the same fan-out explicitly
+    * (slide-aligned starts k slides back, k = 0..3, keeping windows
+    * that still cover the event). */
   def streamSlidingWindow(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     eventsWithTime(spark, dir)
       .groupBy(window($"ts_ts", "1 day", "6 hours").as("w"), $"event_type")
       .agg(count(lit(1)).as("cnt"))
-      .select($"w.start".cast("timestamp_ntz").as("w_start"), $"event_type", $"cnt")
-      .orderBy($"w_start", $"event_type")
+      .select(unix_micros($"w.start").as("w_start_us"), $"event_type", $"cnt")
+      .orderBy($"w_start_us", $"event_type")
   }
 
   /** Sessionization with a 30-minute inactivity gap, batch form:
@@ -89,7 +92,13 @@ object Streamy {
       """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
-    // stream_sliding_window: ✖ overlapping windows not cleanly ANSI-expressible
+    "stream_sliding_window" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS tu FROM events),
+        |w AS (SELECT event_type, (tu // 21600000000 - k) * 21600000000 AS ws
+        |      FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+        |      WHERE tu < (tu // 21600000000 - k) * 21600000000 + 86400000000)
+        |SELECT ws AS w_start_us, event_type, count(*) AS cnt
+        |FROM w GROUP BY ws, event_type ORDER BY w_start_us, event_type""".stripMargin,
     "stream_sessionize" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
         |f AS (SELECT user_id, ts_us, event_id,

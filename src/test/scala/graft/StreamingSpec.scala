@@ -29,7 +29,7 @@ class StreamingSpec extends SparkSuite {
       .withWatermark("ts_ts", "1 hour")
       .groupBy(window(col("ts_ts"), "1 day", "6 hours").as("w"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
-      .select(col("w.start").cast("timestamp_ntz").as("w_start"), col("event_type"), col("cnt"))
+      .select(unix_micros(col("w.start")).as("w_start_us"), col("event_type"), col("cnt"))
     val streamed = StreamingMirror.runToCompletion(spark, src, "sliding_mirror")
     val batch = Streamy.streamSlidingWindow(spark, sf0001)
     assert(streamed.count() === batch.count())
