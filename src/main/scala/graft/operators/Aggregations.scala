@@ -89,6 +89,24 @@ object Aggregations {
       .orderBy($"c_mktsegment", $"o_orderpriority")
   }
 
+  /** Explicit GROUPING SETS — the general form rollup/cube specialize:
+    * per-(segment, priority) counts, per-segment margins, and the grand
+    * total, but NOT per-priority margins (the set a dashboard actually
+    * wants — cube would compute and then discard them). One Expand-based
+    * aggregate, same sentinel treatment as rollup. */
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .groupingSets(
+        Seq(Seq($"c_mktsegment", $"o_orderpriority"), Seq($"c_mktsegment"), Seq()),
+        $"c_mktsegment", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .select(coalesce($"c_mktsegment", lit("(all)")).as("c_mktsegment"),
+        coalesce($"o_orderpriority", lit("(all)")).as("o_orderpriority"), $"n_orders")
+      .orderBy($"c_mktsegment", $"o_orderpriority")
+  }
+
   /** Word count — THE canonical MR program. explode(split) is a
     * Generate node feeding a partial aggregate: the shuffle carries
     * (word, partial count), not tokens. */
@@ -151,6 +169,7 @@ object Aggregations {
     "agg_approx_distinct" -> (aggApproxDistinct(_, _)),
     "agg_rollup" -> (aggRollup(_, _)),
     "agg_cube" -> (aggCube(_, _)),
+    "agg_grouping_sets" -> (aggGroupingSets(_, _)),
     "agg_wordcount" -> (aggWordcount(_, _)),
     "agg_histogram" -> (aggHistogram(_, _))
   )
@@ -201,6 +220,13 @@ object Aggregations {
         |  count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY CUBE (c_mktsegment, o_orderpriority)
+        |ORDER BY 1, 2""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT coalesce(c_mktsegment, '(all)') AS c_mktsegment,
+        |  coalesce(o_orderpriority, '(all)') AS o_orderpriority,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority), (c_mktsegment), ())
         |ORDER BY 1, 2""".stripMargin,
     "agg_wordcount" ->
       """SELECT w, count(*) AS cnt

@@ -97,6 +97,28 @@ object Pipelines {
       .orderBy($"doc_id")
   }
 
+  /** Incremental ingest dedup: a new document batch is admitted only if
+    * its normalized content hash is absent from the existing corpus —
+    * the anti-join every continuously-ingesting corpus runs per batch.
+    * Fixture split: even doc_ids play the corpus, odd ones the incoming
+    * batch.
+    *
+    * The join key is sha2(normalized text): the corpus side needs only
+    * its 32-byte hash index, never the text — at 100 TB the hash index
+    * is ~3000× smaller than the corpus and is the only thing shuffled
+    * (or broadcast, once it fits). Oracled with NOT EXISTS on the
+    * normalized text itself. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .withColumn("h", sha2(lower(trim($"text")), 256))
+    val corpusIdx = docs.filter($"doc_id" % 2 === 0).select($"h")
+    docs.filter($"doc_id" % 2 === 1)
+      .join(corpusIdx, Seq("h"), "left_anti")
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   // ---- deterministic stratified sampling -------------------------------
 
   /** Per-stratum deterministic Bernoulli sampling: keep an event iff the
@@ -156,6 +178,7 @@ object Pipelines {
 
   val queries: Map[String, QueryFn] = Map(
     "dedup_cluster_cc" -> (dedupClusterCc(_, _)),
+    "dedup_incremental" -> (dedupIncremental(_, _)),
     "sample_hash_stratified" -> (sampleHashStratified(_, _)),
     "pack_sequences" -> (packSequences(_, _))
   )
@@ -184,6 +207,13 @@ object Pipelines {
         |SELECT doc_id, cluster_rep,
         |  count(*) OVER (PARTITION BY cluster_rep) AS cluster_sz
         |FROM cc ORDER BY doc_id""".stripMargin,
+    "dedup_incremental" ->
+      """SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d
+        |WHERE d.doc_id % 2 = 1 AND NOT EXISTS (
+        |  SELECT 1 FROM documents c
+        |  WHERE c.doc_id % 2 = 0 AND lower(trim(c.text)) = lower(trim(d.text)))
+        |ORDER BY d.doc_id""".stripMargin,
     "sample_hash_stratified" ->
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
         |FROM events

@@ -156,6 +156,27 @@ object Relational {
       .orderBy($"o_orderkey", $"l_linenumber", $"o_totalprice", $"l_quantity")
   }
 
+  /** Manually salted repartition join — the skew fallback when one join
+    * key is hot enough that AQE's OptimizeSkewedJoin split still leaves
+    * a straggler reducer. The big side derives a salt from the ROW
+    * (hash, not rand(): deterministic, so retries/speculative tasks
+    * agree), the small side replicates once per salt value, and the
+    * join key becomes (key, salt) — the hot key's rows spread over
+    * `Salt` reducers. Cost: small side ×Salt, so salt only the skewed
+    * keys in production (split + union). Oracled against the PLAIN
+    * equi-join — salting must not change the result set. */
+  def joinSkewSalted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val Salt = 8
+    val big = Tables.lineitem(spark, dir)
+      .withColumn("__salt", pmod(xxhash64($"l_orderkey", $"l_linenumber"), lit(Salt)))
+    val small = Tables.orders(spark, dir)
+      .withColumn("__salt", explode(array((0 until Salt).map(s => lit(s.toLong)): _*)))
+    big.join(small, $"l_orderkey" === $"o_orderkey" && big("__salt") === small("__salt"))
+      .select($"o_orderkey", $"l_linenumber", $"o_orderpriority", $"l_quantity")
+      .orderBy($"o_orderkey", $"l_linenumber", $"o_orderpriority", $"l_quantity")
+  }
+
   /** Map-side join (MR distributed-cache analog): part is dim-sized, so
     * broadcast it — zero shuffle of the fact table at any scale. */
   def joinBroadcast(spark: SparkSession, dir: String): DataFrame = {
@@ -292,6 +313,7 @@ object Relational {
     "filter_predicates" -> (filterPredicates(_, _)),
     "project_derived" -> (projectDerived(_, _)),
     "join_shuffle_equi" -> (joinShuffleEqui(_, _)),
+    "join_skew_salted" -> (joinSkewSalted(_, _)),
     "join_broadcast" -> (joinBroadcast(_, _)),
     "join_multiway_star" -> (joinMultiwayStar(_, _)),
     "join_left_outer" -> (joinLeftOuter(_, _)),
@@ -339,6 +361,11 @@ object Relational {
       """SELECT o_orderkey, l_linenumber, o_totalprice, l_quantity
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |ORDER BY o_orderkey, l_linenumber, o_totalprice, l_quantity""".stripMargin,
+    // salting must be invisible in the result: the oracle is the plain join
+    "join_skew_salted" ->
+      """SELECT o_orderkey, l_linenumber, o_orderpriority, l_quantity
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey, l_linenumber, o_orderpriority, l_quantity""".stripMargin,
     "join_broadcast" ->
       """SELECT l_orderkey, l_linenumber, p_name, p_retailprice
         |FROM lineitem JOIN part ON l_partkey = p_partkey

@@ -41,6 +41,20 @@ class PipelinesSpec extends SparkSuite {
     cc.unpersist()
   }
 
+  test("dedup_incremental drops exactly the incoming docs already in the corpus (sf0.1)") {
+    import spark.implicits._
+    val admitted = Pipelines.dedupIncremental(spark, sf01).cache()
+    // only odd (incoming) doc_ids can be admitted
+    assert(admitted.filter($"doc_id" % 2 === 0).count() === 0L)
+    val docs = Tables.documents(spark, sf01)
+      .select($"doc_id", lower(trim($"text")).as("t"))
+    val incoming = docs.filter($"doc_id" % 2 === 1)
+    val dupped = incoming.join(
+      docs.filter($"doc_id" % 2 === 0).select($"t").distinct(), "t")
+    assert(admitted.count() === incoming.count() - dupped.count())
+    admitted.unpersist()
+  }
+
   test("sample_hash_stratified: deterministic, a subset, stratum rates near thresholds") {
     val a = Pipelines.sampleHashStratified(spark, sf001)
     val b = Pipelines.sampleHashStratified(spark, sf001)

@@ -43,6 +43,12 @@ class PlanRegressionSpec extends SparkSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final pair")
   }
 
+  test("join_skew_salted joins on (key, salt) as a real equi-join") {
+    val p = plan("join_skew_salted")
+    assert(p.contains("__salt"), "salt column must be part of the join keys")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("quadratic plans appear ONLY in the documented similarity baselines") {
     val allowed = Set("simsearch_cosine_topk", "dedup_embedding_cosine", "simsearch_ann_ivf")
     val offenders = SparkEntry.queries.keys.filterNot(allowed)
