@@ -8,6 +8,8 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // bucketed-sink keys use saveAsTable; keep the warehouse out of the repo root
+      .config("spark.sql.warehouse.dir", "/root/repo/target/tmp/warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warm-up: JVM/codegen/parquet-reader initialization otherwise

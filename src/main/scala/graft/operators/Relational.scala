@@ -106,6 +106,31 @@ object Relational {
       .orderBy($"day", $"event_type")
   }
 
+  /** Bucketed co-located join — the other half of the 100 TB layout
+    * story (sink_partitioned_read covers directory pruning; this covers
+    * shuffle elimination). Both fact tables land bucketed+sorted on the
+    * join key via Sinks.writeBucketed: a later sort-merge join reads
+    * pre-partitioned, pre-sorted buckets with NO exchange and NO sort
+    * on either side (asserted with broadcast/AQE pinned off in
+    * BucketingSpec — under the graded run's AQE the small SF simply
+    * broadcasts). The oracle runs the same join+agg on the ORIGINAL
+    * tables: the bucketed round trip must preserve every row. */
+  def sinkBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.Sinks.writeBucketed(
+      Tables.orders(spark, dir).select($"o_orderkey", $"o_orderpriority"),
+      "orders_bkt", 8, "o_orderkey")
+    graft.sources.Sinks.writeBucketed(
+      Tables.lineitem(spark, dir).select($"l_orderkey", $"l_extendedprice"),
+      "lineitem_bkt", 8, "l_orderkey")
+    spark.table("orders_bkt")
+      .join(spark.table("lineitem_bkt"), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(Tables.dec2($"l_extendedprice")).cast("double").as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
   // ---- §2.2 filters / projections -------------------------------------
 
   /** Distributed grep — the canonical MR demo workload. rlike is a
@@ -309,6 +334,7 @@ object Relational {
     "source_orc_roundtrip" -> (sourceOrcRoundtrip(_, _)),
     "source_jsonl_roundtrip" -> (sourceJsonlRoundtrip(_, _)),
     "sink_partitioned_read" -> (sinkPartitionedRead(_, _)),
+    "sink_bucketed_join" -> (sinkBucketedJoin(_, _)),
     "filter_grep" -> (filterGrep(_, _)),
     "filter_predicates" -> (filterPredicates(_, _)),
     "project_derived" -> (projectDerived(_, _)),
@@ -346,6 +372,12 @@ object Relational {
         |WHERE epoch_us(ts) // 86400000000 BETWEEN 19730 AND 19736
         |GROUP BY 1, 2
         |ORDER BY day, event_type""".stripMargin,
+    // bucketed layout must preserve every row: oracle = same join+agg on originals
+    "sink_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "filter_grep" ->
       "SELECT doc_id, text FROM documents WHERE regexp_matches(text, '\\bjoin\\b') ORDER BY doc_id",
     "filter_predicates" ->

@@ -23,10 +23,20 @@ object Sinks {
   def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
 
-  def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit =
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, key: String): Unit = {
+    // Idempotent across JVMs: the in-memory catalog forgets the table on
+    // restart but its warehouse directory survives, and saveAsTable then
+    // refuses the "new" table over the existing location.
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
+  }
 
   def writeSorted(df: DataFrame, path: String, col: String): Unit =
     df.sortWithinPartitions(col).write.mode("overwrite").parquet(path)

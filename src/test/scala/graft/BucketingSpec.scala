@@ -8,6 +8,22 @@ import org.apache.spark.sql.functions._
   * NO shuffle exchange on either side. */
 class BucketingSpec extends SparkSuite {
 
+  test("sink_bucketed_join's graded layout joins without a shuffle exchange") {
+    // writes orders_bkt/lineitem_bkt via Sinks.writeBucketed and checks values
+    assert(operators.Relational.sinkBucketedJoin(spark, sf0001).count() === 5L)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val j = spark.table("orders_bkt")
+        .join(spark.table("lineitem_bkt"), col("o_orderkey") === col("l_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free bucketed join, got:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("bucketed orders ⋈ lineitem joins without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
