@@ -33,7 +33,11 @@ object Sinks {
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    df.write.mode("overwrite")
+    // Pre-partition on the bucket key: bucketBy alone writes one file
+    // per (task × bucket) — tasks×buckets small files at scale; after
+    // repartition each task holds exactly one bucket (same Murmur3 hash
+    // as the bucket spec) and writes exactly one file.
+    df.repartition(buckets, df(key)).write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
   }
