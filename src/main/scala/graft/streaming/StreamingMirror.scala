@@ -54,6 +54,23 @@ object StreamingMirror {
       .select($"user_id", $"sw.start".as("session_start"), $"n_events")
   }
 
+  /** Streaming ingest dedup: at-least-once delivery re-sends events, so
+    * the ingest edge drops re-deliveries by key before they reach the
+    * corpus — dropDuplicatesWithinWatermark keys the state store on
+    * event_id and evicts state once the watermark passes, so state is
+    * bounded by the redelivery horizon, not the stream's lifetime (the
+    * streaming counterpart of the batch dedup_incremental anti-join). */
+  def dedupStream(spark: SparkSession, stageDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.configure(spark)
+    val schema = spark.read.parquet(stageDir).schema
+    spark.readStream.schema(schema).parquet(stageDir)
+      .withColumn("ts_ts", Tables.tsFromNanos($"ts"))
+      .withWatermark("ts_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select($"event_id", $"user_id", $"event_type")
+  }
+
   /** Run a streaming frame to completion (AvailableNow = process all
     * currently-available input then stop) into an in-memory table and
     * return its final contents. Complete output mode: every trigger
@@ -63,6 +80,19 @@ object StreamingMirror {
       .format("memory")
       .queryName(name)
       .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Append-mode runner for non-aggregating stateful streams (dedup):
+    * each row is emitted exactly once as it is admitted. */
+  def runToCompletionAppend(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -36,6 +36,19 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.except(batch).count() === 0L)
   }
 
+  test("streaming dedup drops at-least-once re-deliveries") {
+    // stage the same events TWICE — an at-least-once redelivery of the
+    // whole batch; the dedup stream must admit each event_id once
+    val dir = "/root/repo/target/tmp/events_stage_dup"
+    Tables.events(spark, sf0001).write.mode("overwrite").parquet(dir)
+    Tables.events(spark, sf0001).write.mode("append").parquet(dir)
+    val streamed = StreamingMirror.runToCompletionAppend(
+      spark, StreamingMirror.dedupStream(spark, dir), "dedup_mirror")
+    val n = Tables.events(spark, sf0001).count()
+    assert(streamed.count() === n) // not 2n
+    assert(streamed.select("event_id").distinct().count() === n)
+  }
+
   test("streaming session_window produces plausible sessions") {
     val s = StreamingMirror.runToCompletion(
       spark, StreamingMirror.sessionStream(spark, stage), "session_mirror").cache()
