@@ -59,6 +59,28 @@ object Flagship {
       .orderBy($"revenue".desc, $"n_name")
   }
 
+  /** Q18 shape — large-volume customers: orders whose total quantity
+    * exceeds a threshold, with their customer. The HAVING subquery
+    * aggregates lineitem FIRST (shuffle carries one row per order, not
+    * line items), then semi-joins orders/customer against the small
+    * qualifying set — the aggregate-then-join shape that keeps the big
+    * fact table out of the wide join at any scale. */
+  def q18LargeVolumeCustomer(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val big = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(sum(Tables.dec2($"l_quantity")).as("sum_qty"))
+      .filter($"sum_qty" > 300)
+    Tables.orders(spark, dir)
+      .join(big, $"o_orderkey" === $"l_orderkey")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"o_orderkey",
+        to_date($"o_orderdate").as("o_date"),
+        Tables.dec2($"o_totalprice").cast("double").as("o_totalprice"),
+        $"sum_qty".cast("double").as("sum_qty"))
+      .orderBy($"sum_qty".desc, $"o_orderkey")
+  }
+
   /** Exact percentiles per group: Spark's percentile() and DuckDB's
     * quantile_cont() both use linear interpolation over the sorted
     * values — exact arithmetic on the two neighbours, rounded to 6 to
@@ -77,6 +99,7 @@ object Flagship {
   val queries: Map[String, QueryFn] = Map(
     "q3_shipping_priority" -> (q3ShippingPriority(_, _)),
     "q5_local_supplier_volume" -> (q5LocalSupplierVolume(_, _)),
+    "q18_large_volume_customer" -> (q18LargeVolumeCustomer(_, _)),
     "agg_percentile" -> (aggPercentile(_, _))
   )
 
@@ -103,6 +126,18 @@ object Flagship {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA' AND year(o_orderdate) = 1997
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q18_large_volume_customer" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+        |SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+        |  CAST(sum_qty AS DOUBLE) AS sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY sum_qty DESC, o_orderkey""".stripMargin,
     "agg_percentile" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 6) AS p50,

@@ -119,6 +119,37 @@ object Pipelines {
       .orderBy($"doc_id")
   }
 
+  /** Benchmark decontamination: flag training documents sharing any
+    * 8-gram with a held-out benchmark set (fixture split: doc_id % 10
+    * == 0 plays the benchmark) — the step that keeps eval data out of
+    * the training corpus. Standard 8-gram overlap (in the 8–13 range
+    * used in published decontamination setups).
+    *
+    * N-grams are xxhash64'd before the join: the shuffle carries
+    * 8-byte fingerprints, never n-gram text, and the benchmark side —
+    * tiny by construction — broadcasts. Output: contaminated doc,
+    * distinct colliding grams, distinct benchmark docs hit. The oracle
+    * joins the n-gram STRINGS; any xxhash64 collision would diverge —
+    * none exists in the fixtures (P ≈ n²/2⁶⁴). */
+  def textDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 8)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(t) - 7), i -> xxhash64(concat_ws(' ', slice(t, i, 8))))"))
+        .as("g"))
+      .distinct()
+    val bench = grams.filter($"doc_id" % 10 === 0)
+      .select($"g", $"doc_id".as("bench_id"))
+    val corpus = grams.filter($"doc_id" % 10 =!= 0)
+    corpus.join(broadcast(bench), "g")
+      .groupBy($"doc_id")
+      .agg(countDistinct($"g").as("n_grams_hit"),
+        countDistinct($"bench_id").as("n_bench_docs"))
+      .orderBy($"doc_id")
+  }
+
   // ---- deterministic stratified sampling -------------------------------
 
   /** Per-stratum deterministic Bernoulli sampling: keep an event iff the
@@ -179,6 +210,7 @@ object Pipelines {
   val queries: Map[String, QueryFn] = Map(
     "dedup_cluster_cc" -> (dedupClusterCc(_, _)),
     "dedup_incremental" -> (dedupIncremental(_, _)),
+    "text_decontaminate" -> (textDecontaminate(_, _)),
     "sample_hash_stratified" -> (sampleHashStratified(_, _)),
     "pack_sequences" -> (packSequences(_, _))
   )
@@ -214,6 +246,18 @@ object Pipelines {
         |  SELECT 1 FROM documents c
         |  WHERE c.doc_id % 2 = 0 AND lower(trim(c.text)) = lower(trim(d.text)))
         |ORDER BY d.doc_id""".stripMargin,
+    "text_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+        |        FROM toks WHERE len(t) >= 8),
+        |grams AS (SELECT DISTINCT doc_id,
+        |            array_to_string(list_slice(t, i, i + 7), ' ') AS g FROM pos),
+        |bench AS (SELECT g, doc_id AS bench_id FROM grams WHERE doc_id % 10 = 0),
+        |corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % 10 <> 0)
+        |SELECT c.doc_id, count(DISTINCT c.g) AS n_grams_hit,
+        |  count(DISTINCT b.bench_id) AS n_bench_docs
+        |FROM corpus c JOIN bench b USING (g)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     "sample_hash_stratified" ->
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
         |FROM events

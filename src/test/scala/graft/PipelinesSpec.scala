@@ -41,6 +41,23 @@ class PipelinesSpec extends SparkSuite {
     cc.unpersist()
   }
 
+  test("text_decontaminate flags exactly the docs sharing an 8-gram with the benchmark split") {
+    import spark.implicits._
+    val dir = "/root/repo/target/tmp/decondocs"
+    val leaked = "alpha bravo charlie delta echo foxtrot golf hotel"
+    Seq(
+      (10L, s"benchmark question follows $leaked end of it"), // benchmark (10 % 10 == 0)
+      (11L, s"training doc quoting $leaked verbatim in the middle"), // contaminated
+      (13L, "completely unrelated training document with its own words here"),
+      (20L, "another benchmark item with different content entirely okay")
+    ).toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Pipelines.textDecontaminate(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet === Set(11L)) // only the quoting doc is flagged
+    assert(out(11L) === ((1L, 1L))) // one shared 8-gram, one benchmark doc
+  }
+
   test("dedup_incremental drops exactly the incoming docs already in the corpus (sf0.1)") {
     import spark.implicits._
     val admitted = Pipelines.dedupIncremental(spark, sf01).cache()
