@@ -28,6 +28,16 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     cols = sorted(df.columns)
     df = df[cols]
+    # Widen integer columns to int64 before hashing: hash_pandas_object
+    # views an int32 column as u4 (sign-extends only at 32 bits), so a
+    # NEGATIVE int32 hashes differently from the same value as int64
+    # even though the driver treats integer widths as equal. Widening is
+    # lossless and makes width-only differences invisible in both the
+    # hash and the dtype report, matching driver semantics; int-vs-float
+    # (the HUGEINT failure mode) still fails.
+    for c in cols:
+        if df[c].dtype.kind in ("i", "u") and str(df[c].dtype) != "int64":
+            df[c] = df[c].astype("int64")
     # Queries impose a total ORDER BY so this should be a no-op, but the
     # driver sorts before hashing; unhashable cells (numpy arrays) throw
     # here, which is itself a graded failure mode we must reproduce.
@@ -57,10 +67,11 @@ def main():
             n_fail += 1; continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); n_fail += 1; continue
-        # Value hash, driver-style: hash_pandas_object value-casts integer
-        # widths to uint64 (int32 == int64 passes, matching the driver's
-        # round-1 greens) but bit-views floats (float64 364.0 != int64 364,
-        # matching the driver's stream_sessionize HUGEINT fail).
+        # Value hash, driver-style: integer widths were normalized in
+        # canon() (int32 == int64 passes, matching the driver's round-1
+        # greens — including negatives), while floats stay bit-viewed
+        # (float64 364.0 != int64 364, matching the driver's
+        # stream_sessionize HUGEINT fail).
         try:
             gh = pd.util.hash_pandas_object(got, index=False)
             wh = pd.util.hash_pandas_object(want, index=False)

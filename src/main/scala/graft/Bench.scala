@@ -3,15 +3,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      // bucketed-sink keys use saveAsTable; keep the warehouse out of the repo root
-      .config("spark.sql.warehouse.dir", "/root/repo/target/tmp/warehouse")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalSession.create(logLevel = "WARN")
     // Untimed warm-up: JVM/codegen/parquet-reader initialization otherwise
     // lands entirely in whichever query happens to run first (~3-4s of
     // noise). Standard benchmarking hygiene; per-query timing semantics
@@ -35,7 +27,8 @@ object Bench {
     // (BENCH_r01.json had "parsed": null), so the graded numbers must not
     // depend on log scraping.
     try {
-      val out = java.nio.file.Paths.get("target/bench.json")
+      // absolute: cwd-relative would scatter the file if Bench is launched elsewhere
+      val out = java.nio.file.Paths.get("/root/repo/target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.writeString(out, json + "\n")
     } catch { case e: Throwable => System.err.println(s"[bench] write failed: $e") }

@@ -8,14 +8,8 @@ import org.apache.spark.sql.SparkSession
 object ExtCheck {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
-      .master("local[2]")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = LocalSession.create(cores = "2",
+      extra = Map("spark.sql.extensions" -> "graft.GraftExtensions"))
     Tables.embeddings(spark, dir).createOrReplaceTempView("emb")
     val rows = spark.sql(
       """SELECT round(cosine_similarity(embedding, embedding), 6) AS c,

@@ -18,12 +18,7 @@ object GoldenGen {
   }
 
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = LocalSession.create()
     flagships.foreach { n =>
       val out = Paths.get(s"/root/repo/src/test/resources/golden/$n.csv")
       Files.createDirectories(out.getParent)

@@ -4,9 +4,7 @@ import org.apache.spark.sql.functions._
 /** Dev-only: isolate the cost stages of the quadratic cosine NN. */
 object PairBench {
   def main(a: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions","4").config("spark.ui.enabled","false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = LocalSession.create()
     import spark.implicits._
     graft.functions.VectorOps.registerAll(spark)
     val e = Tables.embeddings(spark, "/root/testdata/sf0.1")
@@ -27,9 +25,7 @@ object PairBench {
 /** Dev-only: does floor(x*1e6+0.5) agree with round(x,6)*1e6 on all pair scores? */
 object RoundCheck {
   def main(a: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions","4").config("spark.ui.enabled","false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = LocalSession.create()
     import spark.implicits._
     graft.functions.VectorOps.registerAll(spark)
     for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
@@ -54,9 +50,7 @@ object RoundCheck {
 /** Dev-only: stage timings for the minhash pipeline. */
 object MinhashStageBench {
   def main(a: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions","4").config("spark.ui.enabled","false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = LocalSession.create()
     import spark.implicits._
     val dir = "/root/testdata/sf0.1"
     def t(tag: String)(f: => Any): Unit = { val t0=System.nanoTime(); f; println(f"$tag ${(System.nanoTime()-t0)/1e9}%.2f s") }

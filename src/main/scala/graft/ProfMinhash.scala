@@ -11,12 +11,7 @@ import org.apache.spark.sql.functions._
 object ProfMinhash {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalSession.create(cores = "32", logLevel = "WARN")
     import spark.implicits._
 
     def t(name: String)(f: => Long): Unit = {
@@ -25,18 +20,13 @@ object ProfMinhash {
       println(f"${(System.nanoTime() - t0) / 1e9}%6.2f s  $name%-40s rows=$n")
     }
 
-    def shingles: DataFrame =
-      Tables.documents(spark, sfDir)
-        .select($"doc_id", split($"text", " ").as("toks"))
-        .filter(size($"toks") >= 3)
-        .select($"doc_id", explode(expr(
-          """transform(sequence(1, size(toks) - 2),
-            |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))""".stripMargin))
-          .as("sh_str"))
-        .select($"doc_id", xxhash64($"sh_str").as("sh"))
-        .distinct()
+    // the SHARED stages come from LlmOps so this profiler always
+    // measures the shipped pipeline (only the signature formulations
+    // under comparison are written out locally)
+    import graft.operators.LlmOps
+    def shingles: DataFrame = LlmOps.shingles(spark, sfDir)
 
-    val K = 16; val Bands = 4; val r = K / Bands
+    val K = LlmOps.MinhashK; val Bands = LlmOps.Bands; val r = K / Bands
 
     // warmup, as Bench does
     try {
@@ -63,18 +53,8 @@ object ProfMinhash {
           $"a.band" === $"b.band" && $"a.bh" === $"b.bh" && $"a.doc_id" < $"b.doc_id")
         .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
         .distinct()
-    def jaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val inter = pairs
-        .join(sh.as("sa"), $"doc_a" === $"sa.doc_id")
-        .join(sh.as("sb"), $"doc_b" === $"sb.doc_id" && $"sa.sh" === $"sb.sh")
-        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("ni"))
-      inter
-        .join(sizes.as("na"), $"doc_a" === $"na.doc_id")
-        .join(sizes.as("nb"), $"doc_b" === $"nb.doc_id")
-        .select($"doc_a", $"doc_b",
-          ($"ni".cast("double") / ($"na.n" + $"nb.n" - $"ni")).as("jaccard"))
-    }
+    def jaccard(pairs: DataFrame, sh: DataFrame): DataFrame =
+      LlmOps.exactJaccard(pairs, sh)
     def full(sig: DataFrame => DataFrame, cache: Boolean): Long = {
       val sh = if (cache) shingles.cache() else shingles
       val out = jaccard(candFrom(banded(sig(sh))), sh)
@@ -84,12 +64,12 @@ object ProfMinhash {
     }
 
     t("shingles.count") { shingles.count() }
-    t("full: cache + UDAF (CURRENT)") { full(sigsU, cache = true) }
+    t("full: cache + UDAF (round-1 formulation)") { full(sigsU, cache = true) }
     t("full: nocache + UDAF") { full(sigsU, cache = false) }
     t("full: cache + declarative") { full(sigsD, cache = true) }
-    t("full: nocache + declarative") { full(sigsD, cache = false) }
-    t("full: CURRENT again (warm)") { full(sigsU, cache = true) }
-    t("full: nocache+decl again (warm)") { full(sigsD, cache = false) }
+    t("full: nocache + declarative (CURRENT)") { full(sigsD, cache = false) }
+    t("full: round-1 again (warm)") { full(sigsU, cache = true) }
+    t("full: CURRENT again (warm)") { full(sigsD, cache = false) }
     spark.stop()
   }
 }

@@ -7,10 +7,7 @@ import org.apache.spark.sql.functions._
   * one-buffer MinHashSig aggregator, over sf0.1 shingles. */
 object SigBench {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = LocalSession.create()
     import spark.implicits._
     val sh = Tables.documents(spark, "/root/testdata/sf0.1")
       .select($"doc_id", explode(split($"text", " ")).as("t"))

@@ -5,12 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** Dev-only mirror of the driver's t1 smoke: SparkEntry.entry rows>0. */
 object Smoke {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = LocalSession.create()
     val df = SparkEntry.entry(spark)
     val n = df.count()
     df.show(10, truncate = false)

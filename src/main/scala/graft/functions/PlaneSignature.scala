@@ -17,6 +17,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   * bench finding). Here the whole signature is ONE expression node with
   * one fused loop; numerics are identical (sequential IEEE double
   * multiply-add per plane, float widened to double).
+  *
+  * Degenerate inputs follow the HOF semantics exactly: zip_with against
+  * a `dim`-element literal null-pads a short (or truncates a long)
+  * vector and propagates null elements, making every plane's dot NULL →
+  * `> 0` false → bit 0. So any vector whose length ≠ dim, or containing
+  * a null element, signs to 0 — all bits clear — here too.
   */
 case class PlaneSignature(
     child: Expression,
@@ -36,14 +42,16 @@ case class PlaneSignature(
 
   override def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), dim)
+    if (x.numElements() != dim) return 0
+    var i = 0
+    while (i < dim) { if (x.isNullAt(i)) return 0; i += 1 }
     var sig = 0
     var b = 0
     while (b < nPlanes) {
       var dot = 0.0
       val off = b * dim
-      var i = 0
-      while (i < n) { dot += x.getFloat(i).toDouble * planes(off + i); i += 1 }
+      var j = 0
+      while (j < dim) { dot += x.getFloat(j).toDouble * planes(off + j); j += 1 }
       if (dot > 0) sig |= 1 << b
       b += 1
     }
@@ -53,19 +61,25 @@ case class PlaneSignature(
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
     nullSafeCodeGen(ctx, ev, v => {
-      val n = ctx.freshName("n"); val sig = ctx.freshName("sig")
+      val sig = ctx.freshName("sig")
       val b = ctx.freshName("b"); val i = ctx.freshName("i")
       val dot = ctx.freshName("dot"); val off = ctx.freshName("off")
+      val ok = ctx.freshName("ok")
       s"""
-         |int $n = java.lang.Math.min($v.numElements(), $dim);
          |int $sig = 0;
-         |for (int $b = 0; $b < $nPlanes; $b++) {
-         |  double $dot = 0.0;
-         |  int $off = $b * $dim;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $dot += (double) $v.getFloat($i) * $planesRef[$off + $i];
+         |boolean $ok = $v.numElements() == $dim;
+         |for (int $i = 0; $ok && $i < $dim; $i++) {
+         |  if ($v.isNullAt($i)) $ok = false;
+         |}
+         |if ($ok) {
+         |  for (int $b = 0; $b < $nPlanes; $b++) {
+         |    double $dot = 0.0;
+         |    int $off = $b * $dim;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      $dot += (double) $v.getFloat($i) * $planesRef[$off + $i];
+         |    }
+         |    if ($dot > 0) $sig |= 1 << $b;
          |  }
-         |  if ($dot > 0) $sig |= 1 << $b;
          |}
          |${ev.value} = $sig;
        """.stripMargin

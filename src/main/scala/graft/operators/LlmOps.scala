@@ -40,7 +40,7 @@ object LlmOps {
     * then moves 8-byte longs instead of ~20-byte strings — at 100 TB
     * that is the difference between shuffling shingle text and shuffling
     * fingerprints. xxhash64 collisions (~n²/2⁶⁴) are negligible. */
-  private def shingles(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def shingles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select($"doc_id", split($"text", " ").as("toks"))
@@ -53,8 +53,8 @@ object LlmOps {
       .distinct()
   }
 
-  private val MinhashK = 16 // signature length
-  private val Bands = 4     // LSH bands of r = K/Bands rows each
+  private[graft] val MinhashK = 16 // signature length
+  private[graft] val Bands = 4     // LSH bands of r = K/Bands rows each
 
   /** Near-duplicate pairs via MinHash + LSH banding, Jaccard-verified.
     *
@@ -107,7 +107,7 @@ object LlmOps {
   /** Exact shingle-set Jaccard for given candidate pairs: set sizes via
     * groupBy, intersection size via a two-way join on the shingle value
     * — no arrays collected to the driver, no O(n²) comparisons. */
-  private def exactJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
+  private[graft] def exactJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
     import sh.sparkSession.implicits._
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = pairs

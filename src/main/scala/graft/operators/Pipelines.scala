@@ -80,7 +80,8 @@ object Pipelines {
       .localCheckpoint(true)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 64) { // 64 = safety bound, not a cap hit in practice
+    val MaxRounds = 64 // rounds = graph diameter; must fail loudly, never return unconverged labels
+    while (!converged && rounds < MaxRounds) {
       val prop = edges
         .join(labels.select($"doc_id".as("nb"), $"lbl".as("nlbl")), $"b" === $"nb")
         .groupBy($"a").agg(min($"nlbl").as("nlbl"))
@@ -89,9 +90,13 @@ object Pipelines {
           least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl"))
         .localCheckpoint(true)
       converged = next.filter($"lbl" =!= $"old").limit(1).count() == 0
+      // the previous round's checkpoint blocks become unreachable here;
+      // the ContextCleaner reclaims them asynchronously
       labels = next.select($"doc_id", $"lbl")
       rounds += 1
     }
+    require(converged, s"connected components did not converge in $MaxRounds rounds " +
+      "(graph diameter exceeds the bound — switch to star-contraction for this input)")
     labels.select($"doc_id", $"lbl".as("cluster_rep"))
       .withColumn("cluster_sz", count(lit(1)).over(Window.partitionBy($"cluster_rep")))
       .orderBy($"doc_id")

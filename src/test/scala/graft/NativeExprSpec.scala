@@ -24,6 +24,29 @@ class NativeExprSpec extends SparkSuite {
     assert(e.count() === 500L)
   }
 
+  test("plane_signature signs degenerate vectors to 0, like the HOF form") {
+    import spark.implicits._
+    val Planes = 12
+    val rnd = new scala.util.Random(42)
+    val planes = Array.fill(Planes, 64)(rnd.nextGaussian())
+    PlaneSignature.register(spark, planes)
+    // zip_with against a 64-element literal null-pads/truncates and
+    // propagates null elements -> every plane dot NULL -> bit 0; the
+    // native expression must match (VERDICT round-2 review finding).
+    val df = Seq(
+      (1L, Array.fill(64)(1.0f)),
+      (2L, Array.fill(10)(1.0f)),
+      (3L, Array.fill(70)(1.0f))
+    ).toDF("id", "embedding")
+      .union(Seq((4L, Array.fill(63)(1.0f))).toDF("id", "embedding")
+        .select(col("id"), concat(col("embedding"),
+          array(lit(null).cast("float"))).as("embedding")))
+    val sigs = df.selectExpr("id", "plane_signature(embedding) AS sig")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sigs(1L) !== 0) // the well-formed vector signs normally
+    assert(sigs(2L) === 0 && sigs(3L) === 0 && sigs(4L) === 0)
+  }
+
   test("plane_signature interpreted eval == codegen eval") {
     val Planes = 12
     val rnd = new scala.util.Random(42)
