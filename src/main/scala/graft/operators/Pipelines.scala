@@ -180,6 +180,25 @@ object Pipelines {
       .orderBy($"event_id")
   }
 
+  /** Log compaction: collapse an append-only event log to the latest
+    * record per key — the upsert/current-state view every CDC or
+    * state-table pipeline materializes. One window pass partitioned by
+    * the key; ties on the event timestamp break on event_id so the
+    * survivor is deterministic. At scale the rank filter prunes to one
+    * row per key inside the window operator (no second shuffle), and a
+    * skewed key salts exactly like any hot aggregation key. */
+  def compactLatestState(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us".desc, $"event_id".desc)
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        Tables.nsToUs($"ts").as("ts_us"), $"value")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id", $"event_type", $"ts_us", $"value")
+      .orderBy($"user_id")
+  }
+
   // ---- sequence packing ------------------------------------------------
 
   private val PackBudget = 512 // tokens per training bin (fixture-sized)
@@ -216,6 +235,7 @@ object Pipelines {
     "dedup_cluster_cc" -> (dedupClusterCc(_, _)),
     "dedup_incremental" -> (dedupIncremental(_, _)),
     "text_decontaminate" -> (textDecontaminate(_, _)),
+    "compact_latest_state" -> (compactLatestState(_, _)),
     "sample_hash_stratified" -> (sampleHashStratified(_, _)),
     "pack_sequences" -> (packSequences(_, _))
   )
@@ -263,6 +283,13 @@ object Pipelines {
         |  count(DISTINCT b.bench_id) AS n_bench_docs
         |FROM corpus c JOIN bench b USING (g)
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "compact_latest_state" ->
+      """WITH r AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |FROM events)
+        |SELECT user_id, event_id, event_type, ts_us, value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "sample_hash_stratified" ->
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
         |FROM events
