@@ -74,32 +74,53 @@ object Pipelines {
     // propagation round for free (same window pass that built the
     // edges), so single-bucket duplicate classes converge immediately.
     val seed = star.groupBy($"doc_id").agg(min($"m").as("lbl0"))
-    var labels = Tables.documents(spark, dir).select($"doc_id")
-      .join(seed, Seq("doc_id"), "left")
-      .select($"doc_id", coalesce($"lbl0", $"doc_id").as("lbl"))
-      .localCheckpoint(true)
+    val nodes = Tables.documents(spark, dir).select($"doc_id".as("id"))
+      .join(seed.select($"doc_id".as("id"), $"lbl0"), Seq("id"), "left")
+      .select($"id", coalesce($"lbl0", $"id").as("lbl"))
+    connectedComponents(nodes, edges)
+      .select($"id".as("doc_id"), $"cluster_rep")
+      .withColumn("cluster_sz", count(lit(1)).over(Window.partitionBy($"cluster_rep")))
+      .orderBy($"doc_id")
+  }
+
+  /** Min-label connected components over an arbitrary edge list — the
+    * reusable clustering core: dedup_cluster_cc feeds it bucket-star
+    * edges, and the MinHash/SimHash pipelines feed it verified
+    * near-dup pairs (PipelinesSpec proves that composition). Propagates
+    * label(x) ← min(label, neighbours' labels) to the fixed point;
+    * each round is one equi-join + partial agg carrying (id, label)
+    * longs, lineage cut per round via localCheckpoint.
+    *
+    * @param seeded nodes as (id, lbl) — pass id as lbl for an unseeded
+    *               start; a tighter seed (e.g. per-bucket minima) saves
+    *               rounds but must never exceed the node's own id.
+    * @param edges  DIRECTED edge list (a, b) — callers wanting the
+    *               undirected closure union the reverse, as
+    *               dedupClusterCc does.
+    * @return (id, cluster_rep) with cluster_rep = the component's min id. */
+  def connectedComponents(seeded: DataFrame, edges: DataFrame): DataFrame = {
+    import seeded.sparkSession.implicits._
+    var labels = seeded.select($"id", $"lbl").localCheckpoint(true)
     var converged = false
     var rounds = 0
     val MaxRounds = 64 // rounds = graph diameter; must fail loudly, never return unconverged labels
     while (!converged && rounds < MaxRounds) {
       val prop = edges
-        .join(labels.select($"doc_id".as("nb"), $"lbl".as("nlbl")), $"b" === $"nb")
+        .join(labels.select($"id".as("nb"), $"lbl".as("nlbl")), $"b" === $"nb")
         .groupBy($"a").agg(min($"nlbl").as("nlbl"))
-      val next = labels.join(prop, $"doc_id" === $"a", "left")
-        .select($"doc_id", $"lbl".as("old"),
+      val next = labels.join(prop, $"id" === $"a", "left")
+        .select($"id", $"lbl".as("old"),
           least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl"))
         .localCheckpoint(true)
       converged = next.filter($"lbl" =!= $"old").limit(1).count() == 0
       // the previous round's checkpoint blocks become unreachable here;
       // the ContextCleaner reclaims them asynchronously
-      labels = next.select($"doc_id", $"lbl")
+      labels = next.select($"id", $"lbl")
       rounds += 1
     }
     require(converged, s"connected components did not converge in $MaxRounds rounds " +
       "(graph diameter exceeds the bound — switch to star-contraction for this input)")
-    labels.select($"doc_id", $"lbl".as("cluster_rep"))
-      .withColumn("cluster_sz", count(lit(1)).over(Window.partitionBy($"cluster_rep")))
-      .orderBy($"doc_id")
+    labels.select($"id", $"lbl".as("cluster_rep"))
   }
 
   /** Incremental ingest dedup: a new document batch is admitted only if

@@ -41,6 +41,28 @@ class PipelinesSpec extends SparkSuite {
     cc.unpersist()
   }
 
+  test("connectedComponents clusters the MinHash near-dup pairs (sf0.1 composition)") {
+    import spark.implicits._
+    import graft.operators.LlmOps
+    // the production composition: verified near-dup PAIRS in, duplicate CLASSES out
+    val pairs = LlmOps.dedupMinhashNear(spark, sf01)
+      .select($"doc_a", $"doc_b").localCheckpoint(true)
+    assert(pairs.count() > 0L)
+    val edges = pairs.select($"doc_a".as("a"), $"doc_b".as("b"))
+      .unionAll(pairs.select($"doc_b".as("a"), $"doc_a".as("b")))
+    val nodes = Tables.documents(spark, sf01)
+      .select($"doc_id".as("id"), $"doc_id".as("lbl"))
+    val cc = Pipelines.connectedComponents(nodes, edges).cache()
+    // both ends of every near-dup pair land in the same cluster
+    val split = pairs.join(cc.as("ca"), $"doc_a" === $"ca.id")
+      .join(cc.as("cb"), $"doc_b" === $"cb.id")
+      .filter($"ca.cluster_rep" =!= $"cb.cluster_rep")
+    assert(split.count() === 0L)
+    // representatives are component minima
+    assert(cc.filter($"cluster_rep" > $"id").count() === 0L)
+    cc.unpersist()
+  }
+
   test("text_decontaminate flags exactly the docs sharing an 8-gram with the benchmark split") {
     import spark.implicits._
     val dir = "/root/repo/target/tmp/decondocs"
