@@ -117,12 +117,16 @@ object Relational {
     * tables: the bucketed round trip must preserve every row. */
   def sinkBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // 32 buckets: bucket count bounds write parallelism (one task per
+    // bucket after writeBucketed's repartition), so match the core
+    // count; a 100 TB table would use hundreds of buckets for the same
+    // reason.
     graft.sources.Sinks.writeBucketed(
       Tables.orders(spark, dir).select($"o_orderkey", $"o_orderpriority"),
-      "orders_bkt", 8, "o_orderkey")
+      "orders_bkt", 32, "o_orderkey")
     graft.sources.Sinks.writeBucketed(
       Tables.lineitem(spark, dir).select($"l_orderkey", $"l_extendedprice"),
-      "lineitem_bkt", 8, "l_orderkey")
+      "lineitem_bkt", 32, "l_orderkey")
     spark.table("orders_bkt")
       .join(spark.table("lineitem_bkt"), $"o_orderkey" === $"l_orderkey")
       .groupBy($"o_orderpriority")
