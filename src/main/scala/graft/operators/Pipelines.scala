@@ -100,7 +100,10 @@ object Pipelines {
     * @return (id, cluster_rep) with cluster_rep = the component's min id. */
   def connectedComponents(seeded: DataFrame, edges: DataFrame): DataFrame = {
     import seeded.sparkSession.implicits._
-    var labels = seeded.select($"id", $"lbl").localCheckpoint(true)
+    // no checkpoint on the seed: round 1 reads it twice, but both reads
+    // are cheap derivations of inputs the caller already materialized;
+    // a checkpoint here costs a whole extra job (measured)
+    var labels = seeded.select($"id", $"lbl")
     var converged = false
     var rounds = 0
     val MaxRounds = 64 // rounds = graph diameter; must fail loudly, never return unconverged labels
