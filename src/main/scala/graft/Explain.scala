@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Dev-only: print formatted physical plans for the named queries (or
   * all). Usage: graft.Explain [sfDir] [query...] */

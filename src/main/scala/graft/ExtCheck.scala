@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Dev-only: prove the spark.sql.extensions config path end-to-end in a
   * fresh JVM (getOrCreate in an existing JVM would silently reuse the

@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 /** Dev-only: isolate the cost stages of the quadratic cosine NN. */
 object PairBench {

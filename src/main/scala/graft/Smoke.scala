@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Dev-only mirror of the driver's t1 smoke: SparkEntry.entry rows>0. */
 object Smoke {

@@ -80,11 +80,19 @@ object Aggregations {
     * for the margin NULLs (see aggRollup), so oracled the same way. */
   def aggCube(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.orders(spark, dir)
-      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
-      .cube($"c_mktsegment", $"o_orderpriority")
-      .agg(count(lit(1)).as("n_orders"))
-      .select(coalesce($"c_mktsegment", lit("(all)")).as("c_mktsegment"),
+    sentinelMargins(
+      Tables.orders(spark, dir)
+        .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+        .cube($"c_mktsegment", $"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders")))
+  }
+
+  /** Shared margin presentation for the Expand-based aggregates: '(all)'
+    * sentinels for the NULL group labels + the total order (rationale in
+    * aggRollup). */
+  private def sentinelMargins(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(coalesce($"c_mktsegment", lit("(all)")).as("c_mktsegment"),
         coalesce($"o_orderpriority", lit("(all)")).as("o_orderpriority"), $"n_orders")
       .orderBy($"c_mktsegment", $"o_orderpriority")
   }
@@ -96,15 +104,13 @@ object Aggregations {
     * aggregate, same sentinel treatment as rollup. */
   def aggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.orders(spark, dir)
-      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
-      .groupingSets(
-        Seq(Seq($"c_mktsegment", $"o_orderpriority"), Seq($"c_mktsegment"), Seq()),
-        $"c_mktsegment", $"o_orderpriority")
-      .agg(count(lit(1)).as("n_orders"))
-      .select(coalesce($"c_mktsegment", lit("(all)")).as("c_mktsegment"),
-        coalesce($"o_orderpriority", lit("(all)")).as("o_orderpriority"), $"n_orders")
-      .orderBy($"c_mktsegment", $"o_orderpriority")
+    sentinelMargins(
+      Tables.orders(spark, dir)
+        .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+        .groupingSets(
+          Seq(Seq($"c_mktsegment", $"o_orderpriority"), Seq($"c_mktsegment"), Seq()),
+          $"c_mktsegment", $"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders")))
   }
 
   /** Word count — THE canonical MR program. explode(split) is a

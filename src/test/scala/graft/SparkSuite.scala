@@ -21,7 +21,7 @@ object SparkSuite {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // static conf: needed by BucketingSpec's saveAsTable
-      .config("spark.sql.warehouse.dir", "/root/repo/target/tmp/warehouse")
+      .config("spark.sql.warehouse.dir", LocalSession.WarehouseDir)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     Tables.configure(s)
