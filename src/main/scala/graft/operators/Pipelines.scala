@@ -98,7 +98,8 @@ object Pipelines {
     *               undirected closure union the reverse, as
     *               dedupClusterCc does.
     * @return (id, cluster_rep) with cluster_rep = the component's min id. */
-  def connectedComponents(seeded: DataFrame, edges: DataFrame): DataFrame = {
+  def connectedComponents(seeded: DataFrame, edges: DataFrame,
+      maxRounds: Int = 64): DataFrame = {
     import seeded.sparkSession.implicits._
     // no checkpoint on the seed: round 1 reads it twice, but both reads
     // are cheap derivations of inputs the caller already materialized;
@@ -106,8 +107,8 @@ object Pipelines {
     var labels = seeded.select($"id", $"lbl")
     var converged = false
     var rounds = 0
-    val MaxRounds = 64 // rounds = graph diameter; must fail loudly, never return unconverged labels
-    while (!converged && rounds < MaxRounds) {
+    // rounds = graph diameter; must fail loudly, never return unconverged labels
+    while (!converged && rounds < maxRounds) {
       val prop = edges
         .join(labels.select($"id".as("nb"), $"lbl".as("nlbl")), $"b" === $"nb")
         .groupBy($"a").agg(min($"nlbl").as("nlbl"))
@@ -121,7 +122,7 @@ object Pipelines {
       labels = next.select($"id", $"lbl")
       rounds += 1
     }
-    require(converged, s"connected components did not converge in $MaxRounds rounds " +
+    require(converged, s"connected components did not converge in $maxRounds rounds " +
       "(graph diameter exceeds the bound — switch to star-contraction for this input)")
     labels.select($"id", $"lbl".as("cluster_rep"))
   }

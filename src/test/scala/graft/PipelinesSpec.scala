@@ -41,6 +41,22 @@ class PipelinesSpec extends SparkSuite {
     cc.unpersist()
   }
 
+  test("connectedComponents propagates down a long chain, and fails loudly past the round bound") {
+    import spark.implicits._
+    // path graph 0-1-2-...-9: min label must travel the full diameter
+    val chain = (0L until 9L).map(i => (i, i + 1))
+    val edges = chain.toDF("a", "b")
+      .unionAll(chain.map(_.swap).toDF("a", "b"))
+    val nodes = (0L until 10L).map(i => (i, i)).toDF("id", "lbl")
+    val cc = Pipelines.connectedComponents(nodes, edges)
+    assert(cc.collect().map(r => r.getLong(1)).toSet === Set(0L))
+    // unconverged labels must never be returned silently
+    val ex = intercept[IllegalArgumentException] {
+      Pipelines.connectedComponents(nodes, edges, maxRounds = 3)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("connectedComponents clusters the MinHash near-dup pairs (sf0.1 composition)") {
     import spark.implicits._
     import graft.operators.LlmOps
