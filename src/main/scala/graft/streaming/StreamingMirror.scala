@@ -71,6 +71,30 @@ object StreamingMirror {
       .select($"event_id", $"user_id", $"event_type")
   }
 
+  /** Stream-stream interval join — click-to-purchase attribution: each
+    * purchase joins the same user's clicks from the preceding hour.
+    * Both sides carry watermarks and the join condition bounds event
+    * time in both directions, so the state store can evict rows once
+    * the watermark passes the interval — state is bounded by the
+    * attribution window, not stream lifetime (the third stateful
+    * primitive after windowed aggs and dedup). */
+  def intervalJoinStream(spark: SparkSession, stageDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.configure(spark)
+    val schema = spark.read.parquet(stageDir).schema
+    def side(tpe: String, prefix: String) =
+      spark.readStream.schema(schema).parquet(stageDir)
+        .filter($"event_type" === tpe)
+        .select(col("user_id").as(s"${prefix}_user"),
+          Tables.tsFromNanos($"ts").as(s"${prefix}_ts"),
+          col("event_id").as(s"${prefix}_id"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+    side("purchase", "p").join(side("click", "c"),
+      $"p_user" === $"c_user" &&
+        $"p_ts" >= $"c_ts" && $"p_ts" <= $"c_ts" + expr("INTERVAL 1 HOUR"))
+      .select($"p_user".as("user_id"), $"c_id".as("click_id"), $"p_id".as("purchase_id"))
+  }
+
   /** Run a streaming frame to completion (AvailableNow = process all
     * currently-available input then stop) into an in-memory table and
     * return its final contents. Complete output mode: every trigger

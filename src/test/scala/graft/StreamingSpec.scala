@@ -49,6 +49,24 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.select("event_id").distinct().count() === n)
   }
 
+  test("streaming interval join equals the batch interval join") {
+    val streamed = StreamingMirror.runToCompletionAppend(
+      spark, StreamingMirror.intervalJoinStream(spark, stage), "attrib_mirror")
+    val e = Streamy.eventsWithTimePublic(spark, sf0001)
+    def side(tpe: String, p: String) = e.filter(col("event_type") === tpe)
+      .select(col("user_id").as(s"${p}_user"), col("ts_ts").as(s"${p}_ts"),
+        col("event_id").as(s"${p}_id"))
+    val batch = side("purchase", "p").join(side("click", "c"),
+        col("p_user") === col("c_user") && col("p_ts") >= col("c_ts")
+          && col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("p_user").as("user_id"), col("c_id").as("click_id"),
+        col("p_id").as("purchase_id"))
+    assert(streamed.count() > 0L)
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).count() === 0L)
+    assert(batch.except(streamed).count() === 0L)
+  }
+
   test("streaming session_window produces plausible sessions") {
     val s = StreamingMirror.runToCompletion(
       spark, StreamingMirror.sessionStream(spark, stage), "session_mirror").cache()
