@@ -36,7 +36,14 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     # hash and the dtype report, matching driver semantics; int-vs-float
     # (the HUGEINT failure mode) still fails.
     for c in cols:
-        if df[c].dtype.kind in ("i", "u") and str(df[c].dtype) != "int64":
+        if df[c].dtype.kind == "i" and str(df[c].dtype) != "int64":
+            df[c] = df[c].astype("int64")
+        elif df[c].dtype.kind == "u":
+            # u1/u2/u4 fit int64; uint64 values >= 2^63 would silently WRAP
+            # under astype('int64') (ADVICE r2) — fail loudly instead.
+            if str(df[c].dtype) == "uint64" and (df[c] > (2**63 - 1)).any():
+                raise ValueError(f"uint64 column {c} exceeds int64 range; "
+                                 "cannot widen losslessly")
             df[c] = df[c].astype("int64")
     # Queries impose a total ORDER BY so this should be a no-op, but the
     # driver sorts before hashing; unhashable cells (numpy arrays) throw

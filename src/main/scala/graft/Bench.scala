@@ -17,20 +17,39 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // Also persist to a file: the stdout line gets buried in sbt logs
-    // (BENCH_r01.json had "parsed": null), so the graded numbers must not
-    // depend on log scraping.
+    def fmt(v: Double): String = f"$v%.3f"
+    def line(entries: Seq[(String, Double)], omitted: Int): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.values.sum else 0.0
+      val omitNote =
+        if (omitted == 0) ""
+        else s""","queries_omitted":$omitted,"queries_full":"target/bench.json""""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$omitNote,"sf":"$sfDir"}"""
+    }
+    val all = results.toSeq.sortBy(-_._2) // slowest first
+    val full = line(all, 0)
+    // Persist the complete per-query map to a file: the graded numbers must
+    // not depend on log scraping (BENCH_r01 had "parsed": null).
     try {
       // absolute: cwd-relative would scatter the file if Bench is launched elsewhere
       val out = java.nio.file.Paths.get("/root/repo/target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.writeString(out, json + "\n")
+      java.nio.file.Files.writeString(out, full + "\n")
     } catch { case e: Throwable => System.err.println(s"[bench] write failed: $e") }
+    // The driver records only the last ~2000 chars of output; a line longer
+    // than that arrives truncated and unparseable (BENCH_r02 "parsed": null).
+    // Print ONE stdout line that always fits: keep the slowest keys up to a
+    // 1500-char budget and count the (sub-noise-floor) rest as omitted.
+    val stdoutLine =
+      if (full.length <= 1500) full
+      else {
+        var keep = all
+        while (keep.nonEmpty && line(keep, all.size - keep.size).length > 1500)
+          keep = keep.dropRight(1)
+        line(keep, all.size - keep.size)
+      }
     spark.stop()
+    println(stdoutLine)
   }
 }

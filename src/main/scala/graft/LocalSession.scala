@@ -27,6 +27,20 @@ object LocalSession {
       .config("spark.sql.warehouse.dir", WarehouseDir)
     extra.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
+    // getOrCreate silently ignores STATIC confs (warehouse dir,
+    // spark.sql.extensions, master) when a session already exists in this
+    // JVM (ADVICE r2). Callers that resolve paths from the warehouse
+    // (Sinks.writeBucketed) would then act under a different root than the
+    // one requested — detect and warn loudly rather than proceed silently.
+    val requested = Map("spark.sql.warehouse.dir" -> WarehouseDir) ++ extra
+    requested.foreach { case (k, v) =>
+      val got = spark.conf.getOption(k)
+      // warehouse.dir is normalized to a file: URI; compare by suffix
+      if (!got.exists(g => g == v || g.endsWith(v)))
+        System.err.println(
+          s"[LocalSession] WARNING: pre-existing session ignores static conf $k: " +
+            s"requested=$v actual=${got.getOrElse("<unset>")}")
+    }
     spark.sparkContext.setLogLevel(logLevel)
     Tables.configure(spark)
   }

@@ -215,14 +215,23 @@ object Multimodal {
         |FROM documents ORDER BY doc_id""".stripMargin,
     // simsearch_ann_ivf: ✖ approximate by design; recall unit-tested
     "multimodal_decode_stub" -> {
-      val bins = (0 until 16).map(b =>
-        f"  CAST(sum(CASE WHEN ord(substring(text, i, 1)) %% 16 = $b THEN 1 ELSE 0 END) AS BIGINT) AS b$b%02d")
+      // documents LEFT JOIN the per-position aggregate (ADVICE r2): a doc
+      // with empty text has no positions to unnest, but the Spark side
+      // still emits a zeros row for it — coalesce keeps the sides aligned.
+      val sums = (0 until 16).map(b =>
+        f"  sum(CASE WHEN ord(substring(text, i, 1)) %% 16 = $b THEN 1 ELSE 0 END) AS s$b%02d")
         .mkString(",\n")
+      val outs = (0 until 16).map(b =>
+        f"  CAST(coalesce(h.s$b%02d, 0) AS BIGINT) AS b$b%02d").mkString(",\n")
       s"""WITH pos AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
-         |            FROM documents)
-         |SELECT doc_id, CAST(max(length(text)) AS BIGINT) AS n_bytes,
-         |$bins
-         |FROM pos GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |            FROM documents),
+         |hist AS (SELECT doc_id,
+         |$sums
+         |         FROM pos GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_bytes,
+         |$outs
+         |FROM documents d LEFT JOIN hist h ON d.doc_id = h.doc_id
+         |ORDER BY d.doc_id""".stripMargin
     },
     "multimodal_frame_sample" ->
       """SELECT doc_id, CAST(fidx AS BIGINT) AS fidx,
