@@ -11,7 +11,8 @@ object SparkEntry {
       operators.Windows.queries ++ functions.Scalars.queries ++
       functions.UserCode.queries ++ operators.LlmOps.queries ++
       operators.Multimodal.queries ++ operators.Flagship.queries ++
-      operators.Pipelines.queries ++ streaming.Streamy.queries
+      operators.Pipelines.queries ++ streaming.Streamy.queries ++
+      operators.Analytics.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -19,5 +20,6 @@ object SparkEntry {
       operators.Windows.oracleSql ++ functions.Scalars.oracleSql ++
       functions.UserCode.oracleSql ++ operators.LlmOps.oracleSql ++
       operators.Multimodal.oracleSql ++ operators.Flagship.oracleSql ++
-      operators.Pipelines.oracleSql ++ streaming.Streamy.oracleSql
+      operators.Pipelines.oracleSql ++ streaming.Streamy.oracleSql ++
+      operators.Analytics.oracleSql
 }

