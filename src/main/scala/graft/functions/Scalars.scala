@@ -115,7 +115,25 @@ object Scalars {
       .orderBy($"doc_id")
   }
 
+  /** Bitwise family over the id columns: and/or/xor, shifts, popcount.
+    * Pure two's-complement integer ops — identical in every engine —
+    * and staple tooling for flag fields, hash mixing, and bitmap-index
+    * style predicates. */
+  def scalarBitwise(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_id", $"user_id",
+        $"event_id".bitwiseAND($"user_id").as("b_and"),
+        $"event_id".bitwiseOR($"user_id").as("b_or"),
+        $"event_id".bitwiseXOR($"user_id").as("b_xor"),
+        shiftleft($"user_id", 3).as("shl"),
+        shiftright($"event_id", 2).as("shr"),
+        bit_count($"event_id").cast("long").as("nbits"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "scalar_bitwise" -> (scalarBitwise(_, _)),
     "scalar_collection" -> (scalarCollection(_, _)),
     "scalar_string" -> (scalarString(_, _)),
     "scalar_date" -> (scalarDate(_, _)),
@@ -125,6 +143,15 @@ object Scalars {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "scalar_bitwise" ->
+      """SELECT event_id, user_id,
+        |  event_id & user_id AS b_and,
+        |  event_id | user_id AS b_or,
+        |  xor(event_id, user_id) AS b_xor,
+        |  user_id << 3 AS shl,
+        |  event_id >> 2 AS shr,
+        |  CAST(bit_count(event_id) AS BIGINT) AS nbits
+        |FROM events ORDER BY event_id""".stripMargin,
     "scalar_collection" ->
       """SELECT doc_id,
         |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,

@@ -167,7 +167,32 @@ object Aggregations {
         |ORDER BY p_partkey""".stripMargin)
   }
 
+  /** Statistical moments per group (n, sum, mean, sample variance/std)
+    * computed scale-safely: the raw Σx and Σx² accumulate in EXACT
+    * decimal (order-independent partial aggregation — a plain
+    * var_samp() over doubles is partial-sum-order nondeterministic),
+    * then the closed-form moments are derived in IEEE double with the
+    * identical expression shape on both engines. The two-pass-free
+    * var formula (nΣx² − (Σx)²)/(n(n−1)) is exactly what a map-side
+    * combinable variance needs at scale. */
+  def aggStatsMoments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nd = $"n".cast("double")
+    val sd = $"s".cast("double")
+    val qd = $"q".cast("double")
+    val variance = (nd * qd - sd * sd) / (nd * (nd - lit(1.0)))
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(Tables.dec4($"value")).as("s"),
+        sum(Tables.dec4($"value") * Tables.dec4($"value")).as("q"))
+      .select($"event_type", $"n", sd.as("sum_v"), (sd / nd).as("mean_v"),
+        variance.as("var_samp"), sqrt(variance).as("std_samp"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "agg_stats_moments" -> (aggStatsMoments(_, _)),
     "agg_pivot" -> (aggPivot(_, _)),
     "sql_correlated_subquery" -> (sqlCorrelatedSubquery(_, _)),
     "agg_groupby_sum" -> (aggGroupbySum(_, _)),
@@ -181,6 +206,18 @@ object Aggregations {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "agg_stats_moments" ->
+      """WITH a AS (SELECT event_type, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS s,
+        |    sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS q
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n, CAST(s AS DOUBLE) AS sum_v,
+        |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_v,
+        |  (CAST(n AS DOUBLE) * CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var_samp,
+        |  sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS std_samp
+        |FROM a ORDER BY event_type""".stripMargin,
     "agg_groupby_sum" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -25,6 +25,24 @@ class SinksSpec extends SparkSuite {
     assert(df.count() > 0L)
   }
 
+  test("partitioned layout gets dynamic partition pruning from a dim-side filter") {
+    import spark.implicits._
+    // materialize the day-partitioned events layout
+    operators.Relational.sinkPartitionedRead(spark, sf0001).count()
+    val fact = spark.read.parquet("/root/repo/target/tmp/partitioned_events")
+    // dim with an attribute NOT derivable from the fact: static pruning
+    // can't fire, only DPP can inject the day filter at runtime. The dim
+    // must itself be a file-backed scan — DPP's filtering side check
+    // rejects in-memory LocalRelations.
+    (19700 to 19760).map(d => (d, d % 7)).toDF("d_day", "dow")
+      .write.mode("overwrite").parquet("/root/repo/target/tmp/day_dim")
+    val dim = spark.read.parquet("/root/repo/target/tmp/day_dim")
+    val q = fact.join(dim.filter(col("dow") === 3), fact("day") === dim("d_day"))
+      .groupBy(col("event_type")).count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(1200))
+  }
+
   test("writeSorted produces row-group-skippable files") {
     val dir = "/root/repo/target/tmp/sink_sorted"
     Sinks.writeSorted(Tables.orders(spark, sf0001), dir, "o_totalprice")
