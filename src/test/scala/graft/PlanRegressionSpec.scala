@@ -49,6 +49,80 @@ class PlanRegressionSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("analytics-layer plans stay within their exchange budgets") {
+    // #Exchange nodes in the un-executed plan = shuffles the query can
+    // ever pay (AQE may only remove some at runtime). Budgets are the
+    // audited values from SCALE.md round 3 — a regression here means a
+    // new shuffle crept into the operator.
+    val budgets = Map(
+      "sort_zorder_layout" -> 1,   // final sort only
+      "embedding_quantize" -> 1,   // final sort only
+      "quality_repetition" -> 3,   // gram agg partial/final + sort
+      "scalar_bitwise" -> 1,       // final sort only
+      "join_bloom_prefilter" -> 4, // two join inputs + agg + sort
+      "text_tfidf" -> 3)           // df agg, window, sort (tf is checkpointed)
+    val over = budgets.flatMap { case (name, budget) =>
+      // formatted mode prints each node twice (tree + details); the
+      // details form "(N) Exchange" counts each exchange exactly once
+      val n = "\\(\\d+\\) Exchange".r.findAllIn(plan(name)).size
+      if (n > budget) Some(s"$name: $n > $budget") else None
+    }
+    assert(over.isEmpty, s"exchange budget exceeded: $over")
+  }
+
+  test("bloom probe rides the fact scan, not a post-join filter") {
+    val p = plan("join_bloom_prefilter")
+    val scanSection = p.substring(p.indexOf("Scan parquet"))
+    assert(p.contains("bloom_might_contain"), p.take(600))
+    assert(p.contains("ShuffledHashJoin"), "prefilter demo requires the non-broadcast join")
+  }
+
+  test("AQE splits a skewed join partition at runtime (the no-manual-salting path)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // join_skew_salted is the MANUAL lever; this pins the AQE runtime
+    // lever on the same problem: one hot key absorbing half the fact.
+    val keep = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // Thresholds sized for the sf0.01 fixture's COMPRESSED shuffle
+      // sizes (skew stats measure map-output bytes): the hot partition
+      // carries 30k high-entropy doubles, the rest a few KB.
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      // repartition(8): skew splits are map-output RANGES, so the hot
+      // reduce partition is only divisible if it was written by several
+      // mappers — the single-file fixture scan is one map task otherwise
+      // (a real cluster has thousands of mappers; this is fixture-only)
+      val fact = Tables.lineitem(spark, sf001)
+        .select(when($"l_orderkey" % 2 === 0, 0L).otherwise($"l_orderkey").as("k"),
+          $"l_extendedprice")
+        .repartition(8)
+      val dim = Tables.orders(spark, sf001)
+        .select($"o_orderkey".as("k2"), $"o_totalprice")
+      // sum(price) keeps the payload column IN the join shuffle — a bare
+      // count() would prune it and the constant-key partition would
+      // compress below any sane skew threshold
+      // GLOBAL agg: a groupBy on the join key would REQUIRE the join's
+      // hash partitioning downstream, and OptimizeSkewedJoin refuses to
+      // split a skewed partition when that breaks a required
+      // distribution; the partial of a global agg has no requirement
+      val q = fact.join(dim, $"k" === $"k2")
+        .agg(sum(Tables.dec2($"l_extendedprice")).as("s"))
+      q.collect() // finalize THIS df's adaptive plan (count() would plan separately)
+      val p = q.queryExecution.executedPlan.toString.toLowerCase
+      assert(p.contains("skew"), p.take(1200))
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("quadratic plans appear ONLY in the documented similarity baselines") {
     val allowed = Set("simsearch_cosine_topk", "dedup_embedding_cosine", "simsearch_ann_ivf")
     val offenders = SparkEntry.queries.keys.filterNot(allowed)
