@@ -330,7 +330,33 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** Catalog DML: CTAS into the warehouse + INSERT INTO + read back —
+    * the managed-table write path (CREATE TABLE AS SELECT, appending
+    * INSERT) a SQL-engine user expects beyond path-based sinks. Oracled
+    * against the equivalent SELECT over the original parquet: the
+    * catalog round trip must preserve every row. The warehouse
+    * directory is cleared first because the in-memory catalog forgets
+    * tables across JVMs while their directories survive (the
+    * writeBucketed lesson). */
+  def sqlCtasInsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.nation(spark, dir).createOrReplaceTempView("nation_src")
+    spark.sql("DROP TABLE IF EXISTS nation_ctas")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "nation_ctas")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    spark.sql(
+      """CREATE TABLE nation_ctas USING parquet AS
+        |SELECT n_nationkey, n_name, n_regionkey FROM nation_src WHERE n_regionkey <> 4""".stripMargin)
+    spark.sql(
+      """INSERT INTO nation_ctas
+        |SELECT n_nationkey, n_name, n_regionkey FROM nation_src WHERE n_regionkey = 4""".stripMargin)
+    spark.table("nation_ctas").orderBy($"n_nationkey")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "sql_ctas_insert" -> (sqlCtasInsert(_, _)),
     "scan_parquet" -> (scanParquet(_, _)),
     "scan_projection_pruning" -> (scanProjectionPruning(_, _)),
     "source_json_props" -> (sourceJsonProps(_, _)),
@@ -355,6 +381,8 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sql_ctas_insert" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "scan_parquet" -> "SELECT count(*) AS n_rows FROM lineitem",
     "scan_projection_pruning" ->
       "SELECT l_orderkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_quantity",

@@ -95,6 +95,52 @@ object StreamingMirror {
       .select($"p_user".as("user_id"), $"c_id".as("click_id"), $"p_id".as("purchase_id"))
   }
 
+  /** foreachBatch upsert — the streaming twin of
+    * Pipelines.compactLatestState: every micro-batch merges into a
+    * keyed state table (read state → union batch → keep latest per
+    * key → atomic tmp-write + swap). foreachBatch is the escape hatch
+    * for sinks without native streaming support (JDBC, key-value
+    * stores, MERGE INTO on transactional table formats — which is what
+    * the swap becomes at scale). The merge is deterministic under ANY
+    * batch split: latest-per-key with (ts, event_id) tie-break is
+    * associative across batches. */
+  def upsertStream(spark: SparkSession, stageDir: String, stateDir: String,
+      checkpointDir: String): Unit = {
+    import spark.implicits._
+    Tables.configure(spark)
+    val schema = spark.read.parquet(stageDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1) // several micro-batches from the staged files
+      .parquet(stageDir)
+      .select($"user_id", $"event_id", $"event_type",
+        Tables.nsToUs($"ts").as("ts_us"), $"value")
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) => upsertBatch(batch, stateDir) }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One MERGE step: prior state ∪ batch → latest row per user_id.
+    * Writes to a tmp dir then swaps — overwriting a directory that the
+    * plan is concurrently reading is not safe. */
+  def upsertBatch(batch: DataFrame, stateDir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import batch.sparkSession.implicits._
+    val spark = batch.sparkSession
+    val path = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prev = if (fs.exists(path)) spark.read.parquet(stateDir) else batch.limit(0)
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us".desc, $"event_id".desc)
+    val next = prev.unionByName(batch)
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+    val tmp = new org.apache.hadoop.fs.Path(stateDir + "__tmp")
+    next.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(path)) fs.delete(path, true)
+    fs.rename(tmp, path)
+  }
+
   /** Run a streaming frame to completion (AvailableNow = process all
     * currently-available input then stop) into an in-memory table and
     * return its final contents. Complete output mode: every trigger

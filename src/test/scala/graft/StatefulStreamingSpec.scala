@@ -81,4 +81,23 @@ class StatefulStreamingSpec extends SparkSuite {
     assert(streamed.count() > 0L)
     assert(streamed.except(batch).count() === 0L)
   }
+
+  test("foreachBatch upsert converges to the batch latest-state compaction") {
+    import spark.implicits._
+    val base = "/root/repo/target/tmp/upsert"
+    // stage as 4 files so maxFilesPerTrigger=1 yields 4 real micro-batches
+    Tables.events(spark, sf0001).repartition(4)
+      .write.mode("overwrite").parquet(s"$base/stage")
+    Seq(s"$base/state", s"$base/ckpt").foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    StreamingMirror.upsertStream(spark, s"$base/stage", s"$base/state", s"$base/ckpt")
+    val got = spark.read.parquet(s"$base/state")
+      .select("user_id", "event_id", "event_type", "ts_us", "value")
+    val want = operators.Pipelines.compactLatestState(spark, sf0001)
+    assert(got.count() === want.count())
+    assert(got.except(want).count() === 0L && want.except(got).count() === 0L)
+  }
 }
