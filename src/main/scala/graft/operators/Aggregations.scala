@@ -181,13 +181,19 @@ object Aggregations {
     val sd = $"s".cast("double")
     val qd = $"q".cast("double")
     val variance = (nd * qd - sd * sd) / (nd * (nd - lit(1.0)))
+    // round(6) on the derived moments: Σx² as a scaled integer exceeds
+    // 2^53 at bench scale, where decimal→double conversion may round
+    // differently across engines by 1 ulp (correctly-rounded BigDecimal
+    // vs int128→double-then-divide); the relative error that survives
+    // the closed form is ≤1e-10, which round(6) absorbs. Σx itself
+    // stays under 2^53 (4-decimal values), so sum_v/mean_v are exact.
     Tables.events(spark, dir)
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"),
         sum(Tables.dec4($"value")).as("s"),
         sum(Tables.dec4($"value") * Tables.dec4($"value")).as("q"))
-      .select($"event_type", $"n", sd.as("sum_v"), (sd / nd).as("mean_v"),
-        variance.as("var_samp"), sqrt(variance).as("std_samp"))
+      .select($"event_type", $"n", sd.as("sum_v"), round(sd / nd, 6).as("mean_v"),
+        round(variance, 6).as("var_samp"), round(sqrt(variance), 6).as("std_samp"))
       .orderBy($"event_type")
   }
 
@@ -212,11 +218,11 @@ object Aggregations {
         |    sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS q
         |  FROM events GROUP BY event_type)
         |SELECT event_type, n, CAST(s AS DOUBLE) AS sum_v,
-        |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_v,
-        |  (CAST(n AS DOUBLE) * CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
-        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var_samp,
-        |  sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
-        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS std_samp
+        |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_v,
+        |  round((CAST(n AS DOUBLE) * CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6) AS var_samp,
+        |  round(sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6) AS std_samp
         |FROM a ORDER BY event_type""".stripMargin,
     "agg_groupby_sum" ->
       """SELECT l_returnflag, l_linestatus,

@@ -206,6 +206,11 @@ object Analytics {
   def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.embeddings(spark, dir)
+      // empty vectors are dropped on BOTH sides: the oracle's unnest CTE
+      // produces no rows for them (inner join drops), and Spark's
+      // array_max over [] would emit NULL scale_fp — the decode_stub
+      // empty-input divergence class, excluded by construction here
+      .filter(size($"embedding") > 0)
       .withColumn("maxabs", expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
       .withColumn("q", expr(
         """transform(embedding, x -> CASE WHEN maxabs = 0.0D THEN CAST(0 AS BIGINT)
@@ -246,7 +251,7 @@ object Analytics {
       s"""i$i AS (SELECT e.b AS id, sum(s.r // s.deg) AS inc
          |        FROM edges e JOIN $prev s ON s.id = e.a GROUP BY e.b),
          |r$i AS (SELECT p.id, p.deg,
-         |          CAST(150000 + (85 * coalesce(i.inc, 0)) // 100 AS BIGINT) AS r
+         |          CAST(${RankOne * 15 / 100} + (85 * coalesce(i.inc, 0)) // 100 AS BIGINT) AS r
          |        FROM $prev p LEFT JOIN i$i i ON i.id = p.id)""".stripMargin
     }
     s"""WITH e0 AS (SELECT DISTINCT o_custkey AS a,

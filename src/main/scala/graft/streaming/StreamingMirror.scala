@@ -124,7 +124,12 @@ object StreamingMirror {
 
   /** One MERGE step: prior state ∪ batch → latest row per user_id.
     * Writes to a tmp dir then swaps — overwriting a directory that the
-    * plan is concurrently reading is not safe. */
+    * plan is concurrently reading is not safe. The delete+rename swap is
+    * BEST-EFFORT, not atomic: a crash between the two leaves only the
+    * tmp dir (recoverable by hand, never a torn mix), and a failed
+    * rename aborts the batch loudly so checkpoint replay retries it.
+    * At scale this step is a MERGE INTO on a transactional table
+    * format, which is where real atomicity comes from. */
   def upsertBatch(batch: DataFrame, stateDir: String): Unit = {
     import org.apache.spark.sql.expressions.Window
     import batch.sparkSession.implicits._
@@ -138,7 +143,8 @@ object StreamingMirror {
     val tmp = new org.apache.hadoop.fs.Path(stateDir + "__tmp")
     next.write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(path)) fs.delete(path, true)
-    fs.rename(tmp, path)
+    require(fs.rename(tmp, path),
+      s"state swap failed: could not rename $tmp to $path — prior state is intact at $tmp")
   }
 
   /** Run a streaming frame to completion (AvailableNow = process all

@@ -34,9 +34,11 @@ class AnalyticsSpec extends SparkSuite {
     val bad = t.withColumn("prev", lag("score_fp", 1).over(w))
       .filter(col("prev").isNotNull && col("score_fp") > col("prev"))
     assert(bad.count() === 0L)
-    // a term appearing in every document can never beat a same-tf rarer term
-    val top1 = t.filter(col("rnk") === 1)
-    assert(top1.count() > 0)
+    // the score formula itself: score_fp == (tf * N * 1e6) div df
+    val n = Tables.documents(spark, sf0001).count()
+    val badScore = t.filter(
+      col("score_fp") =!= expr(s"(tf * ${n}L * 1000000) div df"))
+    assert(badScore.count() === 0L)
     t.unpersist()
   }
 

@@ -72,9 +72,14 @@ class PlanRegressionSpec extends SparkSuite {
 
   test("bloom probe rides the fact scan, not a post-join filter") {
     val p = plan("join_bloom_prefilter")
-    val scanSection = p.substring(p.indexOf("Scan parquet"))
-    assert(p.contains("bloom_might_contain"), p.take(600))
-    assert(p.contains("ShuffledHashJoin"), "prefilter demo requires the non-broadcast join")
+    val probe = p.indexOf("bloom_might_contain")
+    val join = p.indexOf("ShuffledHashJoin")
+    assert(probe >= 0, p.take(600))
+    assert(join >= 0, "prefilter demo requires the non-broadcast join")
+    // tree prints parents before children: a probe INSIDE the join's
+    // scan subtree appears after the join node; a post-join Filter
+    // regression would print it before
+    assert(probe > join, "bloom probe must sit below the join (in the fact scan), not above it")
   }
 
   test("AQE splits a skewed join partition at runtime (the no-manual-salting path)") {
