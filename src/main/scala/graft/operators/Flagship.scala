@@ -81,6 +81,62 @@ object Flagship {
       .orderBy($"sum_qty".desc, $"o_orderkey")
   }
 
+  /** Q7 shape — volume shipping between two nations: revenue flowing
+    * supplier-nation → customer-nation (either direction) per shipment
+    * year. The nation filter lands on supplier/customer BEFORE the fact
+    * joins — 2/25 selectivity each side, so the wide join only ever
+    * sees the two nations' rows — and both filtered dims broadcast. */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pair = Seq("NATION_1", "NATION_2")
+    val n = Tables.nation(spark, dir).filter($"n_name".isin(pair: _*))
+      .select($"n_nationkey", $"n_name")
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val c = Tables.customer(spark, dir)
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name".as("cust_nation"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(year($"l_shipdate").between(1996, 1998))
+      .select($"l_orderkey", $"l_suppkey", year($"l_shipdate").as("l_year"),
+        (Tables.dec2($"l_extendedprice") * (lit(BigDecimal(1)) - Tables.dec2($"l_discount")))
+          .as("rev"))
+    l.join(broadcast(s), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .filter($"supp_nation" =!= $"cust_nation")
+      .groupBy($"supp_nation", $"cust_nation", $"l_year")
+      .agg(sum($"rev").cast("double").as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  /** Q10 shape — returned-item reporting: top-20 customers by revenue
+    * lost to returns in one quarter. Aggregates lineitem returns down
+    * to (custkey, revenue) FIRST (the Q18 aggregate-then-join lesson),
+    * then decorates the 20-row candidate set with customer/nation. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp")
+        && $"o_orderdate" < lit("1996-04-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey")
+    val l = Tables.lineitem(spark, dir).filter($"l_returnflag" === "R")
+      .select($"l_orderkey",
+        (Tables.dec2($"l_extendedprice") * (lit(BigDecimal(1)) - Tables.dec2($"l_discount")))
+          .as("rev"))
+    o.join(l, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_custkey")
+      .agg(sum($"rev").cast("double").as("revenue"))
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_name", $"revenue",
+        Tables.dec2($"c_acctbal").cast("double").as("c_acctbal"), $"n_name")
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
   /** Exact percentiles per group: Spark's percentile() and DuckDB's
     * quantile_cont() both use linear interpolation over the sorted
     * values — exact arithmetic on the two neighbours, rounded to 6 to
@@ -97,6 +153,8 @@ object Flagship {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "q7_volume_shipping" -> (q7VolumeShipping(_, _)),
+    "q10_returned_items" -> (q10ReturnedItems(_, _)),
     "q3_shipping_priority" -> (q3ShippingPriority(_, _)),
     "q5_local_supplier_volume" -> (q5LocalSupplierVolume(_, _)),
     "q18_large_volume_customer" -> (q18LargeVolumeCustomer(_, _)),
@@ -104,6 +162,38 @@ object Flagship {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q7_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE year(l_shipdate) BETWEEN 1996 AND 1998
+        |  AND sn.n_name IN ('NATION_1', 'NATION_2')
+        |  AND cn.n_name IN ('NATION_1', 'NATION_2')
+        |  AND sn.n_name <> cn.n_name
+        |GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q10_returned_items" ->
+      """WITH r AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |  FROM orders
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-04-01'
+        |    AND l_returnflag = 'R'
+        |  GROUP BY o_custkey)
+        |SELECT c_custkey, c_name, revenue,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS c_acctbal, n_name
+        |FROM r
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
