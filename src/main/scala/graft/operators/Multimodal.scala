@@ -112,12 +112,19 @@ object Multimodal {
     * fixed 128 bytes (the image-resize shape: fixed output dims,
     * strided source sampling). Per-partition batched like the decode
     * stub; a real resizer swaps the sampling kernel, the plumbing —
-    * fixed-size output schema, no driver round-trip — stays. Bench-only
-    * (✖): stub arithmetic. */
+    * fixed-size output schema, no driver round-trip — stays.
+    *
+    * Oracled (round-3 upgrade): the fixture text is pure ASCII, so the
+    * strided BYTE sampling equals strided CHARACTER sampling, which
+    * DuckDB rebuilds with substring over the same index arithmetic.
+    * Empty payloads are excluded on BOTH sides (the decode_stub
+    * empty-input divergence class — and bytes(0) of an empty array
+    * would throw here). */
   def multimodalResizeStub(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val Target = 128
     Tables.documents(spark, dir)
+      .filter(length($"text") > 0)
       .select($"doc_id", $"text".cast("binary").as("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
@@ -233,6 +240,14 @@ object Multimodal {
          |FROM documents d LEFT JOIN hist h ON d.doc_id = h.doc_id
          |ORDER BY d.doc_id""".stripMargin
     },
+    "multimodal_resize_stub" ->
+      """SELECT doc_id, CAST(128 AS BIGINT) AS resized_bytes,
+        |  sha256(array_to_string(list_transform(range(0, 128),
+        |    i -> substring(text,
+        |           CAST((i * length(text) // 128) % length(text) AS INT) + 1, 1)), ''))
+        |    AS resized_sha,
+        |  CAST(length(text) AS BIGINT) AS orig_bytes
+        |FROM documents WHERE length(text) > 0 ORDER BY doc_id""".stripMargin,
     "multimodal_frame_sample" ->
       """SELECT doc_id, CAST(fidx AS BIGINT) AS fidx,
         |  sha256(substring(text, (fidx - 1) * 64 + 1, 64)) AS frame_sha,
