@@ -149,6 +149,10 @@ object Multimodal {
   def multimodalFrameSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
+      // empty payloads excluded: sequence(1, 0, 4) throws on a
+      // descending range with a positive step (the resize-stub
+      // empty-input class; no empty docs exist in the fixtures)
+      .filter(length($"text") > 0)
       .select($"doc_id", $"text".cast("binary").as("payload"))
       .select($"doc_id", $"payload",
         explode(sequence(lit(1),
@@ -254,7 +258,7 @@ object Multimodal {
         |  CAST(length(substring(text, (fidx - 1) * 64 + 1, 64)) AS BIGINT) AS frame_len
         |FROM (SELECT doc_id, text,
         |        unnest(range(1, CAST(ceil(length(text) / 64.0) AS INT) + 1, 4)) AS fidx
-        |      FROM documents)
+        |      FROM documents WHERE length(text) > 0)
         |ORDER BY doc_id, fidx""".stripMargin
   )
 }
