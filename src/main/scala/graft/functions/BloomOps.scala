@@ -61,7 +61,11 @@ object BloomOps {
     * count from table stats at real scale; fpp trades probe-side
     * shuffle volume against filter size. */
   def build(df: DataFrame, keyCol: String, expectedItems: Long, fpp: Double): BloomFilter =
-    df.stat.bloomFilter(keyCol, expectedItems, fpp)
+    // empty build side: stat.bloomFilter returns a filter with null bit
+    // state whose serialization NPEs — substitute a minimal filter that
+    // matches nothing (the correct semantics: no keys ⇒ no candidates)
+    if (df.isEmpty) BloomFilter.create(1L, fpp)
+    else df.stat.bloomFilter(keyCol, expectedItems, fpp)
 
   /** Register `bloom_might_contain(key)` with the filter's bits captured
     * in the builder closure (the registry path is how a parameterized

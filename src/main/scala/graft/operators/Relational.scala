@@ -95,9 +95,10 @@ object Relational {
         Tables.nsToUs($"ts").as("ts_us"))
       .withColumn("day", expr("ts_us div 86400000000"))
     graft.sources.Sinks.writePartitioned(src, tmp, "day")
-    spark.read.parquet(tmp)
-      // partition-column values come back via directory-name inference
-      // (int), so pin the type before grouping
+    // Explicit schema on the readback: directory-name inference would
+    // type day as int (pinned back to long below either way), and an
+    // EMPTY write leaves no part files to infer from at all.
+    spark.read.schema(src.schema).parquet(tmp)
       .withColumn("day", $"day".cast("long"))
       .filter($"day" >= 19730L && $"day" <= 19736L)
       .groupBy($"day", $"event_type")
