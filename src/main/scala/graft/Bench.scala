@@ -27,7 +27,7 @@ object Bench {
       val total = if (results.nonEmpty) results.values.sum else 0.0
       val omitNote =
         if (omitted == 0) ""
-        else s""","queries_omitted":$omitted,"queries_full":"target/bench.json""""
+        else s""","queries_omitted":$omitted,"queries_full":"/root/repo/target/bench.json""""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$omitNote,"sf":"$sfDir"}"""
     }
     val all = results.toSeq.sortBy(-_._2) // slowest first

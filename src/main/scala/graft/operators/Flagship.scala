@@ -126,15 +126,19 @@ object Flagship {
       .select($"l_orderkey",
         (Tables.dec2($"l_extendedprice") * (lit(BigDecimal(1)) - Tables.dec2($"l_discount")))
           .as("rev"))
-    o.join(l, $"o_orderkey" === $"l_orderkey")
+    // top-20 BEFORE decoration: the customer/nation joins are 1:1 on
+    // the FK, so limiting the aggregate first is semantically identical
+    // and only 20 rows ever reach the wide join
+    val top = o.join(l, $"o_orderkey" === $"l_orderkey")
       .groupBy($"o_custkey")
       .agg(sum($"rev").cast("double").as("revenue"))
-      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .orderBy($"revenue".desc, $"o_custkey")
+      .limit(20)
+    top.join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
       .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
       .select($"c_custkey", $"c_name", $"revenue",
         Tables.dec2($"c_acctbal").cast("double").as("c_acctbal"), $"n_name")
       .orderBy($"revenue".desc, $"c_custkey")
-      .limit(20)
   }
 
   /** Exact percentiles per group: Spark's percentile() and DuckDB's

@@ -136,6 +136,14 @@ object StreamingMirror {
     val spark = batch.sparkSession
     val path = new org.apache.hadoop.fs.Path(stateDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Crash recovery FIRST: a prior swap that died between delete and
+    // rename left the only state copy at tmp — reinstall it before this
+    // batch merges (otherwise the checkpoint replay would merge into an
+    // empty prev and the overwrite below would destroy that last copy).
+    val recover = new org.apache.hadoop.fs.Path(stateDir + "__tmp")
+    if (fs.exists(recover) && !fs.exists(path))
+      require(fs.rename(recover, path),
+        s"state recovery failed: could not reinstall $recover as $path")
     val prev = if (fs.exists(path)) spark.read.parquet(stateDir) else batch.limit(0)
     val w = Window.partitionBy($"user_id").orderBy($"ts_us".desc, $"event_id".desc)
     val next = prev.unionByName(batch)

@@ -19,9 +19,14 @@ class AnalyticsSpec extends SparkSuite {
     val n = r.count()
     val mass = r.agg(sum("rank_fp")).head.getLong(0)
     assert(mass >= 150000L * n && mass <= 1000000L * n, s"mass=$mass n=$n")
-    // the most-connected node outranks the median node
-    val byDeg = r.orderBy(col("deg").desc).select("rank_fp").head.getLong(0)
-    assert(byDeg > 150000L)
+    // the most-connected node outranks the MEDIAN connected node —
+    // a regression flattening ranks (e.g. dropping the degree division)
+    // would keep every rank above the base but kill this ordering
+    val ranks = r.filter(col("deg") > 0).orderBy(col("deg").desc)
+      .select("rank_fp").collect().map(_.getLong(0))
+    val hub = ranks.head
+    val median = ranks.sorted.apply(ranks.length / 2)
+    assert(hub > median, s"hub rank $hub must exceed median rank $median")
     r.unpersist()
   }
 

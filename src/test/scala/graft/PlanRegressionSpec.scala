@@ -72,14 +72,21 @@ class PlanRegressionSpec extends SparkSuite {
 
   test("bloom probe rides the fact scan, not a post-join filter") {
     val p = plan("join_bloom_prefilter")
-    val probe = p.indexOf("bloom_might_contain")
-    val join = p.indexOf("ShuffledHashJoin")
-    assert(probe >= 0, p.take(600))
-    assert(join >= 0, "prefilter demo requires the non-broadcast join")
-    // tree prints parents before children: a probe INSIDE the join's
-    // scan subtree appears after the join node; a post-join Filter
-    // regression would print it before
-    assert(probe > join, "bloom probe must sit below the join (in the fact scan), not above it")
+    // Formatted-mode node numbers are assigned bottom-up, so a child's
+    // number is SMALLER than its parent's: the Filter detail block that
+    // carries the bloom condition must be numbered below the join. A
+    // raw string-position compare would be vacuous — the details
+    // section always follows the whole tree section.
+    val filterNums = "\\((\\d+)\\) Filter".r.findAllMatchIn(p).collect {
+      case m if p.substring(m.start, math.min(p.length, m.start + 800))
+        .contains("bloom_might_contain") => m.group(1).toInt
+    }.toList
+    val joinNum = "\\((\\d+)\\) ShuffledHashJoin".r.findFirstMatchIn(p)
+      .map(_.group(1).toInt)
+    assert(filterNums.nonEmpty, "no Filter node carries the bloom probe: " + p.take(600))
+    assert(joinNum.nonEmpty, "prefilter demo requires the non-broadcast join")
+    assert(filterNums.exists(_ < joinNum.get),
+      s"bloom filter nodes $filterNums must be numbered below join ${joinNum.get} (inside its scan subtree)")
   }
 
   test("AQE splits a skewed join partition at runtime (the no-manual-salting path)") {
