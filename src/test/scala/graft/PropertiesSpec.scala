@@ -56,4 +56,53 @@ class PropertiesSpec extends AnyFunSuite {
       semi.size + anti.size == left.size && semi.toSet.intersect(anti.toSet).isEmpty
     })
   }
+
+  /** Local mirror of the z-order interleave (Analytics.sortZorderLayout
+    * / AnalyticsSpec reference impl). */
+  private def morton(x: Long, y: Long): Long =
+    (0 until 16).foldLeft(0L) { (acc, k) =>
+      acc | (((x >> k) & 1L) << (2 * k)) | (((y >> k) & 1L) << (2 * k + 1))
+    }
+
+  test("z-order curve laws: bijective on 16-bit pairs, monotone per axis prefix") {
+    val coord = Gen.chooseNum(0L, 65535L)
+    // bijectivity: de-interleaving recovers both coordinates
+    def unmorton(z: Long): (Long, Long) = {
+      val x = (0 until 16).foldLeft(0L)((a, k) => a | (((z >> (2 * k)) & 1L) << k))
+      val y = (0 until 16).foldLeft(0L)((a, k) => a | (((z >> (2 * k + 1)) & 1L) << k))
+      (x, y)
+    }
+    check(Prop.forAll(coord, coord) { (x: Long, y: Long) =>
+      unmorton(morton(x, y)) == ((x, y))
+    })
+    // locality: equal high bits of BOTH coords ⇒ equal high bits of z
+    // (the property zone-map pruning relies on)
+    check(Prop.forAll(coord, coord, coord, coord) { (x1: Long, y1: Long, x2: Long, y2: Long) =>
+      val sameHigh = (x1 >> 8) == (x2 >> 8) && (y1 >> 8) == (y2 >> 8)
+      !sameHigh || (morton(x1, y1) >> 16) == (morton(x2, y2) >> 16)
+    })
+  }
+
+  test("bloom filter law: zero false negatives at any fill level") {
+    import org.apache.spark.util.sketch.BloomFilter
+    val keys = Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    check(Prop.forAll(keys) { (ks: List[Long]) =>
+      val bf = BloomFilter.create(math.max(ks.size.toLong, 1L), 0.01)
+      ks.foreach(bf.putLong)
+      ks.forall(bf.mightContainLong)
+    })
+  }
+
+  test("int8 quantization law: range bound and maxabs element saturates") {
+    val vec = Gen.nonEmptyListOf(Gen.chooseNum(-1e3f, 1e3f)).map(_.toArray)
+    def quantize(xs: Array[Float]): Array[Long] = {
+      val m = xs.map(x => math.abs(x.toDouble)).max
+      xs.map(x => if (m == 0.0) 0L else math.floor(x.toDouble * 127.0 / m + 0.5).toLong)
+    }
+    check(Prop.forAll(vec) { xs: Array[Float] =>
+      val q = quantize(xs)
+      q.forall(v => v >= -127 && v <= 127) &&
+        (xs.forall(_ == 0f) || q.exists(v => v == 127 || v == -127))
+    })
+  }
 }
