@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pipe the forked run's streams straight through instead of the sbt
+// logger: the logger prefixes every line with [info]/[error], which
+// breaks any strict line-wise JSON parse of Bench's graded stdout line
+// (the driver records only an output tail).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
