@@ -49,6 +49,19 @@ case class BloomKeyMightContain(child: Expression, bloomBits: Array[Byte])
     nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.might($v);")
   }
 
+  // Array[Byte] equals/hashCode are identity-based, which would make two
+  // structurally identical probes semantically unequal — canonicalization,
+  // semanticEquals, and exchange/subexpression reuse would never unify
+  // them. Compare the bits by content instead (perf-only; correctness was
+  // never affected).
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomKeyMightContain =>
+      child == b.child && java.util.Arrays.equals(bloomBits, b.bloomBits)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBits)
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryFn, Tables}
 
@@ -180,7 +180,13 @@ object Aggregations {
     val nd = $"n".cast("double")
     val sd = $"s".cast("double")
     val qd = $"q".cast("double")
-    val variance = (nd * qd - sd * sd) / (nd * (nd - lit(1.0)))
+    // greatest(0, ·): nΣx² − (Σx)² is ≥0 mathematically but can round to
+    // a tiny negative for constant-valued groups once the exact decimals
+    // widen to double — sqrt of that negative is NaN here and an ERROR in
+    // DuckDB. n=1 groups (0/0) are mapped to the -1 sentinel on BOTH
+    // sides (same posture as the nullable-BIGINT coalesce(-1) rule).
+    val variance = greatest(lit(0.0), (nd * qd - sd * sd) / (nd * (nd - lit(1.0))))
+    def guarded(c: Column): Column = when($"n" > 1, c).otherwise(lit(-1.0))
     // round(6) on the derived moments: Σx² as a scaled integer exceeds
     // 2^53 at bench scale, where decimal→double conversion may round
     // differently across engines by 1 ulp (correctly-rounded BigDecimal
@@ -193,7 +199,8 @@ object Aggregations {
         sum(Tables.dec4($"value")).as("s"),
         sum(Tables.dec4($"value") * Tables.dec4($"value")).as("q"))
       .select($"event_type", $"n", sd.as("sum_v"), round(sd / nd, 6).as("mean_v"),
-        round(variance, 6).as("var_samp"), round(sqrt(variance), 6).as("std_samp"))
+        guarded(round(variance, 6)).as("var_samp"),
+        guarded(round(sqrt(variance), 6)).as("std_samp"))
       .orderBy($"event_type")
   }
 
@@ -219,10 +226,12 @@ object Aggregations {
         |  FROM events GROUP BY event_type)
         |SELECT event_type, n, CAST(s AS DOUBLE) AS sum_v,
         |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_v,
-        |  round((CAST(n AS DOUBLE) * CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
-        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6) AS var_samp,
-        |  round(sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
-        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6) AS std_samp
+        |  CASE WHEN n > 1 THEN round(greatest(0.0,
+        |    (CAST(n AS DOUBLE) * CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6) ELSE -1.0 END AS var_samp,
+        |  CASE WHEN n > 1 THEN round(sqrt(greatest(0.0,
+        |    (CAST(n AS DOUBLE) * CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))), 6) ELSE -1.0 END AS std_samp
         |FROM a ORDER BY event_type""".stripMargin,
     "agg_groupby_sum" ->
       """SELECT l_returnflag, l_linestatus,

@@ -121,19 +121,31 @@ object Analytics {
     * training. Emitted as the exact scaled ratio
     * `(n_grams − n_distinct)·1e6 div n_grams`.
     *
-    * Grams are xxhash64'd before the distinct-count so the aggregation
-    * state carries 8-byte fingerprints, never n-gram text (the
-    * decontaminate posture); the oracle counts the gram STRINGS — any
-    * collision would diverge, none exists in the fixtures. */
-  def qualityRepetition(spark: SparkSession, dir: String): DataFrame = {
+    * The oracled output distinct-counts the gram STRINGS on both sides
+    * — same domain, no collision class at all. At 100 TB the distinct
+    * state should carry 8-byte xxhash64 fingerprints instead of gram
+    * text (the decontaminate posture; see `qualityRepetitionHashed`),
+    * which is identical UNLESS a 64-bit collision occurs;
+    * AnalyticsSpec asserts the two variants agree on the fixture so a
+    * collision fails loudly rather than silently skewing the score. */
+  def qualityRepetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionBase(spark, dir, hashGrams = false)
+
+  /** At-scale variant: distinct-count over xxhash64 fingerprints (8 B
+    * of aggregation state per gram instead of the gram text). */
+  def qualityRepetitionHashed(spark: SparkSession, dir: String): DataFrame =
+    repetitionBase(spark, dir, hashGrams = true)
+
+  private def repetitionBase(spark: SparkSession, dir: String, hashGrams: Boolean): DataFrame = {
     import spark.implicits._
+    val gram = "concat_ws(' ', slice(t, i, 3))"
+    val gramExpr = if (hashGrams) s"xxhash64($gram)" else gram
     val toks = Tables.documents(spark, dir)
       .select($"doc_id", expr("filter(split(text, ' '), w -> w <> '')").as("t"))
       .filter(size($"t") >= 3)
     toks
       .select($"doc_id", (size($"t") - 2).cast("long").as("n_grams"),
-        explode(expr(
-          "transform(sequence(1, size(t) - 2), i -> xxhash64(concat_ws(' ', slice(t, i, 3))))"))
+        explode(expr(s"transform(sequence(1, size(t) - 2), i -> $gramExpr)"))
           .as("g"))
       .groupBy($"doc_id", $"n_grams")
       .agg(countDistinct($"g").as("n_distinct"))

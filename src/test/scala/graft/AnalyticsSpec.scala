@@ -58,6 +58,16 @@ class AnalyticsSpec extends SparkSuite {
     q.unpersist()
   }
 
+  test("quality_repetition: xxhash64 fingerprint variant agrees with the string variant") {
+    // The at-scale posture distinct-counts 8-byte gram fingerprints; the
+    // oracled output distinct-counts gram strings. Identical unless a
+    // 64-bit collision appears in the fixture — this canary makes that
+    // fail loudly instead of silently skewing the quality score.
+    val s = Analytics.qualityRepetition(spark, sf001).collect().toSeq
+    val h = Analytics.qualityRepetitionHashed(spark, sf001).collect().toSeq
+    assert(s === h, "xxhash64 gram collision in the documents fixture")
+  }
+
   test("sort_zorder_layout: zval interleaves bits exactly (scala reference)") {
     def ref(x: Long, y: Long): Long =
       (0 until 16).foldLeft(0L) { (acc, k) =>

@@ -54,4 +54,19 @@ class DeterminismSpec extends SparkSuite {
       assert(bad.isEmpty, s"partition-count-sensitive queries: $bad")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  test("documents.text is pure ASCII at every fixture scale") {
+    // multimodal_resize_stub's oracle parity rests on byte-strided
+    // sampling == DuckDB character substring (and sha-over-bytes ==
+    // sha-over-chars), which holds ONLY for 1-byte characters. A single
+    // multi-byte character in a future fixture would silently diverge
+    // the hash-match; this guard turns that into a loud failure.
+    import org.apache.spark.sql.functions.{col, expr}
+    for (dir <- Seq(sf0001, sf001, "/root/testdata/sf0.1")) {
+      val bad = Tables.documents(spark, dir)
+        .filter(expr("octet_length(text) <> length(text)"))
+      assert(bad.count() === 0L,
+        s"multi-byte text in $dir breaks resize_stub's strided-byte == strided-char oracle")
+    }
+  }
 }
