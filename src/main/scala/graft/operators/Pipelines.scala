@@ -163,6 +163,10 @@ object Pipelines {
     * none exists in the fixtures (P ≈ n²/2⁶⁴). */
   def textDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // materialized once: both the benchmark side and the corpus side
+    // derive from this frame, and without the checkpoint the whole
+    // tokenize → explode → distinct (the dominant cost at any scale)
+    // runs twice — once under the broadcast build, once in the probe
     val grams = Tables.documents(spark, dir)
       .select($"doc_id", split($"text", " ").as("t"))
       .filter(size($"t") >= 8)
@@ -170,6 +174,7 @@ object Pipelines {
         "transform(sequence(1, size(t) - 7), i -> xxhash64(concat_ws(' ', slice(t, i, 8))))"))
         .as("g"))
       .distinct()
+      .localCheckpoint(true)
     val bench = grams.filter($"doc_id" % 10 === 0)
       .select($"g", $"doc_id".as("bench_id"))
     val corpus = grams.filter($"doc_id" % 10 =!= 0)
