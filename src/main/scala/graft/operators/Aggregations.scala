@@ -204,7 +204,28 @@ object Aggregations {
       .orderBy($"event_type")
   }
 
+  /** Deterministic per-group mode: each user's most frequent event
+    * type. `mode()` builtins tie-break arbitrarily (and differently
+    * across engines); the count → rank shape makes the tie-break
+    * explicit — highest count, then lexicographically first value — so
+    * the survivor is unique and partitioning-invariant. At scale: one
+    * partial-aggregated groupBy, then a per-user window whose
+    * rank-1 filter prunes inside the window operator. */
+  def aggMode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.events(spark, dir)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy($"user_id").orderBy($"n_events".desc, $"event_type")
+    counts.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type".as("mode_event"), $"n_events")
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "agg_mode" -> (aggMode(_, _)),
     "agg_stats_moments" -> (aggStatsMoments(_, _)),
     "agg_pivot" -> (aggPivot(_, _)),
     "sql_correlated_subquery" -> (sqlCorrelatedSubquery(_, _)),
@@ -219,6 +240,13 @@ object Aggregations {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "agg_mode" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS n_events
+        |  FROM events GROUP BY user_id, event_type),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY n_events DESC, event_type) AS rn FROM c)
+        |SELECT user_id, event_type AS mode_event, n_events
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "agg_stats_moments" ->
       """WITH a AS (SELECT event_type, count(*) AS n,
         |    sum(CAST(value AS DECIMAL(18,4))) AS s,
