@@ -9,7 +9,8 @@ import java.nio.file.{Files, Paths}
   * the oracle-verified behavior, they don't define it. */
 object GoldenGen {
   val flagships = Seq("agg_groupby_sum", "join_multiway_star", "agg_wordcount",
-    "topk_limit", "text_stats", "graph_pagerank", "text_tfidf")
+    "topk_limit", "text_stats", "graph_pagerank", "text_tfidf",
+    "sql_recursive_cte")
 
   def csvOf(spark: SparkSession, name: String, sfDir: String): String = {
     val df = SparkEntry.queries(name)(spark, sfDir)

@@ -12,7 +12,7 @@ object SparkEntry {
       functions.UserCode.queries ++ operators.LlmOps.queries ++
       operators.Multimodal.queries ++ operators.Flagship.queries ++
       operators.Pipelines.queries ++ streaming.Streamy.queries ++
-      operators.Analytics.queries
+      operators.Analytics.queries ++ operators.Recursion.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -21,5 +21,5 @@ object SparkEntry {
       functions.UserCode.oracleSql ++ operators.LlmOps.oracleSql ++
       operators.Multimodal.oracleSql ++ operators.Flagship.oracleSql ++
       operators.Pipelines.oracleSql ++ streaming.Streamy.oracleSql ++
-      operators.Analytics.oracleSql
+      operators.Analytics.oracleSql ++ operators.Recursion.oracleSql
 }

@@ -17,13 +17,12 @@ import graft.{QueryFn, Tables}
   * context-window-sized batches.
   *
   * Scale posture:
-  *  - clustering is iterative min-label propagation — each round is one
-  *    shuffle join carrying (id, label) longs only; rounds = graph
-  *    diameter, tiny for near-dup graphs (duplicate classes are dense).
-  *    For adversarially long chains swap the same loop body for
-  *    alternating large-star/small-star contraction (Kiveris et al.,
-  *    "Connected Components in MapReduce and Beyond", SoCC '14) —
-  *    O(log n) rounds, identical per-round plan shape;
+  *  - clustering is iterative min-label propagation plus per-round
+  *    pointer halving (the small-star move of Kiveris et al.,
+  *    "Connected Components in MapReduce and Beyond", SoCC '14) — each
+  *    round is two shuffle joins carrying (id, label) longs only, and
+  *    rounds = O(log diameter), so adversarially long chains (a 65+-hop
+  *    path) converge inside the round budget instead of aborting;
   *  - sampling is a pure codegen'd filter on a content hash — zero
   *    shuffle, resumable, and identical on any cluster/partitioning;
   *  - packing windows over (lang, shard) so no window partition ever
@@ -87,9 +86,11 @@ object Pipelines {
     * reusable clustering core: dedup_cluster_cc feeds it bucket-star
     * edges, and the MinHash/SimHash pipelines feed it verified
     * near-dup pairs (PipelinesSpec proves that composition). Propagates
-    * label(x) ← min(label, neighbours' labels) to the fixed point;
-    * each round is one equi-join + partial agg carrying (id, label)
-    * longs, lineage cut per round via localCheckpoint.
+    * label(x) ← min(label, neighbours' labels) then halves pointers
+    * (label ← label(label)) to the fixed point in O(log diameter)
+    * rounds; each round carries (id, label) longs only, lineage cut per
+    * round via localCheckpoint (the local-mode fast path — a cluster
+    * deployment would use a reliable checkpoint dir instead).
     *
     * @param seeded nodes as (id, lbl) — pass id as lbl for an unseeded
     *               start; a tighter seed (e.g. per-bucket minima) saves
@@ -107,14 +108,28 @@ object Pipelines {
     var labels = seeded.select($"id", $"lbl")
     var converged = false
     var rounds = 0
-    // rounds = graph diameter; must fail loudly, never return unconverged labels
+    // Each round: (1) neighbour-min propagation, (2) pointer halving
+    // (lbl ← lbl(lbl)) — the small-star move from Kiveris et al.
+    // SoCC '14. Labels are monotone non-increasing and always ids of
+    // component members, so the fixed point is unchanged (component
+    // min), but chains collapse in O(log diameter) rounds instead of
+    // O(diameter): a 1M-hop path converges in ~20 rounds, so maxRounds
+    // is a true runaway guard, not a diameter bound.
     while (!converged && rounds < maxRounds) {
       val prop = edges
         .join(labels.select($"id".as("nb"), $"lbl".as("nlbl")), $"b" === $"nb")
         .groupBy($"a").agg(min($"nlbl").as("nlbl"))
-      val next = labels.join(prop, $"id" === $"a", "left")
+      val stepped = labels.join(prop, $"id" === $"a", "left")
         .select($"id", $"lbl".as("old"),
           least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl"))
+      // halving: follow the label one hop through the label table itself
+      // ((id, lbl) longs — same shuffle width as the propagation join);
+      // left join because a caller-provided seed label may name a node
+      // outside `seeded` — then it just doesn't shortcut this round
+      val next = stepped
+        .join(stepped.select($"id".as("pid"), $"lbl".as("plbl")),
+          $"lbl" === $"pid", "left")
+        .select($"id", $"old", least($"lbl", coalesce($"plbl", $"lbl")).as("lbl"))
         .localCheckpoint(true)
       converged = next.filter($"lbl" =!= $"old").limit(1).count() == 0
       // the previous round's checkpoint blocks become unreachable here;
@@ -123,7 +138,7 @@ object Pipelines {
       rounds += 1
     }
     require(converged, s"connected components did not converge in $maxRounds rounds " +
-      "(graph diameter exceeds the bound — switch to star-contraction for this input)")
+      "(log-diameter exceeds the bound — pathological input, refuse to emit partial labels)")
     labels.select($"id", $"lbl".as("cluster_rep"))
   }
 
@@ -164,9 +179,13 @@ object Pipelines {
   def textDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // materialized once: both the benchmark side and the corpus side
-    // derive from this frame, and without the checkpoint the whole
+    // derive from this frame, and without caching the whole
     // tokenize → explode → distinct (the dominant cost at any scale)
-    // runs twice — once under the broadcast build, once in the probe
+    // runs twice — once under the broadcast build, once in the probe.
+    // persist (not localCheckpoint): lineage is retained, so an executor
+    // loss recomputes the lost blocks instead of failing the job, and
+    // nothing materializes at query-construction time (localCheckpoint's
+    // eager, non-replicated blocks lose both properties at cluster scale)
     val grams = Tables.documents(spark, dir)
       .select($"doc_id", split($"text", " ").as("t"))
       .filter(size($"t") >= 8)
@@ -174,7 +193,7 @@ object Pipelines {
         "transform(sequence(1, size(t) - 7), i -> xxhash64(concat_ws(' ', slice(t, i, 8))))"))
         .as("g"))
       .distinct()
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bench = grams.filter($"doc_id" % 10 === 0)
       .select($"g", $"doc_id".as("bench_id"))
     val corpus = grams.filter($"doc_id" % 10 =!= 0)

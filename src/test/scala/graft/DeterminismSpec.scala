@@ -62,7 +62,11 @@ class DeterminismSpec extends SparkSuite {
     // multi-byte character in a future fixture would silently diverge
     // the hash-match; this guard turns that into a loud failure.
     import org.apache.spark.sql.functions.{col, expr}
-    for (dir <- Seq(sf0001, sf001, "/root/testdata/sf0.1")) {
+    // sf0.1 is driver-generated and absent on bare checkouts; guard it so
+    // the suite skips that leg instead of failing on machines without it.
+    val sf01 = Seq("/root/testdata/sf0.1")
+      .filter(d => new java.io.File(d, "documents.parquet").exists())
+    for (dir <- Seq(sf0001, sf001) ++ sf01) {
       val bad = Tables.documents(spark, dir)
         .filter(expr("octet_length(text) <> length(text)"))
       assert(bad.count() === 0L,

@@ -57,6 +57,23 @@ class PipelinesSpec extends SparkSuite {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("connectedComponents converges on a 200-hop chain (pointer halving beats the diameter)") {
+    import spark.implicits._
+    // Diameter 199 > the 64-round budget: pure min-label propagation
+    // would abort here. Pointer halving reaches offset 2^(k+1)-2 after
+    // k rounds, so this must converge in ≲10 rounds — the adversarial-
+    // diameter case the scaladoc promises.
+    val n = 200L
+    val chain = (0L until n - 1).map(i => (i, i + 1))
+    val edges = chain.toDF("a", "b")
+      .unionAll(chain.map(_.swap).toDF("a", "b"))
+    val nodes = (0L until n).map(i => (i, i)).toDF("id", "lbl")
+    val cc = Pipelines.connectedComponents(nodes, edges, maxRounds = 12)
+    val rows = cc.collect()
+    assert(rows.length === n)
+    assert(rows.map(_.getLong(1)).toSet === Set(0L))
+  }
+
   test("connectedComponents clusters the MinHash near-dup pairs (sf0.1 composition)") {
     import spark.implicits._
     import graft.operators.LlmOps
