@@ -15,7 +15,12 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop intermediates a query persisted for its own lifetime —
+      // keeps later keys from timing against another key's leftover
+      // cache and bounds block-manager growth over the 98-key suite
+      try spark.catalog.clearCache() catch { case _: Throwable => }
+      name -> dt
     }.toMap
     // Locale.ROOT: the f-interpolator formats with the JVM default
     // locale, and a comma-decimal locale would emit unparseable JSON

@@ -13,6 +13,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries may persist intermediates for their own lifetime (e.g.
+      // text_decontaminate's gram frame); drop them once the result is
+      // written so cached blocks don't accumulate across the suite
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -125,7 +125,11 @@ object Pipelines {
       // halving: follow the label one hop through the label table itself
       // ((id, lbl) longs — same shuffle width as the propagation join);
       // left join because a caller-provided seed label may name a node
-      // outside `seeded` — then it just doesn't shortcut this round
+      // outside `seeded` — then it just doesn't shortcut this round.
+      // `stepped` appears twice in this self-join uncached: the physical
+      // plan dedupes the recompute via ReuseExchange (both sides shuffle
+      // on the same child), so "two shuffle joins per round" relies on
+      // that rule staying enabled — cache `stepped` if that ever changes
       val next = stepped
         .join(stepped.select($"id".as("pid"), $"lbl".as("plbl")),
           $"lbl" === $"pid", "left")
@@ -185,7 +189,10 @@ object Pipelines {
     // persist (not localCheckpoint): lineage is retained, so an executor
     // loss recomputes the lost blocks instead of failing the job, and
     // nothing materializes at query-construction time (localCheckpoint's
-    // eager, non-replicated blocks lose both properties at cluster scale)
+    // eager, non-replicated blocks lose both properties at cluster scale).
+    // Caller contract: the cache lives until the session drops it — the
+    // Verify/Bench harnesses clearCache() after materializing each query;
+    // a long-lived session embedding this operator should do the same.
     val grams = Tables.documents(spark, dir)
       .select($"doc_id", split($"text", " ").as("t"))
       .filter(size($"t") >= 8)
