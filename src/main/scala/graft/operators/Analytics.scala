@@ -154,6 +154,48 @@ object Analytics {
       .orderBy($"doc_id")
   }
 
+  /** Linear quality-classifier scoring (fastText shape): every token
+    * bigram hashes to a fixed integer weight, the document score is the
+    * mean feature weight, and documents get a per-(lang, shard) decile
+    * for threshold gating — the classifier-gate step (filter →
+    * repetition → classifier) of a pretraining quality pipeline, with
+    * the model reduced to a deterministic weight hash so it oracles
+    * exactly.
+    *
+    * Weights derive from sha256(bigram): the first 4 hex chars parse to
+    * an integer whose mod-21 residue is the weight in [0, 20] — both
+    * engines compute the identical lowercase hex (the
+    * sample_hash_stratified precedent) and keep every operand
+    * non-negative, so `div`/`//` agree. The whole per-doc score is ONE
+    * codegen'd higher-order expression (transform → aggregate): no
+    * explode, no shuffle for scoring — at 100 TB the scoring pass is
+    * embarrassingly parallel map work.
+    *
+    * Quantile assignment shards the ntile window by (lang, doc_id % 4):
+    * no window partition outgrows one shard of one language (the
+    * pack_sequences bound), and a hash shard is an exchangeable sample,
+    * so shard deciles estimate the language's global deciles; an exact
+    * global quantile would need either a single-partition window (a
+    * scale non-starter) or a two-pass threshold broadcast. */
+  def qualityClassifierScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        expr("filter(split(text, ' '), w -> w <> '')").as("t"))
+      .filter(size($"t") >= 2)
+      .select($"doc_id", $"lang", (size($"t") - 1).cast("long").as("n_bigrams"),
+        expr("""aggregate(
+                  transform(sequence(1, size(t) - 1),
+                    i -> cast(conv(substring(sha2(concat_ws(' ', slice(t, i, 2)), 256), 1, 4), 16, 10) as bigint) % 21),
+                  cast(0 as bigint), (acc, x) -> acc + x)""").as("score_raw"))
+      .withColumn("score_mi", expr("(score_raw * 1000000) div n_bigrams"))
+      .withColumn("shard", $"doc_id" % 4)
+    val w = Window.partitionBy($"lang", $"shard").orderBy($"score_mi", $"doc_id")
+    d.select($"doc_id", $"lang", $"shard", $"n_bigrams", $"score_raw",
+        $"score_mi", ntile(10).over(w).as("decile"))
+      .orderBy($"doc_id")
+  }
+
   /** Z-order (Morton) layout key over events: interleave the low 16
     * bits of user_id with the low 16 bits of the event's minute bucket.
     * Sorting/writing by `zval` co-locates rows that are close in BOTH
@@ -240,6 +282,7 @@ object Analytics {
     "graph_pagerank" -> (graphPagerank(_, _)),
     "text_tfidf" -> (textTfidf(_, _)),
     "quality_repetition" -> (qualityRepetition(_, _)),
+    "quality_classifier_score" -> (qualityClassifierScore(_, _)),
     "sort_zorder_layout" -> (sortZorderLayout(_, _)),
     "join_bloom_prefilter" -> (joinBloomPrefilter(_, _)),
     "embedding_quantize" -> (embeddingQuantize(_, _))
@@ -310,6 +353,22 @@ object Analytics {
         |  CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
         |  CAST(((n_grams - count(DISTINCT g)) * 1000000) // n_grams AS BIGINT) AS dup_fp
         |FROM g GROUP BY doc_id, n_grams ORDER BY doc_id""".stripMargin,
+    // '0x…'::BIGINT parses the sha256 hex prefix in DuckDB; Spark's
+    // conv(…, 16, 10) computes the identical integer (both engines emit
+    // lowercase hex — the sample_hash_stratified precedent)
+    "quality_classifier_score" ->
+      """WITH toks AS (SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS t FROM documents),
+        |d AS (SELECT doc_id, lang, CAST(len(t) - 1 AS BIGINT) AS n_bigrams,
+        |        CAST(list_sum(list_transform(range(1, len(t)), i ->
+        |          CAST('0x' || substr(sha256(array_to_string(list_slice(t, i, i + 1), ' ')), 1, 4) AS BIGINT) % 21))
+        |          AS BIGINT) AS score_raw
+        |      FROM toks WHERE len(t) >= 2),
+        |s AS (SELECT doc_id, lang, doc_id % 4 AS shard, n_bigrams, score_raw,
+        |        (score_raw * 1000000) // n_bigrams AS score_mi FROM d)
+        |SELECT doc_id, lang, shard, n_bigrams, score_raw, score_mi,
+        |  ntile(10) OVER (PARTITION BY lang, shard ORDER BY score_mi, doc_id) AS decile
+        |FROM s ORDER BY doc_id""".stripMargin,
     "sort_zorder_layout" -> zorderSql,
     "join_bloom_prefilter" ->
       """SELECT o_orderpriority, count(*) AS n_orders,

@@ -331,6 +331,46 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** Interval attribution: each purchase attributed to the LATEST click
+    * by the same user strictly before it (µs precision) and at most one
+    * hour earlier — the batch twin of the stream-stream interval join
+    * the streaming mirror runs (StreamingMirror.intervalJoin;
+    * StreamingSpec asserts the two agree on the shared fixture).
+    *
+    * Not a range join: a range join explodes to every (purchase, click)
+    * pair inside the hour before aggregating. One sorted window pass
+    * per user carries the latest-prior-click (ts, id) struct — the
+    * attribution state is O(1) per row, the only shuffle is the hash
+    * partition on user_id, and skew salts like any hot key. The 1 h
+    * window then just filters the carried candidate.
+    *
+    * Determinism: purchases sort BEFORE clicks at equal ts_us (kind 0
+    * vs 1), so the [unbounded, -1] frame sees only strictly-earlier-µs
+    * clicks — matching the oracle's c.ts_us < p.ts_us. Among clicks at
+    * the same µs, window order ends in event_id, so the carried struct
+    * is the (max ts_us, max event_id) click — the oracle reproduces
+    * that with max(ts)-then-max(id) grouping. */
+  def joinIntervalAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"event_id", $"user_id", Tables.nsToUs($"ts").as("ts_us"), $"event_type",
+        when($"event_type" === "purchase", lit(0)).otherwise(lit(1)).as("kind"))
+      .withColumn("click_st",
+        when($"kind" === 1, struct($"ts_us", $"event_id")))
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"kind", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("cand", last($"click_st", ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .withColumn("hit", $"cand".isNotNull &&
+        $"cand.ts_us" >= $"ts_us" - lit(3600000000L))
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts_us",
+        when($"hit", $"cand.ts_us").otherwise(lit(-1L)).as("click_ts_us"),
+        when($"hit", $"cand.event_id").otherwise(lit(-1L)).as("click_id"))
+      .orderBy($"purchase_id")
+  }
+
   /** Catalog DML: CTAS into the warehouse + INSERT INTO + read back —
     * the managed-table write path (CREATE TABLE AS SELECT, appending
     * INSERT) a SQL-engine user expects beyond path-based sinks. Oracled
@@ -378,7 +418,8 @@ object Relational {
     "join_anti" -> (joinAnti(_, _)),
     "join_full_outer" -> (joinFullOuter(_, _)),
     "join_range_theta" -> (joinRangeTheta(_, _)),
-    "join_self_asof" -> (joinSelfAsof(_, _))
+    "join_self_asof" -> (joinSelfAsof(_, _)),
+    "join_interval_attribution" -> (joinIntervalAttribution(_, _))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -472,6 +513,27 @@ object Relational {
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND p.ts < c.ts
-        |ORDER BY c.event_id""".stripMargin
+        |ORDER BY c.event_id""".stripMargin,
+    // latest-prior-click tie-break (max ts, then max id) is reproduced
+    // as max(ts)-group then max(id)-group — DuckDB's ASOF JOIN cannot
+    // express the bounded window + deterministic id tie-break directly
+    "join_interval_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+        |           FROM events WHERE event_type IN ('click', 'purchase')),
+        |p AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'click'),
+        |g AS (SELECT p.event_id AS purchase_id, p.user_id, p.ts_us,
+        |        max(c.ts_us) AS cts
+        |      FROM p LEFT JOIN c ON c.user_id = p.user_id
+        |        AND c.ts_us < p.ts_us AND c.ts_us >= p.ts_us - 3600000000
+        |      GROUP BY 1, 2, 3),
+        |r AS (SELECT g.purchase_id, g.user_id, g.ts_us, g.cts,
+        |        max(c.event_id) AS cid
+        |      FROM g LEFT JOIN c ON c.user_id = g.user_id AND c.ts_us = g.cts
+        |      GROUP BY 1, 2, 3, 4)
+        |SELECT purchase_id, user_id, ts_us,
+        |  CAST(coalesce(cts, -1) AS BIGINT) AS click_ts_us,
+        |  CAST(coalesce(cid, -1) AS BIGINT) AS click_id
+        |FROM r ORDER BY purchase_id""".stripMargin
   )
 }

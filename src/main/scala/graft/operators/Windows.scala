@@ -87,6 +87,27 @@ object Windows {
       .orderBy($"o_custkey", $"o_totalprice", $"o_orderkey")
   }
 
+  /** lead / first_value / last_value with explicit frames — the
+    * remaining classic window trio: next event time (lead), the
+    * session-start (first_value over unbounded-preceding frame) and
+    * session-end (last_value over unbounded-FOLLOWING frame) per user.
+    * last_value needs the explicit full-partition frame — the default
+    * frame ends at CURRENT ROW, where last_value degenerates to the
+    * current row's value in both engines. Micros + event_id tie-break
+    * keep the order total (the window_lag determinism rule). */
+  def windowLeadFirstlast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", Tables.nsToUs($"ts").as("ts_us"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    e.select($"event_id", $"user_id", $"ts_us",
+        coalesce(lead($"ts_us", 1).over(w), lit(-1L)).as("next_ts_us"),
+        first($"ts_us").over(wAll).as("first_ts_us"),
+        last($"ts_us").over(wAll).as("last_ts_us"))
+      .orderBy($"event_id")
+  }
+
   // ---- §2.6 global sort / top-k ---------------------------------------
 
   /** Total-order sort (TeraSort pattern): Spark samples the key range
@@ -151,6 +172,7 @@ object Windows {
     "window_lag" -> (windowLag(_, _)),
     "window_running_sum" -> (windowRunningSum(_, _)),
     "window_distribution" -> (windowDistribution(_, _)),
+    "window_lead_firstlast" -> (windowLeadFirstlast(_, _)),
     "setop_union_all" -> (setopUnionAll(_, _)),
     "sort_global" -> (sortGlobal(_, _)),
     "topk_limit" -> (topkLimit(_, _)),
@@ -190,6 +212,16 @@ object Windows {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_custkey, o_totalprice, o_orderkey""".stripMargin,
+    "window_lead_firstlast" ->
+      """SELECT event_id, user_id, ts_us,
+        |  coalesce(lead(ts_us, 1) OVER w, -1) AS next_ts_us,
+        |  first_value(ts_us) OVER wa AS first_ts_us,
+        |  last_value(ts_us) OVER wa AS last_ts_us
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id),
+        |  wa AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin,
     "setop_union_all" ->
       """SELECT user_id FROM events WHERE event_type = 'click'
         |UNION ALL

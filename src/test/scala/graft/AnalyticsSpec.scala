@@ -68,6 +68,36 @@ class AnalyticsSpec extends SparkSuite {
     assert(s === h, "xxhash64 gram collision in the documents fixture")
   }
 
+  test("quality_classifier_score: bounded scores, scala-reference weights, balanced deciles") {
+    val df = Analytics.qualityClassifierScore(spark, sf0001).cache()
+    // every ≥2-token document scored exactly once
+    val expected = Tables.documents(spark, sf0001)
+      .filter(expr("size(filter(split(text, ' '), w -> w <> '')) >= 2")).count()
+    assert(df.count() === expected)
+    assert(df.select("doc_id").distinct().count() === expected)
+    // weights live in [0, 20] ⇒ the mean-scaled score in [0, 20e6]
+    assert(df.filter(col("score_mi") < 0L || col("score_mi") > 20000000L).count() === 0L)
+    // scala-reference recomputation of one document's score
+    val row = df.filter(col("doc_id") === 0L).head()
+    val text = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") === 0L).head().getAs[String]("text")
+    val toks = text.split(" ").filter(_.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val want = toks.sliding(2).map { bg =>
+      val hex = md.digest(bg.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+      java.lang.Long.parseLong(hex, 16) % 21
+    }.sum
+    assert(row.getAs[Long]("score_raw") === want)
+    assert(row.getAs[Long]("n_bigrams") === (toks.length - 1).toLong)
+    // ntile property: decile sizes within a (lang, shard) differ by ≤ 1
+    val spread = df.groupBy("lang", "shard", "decile").count()
+      .groupBy("lang", "shard").agg((max("count") - min("count")).as("d"))
+      .filter(col("d") > 1L)
+    assert(spread.count() === 0L)
+    df.unpersist()
+  }
+
   test("sort_zorder_layout: zval interleaves bits exactly (scala reference)") {
     def ref(x: Long, y: Long): Long =
       (0 until 16).foldLeft(0L) { (acc, k) =>

@@ -54,6 +54,47 @@ class OperatorsSpec extends SparkSuite {
     assert(anti === 0L) // every sf0.001 customer has orders (fixture)
   }
 
+  test("window_lead_firstlast frames bound every event") {
+    val df = Windows.windowLeadFirstlast(spark, sf0001).cache()
+    assert(df.count() === 1000L)
+    // partition extremes bracket the row; lead is strictly later or the
+    // -1 sentinel at the partition tail
+    val bad = df.filter(col("first_ts_us") > col("ts_us") ||
+      col("last_ts_us") < col("ts_us") ||
+      (col("next_ts_us") =!= -1L && col("next_ts_us") < col("ts_us")))
+    assert(bad.count() === 0L)
+    df.unpersist()
+  }
+
+  test("join_interval_attribution matches a brute-force latest-prior-click join") {
+    val df = Relational.joinIntervalAttribution(spark, sf0001).cache()
+    assert(df.count() === 202L) // one output row per purchase (fixture count)
+    assert(df.select("purchase_id").distinct().count() === 202L)
+    val hits = df.filter(col("click_id") =!= -1L)
+    assert(hits.filter(col("click_ts_us") >= col("ts_us") ||
+      col("click_ts_us") < col("ts_us") - 3600000000L).count() === 0L)
+    // brute force: expand every qualifying (purchase, click) pair, take
+    // the (max ts, max id) click — must equal the window-pass result
+    val e = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), Tables.nsToUs(col("ts")).as("ts_us"),
+        col("event_type"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts_us"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us").as("c_ts"), col("event_id").as("c_id"))
+    val brute = p.join(c, Seq("user_id"))
+      .filter(col("c_ts") < col("ts_us") && col("c_ts") >= col("ts_us") - 3600000000L)
+      .groupBy("purchase_id")
+      .agg(max(struct(col("c_ts"), col("c_id"))).as("b"))
+      .select(col("purchase_id"), col("b.c_ts").as("click_ts_us"),
+        col("b.c_id").as("click_id"))
+    val fast = hits.select("purchase_id", "click_ts_us", "click_id")
+    assert(brute.count() === fast.count())
+    assert(brute.except(fast).count() === 0L)
+    assert(fast.except(brute).count() === 0L)
+    df.unpersist()
+  }
+
   test("join_range_theta keeps every order exactly once") {
     val df = Relational.joinRangeTheta(spark, sf0001)
     assert(df.count() === 1500L)

@@ -67,6 +67,32 @@ class StreamingSpec extends SparkSuite {
     assert(batch.except(streamed).count() === 0L)
   }
 
+  test("graded join_interval_attribution agrees with the streaming interval join") {
+    // the stream emits EVERY (purchase, click) pair in the hour (its
+    // bound is inclusive at equal µs); the graded batch key keeps only
+    // the latest STRICTLY-prior click — derive that reduction from the
+    // stream output and the two must coincide
+    val streamed = StreamingMirror.runToCompletionAppend(
+      spark, StreamingMirror.intervalJoinStream(spark, stage), "attrib_latest_mirror")
+    val ts = Tables.events(spark, sf0001)
+      .select(col("event_id"), Tables.nsToUs(col("ts")).as("ts_us"))
+    val best = streamed
+      .join(ts.select(col("event_id").as("click_id"), col("ts_us").as("c_ts")), "click_id")
+      .join(ts.select(col("event_id").as("purchase_id"), col("ts_us").as("p_ts")), "purchase_id")
+      .filter(col("c_ts") < col("p_ts"))
+      .groupBy("purchase_id")
+      .agg(max(struct(col("c_ts"), col("click_id"))).as("b"))
+      .select(col("purchase_id"), col("b.c_ts").as("click_ts_us"),
+        col("b.click_id").as("click_id"))
+    val batch = graft.operators.Relational.joinIntervalAttribution(spark, sf0001)
+      .filter(col("click_id") =!= -1L)
+      .select("purchase_id", "click_ts_us", "click_id")
+    assert(batch.count() > 0L)
+    assert(best.count() === batch.count())
+    assert(best.except(batch).count() === 0L)
+    assert(batch.except(best).count() === 0L)
+  }
+
   test("streaming session_window produces plausible sessions") {
     val s = StreamingMirror.runToCompletion(
       spark, StreamingMirror.sessionStream(spark, stage), "session_mirror").cache()
