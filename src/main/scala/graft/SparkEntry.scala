@@ -12,7 +12,8 @@ object SparkEntry {
       functions.UserCode.queries ++ operators.LlmOps.queries ++
       operators.Multimodal.queries ++ operators.Flagship.queries ++
       operators.Pipelines.queries ++ streaming.Streamy.queries ++
-      operators.Analytics.queries ++ operators.Recursion.queries
+      operators.Analytics.queries ++ operators.Recursion.queries ++
+      operators.Behavioral.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -21,5 +22,6 @@ object SparkEntry {
       functions.UserCode.oracleSql ++ operators.LlmOps.oracleSql ++
       operators.Multimodal.oracleSql ++ operators.Flagship.oracleSql ++
       operators.Pipelines.oracleSql ++ streaming.Streamy.oracleSql ++
-      operators.Analytics.oracleSql ++ operators.Recursion.oracleSql
+      operators.Analytics.oracleSql ++ operators.Recursion.oracleSql ++
+      operators.Behavioral.oracleSql
 }

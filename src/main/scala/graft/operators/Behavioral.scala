@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryFn, Tables}
+
+/** Round-6 behavioral-analytics layer: the event-log query shapes every
+  * product-analytics warehouse runs at scale — ordered funnels, cohort
+  * retention, and co-occurrence graphs. All three are oracled.
+  *
+  * Determinism posture: timestamps are compared at microseconds
+  * (`Tables.nsToUs` ⟷ DuckDB `epoch_us`), week buckets use BIGINT
+  * `div` (identical floor semantics for the positive epoch values
+  * here), and every output imposes a total ORDER BY ending in a unique
+  * key. No floating point anywhere in this file.
+  */
+object Behavioral {
+
+  /** Microseconds per 7 days — the cohort/retention bucket width. */
+  private val WeekUs = 604800000000L
+
+  /** Ordered three-stage funnel over the event log: a user converts
+    * stage 2 only with a click strictly AFTER their first view, and
+    * stage 3 only with a purchase strictly AFTER that qualifying click.
+    * This ordering constraint is what separates a funnel from three
+    * independent counts — and what makes it awkward in plain SQL
+    * (each stage's anchor timestamp depends on the previous stage's).
+    *
+    * Spark shape: ONE shuffle total. Events are hash-partitioned by
+    * user_id once; the three stage anchors are unbounded-frame window
+    * minima over that same partitioning (no ORDER BY ⇒ no sort — each
+    * pass is a single whole-partition reduction), chained so pass N
+    * can reference pass N−1's column. A groupBy(user_id) over the same
+    * keys collapses to one row per user (again no exchange — the
+    * partitioning is reused), then a global 3-counter fold. At 100 TB
+    * this is the minimal plan: the event log is read once, shuffled
+    * once on user_id, and everything after is per-partition.
+    *
+    * Output: one row per funnel stage (stage label is the unique order
+    * key), `users` = users reaching that stage. */
+  def funnelConversion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", Tables.nsToUs($"ts").as("t"))
+    val whole = Window.partitionBy($"user_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val staged = e
+      .withColumn("fv", min(when($"event_type" === "view", $"t")).over(whole))
+      .withColumn("qc",
+        min(when($"event_type" === "click" && $"t" > $"fv", $"t")).over(whole))
+      .withColumn("qp",
+        min(when($"event_type" === "purchase" && $"t" > $"qc", $"t")).over(whole))
+    val perUser = staged.groupBy($"user_id")
+      .agg(first($"fv").as("fv"), first($"qc").as("qc"), first($"qp").as("qp"))
+    // coalesce: sum over an empty frame is NULL; the funnel of an empty
+    // log is three zero rows, not three NULL rows (EmptyFixtureSpec)
+    val counts = perUser.agg(
+      coalesce(sum(when($"fv".isNotNull, 1L)), lit(0L)).as("n1"),
+      coalesce(sum(when($"qc".isNotNull, 1L)), lit(0L)).as("n2"),
+      coalesce(sum(when($"qp".isNotNull, 1L)), lit(0L)).as("n3"))
+    counts.select(lit("1_view").as("stage"), $"n1".as("users"))
+      .unionAll(counts.select(lit("2_view_click"), $"n2"))
+      .unionAll(counts.select(lit("3_view_click_purchase"), $"n3"))
+      .orderBy($"stage")
+  }
+
+  /** Classic cohort-retention triangle: users are cohorted by the epoch
+    * week of their FIRST event; each later active week counts them at
+    * `week_offset = week − cohort_week`. The output is the retention
+    * matrix every growth dashboard plots.
+    *
+    * Spark shape: the cohort week is an unbounded-frame window min over
+    * user_id (one shuffle, no sort, no join — the usual min-then-join
+    * formulation pays a second shuffle for the same answer), then a
+    * (cohort_week, week_offset) group with `countDistinct(user_id)`.
+    * The distinct-count aggregate partially de-dups map-side on
+    * (cohort, offset, user) before its exchange, so the second shuffle
+    * moves at most one row per user per active week — at 100 TB that
+    * is the active-users table, not the event log. */
+  def retentionCohort(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"user_id", Tables.nsToUs($"ts").as("t"))
+      .withColumn("wk", expr(s"t div $WeekUs"))
+    val whole = Window.partitionBy($"user_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    e.withColumn("cohort_week", min($"wk").over(whole))
+      .groupBy($"cohort_week", ($"wk" - $"cohort_week").as("week_offset"))
+      .agg(countDistinct($"user_id").as("users"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  /** Supplier co-occurrence graph: pairs of suppliers stocking ≥3 of
+    * the same parts — the "customers who bought X also bought Y" /
+    * common-neighbors shape, built from the bipartite part–supplier
+    * incidence. The generic recipe for item-item similarity graphs.
+    *
+    * Scale shape: (1) project to the two key columns and DISTINCT
+    * first — pair generation must run on the incidence relation (one
+    * row per (part, supplier)), never on raw lineitem, or a part
+    * ordered N times fans out N² instead of degree². (2) Pairs are
+    * generated WITHOUT a self-join: one groupBy(part) collects the
+    * sorted supplier set, then posexplode × slice emits each (s1, s2)
+    * with s1 < s2 directly — per-part work is C(degree, 2), bounded by
+    * suppliers-per-part, and the incidence frame is shuffled exactly
+    * once (the self-join formulation re-shuffles and re-sorts it for
+    * both SMJ sides: measured 2× slower at sf0.1 — CopurchaseProbe,
+    * 4.0 s vs 8.1 s on the near-complete 499 496-pair graph). (3) The
+    * pair aggregate combines map-side before its exchange. At 100 TB
+    * the one real risk is a super-node part (thousands of suppliers);
+    * the standard mitigation — cap or drop top-degree keys before
+    * pairing, as in DISCO/cooccurrence-at-scale — is a degree filter
+    * on the collected set, without touching the rest of the plan. */
+  def graphCopurchasePairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_suppkey").distinct()
+      .groupBy($"l_partkey")
+      .agg(sort_array(collect_set($"l_suppkey")).as("ss"))
+      .select($"ss", posexplode($"ss").as(Seq("i", "s1")))
+      .select($"s1", explode(expr("slice(ss, i + 2, size(ss))")).as("s2"))
+      .groupBy($"s1", $"s2")
+      .agg(count(lit(1)).as("shared_parts"))
+      .filter($"shared_parts" >= 3)
+      .orderBy($"shared_parts".desc, $"s1", $"s2")
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "funnel_conversion" -> (funnelConversion(_, _)),
+    "retention_cohort" -> (retentionCohort(_, _)),
+    "graph_copurchase_pairs" -> (graphCopurchasePairs(_, _))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "funnel_conversion" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        |u AS (SELECT user_id,
+        |        min(CASE WHEN event_type = 'view' THEN t END) AS fv
+        |      FROM e GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.t) AS qc
+        |      FROM e JOIN u ON e.user_id = u.user_id
+        |      WHERE e.event_type = 'click' AND e.t > u.fv GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.t) AS qp
+        |      FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.t > c.qc GROUP BY e.user_id)
+        |SELECT '1_view' AS stage,
+        |  (SELECT count(*) FROM u WHERE fv IS NOT NULL) AS users
+        |UNION ALL SELECT '2_view_click', (SELECT count(*) FROM c)
+        |UNION ALL SELECT '3_view_click_purchase', (SELECT count(*) FROM p)
+        |ORDER BY stage""".stripMargin,
+    "retention_cohort" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk
+        |           FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY user_id)
+        |SELECT c.cohort AS cohort_week, e.wk - c.cohort AS week_offset,
+        |  count(DISTINCT e.user_id) AS users
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    "graph_copurchase_pairs" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, count(*) AS shared_parts
+        |FROM ps a JOIN ps b
+        |  ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY shared_parts DESC, s1, s2""".stripMargin
+  )
+}

@@ -156,7 +156,67 @@ object Flagship {
       .orderBy($"event_type")
   }
 
+  /** Q6 shape — forecasting-revenue change: the pure scan-and-aggregate
+    * query. No joins at all; its entire cost is how little of lineitem
+    * the scan reads. The shipdate range and quantity bound are pushed
+    * into the parquet reader (`PushedFilters` — row groups outside the
+    * two-year window never leave disk), only four columns are read,
+    * and the whole filter+project+partial-agg runs inside one
+    * WholeStageCodegen span. At 100 TB with date-partitioned layout
+    * the same plan prunes to 2 of N year-directories before reading a
+    * byte — Q6 is the benchmark's scan-efficiency probe, which is why
+    * it belongs in the flagship set.
+    *
+    * Revenue is Σ(extendedprice·discount) in exact DECIMAL (the what-if
+    * uplift of dropping those discounts), grouped by ship year. */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp") &&
+        $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+      .groupBy(year($"l_shipdate").as("l_year"))
+      .agg(sum(Tables.dec2($"l_extendedprice") * Tables.dec2($"l_discount"))
+        .cast("double").as("revenue"))
+      .orderBy($"l_year")
+  }
+
+  /** Q21 shape — "sole faulty supplier": suppliers who were the ONLY
+    * supplier with a returned line on a multi-supplier order (TPC-H
+    * Q21's exists/not-exists nest, re-keyed to l_returnflag since the
+    * fixture carries no commit/receipt dates). The textbook way is two
+    * correlated subqueries per lineitem row; at scale that's two extra
+    * passes over the fact table. This plan instead collapses lineitem
+    * to per-order incidence rows FIRST — distinct (order, supplier)
+    * and distinct returned (order, supplier) — then expresses EXISTS
+    * ("some other supplier on the order") as a per-order count > 1 and
+    * NOT EXISTS ("no other supplier returned") as a per-order returned
+    * count = 1 whose min() IS the sole supplier. Everything after the
+    * two distincts is order-grain (≤1 row per order), and the final
+    * supplier decoration is a broadcast. */
+  def q21SoleSupplierReturns(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey")
+    val soleReturned = Tables.lineitem(spark, dir)
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_suppkey").distinct()
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("rs"), min($"l_suppkey").as("s"))
+      .filter($"rs" === 1)
+    val multiSupplier = li.distinct()
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("ns"))
+      .filter($"ns" > 1)
+    soleReturned.join(multiSupplier, "l_orderkey")
+      .groupBy($"s")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, dir)), $"s" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"numwait")
+      .orderBy($"numwait".desc, $"s_suppkey")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q6_forecast_revenue" -> (q6ForecastRevenue(_, _)),
+    "q21_sole_supplier_returns" -> (q21SoleSupplierReturns(_, _)),
     "q7_volume_shipping" -> (q7VolumeShipping(_, _)),
     "q10_returned_items" -> (q10ReturnedItems(_, _)),
     "q3_shipping_priority" -> (q3ShippingPriority(_, _)),
@@ -166,6 +226,29 @@ object Flagship {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q6_forecast_revenue" ->
+      """SELECT year(l_shipdate) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24
+        |GROUP BY year(l_shipdate)
+        |ORDER BY l_year""".stripMargin,
+    "q21_sole_supplier_returns" ->
+      """WITH r AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        |           WHERE l_returnflag = 'R'),
+        |a AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |sole AS (SELECT l_orderkey, min(l_suppkey) AS s FROM r
+        |         GROUP BY l_orderkey HAVING count(*) = 1),
+        |multi AS (SELECT l_orderkey FROM a
+        |          GROUP BY l_orderkey HAVING count(*) > 1)
+        |SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM sole JOIN multi ON sole.l_orderkey = multi.l_orderkey
+        |JOIN supplier ON s_suppkey = sole.s
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY numwait DESC, s_suppkey""".stripMargin,
     "q7_volume_shipping" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |  year(l_shipdate) AS l_year,

@@ -236,6 +236,30 @@ object Pipelines {
       .orderBy($"event_id")
   }
 
+  /** Deterministic three-way train/val/test split by content hash: a
+    * document's split is decided by the first hex byte of sha2(text) —
+    * '00'..'0c' → test (13/256 ≈ 5.1%), '0d'..'19' → val (5.1%), rest
+    * → train. Content-keyed (not id- or rand()-keyed) is the property
+    * an eval pipeline actually needs: the SAME text lands in the same
+    * split across corpus versions, re-shards and engines, so a doc can
+    * never migrate from test into train between runs and silently
+    * contaminate the benchmark. Output is the split × language audit
+    * table (the shape you eyeball before a training run).
+    *
+    * One codegen'd projection + one partially-aggregated groupBy over
+    * ~15 (split, lang) cells — at 100 TB the shuffle carries one row
+    * per cell per task, nothing else. */
+  def evalHoldoutSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val h = substring(sha2($"text", 256), 1, 2)
+    Tables.documents(spark, dir)
+      .withColumn("split",
+        when(h < "0d", "test").when(h < "1a", "val").otherwise("train"))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("docs"))
+      .orderBy($"split", $"lang")
+  }
+
   /** Log compaction: collapse an append-only event log to the latest
     * record per key — the upsert/current-state view every CDC or
     * state-table pipeline materializes. One window pass partitioned by
@@ -293,6 +317,7 @@ object Pipelines {
     "text_decontaminate" -> (textDecontaminate(_, _)),
     "compact_latest_state" -> (compactLatestState(_, _)),
     "sample_hash_stratified" -> (sampleHashStratified(_, _)),
+    "eval_holdout_split" -> (evalHoldoutSplit(_, _)),
     "pack_sequences" -> (packSequences(_, _))
   )
 
@@ -353,6 +378,14 @@ object Pipelines {
         |  CASE event_type WHEN 'view' THEN '08' WHEN 'click' THEN '10'
         |       WHEN 'error' THEN '20' WHEN 'signup' THEN '30' ELSE 'c0' END
         |ORDER BY event_id""".stripMargin,
+    "eval_holdout_split" ->
+      """WITH s AS (SELECT lang,
+        |  CASE WHEN substr(sha256(text), 1, 2) < '0d' THEN 'test'
+        |       WHEN substr(sha256(text), 1, 2) < '1a' THEN 'val'
+        |       ELSE 'train' END AS split
+        |  FROM documents)
+        |SELECT split, lang, count(*) AS docs FROM s
+        |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
     "pack_sequences" ->
       """WITH d AS (SELECT doc_id, lang, doc_id % 4 AS shard,
         |  CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tok

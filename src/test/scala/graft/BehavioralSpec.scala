@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Behavioral, Flagship, Pipelines}
+
+/** Invariants for the round-6 additions: the behavioral-analytics
+  * layer (funnel, retention, co-purchase graph), the Q6/Q21 flagship
+  * shapes, and the content-hash holdout split. Oracle hash-parity is
+  * the driver's job; these pin what the oracle can't express. */
+class BehavioralSpec extends SparkSuite {
+
+  test("funnel_conversion: stages shrink monotonically and stage 1 is exact") {
+    val rows = Behavioral.funnelConversion(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet === Set("1_view", "2_view_click", "3_view_click_purchase"))
+    val (n1, n2, n3) = (rows("1_view"), rows("2_view_click"), rows("3_view_click_purchase"))
+    assert(n1 >= n2 && n2 >= n3, s"funnel must shrink: $n1 >= $n2 >= $n3")
+    assert(n3 > 0, "sf0.001 has converting users (188 views/210 clicks/202 purchases over 150 users)")
+    // stage 1 has no ordering constraint — it must equal the plain
+    // distinct-viewer count, computable independently
+    val viewers = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "view").select("user_id").distinct().count()
+    assert(n1 === viewers)
+  }
+
+  test("funnel_conversion: stage anchors respect strict time ordering (brute force)") {
+    // recompute the funnel row-at-a-time on the driver and compare
+    val evs = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"), Tables.nsToUs(col("ts")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = evs.groupBy(_._1)
+    var (n1, n2, n3) = (0L, 0L, 0L)
+    byUser.values.foreach { es =>
+      val fv = es.filter(_._2 == "view").map(_._3).sorted.headOption
+      val qc = fv.flatMap(v => es.filter(e => e._2 == "click" && e._3 > v).map(_._3).sorted.headOption)
+      val qp = qc.flatMap(c => es.filter(e => e._2 == "purchase" && e._3 > c).map(_._3).sorted.headOption)
+      if (fv.isDefined) n1 += 1; if (qc.isDefined) n2 += 1; if (qp.isDefined) n3 += 1
+    }
+    val rows = Behavioral.funnelConversion(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("1_view") === n1 && rows("2_view_click") === n2 &&
+      rows("3_view_click_purchase") === n3)
+  }
+
+  test("retention_cohort: offset 0 carries every user exactly once across cohorts") {
+    val m = Behavioral.retentionCohort(spark, sf0001).cache()
+    assert(m.filter(col("week_offset") < 0).count() === 0L, "offsets are non-negative")
+    // every user appears at offset 0 (their first-event week), so the
+    // offset-0 column sums to the total distinct-user count
+    val atZero = m.filter(col("week_offset") === 0)
+      .agg(sum("users")).head.getLong(0)
+    val total = Tables.events(spark, sf0001).select("user_id").distinct().count()
+    assert(atZero === total)
+    // ~30-day fixture window ⇒ offsets fit in 0..5 weeks
+    assert(m.agg(max("week_offset")).head.getLong(0) <= 5L)
+    m.unpersist()
+  }
+
+  test("graph_copurchase_pairs: canonical pair order and an exact spot check") {
+    val p = Behavioral.graphCopurchasePairs(spark, sf0001).cache()
+    assert(p.filter(col("s1") >= col("s2")).count() === 0L, "pairs are canonical s1 < s2")
+    assert(p.filter(col("shared_parts") < 3).count() === 0L)
+    // spot-check the top pair by recomputing its part-set intersection
+    val top = p.head
+    val (s1, s2, shared) = (top.getLong(0), top.getLong(1), top.getLong(2))
+    val parts = Tables.lineitem(spark, sf0001)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val p1 = parts.filter(col("l_suppkey") === s1).select("l_partkey")
+    val p2 = parts.filter(col("l_suppkey") === s2).select("l_partkey")
+    assert(p1.intersect(p2).count() === shared)
+    p.unpersist()
+  }
+
+  test("q6_forecast_revenue: years bounded by the predicate and revenue matches decimal recompute") {
+    val r = Flagship.q6ForecastRevenue(spark, sf0001).collect()
+    assert(r.nonEmpty && r.forall(x => Set(1996, 1997).contains(x.getInt(0))))
+    val direct = Tables.lineitem(spark, sf0001)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(Tables.dec2(col("l_extendedprice")) * Tables.dec2(col("l_discount")))
+        .cast("double")).head.getDouble(0)
+    val y1996 = r.find(_.getInt(0) == 1996).get.getDouble(1)
+    assert(y1996 === direct)
+  }
+
+  test("q21_sole_supplier_returns: numwait mass equals the qualifying-order count") {
+    val q = Flagship.q21SoleSupplierReturns(spark, sf0001).cache()
+    assert(q.filter(col("numwait") < 1).count() === 0L)
+    // Σ numwait = |orders with exactly one returned supplier AND >1 supplier|
+    val li = Tables.lineitem(spark, sf0001)
+    val soleOrders = li.filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_suppkey").distinct()
+      .groupBy("l_orderkey").count().filter(col("count") === 1)
+    val multiOrders = li.select("l_orderkey", "l_suppkey").distinct()
+      .groupBy("l_orderkey").count().filter(col("count") > 1)
+    val expected = soleOrders.join(multiOrders, "l_orderkey").count()
+    val mass = q.agg(sum("numwait")).head.getLong(0)
+    assert(mass === expected, s"numwait mass $mass != qualifying orders $expected")
+    q.unpersist()
+  }
+
+  test("eval_holdout_split: partition of the corpus with train dominating") {
+    val r = Pipelines.evalHoldoutSplit(spark, sf0001).cache()
+    val total = r.agg(sum("docs")).head.getLong(0)
+    assert(total === Tables.documents(spark, sf0001).count(), "splits partition the corpus")
+    val bySplit = r.groupBy("split").agg(sum("docs").as("n"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    assert(bySplit("train") > total / 2, "train holds the bulk (expected ~90%)")
+    // split is a pure function of text: re-running yields identical cells
+    val again = Pipelines.evalHoldoutSplit(spark, sf0001)
+    assert(r.exceptAll(again).count() === 0L && again.exceptAll(r).count() === 0L)
+    r.unpersist()
+  }
+}
