@@ -70,6 +70,35 @@ class PlanRegressionSpec extends SparkSuite {
     assert(over.isEmpty, s"exchange budget exceeded: $over")
   }
 
+  test("q6 pushes every scan predicate into the parquet reader") {
+    val p = plan("q6_forecast_revenue")
+    // all four predicate families must reach PushedFilters — Q6 is the
+    // scan-efficiency probe, a predicate evaluated post-scan defeats it
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("LessThan(l_shipdate"), "shipdate range not pushed: " + p.take(600))
+    assert(p.contains("GreaterThanOrEqual(l_discount") &&
+      p.contains("LessThanOrEqual(l_discount"), "discount band not pushed")
+    assert(p.contains("LessThan(l_quantity"), "quantity bound not pushed")
+  }
+
+  test("round-6 behavioral plans stay within their exchange budgets") {
+    val budgets = Map(
+      // 3 union branches × (user_id window + single-partition agg);
+      // runtime ReuseExchange collapses the repeats — the budget guards
+      // the per-branch shape: 1 user_id shuffle + 1 global collapse
+      "funnel_conversion" -> 6,
+      "retention_cohort" -> 3,      // user window + cell agg + sort
+      "graph_copurchase_pairs" -> 3, // part agg + pair agg + sort (no self-join!)
+      "q6_forecast_revenue" -> 2,   // partial/final agg + sort
+      "q21_sole_supplier_returns" -> 6, // 2 distincts + 2 order aggs + supplier agg + sort
+      "eval_holdout_split" -> 2)    // cell agg + sort
+    val over = budgets.flatMap { case (name, budget) =>
+      val n = "\\(\\d+\\) Exchange".r.findAllIn(plan(name)).size
+      if (n > budget) Some(s"$name: $n > $budget") else None
+    }
+    assert(over.isEmpty, s"exchange budget exceeded: $over")
+  }
+
   test("bloom probe rides the fact scan, not a post-join filter") {
     val p = plan("join_bloom_prefilter")
     // Formatted-mode node numbers are assigned bottom-up, so a child's
