@@ -278,7 +278,42 @@ object Analytics {
       .orderBy($"vec_id")
   }
 
+  /** Robust anomaly gate: per event type, flag values more than 3 MADs
+    * (median absolute deviations) from the median — the
+    * outlier detector that, unlike mean±3σ (`agg_stats_moments`),
+    * doesn't let the outliers themselves inflate the threshold. The
+    * standard data-quality screen before a metric feeds training or
+    * alerting.
+    *
+    * Two passes over the event values with a 5-row broadcast between
+    * them: medians per type, then deviation medians per type, then one
+    * counting aggregate — at 100 TB that is two scans + three tiny
+    * aggregates, no large shuffle (the group key has 5 values; partial
+    * aggregation collapses each to one row per task). Exact-percentile
+    * medians are interpolated in IEEE double and rounded to 6 decimals
+    * on both engines (the `agg_percentile` parity pattern — Spark and
+    * DuckDB interpolate with differently-ordered but ulp-close
+    * formulas; round(…,6) absorbs the difference), after which every
+    * derived quantity (|v−med|, 3·mad compare) is bit-identical. */
+  def anomalyMadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir).select($"event_type", $"value")
+    val med = e.groupBy($"event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("adev", abs($"value" - $"med"))
+    val mad = dev.groupBy($"event_type")
+      .agg(round(expr("percentile(adev, 0.5)"), 6).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy($"event_type")
+      .agg(max($"med").as("med"), max($"mad").as("mad"),
+        sum(when($"adev" > $"mad" * 3, 1L).otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "anomaly_mad_outliers" -> (anomalyMadOutliers(_, _)),
     "graph_pagerank" -> (graphPagerank(_, _)),
     "text_tfidf" -> (textTfidf(_, _)),
     "quality_repetition" -> (qualityRepetition(_, _)),
@@ -326,6 +361,19 @@ object Analytics {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "anomaly_mad_outliers" ->
+      """WITH med AS (SELECT event_type,
+        |    round(quantile_cont(value, 0.5), 6) AS med
+        |  FROM events GROUP BY event_type),
+        |d AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+        |      FROM events e JOIN med m ON e.event_type = m.event_type),
+        |mad AS (SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad
+        |        FROM d GROUP BY event_type)
+        |SELECT d.event_type, max(d.med) AS med, max(mad.mad) AS mad,
+        |  CAST(sum(CASE WHEN d.adev > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  count(*) AS n
+        |FROM d JOIN mad ON d.event_type = mad.event_type
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     "graph_pagerank" -> pagerankSql,
     "text_tfidf" ->
       """WITH terms AS (SELECT doc_id,

@@ -72,6 +72,32 @@ object Windows {
       .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
   }
 
+  /** Time-based RANGE-frame window: per user, the rolling 1-hour sum of
+    * event value — sum over [t − 1 h, t] by TIMESTAMP DISTANCE, not row
+    * count (rowsBetween answers "last N events"; a feature store /
+    * monitoring pipeline asks "last hour"). Rows with equal timestamps
+    * are frame peers and share the sum, so ties cost nothing and the
+    * result is deterministic without a tie-break in the frame order.
+    *
+    * Scale: one shuffle on user_id + one per-partition sort; the frame
+    * is evaluated with a sliding two-pointer pass over the sorted run
+    * (Spark's RangeFrame keeps a bounded buffer of the current window,
+    * ~1 h of one user's events — not the partition). The value is
+    * summed in exact DECIMAL(18,4): a sliding SUM of doubles would
+    * accumulate order-dependent rounding, breaking both the oracle and
+    * cross-run determinism. */
+  def windowTimeRangeSum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"t")
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(spark, dir)
+      .select($"event_id", $"user_id", Tables.nsToUs($"ts").as("t"),
+        Tables.dec4($"value").as("v"))
+      .select($"event_id", $"user_id", $"t",
+        sum($"v").over(w).cast("double").as("sum_1h"))
+      .orderBy($"user_id", $"t", $"event_id")
+  }
+
   /** Distribution window functions: ntile / percent_rank / cume_dist of
     * order prices within customer. All rank-derived rationals (integer
     * counts divided) — deterministic in both engines; o_orderkey
@@ -171,6 +197,7 @@ object Windows {
     "window_rank_dense" -> (windowRankDense(_, _)),
     "window_lag" -> (windowLag(_, _)),
     "window_running_sum" -> (windowRunningSum(_, _)),
+    "window_time_range_sum" -> (windowTimeRangeSum(_, _)),
     "window_distribution" -> (windowDistribution(_, _)),
     "window_lead_firstlast" -> (windowLeadFirstlast(_, _)),
     "setop_union_all" -> (setopUnionAll(_, _)),
@@ -204,6 +231,13 @@ object Windows {
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
         |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "window_time_range_sum" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t,
+        |  CAST(value AS DECIMAL(18,4)) AS v FROM events)
+        |SELECT event_id, user_id, t,
+        |  CAST(sum(v) OVER (PARTITION BY user_id ORDER BY t
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_1h
+        |FROM e ORDER BY user_id, t, event_id""".stripMargin,
     "window_distribution" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  ntile(4) OVER w AS quartile,

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Behavioral, Flagship, Pipelines}
+import graft.operators.{Analytics, Behavioral, Flagship, LlmOps, Pipelines, Windows}
 
 /** Invariants for the round-6 additions: the behavioral-analytics
   * layer (funnel, retention, co-purchase graph), the Q6/Q21 flagship
@@ -112,5 +112,49 @@ class BehavioralSpec extends SparkSuite {
     val again = Pipelines.evalHoldoutSplit(spark, sf0001)
     assert(r.exceptAll(again).count() === 0L && again.exceptAll(r).count() === 0L)
     r.unpersist()
+  }
+
+  test("window_time_range_sum: frame sums exactly the trailing hour (brute force)") {
+    val out = Windows.windowTimeRangeSum(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val evs = Tables.events(spark, sf0001)
+      .select(col("user_id"), Tables.nsToUs(col("ts")).as("t"), Tables.dec4(col("value")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2)))
+    val byUser = evs.groupBy(_._1)
+    out.foreach { case (_, uid, t, got) =>
+      val want = byUser(uid).filter(e => e._2 >= t - 3600000000L && e._2 <= t)
+        .map(_._3.doubleValue()).sum
+      assert(math.abs(got - want) < 1e-6, s"user $uid t $t: $got vs $want")
+    }
+    // frames are trailing, so every sum covers at least the row itself
+    assert(out.forall(_._4 > 0.0) || out.isEmpty)
+  }
+
+  test("anomaly_mad_outliers: MAD threshold is robust where 3-sigma is not") {
+    val m = Analytics.anomalyMadOutliers(spark, sf0001).collect()
+    assert(m.length === 5, "one row per event type")
+    m.foreach { r =>
+      val (med, mad, out, n) = (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4))
+      assert(mad >= 0 && out >= 0 && out < n, s"${r.getString(0)}: out=$out n=$n")
+      // by definition at most half the values sit beyond 1 MAD; 3 MADs
+      // can only flag fewer
+      assert(out <= n / 2, s"3-MAD rule cannot flag a majority (got $out of $n)")
+      assert(med > 0, "events.value is positive in the fixture")
+    }
+  }
+
+  test("dedup_containment_prefix: every pair verifies; exact dups and self-pairs excluded") {
+    val pairs = LlmOps.dedupContainmentPrefix(spark, sf001).cache()
+    assert(pairs.count() === 25, "sf0.01 fixture carries 25 containment pairs")
+    assert(pairs.filter(col("short_id") === col("long_id")).count() === 0L)
+    assert(pairs.filter(col("short_chars") >= col("long_chars")).count() === 0L)
+    // re-verify each pair against the raw text, brute force
+    val texts = Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    pairs.collect().foreach { r =>
+      val (s, l) = (texts(r.getLong(0)), texts(r.getLong(1)))
+      assert(l.startsWith(s + " "), s"${r.getLong(1)} must start with ${r.getLong(0)} + space")
+    }
+    pairs.unpersist()
   }
 }
