@@ -10,7 +10,8 @@ import java.nio.file.{Files, Paths}
 object GoldenGen {
   val flagships = Seq("agg_groupby_sum", "join_multiway_star", "agg_wordcount",
     "topk_limit", "text_stats", "graph_pagerank", "text_tfidf",
-    "sql_recursive_cte")
+    "sql_recursive_cte", "q4_order_priority", "q6_forecast_revenue",
+    "funnel_conversion")
 
   def csvOf(spark: SparkSession, name: String, sfDir: String): String = {
     val df = SparkEntry.queries(name)(spark, sfDir)

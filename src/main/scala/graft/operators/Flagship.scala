@@ -214,7 +214,31 @@ object Flagship {
       .orderBy($"numwait".desc, $"s_suppkey")
   }
 
+  /** Q4 shape — order priority checking: orders in one quarter that had
+    * at least one problem line (EXISTS), counted by priority (TPC-H Q4
+    * with l_returnflag = 'R' standing in for the missing
+    * commit/receipt-date lateness predicate). The EXISTS compiles to a
+    * LEFT SEMI join — each order emits at most once no matter how many
+    * lines match, so there is no fan-out to de-duplicate. The orders
+    * side arrives pre-filtered to one quarter (the date range is pushed
+    * to its scan), lineitem is pruned to two columns, and the final
+    * aggregate has 5 groups. */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-04-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_orderpriority")
+    val returned = Tables.lineitem(spark, dir)
+      .filter($"l_returnflag" === "R").select($"l_orderkey")
+    o.join(returned, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q4_order_priority" -> (q4OrderPriority(_, _)),
     "q6_forecast_revenue" -> (q6ForecastRevenue(_, _)),
     "q21_sole_supplier_returns" -> (q21SoleSupplierReturns(_, _)),
     "q7_volume_shipping" -> (q7VolumeShipping(_, _)),
@@ -226,6 +250,15 @@ object Flagship {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q6_forecast_revenue" ->
       """SELECT year(l_shipdate) AS l_year,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue

@@ -114,6 +114,23 @@ class BehavioralSpec extends SparkSuite {
     r.unpersist()
   }
 
+  test("q4_order_priority: semi join never fans out and matches a distinct recompute") {
+    val q = Flagship.q4OrderPriority(spark, sf0001).collect()
+    val total = q.map(_.getLong(1)).sum
+    // EXISTS = count of DISTINCT qualifying orders; recompute via
+    // distinct join instead of semi join
+    val o = Tables.orders(spark, sf0001)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+    val expected = o.join(
+        Tables.lineitem(spark, sf0001).filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey")).distinct(),
+        col("o_orderkey") === col("l_orderkey"))
+      .count()
+    assert(total === expected, s"semi-join count $total != distinct-join count $expected")
+    assert(q.length <= 5, "at most one row per priority")
+  }
+
   test("window_time_range_sum: frame sums exactly the trailing hour (brute force)") {
     val out = Windows.windowTimeRangeSum(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
