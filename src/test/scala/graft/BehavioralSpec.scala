@@ -160,6 +160,29 @@ class BehavioralSpec extends SparkSuite {
     }
   }
 
+  test("dedup_edit_distance: similarity is exact fixed-point of the integer DP") {
+    val p = LlmOps.dedupEditDistance(spark, sf001).cache()
+    assert(p.count() > 0, "blocked candidates exist at sf0.01")
+    assert(p.filter(col("sim_fp") < 900000 || col("sim_fp") > 1000000).count() === 0L)
+    // recompute one pair's distance with an independent driver-side DP
+    val r = p.head
+    val texts = Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    val (s, t) = (texts(r.getLong(0)), texts(r.getLong(1)))
+    val dp = Array.tabulate(s.length + 1)(i => i)
+    for (j <- 1 to t.length) {
+      var prev = dp(0); dp(0) = j
+      for (i <- 1 to s.length) {
+        val cur = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (s(i - 1) == t(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    assert(dp(s.length).toLong === r.getLong(2), "Levenshtein DP mismatch")
+    p.unpersist()
+  }
+
   test("dedup_containment_prefix: every pair verifies; exact dups and self-pairs excluded") {
     val pairs = LlmOps.dedupContainmentPrefix(spark, sf001).cache()
     assert(pairs.count() === 25, "sf0.01 fixture carries 25 containment pairs")
