@@ -59,9 +59,12 @@ object Behavioral {
       coalesce(sum(when($"fv".isNotNull, 1L)), lit(0L)).as("n1"),
       coalesce(sum(when($"qc".isNotNull, 1L)), lit(0L)).as("n2"),
       coalesce(sum(when($"qp".isNotNull, 1L)), lit(0L)).as("n3"))
-    counts.select(lit("1_view").as("stage"), $"n1".as("users"))
-      .unionAll(counts.select(lit("2_view_click"), $"n2"))
-      .unionAll(counts.select(lit("3_view_click_purchase"), $"n3"))
+    // stack(), not a 3-way union: a union would embed the whole
+    // upstream pipeline once per branch (3× the plan, reuse-dependent);
+    // stack pivots the single aggregate row in place — 2 exchanges total
+    counts.selectExpr(
+      """stack(3, '1_view', n1, '2_view_click', n2,
+        |'3_view_click_purchase', n3) AS (stage, users)""".stripMargin)
       .orderBy($"stage")
   }
 

@@ -83,10 +83,10 @@ class PlanRegressionSpec extends SparkSuite {
 
   test("round-6 behavioral plans stay within their exchange budgets") {
     val budgets = Map(
-      // 3 union branches × (user_id window + single-partition agg);
-      // runtime ReuseExchange collapses the repeats — the budget guards
-      // the per-branch shape: 1 user_id shuffle + 1 global collapse
-      "funnel_conversion" -> 6,
+      // user_id window shuffle + single-partition collapse; the stage
+      // pivot is a stack() over the one aggregate row, not a union of
+      // three re-planned pipelines
+      "funnel_conversion" -> 2,
       "retention_cohort" -> 3,      // user window + cell agg + sort
       "graph_copurchase_pairs" -> 3, // part agg + pair agg + sort (no self-join!)
       "q6_forecast_revenue" -> 2,   // partial/final agg + sort
