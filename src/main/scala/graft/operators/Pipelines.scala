@@ -236,6 +236,29 @@ object Pipelines {
       .orderBy($"event_id")
   }
 
+  /** Data-mixing weights: per-language sampling multipliers that
+    * rebalance the corpus to a uniform language target — the "mixture
+    * weights" step every multilingual training pipeline runs before
+    * sampling (up-weight rare languages, down-weight dominant ones).
+    * weight_fp = target_share / actual_share in 1e-6 fixed point
+    * (>1 000 000 ⇒ upsample), plus the projected post-sampling count.
+    *
+    * One ~5-group aggregate + a single-row broadcast of the corpus
+    * totals; integer `div` end to end. At 100 TB the totals row is the
+    * only cross-partition traffic after the partial aggs. */
+  def corpusMixRebalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byLang = Tables.documents(spark, dir)
+      .groupBy($"lang").agg(count(lit(1)).as("docs"))
+    val totals = Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("n"), countDistinct($"lang").as("l"))
+    byLang.crossJoin(broadcast(totals))
+      .withColumn("weight_fp", expr("(n * 1000000) div (l * docs)"))
+      .withColumn("projected", expr("(docs * weight_fp) div 1000000"))
+      .select($"lang", $"docs", $"weight_fp", $"projected")
+      .orderBy($"lang")
+  }
+
   /** Deterministic three-way train/val/test split by content hash: a
     * document's split is decided by the first hex byte of sha2(text) —
     * '00'..'0c' → test (13/256 ≈ 5.1%), '0d'..'19' → val (5.1%), rest
@@ -318,6 +341,7 @@ object Pipelines {
     "compact_latest_state" -> (compactLatestState(_, _)),
     "sample_hash_stratified" -> (sampleHashStratified(_, _)),
     "eval_holdout_split" -> (evalHoldoutSplit(_, _)),
+    "corpus_mix_rebalance" -> (corpusMixRebalance(_, _)),
     "pack_sequences" -> (packSequences(_, _))
   )
 
@@ -386,6 +410,13 @@ object Pipelines {
         |  FROM documents)
         |SELECT split, lang, count(*) AS docs FROM s
         |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    "corpus_mix_rebalance" ->
+      """WITH b AS (SELECT lang, count(*) AS docs FROM documents GROUP BY lang),
+        |t AS (SELECT count(*) AS n, count(DISTINCT lang) AS l FROM documents)
+        |SELECT lang, docs,
+        |  (t.n * 1000000) // (t.l * b.docs) AS weight_fp,
+        |  (b.docs * ((t.n * 1000000) // (t.l * b.docs))) // 1000000 AS projected
+        |FROM b CROSS JOIN t ORDER BY lang""".stripMargin,
     "pack_sequences" ->
       """WITH d AS (SELECT doc_id, lang, doc_id % 4 AS shard,
         |  CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tok

@@ -280,6 +280,28 @@ object Relational {
       .orderBy($"ck", $"ok")
   }
 
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match each other instead of silently dropping — the semantics a
+    * CDC/merge pipeline needs when the join key is legitimately absent
+    * on both sides. Crucially `EqualNullSafe` is still an EQUI-join
+    * predicate in Catalyst: it hash-partitions (NULL is just one more
+    * key bucket) and never degrades to the O(n·m) nested-loop a
+    * `coalesce(k, sentinel) = coalesce(k2, sentinel)` workaround risks
+    * when sentinel types clash. Output buckets keyed by
+    * coalesce(k, -1) (nullable group keys are comparator hazards,
+    * SURVEY.md §7 G2). */
+  def joinNullSafe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+      .select(expr("nullif(c_nationkey % 5, 0)").as("k"))
+    val s = Tables.supplier(spark, dir)
+      .select(expr("nullif(s_nationkey % 5, 0)").as("k2"))
+    c.join(s, $"k" <=> $"k2")
+      .groupBy(coalesce($"k", lit(-1)).as("k"))
+      .agg(count(lit(1)).as("pairs"))
+      .orderBy($"k")
+  }
+
   /** Range/theta join, bucketized: lineitems shipped within 7 days of
     * each order's date. A naive theta join is BroadcastNestedLoopJoin
     * (O(n·m) — lethal at scale); instead explode each order into its 7
@@ -417,6 +439,7 @@ object Relational {
     "join_semi" -> (joinSemi(_, _)),
     "join_anti" -> (joinAnti(_, _)),
     "join_full_outer" -> (joinFullOuter(_, _)),
+    "join_null_safe" -> (joinNullSafe(_, _)),
     "join_range_theta" -> (joinRangeTheta(_, _)),
     "join_self_asof" -> (joinSelfAsof(_, _)),
     "join_interval_attribution" -> (joinIntervalAttribution(_, _))
@@ -503,6 +526,12 @@ object Relational {
         |FULL OUTER JOIN (SELECT o_orderkey, o_custkey FROM orders WHERE year(o_orderdate) = 1997) o
         |  ON c_custkey = o_custkey
         |ORDER BY ck, ok""".stripMargin,
+    "join_null_safe" ->
+      """SELECT coalesce(c.ck, -1) AS k, count(*) AS pairs
+        |FROM (SELECT nullif(c_nationkey % 5, 0) AS ck FROM customer) c
+        |JOIN (SELECT nullif(s_nationkey % 5, 0) AS sk FROM supplier) s
+        |  ON c.ck IS NOT DISTINCT FROM s.sk
+        |GROUP BY coalesce(c.ck, -1) ORDER BY k""".stripMargin,
     "join_range_theta" ->
       """SELECT o_orderkey, count(l_orderkey) AS n_items
         |FROM orders LEFT JOIN lineitem

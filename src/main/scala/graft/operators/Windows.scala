@@ -178,6 +178,31 @@ object Windows {
       .orderBy($"user_id")
   }
 
+  /** Bag-semantics difference (EXCEPT ALL): multiplicity max(0, r−a)
+    * per value — the multiset complement SQL's distinct EXCEPT cannot
+    * express (removing ONE occurrence per match matters when the input
+    * is an event/line log, not a set). Spark plans it as a single
+    * count-tagged aggregate + generate, one shuffle on the value. */
+  def setopExceptAll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    parts(spark, dir, "R").exceptAll(parts(spark, dir, "A"))
+      .orderBy($"l_partkey")
+  }
+
+  /** Bag-semantics intersection (INTERSECT ALL): multiplicity
+    * min(r, a) per value. */
+  def setopIntersectAll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    parts(spark, dir, "R").intersectAll(parts(spark, dir, "A"))
+      .orderBy($"l_partkey")
+  }
+
+  private def parts(spark: SparkSession, dir: String, flag: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_returnflag" === flag).select($"l_partkey")
+  }
+
   /** Users present in both sets (INTERSECT = distinct semantics). */
   def setopIntersect(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -201,6 +226,8 @@ object Windows {
     "window_distribution" -> (windowDistribution(_, _)),
     "window_lead_firstlast" -> (windowLeadFirstlast(_, _)),
     "setop_union_all" -> (setopUnionAll(_, _)),
+    "setop_except_all" -> (setopExceptAll(_, _)),
+    "setop_intersect_all" -> (setopIntersectAll(_, _)),
     "sort_global" -> (sortGlobal(_, _)),
     "topk_limit" -> (topkLimit(_, _)),
     "setop_union_distinct" -> (setopUnionDistinct(_, _)),
@@ -261,6 +288,16 @@ object Windows {
         |UNION ALL
         |SELECT user_id FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id""".stripMargin,
+    "setop_except_all" ->
+      """SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        |EXCEPT ALL
+        |SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+        |ORDER BY l_partkey""".stripMargin,
+    "setop_intersect_all" ->
+      """SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        |INTERSECT ALL
+        |SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+        |ORDER BY l_partkey""".stripMargin,
     "sort_global" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey",
     "topk_limit" ->

@@ -160,6 +160,48 @@ class BehavioralSpec extends SparkSuite {
     }
   }
 
+  test("join_null_safe: null bucket joins and the plan stays an equi-join") {
+    val r = graft.operators.Relational.joinNullSafe(spark, sf0001)
+    val rows = r.collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+    // nationkeys 0,5,10,15,20 hash to the NULL bucket (-1); pairs there
+    // = |customers with key%5=0| * |suppliers with key%5=0|
+    val cn = Tables.customer(spark, sf0001).filter(col("c_nationkey") % 5 === 0).count()
+    val sn = Tables.supplier(spark, sf0001).filter(col("s_nationkey") % 5 === 0).count()
+    assert(rows.getOrElse(-1, 0L) === cn * sn, s"null-bucket pairs: ${rows.get(-1)} vs $cn*$sn")
+    val p = r.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), "null-safe must stay an equi-join")
+  }
+
+  test("setop except/intersect all: multiplicities are max(0, r-a) and min(r, a)") {
+    import graft.operators.Windows
+    val rCnt = Tables.lineitem(spark, sf0001).filter(col("l_returnflag") === "R")
+      .groupBy("l_partkey").count().collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val aCnt = Tables.lineitem(spark, sf0001).filter(col("l_returnflag") === "A")
+      .groupBy("l_partkey").count().collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val keys = rCnt.keySet ++ aCnt.keySet
+    val expectedExcept = keys.toSeq.map(k => math.max(0L, rCnt.getOrElse(k, 0L) - aCnt.getOrElse(k, 0L))).sum
+    val expectedInter = keys.toSeq.map(k => math.min(rCnt.getOrElse(k, 0L), aCnt.getOrElse(k, 0L))).sum
+    assert(Windows.setopExceptAll(spark, sf0001).count() === expectedExcept)
+    assert(Windows.setopIntersectAll(spark, sf0001).count() === expectedInter)
+  }
+
+  test("corpus_mix_rebalance: weights invert the share and project toward uniform") {
+    val r = Pipelines.corpusMixRebalance(spark, sf0001).collect()
+    val total = Tables.documents(spark, sf0001).count()
+    val langs = r.length
+    r.foreach { row =>
+      val (docs, w, proj) = (row.getLong(1), row.getLong(2), row.getLong(3))
+      assert(w === (total * 1000000L) / (langs * docs), s"${row.getString(0)} weight")
+      assert(proj === docs * w / 1000000L)
+      // projected count lands within integer-truncation of the uniform target
+      assert(math.abs(proj - total / langs) <= langs, s"projected $proj vs ${total / langs}")
+    }
+    // rare langs upsample, dominant langs downsample
+    val en = r.find(_.getString(0) == "en").get.getLong(2)
+    val zh = r.find(_.getString(0) == "zh").get.getLong(2)
+    assert(en < 1000000L && zh > 1000000L, s"en=$en zh=$zh")
+  }
+
   test("dedup_edit_distance: similarity is exact fixed-point of the integer DP") {
     val p = LlmOps.dedupEditDistance(spark, sf001).cache()
     assert(p.count() > 0, "blocked candidates exist at sf0.01")
