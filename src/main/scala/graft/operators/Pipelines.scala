@@ -243,16 +243,19 @@ object Pipelines {
     * weight_fp = target_share / actual_share in 1e-6 fixed point
     * (>1 000 000 ⇒ upsample), plus the projected post-sampling count.
     *
-    * One ~5-group aggregate + a single-row broadcast of the corpus
-    * totals; integer `div` end to end. At 100 TB the totals row is the
-    * only cross-partition traffic after the partial aggs. */
+    * One ~5-group aggregate; the corpus totals are an unpartitioned
+    * window over those ~5 per-language rows (NOT a second scan + cross
+    * join — that plans a nested-loop join and reads the corpus twice).
+    * Integer `div` end to end; the only single-partition traffic is
+    * the language table itself, whose cardinality is #languages at any
+    * corpus size. */
   def corpusMixRebalance(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val byLang = Tables.documents(spark, dir)
+    val whole = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.documents(spark, dir)
       .groupBy($"lang").agg(count(lit(1)).as("docs"))
-    val totals = Tables.documents(spark, dir)
-      .agg(count(lit(1)).as("n"), countDistinct($"lang").as("l"))
-    byLang.crossJoin(broadcast(totals))
+      .withColumn("n", sum($"docs").over(whole))
+      .withColumn("l", count(lit(1)).over(whole))
       .withColumn("weight_fp", expr("(n * 1000000) div (l * docs)"))
       .withColumn("projected", expr("(docs * weight_fp) div 1000000"))
       .select($"lang", $"docs", $"weight_fp", $"projected")
