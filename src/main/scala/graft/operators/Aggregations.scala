@@ -204,6 +204,41 @@ object Aggregations {
       .orderBy($"event_type")
   }
 
+  /** Bivariate exact moments: sample covariance and Pearson correlation
+    * between event value and its JSON payload k, per event type — the
+    * two-variable extension of [[aggStatsMoments]], and the
+    * deterministic replacement for covar_samp()/corr() builtins (whose
+    * streaming accumulators are FP-merge-order-dependent and so differ
+    * across partitionings AND engines). All five power sums accumulate
+    * in exact DECIMAL (order-independent, map-side combinable); the
+    * closed forms run in IEEE double with round(6) absorbing the
+    * decimal→double widening ulp, and sqrt is IEEE-exact (the one
+    * non-arithmetic function both engines round correctly). Degenerate
+    * groups (n ≤ 1, or zero variance on either axis) map to the -1.0
+    * sentinel on both sides rather than NaN/Inf. */
+  def aggCorrCovar(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = Tables.dec4($"value")
+    val y = get_json_object($"props", "$.k").cast("long").cast("decimal(18,0)")
+    val nd = $"n".cast("double")
+    def d(c: Column): Column = c.cast("double")
+    val covNum = nd * d($"sxy") - d($"sx") * d($"sy")
+    val varX = nd * d($"sxx") - d($"sx") * d($"sx")
+    val varY = nd * d($"syy") - d($"sy") * d($"sy")
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select($"event_type", $"n",
+        when($"n" > 1, round(covNum / (nd * (nd - lit(1.0))), 6))
+          .otherwise(lit(-1.0)).as("cov_samp"),
+        when($"n" > 1 && varX > 0 && varY > 0,
+          round(covNum / (sqrt(varX) * sqrt(varY)), 6))
+          .otherwise(lit(-1.0)).as("corr"))
+      .orderBy($"event_type")
+  }
+
   /** Deterministic per-group mode: each user's most frequent event
     * type. `mode()` builtins tie-break arbitrarily (and differently
     * across engines); the count → rank shape makes the tie-break
@@ -227,6 +262,7 @@ object Aggregations {
   val queries: Map[String, QueryFn] = Map(
     "agg_mode" -> (aggMode(_, _)),
     "agg_stats_moments" -> (aggStatsMoments(_, _)),
+    "agg_corr_covar" -> (aggCorrCovar(_, _)),
     "agg_pivot" -> (aggPivot(_, _)),
     "sql_correlated_subquery" -> (sqlCorrelatedSubquery(_, _)),
     "agg_groupby_sum" -> (aggGroupbySum(_, _)),
@@ -261,6 +297,26 @@ object Aggregations {
         |    (CAST(n AS DOUBLE) * CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
         |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))), 6) ELSE -1.0 END AS std_samp
         |FROM a ORDER BY event_type""".stripMargin,
+    "agg_corr_covar" ->
+      """WITH a AS (SELECT event_type, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS sx,
+        |    sum(CAST(CAST(props->>'$.k' AS BIGINT) AS DECIMAL(18,0))) AS sy,
+        |    sum(CAST(value AS DECIMAL(18,4)) * CAST(CAST(props->>'$.k' AS BIGINT) AS DECIMAL(18,0))) AS sxy,
+        |    sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS sxx,
+        |    sum(CAST(CAST(props->>'$.k' AS BIGINT) AS DECIMAL(18,0)) * CAST(CAST(props->>'$.k' AS BIGINT) AS DECIMAL(18,0))) AS syy
+        |  FROM events GROUP BY event_type),
+        |b AS (SELECT event_type, n,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covnum,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary
+        |  FROM a)
+        |SELECT event_type, n,
+        |  CASE WHEN n > 1 THEN round(covnum / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6)
+        |       ELSE -1.0 END AS cov_samp,
+        |  CASE WHEN n > 1 AND varx > 0 AND vary > 0
+        |       THEN round(covnum / (sqrt(varx) * sqrt(vary)), 6)
+        |       ELSE -1.0 END AS corr
+        |FROM b ORDER BY event_type""".stripMargin,
     "agg_groupby_sum" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -160,6 +160,30 @@ class BehavioralSpec extends SparkSuite {
     }
   }
 
+  test("agg_corr_covar: correlation is bounded and matches a driver-side recompute") {
+    import graft.operators.Aggregations
+    val rows = Aggregations.aggCorrCovar(spark, sf0001).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val corr = r.getDouble(3)
+      assert(corr === -1.0 || (corr >= -1.0000001 && corr <= 1.0000001),
+        s"${r.getString(0)}: corr $corr out of range")
+    }
+    // brute-force one group
+    val vs = Tables.events(spark, sf0001).filter(col("event_type") === "click")
+      .select(col("value"), get_json_object(col("props"), "$.k").cast("long"))
+      .collect().map(r => (BigDecimal(r.getDouble(0)).setScale(4), BigDecimal(r.getLong(1))))
+    val n = vs.length
+    val (sx, sy) = (vs.map(_._1).sum, vs.map(_._2).sum)
+    val sxy = vs.map(p => p._1 * p._2).sum
+    val (sxx, syy) = (vs.map(p => p._1 * p._1).sum, vs.map(p => p._2 * p._2).sum)
+    val covnum = n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble
+    val expectedCov = BigDecimal(covnum / (n.toDouble * (n - 1.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = rows.find(_.getString(0) == "click").get.getDouble(2)
+    assert(math.abs(got - expectedCov) < 1e-6, s"cov $got vs $expectedCov")
+  }
+
   test("join_null_safe: null bucket joins and the plan stays an equi-join") {
     val r = graft.operators.Relational.joinNullSafe(spark, sf0001)
     val rows = r.collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
