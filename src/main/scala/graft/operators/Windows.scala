@@ -98,6 +98,33 @@ object Windows {
       .orderBy($"user_id", $"t", $"event_id")
   }
 
+  /** Gaps-and-islands: per-user consecutive-day activity streaks — the
+    * discrete-sequence complement to time-gap sessionization
+    * (`stream_sessionize` groups by idle GAP; this groups by unbroken
+    * RUNS of calendar days). The classic trick: over the distinct
+    * (user, day) grid, `day − row_number()` is constant exactly within
+    * a consecutive run, so one window pass + one groupBy finds every
+    * streak with no self-join and no iteration.
+    *
+    * Scale: distinct first (the grid is bounded by users × days, not
+    * event count), then a single user_id shuffle shared by the window
+    * and both collapses. Integer arithmetic throughout. */
+  def windowGapIslands(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val days = Tables.events(spark, dir)
+      .select($"user_id", Tables.nsToUs($"ts").as("t"))
+      .select($"user_id", expr("t div 86400000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    days.withColumn("island", $"day" - row_number().over(w))
+      .groupBy($"user_id", $"island")
+      .agg(count(lit(1)).as("len"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_streaks"), max($"len").as("longest_streak"),
+        sum($"len").as("active_days"))
+      .orderBy($"user_id")
+  }
+
   /** Distribution window functions: ntile / percent_rank / cume_dist of
     * order prices within customer. All rank-derived rationals (integer
     * counts divided) — deterministic in both engines; o_orderkey
@@ -223,6 +250,7 @@ object Windows {
     "window_lag" -> (windowLag(_, _)),
     "window_running_sum" -> (windowRunningSum(_, _)),
     "window_time_range_sum" -> (windowTimeRangeSum(_, _)),
+    "window_gap_islands" -> (windowGapIslands(_, _)),
     "window_distribution" -> (windowDistribution(_, _)),
     "window_lead_firstlast" -> (windowLeadFirstlast(_, _)),
     "setop_union_all" -> (setopUnionAll(_, _)),
@@ -265,6 +293,17 @@ object Windows {
         |  CAST(sum(v) OVER (PARTITION BY user_id ORDER BY t
         |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_1h
         |FROM e ORDER BY user_id, t, event_id""".stripMargin,
+    "window_gap_islands" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |i AS (SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+        |  FROM d),
+        |s AS (SELECT user_id, island, count(*) AS len
+        |      FROM i GROUP BY user_id, island)
+        |SELECT user_id, count(*) AS n_streaks, max(len) AS longest_streak,
+        |  CAST(sum(len) AS BIGINT) AS active_days
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
     "window_distribution" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  ntile(4) OVER w AS quartile,

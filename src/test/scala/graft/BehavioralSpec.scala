@@ -160,6 +160,32 @@ class BehavioralSpec extends SparkSuite {
     }
   }
 
+  test("window_gap_islands: streaks partition active days and match brute force") {
+    val r = Windows.windowGapIslands(spark, sf0001).cache()
+    // streak lengths partition the active-day count per user
+    assert(r.filter(col("longest_streak") > col("active_days")).count() === 0L)
+    assert(r.filter(col("n_streaks") < 1).count() === 0L)
+    // brute-force one user's streaks from the raw day set
+    val first = r.head
+    val uid = first.getLong(0)
+    val days = Tables.events(spark, sf0001)
+      .select(col("user_id"), Tables.nsToUs(col("ts")).as("t"))
+      .filter(col("user_id") === uid)
+      .select(expr("t div 86400000000")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    var runs = List.empty[Long]
+    var prev = Long.MinValue
+    days.foreach { d =>
+      if (d == prev + 1) runs = (runs.head + 1) :: runs.tail
+      else runs = 1L :: runs
+      prev = d
+    }
+    assert(first.getLong(1) === runs.length.toLong, "n_streaks")
+    assert(first.getLong(2) === runs.max, "longest_streak")
+    assert(first.getLong(3) === days.length.toLong, "active_days")
+    r.unpersist()
+  }
+
   test("agg_corr_covar: correlation is bounded and matches a driver-side recompute") {
     import graft.operators.Aggregations
     val rows = Aggregations.aggCorrCovar(spark, sf0001).collect()
