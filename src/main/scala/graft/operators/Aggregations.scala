@@ -239,6 +239,29 @@ object Aggregations {
       .orderBy($"event_type")
   }
 
+  /** Re-aggregatable distinct-count sketches: per-(type, day) HLL
+    * sketches unioned up to a per-type global estimate — the pattern
+    * that makes approximate distinct WORK at 100 TB: materialize small
+    * daily sketches once, then answer any coarser rollup by register-
+    * wise union without touching raw data again (approx_count_distinct
+    * must re-scan the corpus for every new grouping). Datasketches HLL
+    * union is a register-wise max — commutative and associative — so
+    * the final estimate is invariant to partitioning and merge order
+    * (asserted in BehavioralSpec), just engine-specific (✖ oracle, like
+    * agg_approx_distinct). */
+  def aggHllPartitionMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .select($"event_type", $"user_id", Tables.nsToUs($"ts").as("t"))
+      .select($"event_type", $"user_id", expr("t div 86400000000").as("day"))
+      .groupBy($"event_type", $"day")
+      .agg(hll_sketch_agg($"user_id").as("sk"))
+    daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg($"sk")).as("approx_users"))
+      .orderBy($"event_type")
+  }
+
   /** Deterministic per-group mode: each user's most frequent event
     * type. `mode()` builtins tie-break arbitrarily (and differently
     * across engines); the count → rank shape makes the tie-break
@@ -263,6 +286,7 @@ object Aggregations {
     "agg_mode" -> (aggMode(_, _)),
     "agg_stats_moments" -> (aggStatsMoments(_, _)),
     "agg_corr_covar" -> (aggCorrCovar(_, _)),
+    "agg_hll_partition_merge" -> (aggHllPartitionMerge(_, _)),
     "agg_pivot" -> (aggPivot(_, _)),
     "sql_correlated_subquery" -> (sqlCorrelatedSubquery(_, _)),
     "agg_groupby_sum" -> (aggGroupbySum(_, _)),

@@ -186,6 +186,26 @@ class BehavioralSpec extends SparkSuite {
     r.unpersist()
   }
 
+  test("agg_hll_partition_merge: union of daily sketches equals the one-shot sketch") {
+    import graft.operators.Aggregations
+    val merged = Aggregations.aggHllPartitionMerge(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // one-shot sketch over the un-partitioned data: register-wise max
+    // union must make the daily route land on the SAME estimate
+    val direct = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged === direct, s"daily-union $merged != one-shot $direct")
+    // and the estimate tracks the exact distinct count (tiny cardinalities ⇒ exact)
+    val exact = Tables.events(spark, sf0001)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    merged.foreach { case (k, est) =>
+      assert(math.abs(est - exact(k)) <= math.max(1L, exact(k) / 20), s"$k: $est vs ${exact(k)}")
+    }
+  }
+
   test("agg_corr_covar: correlation is bounded and matches a driver-side recompute") {
     import graft.operators.Aggregations
     val rows = Aggregations.aggCorrCovar(spark, sf0001).collect()
