@@ -377,6 +377,28 @@ object LlmOps {
   }
 
   /** Bigram generation with position (n-gram analysis primitive). */
+  /** Overlapping token-window chunking — the pretraining preprocessing
+    * step that splits each document into fixed-size context windows
+    * (size 32 tokens, stride 24 ⇒ 8-token overlap) so no sentence is
+    * lost at a chunk boundary. Pure per-row generate: tokenize once,
+    * explode a computed index sequence, slice — zero shuffle, stays in
+    * a single whole-stage-codegen span until the output sort, so it
+    * scales linearly with corpus bytes. Chunk count is exact-integer:
+    * 1 + ceil(max(0, n − size) / stride), with the ceil spelled as a
+    * non-negative floor-div so Spark `div` and DuckDB `//` agree. */
+  def textChunkOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .select($"doc_id", $"t", size($"t").as("n"))
+      .select($"doc_id", $"t", $"n",
+        explode(expr("sequence(0, greatest(0, n - 9) div 24)")).as("i"))
+      .select($"doc_id", $"i".cast("long").as("chunk_idx"),
+        least($"n" - $"i" * 24, lit(32)).cast("long").as("n_tok"),
+        concat_ws(" ", expr("slice(t, 1 + i * 24, 32)")).as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
   def ngramGenerate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
@@ -484,7 +506,8 @@ object LlmOps {
     "text_stats" -> (textStats(_, _)),
     "text_quality_filter" -> (textQualityFilter(_, _)),
     "multimodal_join" -> (multimodalJoin(_, _)),
-    "ngram_generate" -> (ngramGenerate(_, _))
+    "ngram_generate" -> (ngramGenerate(_, _)),
+    "text_chunk_overlap" -> (textChunkOverlap(_, _))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -605,6 +628,16 @@ object LlmOps {
         |        list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS bl
         |      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
         |      WHERE len(toks) >= 2)
-        |ORDER BY doc_id, pos""".stripMargin
+        |ORDER BY doc_id, pos""".stripMargin,
+    "text_chunk_overlap" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |    len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, n, t,
+        |    unnest(range(0, CAST(1 + (greatest(0, n - 9) // 24) AS BIGINT))) AS i
+        |  FROM d)
+        |SELECT doc_id, i AS chunk_idx,
+        |  CAST(least(n - i * 24, 32) AS BIGINT) AS n_tok,
+        |  array_to_string(list_slice(t, 1 + i * 24, i * 24 + 32), ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
   )
 }

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryFn, Tables}
+
+/** Time-dimension operators over the `events` stream table (SURVEY.md
+  * §2.14): bar aggregation, slowly-changing-dimension history, and
+  * recency-weighted aggregation — the batch shapes a warehouse runs on
+  * an append-only event log.
+  *
+  * All timestamps travel as BIGINT microseconds (`Tables.nsToUs` ⟷
+  * DuckDB `epoch_us`) and money-ish values as DECIMAL(18,4), per the
+  * determinism rules that keep the oracle hash green.
+  */
+object Timeseries {
+
+  /** OHLC bars: 6-hour open/high/low/close/volume candles per event
+    * type. Open/close are picked by lexicographic min/max over the
+    * (t, event_id, v) struct — a single HashAggregate with map-side
+    * combine, no window sort; (t, event_id) is unique so the pick is
+    * deterministic and equals the row_number()=1 formulation the
+    * oracle uses. Shuffle volume is O(bars), not O(events) — the shape
+    * that survives a 100 TB event log (a windowed first_value would
+    * sort every partition instead). */
+  def timeseriesOhlcBars(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_type", Tables.nsToUs($"ts").as("t"), $"event_id",
+        Tables.dec4($"value").as("v"))
+      .withColumn("bar", expr("t div 21600000000"))
+      .groupBy($"event_type", $"bar")
+      .agg(
+        min(struct($"t", $"event_id", $"v")).getField("v")
+          .cast("double").as("open"),
+        max($"v").cast("double").as("high"),
+        min($"v").cast("double").as("low"),
+        max(struct($"t", $"event_id", $"v")).getField("v")
+          .cast("double").as("close"),
+        sum($"v").cast("double").as("volume"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"event_type", $"bar")
+  }
+
+  /** Type-2 slowly-changing-dimension build: each user's event stream
+    * becomes versioned validity intervals — valid_from = event time,
+    * valid_to = the next event's time (−1 sentinel + is_current flag on
+    * the open-ended row; nullable BIGINT sort keys are banned). One
+    * window over the user_id shuffle serves row_number and lead —
+    * per-user state is bounded, so partitions stay balanced at any
+    * event-log size. (user_id, version) is the unique output key. */
+  def scd2UserValueHistory(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", Tables.nsToUs($"ts").as("t"),
+        $"value".as("v"))
+      .select($"user_id", $"event_id",
+        row_number().over(w).as("version"),
+        $"t".as("valid_from"),
+        coalesce(lead($"t", 1).over(w), lit(-1L)).as("valid_to"),
+        when(lead($"t", 1).over(w).isNull, 1).otherwise(0).as("is_current"),
+        $"v")
+      .orderBy($"user_id", $"version")
+  }
+
+  /** Linear time-decay weighted aggregate: per event type, value mass
+    * weighted by recency — weight = max(0, 30 − age_days), all-integer
+    * (exponential decay needs exp(), banned for oracle parity; a
+    * 30-day linear ramp is the transcendental-free equivalent).
+    * Reference "now" is the corpus max timestamp via a scalar
+    * subquery: Catalyst executes it as its own max-aggregation job and
+    * folds the result into the main scan's predicate-free projection —
+    * two scans total, no per-row recompute, the same cost profile a
+    * parameterized `now` would have at 100 TB. Weighted sums stay in
+    * exact decimal (weight BIGINT × DECIMAL(18,4)) so partial-merge
+    * order can't move the hash. */
+  def aggTimeDecayWeighted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_type", Tables.nsToUs($"ts").as("t"),
+        Tables.dec4($"value").as("v"))
+      .createOrReplaceTempView("ev_decay")
+    spark.sql(
+      """SELECT event_type,
+        |  CAST(sum(greatest(0, 30 - ((m.tmax - t) div 86400000000)) * v)
+        |    AS DOUBLE) AS wsum,
+        |  CAST(sum(greatest(0, 30 - ((m.tmax - t) div 86400000000)))
+        |    AS BIGINT) AS wtotal,
+        |  count(*) AS n
+        |FROM ev_decay, (SELECT max(t) AS tmax FROM ev_decay) m
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "timeseries_ohlc_bars" -> (timeseriesOhlcBars(_, _)),
+    "scd2_user_value_history" -> (scd2UserValueHistory(_, _)),
+    "agg_time_decay_weighted" -> (aggTimeDecayWeighted(_, _))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "timeseries_ohlc_bars" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS t, event_id,
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |r AS (SELECT event_type, t // 21600000000 AS bar, t, event_id, v,
+        |    row_number() OVER (PARTITION BY event_type, t // 21600000000
+        |      ORDER BY t, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY event_type, t // 21600000000
+        |      ORDER BY t DESC, event_id DESC) AS rd
+        |  FROM e)
+        |SELECT event_type, bar,
+        |  CAST(max(CASE WHEN ra = 1 THEN v END) AS DOUBLE) AS open,
+        |  CAST(max(v) AS DOUBLE) AS high,
+        |  CAST(min(v) AS DOUBLE) AS low,
+        |  CAST(max(CASE WHEN rd = 1 THEN v END) AS DOUBLE) AS close,
+        |  CAST(sum(v) AS DOUBLE) AS volume,
+        |  count(*) AS n_events
+        |FROM r GROUP BY event_type, bar
+        |ORDER BY event_type, bar""".stripMargin,
+    "scd2_user_value_history" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    value AS v FROM events)
+        |SELECT user_id, event_id,
+        |  row_number() OVER w AS version,
+        |  t AS valid_from,
+        |  coalesce(lead(t) OVER w, -1) AS valid_to,
+        |  CASE WHEN lead(t) OVER w IS NULL THEN 1 ELSE 0 END AS is_current,
+        |  v
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+    "agg_time_decay_weighted" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS t,
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |m AS (SELECT max(t) AS tmax FROM e)
+        |SELECT event_type,
+        |  CAST(sum(greatest(0, 30 - ((m.tmax - t) // 86400000000)) * v)
+        |    AS DOUBLE) AS wsum,
+        |  CAST(sum(greatest(0, 30 - ((m.tmax - t) // 86400000000)))
+        |    AS BIGINT) AS wtotal,
+        |  count(*) AS n
+        |FROM e, m GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

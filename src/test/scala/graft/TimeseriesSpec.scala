@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{LlmOps, Timeseries}
+
+/** Invariants for the time-dimension layer (operators/Timeseries.scala)
+  * and the token-window chunker — properties the DuckDB hash-match
+  * can't express (it proves equality, not correctness of the shape).
+  */
+class TimeseriesSpec extends SparkSuite {
+
+  test("timeseries_ohlc_bars: candles are internally consistent and lossless") {
+    val bars = Timeseries.timeseriesOhlcBars(spark, sf0001).collect()
+    assert(bars.nonEmpty)
+    bars.foreach { r =>
+      val (open, high, low, close) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(low <= high, s"low > high in $r")
+      assert(open >= low && open <= high, s"open outside [low, high] in $r")
+      assert(close >= low && close <= high, s"close outside [low, high] in $r")
+      assert(r.getLong(7) > 0, s"empty bar emitted: $r")
+    }
+    // no event lost to bucketing
+    val total = bars.map(_.getLong(7)).sum
+    assert(total === Tables.events(spark, sf0001).count())
+  }
+
+  test("scd2_user_value_history: intervals chain gaplessly with one open row per user") {
+    val hist = Timeseries.scd2UserValueHistory(spark, sf0001)
+      .select("user_id", "version", "valid_from", "valid_to", "is_current")
+      .collect()
+      .groupBy(_.getLong(0))
+    hist.foreach { case (user, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq === (1 to sorted.length),
+        s"user $user versions not dense")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(3) === b.getLong(2),
+            s"user $user: valid_to(v${a.getInt(1)}) != valid_from(v${b.getInt(1)})")
+        case _ => ()
+      }
+      assert(sorted.last.getLong(3) === -1L && sorted.last.getInt(4) === 1,
+        s"user $user: last version not open-ended")
+      assert(sorted.count(_.getInt(4) === 1) === 1,
+        s"user $user: is_current count != 1")
+    }
+  }
+
+  test("agg_time_decay_weighted: weights are bounded by the 30-day ramp") {
+    val rows = Timeseries.aggTimeDecayWeighted(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (wtotal, n) = (r.getLong(2), r.getLong(3))
+      assert(wtotal >= 0 && wtotal <= 30 * n,
+        s"wtotal outside [0, 30n] for ${r.getString(0)}")
+    }
+  }
+
+  test("text_chunk_overlap: chunks tile each document with a 24-token stride") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", size(split($"text", " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = LlmOps.textChunkOverlap(spark, sf0001)
+      .select("doc_id", "chunk_idx", "n_tok", "chunk_text")
+      .collect().groupBy(_.getLong(0))
+    assert(chunks.keySet === docs.keySet, "some documents produced no chunks")
+    chunks.foreach { case (doc, rows) =>
+      val n = docs(doc)
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq === sorted.indices.map(_.toLong),
+        s"doc $doc chunk_idx not dense")
+      // stride tiling: every chunk starts at 24·idx and the last one
+      // reaches exactly the end of the token array
+      sorted.foreach { c =>
+        val expected = math.min(n - c.getLong(1) * 24, 32L)
+        assert(c.getLong(2) === expected, s"doc $doc chunk ${c.getLong(1)} n_tok")
+        assert(c.getString(3).split(" ", -1).length.toLong === c.getLong(2),
+          s"doc $doc chunk ${c.getLong(1)} text/token-count mismatch")
+      }
+      assert(sorted.last.getLong(1) * 24 + sorted.last.getLong(2) === n.toLong,
+        s"doc $doc: chunks don't reach the end of the document")
+      // overlap: each non-first chunk re-covers the previous 8 tokens
+      if (sorted.length > 1) assert(sorted.init.forall(_.getLong(2) === 32L),
+        s"doc $doc: non-final chunk shorter than the window")
+    }
+  }
+}
