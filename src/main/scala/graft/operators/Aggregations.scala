@@ -262,6 +262,50 @@ object Aggregations {
       .orderBy($"event_type")
   }
 
+  /** Top users per event type via a Misra–Gries frequent-items summary
+    * (functions/HeavyHittersAgg): fixed k=8 counters per group, so the
+    * shuffle carries ≤8 (item, count) pairs per (group, map task) no
+    * matter how many distinct users exist — the sketch answer to "who
+    * dominates this key" that an exact count-and-rank can't give at
+    * 100 TB cardinalities. ✖ oracle by design (estimates depend on
+    * partial-merge order, like every MG summary); the guarantee that
+    * IS deterministic — candidate superset + n/(k+1) error bound, and
+    * exactness when k ≥ distinct — is pinned in HeavyHittersSpec. */
+  def aggHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.HeavyHittersAgg.register(spark)
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(expr("heavy_hitters_agg(user_id)").as("hh"))
+      .select($"event_type", posexplode($"hh").as(Seq("r0", "h")))
+      .select($"event_type", ($"r0" + 1).cast("long").as("rank"),
+        $"h.item".as("user_id"), $"h.est".as("est_count"))
+      .orderBy($"event_type", $"rank")
+  }
+
+  /** Conditional aggregation via the SQL:2003 FILTER clause — several
+    * differently-filtered aggregates over ONE scan of the fact table
+    * (the alternative, one query per predicate, re-reads the corpus
+    * per metric; at 100 TB the single-pass shape is the only sane
+    * one). Catalyst compiles FILTER into the same codegen'd
+    * HashAggregate as CASE-WHEN aggregates — map-side combine intact,
+    * including for the filtered DISTINCT (planned via Expand). The
+    * filtered sum stays in exact decimal with a 0 empty-group
+    * sentinel. */
+  def aggFilteredConditional(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_type", $"user_id", Tables.dec4($"value").as("v"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("count(*) FILTER (WHERE v > 75)").as("n_big"),
+        expr("CAST(coalesce(sum(v) FILTER (WHERE v > 75), 0) AS DOUBLE)")
+          .as("sum_big"),
+        expr("count(DISTINCT user_id) FILTER (WHERE v > 75)").as("users_big"))
+      .orderBy($"event_type")
+  }
+
   /** Deterministic per-group mode: each user's most frequent event
     * type. `mode()` builtins tie-break arbitrarily (and differently
     * across engines); the count → rank shape makes the tie-break
@@ -283,6 +327,8 @@ object Aggregations {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "agg_filtered_conditional" -> (aggFilteredConditional(_, _)),
+    "agg_heavy_hitters" -> (aggHeavyHitters(_, _)),
     "agg_mode" -> (aggMode(_, _)),
     "agg_stats_moments" -> (aggStatsMoments(_, _)),
     "agg_corr_covar" -> (aggCorrCovar(_, _)),
@@ -300,6 +346,14 @@ object Aggregations {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "agg_filtered_conditional" ->
+      """WITH e AS (SELECT event_type, user_id,
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  count(*) FILTER (WHERE v > 75) AS n_big,
+        |  CAST(coalesce(sum(v) FILTER (WHERE v > 75), 0) AS DOUBLE) AS sum_big,
+        |  count(DISTINCT user_id) FILTER (WHERE v > 75) AS users_big
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_mode" ->
       """WITH c AS (SELECT user_id, event_type, count(*) AS n_events
         |  FROM events GROUP BY user_id, event_type),

@@ -312,7 +312,58 @@ object Analytics {
       .orderBy($"event_type")
   }
 
+  /** Per-node triangle count over the strong-tie supplier graph.
+    *
+    * The raw co-occurrence graph on this synthetic data is near-
+    * complete (every supplier pair shares parts), so triangles are
+    * counted on a kNN sparsification: each node keeps its 5 strongest
+    * neighbors (most shared parts; ties broken by id), edges
+    * undirected-deduped, THEN triangles enumerated. That's also the
+    * 100 TB shape: sparsify with a PARTITIONED window (per-node top-k —
+    * never a global rank), and enumerate on the sparse graph where the
+    * e⋈e⋈e chain is bounded by max-degree, not the raw quadratic
+    * incidence.
+    *
+    * Incidence pairs come from the set-explode shape (groupBy partkey →
+    * sorted set → per-element explode of the others), not a self-join —
+    * measured 2× faster on this data (CopurchaseProbe) and one shuffle.
+    * The sparse edge frame is persisted because the triangle join reads
+    * it three times (same caller contract as text_decontaminate: the
+    * harness clearCache()s per query). Triangle orientation a<b<c
+    * counts each exactly once; per-node counts explode the 3 roles. */
+  def graphTriangleCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val und = Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_suppkey").distinct()
+      .groupBy($"l_partkey")
+      .agg(sort_array(collect_set($"l_suppkey")).as("ss"))
+      .select($"ss", posexplode($"ss").as(Seq("i", "s1")))
+      .select($"s1", explode(expr("slice(ss, i + 2, size(ss))")).as("s2"))
+      .groupBy($"s1", $"s2").agg(count(lit(1)).as("sp"))
+    // mirror directions AFTER the pair aggregation: the dominant
+    // shuffle carries each unordered pair once (the ordered-pair
+    // explode would double it), and the cheap 2× fan-out happens on
+    // the already-aggregated frame
+    val inc = und.select(explode(array(
+        struct($"s1".as("u"), $"s2".as("v"), $"sp"),
+        struct($"s2".as("u"), $"s1".as("v"), $"sp"))).as("x"))
+      .select($"x.u".as("u"), $"x.v".as("v"), $"x.sp".as("sp"))
+    val w = Window.partitionBy($"u").orderBy($"sp".desc, $"v")
+    val e = inc.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+      .select(least($"u", $"v").as("a"), greatest($"u", $"v").as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t = e.as("e1")
+      .join(e.as("e2"), col("e2.a") === col("e1.b"))
+      .join(e.as("e3"), col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    t.select(explode(array($"x", $"y", $"z")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("n_triangles"))
+      .orderBy($"node")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "graph_triangle_count" -> (graphTriangleCount(_, _)),
     "anomaly_mad_outliers" -> (anomalyMadOutliers(_, _)),
     "graph_pagerank" -> (graphPagerank(_, _)),
     "text_tfidf" -> (textTfidf(_, _)),
@@ -361,6 +412,25 @@ object Analytics {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "graph_triangle_count" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |inc AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS sp
+        |        FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+        |          AND a.l_suppkey <> b.l_suppkey
+        |        GROUP BY 1, 2),
+        |nbr AS (SELECT u, v FROM (
+        |          SELECT u, v, row_number() OVER (
+        |            PARTITION BY u ORDER BY sp DESC, v) AS rn
+        |          FROM inc) WHERE rn <= 5),
+        |e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM nbr),
+        |t AS (SELECT e1.a, e1.b, e2.b AS c
+        |      FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        |  SELECT a AS node FROM t
+        |  UNION ALL SELECT b FROM t
+        |  UNION ALL SELECT c FROM t) roles
+        |GROUP BY node ORDER BY node""".stripMargin,
     "anomaly_mad_outliers" ->
       """WITH med AS (SELECT event_type,
         |    round(quantile_cont(value, 0.5), 6) AS med

@@ -418,7 +418,29 @@ object Relational {
     spark.table("nation_ctas").orderBy($"n_nationkey")
   }
 
+  /** Wide→long reshape via the native `Dataset.unpivot` API (SQL MELT):
+    * per-priority order metrics pivoted into (metric, value) rows.
+    * Catalyst plans unpivot as a single Expand over the aggregated
+    * frame — one pass, unlike the UNION-of-selects formulation that
+    * re-embeds the upstream aggregate N times (the funnel lesson).
+    * All melted metrics share one DOUBLE value column; counts are
+    * exact integers below 2^53 so the cast is lossless. */
+  def sqlUnpivotMelt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        sum(Tables.dec2($"o_totalprice")).cast("double").as("total_price"),
+        count(lit(1)).cast("double").as("n_orders"),
+        countDistinct($"o_custkey").cast("double").as("n_customers"))
+      .unpivot(Array($"o_orderpriority"),
+        Array($"total_price", $"n_orders", $"n_customers"),
+        "metric", "value")
+      .orderBy($"o_orderpriority", $"metric")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "sql_unpivot_melt" -> (sqlUnpivotMelt(_, _)),
     "sql_ctas_insert" -> (sqlCtasInsert(_, _)),
     "scan_parquet" -> (scanParquet(_, _)),
     "scan_projection_pruning" -> (scanProjectionPruning(_, _)),
@@ -448,6 +470,16 @@ object Relational {
   val oracleSql: Map[String, String] = Map(
     "sql_ctas_insert" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "sql_unpivot_melt" ->
+      """WITH m AS (SELECT o_orderpriority,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |    CAST(count(*) AS DOUBLE) AS n_orders,
+        |    CAST(count(DISTINCT o_custkey) AS DOUBLE) AS n_customers
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, 'total_price' AS metric, total_price AS value FROM m
+        |UNION ALL SELECT o_orderpriority, 'n_orders', n_orders FROM m
+        |UNION ALL SELECT o_orderpriority, 'n_customers', n_customers FROM m
+        |ORDER BY o_orderpriority, metric""".stripMargin,
     "scan_parquet" -> "SELECT count(*) AS n_rows FROM lineitem",
     "scan_projection_pruning" ->
       "SELECT l_orderkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_quantity",

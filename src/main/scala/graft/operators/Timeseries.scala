@@ -82,14 +82,20 @@ object Timeseries {
       .select($"event_type", Tables.nsToUs($"ts").as("t"),
         Tables.dec4($"value").as("v"))
       .createOrReplaceTempView("ev_decay")
+    // inline scalar subquery, NOT a FROM-clause cross join with the
+    // 1-row aggregate: the latter plans BroadcastNestedLoopJoin (the
+    // corpusMixRebalance trap, caught by PlanRegressionSpec); the
+    // subquery runs as its own job and folds in as a literal
     spark.sql(
       """SELECT event_type,
-        |  CAST(sum(greatest(0, 30 - ((m.tmax - t) div 86400000000)) * v)
+        |  CAST(sum(greatest(0, 30 -
+        |    (((SELECT max(t) FROM ev_decay) - t) div 86400000000)) * v)
         |    AS DOUBLE) AS wsum,
-        |  CAST(sum(greatest(0, 30 - ((m.tmax - t) div 86400000000)))
+        |  CAST(sum(greatest(0, 30 -
+        |    (((SELECT max(t) FROM ev_decay) - t) div 86400000000)))
         |    AS BIGINT) AS wtotal,
         |  count(*) AS n
-        |FROM ev_decay, (SELECT max(t) AS tmax FROM ev_decay) m
+        |FROM ev_decay
         |GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
@@ -131,14 +137,15 @@ object Timeseries {
         |ORDER BY user_id, version""".stripMargin,
     "agg_time_decay_weighted" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS t,
-        |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
-        |m AS (SELECT max(t) AS tmax FROM e)
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events)
         |SELECT event_type,
-        |  CAST(sum(greatest(0, 30 - ((m.tmax - t) // 86400000000)) * v)
+        |  CAST(sum(greatest(0, 30 -
+        |    (((SELECT max(t) FROM e) - t) // 86400000000)) * v)
         |    AS DOUBLE) AS wsum,
-        |  CAST(sum(greatest(0, 30 - ((m.tmax - t) // 86400000000)))
+        |  CAST(sum(greatest(0, 30 -
+        |    (((SELECT max(t) FROM e) - t) // 86400000000)))
         |    AS BIGINT) AS wtotal,
         |  count(*) AS n
-        |FROM e, m GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
