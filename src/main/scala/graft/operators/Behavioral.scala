@@ -129,13 +129,80 @@ object Behavioral {
       .orderBy($"shared_parts".desc, $"s1", $"s2")
   }
 
+  /** First-order transition matrix over each user's event sequence —
+    * the Markov-chain view of a clickstream (what follows what, and
+    * how often). One user_id shuffle: lag() over the per-user order
+    * pairs consecutive events, then a (prev, next) count with map-side
+    * combine — shuffle two: ≤ |types|² rows total. The self-join
+    * formulation (e ⋈ e on adjacent ranks) moves the event log twice
+    * for the same answer. */
+  def aggTransitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", Tables.nsToUs($"ts").as("t"),
+        $"event_type")
+      .select($"event_type".as("next_type"),
+        lag($"event_type", 1).over(w).as("prev_type"))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"next_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"prev_type", $"next_type")
+  }
+
+  /** Growth accounting: per (event type, day), how many users appear
+    * for the FIRST time, and the running distinct-user total — the
+    * "cumulative distinct" that a naive count(DISTINCT) over an
+    * expanding window would recompute quadratically. Shape: first-seen
+    * day per (type, user) is one partial-agg min (shuffle carries one
+    * row per (type, user)); daily news collapse to ≤ types × days
+    * rows; the cumulative sum is a window over that tiny frame. At
+    * 100 TB nothing past the first aggregate sees more than the
+    * user-dimension cardinality. */
+  def windowCumulativeDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val firstSeen = Tables.events(spark, dir)
+      .select($"event_type", $"user_id", Tables.nsToUs($"ts").as("t"))
+      .select($"event_type", $"user_id", expr("t div 86400000000").as("day"))
+      .groupBy($"event_type", $"user_id")
+      .agg(min($"day").as("first_day"))
+    val news = firstSeen.groupBy($"event_type", $"first_day".as("day"))
+      .agg(count(lit(1)).as("new_users"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    news.select($"event_type", $"day", $"new_users",
+        sum($"new_users").over(w).as("cum_users"))
+      .orderBy($"event_type", $"day")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "funnel_conversion" -> (funnelConversion(_, _)),
     "retention_cohort" -> (retentionCohort(_, _)),
+    "agg_transition_matrix" -> (aggTransitionMatrix(_, _)),
+    "window_cumulative_distinct" -> (windowCumulativeDistinct(_, _)),
     "graph_copurchase_pairs" -> (graphCopurchasePairs(_, _))
   )
 
   val oracleSql: Map[String, String] = Map(
+    "agg_transition_matrix" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    event_type FROM events),
+        |p AS (SELECT event_type AS next_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id) AS prev_type FROM e)
+        |SELECT prev_type, next_type, count(*) AS n
+        |FROM p WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, next_type
+        |ORDER BY prev_type, next_type""".stripMargin,
+    "window_cumulative_distinct" ->
+      """WITH f AS (SELECT event_type, user_id,
+        |    min(epoch_us(ts) // 86400000000) AS first_day
+        |  FROM events GROUP BY event_type, user_id),
+        |n AS (SELECT event_type, first_day AS day,
+        |    count(*) AS new_users FROM f GROUP BY event_type, first_day)
+        |SELECT event_type, day, new_users,
+        |  CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day)
+        |    AS BIGINT) AS cum_users
+        |FROM n ORDER BY event_type, day""".stripMargin,
     "funnel_conversion" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
         |u AS (SELECT user_id,

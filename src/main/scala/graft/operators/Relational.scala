@@ -418,6 +418,30 @@ object Relational {
     spark.table("nation_ctas").orderBy($"n_nationkey")
   }
 
+  /** Schema-evolution read: two parquet generations under one root —
+    * v=1 written before a column existed, v=2 after — unified by
+    * `mergeSchema` (footer union across files) plus the directory
+    * partition column. The absent column reads as NULL in old files
+    * and gets the −1 sentinel (nullable BIGINT rule). This is the
+    * append-only table-evolution path a long-lived 100 TB dataset
+    * needs: new columns arrive without rewriting old partitions, and
+    * the merged read stays a plain pruned parquet scan (mergeSchema
+    * costs one footer read per file — at real scale you'd pin the
+    * merged schema in a catalog instead of re-inferring). */
+  def sourceSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = "/root/repo/target/tmp/schema_evolution"
+    val n = Tables.nation(spark, dir)
+    n.select($"n_nationkey", $"n_name")
+      .write.mode("overwrite").parquet(tmp + "/v=1")
+    n.select($"n_nationkey", $"n_name", $"n_regionkey")
+      .write.mode("overwrite").parquet(tmp + "/v=2")
+    spark.read.option("mergeSchema", "true").parquet(tmp)
+      .select($"v".cast("long").as("v"), $"n_nationkey", $"n_name",
+        coalesce($"n_regionkey", lit(-1L)).as("n_regionkey"))
+      .orderBy($"v", $"n_nationkey")
+  }
+
   /** Wide→long reshape via the native `Dataset.unpivot` API (SQL MELT):
     * per-priority order metrics pivoted into (metric, value) rows.
     * Catalyst plans unpivot as a single Expand over the aggregated
@@ -440,6 +464,7 @@ object Relational {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "source_schema_evolution" -> (sourceSchemaEvolution(_, _)),
     "sql_unpivot_melt" -> (sqlUnpivotMelt(_, _)),
     "sql_ctas_insert" -> (sqlCtasInsert(_, _)),
     "scan_parquet" -> (scanParquet(_, _)),
@@ -470,6 +495,13 @@ object Relational {
   val oracleSql: Map[String, String] = Map(
     "sql_ctas_insert" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "source_schema_evolution" ->
+      """SELECT CAST(1 AS BIGINT) AS v, n_nationkey, n_name,
+        |  CAST(-1 AS BIGINT) AS n_regionkey FROM nation
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), n_nationkey, n_name, n_regionkey
+        |FROM nation
+        |ORDER BY v, n_nationkey""".stripMargin,
     "sql_unpivot_melt" ->
       """WITH m AS (SELECT o_orderpriority,
         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,

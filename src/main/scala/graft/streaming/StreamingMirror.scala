@@ -95,6 +95,27 @@ object StreamingMirror {
       .select($"p_user".as("user_id"), $"c_id".as("click_id"), $"p_id".as("purchase_id"))
   }
 
+  /** Stream-static enrichment — the streaming half of the broadcast
+    * dimension join: each micro-batch of the event stream joins a
+    * STATIC per-user dimension (here: each user's total event count,
+    * computed once from the batch table). The static side is planned
+    * per micro-batch exactly like a batch broadcast join — no state
+    * store at all, which is why this is the cheapest streaming join
+    * and the first choice when one side is a slowly-changing dim at
+    * 100 TB (re-read the dim snapshot per trigger; only stream-stream
+    * joins pay stateful bookkeeping). */
+  def staticEnrichStream(spark: SparkSession, stageDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.configure(spark)
+    val schema = spark.read.parquet(stageDir).schema
+    val dim = spark.read.parquet(stageDir)
+      .groupBy($"user_id").agg(count(lit(1)).as("user_events"))
+    spark.readStream.schema(schema).parquet(stageDir)
+      .select($"event_id", $"user_id", $"event_type")
+      .join(broadcast(dim), "user_id")
+      .select($"user_id", $"event_id", $"event_type", $"user_events")
+  }
+
   /** foreachBatch upsert — the streaming twin of
     * Pipelines.compactLatestState: every micro-batch merges into a
     * keyed state table (read state → union batch → keep latest per

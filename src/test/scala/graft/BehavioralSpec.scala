@@ -186,6 +186,34 @@ class BehavioralSpec extends SparkSuite {
     r.unpersist()
   }
 
+  test("agg_transition_matrix: transitions sum to events minus one per active user") {
+    import graft.operators.Behavioral
+    val total = Behavioral.aggTransitionMatrix(spark, sf0001)
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    val events = Tables.events(spark, sf0001).count()
+    val users = Tables.events(spark, sf0001)
+      .select(col("user_id")).distinct().count()
+    assert(total === events - users, // each user's chain has count-1 links
+      s"transition total $total != $events - $users")
+  }
+
+  test("window_cumulative_distinct: running total converges to the exact distinct count") {
+    import graft.operators.Behavioral
+    val rows = Behavioral.windowCumulativeDistinct(spark, sf0001).collect()
+    val finalCum = rows.groupBy(_.getString(0)).map { case (et, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      // non-decreasing and internally consistent: cum = running sum of news
+      var acc = 0L
+      sorted.foreach { r => acc += r.getLong(2); assert(r.getLong(3) === acc) }
+      et -> acc
+    }
+    val exact = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(finalCum === exact)
+  }
+
   test("agg_hll_partition_merge: union of daily sketches equals the one-shot sketch") {
     import graft.operators.Aggregations
     val merged = Aggregations.aggHllPartitionMerge(spark, sf0001)

@@ -43,6 +43,18 @@ class SinksSpec extends SparkSuite {
     assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(1200))
   }
 
+  test("source_schema_evolution merges old and new file generations") {
+    import graft.operators.Relational
+    val rows = Relational.sourceSchemaEvolution(spark, sf0001).collect()
+    val n = Tables.nation(spark, sf0001).count()
+    assert(rows.length.toLong === 2 * n)
+    val (v1, v2) = rows.partition(_.getLong(0) == 1L)
+    assert(v1.length.toLong === n && v2.length.toLong === n)
+    // pre-evolution files surface the new column as the -1 sentinel
+    assert(v1.forall(_.getLong(3) === -1L))
+    assert(v2.forall(_.getLong(3) >= 0L))
+  }
+
   test("writeSorted produces row-group-skippable files") {
     val dir = "/root/repo/target/tmp/sink_sorted"
     Sinks.writeSorted(Tables.orders(spark, sf0001), dir, "o_totalprice")

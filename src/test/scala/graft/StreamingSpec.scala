@@ -36,6 +36,19 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.except(batch).count() === 0L)
   }
 
+  test("stream-static enrich equals the batch broadcast dim join") {
+    val streamed = StreamingMirror.runToCompletionAppend(
+      spark, StreamingMirror.staticEnrichStream(spark, stage), "enrich_mirror")
+    val e = Tables.events(spark, sf0001)
+    val dim = e.groupBy(col("user_id")).agg(count(lit(1)).as("user_events"))
+    val batch = e.select(col("event_id"), col("user_id"), col("event_type"))
+      .join(broadcast(dim), "user_id")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("user_events"))
+    assert(streamed.count() === e.count()) // inner join loses no event
+    assert(streamed.except(batch).count() === 0L)
+    assert(batch.except(streamed).count() === 0L)
+  }
+
   test("streaming dedup drops at-least-once re-deliveries") {
     // stage the same events TWICE — an at-least-once redelivery of the
     // whole batch; the dedup stream must admit each event_id once
