@@ -262,6 +262,29 @@ object Aggregations {
       .orderBy($"event_type")
   }
 
+  /** Discrete (inverse-distribution) percentiles per group:
+    * percentile_disc returns an ACTUAL data value (smallest v with
+    * cume_dist ≥ p), so unlike the interpolated percentile_cont —
+    * which needs a round(6) truce across engines (agg_percentile) —
+    * the result is bit-exact everywhere. Spark plans WITHIN GROUP
+    * inverse-distribution functions as a regular sort-based aggregate;
+    * shuffle is O(groups), per-group state is the value multiset
+    * (at 100 TB swap in approx_percentile for hot groups — same
+    * query shape). */
+  def aggPercentileDisc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_type", $"value".as("v"))
+      .createOrReplaceTempView("ev_disc")
+    spark.sql(
+      """SELECT event_type,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY v) AS p25,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS p50,
+        |  percentile_disc(0.75) WITHIN GROUP (ORDER BY v) AS p75,
+        |  percentile_disc(0.9) WITHIN GROUP (ORDER BY v) AS p90
+        |FROM ev_disc GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   /** Top users per event type via a Misra–Gries frequent-items summary
     * (functions/HeavyHittersAgg): fixed k=8 counters per group, so the
     * shuffle carries ≤8 (item, count) pairs per (group, map task) no
@@ -328,6 +351,7 @@ object Aggregations {
 
   val queries: Map[String, QueryFn] = Map(
     "agg_filtered_conditional" -> (aggFilteredConditional(_, _)),
+    "agg_percentile_disc" -> (aggPercentileDisc(_, _)),
     "agg_heavy_hitters" -> (aggHeavyHitters(_, _)),
     "agg_mode" -> (aggMode(_, _)),
     "agg_stats_moments" -> (aggStatsMoments(_, _)),
@@ -354,6 +378,13 @@ object Aggregations {
         |  CAST(coalesce(sum(v) FILTER (WHERE v > 75), 0) AS DOUBLE) AS sum_big,
         |  count(DISTINCT user_id) FILTER (WHERE v > 75) AS users_big
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_percentile_disc" ->
+      """SELECT event_type,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS p25,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+        |  percentile_disc(0.75) WITHIN GROUP (ORDER BY value) AS p75,
+        |  percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_mode" ->
       """WITH c AS (SELECT user_id, event_type, count(*) AS n_events
         |  FROM events GROUP BY user_id, event_type),

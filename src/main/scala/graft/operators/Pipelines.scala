@@ -337,7 +337,63 @@ object Pipelines {
       .orderBy($"lang", $"shard", $"pack_id")
   }
 
+  /** Incremental aggregate maintenance: a daily rollup kept current by
+    * re-aggregating ONLY the days a late-arriving batch touched —
+    * untouched days ride through from the standing aggregate via an
+    * anti-join on the (tiny, broadcast) touched-day set. At 100 TB
+    * this is the difference between an hourly backfill re-reading the
+    * whole fact table and re-reading a handful of day partitions
+    * (partition pruning serves the touched-day scan). The late batch
+    * is carved deterministically (event_id % 10) so the result is
+    * reproducible — and must equal the one-shot aggregate, which is
+    * exactly what the oracle checks (and PipelinesSpec asserts
+    * directly). */
+  def compactIncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"event_id", $"event_type", Tables.nsToUs($"ts").as("t"),
+        Tables.dec4($"value").as("v"))
+      .select($"event_id", $"event_type", expr("t div 86400000000").as("day"), $"v")
+    def rollup(df: DataFrame) = df.groupBy($"day", $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+    val late = e.filter($"event_id" % 10 === 0)
+    val standing = rollup(e.filter($"event_id" % 10 =!= 0))
+    val touched = late.select($"day").distinct()
+    val kept = standing.join(broadcast(touched), Seq("day"), "left_anti")
+    val recomputed = rollup(e.join(broadcast(touched), Seq("day")))
+    kept.unionByName(recomputed)
+      .select($"day", $"event_type", $"n", $"sv".cast("double").as("sum_value"))
+      .orderBy($"day", $"event_type")
+  }
+
+  /** Corpus health report per source — the dashboard a data-curation
+    * team watches: volume, language spread, length profile, and
+    * 5-token-prefix diversity (a cheap truncation-dup smell; the full
+    * answer is dedup_containment_prefix). One scan, one partial+final
+    * aggregate; the two DISTINCTs plan via Expand and still combine
+    * map-side. Mean length in integer `div` (floor semantics agree
+    * across engines for the non-negative counts here). */
+  def qualityCorpusReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"source", $"lang", $"n_chars",
+        concat_ws(" ", expr("slice(split(text, ' '), 1, 5)")).as("p5"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct($"lang").as("n_langs"),
+        countDistinct($"p5").as("n_prefix5_distinct"),
+        sum($"n_chars").as("total_chars"),
+        expr("count(*) FILTER (WHERE n_chars < 200)").as("n_short"))
+      .select($"source", $"n_docs", $"n_langs", $"n_prefix5_distinct",
+        $"total_chars", expr("total_chars div n_docs").as("mean_chars"),
+        $"n_short")
+      .orderBy($"source")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "compact_incremental_agg" -> (compactIncrementalAgg(_, _)),
+    "quality_corpus_report" -> (qualityCorpusReport(_, _)),
     "dedup_cluster_cc" -> (dedupClusterCc(_, _)),
     "dedup_incremental" -> (dedupIncremental(_, _)),
     "text_decontaminate" -> (textDecontaminate(_, _)),
@@ -349,6 +405,26 @@ object Pipelines {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "compact_incremental_agg" ->
+      // the maintained rollup must equal the one-shot aggregate
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events)
+        |SELECT day, event_type, count(*) AS n,
+        |  CAST(sum(v) AS DOUBLE) AS sum_value
+        |FROM e GROUP BY day, event_type
+        |ORDER BY day, event_type""".stripMargin,
+    "quality_corpus_report" ->
+      """WITH d AS (SELECT source, lang, n_chars,
+        |    array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')
+        |      AS p5 FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT lang) AS n_langs,
+        |  count(DISTINCT p5) AS n_prefix5_distinct,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(n_chars) AS BIGINT) // count(*) AS mean_chars,
+        |  count(*) FILTER (WHERE n_chars < 200) AS n_short
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "dedup_cluster_cc" ->
       """WITH RECURSIVE
         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

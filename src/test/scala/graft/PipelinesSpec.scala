@@ -168,4 +168,32 @@ class PipelinesSpec extends SparkSuite {
     }
     assert(out === ref)
   }
+
+  test("compact_incremental_agg: maintained rollup equals the one-shot aggregate") {
+    import spark.implicits._
+    import graft.operators.Pipelines
+    val maintained = Pipelines.compactIncrementalAgg(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val oneShot = Tables.events(spark, sf0001)
+      .select($"event_type", Tables.nsToUs($"ts").as("t"), Tables.dec4($"value").as("v"))
+      .select($"event_type", expr("t div 86400000000").as("day"), $"v")
+      .groupBy($"day", $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"v").cast("double").as("sv"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(maintained === oneShot)
+  }
+
+  test("quality_corpus_report: totals reconcile with the document table") {
+    import graft.operators.Pipelines
+    val report = Pipelines.qualityCorpusReport(spark, sf0001).collect()
+    assert(report.nonEmpty)
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(report.map(_.getLong(1)).sum === nDocs)
+    report.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(3) >= 1)
+      assert(r.getLong(3) <= r.getLong(1), "prefix diversity exceeds doc count")
+      assert(r.getLong(5) === r.getLong(4) / r.getLong(1), "mean_chars != floor(total/n)")
+      assert(r.getLong(6) <= r.getLong(1))
+    }
+  }
 }
