@@ -55,6 +55,15 @@ class SinksSpec extends SparkSuite {
     assert(v2.forall(_.getLong(3) >= 0L))
   }
 
+  test("source_csv_permissive quarantines garbage without losing good rows") {
+    import graft.operators.Relational
+    val census = Relational.sourceCsvPermissive(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val n = Tables.nation(spark, sf0001).count()
+    assert(census("ok") === ((n, n)))       // every good row parsed, key intact
+    assert(census("corrupt") === ((3L, 0L))) // all garbage flagged, no key salvaged
+  }
+
   test("writeSorted produces row-group-skippable files") {
     val dir = "/root/repo/target/tmp/sink_sorted"
     Sinks.writeSorted(Tables.orders(spark, sf0001), dir, "o_totalprice")
