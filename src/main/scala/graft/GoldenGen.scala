@@ -11,7 +11,8 @@ object GoldenGen {
   val flagships = Seq("agg_groupby_sum", "join_multiway_star", "agg_wordcount",
     "topk_limit", "text_stats", "graph_pagerank", "text_tfidf",
     "sql_recursive_cte", "q4_order_priority", "q6_forecast_revenue",
-    "funnel_conversion")
+    "funnel_conversion", "timeseries_ohlc_bars", "graph_triangle_count",
+    "agg_transition_matrix", "compact_incremental_agg")
 
   def csvOf(spark: SparkSession, name: String, sfDir: String): String = {
     val df = SparkEntry.queries(name)(spark, sfDir)
