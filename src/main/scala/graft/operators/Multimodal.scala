@@ -209,7 +209,47 @@ object Multimodal {
       .orderBy($"q_id", $"rn")
   }
 
+  /** One Lloyd's-iteration k-means step over the embedding table:
+    * assign every vector to its nearest of k=4 fixed seed centroids
+    * (the first 4 vec_ids) and report per-cluster membership, inertia,
+    * and the dimension-0 coordinate mass — the building block of
+    * distributed k-means (and of IVF index training, which is k-means
+    * on exactly this table; simsearch_ann_ivf consumes such cells).
+    *
+    * Determinism at scale: embeddings quantize to 2^20 fixed point
+    * BEFORE any arithmetic, so squared distances are exact BIGINTs
+    * ((2·2^20)² × 64 dims < 2^48 — no overflow, no FP merge-order) and
+    * argmin ties break on (sqdist, cid) lexicographically. The seed
+    * frame broadcasts (k rows); the candidate fan-out is k× the corpus
+    * with NO shuffle until the ≤k-row final aggregate — the standard
+    * map-side-assign / reduce-side-recenter shape that runs Lloyd's at
+    * any corpus size. Sums (not means) are output: a fixed-point mean
+    * needs a floor-div whose negative-operand semantics differ between
+    * Spark `div` (truncates) and DuckDB `//` (floors). */
+  def mlKmeansStep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        expr("transform(embedding, x -> CAST(floor(x * 1048576) AS BIGINT))")
+          .as("qv"))
+    val seeds = q.filter($"vec_id" < 4)
+      .select($"vec_id".as("cid"), $"qv".as("cq"))
+    val d = q.crossJoin(broadcast(seeds))
+      .select($"vec_id", $"cid", element_at($"qv", 1).as("d0"),
+        expr("aggregate(zip_with(qv, cq, (x, y) -> (x - y) * (x - y)), " +
+          "0L, (acc, v) -> acc + v)").as("sqdist"))
+    d.groupBy($"vec_id")
+      .agg(min(struct($"sqdist", $"cid")).as("m"), max($"d0").as("d0"))
+      .select($"m.cid".as("cid"), $"m.sqdist".as("sqdist"), $"d0")
+      .groupBy($"cid")
+      .agg(count(lit(1)).as("n_members"),
+        sum($"sqdist").as("sum_sqdist"),
+        sum($"d0").as("sum_d0"))
+      .orderBy($"cid")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "ml_kmeans_step" -> (mlKmeansStep(_, _)),
     "multimodal_binary_meta" -> (multimodalBinaryMeta(_, _)),
     "multimodal_decode_stub" -> (multimodalDecodeStub(_, _)),
     "multimodal_resize_stub" -> (multimodalResizeStub(_, _)),
@@ -219,6 +259,23 @@ object Multimodal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ml_kmeans_step" ->
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 1048576) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |s AS (SELECT vec_id AS cid, qv AS cq FROM q WHERE vec_id < 4),
+        |d AS (SELECT q.vec_id, s.cid, q.qv[1] AS d0,
+        |    CAST(list_sum(list_transform(list_zip(q.qv, s.cq),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS sqdist
+        |  FROM q, s),
+        |a AS (SELECT vec_id, cid, d0, sqdist,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sqdist, cid) AS rn FROM d)
+        |SELECT cid, count(*) AS n_members,
+        |  CAST(sum(sqdist) AS BIGINT) AS sum_sqdist,
+        |  CAST(sum(d0) AS BIGINT) AS sum_d0
+        |FROM a WHERE rn = 1 GROUP BY cid ORDER BY cid""".stripMargin,
     "multimodal_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS content_sha,

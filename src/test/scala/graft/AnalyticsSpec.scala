@@ -147,6 +147,20 @@ class AnalyticsSpec extends SparkSuite {
     assert(fp < 500L, s"fp=$fp of 10000 — fpp far above the configured 1%")
   }
 
+  test("ml_kmeans_step: assignments partition the corpus and seeds self-assign") {
+    import graft.operators.Multimodal
+    val clusters = Multimodal.mlKmeansStep(spark, sf0001).collect()
+    assert(clusters.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L, 3L))
+    val total = clusters.map(_.getLong(1)).sum
+    assert(total === Tables.embeddings(spark, sf0001).count(),
+      "every vector must be assigned exactly once")
+    clusters.foreach { r =>
+      assert(r.getLong(1) >= 1, s"cluster ${r.getLong(0)} empty — its own seed " +
+        "is at distance 0 and must self-assign")
+      assert(r.getLong(2) >= 0, "inertia cannot be negative")
+    }
+  }
+
   test("embedding_quantize: q stays in [-127, 127] and digests are consistent") {
     val q = Analytics.embeddingQuantize(spark, sf0001).cache()
     assert(q.filter(col("q_min") < -127 || col("q_max") > 127).count() === 0L)

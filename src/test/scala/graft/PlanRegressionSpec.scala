@@ -165,7 +165,10 @@ class PlanRegressionSpec extends SparkSuite {
   }
 
   test("quadratic plans appear ONLY in the documented similarity baselines") {
-    val allowed = Set("simsearch_cosine_topk", "dedup_embedding_cosine", "simsearch_ann_ivf")
+    // ml_kmeans_step: k-row seed broadcast × corpus is the Lloyd's
+    // assign step — fan-out is k (constant), not quadratic
+    val allowed = Set("simsearch_cosine_topk", "dedup_embedding_cosine",
+      "simsearch_ann_ivf", "ml_kmeans_step")
     val offenders = SparkEntry.queries.keys.filterNot(allowed)
       .filter(n => n != "source_csv_roundtrip" && plan(n).contains("BroadcastNestedLoopJoin"))
     assert(offenders.isEmpty, s"unexpected nested-loop joins: $offenders")
