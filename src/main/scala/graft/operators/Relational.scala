@@ -418,6 +418,40 @@ object Relational {
     spark.table("nation_ctas").orderBy($"n_nationkey")
   }
 
+  /** Dynamic partition overwrite — the idempotent backfill primitive:
+    * re-ingesting one day REPLACES exactly that day's directory and
+    * leaves every other partition untouched (static overwrite mode
+    * would truncate the whole table; append would duplicate). Here the
+    * full log lands day-partitioned, then day 19725 is re-written with
+    * its 'error' events corrected away; the readback census proves the
+    * surgical replacement. At 100 TB this is how every nightly
+    * correction run works: write-amplification bounded by the touched
+    * partitions, the job re-runnable because overwrite is idempotent.
+    * The session's partitionOverwriteMode is saved and restored — the
+    * mode is per-write semantics, not a global the operator may leak. */
+  def sinkDynamicOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = "/root/repo/target/tmp/dynamic_overwrite"
+    val src = Tables.events(spark, dir)
+      .select($"event_id", $"event_type", Tables.dec4($"value").as("v"),
+        Tables.nsToUs($"ts").as("t"))
+      .withColumn("day", expr("t div 86400000000"))
+    src.write.mode("overwrite").partitionBy("day").parquet(tmp)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      src.filter($"day" === 19725L && $"event_type" =!= "error")
+        .write.mode("overwrite").partitionBy("day").parquet(tmp)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    spark.read.schema(src.schema).parquet(tmp)
+      .groupBy($"day".cast("long").as("day"))
+      .agg(count(lit(1)).as("n"), sum($"v").cast("double").as("sum_value"))
+      .orderBy($"day")
+  }
+
   /** Malformed-row ingest policy: PERMISSIVE CSV parsing quarantines
     * bad rows into `_corrupt_record` instead of failing the job — the
     * only sane default at 100 TB, where a billion-line crawl WILL
@@ -511,6 +545,7 @@ object Relational {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "sink_dynamic_overwrite" -> (sinkDynamicOverwrite(_, _)),
     "source_csv_permissive" -> (sourceCsvPermissive(_, _)),
     "source_schema_evolution" -> (sourceSchemaEvolution(_, _)),
     "sql_unpivot_melt" -> (sqlUnpivotMelt(_, _)),
@@ -543,6 +578,14 @@ object Relational {
   val oracleSql: Map[String, String] = Map(
     "sql_ctas_insert" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "sink_dynamic_overwrite" ->
+      // final table state: everything except day 19725's error events
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events)
+        |SELECT day, count(*) AS n, CAST(sum(v) AS DOUBLE) AS sum_value
+        |FROM e WHERE NOT (day = 19725 AND event_type = 'error')
+        |GROUP BY day ORDER BY day""".stripMargin,
     "source_csv_permissive" ->
       // 3 deterministic garbage lines are injected alongside the real
       // rows; the graded property is that PERMISSIVE parsing keeps

@@ -55,6 +55,25 @@ class SinksSpec extends SparkSuite {
     assert(v2.forall(_.getLong(3) >= 0L))
   }
 
+  test("sink_dynamic_overwrite replaces exactly the rewritten day") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Relational
+    Relational.sinkDynamicOverwrite(spark, sf0001) // builds + patches the layout
+    val back = spark.read.parquet("/root/repo/target/tmp/dynamic_overwrite")
+    // the patched day lost its error events; a neighboring day kept everything
+    assert(back.filter(col("day") === 19725 && col("event_type") === "error")
+      .count() === 0L)
+    val full = Tables.events(spark, sf0001)
+      .select(Tables.nsToUs(col("ts")).as("t"), col("event_type"))
+      .select(expr("t div 86400000000").as("day"), col("event_type"))
+    val d = 19726L
+    assert(back.filter(col("day") === d).count() ===
+      full.filter(col("day") === d).count())
+    // and the overwrite mode conf did not leak into the session
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      .forall(_ != "dynamic"))
+  }
+
   test("source_csv_permissive quarantines garbage without losing good rows") {
     import graft.operators.Relational
     val census = Relational.sourceCsvPermissive(spark, sf0001).collect()
