@@ -93,6 +93,59 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("chunk tiling law: 32/24 windows cover every token exactly once per stride") {
+    // local mirror of text_chunk_overlap's index arithmetic
+    def chunks(n: Int): Seq[(Int, Int)] = { // (start0, len)
+      val nc = 1 + math.max(0, n - 9) / 24
+      (0 until nc).map(i => (i * 24, math.min(n - i * 24, 32)))
+    }
+    check(Prop.forAll(Gen.chooseNum(1, 5000)) { n: Int =>
+      val cs = chunks(n)
+      val last = cs.last
+      cs.head._1 == 0 &&                          // starts at the first token
+        last._1 + last._2 == n &&                 // reaches exactly the end
+        cs.init.forall(_._2 == 32) &&             // only the tail may be short
+        cs.forall { case (s, l) => l >= 1 && s + l <= n } &&
+        cs.sliding(2).forall {                    // fixed stride, 8-token overlap
+          case Seq((a, _), (b, _)) => b - a == 24
+          case _ => true
+        }
+    })
+  }
+
+  test("misra-gries law: k >= distinct is exact under any partition merge order") {
+    import scala.collection.mutable
+    def update(m: mutable.LongMap[Long], x: Long, k: Int): Unit =
+      if (m.contains(x)) m(x) += 1
+      else if (m.size < k) m(x) = 1
+      else {
+        val dead = m.collect { case (i, 1L) => i }.toSeq
+        m.transform((_, c) => c - 1); dead.foreach(m.remove)
+      }
+    def merge(a: mutable.LongMap[Long], b: mutable.LongMap[Long], k: Int) = {
+      b.foreachEntry { (i, c) => a(i) = a.getOrElse(i, 0L) + c }
+      if (a.size > k) {
+        val d = a.values.toArray.sorted(Ordering[Long].reverse)(k)
+        val dead = a.collect { case (i, c) if c - d <= 0 => i }.toSeq
+        a.transform((_, c) => c - d); dead.foreach(a.remove)
+      }
+      a
+    }
+    val input = Gen.listOf(Gen.chooseNum(0L, 7L)) // ≤ 8 distinct = k
+    val cuts = Gen.chooseNum(1, 5)
+    check(Prop.forAll(input, cuts) { (xs: List[Long], parts: Int) =>
+      val exact = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val partials = xs.grouped(math.max(1, xs.size / parts + 1)).map { part =>
+        val m = mutable.LongMap.empty[Long]; part.foreach(update(m, _, 8)); m
+      }.toList
+      val merged = partials match {
+        case Nil => mutable.LongMap.empty[Long]
+        case h :: t => t.foldLeft(h)((a, b) => merge(a, b, 8))
+      }
+      merged.toMap == exact
+    })
+  }
+
   test("int8 quantization law: range bound and maxabs element saturates") {
     val vec = Gen.nonEmptyListOf(Gen.chooseNum(-1e3f, 1e3f)).map(_.toArray)
     def quantize(xs: Array[Float]): Array[Long] = {
