@@ -418,6 +418,34 @@ object Relational {
     spark.table("nation_ctas").orderBy($"n_nationkey")
   }
 
+  /** Dense-grid zero-fill — the reporting pattern for sparse facts: a
+    * dashboard needs EVERY (nation, priority) cell, including the
+    * combinations no order hit, so the dimension grid is built first
+    * (cross join of two bounded dims — 25 × 5 rows, broadcast
+    * nested-loop by construction and allowlisted as such) and the
+    * observed aggregate left-joins onto it with a 0 fill. Without the
+    * grid, absent cells silently vanish and downstream charts
+    * misreport. The fact table aggregates BEFORE the join, so the
+    * grid join touches O(cells), not O(orders). */
+  def reportDenseGrid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val obs = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_obs"),
+        sum(Tables.dec2($"o_totalprice")).cast("double").as("sum_price"))
+    val grid = Tables.nation(spark, dir).select($"n_name")
+      .crossJoin(Tables.orders(spark, dir).select($"o_orderpriority").distinct())
+    grid.join(obs, Seq("n_name", "o_orderpriority"), "left")
+      .select($"n_name", $"o_orderpriority",
+        coalesce($"n_obs", lit(0L)).as("n_orders"),
+        coalesce($"sum_price", lit(0.0d)).as("sum_price"))
+      .orderBy($"n_name", $"o_orderpriority")
+  }
+
   /** Dynamic partition overwrite — the idempotent backfill primitive:
     * re-ingesting one day REPLACES exactly that day's directory and
     * leaves every other partition untouched (static overwrite mode
@@ -545,6 +573,7 @@ object Relational {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "report_dense_grid" -> (reportDenseGrid(_, _)),
     "sink_dynamic_overwrite" -> (sinkDynamicOverwrite(_, _)),
     "source_csv_permissive" -> (sourceCsvPermissive(_, _)),
     "source_schema_evolution" -> (sourceSchemaEvolution(_, _)),
@@ -578,6 +607,23 @@ object Relational {
   val oracleSql: Map[String, String] = Map(
     "sql_ctas_insert" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "report_dense_grid" ->
+      """WITH obs AS (SELECT n.n_name, o.o_orderpriority,
+        |    count(*) AS n_obs,
+        |    CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_price
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY n.n_name, o.o_orderpriority),
+        |grid AS (SELECT n_name, o_orderpriority
+        |  FROM nation CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders))
+        |SELECT g.n_name, g.o_orderpriority,
+        |  coalesce(obs.n_obs, 0) AS n_orders,
+        |  coalesce(obs.sum_price, 0.0) AS sum_price
+        |FROM grid g LEFT JOIN obs
+        |  ON g.n_name = obs.n_name AND g.o_orderpriority = obs.o_orderpriority
+        |ORDER BY g.n_name, g.o_orderpriority""".stripMargin,
     "sink_dynamic_overwrite" ->
       // final table state: everything except day 19725's error events
       """WITH e AS (SELECT event_type,

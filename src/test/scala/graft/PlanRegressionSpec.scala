@@ -166,9 +166,11 @@ class PlanRegressionSpec extends SparkSuite {
 
   test("quadratic plans appear ONLY in the documented similarity baselines") {
     // ml_kmeans_step: k-row seed broadcast × corpus is the Lloyd's
-    // assign step — fan-out is k (constant), not quadratic
+    // assign step — fan-out is k (constant), not quadratic.
+    // report_dense_grid: cross join of two BOUNDED dims builds the
+    // 125-cell reporting grid — cardinality is |dims|², not |facts|²
     val allowed = Set("simsearch_cosine_topk", "dedup_embedding_cosine",
-      "simsearch_ann_ivf", "ml_kmeans_step")
+      "simsearch_ann_ivf", "ml_kmeans_step", "report_dense_grid")
     val offenders = SparkEntry.queries.keys.filterNot(allowed)
       .filter(n => n != "source_csv_roundtrip" && plan(n).contains("BroadcastNestedLoopJoin"))
     assert(offenders.isEmpty, s"unexpected nested-loop joins: $offenders")
