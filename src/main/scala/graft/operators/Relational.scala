@@ -418,6 +418,29 @@ object Relational {
     spark.table("nation_ctas").orderBy($"n_nationkey")
   }
 
+  /** XML round-trip through Spark 4's NATIVE xml datasource (the
+    * spark-xml donation): part rows nest under a rowTag, read back
+    * with an explicit schema. XML is the interchange format
+    * enterprise feeds still arrive in; the graded property is
+    * value preservation — including doubles, whose Java
+    * shortest-representation toString guarantees an exact parse
+    * round trip. Per-row parse, partition-parallel like every other
+    * text source. */
+  def sourceXmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = "/root/repo/target/tmp/xml_roundtrip"
+    Tables.part(spark, dir)
+      .select($"p_partkey", $"p_name", $"p_brand", $"p_size", $"p_retailprice")
+      .write.mode("overwrite").option("rowTag", "part").xml(tmp)
+    val schema = StructType(Seq(
+      StructField("p_partkey", LongType), StructField("p_name", StringType),
+      StructField("p_brand", StringType), StructField("p_size", IntegerType),
+      StructField("p_retailprice", DoubleType)))
+    spark.read.option("rowTag", "part").schema(schema).xml(tmp)
+      .select($"p_partkey", $"p_name", $"p_brand", $"p_size", $"p_retailprice")
+      .orderBy($"p_partkey")
+  }
+
   /** Dense-grid zero-fill — the reporting pattern for sparse facts: a
     * dashboard needs EVERY (nation, priority) cell, including the
     * combinations no order hit, so the dimension grid is built first
@@ -573,6 +596,7 @@ object Relational {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "source_xml_roundtrip" -> (sourceXmlRoundtrip(_, _)),
     "report_dense_grid" -> (reportDenseGrid(_, _)),
     "sink_dynamic_overwrite" -> (sinkDynamicOverwrite(_, _)),
     "source_csv_permissive" -> (sourceCsvPermissive(_, _)),
@@ -671,6 +695,9 @@ object Relational {
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
     "source_jsonl_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "source_xml_roundtrip" ->
+      """SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "sink_partitioned_read" ->
       """SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, event_type,
         |  CAST(count(*) AS BIGINT) AS n,
