@@ -462,7 +462,7 @@ object Relational {
         sum(Tables.dec2($"o_totalprice")).cast("double").as("sum_price"))
     val grid = Tables.nation(spark, dir).select($"n_name")
       .crossJoin(Tables.orders(spark, dir).select($"o_orderpriority").distinct())
-    grid.join(obs, Seq("n_name", "o_orderpriority"), "left")
+    grid.join(broadcast(obs), Seq("n_name", "o_orderpriority"), "left")
       .select($"n_name", $"o_orderpriority",
         coalesce($"n_obs", lit(0L)).as("n_orders"),
         coalesce($"sum_price", lit(0.0d)).as("sum_price"))
