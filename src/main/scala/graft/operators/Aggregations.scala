@@ -262,6 +262,26 @@ object Aggregations {
       .orderBy($"event_type")
   }
 
+  /** Ordered string aggregation (SQL LISTAGG / string_agg): the
+    * denormalized "members as one cell" view reporting layers ask for.
+    * Determinism requires imposing the element order explicitly —
+    * collect_list order is partition-arrival nondeterministic, so the
+    * list is sort_array'd before joining (DuckDB mirrors with
+    * string_agg ... ORDER BY). State is the member list: bounded here
+    * by nations-per-region; at 100 TB cap pathological groups with a
+    * slice() after the sort. */
+  def aggStringConcat(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)),
+        $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(
+        count(lit(1)).as("n_nations"),
+        concat_ws(",", sort_array(collect_list($"n_name"))).as("nations"))
+      .orderBy($"r_name")
+  }
+
   /** Discrete (inverse-distribution) percentiles per group:
     * percentile_disc returns an ACTUAL data value (smallest v with
     * cume_dist ≥ p), so unlike the interpolated percentile_cont —
@@ -352,6 +372,7 @@ object Aggregations {
   val queries: Map[String, QueryFn] = Map(
     "agg_filtered_conditional" -> (aggFilteredConditional(_, _)),
     "agg_percentile_disc" -> (aggPercentileDisc(_, _)),
+    "agg_string_concat" -> (aggStringConcat(_, _)),
     "agg_heavy_hitters" -> (aggHeavyHitters(_, _)),
     "agg_mode" -> (aggMode(_, _)),
     "agg_stats_moments" -> (aggStatsMoments(_, _)),
@@ -378,6 +399,11 @@ object Aggregations {
         |  CAST(coalesce(sum(v) FILTER (WHERE v > 75), 0) AS DOUBLE) AS sum_big,
         |  count(DISTINCT user_id) FILTER (WHERE v > 75) AS users_big
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_string_concat" ->
+      """SELECT r.r_name, count(*) AS n_nations,
+        |  string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin,
     "agg_percentile_disc" ->
       """SELECT event_type,
         |  percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS p25,
