@@ -72,6 +72,26 @@ object Windows {
       .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
   }
 
+  /** Bounded-ROWS moving average: each user's trailing-5-event mean —
+    * the third frame kind after unbounded-rows (running_sum) and
+    * bounded-RANGE (time_range_sum). The frame evaluator keeps exactly
+    * 5 rows of state per partition regardless of user history length.
+    * Sum accumulates in exact decimal; the mean is ONE double division
+    * applied identically on both engines (double / bigint), so no
+    * rounding truce is needed. */
+  def windowRollingAvg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+      .rowsBetween(-4, 0)
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", Tables.nsToUs($"ts").as("t"),
+        Tables.dec4($"value").as("v"))
+      .select($"user_id", $"event_id", $"t",
+        (sum($"v").over(w).cast("double") / count(lit(1)).over(w))
+          .as("avg_last5"))
+      .orderBy($"user_id", $"t", $"event_id")
+  }
+
   /** Time-based RANGE-frame window: per user, the rolling 1-hour sum of
     * event value — sum over [t − 1 h, t] by TIMESTAMP DISTANCE, not row
     * count (rowsBetween answers "last N events"; a feature store /
@@ -250,6 +270,7 @@ object Windows {
     "window_lag" -> (windowLag(_, _)),
     "window_running_sum" -> (windowRunningSum(_, _)),
     "window_time_range_sum" -> (windowTimeRangeSum(_, _)),
+    "window_rolling_avg" -> (windowRollingAvg(_, _)),
     "window_gap_islands" -> (windowGapIslands(_, _)),
     "window_distribution" -> (windowDistribution(_, _)),
     "window_lead_firstlast" -> (windowLeadFirstlast(_, _)),
@@ -286,6 +307,14 @@ object Windows {
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
         |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "window_rolling_avg" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+        |  CAST(value AS DECIMAL(18,4)) AS v FROM events)
+        |SELECT user_id, event_id, t,
+        |  CAST(sum(v) OVER w AS DOUBLE) / count(*) OVER w AS avg_last5
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, t, event_id""".stripMargin,
     "window_time_range_sum" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t,
         |  CAST(value AS DECIMAL(18,4)) AS v FROM events)
