@@ -248,7 +248,72 @@ object Multimodal {
       .orderBy($"cid")
   }
 
+  /** SemDeDup-shape semantic dedup — the scale-correct composition that
+    * retires the quarantined quadratic (dedup_embedding_cosine) as the
+    * only embedding-dedup story: assign every vector to its nearest
+    * coarse cluster (the ml_kmeans_step fixed-point assignment — exact
+    * BIGINT distances, broadcast constant-k seeds), then exact-cosine
+    * verify pairs ONLY within a cluster. The pair join is an EQUI-JOIN
+    * on cid — candidate count is Σ|cluster|², never corpus², and at
+    * 100 TB k grows with the corpus so cluster sizes stay bounded.
+    * Output contract matches dedup_embedding_cosine (per-vector best
+    * neighbour at cos ≥ 0.4) restricted to within-cluster candidates,
+    * so the two keys tell one before/after story.
+    *
+    * Determinism: assignment is exact fixed-point BIGINT (ties break on
+    * (sqdist, cid)); scoring is the same native cosine + floor-pack
+    * argmax as dedup_embedding_cosine (bit-equivalent to DuckDB's
+    * round(list_dot_product …, 6), pinned by RoundingSpec), so the key
+    * oracles exactly. */
+  def dedupSemanticCluster(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.VectorOps.registerAll(spark)
+    val e = Tables.embeddings(spark, dir)
+    val q = e.select($"vec_id",
+      expr("transform(embedding, x -> CAST(floor(x * 1048576) AS BIGINT))")
+        .as("qv"))
+    val seeds = q.filter($"vec_id" < 4)
+      .select($"vec_id".as("cid"), $"qv".as("cq"))
+    // assign: constant-k broadcast fan-out, NO shuffle before the argmin.
+    // The argmin packs (sqdist, cid) into one long — sqdist < 2^48
+    // (64 dims × (±2^21)²) and k = 4, so sqdist·4 + cid is exact and
+    // min(long) is a codegen'd HashAggregate with map-side combine
+    // (min(struct) would plan as SortAggregate over the k× fan-out).
+    val assign = q.crossJoin(broadcast(seeds))
+      .select($"vec_id",
+        (expr("aggregate(zip_with(qv, cq, (x, y) -> (x - y) * (x - y)), " +
+          "0L, (acc, v) -> acc + v)") * 4L + $"cid").as("packa"))
+      .groupBy($"vec_id")
+      .agg(min($"packa").as("m"))
+      .select($"vec_id", $"m".bitwiseAND(3L).as("cid"))
+    // the cluster-tagged frame is read on BOTH sides of the pair join;
+    // persist it once (16 B/row of ids + the embedding — the frame a
+    // real SemDeDup run materializes anyway) instead of recomputing the
+    // assignment twice. Freed by the caller-clearCache contract
+    // (Verify/Bench) — same lifecycle as text_decontaminate's grams.
+    val v = e.select($"vec_id", $"embedding").join(assign, "vec_id").persist()
+    val va = v.select($"cid", $"vec_id".as("a_id"), $"embedding".as("ae"))
+    val vb = v.select($"cid", $"vec_id".as("b_id"), $"embedding".as("be"))
+    // within-cluster verify: equi-join on cid (the whole point — at any
+    // corpus size only same-cluster pairs are ever scored), then the
+    // dedup_embedding_cosine floor-pack argmax (codegen'd max(long)
+    // HashAggregate with map-side combine; one row per vector shuffles)
+    val Lo = (1L << 40) - 1
+    va.join(vb, Seq("cid"))
+      .filter($"a_id" =!= $"b_id")
+      .select($"cid", $"a_id",
+        (floor(expr("cosine_similarity(ae, be)") * 1e6 + 0.5).cast("long")
+          * lit(1L << 40) + (lit(Lo) - $"b_id")).as("pack"))
+      .groupBy($"a_id", $"cid").agg(max($"pack").as("m"))
+      .select($"a_id".as("vec_id"), $"cid",
+        (lit(Lo) - $"m".bitwiseAND(lit(Lo))).as("nn_id"),
+        (shiftright($"m", 40).cast("double") / 1e6).as("cos"))
+      .filter($"cos" >= 0.4)
+      .orderBy($"vec_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "dedup_semantic_cluster" -> (dedupSemanticCluster(_, _)),
     "ml_kmeans_step" -> (mlKmeansStep(_, _)),
     "multimodal_binary_meta" -> (multimodalBinaryMeta(_, _)),
     "multimodal_decode_stub" -> (multimodalDecodeStub(_, _)),
@@ -259,6 +324,31 @@ object Multimodal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_semantic_cluster" ->
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 1048576) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |s AS (SELECT vec_id AS cid, qv AS cq FROM q WHERE vec_id < 4),
+        |d AS (SELECT q.vec_id, s.cid,
+        |    CAST(list_sum(list_transform(list_zip(q.qv, s.cq),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS sqdist
+        |  FROM q, s),
+        |a AS (SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sqdist, cid) AS rn FROM d),
+        |v AS (SELECT a.cid, e.vec_id, CAST(e.embedding AS DOUBLE[]) AS de
+        |  FROM a JOIN embeddings e USING (vec_id) WHERE a.rn = 1),
+        |p AS (SELECT x.cid, x.vec_id AS a_id, y.vec_id AS b_id,
+        |    round(list_dot_product(x.de, y.de) /
+        |      (sqrt(list_dot_product(x.de, x.de)) *
+        |       sqrt(list_dot_product(y.de, y.de))), 6) AS cos
+        |  FROM v x JOIN v y ON x.cid = y.cid AND x.vec_id <> y.vec_id),
+        |r AS (SELECT cid, a_id, b_id, cos,
+        |    row_number() OVER (PARTITION BY a_id
+        |      ORDER BY cos DESC, b_id) AS rn FROM p)
+        |SELECT a_id AS vec_id, cid, b_id AS nn_id, cos
+        |FROM r WHERE rn = 1 AND cos >= 0.4 ORDER BY vec_id""".stripMargin,
     "ml_kmeans_step" ->
       """WITH q AS (SELECT vec_id,
         |    list_transform(CAST(embedding AS DOUBLE[]),

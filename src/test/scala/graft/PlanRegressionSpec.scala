@@ -164,13 +164,31 @@ class PlanRegressionSpec extends SparkSuite {
     }
   }
 
+  test("dedup_semantic_cluster verifies pairs through an equi-join on cid") {
+    // the SemDeDup scale claim: candidate pairs come from a hash/merge
+    // EQUI-join on the cluster id, never a global cross product. The
+    // only BroadcastNestedLoopJoin allowed is the constant-k (4-row)
+    // seed broadcast of the assign step.
+    val p = plan("dedup_semantic_cluster")
+    val pairJoin = "\\(\\d+\\) (BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"
+      .r.findAllIn(p).size
+    assert(pairJoin >= 2, // vec_id decorate join + cid pair join
+      "expected equi-joins for assign-decorate and cid-pair: " + p.take(800))
+    val bnlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"only the 4-row seed broadcast may nest-loop, saw $bnlj")
+  }
+
   test("quadratic plans appear ONLY in the documented similarity baselines") {
     // ml_kmeans_step: k-row seed broadcast × corpus is the Lloyd's
     // assign step — fan-out is k (constant), not quadratic.
     // report_dense_grid: cross join of two BOUNDED dims builds the
     // 125-cell reporting grid — cardinality is |dims|², not |facts|²
+    // dedup_semantic_cluster: its ONLY nested-loop is the ml_kmeans_step
+    // constant-k seed broadcast for the assign step; the pair join is
+    // pinned as an equi-join by its own test below
     val allowed = Set("simsearch_cosine_topk", "dedup_embedding_cosine",
-      "simsearch_ann_ivf", "ml_kmeans_step", "report_dense_grid")
+      "simsearch_ann_ivf", "ml_kmeans_step", "report_dense_grid",
+      "dedup_semantic_cluster")
     val offenders = SparkEntry.queries.keys.filterNot(allowed)
       .filter(n => n != "source_csv_roundtrip" && plan(n).contains("BroadcastNestedLoopJoin"))
     assert(offenders.isEmpty, s"unexpected nested-loop joins: $offenders")
