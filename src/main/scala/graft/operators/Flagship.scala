@@ -237,7 +237,70 @@ object Flagship {
       .orderBy($"o_orderpriority")
   }
 
+  /** Q17 shape — small-quantity revenue: revenue of line items whose
+    * quantity is below 0.2× their part's average quantity, by brand.
+    * This is the correlated SCALAR-aggregate decorrelation probe: the
+    * textbook SQL re-reads lineitem per outer row; Catalyst's
+    * RewriteCorrelatedScalarSubquery must rewrite each subquery to a
+    * per-part aggregate joined back (count → left-outer + zero-fill,
+    * sum → inner) — the only plan that survives at scale. Deliberately
+    * written
+    * as SQL-with-subqueries (not a hand-built aggregate-join like q18)
+    * so the optimizer path itself is what's exercised; a plan spec pins
+    * the aggregate-then-join result.
+    *
+    * Exactness: qty < 0.2·avg ⟺ 5·qty·n < Σqty over the part's lines
+    * (n > 0) — all BIGINT (quantities are integer-valued), so no
+    * cross-engine division or FP boundary exists. */
+  def q17SmallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_q17")
+    Tables.part(spark, dir).createOrReplaceTempView("part_q17")
+    spark.sql(
+      """SELECT p.p_brand,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem_q17 l JOIN part_q17 p ON l.l_partkey = p.p_partkey
+        |WHERE 5 * CAST(l.l_quantity AS BIGINT) *
+        |    (SELECT count(*) FROM lineitem_q17 l2
+        |     WHERE l2.l_partkey = l.l_partkey)
+        |  < (SELECT sum(CAST(l2.l_quantity AS BIGINT)) FROM lineitem_q17 l2
+        |     WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY p.p_brand
+        |ORDER BY p.p_brand""".stripMargin)
+  }
+
+  /** Q19 shape — the disjunctive-pushdown probe: OR-of-ANDs spanning
+    * part and lineitem columns. q6 proves conjunctive pushdown; the
+    * classic user trap is an OR predicate that silently stops reaching
+    * the scan. Catalyst must extract each side's under-approximation of
+    * the disjunction (the l_quantity bands for lineitem, the
+    * brand/size bands for part) and push them into both parquet
+    * readers — PushedFilters carrying an Or is pinned by a plan spec.
+    * At 100 TB the quantity bands alone skip every row group whose
+    * min/max misses all three bands. */
+  def q19DisjunctivePushdown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .filter(
+        ($"p_brand" === "Brand#1" && $"p_size".between(1, 15)
+          && $"l_quantity".between(1, 11)) ||
+        ($"p_brand" === "Brand#2" && $"p_size".between(10, 30)
+          && $"l_quantity".between(10, 20)) ||
+        ($"p_brand" === "Brand#3" && $"p_size".between(20, 50)
+          && $"l_quantity".between(20, 30)))
+      .groupBy($"p_brand")
+      .agg(
+        sum(Tables.dec2($"l_extendedprice") * (lit(BigDecimal(1)) - Tables.dec2($"l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"p_brand")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q17_small_quantity_revenue" -> (q17SmallQuantityRevenue(_, _)),
+    "q19_disjunctive_pushdown" -> (q19DisjunctivePushdown(_, _)),
     "q4_order_priority" -> (q4OrderPriority(_, _)),
     "q6_forecast_revenue" -> (q6ForecastRevenue(_, _)),
     "q21_sole_supplier_returns" -> (q21SoleSupplierReturns(_, _)),
@@ -250,6 +313,31 @@ object Flagship {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q17_small_quantity_revenue" ->
+      """SELECT p.p_brand,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE 5 * CAST(l.l_quantity AS BIGINT) *
+        |    (SELECT count(*) FROM lineitem l2
+        |     WHERE l2.l_partkey = l.l_partkey)
+        |  < (SELECT sum(CAST(l2.l_quantity AS BIGINT)) FROM lineitem l2
+        |     WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY p.p_brand
+        |ORDER BY p.p_brand""".stripMargin,
+    "q19_disjunctive_pushdown" ->
+      """SELECT p_brand,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+        |       AND l_quantity BETWEEN 20 AND 30)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders

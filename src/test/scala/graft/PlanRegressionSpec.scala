@@ -178,6 +178,36 @@ class PlanRegressionSpec extends SparkSuite {
     assert(bnlj <= 1, s"only the 4-row seed broadcast may nest-loop, saw $bnlj")
   }
 
+  test("q17 correlated scalar subqueries decorrelate to aggregate-then-join") {
+    // the textbook plan re-scans lineitem once PER OUTER ROW; the only
+    // plan that survives at scale is RewriteCorrelatedScalarSubquery's:
+    // each subquery becomes ONE per-part aggregate hash-joined back.
+    val p = plan("q17_small_quantity_revenue")
+    // lineitem appears exactly 3×: the outer scan + one scan per
+    // decorrelated aggregate (count, sum) — constant, not per-row
+    val scans = "lineitem\\.parquet".r.findAllIn(p).size
+    assert(scans == 3, s"expected 3 lineitem scans (outer + 2 aggregates), saw $scans")
+    assert(p.contains("Keys [1]: [l_partkey"),
+      "decorrelated aggregates must be keyed on the correlation column")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "decorrelation must yield equi-joins only: " + p.take(800))
+  }
+
+  test("q19 pushes the OR-of-ANDs disjunction into BOTH parquet scans") {
+    // q6 pins conjunctive pushdown; this pins the disjunctive path —
+    // Catalyst must extract each table's under-approximation of the
+    // OR-of-ANDs and hand it to the reader as an Or filter, so row
+    // groups whose min/max miss every band are skipped at the source.
+    val p = plan("q19_disjunctive_pushdown")
+    val pushedOr = p.linesIterator.filter(l =>
+      l.contains("PushedFilters:") && l.contains("Or(")).toList
+    assert(pushedOr.size == 2,
+      s"expected an Or in both scans' PushedFilters, saw ${pushedOr.size}: $pushedOr")
+    assert(pushedOr.exists(_.contains("l_quantity")) &&
+      pushedOr.exists(_.contains("p_brand")),
+      "both the lineitem quantity bands and the part brand/size bands must push")
+  }
+
   test("quadratic plans appear ONLY in the documented similarity baselines") {
     // ml_kmeans_step: k-row seed broadcast × corpus is the Lloyd's
     // assign step — fan-out is k (constant), not quadratic.
