@@ -503,6 +503,53 @@ object Relational {
       .orderBy($"day")
   }
 
+  /** Batch MERGE/upsert — row-level update-else-insert against a
+    * standing keyed table, the single most common warehouse write
+    * pattern. The standing state (latest row per user before the split
+    * day) is materialized as parquet, then one update batch (events on
+    * or after the split) MERGEs in through the same step the streaming
+    * mirror replays per micro-batch ([[graft.streaming.StreamingMirror
+    * .upsertBatch]]: read state ∪ batch → latest per key → tmp-write +
+    * swap). The read-back is annotated with the MERGE action — rows the
+    * batch replaced ('update'), keys it introduced ('insert'), rows it
+    * left alone ('carry') — so the output proves row-level semantics,
+    * not just final values. Latest-per-key with the (ts_us, event_id)
+    * tie-break is associative, so ANY batch split yields this same
+    * table; the oracle is the one-shot latest-per-key over the full
+    * log with the same provenance derivation. At 100 TB this step is a
+    * MERGE INTO on a transactional table format: write amplification is
+    * the whole state table per batch here (the honest cost of plain
+    * parquet), which row-group-level copy-on-write formats cut to the
+    * touched files — see SCALE.md. */
+  def sinkMergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val splitUs = 19740L * 86400000000L // mid-range day boundary
+    val stateDir = "/root/repo/target/tmp/merge_upsert_state"
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // idempotent re-run: clear prior state AND the crash-recovery tmp
+    // (a stale __tmp would otherwise be reinstalled as state)
+    fs.delete(new org.apache.hadoop.fs.Path(stateDir), true)
+    fs.delete(new org.apache.hadoop.fs.Path(stateDir + "__tmp"), true)
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        Tables.nsToUs($"ts").as("ts_us"), $"value")
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us".desc, $"event_id".desc)
+    val standing = ev.filter($"ts_us" < splitUs)
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+    standing.write.mode("overwrite").parquet(stateDir)
+    graft.streaming.StreamingMirror.upsertBatch(ev.filter($"ts_us" >= splitUs), stateDir)
+    val standingKeys = standing.select($"user_id".as("sk")).distinct()
+    spark.read.parquet(stateDir)
+      .join(broadcast(standingKeys), $"user_id" === $"sk", "left")
+      .select($"user_id", $"event_id", $"event_type", $"ts_us", $"value",
+        when($"ts_us" >= splitUs,
+          when($"sk".isNotNull, "update").otherwise("insert"))
+          .otherwise("carry").as("action"))
+      .orderBy($"user_id")
+  }
+
   /** Malformed-row ingest policy: PERMISSIVE CSV parsing quarantines
     * bad rows into `_corrupt_record` instead of failing the job — the
     * only sane default at 100 TB, where a billion-line crawl WILL
@@ -599,6 +646,7 @@ object Relational {
     "source_xml_roundtrip" -> (sourceXmlRoundtrip(_, _)),
     "report_dense_grid" -> (reportDenseGrid(_, _)),
     "sink_dynamic_overwrite" -> (sinkDynamicOverwrite(_, _)),
+    "sink_merge_upsert" -> (sinkMergeUpsert(_, _)),
     "source_csv_permissive" -> (sourceCsvPermissive(_, _)),
     "source_schema_evolution" -> (sourceSchemaEvolution(_, _)),
     "sql_unpivot_melt" -> (sqlUnpivotMelt(_, _)),
@@ -648,6 +696,24 @@ object Relational {
         |FROM grid g LEFT JOIN obs
         |  ON g.n_name = obs.n_name AND g.o_orderpriority = obs.o_orderpriority
         |ORDER BY g.n_name, g.o_orderpriority""".stripMargin,
+    "sink_merge_upsert" ->
+      // one-shot latest-per-key over the full log == the two-phase
+      // MERGE (latest-per-key is associative across any batch split);
+      // action re-derives the row-level MERGE provenance
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS ts_us, value FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts_us DESC, event_id DESC) AS rn FROM ev),
+        |latest AS (SELECT user_id, event_id, event_type, ts_us, value
+        |  FROM r WHERE rn = 1),
+        |standing AS (SELECT DISTINCT user_id FROM ev
+        |  WHERE ts_us < 1705536000000000)
+        |SELECT l.user_id, l.event_id, l.event_type, l.ts_us, l.value,
+        |  CASE WHEN l.ts_us >= 1705536000000000 THEN
+        |    CASE WHEN s.user_id IS NOT NULL THEN 'update' ELSE 'insert' END
+        |  ELSE 'carry' END AS action
+        |FROM latest l LEFT JOIN standing s ON l.user_id = s.user_id
+        |ORDER BY l.user_id""".stripMargin,
     "sink_dynamic_overwrite" ->
       // final table state: everything except day 19725's error events
       """WITH e AS (SELECT event_type,

@@ -74,6 +74,24 @@ class SinksSpec extends SparkSuite {
       .forall(_ != "dynamic"))
   }
 
+  test("sink_merge_upsert MERGEs row-level and re-runs idempotently") {
+    import graft.operators.Relational
+    val first = Relational.sinkMergeUpsert(spark, sf0001).collect()
+    // one surviving row per user, each tagged with a MERGE action
+    assert(first.map(_.getLong(0)).distinct.length === first.length)
+    val actions = first.map(_.getString(5)).toSet
+    assert(actions.subsetOf(Set("carry", "update", "insert")), actions)
+    assert(actions.contains("update"), "the batch must replace standing rows")
+    // the survivor of an 'update' row must come from the batch side
+    val splitUs = 19740L * 86400000000L
+    assert(first.filter(_.getString(5) == "update").forall(_.getLong(3) >= splitUs))
+    assert(first.filter(_.getString(5) == "carry").forall(_.getLong(3) < splitUs))
+    // second run (state dir already populated + possible stale tmp) is
+    // byte-identical: the operator must clear prior state, not merge into it
+    val second = Relational.sinkMergeUpsert(spark, sf0001).collect()
+    assert(first.map(_.toString).toSeq === second.map(_.toString).toSeq)
+  }
+
   test("source_csv_permissive quarantines garbage without losing good rows") {
     import graft.operators.Relational
     val census = Relational.sourceCsvPermissive(spark, sf0001).collect()
