@@ -56,6 +56,28 @@ object Aggregations {
       .orderBy($"event_type")
   }
 
+  /** Approximate percentiles — the sketch path SCALE.md promises for
+    * hot percentile groups: agg_percentile's exact sort-based
+    * percentile needs every group value co-resident; the GK
+    * (Greenwald–Khanna) summary behind percentile_approx keeps
+    * O(accuracy) state per group, merges associatively, and bounds
+    * rank error by 1/accuracy — so a group with a billion values costs
+    * the same shuffle bytes as one with a thousand. Returned quantiles
+    * are actual data values (no interpolation). Bench-only (✖ oracle):
+    * the summary is engine-specific, like agg_approx_distinct; the
+    * |approx − exact| rank bound is pinned in OperatorsSpec. */
+  def aggApproxPercentile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_type", Tables.dec4($"value").cast("double").as("v"))
+      .groupBy($"event_type")
+      .agg(
+        percentile_approx($"v", lit(0.5), lit(1000)).as("p50"),
+        percentile_approx($"v", lit(0.9), lit(1000)).as("p90"),
+        percentile_approx($"v", lit(0.99), lit(1000)).as("p99"))
+      .orderBy($"event_type")
+  }
+
   /** Rollup subtotals over the region→nation hierarchy (the chained-MR
     * subtotal-jobs pattern, one Expand-based aggregate here). */
   def aggRollup(spark: SparkSession, dir: String): DataFrame = {
@@ -383,6 +405,7 @@ object Aggregations {
     "agg_groupby_sum" -> (aggGroupbySum(_, _)),
     "agg_count_distinct" -> (aggCountDistinct(_, _)),
     "agg_approx_distinct" -> (aggApproxDistinct(_, _)),
+    "agg_approx_percentile" -> (aggApproxPercentile(_, _)),
     "agg_rollup" -> (aggRollup(_, _)),
     "agg_cube" -> (aggCube(_, _)),
     "agg_grouping_sets" -> (aggGroupingSets(_, _)),

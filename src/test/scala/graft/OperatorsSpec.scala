@@ -142,4 +142,29 @@ class OperatorsSpec extends SparkSuite {
     assert(a.filter(col("dim") =!= 64).count() === 0L)
     assert(a.filter(col("n_pos") > 64 || col("n_pos") < 0).count() === 0L)
   }
+
+  test("agg_approx_percentile: rank error within the GK 1/accuracy bound") {
+    // percentile_approx(accuracy=1000) guarantees the returned value's
+    // true rank is within n/1000 of the target rank; verify against the
+    // actual data, with one rank of slack for ties/discreteness
+    val approx = operators.Aggregations.aggApproxPercentile(spark, sf0001)
+      .collect().map(r => r.getString(0) -> Seq(
+        0.50 -> r.getDouble(1), 0.90 -> r.getDouble(2), 0.99 -> r.getDouble(3)))
+    val vals = Tables.events(spark, sf0001)
+      .select(col("event_type"), Tables.dec4(col("value")).cast("double").as("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    approx.foreach { case (tpe, ps) =>
+      val sorted = vals(tpe); val n = sorted.length
+      ps.foreach { case (p, est) =>
+        // est must be an actual data value (GK returns samples)
+        assert(sorted.contains(est), s"$tpe p$p=$est not a data value")
+        val rank = sorted.count(_ <= est).toDouble / n
+        val rankLo = sorted.count(_ < est).toDouble / n
+        val eps = 1.0 / 1000 + 1.0 / n
+        assert(rankLo - eps <= p && p <= rank + eps,
+          s"$tpe p$p: est=$est covers ranks [$rankLo,$rank], outside ±$eps")
+      }
+    }
+  }
 }
