@@ -6,7 +6,7 @@ import java.nio.file.{Files, Paths}
   * sf0.001 pinned as human-reviewable CSVs. Regenerate deliberately with
   * `graft.GoldenGen` after an intentional semantic change. */
 class GoldenSpec extends SparkSuite {
-  GoldenGen.flagships.foreach { name =>
+  GoldenGen.all.foreach { name =>
     test(s"golden: $name") {
       val golden = Files.readString(
         Paths.get(s"/root/repo/src/test/resources/golden/$name.csv"))
