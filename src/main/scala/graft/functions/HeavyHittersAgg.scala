@@ -58,10 +58,12 @@ case class HeavyHittersAgg(
       if (buf.contains(item)) buf(item) += 1L
       else if (buf.size < k) buf(item) = 1L
       else {
-        // decrement-all step: kill one "vote" of every tracked item
-        val dead = mutable.ArrayBuffer.empty[Long]
-        buf.foreachEntry { (i, c) => if (c == 1L) dead += i else buf(i) = c - 1L }
-        dead.foreach(buf.remove)
+        // decrement-all step: kill one "vote" of every tracked item.
+        // Snapshot first — mutating a LongMap mid-iteration relies on
+        // an undocumented guarantee of its foreachEntry.
+        buf.toArray.foreach { case (i, c) =>
+          if (c == 1L) buf.remove(i) else buf(i) = c - 1L
+        }
       }
     }
     buf
@@ -70,11 +72,12 @@ case class HeavyHittersAgg(
   override def merge(a: mutable.LongMap[Long], b: mutable.LongMap[Long]): mutable.LongMap[Long] = {
     b.foreachEntry { (i, c) => a(i) = a.getOrElse(i, 0L) + c }
     if (a.size > k) {
-      // subtract the (k+1)-th largest counter from all, drop non-positive
+      // subtract the (k+1)-th largest counter from all, drop
+      // non-positive; snapshot before mutating (see update above)
       val d = a.values.toArray.sorted(Ordering[Long].reverse)(k)
-      val dead = mutable.ArrayBuffer.empty[Long]
-      a.foreachEntry { (i, c) => if (c - d <= 0L) dead += i else a(i) = c - d }
-      dead.foreach(a.remove)
+      a.toArray.foreach { case (i, c) =>
+        if (c - d <= 0L) a.remove(i) else a(i) = c - d
+      }
     }
     a
   }

@@ -307,7 +307,13 @@ object Analytics {
     dev.join(broadcast(mad), "event_type")
       .groupBy($"event_type")
       .agg(max($"med").as("med"), max($"mad").as("mad"),
-        sum(when($"adev" > $"mad" * 3, 1L).otherwise(0L)).as("n_outliers"),
+        // compare on 6-decimal-quantized operands: if a median ever
+        // lands on a rounding boundary (ulp-different interpolation
+        // flipping round(…,6) by 1e-6), both engines still classify
+        // boundary rows identically because the compare itself is
+        // quantized the same way on both sides
+        sum(when(round($"adev", 6) > round($"mad" * 3, 6), 1L).otherwise(0L))
+          .as("n_outliers"),
         count(lit(1)).as("n"))
       .orderBy($"event_type")
   }
@@ -440,7 +446,8 @@ object Analytics {
         |mad AS (SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad
         |        FROM d GROUP BY event_type)
         |SELECT d.event_type, max(d.med) AS med, max(mad.mad) AS mad,
-        |  CAST(sum(CASE WHEN d.adev > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(sum(CASE WHEN round(d.adev, 6) > round(3 * mad.mad, 6)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
         |  count(*) AS n
         |FROM d JOIN mad ON d.event_type = mad.event_type
         |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,

@@ -255,7 +255,10 @@ object Pipelines {
     Tables.documents(spark, dir)
       .groupBy($"lang").agg(count(lit(1)).as("docs"))
       .withColumn("n", sum($"docs").over(whole))
-      .withColumn("l", count(lit(1)).over(whole))
+      // count(lang), not count(*): one row per group, so this equals the
+      // oracle's count(DISTINCT lang) exactly — including its NULL
+      // exclusion, should a future fixture ever carry a NULL lang
+      .withColumn("l", count($"lang").over(whole))
       .withColumn("weight_fp", expr("(n * 1000000) div (l * docs)"))
       .withColumn("projected", expr("(docs * weight_fp) div 1000000"))
       .select($"lang", $"docs", $"weight_fp", $"projected")
