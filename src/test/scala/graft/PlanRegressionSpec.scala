@@ -208,6 +208,24 @@ class PlanRegressionSpec extends SparkSuite {
       "both the lineitem quantity bands and the part brand/size bands must push")
   }
 
+  test("round-7 plans stay within their exchange budgets") {
+    // audited values from SCALE.md round 7 (sf0.01 formatted plans) —
+    // a regression here means a new shuffle crept into the operator
+    val budgets = Map(
+      "dedup_semantic_cluster" -> 4,     // assign + cid pair join + dedupe + sort
+      "q17_small_quantity_revenue" -> 4, // 2 decorrelated aggs + join + final agg
+      "q19_disjunctive_pushdown" -> 2,   // partial/final agg + sort
+      "sink_merge_upsert" -> 2,          // read-back join + sort
+      "agg_approx_percentile" -> 2,      // partial/final sketch agg + sort
+      "window_rolling_avg" -> 2,         // user window + sort
+      "agg_string_concat" -> 2)          // group agg + sort
+    val over = budgets.flatMap { case (name, budget) =>
+      val n = "\\(\\d+\\) Exchange".r.findAllIn(plan(name)).size
+      if (n > budget) Some(s"$name: $n > $budget") else None
+    }
+    assert(over.isEmpty, s"exchange budget exceeded: $over")
+  }
+
   test("quadratic plans appear ONLY in the documented similarity baselines") {
     // ml_kmeans_step: k-row seed broadcast × corpus is the Lloyd's
     // assign step — fan-out is k (constant), not quadratic.
