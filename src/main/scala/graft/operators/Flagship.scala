@@ -298,7 +298,86 @@ object Flagship {
       .orderBy($"p_brand")
   }
 
+  /** Q13 shape — customer order-count distribution: LEFT OUTER join
+    * customer→orders (orders filtered inside the join, so zero-order
+    * customers survive with count 0), then a second aggregate over the
+    * counts — the classic two-level "histogram of group sizes" query.
+    * Probes outer-join + count(col) NULL semantics (count(o_orderkey)
+    * counts matches, not rows) and double aggregation. Both group keys
+    * are bounded (#distinct order counts ≪ customers), so each
+    * aggregate partial-combines; the join shuffles on custkey — at
+    * 100 TB this is the canonical fact-dim FK shuffle, skew-safe
+    * because custkeys are uniform. */
+  def q13CustomerDistribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir).select($"c_custkey")
+    val o = Tables.orders(spark, dir)
+      .filter($"o_orderpriority" =!= "1-URGENT")
+      .select($"o_custkey", $"o_orderkey")
+    c.join(o, $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  /** Q14 shape — promo revenue ratio by ship month: conditional
+    * aggregation (CASE inside sum) producing a percentage per month.
+    * Revenue sums are DECIMAL(18,2)-exact; the ratio divides the two
+    * sums as identical doubles in both engines (IEEE / is exact on
+    * equal operands) and rounds to 6 decimals on output like the other
+    * ratio keys. One scan of the join result feeds both the
+    * conditional and total sums — no second pass. */
+  def q14PromoRevenueRatio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.dec2($"l_extendedprice") *
+      (lit(BigDecimal(1)) - Tables.dec2($"l_discount"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), $"l_partkey" === $"p_partkey")
+      .groupBy((year($"l_shipdate") * 100 + month($"l_shipdate"))
+        .cast("long").as("ship_month"))
+      .agg(
+        sum(when($"p_type" === "PROMO", rev).otherwise(lit(BigDecimal(0))))
+          .cast("double").as("promo_rev"),
+        sum(rev).cast("double").as("total_rev"))
+      .select($"ship_month", $"promo_rev", $"total_rev",
+        round(lit(100.0) * $"promo_rev" / $"total_rev", 6).as("promo_pct"))
+      .orderBy($"ship_month")
+  }
+
+  /** Q22 shape — idle above-average balances with no urgent orders:
+    * the non-correlated SCALAR subquery + NOT EXISTS (anti-join)
+    * probe. The average-balance threshold is expressed multiplication-
+    * only (bal·n > Σbal, both DECIMAL-exact) so no cross-engine
+    * division boundary exists; the two scalar subqueries are planned
+    * as standalone one-row aggregates over the same filtered scan, and
+    * NOT EXISTS must plan a LeftAnti hash join, never a per-row probe
+    * (both pinned in PlanRegressionSpec). At scale
+    * the scalars are two tiny aggregate jobs broadcast into the
+    * predicate; the anti-join shuffles on custkey only. */
+  def q22IdleBalanceSegments(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_q22")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_q22")
+    spark.sql(
+      """SELECT c_mktsegment, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer_q22 c
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+        |    (SELECT count(*) FROM customer_q22 WHERE c_acctbal > 0)
+        |  > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2)))
+        |     FROM customer_q22 WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders_q22 o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q13_customer_distribution" -> (q13CustomerDistribution(_, _)),
+    "q14_promo_revenue_ratio" -> (q14PromoRevenueRatio(_, _)),
+    "q22_idle_balance_segments" -> (q22IdleBalanceSegments(_, _)),
     "q17_small_quantity_revenue" -> (q17SmallQuantityRevenue(_, _)),
     "q19_disjunctive_pushdown" -> (q19DisjunctivePushdown(_, _)),
     "q4_order_priority" -> (q4OrderPriority(_, _)),
@@ -313,6 +392,43 @@ object Flagship {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q13_customer_distribution" ->
+      """WITH co AS (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o
+        |    ON c.c_custkey = o.o_custkey
+        |   AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY c.c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM co GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q14_promo_revenue_ratio" ->
+      """WITH r AS (SELECT
+        |    CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+        |      AS ship_month,
+        |    p_type,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT ship_month,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS DOUBLE)
+        |    AS promo_rev,
+        |  CAST(sum(rev) AS DOUBLE) AS total_rev,
+        |  round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(rev) AS DOUBLE), 6) AS promo_pct
+        |FROM r GROUP BY ship_month ORDER BY ship_month""".stripMargin,
+    "q22_idle_balance_segments" ->
+      """SELECT c_mktsegment, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+        |    (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+        |  > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2)))
+        |     FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "q17_small_quantity_revenue" ->
       """SELECT p.p_brand,
         |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

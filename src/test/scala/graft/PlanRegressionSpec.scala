@@ -213,6 +213,9 @@ class PlanRegressionSpec extends SparkSuite {
     // a regression here means a new shuffle crept into the operator
     val budgets = Map(
       "dedup_semantic_cluster" -> 4,     // assign + cid pair join + dedupe + sort
+      "q13_customer_distribution" -> 3,  // FK join + per-cust agg + histogram agg
+      "q14_promo_revenue_ratio" -> 2,    // partial/final agg + sort
+      "q22_idle_balance_segments" -> 4,  // anti join inputs + agg + sort
       "q17_small_quantity_revenue" -> 4, // 2 decorrelated aggs + join + final agg
       "q19_disjunctive_pushdown" -> 2,   // partial/final agg + sort
       "sink_merge_upsert" -> 2,          // read-back join + sort
@@ -224,6 +227,19 @@ class PlanRegressionSpec extends SparkSuite {
       if (n > budget) Some(s"$name: $n > $budget") else None
     }
     assert(over.isEmpty, s"exchange budget exceeded: $over")
+  }
+
+  test("q22 plans NOT EXISTS as a LeftAnti hash join with scalar-subquery thresholds") {
+    val p = plan("q22_idle_balance_segments")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must decorrelate to an anti join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the scalar thresholds must be subquery results, not a joined one-row frame")
+  }
+
+  test("q13 keeps zero-order customers through the outer join") {
+    val p = plan("q13_customer_distribution")
+    assert(p.contains("LeftOuter"), "orders filter must not turn the join inner")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
   test("quadratic plans appear ONLY in the documented similarity baselines") {
