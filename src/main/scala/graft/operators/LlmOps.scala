@@ -376,6 +376,38 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** PII scrubbing — the redaction pass every training corpus runs
+    * before release: emails and IPv4 literals are replaced with typed
+    * placeholders, and the output reports per-doc match counts plus a
+    * sha256 of the scrubbed text so the redaction is pinned BYTE-exact
+    * across engines, not just count-exact. The synthetic corpus
+    * contains no PII, so a deterministic email + IP ride along each
+    * document (the source_csv_permissive injected-fixture precedent);
+    * both engines derive the same input, scrub it with the same
+    * patterns, and must agree on the hash. Patterns are kept inside
+    * the Java∩RE2 common subset (character classes + quantifiers —
+    * same caveat discipline as text_token_count). Pure per-row
+    * projection: zero shuffle before the oracle sort, and at 100 TB
+    * the scrub runs inside the scan's codegen stage — redaction
+    * costs one corpus pass, no data movement. */
+  def textPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emailPat = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+    val ipPat = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+    val t = concat($"text", lit(" contact user"), $"doc_id".cast("string"),
+      lit("@example.com from 10.0."), ($"doc_id" % 256).cast("string"),
+      lit("."), (($"doc_id" * 7) % 256).cast("string"))
+    val scrubbed = regexp_replace(
+      regexp_replace(t, emailPat, "<EMAIL>"), ipPat, "<IP>")
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        regexp_count(t, lit(emailPat)).cast("long").as("n_email"),
+        regexp_count(t, lit(ipPat)).cast("long").as("n_ip"),
+        length(scrubbed).cast("long").as("scrub_len"),
+        sha2(scrubbed, 256).as("scrub_sha"))
+      .orderBy($"doc_id")
+  }
+
   /** Bigram generation with position (n-gram analysis primitive). */
   /** Overlapping token-window chunking — the pretraining preprocessing
     * step that splits each document into fixed-size context windows
@@ -501,6 +533,7 @@ object LlmOps {
     "text_fingerprint" -> (textFingerprint(_, _)),
     "text_langid" -> (textLangid(_, _)),
     "text_token_count" -> (textTokenCount(_, _)),
+    "text_pii_scrub" -> (textPiiScrub(_, _)),
     "simsearch_cosine_topk" -> (simsearchCosineTopk(_, _)),
     "simsearch_label_centroid" -> (simsearchLabelCentroid(_, _)),
     "text_stats" -> (textStats(_, _)),
@@ -585,6 +618,24 @@ object LlmOps {
         |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_pieces
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_pii_scrub" ->
+      // 'g' flag: DuckDB regexp_replace is first-match-only by default,
+      // Spark's replaces all — force global on the DuckDB side
+      """WITH w AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com from 10.0.'
+        |      || (doc_id % 256) || '.' || ((doc_id * 7) % 256) AS t
+        |  FROM documents),
+        |s AS (SELECT doc_id, t,
+        |    regexp_replace(regexp_replace(t,
+        |      '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+        |      '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g') AS scrubbed
+        |  FROM w)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(t, '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS BIGINT) AS n_ip,
+        |  CAST(length(scrubbed) AS BIGINT) AS scrub_len,
+        |  sha256(scrubbed) AS scrub_sha
+        |FROM s ORDER BY doc_id""".stripMargin,
     "simsearch_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
         |           FROM embeddings WHERE vec_id < 5),
