@@ -99,13 +99,86 @@ object Timeseries {
         |GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  /** Daily resample + forward fill — the gap-filling shape every
+    * timeseries store exposes (`asfreq`/`ffill`, `GAPFILL`,
+    * `time_bucket_gapfill`): each user's sparse event log becomes one
+    * row per calendar day over the log's global span, carrying the
+    * day's closing value where observed and the last prior close
+    * otherwise (−1 sentinel before a user's first observation —
+    * nullable outputs are banned). Three pieces, all
+    * partition-parallel:
+    * (1) daily close per (user, day) as ONE aggregate via the OHLC
+    * struct-max trick — no window sort over raw events;
+    * (2) the dense grid as explode(sequence(min_day, max_day)) against
+    * the distinct-user frame, span scalars as inline subqueries (the
+    * agg_time_decay_weighted precedent — a FROM-clause 1-row cross
+    * join would plan BroadcastNestedLoopJoin);
+    * (3) the fill itself as last_value IGNORE NULLS over an
+    * unbounded-preceding ROWS frame partitioned by user — O(days) rows
+    * per partition no matter how many raw events, so the window state
+    * stays bounded at 100 TB. */
+  def timeseriesResampleFfill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"user_id", Tables.nsToUs($"ts").as("t"), $"event_id",
+        Tables.dec4($"value").as("v"))
+      .withColumn("day", expr("t div 86400000000"))
+      .createOrReplaceTempView("ev_resample")
+    spark.sql(
+      """WITH daily AS (
+        |  SELECT user_id, day, max(struct(t, event_id, v)).v AS close
+        |  FROM ev_resample GROUP BY user_id, day),
+        |grid AS (
+        |  SELECT user_id,
+        |    explode(sequence((SELECT min(day) FROM ev_resample),
+        |                     (SELECT max(day) FROM ev_resample))) AS day
+        |  FROM (SELECT DISTINCT user_id FROM ev_resample)),
+        |filled AS (
+        |  SELECT g.user_id, g.day, d.close,
+        |    last_value(d.close, true) OVER (PARTITION BY g.user_id
+        |      ORDER BY g.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+        |  FROM grid g LEFT JOIN daily d
+        |    ON g.user_id = d.user_id AND g.day = d.day)
+        |SELECT user_id, day,
+        |  CAST(coalesce(fv, -1) AS DOUBLE) AS value_ffill,
+        |  CAST(CASE WHEN close IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_observed
+        |FROM filled
+        |ORDER BY user_id, day""".stripMargin)
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "timeseries_ohlc_bars" -> (timeseriesOhlcBars(_, _)),
     "scd2_user_value_history" -> (scd2UserValueHistory(_, _)),
+    "timeseries_resample_ffill" -> (timeseriesResampleFfill(_, _)),
     "agg_time_decay_weighted" -> (aggTimeDecayWeighted(_, _))
   )
 
   val oracleSql: Map[String, String] = Map(
+    "timeseries_resample_ffill" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |r AS (SELECT user_id, day, v,
+        |    row_number() OVER (PARTITION BY user_id, day
+        |      ORDER BY t DESC, event_id DESC) AS rn FROM ev),
+        |daily AS (SELECT user_id, day, v AS close FROM r WHERE rn = 1),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+        |grid AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day
+        |  FROM (SELECT DISTINCT user_id FROM ev) CROSS JOIN span),
+        |filled AS (SELECT g.user_id, g.day, d.close,
+        |    last_value(d.close IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |      ORDER BY g.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+        |  FROM grid g LEFT JOIN daily d
+        |    ON g.user_id = d.user_id AND g.day = d.day)
+        |SELECT user_id, day,
+        |  CAST(coalesce(fv, -1) AS DOUBLE) AS value_ffill,
+        |  CAST(CASE WHEN close IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_observed
+        |FROM filled
+        |ORDER BY user_id, day""".stripMargin,
     "timeseries_ohlc_bars" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS t, event_id,
         |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
