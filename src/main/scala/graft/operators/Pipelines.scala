@@ -236,6 +236,33 @@ object Pipelines {
       .orderBy($"event_id")
   }
 
+  /** Exactly-k-per-stratum sample — the fixed-SIZE companion to the
+    * fixed-RATE sample above: "take exactly 20 documents per language",
+    * the shape eval-set construction and per-domain budget sampling
+    * need (a rate gives binomial noise around the target; a budget
+    * demands exactness). Selection ranks by sha2(text) with a doc_id
+    * tie-break, so membership is content-keyed — the same documents
+    * win across corpus re-shards, engines, and partition layouts, and
+    * the pick is uniform over content (hash order is pseudorandom but
+    * deterministic). One window per language partition with the rank
+    * filter immediately after (the window_topk_per_group pattern —
+    * downstream sees ≤k rows per group); at extreme per-group
+    * cardinality, pre-filter on a coarse hash prefix first and rank
+    * only the survivors (sample_hash_stratified composes as exactly
+    * that pre-filter). */
+  def sampleReservoirFixedK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 20
+    val w = Window.partitionBy($"lang")
+      .orderBy(sha2($"text", 256), $"doc_id")
+    Tables.documents(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"lang", $"rk".cast("long").as("rk"), $"doc_id",
+        length($"text").cast("long").as("text_len"))
+      .orderBy($"lang", $"rk")
+  }
+
   /** Data-mixing weights: per-language sampling multipliers that
     * rebalance the corpus to a uniform language target — the "mixture
     * weights" step every multilingual training pipeline runs before
@@ -402,6 +429,7 @@ object Pipelines {
     "text_decontaminate" -> (textDecontaminate(_, _)),
     "compact_latest_state" -> (compactLatestState(_, _)),
     "sample_hash_stratified" -> (sampleHashStratified(_, _)),
+    "sample_reservoir_fixed_k" -> (sampleReservoirFixedK(_, _)),
     "eval_holdout_split" -> (evalHoldoutSplit(_, _)),
     "corpus_mix_rebalance" -> (corpusMixRebalance(_, _)),
     "pack_sequences" -> (packSequences(_, _))
@@ -484,6 +512,15 @@ object Pipelines {
         |  CASE event_type WHEN 'view' THEN '08' WHEN 'click' THEN '10'
         |       WHEN 'error' THEN '20' WHEN 'signup' THEN '30' ELSE 'c0' END
         |ORDER BY event_id""".stripMargin,
+    "sample_reservoir_fixed_k" ->
+      """WITH r AS (SELECT lang, doc_id, length(text) AS text_len,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY sha256(text), doc_id) AS rk
+        |  FROM documents)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id,
+        |  CAST(text_len AS BIGINT) AS text_len
+        |FROM r WHERE rk <= 20
+        |ORDER BY lang, rk""".stripMargin,
     "eval_holdout_split" ->
       """WITH s AS (SELECT lang,
         |  CASE WHEN substr(sha256(text), 1, 2) < '0d' THEN 'test'
