@@ -431,6 +431,41 @@ object LlmOps {
       .orderBy($"doc_id", $"chunk_idx")
   }
 
+  /** Chunk-level global dedup — the intra-corpus paragraph dedup step
+    * (CCNet/RefinedWeb-style): documents are tiled into 8-token
+    * chunks, each distinct chunk text gets ONE owner corpus-wide (the
+    * lexicographically first (doc_id, idx) occurrence — deterministic
+    * under any partitioning), and every other occurrence is removed.
+    * Output is the per-document retention census (chunks kept/removed)
+    * a pipeline uses to drop boilerplate-heavy documents. Distinct
+    * from doc-level dedup: a document survives, its repeated
+    * paragraphs don't. Owner election is ONE aggregate over the chunk
+    * key (min struct — no window over raw chunks); the join back is
+    * chunk-keyed equi. Shuffles here carry the 8-token chunk string
+    * (needed for the exact-string oracle); the production variant
+    * shuffles xxhash64(chunk) — 8 bytes — with the quality_repetition
+    * collision-canary discipline. */
+  def dedupChunkGlobal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ch = Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .select($"doc_id", $"t", size($"t").as("n"))
+      .select($"doc_id", $"t",
+        explode(expr("sequence(0, greatest(0, n - 1) div 8)")).as("i"))
+      .select($"doc_id", $"i".cast("long").as("i"),
+        concat_ws(" ", expr("slice(t, 1 + i * 8, 8)")).as("chunk"))
+    val owner = ch.groupBy($"chunk")
+      .agg(min(struct($"doc_id", $"i")).as("o"))
+    ch.join(owner, "chunk")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"o.doc_id" === $"doc_id" && $"o.i" === $"i", 1L)
+          .otherwise(0L)).as("n_kept"))
+      .select($"doc_id", $"n_chunks", $"n_kept",
+        ($"n_chunks" - $"n_kept").as("n_removed"))
+      .orderBy($"doc_id")
+  }
+
   def ngramGenerate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
@@ -534,6 +569,7 @@ object LlmOps {
     "text_langid" -> (textLangid(_, _)),
     "text_token_count" -> (textTokenCount(_, _)),
     "text_pii_scrub" -> (textPiiScrub(_, _)),
+    "dedup_chunk_global" -> (dedupChunkGlobal(_, _)),
     "simsearch_cosine_topk" -> (simsearchCosineTopk(_, _)),
     "simsearch_label_centroid" -> (simsearchLabelCentroid(_, _)),
     "text_stats" -> (textStats(_, _)),
@@ -618,6 +654,24 @@ object LlmOps {
         |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_pieces
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_chunk_global" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, t,
+        |    unnest(range(0, greatest(0, len(t) - 1) // 8 + 1)) AS i FROM t),
+        |ch AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |    array_to_string(list_slice(t, 1 + i * 8, i * 8 + 8), ' ') AS chunk
+        |  FROM idx),
+        |own AS (SELECT chunk, doc_id AS od, i AS oi,
+        |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, i) AS rn
+        |  FROM ch)
+        |SELECT c.doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN o.od = c.doc_id AND o.oi = c.i
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(count(*) - sum(CASE WHEN o.od = c.doc_id AND o.oi = c.i
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+        |FROM ch c JOIN (SELECT chunk, od, oi FROM own WHERE rn = 1) o
+        |  USING (chunk)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     "text_pii_scrub" ->
       // 'g' flag: DuckDB regexp_replace is first-match-only by default,
       // Spark's replaces all — force global on the DuckDB side
