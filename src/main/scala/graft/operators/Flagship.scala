@@ -374,7 +374,58 @@ object Flagship {
         |ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** Q16 shape — supplier counts per part class, excluding a part
+    * family via NOT IN: the null-aware anti-join probe. NOT IN is NOT
+    * the same operator as NOT EXISTS (q22): its three-valued-logic
+    * semantics (one NULL in the subquery empties the result) force
+    * Catalyst onto the null-aware LeftAnti path rather than a plain
+    * anti join — a distinct optimizer/runtime branch users hit
+    * constantly and debug rarely. Here the subquery column is a
+    * non-null key so the null-aware check degenerates at runtime, but
+    * the plan path is exercised and pinned. Aggregation is
+    * count(DISTINCT supplier) per bounded (brand, size) class —
+    * partial-expand aggregation, shuffle O(classes·suppliers). */
+  def q16SupplierPartClasses(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir).createOrReplaceTempView("part_q16")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_q16")
+    spark.sql(
+      """SELECT p.p_brand, p.p_size,
+        |  count(DISTINCT l.l_suppkey) AS supplier_cnt,
+        |  count(*) AS n_lines
+        |FROM part_q16 p JOIN lineitem_q16 l ON p.p_partkey = l.l_partkey
+        |WHERE p.p_partkey NOT IN
+        |  (SELECT p_partkey FROM part_q16 WHERE p_type = 'PROMO')
+        |GROUP BY p.p_brand, p.p_size
+        |ORDER BY p.p_brand, p.p_size""".stripMargin)
+  }
+
+  /** Percent-of-total (ratio-to-report): each nation's share of its
+    * region's customer balance — the whole-partition aggregate-window
+    * frame (no ORDER BY, no frame sort; every row sees the partition
+    * total). Shares are exact 1e-6 fixed point over integer cents
+    * (balance·100 is integer-valued DECIMAL(18,2)) — integer div, no
+    * cross-engine float division. The window runs over the ALREADY
+    * AGGREGATED per-nation frame (≈|nations| rows), never raw
+    * customers — the corpus_mix_rebalance discipline. */
+  def windowShareOfRegion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"r_name")
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, dir)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg((sum(Tables.dec2($"c_acctbal")) * 100).cast("long").as("cents"))
+      .withColumn("region_cents", sum($"cents").over(w))
+      .select($"r_name", $"n_name",
+        ($"cents".cast("double") / 100).as("balance"),
+        expr("(cents * 1000000) div region_cents").as("share_fp"))
+      .orderBy($"r_name", $"n_name")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q16_supplier_part_classes" -> (q16SupplierPartClasses(_, _)),
+    "window_share_of_total" -> (windowShareOfRegion(_, _)),
     "q13_customer_distribution" -> (q13CustomerDistribution(_, _)),
     "q14_promo_revenue_ratio" -> (q14PromoRevenueRatio(_, _)),
     "q22_idle_balance_segments" -> (q22IdleBalanceSegments(_, _)),
@@ -392,6 +443,29 @@ object Flagship {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q16_supplier_part_classes" ->
+      """SELECT p.p_brand, p.p_size,
+        |  count(DISTINCT l.l_suppkey) AS supplier_cnt,
+        |  count(*) AS n_lines
+        |FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+        |WHERE p.p_partkey NOT IN
+        |  (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        |GROUP BY p.p_brand, p.p_size
+        |ORDER BY p.p_brand, p.p_size""".stripMargin,
+    "window_share_of_total" ->
+      """WITH b AS (SELECT r.r_name, n.n_name,
+        |    CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM customer c
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY r.r_name, n.n_name),
+        |t AS (SELECT r_name, n_name, cents,
+        |    sum(cents) OVER (PARTITION BY r_name) AS region_cents FROM b)
+        |SELECT r_name, n_name,
+        |  CAST(cents AS DOUBLE) / 100 AS balance,
+        |  CAST((cents * 1000000) // region_cents AS BIGINT) AS share_fp
+        |FROM t ORDER BY r_name, n_name""".stripMargin,
     "q13_customer_distribution" ->
       """WITH co AS (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
         |  FROM customer c LEFT JOIN orders o
