@@ -13,7 +13,8 @@ object SparkEntry {
       operators.Multimodal.queries ++ operators.Flagship.queries ++
       operators.Pipelines.queries ++ streaming.Streamy.queries ++
       operators.Analytics.queries ++ operators.Recursion.queries ++
-      operators.Behavioral.queries ++ operators.Timeseries.queries
+      operators.Behavioral.queries ++ operators.Timeseries.queries ++
+      operators.Tpch.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -23,5 +24,6 @@ object SparkEntry {
       operators.Multimodal.oracleSql ++ operators.Flagship.oracleSql ++
       operators.Pipelines.oracleSql ++ streaming.Streamy.oracleSql ++
       operators.Analytics.oracleSql ++ operators.Recursion.oracleSql ++
-      operators.Behavioral.oracleSql ++ operators.Timeseries.oracleSql
+      operators.Behavioral.oracleSql ++ operators.Timeseries.oracleSql ++
+      operators.Tpch.oracleSql
 }

@@ -242,6 +242,52 @@ class PlanRegressionSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("TPC-H completion plans keep their probe shapes (q1/q2/q15/q20)") {
+    // q2: correlated scalar-MIN decorrelates to ONE per-part aggregate
+    // joined back — lineitem is scanned exactly twice (offer frame +
+    // decorrelated min), a constant, never once per outer row
+    val p2 = plan("q2_min_cost_supplier")
+    assert("lineitem\\.parquet".r.findAllIn(p2).size == 2,
+      "q2 must scan lineitem exactly twice (offer + decorrelated min)")
+    assert(!p2.contains("BroadcastNestedLoopJoin") && !p2.contains("CartesianProduct"),
+      "q2 decorrelation must yield equi-joins only")
+    // q15: the view's max is a scalar subquery broadcast into the
+    // filter — present as a Subquery, not a joined one-row frame
+    val p15 = plan("q15_top_supplier")
+    assert(p15.contains("Subquery"), "q15 max must plan as a scalar subquery")
+    assert(!p15.contains("BroadcastNestedLoopJoin"), "q15 threshold must not nest-loop")
+    // q20: both IN memberships collapse to left-semi hash joins (the
+    // formatted dump prints each join twice: tree + details)
+    val p20 = plan("q20_promotion_suppliers")
+    assert("LeftSemi".r.findAllIn(p20).size >= 2,
+      "q20's nested INs must both plan as left-semi joins")
+    assert(!p20.contains("BroadcastNestedLoopJoin"))
+    // q1: one full scan feeding one partial/final aggregate pair — the
+    // pure scan-bandwidth probe must never grow a second lineitem read
+    val p1 = plan("q1_pricing_summary")
+    assert("lineitem\\.parquet".r.findAllIn(p1).size == 1,
+      "q1 must stay a single-scan aggregate")
+  }
+
+  test("TPC-H completion plans stay within their exchange budgets") {
+    // audited sf0.01 formatted-plan values on landing (round 7) — a
+    // regression here means a shuffle crept into a flagship
+    val budgets = Map(
+      "q1_pricing_summary" -> 2,     // partial/final agg + sort
+      "q2_min_cost_supplier" -> 5,   // offer agg ×2 frames + min agg + SMJ sort sides
+      "q8_market_share" -> 2,        // orders FK join rides broadcasts; agg + sort
+      "q9_product_profit" -> 2,      // agg + sort (dims broadcast)
+      "q11_important_parts" -> 4,    // pv agg pair + scalar re-agg pair
+      "q12_priority_shipping" -> 2,  // FK join + 2-group agg + sort
+      "q15_top_supplier" -> 4,       // rev agg pair + scalar max agg pair
+      "q20_promotion_suppliers" -> 2) // grouped-HAVING agg pair (semis broadcast)
+    val over = budgets.flatMap { case (name, budget) =>
+      val n = "\\(\\d+\\) Exchange".r.findAllIn(plan(name)).size
+      if (n > budget) Some(s"$name: $n > $budget") else None
+    }
+    assert(over.isEmpty, s"exchange budget exceeded: $over")
+  }
+
   test("quadratic plans appear ONLY in the documented similarity baselines") {
     // ml_kmeans_step: k-row seed broadcast × corpus is the Lloyd's
     // assign step — fan-out is k (constant), not quadratic.
