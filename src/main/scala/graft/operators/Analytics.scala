@@ -368,7 +368,49 @@ object Analytics {
       .orderBy($"node")
   }
 
+  /** Collocation mining — the PMI/lift shape: bigrams whose observed
+    * frequency beats the independence expectation of their two words,
+    * lift = p(xy) / (p(x)·p(y)) with all probabilities over the bigram
+    * total. The standard first step of phrase detection (word2vec
+    * phrases, n-gram LM pruning) over a tokenized corpus.
+    *
+    * Determinism: PMI's log is banned cross-engine (transcendental),
+    * and lift's division has no identical-doubles guarantee — so the
+    * score is exact 2^20 fixed point via BIGINT floor-division:
+    * lift_fp = (c_xy · N · 2^20) div (c_x · c_y), monotone in PMI.
+    *
+    * Scale shape: unigram and bigram counts both partial-aggregate
+    * map-side (shuffle = O(vocab), O(vocab²-observed)); the corpus
+    * total N is a scalar re-aggregate of the ALREADY AGGREGATED bigram
+    * frame (inline scalar subquery — never a one-row cross join, which
+    * would plan BroadcastNestedLoopJoin); the two unigram decorations
+    * broadcast at any realistic vocabulary. No single-partition
+    * window, no driver-side count. */
+  def textCollocationLift(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir).createOrReplaceTempView("documents_tcl")
+    spark.sql(
+      """WITH toks AS (
+        |  SELECT filter(split(text, ' '), w -> w <> '') AS t
+        |  FROM documents_tcl),
+        |uni AS (
+        |  SELECT w, count(*) AS c
+        |  FROM (SELECT explode(t) AS w FROM toks) GROUP BY w),
+        |bi AS (
+        |  SELECT element_at(t, i) AS w1, element_at(t, i + 1) AS w2,
+        |    count(*) AS c_xy
+        |  FROM (SELECT t, explode(sequence(1, size(t) - 1)) AS i
+        |        FROM toks WHERE size(t) >= 2)
+        |  GROUP BY 1, 2)
+        |SELECT w1, w2, c_xy,
+        |  (c_xy * (SELECT sum(c_xy) FROM bi) * 1048576)
+        |    div (u1.c * u2.c) AS lift_fp
+        |FROM bi JOIN uni u1 ON w1 = u1.w JOIN uni u2 ON w2 = u2.w
+        |WHERE c_xy >= 5
+        |ORDER BY lift_fp DESC, w1, w2 LIMIT 100""".stripMargin)
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "text_collocation_lift" -> (textCollocationLift(_, _)),
     "graph_triangle_count" -> (graphTriangleCount(_, _)),
     "anomaly_mad_outliers" -> (anomalyMadOutliers(_, _)),
     "graph_pagerank" -> (graphPagerank(_, _)),
@@ -418,6 +460,24 @@ object Analytics {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "text_collocation_lift" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split(text, ' '), w -> w <> '') AS t
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w, count(*) AS c
+        |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+        |bi AS (
+        |  SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS c_xy
+        |  FROM (SELECT t, unnest(range(1, len(t))) AS i
+        |        FROM toks WHERE len(t) >= 2)
+        |  GROUP BY 1, 2)
+        |SELECT w1, w2, c_xy,
+        |  CAST((c_xy * (SELECT sum(c_xy) FROM bi) * 1048576)
+        |    // (u1.c * u2.c) AS BIGINT) AS lift_fp
+        |FROM bi JOIN uni u1 ON w1 = u1.w JOIN uni u2 ON w2 = u2.w
+        |WHERE c_xy >= 5
+        |ORDER BY lift_fp DESC, w1, w2 LIMIT 100""".stripMargin,
     "graph_triangle_count" ->
       """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
         |inc AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS sp

@@ -129,6 +129,45 @@ object Behavioral {
       .orderBy($"shared_parts".desc, $"s1", $"s2")
   }
 
+  /** Node-similarity scoring over the same bipartite incidence:
+    * Jaccard similarity of each supplier pair's part sets —
+    * |A∩B| / |A∪B| — the normalized companion to the raw
+    * common-neighbor counts above (raw counts rank high-degree nodes
+    * first; Jaccard corrects for set size, the standard
+    * item-item-similarity refinement).
+    *
+    * Scale shape: the intersection reuses the copurchase pair
+    * machinery (one incidence shuffle, degree²-bounded pair explode,
+    * map-side pair combine); degrees come from a tiny per-node
+    * aggregate (≤|suppliers| rows, broadcast twice); the union is
+    * derived (deg1 + deg2 − shared), never materialized. The score is
+    * exact 2^20 fixed point via BIGINT floor-division — no
+    * cross-engine float division (the determinism rule for ratios
+    * whose operands aren't identical doubles by construction). */
+  def graphNodeJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val incidence = Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_suppkey").distinct()
+    val deg = incidence.groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("deg"))
+    val pairs = incidence
+      .groupBy($"l_partkey")
+      .agg(sort_array(collect_set($"l_suppkey")).as("ss"))
+      .select($"ss", posexplode($"ss").as(Seq("i", "s1")))
+      .select($"s1", explode(expr("slice(ss, i + 2, size(ss))")).as("s2"))
+      .groupBy($"s1", $"s2")
+      .agg(count(lit(1)).as("shared"))
+      .filter($"shared" >= 3)
+    pairs
+      .join(broadcast(deg.withColumnRenamed("l_suppkey", "k1")
+        .withColumnRenamed("deg", "deg1")), $"s1" === $"k1")
+      .join(broadcast(deg.withColumnRenamed("l_suppkey", "k2")
+        .withColumnRenamed("deg", "deg2")), $"s2" === $"k2")
+      .select($"s1", $"s2", $"shared", $"deg1", $"deg2",
+        expr("(shared * 1048576) div (deg1 + deg2 - shared)").as("jaccard_fp"))
+      .orderBy($"jaccard_fp".desc, $"s1", $"s2")
+  }
+
   /** First-order transition matrix over each user's event sequence —
     * the Markov-chain view of a clickstream (what follows what, and
     * how often). One user_id shuffle: lag() over the per-user order
@@ -179,7 +218,8 @@ object Behavioral {
     "retention_cohort" -> (retentionCohort(_, _)),
     "agg_transition_matrix" -> (aggTransitionMatrix(_, _)),
     "window_cumulative_distinct" -> (windowCumulativeDistinct(_, _)),
-    "graph_copurchase_pairs" -> (graphCopurchasePairs(_, _))
+    "graph_copurchase_pairs" -> (graphCopurchasePairs(_, _)),
+    "graph_node_jaccard" -> (graphNodeJaccard(_, _))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -233,6 +273,21 @@ object Behavioral {
         |FROM ps a JOIN ps b
         |  ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
         |GROUP BY 1, 2 HAVING count(*) >= 3
-        |ORDER BY shared_parts DESC, s1, s2""".stripMargin
+        |ORDER BY shared_parts DESC, s1, s2""".stripMargin,
+    "graph_node_jaccard" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |deg AS (SELECT l_suppkey, count(*) AS deg FROM ps GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, count(*) AS shared
+        |  FROM ps a JOIN ps b
+        |    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT s1, s2, shared, d1.deg AS deg1, d2.deg AS deg2,
+        |  CAST((shared * 1048576) // (d1.deg + d2.deg - shared) AS BIGINT)
+        |    AS jaccard_fp
+        |FROM pairs
+        |JOIN deg d1 ON s1 = d1.l_suppkey
+        |JOIN deg d2 ON s2 = d2.l_suppkey
+        |ORDER BY jaccard_fp DESC, s1, s2""".stripMargin
   )
 }

@@ -372,6 +372,34 @@ object Relational {
     * the same µs, window order ends in event_id, so the carried struct
     * is the (max ts_us, max event_id) click — the oracle reproduces
     * that with max(ts)-then-max(id) grouping. */
+  /** Correlated LATERAL top-k join — "each customer with their 2
+    * most-valuable orders": the LATERAL (ORDER BY … LIMIT k) subquery
+    * shape BI tools emit constantly. The naive plan re-runs the inner
+    * query per outer row; Catalyst's lateral decorrelation must
+    * rewrite it to a per-key WindowGroupLimit (rank ≤ k pushed INTO
+    * the window sort — each group keeps k rows of state, no full
+    * per-key sort materialized) followed by one equi-join on custkey —
+    * the same plan a hand-written row_number() top-k would get, which
+    * is what survives at scale. Pinned in PlanRegressionSpec.
+    *
+    * Determinism: o_totalprice is 2-dec-exact so the double ORDER BY
+    * compares identically cross-engine; ties break on o_orderkey
+    * inside the lateral, and the outer ORDER BY ends in the unique
+    * (c_custkey, o_orderkey). */
+  def joinLateralTopk(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_jlt")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_jlt")
+    spark.sql(
+      """SELECT c.c_custkey, o.o_orderkey,
+        |  CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+        |    AS o_totalprice
+        |FROM customer_jlt c JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders_jlt
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin)
+  }
+
   def joinIntervalAttribution(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -673,7 +701,8 @@ object Relational {
     "join_null_safe" -> (joinNullSafe(_, _)),
     "join_range_theta" -> (joinRangeTheta(_, _)),
     "join_self_asof" -> (joinSelfAsof(_, _)),
-    "join_interval_attribution" -> (joinIntervalAttribution(_, _))
+    "join_interval_attribution" -> (joinIntervalAttribution(_, _)),
+    "join_lateral_topk" -> (joinLateralTopk(_, _))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -866,6 +895,15 @@ object Relational {
         |SELECT purchase_id, user_id, ts_us,
         |  CAST(coalesce(cts, -1) AS BIGINT) AS click_ts_us,
         |  CAST(coalesce(cid, -1) AS BIGINT) AS click_id
-        |FROM r ORDER BY purchase_id""".stripMargin
+        |FROM r ORDER BY purchase_id""".stripMargin,
+    "join_lateral_topk" ->
+      """SELECT c.c_custkey, o.o_orderkey,
+        |  CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+        |    AS o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin
   )
 }

@@ -288,6 +288,30 @@ class PlanRegressionSpec extends SparkSuite {
     assert(over.isEmpty, s"exchange budget exceeded: $over")
   }
 
+  test("join_lateral_topk decorrelates to a WindowGroupLimit, not per-row re-execution") {
+    // LATERAL (ORDER BY … LIMIT k) must rewrite to a per-key group
+    // limit (k rows of state per group, rank pushed into the window
+    // sort) + ONE equi-join — the plan a hand-written row_number top-k
+    // gets. A correlated re-execution or nested loop would be O(outer)
+    // inner queries.
+    val p = plan("join_lateral_topk")
+    assert(p.contains("WindowGroupLimit"),
+      "lateral top-k must plan a WindowGroupLimit: " + p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("round-7 continuation plans stay within their exchange budgets") {
+    val budgets = Map(
+      "join_lateral_topk" -> 2,      // group-limit window + sort
+      "graph_node_jaccard" -> 7,     // incidence distinct ×2 uses + deg agg + pair agg + sort
+      "text_collocation_lift" -> 5)  // uni agg + bi agg + scalar re-agg + join + sort
+    val over = budgets.flatMap { case (name, budget) =>
+      val n = "\\(\\d+\\) Exchange".r.findAllIn(plan(name)).size
+      if (n > budget) Some(s"$name: $n > $budget") else None
+    }
+    assert(over.isEmpty, s"exchange budget exceeded: $over")
+  }
+
   test("quadratic plans appear ONLY in the documented similarity baselines") {
     // ml_kmeans_step: k-row seed broadcast × corpus is the Lloyd's
     // assign step — fan-out is k (constant), not quadratic.
