@@ -409,7 +409,47 @@ object Analytics {
         |ORDER BY lift_fp DESC, w1, w2 LIMIT 100""".stripMargin)
   }
 
+  /** Parametric 3σ outlier census per event type — the classical
+    * z-score companion to the robust MAD screen (anomaly_mad_outliers):
+    * MAD survives heavy tails, z-score is what monitoring dashboards
+    * actually compute. The determinism problem is that μ and σ are
+    * ratios (FP division + sqrt cross-engine); the classification is
+    * therefore rewritten multiplication-only over integer fixed point:
+    *
+    *   |x − μ| > 3σ  ⟺  (n·x − S)² > 9·(n·SS − S²)
+    *
+    * with x = value·10⁴ (events.value is 4-dec exact), S = Σx,
+    * SS = Σx² — every operand an exact integer in both engines (Spark
+    * DECIMAL(38,0), DuckDB HUGEINT), so no rounding boundary exists at
+    * all, unlike the MAD key's round(6) quantization.
+    *
+    * Scale shape: one partial-aggregated stats pass (5 group rows),
+    * broadcast back over the fact scan, conditional count — two scans,
+    * zero wide shuffles. Magnitude audit at sf0.1: SS ≤ 6.3e17 (BIGINT
+    * sum is safe but summed as DECIMAL anyway), n·SS ≤ 1.3e22 and
+    * (n·x−S)² ≤ 1.2e22, both far under the 1e38 DECIMAL(38)/HUGEINT
+    * ceiling — headroom to ~sf100. */
+  def anomalyZscoreExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = Tables.events(spark, dir)
+      .select($"event_type", (Tables.dec4($"value") * 10000).cast("long").as("x"))
+    val s = v.groupBy($"event_type").agg(
+      count(lit(1)).as("n"),
+      sum($"x").cast("decimal(38,0)").as("sx"),
+      sum(($"x" * $"x").cast("decimal(38,0)")).as("sxx"))
+    val d = ($"n" * $"x" - $"sx").cast("decimal(38,0)")
+    v.join(broadcast(s), "event_type")
+      .groupBy($"event_type")
+      .agg(
+        max($"n").as("n"),
+        sum(when(d * d >
+          ($"n".cast("decimal(38,0)") * $"sxx" - $"sx" * $"sx") * 9,
+          1L).otherwise(0L)).as("n_outliers"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "anomaly_zscore_exact" -> (anomalyZscoreExact(_, _)),
     "text_collocation_lift" -> (textCollocationLift(_, _)),
     "graph_triangle_count" -> (graphTriangleCount(_, _)),
     "anomaly_mad_outliers" -> (anomalyMadOutliers(_, _)),
@@ -460,6 +500,19 @@ object Analytics {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "anomaly_zscore_exact" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS x
+        |  FROM events),
+        |s AS (SELECT event_type, count(*) AS n, sum(x) AS sx,
+        |    sum(x * x) AS sxx
+        |  FROM v GROUP BY 1)
+        |SELECT v.event_type, max(s.n) AS n,
+        |  CAST(sum(CASE WHEN (s.n * v.x - s.sx) * (s.n * v.x - s.sx)
+        |      > 9 * (s.n * s.sxx - s.sx * s.sx) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM v JOIN s ON v.event_type = s.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_collocation_lift" ->
       """WITH toks AS (
         |  SELECT list_filter(string_split(text, ' '), w -> w <> '') AS t

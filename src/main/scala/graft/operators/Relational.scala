@@ -372,6 +372,62 @@ object Relational {
     * the same µs, window order ends in event_id, so the carried struct
     * is the (max ts_us, max event_id) click — the oracle reproduces
     * that with max(ts)-then-max(id) grouping. */
+  /** Nearest-event as-of join, BOTH directions: each purchase matched
+    * to its temporally closest click by the same user within ±1 h —
+    * the sensor-fusion/session-stitching variant of the backward-only
+    * as-of (join_self_asof) and backward-interval attribution
+    * (join_interval_attribution). pandas calls this
+    * `merge_asof(direction='nearest', tolerance=...)`; neither Spark
+    * nor DuckDB has a native nearest as-of, so both sides compose it
+    * from ordered primitives with IDENTICAL tie rules.
+    *
+    * Plan: ONE window pass over the tagged click∪purchase union per
+    * direction — the nearest prior click is carried by a backward
+    * [unbounded, -1] frame, the nearest next by a forward
+    * [+1, unbounded] frame, then a pure projection picks the closer
+    * valid side. No join at all: the event log shuffles once on
+    * user_id and both frames ride the same sort (O(1) evaluator state
+    * each). The oracle reproduces it as four aggregate joins.
+    *
+    * Tie rules (exact, µs integers end to end): a click at the
+    * purchase's own µs counts as a prior at distance 0; equal
+    * prior/next distance → prior; several prior clicks at the same µs
+    * → max event_id (the interval-attribution rule); several next
+    * clicks at the same µs → min event_id (first in time order). */
+  def joinAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hourUs = 3600000000L
+    val e = Tables.events(spark, dir)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"event_id", $"user_id", Tables.nsToUs($"ts").as("ts_us"),
+        $"event_type",
+        when($"event_type" === "click", lit(0)).otherwise(lit(1)).as("kind"))
+      .withColumn("cstruct",
+        when($"kind" === 0, struct($"ts_us", $"event_id")))
+    val order = Seq($"ts_us", $"kind", $"event_id")
+    val wPrev = Window.partitionBy($"user_id").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy($"user_id").orderBy(order: _*)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val tagged = e
+      .withColumn("prior", last($"cstruct", ignoreNulls = true).over(wPrev))
+      .withColumn("nxt", first($"cstruct", ignoreNulls = true).over(wNext))
+      .filter($"event_type" === "purchase")
+    val dp = $"ts_us" - $"prior.ts_us"
+    val dn = $"nxt.ts_us" - $"ts_us"
+    val pv = $"prior".isNotNull && dp <= hourUs
+    val nv = $"nxt".isNotNull && dn <= hourUs
+    tagged.select($"event_id".as("purchase_id"), $"user_id", $"ts_us",
+      when(pv && (!nv || dp <= dn), lit("prior"))
+        .when(nv, lit("next")).otherwise(lit("none")).as("side"),
+      when(pv && (!nv || dp <= dn), $"prior.ts_us")
+        .when(nv, $"nxt.ts_us").otherwise(lit(-1L)).as("click_ts_us"),
+      when(pv && (!nv || dp <= dn), $"prior.event_id")
+        .when(nv, $"nxt.event_id").otherwise(lit(-1L)).as("click_id"))
+      .orderBy($"purchase_id")
+  }
+
   /** Correlated LATERAL top-k join — "each customer with their 2
     * most-valuable orders": the LATERAL (ORDER BY … LIMIT k) subquery
     * shape BI tools emit constantly. The naive plan re-runs the inner
@@ -702,7 +758,8 @@ object Relational {
     "join_range_theta" -> (joinRangeTheta(_, _)),
     "join_self_asof" -> (joinSelfAsof(_, _)),
     "join_interval_attribution" -> (joinIntervalAttribution(_, _)),
-    "join_lateral_topk" -> (joinLateralTopk(_, _))
+    "join_lateral_topk" -> (joinLateralTopk(_, _)),
+    "join_asof_nearest" -> (joinAsofNearest(_, _))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -904,6 +961,48 @@ object Relational {
         |  SELECT o_orderkey, o_totalprice FROM orders
         |  WHERE o_custkey = c.c_custkey
         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
-        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin
+        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin,
+    "join_asof_nearest" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    event_type FROM events
+        |  WHERE event_type IN ('click', 'purchase')),
+        |p AS (SELECT event_id, user_id, ts_us FROM e
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts_us FROM e
+        |      WHERE event_type = 'click'),
+        |gp AS (SELECT p.event_id AS pid, p.user_id, p.ts_us,
+        |    max(c.ts_us) AS pts
+        |  FROM p LEFT JOIN c ON c.user_id = p.user_id
+        |    AND c.ts_us <= p.ts_us
+        |  GROUP BY 1, 2, 3),
+        |gpi AS (SELECT gp.pid, gp.user_id, gp.ts_us, gp.pts,
+        |    max(c.event_id) AS pcid
+        |  FROM gp LEFT JOIN c ON c.user_id = gp.user_id
+        |    AND c.ts_us = gp.pts
+        |  GROUP BY 1, 2, 3, 4),
+        |gn AS (SELECT gpi.pid, gpi.user_id, gpi.ts_us, gpi.pts, gpi.pcid,
+        |    min(c.ts_us) AS nts
+        |  FROM gpi LEFT JOIN c ON c.user_id = gpi.user_id
+        |    AND c.ts_us > gpi.ts_us
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |gni AS (SELECT gn.pid, gn.user_id, gn.ts_us, gn.pts, gn.pcid,
+        |    gn.nts, min(c.event_id) AS ncid
+        |  FROM gn LEFT JOIN c ON c.user_id = gn.user_id
+        |    AND c.ts_us = gn.nts
+        |  GROUP BY 1, 2, 3, 4, 5, 6),
+        |f AS (SELECT pid, user_id, ts_us, pts, pcid, nts, ncid,
+        |    (pts IS NOT NULL AND ts_us - pts <= 3600000000) AS pv,
+        |    (nts IS NOT NULL AND nts - ts_us <= 3600000000) AS nv
+        |  FROM gni)
+        |SELECT pid AS purchase_id, user_id, ts_us,
+        |  CASE WHEN pv AND (NOT nv OR ts_us - pts <= nts - ts_us)
+        |    THEN 'prior' WHEN nv THEN 'next' ELSE 'none' END AS side,
+        |  CAST(CASE WHEN pv AND (NOT nv OR ts_us - pts <= nts - ts_us)
+        |    THEN pts WHEN nv THEN nts ELSE -1 END AS BIGINT)
+        |    AS click_ts_us,
+        |  CAST(CASE WHEN pv AND (NOT nv OR ts_us - pts <= nts - ts_us)
+        |    THEN pcid WHEN nv THEN ncid ELSE -1 END AS BIGINT)
+        |    AS click_id
+        |FROM f ORDER BY purchase_id""".stripMargin
   )
 }

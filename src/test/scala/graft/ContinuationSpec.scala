@@ -45,6 +45,54 @@ class ContinuationSpec extends SparkSuite {
     assert(scores === scores.sorted.reverse, "must be ranked by lift")
   }
 
+  test("anomaly_zscore_exact: census agrees with double-arithmetic z-scores") {
+    val rows = operators.Analytics.anomalyZscoreExact(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // independent recomputation in plain doubles: the exact integer
+    // classification must agree wherever the double z-score is not
+    // razor-edge (the fixture has no values within 1e-9 of 3σ)
+    val raw = Tables.events(spark, sf0001)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).map { case (t, vs) =>
+        val xs = vs.map(_.getDouble(1))
+        val n = xs.length.toDouble
+        val mu = xs.sum / n
+        val sigma = math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / n)
+        t -> xs.count(x => math.abs(x - mu) > 3 * sigma)
+      }
+    rows.foreach { r =>
+      val (t, n, k) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(k >= 0 && k < n)
+      assert(k === raw(t).toLong, s"$t: exact-integer census $k vs double census ${raw(t)}")
+    }
+  }
+
+  test("join_asof_nearest: every match is the true nearest click within the hour") {
+    val rows = operators.Relational.joinAsofNearest(spark, sf0001).collect()
+    val clicks = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), Tables.nsToUs(col("ts")).as("ts_us"), col("event_id"))
+      .collect().groupBy(_.getLong(0))
+    val hour = 3600000000L
+    rows.foreach { r =>
+      val (u, pts, side, cts, cid) =
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4), r.getLong(5))
+      val cands = clicks.getOrElse(u, Array.empty)
+        .filter(c => math.abs(c.getLong(1) - pts) <= hour)
+      if (side == "none") assert(cands.isEmpty, s"user $u purchase $pts had candidates")
+      else {
+        val best = cands.map(c => math.abs(c.getLong(1) - pts)).min
+        assert(math.abs(cts - pts) === best, "must match the minimal distance")
+        if (side == "prior") assert(cts <= pts) else assert(cts > pts)
+        // equal-distance two-sided tie must resolve to the prior click
+        if (side == "next")
+          assert(!cands.exists(c => pts - c.getLong(1) == best && c.getLong(1) <= pts),
+            "a prior click at equal distance must win")
+        assert(cid > 0)
+      }
+    }
+  }
+
   test("join_lateral_topk: at most k=2 orders per customer, each customer's max first") {
     val rows = operators.Relational.joinLateralTopk(spark, sf0001).collect()
     val byCust = rows.groupBy(_.getLong(0))

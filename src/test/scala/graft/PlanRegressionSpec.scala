@@ -288,6 +288,18 @@ class PlanRegressionSpec extends SparkSuite {
     assert(over.isEmpty, s"exchange budget exceeded: $over")
   }
 
+  test("join_asof_nearest runs both direction frames in ONE window over one scan") {
+    // the nearest as-of must not become two window passes or a
+    // self-join: one event scan, one user_id Window node carrying both
+    // the backward and forward frames (same partitioning + ordering)
+    val p = plan("join_asof_nearest")
+    assert("events\\.parquet".r.findAllIn(p).size == 1, "one scan of the event log")
+    assert("\\(\\d+\\) Window".r.findAllIn(p).size == 1,
+      "both frames must merge into one Window node: " + p.take(600))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      "nearest as-of must be join-free")
+  }
+
   test("join_lateral_topk decorrelates to a WindowGroupLimit, not per-row re-execution") {
     // LATERAL (ORDER BY … LIMIT k) must rewrite to a per-key group
     // limit (k rows of state per group, rank pushed into the window
@@ -304,7 +316,9 @@ class PlanRegressionSpec extends SparkSuite {
     val budgets = Map(
       "join_lateral_topk" -> 2,      // group-limit window + sort
       "graph_node_jaccard" -> 7,     // incidence distinct ×2 uses + deg agg + pair agg + sort
-      "text_collocation_lift" -> 5)  // uni agg + bi agg + scalar re-agg + join + sort
+      "text_collocation_lift" -> 5,  // uni agg + bi agg + scalar re-agg + join + sort
+      "join_asof_nearest" -> 2,      // ONE user_id window (both frames merged) + sort
+      "anomaly_zscore_exact" -> 3)   // stats agg pair + census agg (broadcast join back)
     val over = budgets.flatMap { case (name, budget) =>
       val n = "\\(\\d+\\) Exchange".r.findAllIn(plan(name)).size
       if (n > budget) Some(s"$name: $n > $budget") else None
