@@ -312,7 +312,66 @@ object Multimodal {
       .orderBy($"vec_id")
   }
 
+  /** Unsupervised-vs-truth confusion matrix: the k-means cluster
+    * assignment (the ml_kmeans_step exact fixed-point argmin — same
+    * seeds, same tie rule) cross-tabulated against the embeddings'
+    * ground-truth labels — the first thing anyone computes after a
+    * clustering run (purity / cluster-label agreement). The cross-tab
+    * is ≤ k·|labels| rows; the only non-broadcast shuffle is the
+    * 2-column final aggregate. */
+  def mlConfusionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label".cast("long").as("label"),
+        expr("transform(embedding, x -> CAST(floor(x * 1048576) AS BIGINT))")
+          .as("qv"))
+    val seeds = q.filter($"vec_id" < 4)
+      .select($"vec_id".as("cid"), $"qv".as("cq"))
+    q.crossJoin(broadcast(seeds))
+      .select($"vec_id", $"label", $"cid",
+        expr("aggregate(zip_with(qv, cq, (x, y) -> (x - y) * (x - y)), " +
+          "0L, (acc, v) -> acc + v)").as("sqdist"))
+      .groupBy($"vec_id", $"label")
+      .agg(min(struct($"sqdist", $"cid")).as("m"))
+      .groupBy($"label", $"m.cid")
+      .agg(count(lit(1)).as("n"))
+      .select($"label", $"cid", $"n")
+      .orderBy($"label", $"cid")
+  }
+
+  /** Retrieval quality of the similarity search: precision@10 per
+    * query — how many of a query's top-10 cosine neighbours share its
+    * label. The eval loop every ANN deployment runs against the
+    * brute-force ground truth. Reuses the fixed query broadcast + the
+    * native codegen'd cosine Expression + the round(6) score contract
+    * of simsearch_cosine_topk, so ranking ties resolve identically
+    * cross-engine; precision is exact 2^20 fixed point over the
+    * constant k=10 (integer division — no float ratio). */
+  def evalRankingMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorOps.registerAll(spark)
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"label".cast("long").as("q_label"),
+        $"embedding".as("qe"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"q_label", $"vec_id", $"label",
+        round(expr("cosine_similarity(qe, embedding)"), 6).as("score"))
+    val w = Window.partitionBy($"q_id").orderBy($"score".desc, $"vec_id")
+    scored.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 10)
+      .groupBy($"q_id", $"q_label")
+      .agg(sum(when($"label" === $"q_label", 1L).otherwise(0L)).as("hits"))
+      .select($"q_id", $"q_label", $"hits",
+        expr("(hits * 1048576) div 10").as("p_at_10_fp"))
+      .orderBy($"q_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "ml_confusion_matrix" -> (mlConfusionMatrix(_, _)),
+    "eval_ranking_metrics" -> (evalRankingMetrics(_, _)),
     "dedup_semantic_cluster" -> (dedupSemanticCluster(_, _)),
     "ml_kmeans_step" -> (mlKmeansStep(_, _)),
     "multimodal_binary_meta" -> (multimodalBinaryMeta(_, _)),
@@ -324,6 +383,43 @@ object Multimodal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ml_confusion_matrix" ->
+      """WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 1048576) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |s AS (SELECT vec_id AS cid, qv AS cq FROM q WHERE vec_id < 4),
+        |d AS (SELECT q.vec_id, q.label, s.cid,
+        |    CAST(list_sum(list_transform(list_zip(q.qv, s.cq),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS sqdist
+        |  FROM q, s),
+        |a AS (SELECT vec_id, label, cid,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sqdist, cid) AS rn FROM d)
+        |SELECT label, cid, count(*) AS n
+        |FROM a WHERE rn = 1
+        |GROUP BY label, cid ORDER BY label, cid""".stripMargin,
+    "eval_ranking_metrics" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(label AS BIGINT) AS q_label,
+        |    CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q_id, q_label, vec_id, label,
+        |    round(list_dot_product(qe, CAST(embedding AS DOUBLE[])) /
+        |      (sqrt(list_dot_product(qe, qe)) *
+        |       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |            CAST(embedding AS DOUBLE[])))), 6) AS score
+        |  FROM q, embeddings WHERE vec_id <> q_id),
+        |r AS (SELECT q_id, q_label, vec_id, label,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score DESC, vec_id) AS rn
+        |  FROM s)
+        |SELECT q_id, q_label,
+        |  CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS hits,
+        |  CAST((sum(CASE WHEN label = q_label THEN 1 ELSE 0 END)
+        |    * 1048576) // 10 AS BIGINT) AS p_at_10_fp
+        |FROM r WHERE rn <= 10
+        |GROUP BY q_id, q_label ORDER BY q_id""".stripMargin,
     "dedup_semantic_cluster" ->
       """WITH q AS (SELECT vec_id,
         |    list_transform(CAST(embedding AS DOUBLE[]),

@@ -421,7 +421,46 @@ object Pipelines {
       .orderBy($"source")
   }
 
+  /** Corpus snapshot diff — the data-ops census run before promoting a
+    * new corpus version: FULL OUTER join of two snapshots on doc_id,
+    * each doc classed added / removed / changed / same by content hash,
+    * aggregated per (status, lang). The v2 snapshot is derived from the
+    * fixture deterministically (the injected-fixture precedent:
+    * deletions = doc_id % 7 = 0, edits = doc_id % 5 = 0 get a marker
+    * suffix, additions = re-keyed copies of doc_id % 11 = 0), so both
+    * engines diff identical inputs.
+    *
+    * Scale shape: the join shuffles (doc_id, 32-B sha256, lang) only —
+    * text never moves (hash computed inside each scan); the diff frame
+    * aggregates to ≤ 4·|langs| rows with map-side combine. This is the
+    * same-cost shape as dedup_incremental at any corpus size. */
+  def corpusSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v1 = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", sha2($"text", 256).as("h1"))
+    val base = Tables.documents(spark, dir)
+    val kept = base.filter($"doc_id" % 7 =!= 0)
+      .select($"doc_id", $"lang",
+        sha2(when($"doc_id" % 5 === 0, concat($"text", lit(" [v2]")))
+          .otherwise($"text"), 256).as("h2"))
+    val added = base.filter($"doc_id" % 11 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"lang",
+        sha2($"text", 256).as("h2"))
+    val v2 = kept.unionByName(added)
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(
+        when(v2("h2").isNull, lit("removed"))
+          .when(v1("h1").isNull, lit("added"))
+          .when(v1("h1") =!= v2("h2"), lit("changed"))
+          .otherwise(lit("same")).as("status"),
+        coalesce(v1("lang"), v2("lang")).as("lang"))
+      .groupBy($"status", $"lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"status", $"lang")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "corpus_snapshot_diff" -> (corpusSnapshotDiff(_, _)),
     "compact_incremental_agg" -> (compactIncrementalAgg(_, _)),
     "quality_corpus_report" -> (qualityCorpusReport(_, _)),
     "dedup_cluster_cc" -> (dedupClusterCc(_, _)),
@@ -436,6 +475,25 @@ object Pipelines {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "corpus_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, lang, sha256(text) AS h1 FROM documents),
+        |kept AS (SELECT doc_id, lang,
+        |    sha256(CASE WHEN doc_id % 5 = 0 THEN text || ' [v2]'
+        |                ELSE text END) AS h2
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |added AS (SELECT doc_id + 1000000 AS doc_id, lang,
+        |    sha256(text) AS h2
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |v2 AS (SELECT * FROM kept UNION ALL SELECT * FROM added),
+        |d AS (SELECT
+        |    CASE WHEN v2.h2 IS NULL THEN 'removed'
+        |         WHEN v1.h1 IS NULL THEN 'added'
+        |         WHEN v1.h1 <> v2.h2 THEN 'changed'
+        |         ELSE 'same' END AS status,
+        |    coalesce(v1.lang, v2.lang) AS lang
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT status, lang, count(*) AS n_docs
+        |FROM d GROUP BY status, lang ORDER BY status, lang""".stripMargin,
     "compact_incremental_agg" ->
       // the maintained rollup must equal the one-shot aggregate
       """WITH e AS (SELECT event_type,

@@ -318,7 +318,10 @@ class PlanRegressionSpec extends SparkSuite {
       "graph_node_jaccard" -> 7,     // incidence distinct ×2 uses + deg agg + pair agg + sort
       "text_collocation_lift" -> 5,  // uni agg + bi agg + scalar re-agg + join + sort
       "join_asof_nearest" -> 2,      // ONE user_id window (both frames merged) + sort
-      "anomaly_zscore_exact" -> 3)   // stats agg pair + census agg (broadcast join back)
+      "anomaly_zscore_exact" -> 3,   // stats agg pair + census agg (broadcast join back)
+      "ml_confusion_matrix" -> 3,    // argmin agg + crosstab agg + sort (seeds broadcast)
+      "eval_ranking_metrics" -> 2,   // q_id window + per-query agg (queries broadcast)
+      "corpus_snapshot_diff" -> 4)   // v1/v2 join inputs + census agg + sort
     val over = budgets.flatMap { case (name, budget) =>
       val n = "\\(\\d+\\) Exchange".r.findAllIn(plan(name)).size
       if (n > budget) Some(s"$name: $n > $budget") else None
@@ -334,9 +337,14 @@ class PlanRegressionSpec extends SparkSuite {
     // dedup_semantic_cluster: its ONLY nested-loop is the ml_kmeans_step
     // constant-k seed broadcast for the assign step; the pair join is
     // pinned as an equi-join by its own test below
+    // ml_confusion_matrix: the same constant-k (4-row) seed broadcast
+    // as ml_kmeans_step; eval_ranking_metrics: the same constant query
+    // broadcast as simsearch_cosine_topk — fan-out is k/|queries|, not
+    // quadratic
     val allowed = Set("simsearch_cosine_topk", "dedup_embedding_cosine",
       "simsearch_ann_ivf", "ml_kmeans_step", "report_dense_grid",
-      "dedup_semantic_cluster")
+      "dedup_semantic_cluster", "ml_confusion_matrix",
+      "eval_ranking_metrics")
     val offenders = SparkEntry.queries.keys.filterNot(allowed)
       .filter(n => n != "source_csv_roundtrip" && plan(n).contains("BroadcastNestedLoopJoin"))
     assert(offenders.isEmpty, s"unexpected nested-loop joins: $offenders")
