@@ -372,6 +372,37 @@ object Relational {
     * the same µs, window order ends in event_id, so the carried struct
     * is the (max ts_us, max event_id) click — the oracle reproduces
     * that with max(ts)-then-max(id) grouping. */
+  /** Column-level data profiling over the fact table — the
+    * "know-your-data" report (row counts, null counts, distinct
+    * cardinalities, value ranges per column) every ingestion pipeline
+    * and query optimizer runs before anything else. One pass: the
+    * eight numeric columns unpivot to (col_name, value) rows via
+    * stack() inside the scan projection, then a single grouped
+    * aggregate profiles all columns together — never eight separate
+    * scans. All profiled columns are integer- or 2-dec-exact, so
+    * min/max round-trip DECIMAL(18,2) with no FP boundary; distinct
+    * counts partial-expand per column group.
+    *
+    * At 100 TB this is the shape to prefer over per-column jobs: the
+    * unpivot multiplies rows ×8 but each carries 1 value, and the
+    * aggregate is 8 groups — scan-bound, exactly like q1. */
+  def profileNumericStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+    val stackArgs = cols.map(c => s"'$c', CAST($c AS DECIMAL(18,2))").mkString(", ")
+    Tables.lineitem(spark, dir)
+      .select(expr(s"stack(${cols.length}, $stackArgs) AS (col_name, v)"))
+      .groupBy($"col_name")
+      .agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - count($"v")).as("n_null"),
+        countDistinct($"v").as("n_distinct"),
+        min($"v").cast("double").as("min_v"),
+        max($"v").cast("double").as("max_v"))
+      .orderBy($"col_name")
+  }
+
   /** Nearest-event as-of join, BOTH directions: each purchase matched
     * to its temporally closest click by the same user within ±1 h —
     * the sensor-fusion/session-stitching variant of the backward-only
@@ -759,7 +790,8 @@ object Relational {
     "join_self_asof" -> (joinSelfAsof(_, _)),
     "join_interval_attribution" -> (joinIntervalAttribution(_, _)),
     "join_lateral_topk" -> (joinLateralTopk(_, _)),
-    "join_asof_nearest" -> (joinAsofNearest(_, _))
+    "join_asof_nearest" -> (joinAsofNearest(_, _)),
+    "profile_numeric_stats" -> (profileNumericStats(_, _))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1003,6 +1035,22 @@ object Relational {
         |  CAST(CASE WHEN pv AND (NOT nv OR ts_us - pts <= nts - ts_us)
         |    THEN pcid WHEN nv THEN ncid ELSE -1 END AS BIGINT)
         |    AS click_id
-        |FROM f ORDER BY purchase_id""".stripMargin
+        |FROM f ORDER BY purchase_id""".stripMargin,
+    "profile_numeric_stats" ->
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS col_name, CAST(l_quantity AS DECIMAL(18,2)) AS v FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DECIMAL(18,2)) FROM lineitem
+        |  UNION ALL SELECT 'l_discount', CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+        |  UNION ALL SELECT 'l_tax', CAST(l_tax AS DECIMAL(18,2)) FROM lineitem
+        |  UNION ALL SELECT 'l_orderkey', CAST(l_orderkey AS DECIMAL(18,2)) FROM lineitem
+        |  UNION ALL SELECT 'l_partkey', CAST(l_partkey AS DECIMAL(18,2)) FROM lineitem
+        |  UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS DECIMAL(18,2)) FROM lineitem
+        |  UNION ALL SELECT 'l_linenumber', CAST(l_linenumber AS DECIMAL(18,2)) FROM lineitem)
+        |SELECT col_name, count(*) AS n,
+        |  CAST(count(*) - count(v) AS BIGINT) AS n_null,
+        |  count(DISTINCT v) AS n_distinct,
+        |  CAST(min(v) AS DOUBLE) AS min_v,
+        |  CAST(max(v) AS DOUBLE) AS max_v
+        |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin
   )
 }

@@ -264,7 +264,49 @@ object Windows {
       .orderBy($"user_id")
   }
 
+  /** Max-concurrent-intervals via the sweep-line trick: each order is
+    * an interval [orderdate, last shipdate); per customer, the peak
+    * number of simultaneously open orders. The O(n²) formulation is an
+    * interval self-join (every order × every overlapping order); the
+    * sweep reduces it to +1/−1 boundary events and ONE running-sum
+    * window per customer — O(n log n) in the sort, one shuffle, the
+    * standard concurrent-sessions / peak-occupancy plan at any scale.
+    *
+    * Determinism: boundaries are exact µs integers (unix_micros ⟷
+    * DuckDB epoch_us on ms-precision timestamps); at equal time an END
+    * sorts before a START (kind 0 < 1 — half-open intervals: an order
+    * ending exactly when another starts never overlaps it) and
+    * o_orderkey breaks remaining ties, so both engines accumulate in
+    * the identical event order. */
+  def windowIntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // parquet ms-timestamps read as TIMESTAMP_NTZ; the session TZ is
+    // pinned UTC (Tables.configure) so the cast is a pure relabel and
+    // unix_micros matches DuckDB's epoch_us on the naive value exactly
+    val iv = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir).groupBy($"l_orderkey")
+        .agg(max(unix_micros($"l_shipdate".cast("timestamp"))).as("e")),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey", $"o_orderkey",
+        unix_micros($"o_orderdate".cast("timestamp")).as("s"), $"e")
+    val ev = iv.select($"o_custkey", $"s".as("t"), lit(1).as("kind"),
+        lit(1L).as("delta"), $"o_orderkey")
+      .unionByName(iv.select($"o_custkey", $"e".as("t"), lit(0).as("kind"),
+        lit(-1L).as("delta"), $"o_orderkey"))
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"t", $"kind", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("open", sum($"delta").over(w))
+      .groupBy($"o_custkey")
+      .agg(max($"open").as("max_concurrent"),
+        (count(lit(1)) / 2).cast("long").as("n_orders"))
+      .select($"o_custkey".as("c_custkey"), $"max_concurrent", $"n_orders")
+      .orderBy($"c_custkey")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "window_interval_overlap" -> (windowIntervalOverlap(_, _)),
     "window_topk_per_group" -> (windowTopkPerGroup(_, _)),
     "window_rank_dense" -> (windowRankDense(_, _)),
     "window_lag" -> (windowLag(_, _)),
@@ -285,6 +327,29 @@ object Windows {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "window_interval_overlap" ->
+      """WITH iv AS (
+        |  SELECT o.o_orderkey, o.o_custkey,
+        |    epoch_us(o.o_orderdate) AS s,
+        |    max(epoch_us(l.l_shipdate)) AS e
+        |  FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2, 3),
+        |ev AS (
+        |  SELECT o_custkey, s AS t, 1 AS kind, 1 AS delta, o_orderkey
+        |  FROM iv
+        |  UNION ALL
+        |  SELECT o_custkey, e AS t, 0 AS kind, -1 AS delta, o_orderkey
+        |  FROM iv),
+        |sw AS (
+        |  SELECT o_custkey,
+        |    sum(delta) OVER (PARTITION BY o_custkey
+        |      ORDER BY t, kind, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+        |  FROM ev)
+        |SELECT o_custkey AS c_custkey,
+        |  CAST(max(open) AS BIGINT) AS max_concurrent,
+        |  CAST(count(*) // 2 AS BIGINT) AS n_orders
+        |FROM sw GROUP BY 1 ORDER BY 1""".stripMargin,
     "window_topk_per_group" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

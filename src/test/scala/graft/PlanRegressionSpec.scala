@@ -321,7 +321,9 @@ class PlanRegressionSpec extends SparkSuite {
       "anomaly_zscore_exact" -> 3,   // stats agg pair + census agg (broadcast join back)
       "ml_confusion_matrix" -> 3,    // argmin agg + crosstab agg + sort (seeds broadcast)
       "eval_ranking_metrics" -> 2,   // q_id window + per-query agg (queries broadcast)
-      "corpus_snapshot_diff" -> 4)   // v1/v2 join inputs + census agg + sort
+      "corpus_snapshot_diff" -> 4,   // v1/v2 join inputs + census agg + sort
+      "window_interval_overlap" -> 4, // interval agg + custkey sweep window + agg + sort
+      "profile_numeric_stats" -> 3)  // stack feeds one distinct-expand agg pair + sort
     val over = budgets.flatMap { case (name, budget) =>
       val n = "\\(\\d+\\) Exchange".r.findAllIn(plan(name)).size
       if (n > budget) Some(s"$name: $n > $budget") else None
