@@ -148,7 +148,50 @@ object Timeseries {
         |ORDER BY user_id, day""".stripMargin)
   }
 
+  /** Point-in-time (as-of) dimension lookup against the SCD2 history —
+    * the query the history exists FOR: "what was each user's value
+    * version at these snapshot instants?" (weekly boundaries across
+    * the fixture's span). The warehouse-textbook plan is a range join
+    * probe BETWEEN valid_from AND valid_to; at scale that's a
+    * pair-explosion risk, so this composes it as the as-of union
+    * trick instead: version rows and probe rows merge into one
+    * per-user stream, a single forward-fill window carries the
+    * latest version into each probe — one shuffle, O(1) window state,
+    * no join at all (the join_asof_nearest discipline applied to SCD2).
+    * The oracle keeps the textbook range-join formulation, so the two
+    * plans' agreement is itself evidence the rewrite is semantics-
+    * preserving. A probe at exactly a version's valid_from takes that
+    * version (kind ordering: version rows sort before probes at the
+    * same µs). */
+  def scd2AsofLookup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // 2024-01-08 / 01-15 / 01-22 / 01-29 00:00 UTC, epoch µs
+    val probes = Seq(1704672000000000L, 1705276800000000L,
+      1705881600000000L, 1706486400000000L)
+    val wv = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+    val ver = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", Tables.nsToUs($"ts").as("t"),
+        Tables.dec4($"value").as("v"))
+      .select($"user_id", $"t", $"event_id", lit(0).as("kind"),
+        struct(row_number().over(wv).as("version"), $"v").as("vs"))
+    val grid = ver.select($"user_id").distinct()
+      .select($"user_id", explode(array(probes.map(lit(_)): _*)).as("t"),
+        lit(Long.MaxValue).as("event_id"), lit(1).as("kind"),
+        lit(null).cast(ver.schema("vs").dataType).as("vs"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"t", $"kind", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ver.unionByName(grid)
+      .withColumn("cur", last($"vs", ignoreNulls = true).over(w))
+      .filter($"kind" === 1 && $"cur".isNotNull)
+      .select($"user_id", $"t".as("probe_us"),
+        $"cur.version".cast("long").as("version"),
+        $"cur.v".cast("double").as("v"))
+      .orderBy($"user_id", $"probe_us")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "scd2_asof_lookup" -> (scd2AsofLookup(_, _)),
     "timeseries_ohlc_bars" -> (timeseriesOhlcBars(_, _)),
     "scd2_user_value_history" -> (scd2UserValueHistory(_, _)),
     "timeseries_resample_ffill" -> (timeseriesResampleFfill(_, _)),
@@ -156,6 +199,28 @@ object Timeseries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // textbook range-join formulation on purpose: agreeing with the
+    // Spark side's join-free union+ffill rewrite proves the rewrite
+    "scd2_asof_lookup" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |ver AS (SELECT user_id, t, v,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id) AS version
+        |  FROM e),
+        |grid AS (SELECT user_id,
+        |    unnest([1704672000000000, 1705276800000000,
+        |            1705881600000000, 1706486400000000]) AS probe_us
+        |  FROM (SELECT DISTINCT user_id FROM e)),
+        |sel AS (SELECT g.user_id, g.probe_us, max(ver.version) AS version
+        |  FROM grid g JOIN ver ON ver.user_id = g.user_id
+        |    AND ver.t <= g.probe_us
+        |  GROUP BY 1, 2)
+        |SELECT s.user_id, s.probe_us, s.version,
+        |  CAST(ver.v AS DOUBLE) AS v
+        |FROM sel s JOIN ver ON ver.user_id = s.user_id
+        |  AND ver.version = s.version
+        |ORDER BY s.user_id, s.probe_us""".stripMargin,
     "timeseries_resample_ffill" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_id,
         |    epoch_us(ts) // 86400000000 AS day,

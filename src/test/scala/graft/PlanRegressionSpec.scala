@@ -300,6 +300,15 @@ class PlanRegressionSpec extends SparkSuite {
       "nearest as-of must be join-free")
   }
 
+  test("scd2_asof_lookup is join-free: union + one forward-fill window") {
+    // the textbook point-in-time plan is a range join (pair-explosion
+    // risk at scale); the rewrite must show NO join operator at all —
+    // versions and probes union into one per-user stream
+    val p = plan("scd2_asof_lookup")
+    assert(!p.contains("Join"), "PIT lookup must be the union+ffill rewrite: " + p.take(600))
+    assert(p.contains("Union"), "expected the version∪probe union")
+  }
+
   test("join_lateral_topk decorrelates to a WindowGroupLimit, not per-row re-execution") {
     // LATERAL (ORDER BY … LIMIT k) must rewrite to a per-key group
     // limit (k rows of state per group, rank pushed into the window
@@ -323,7 +332,8 @@ class PlanRegressionSpec extends SparkSuite {
       "eval_ranking_metrics" -> 2,   // q_id window + per-query agg (queries broadcast)
       "corpus_snapshot_diff" -> 4,   // v1/v2 join inputs + census agg + sort
       "window_interval_overlap" -> 4, // interval agg + custkey sweep window + agg + sort
-      "profile_numeric_stats" -> 3)  // stack feeds one distinct-expand agg pair + sort
+      "profile_numeric_stats" -> 3,  // stack feeds one distinct-expand agg pair + sort
+      "scd2_asof_lookup" -> 4)       // version window + user grid distinct pair + sort (JOIN-FREE)
     val over = budgets.flatMap { case (name, budget) =>
       val n = "\\(\\d+\\) Exchange".r.findAllIn(plan(name)).size
       if (n > budget) Some(s"$name: $n > $budget") else None
