@@ -284,12 +284,18 @@ object Windows {
     // parquet ms-timestamps read as TIMESTAMP_NTZ; the session TZ is
     // pinned UTC (Tables.configure) so the cast is a pure relabel and
     // unix_micros matches DuckDB's epoch_us on the naive value exactly
+    // the fixture contains orders whose last shipdate PRECEDES the
+    // order date (synthetic skew) — an ill-formed interval whose end
+    // event would fire before its start and transiently undercount the
+    // sweep; clamp to end ≥ start (zero-length at worst) so every
+    // interval is well-formed half-open
     val iv = Tables.orders(spark, dir)
       .join(Tables.lineitem(spark, dir).groupBy($"l_orderkey")
-        .agg(max(unix_micros($"l_shipdate".cast("timestamp"))).as("e")),
+        .agg(max(unix_micros($"l_shipdate".cast("timestamp"))).as("e0")),
         $"o_orderkey" === $"l_orderkey")
       .select($"o_custkey", $"o_orderkey",
-        unix_micros($"o_orderdate".cast("timestamp")).as("s"), $"e")
+        unix_micros($"o_orderdate".cast("timestamp")).as("s"),
+        greatest($"e0", unix_micros($"o_orderdate".cast("timestamp"))).as("e"))
     val ev = iv.select($"o_custkey", $"s".as("t"), lit(1).as("kind"),
         lit(1L).as("delta"), $"o_orderkey")
       .unionByName(iv.select($"o_custkey", $"e".as("t"), lit(0).as("kind"),
@@ -331,7 +337,8 @@ object Windows {
       """WITH iv AS (
         |  SELECT o.o_orderkey, o.o_custkey,
         |    epoch_us(o.o_orderdate) AS s,
-        |    max(epoch_us(l.l_shipdate)) AS e
+        |    greatest(max(epoch_us(l.l_shipdate)),
+        |             epoch_us(o.o_orderdate)) AS e
         |  FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey
         |  GROUP BY 1, 2, 3),
         |ev AS (

@@ -93,6 +93,18 @@ class ContinuationSpec extends SparkSuite {
     }
   }
 
+  test("window_interval_overlap: peak bounded by order count and ≥ 1 after the clamp") {
+    // with end clamped ≥ start every order is a well-formed half-open
+    // interval, so each customer's peak is at least 1 (their own
+    // order) and can never exceed their order count
+    val rows = operators.Windows.windowIntervalOverlap(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (peak, n) = (r.getLong(1), r.getLong(2))
+      assert(peak >= 1 && peak <= n, s"peak $peak outside [1, $n]")
+    }
+  }
+
   test("join_lateral_topk: at most k=2 orders per customer, each customer's max first") {
     val rows = operators.Relational.joinLateralTopk(spark, sf0001).collect()
     val byCust = rows.groupBy(_.getLong(0))
