@@ -378,6 +378,9 @@ object Analytics {
     * and lift's division has no identical-doubles guarantee — so the
     * score is exact 2^20 fixed point via BIGINT floor-division:
     * lift_fp = (c_xy · N · 2^20) div (c_x · c_y), monotone in PMI.
+    * The products run in DECIMAL(38,0) (Spark) ⟷ HUGEINT (DuckDB) —
+    * BIGINT would overflow near sf1 in the degenerate worst case; the
+    * 38-digit ceiling gives headroom past sf1000.
     *
     * Scale shape: unigram and bigram counts both partial-aggregate
     * map-side (shuffle = O(vocab), O(vocab²-observed)); the corpus
@@ -402,8 +405,9 @@ object Analytics {
         |        FROM toks WHERE size(t) >= 2)
         |  GROUP BY 1, 2)
         |SELECT w1, w2, c_xy,
-        |  (c_xy * (SELECT sum(c_xy) FROM bi) * 1048576)
-        |    div (u1.c * u2.c) AS lift_fp
+        |  CAST((CAST(c_xy AS DECIMAL(38,0))
+        |      * (SELECT sum(c_xy) FROM bi) * 1048576)
+        |    div (CAST(u1.c AS DECIMAL(38,0)) * u2.c) AS BIGINT) AS lift_fp
         |FROM bi JOIN uni u1 ON w1 = u1.w JOIN uni u2 ON w2 = u2.w
         |WHERE c_xy >= 5
         |ORDER BY lift_fp DESC, w1, w2 LIMIT 100""".stripMargin)
