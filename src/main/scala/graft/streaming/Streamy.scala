@@ -81,10 +81,53 @@ object Streamy {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** Late-data census — the batch replay of watermark admission, the
+    * semantics StreamingMirror's late-data drop test exercises but no
+    * graded key measured until now. Arrival order is the monotone
+    * ingest id (event_id); the per-key watermark after each arrival is
+    * max(event time of the key's PRIOR arrivals) − 30 s; a row whose
+    * event time falls below the watermark at its own arrival would be
+    * dropped by the stateful operator. The census reports, per
+    * tumbling event-time minute, how many rows arrived and how many
+    * were late — the dashboard every production stream runs to size
+    * its watermark delay.
+    *
+    * The fixture's ingest ids are already in event-time order (a
+    * perfectly ordered stream has no late data and the census would be
+    * vacuously zero), so arrival disorder is injected
+    * deterministically — every 10th event arrives 500 arrival slots
+    * late (the injected-fixture precedent: both engines derive the
+    * identical arrival sequence).
+    *
+    * Scale shape: one per-user window over arrival order (keyed-state
+    * replay — no global single-partition window), then a bounded
+    * minute-bucket aggregate with map-side combine. All-integer µs
+    * arithmetic; floor-division bucketing. */
+  def streamLateDataCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val delayUs = 30L * 1000 * 1000
+    val w = Window.partitionBy($"user_id").orderBy($"arrival_seq", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", Tables.nsToUs($"ts").as("ts_us"))
+      .withColumn("arrival_seq",
+        $"event_id" + when($"event_id" % 10 === 0, 500L).otherwise(0L))
+      .withColumn("wm", max($"ts_us").over(w) - delayUs)
+      .withColumn("late",
+        when($"wm".isNotNull && $"ts_us" < $"wm", 1L).otherwise(0L))
+      .groupBy(expr("ts_us div 60000000").as("minute_bucket"))
+      .agg(count(lit(1)).as("n_total"), sum($"late").as("n_late"))
+      .select($"minute_bucket", $"n_total", $"n_late",
+        ($"n_total" - $"n_late").as("n_kept"))
+      .orderBy($"minute_bucket")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "stream_tumbling_window" -> (streamTumblingWindow(_, _)),
     "stream_sliding_window" -> (streamSlidingWindow(_, _)),
-    "stream_sessionize" -> (streamSessionize(_, _))
+    "stream_sessionize" -> (streamSessionize(_, _)),
+    "stream_late_data_census" -> (streamLateDataCensus(_, _))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -113,6 +156,25 @@ object Streamy {
         |      FROM f)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(ts_us) AS start_us, max(ts_us) AS end_us
-        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "stream_late_data_census" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |        event_id + CASE WHEN event_id % 10 = 0
+        |                        THEN 500 ELSE 0 END AS arrival_seq
+        |      FROM events),
+        |f AS (SELECT ts_us,
+        |        max(ts_us) OVER (PARTITION BY user_id
+        |          ORDER BY arrival_seq, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          - 30000000 AS wm
+        |      FROM e),
+        |g AS (SELECT ts_us // 60000000 AS minute_bucket,
+        |        CASE WHEN wm IS NOT NULL AND ts_us < wm
+        |             THEN 1 ELSE 0 END AS late
+        |      FROM f)
+        |SELECT minute_bucket, count(*) AS n_total,
+        |  CAST(sum(late) AS BIGINT) AS n_late,
+        |  CAST(count(*) - sum(late) AS BIGINT) AS n_kept
+        |FROM g GROUP BY minute_bucket ORDER BY minute_bucket""".stripMargin
   )
 }

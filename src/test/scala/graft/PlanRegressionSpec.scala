@@ -333,7 +333,8 @@ class PlanRegressionSpec extends SparkSuite {
       "corpus_snapshot_diff" -> 4,   // v1/v2 join inputs + census agg + sort
       "window_interval_overlap" -> 4, // interval agg + custkey sweep window + agg + sort
       "profile_numeric_stats" -> 3,  // stack feeds one distinct-expand agg pair + sort
-      "scd2_asof_lookup" -> 4)       // version window + user grid distinct pair + sort (JOIN-FREE)
+      "scd2_asof_lookup" -> 4,       // version window + user grid distinct pair + sort (JOIN-FREE)
+      "stream_late_data_census" -> 3) // user arrival window + minute-bucket agg + sort
     val over = budgets.flatMap { case (name, budget) =>
       val n = "\\(\\d+\\) Exchange".r.findAllIn(plan(name)).size
       if (n > budget) Some(s"$name: $n > $budget") else None
