@@ -403,6 +403,32 @@ object Relational {
       .orderBy($"col_name")
   }
 
+  /** Join-explosion diagnostic — the report you run BEFORE a self-join
+    * or fact-fact join on a hot key: per key, the row count and the
+    * n² pair contribution a same-key join would emit, plus each key's
+    * share of the total estimated output. This is the number that
+    * tells you to salt (join_skew_salted), cap super-nodes
+    * (graph_copurchase_pairs), or block (dedup keys) — the planning
+    * complement to those mitigations.
+    *
+    * Scale shape: one partial-aggregated count per key; the Σn² total
+    * is an inline scalar re-aggregate of the ALREADY AGGREGATED count
+    * frame (never a second fact scan, never a one-row cross join);
+    * top-20 is TakeOrderedAndProject. Shares are exact ppm integers
+    * (no float division). */
+  def profileJoinExplosion(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("events_pje")
+    spark.sql(
+      """WITH k AS (
+        |  SELECT user_id, count(*) AS n_rows
+        |  FROM events_pje GROUP BY user_id)
+        |SELECT user_id, n_rows, n_rows * n_rows AS pairs_est,
+        |  (n_rows * n_rows * 1000000L)
+        |    div (SELECT sum(n_rows * n_rows) FROM k) AS share_ppm
+        |FROM k
+        |ORDER BY pairs_est DESC, user_id LIMIT 20""".stripMargin)
+  }
+
   /** Nearest-event as-of join, BOTH directions: each purchase matched
     * to its temporally closest click by the same user within ±1 h —
     * the sensor-fusion/session-stitching variant of the backward-only
@@ -791,7 +817,8 @@ object Relational {
     "join_interval_attribution" -> (joinIntervalAttribution(_, _)),
     "join_lateral_topk" -> (joinLateralTopk(_, _)),
     "join_asof_nearest" -> (joinAsofNearest(_, _)),
-    "profile_numeric_stats" -> (profileNumericStats(_, _))
+    "profile_numeric_stats" -> (profileNumericStats(_, _)),
+    "profile_join_explosion" -> (profileJoinExplosion(_, _))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1051,6 +1078,16 @@ object Relational {
         |  count(DISTINCT v) AS n_distinct,
         |  CAST(min(v) AS DOUBLE) AS min_v,
         |  CAST(max(v) AS DOUBLE) AS max_v
-        |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin
+        |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin,
+    "profile_join_explosion" ->
+      """WITH k AS (
+        |  SELECT user_id, count(*) AS n_rows
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_rows, n_rows * n_rows AS pairs_est,
+        |  CAST((n_rows * n_rows * 1000000)
+        |    // (SELECT sum(n_rows * n_rows) FROM k) AS BIGINT)
+        |    AS share_ppm
+        |FROM k
+        |ORDER BY pairs_est DESC, user_id LIMIT 20""".stripMargin
   )
 }

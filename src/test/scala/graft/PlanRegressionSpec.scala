@@ -334,7 +334,9 @@ class PlanRegressionSpec extends SparkSuite {
       "window_interval_overlap" -> 4, // interval agg + custkey sweep window + agg + sort
       "profile_numeric_stats" -> 3,  // stack feeds one distinct-expand agg pair + sort
       "scd2_asof_lookup" -> 4,       // version window + user grid distinct pair + sort (JOIN-FREE)
-      "stream_late_data_census" -> 3) // user arrival window + minute-bucket agg + sort
+      "stream_late_data_census" -> 3, // user arrival window + minute-bucket agg + sort
+      "scd2_change_compression" -> 3, // shared user sort + census agg + final sort
+      "profile_join_explosion" -> 3)  // key-count agg pair + TakeOrderedAndProject (scalar re-agg)
     val over = budgets.flatMap { case (name, budget) =>
       val n = "\\(\\d+\\) Exchange".r.findAllIn(plan(name)).size
       if (n > budget) Some(s"$name: $n > $budget") else None
