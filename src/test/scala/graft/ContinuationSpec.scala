@@ -105,6 +105,77 @@ class ContinuationSpec extends SparkSuite {
     }
   }
 
+  test("corpus_snapshot_diff: census reconciles exactly with the derivation rules") {
+    // the v2 derivation is deterministic arithmetic on doc_id, so every
+    // census cell is independently computable from the raw table
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val removed = docs.count(_ % 7 == 0)
+    val added = docs.count(_ % 11 == 0)
+    val changed = docs.count(d => d % 7 != 0 && d % 5 == 0)
+    val same = docs.count(d => d % 7 != 0 && d % 5 != 0)
+    val byStatus = operators.Pipelines.corpusSnapshotDiff(spark, sf0001)
+      .collect().groupBy(_.getString(0))
+      .map { case (s, rs) => s -> rs.map(_.getLong(2)).sum }
+    assert(byStatus("removed") === removed.toLong)
+    assert(byStatus("added") === added.toLong)
+    assert(byStatus("changed") === changed.toLong)
+    assert(byStatus("same") === same.toLong)
+  }
+
+  test("stream_late_data_census: totals reconcile and late implies disorder") {
+    val rows = streaming.Streamy
+      .streamLateDataCensus(spark, sf0001).collect()
+    val nEvents = Tables.events(spark, sf0001).count()
+    assert(rows.map(_.getLong(1)).sum === nEvents, "every event lands in one bucket")
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) === r.getLong(1), "late + kept = total")
+    }
+    assert(rows.map(_.getLong(2)).sum > 0,
+      "the injected arrival disorder must produce late rows")
+  }
+
+  test("scd2_change_compression: version and event counts reconcile per user") {
+    val rows = operators.Timeseries.scd2ChangeCompression(spark, sf0001).collect()
+    val nEvents = Tables.events(spark, sf0001).count()
+    assert(rows.map(_.getLong(1)).sum === nEvents, "per-user events sum to the table")
+    rows.foreach { r =>
+      // n_versions is IntegerType (row_number max); the rest are longs
+      val (n, v, c) = (r.getLong(1), r.getInt(2).toLong, r.getLong(3))
+      assert(v >= 1 && v <= n && c === n - v)
+      assert(r.getLong(4) <= r.getLong(5), "first version opens before the current one")
+    }
+  }
+
+  test("profile_join_explosion: shares from exact n² arithmetic, ranked") {
+    val rows = operators.Relational.profileJoinExplosion(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getLong(2) === r.getLong(1) * r.getLong(1), "pairs_est = n²")
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000L, "share in [0, 1e6] ppm")
+    }
+    val pairs = rows.map(_.getLong(2)).toSeq
+    assert(pairs === pairs.sorted.reverse, "ranked by pair contribution")
+  }
+
+  test("eval_ranking_metrics: precision@10 is exact fixed point over hits") {
+    val rows = operators.Multimodal.evalRankingMetrics(spark, sf0001).collect()
+    assert(rows.length === 5, "one row per query vector")
+    rows.foreach { r =>
+      val (hits, fp) = (r.getLong(2), r.getLong(3))
+      assert(hits >= 0 && hits <= 10)
+      assert(fp === hits * 1048576L / 10)
+    }
+  }
+
+  test("ml_confusion_matrix: cell counts partition the corpus") {
+    val rows = operators.Multimodal.mlConfusionMatrix(spark, sf0001).collect()
+    val nVecs = Tables.embeddings(spark, sf0001).count()
+    assert(rows.map(_.getLong(2)).sum === nVecs, "every vector lands in one cell")
+    assert(rows.map(_.getLong(1)).distinct.forall(c => c >= 0 && c < 4),
+      "cluster ids come from the 4 seeds")
+  }
+
   test("join_lateral_topk: at most k=2 orders per customer, each customer's max first") {
     val rows = operators.Relational.joinLateralTopk(spark, sf0001).collect()
     val byCust = rows.groupBy(_.getLong(0))
