@@ -289,32 +289,40 @@ object Analytics {
     * them: medians per type, then deviation medians per type, then one
     * counting aggregate — at 100 TB that is two scans + three tiny
     * aggregates, no large shuffle (the group key has 5 values; partial
-    * aggregation collapses each to one row per task). Exact-percentile
-    * medians are interpolated in IEEE double and rounded to 6 decimals
-    * on both engines (the `agg_percentile` parity pattern — Spark and
-    * DuckDB interpolate with differently-ordered but ulp-close
-    * formulas; round(…,6) absorbs the difference), after which every
-    * derived quantity (|v−med|, 3·mad compare) is bit-identical. */
+    * aggregation collapses each to one row per task).
+    *
+    * Determinism by construction (not by rounding): `value` is a
+    * 4-decimal quantity, so `v_fp = (value::DECIMAL(18,4) · 10⁴)::BIGINT`
+    * is exact. A q=0.5 percentile over BIGINTs is exactly representable
+    * in double (an integer or a half-integer) no matter how an engine
+    * orders its interpolation formula — lo+(hi−lo)·0.5 and (lo+hi)·0.5
+    * are bit-identical when lo,hi are integers ≪ 2⁵². Doubling the
+    * median (`med2`) and the MAD-of-doubled-deviations (`mad4`) lands
+    * everything back in BIGINT, and the outlier gate
+    * `2·adev2 > 3·mad4` is pure integer arithmetic: no engine-dependent
+    * rounding anywhere on the classification path. The displayed
+    * med/mad divide the exact integers back down — division of
+    * identical doubles is IEEE-identical cross-engine. */
   def anomalyMadOutliers(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables.events(spark, dir).select($"event_type", $"value")
+    val e = Tables.events(spark, dir).select($"event_type",
+      ($"value".cast("decimal(18,4)") * 10000).cast("long").as("v_fp"))
     val med = e.groupBy($"event_type")
-      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+      .agg((expr("percentile(v_fp, 0.5)") * 2).cast("long").as("med2"))
     val dev = e.join(broadcast(med), "event_type")
-      .withColumn("adev", abs($"value" - $"med"))
+      .withColumn("adev2", abs($"v_fp" * 2 - $"med2"))
     val mad = dev.groupBy($"event_type")
-      .agg(round(expr("percentile(adev, 0.5)"), 6).as("mad"))
+      .agg((expr("percentile(adev2, 0.5)") * 2).cast("long").as("mad4"))
     dev.join(broadcast(mad), "event_type")
       .groupBy($"event_type")
-      .agg(max($"med").as("med"), max($"mad").as("mad"),
-        // compare on 6-decimal-quantized operands: if a median ever
-        // lands on a rounding boundary (ulp-different interpolation
-        // flipping round(…,6) by 1e-6), both engines still classify
-        // boundary rows identically because the compare itself is
-        // quantized the same way on both sides
-        sum(when(round($"adev", 6) > round($"mad" * 3, 6), 1L).otherwise(0L))
+      .agg(max($"med2").as("med2"), max($"mad4").as("mad4"),
+        sum(when($"adev2" * 2 > $"mad4" * 3, 1L).otherwise(0L))
           .as("n_outliers"),
         count(lit(1)).as("n"))
+      .select($"event_type",
+        ($"med2".cast("double") / 20000.0).as("med"),
+        ($"mad4".cast("double") / 40000.0).as("mad"),
+        $"n_outliers", $"n")
       .orderBy($"event_type")
   }
 
@@ -555,15 +563,21 @@ object Analytics {
         |  UNION ALL SELECT c FROM t) roles
         |GROUP BY node ORDER BY node""".stripMargin,
     "anomaly_mad_outliers" ->
-      """WITH med AS (SELECT event_type,
-        |    round(quantile_cont(value, 0.5), 6) AS med
-        |  FROM events GROUP BY event_type),
-        |d AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
-        |      FROM events e JOIN med m ON e.event_type = m.event_type),
-        |mad AS (SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad
-        |        FROM d GROUP BY event_type)
-        |SELECT d.event_type, max(d.med) AS med, max(mad.mad) AS mad,
-        |  CAST(sum(CASE WHEN round(d.adev, 6) > round(3 * mad.mad, 6)
+      """WITH e AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v_fp
+        |  FROM events),
+        |med AS (SELECT event_type,
+        |    CAST(quantile_cont(v_fp, 0.5) * 2 AS BIGINT) AS med2
+        |  FROM e GROUP BY event_type),
+        |d AS (SELECT e.event_type, m.med2, abs(e.v_fp * 2 - m.med2) AS adev2
+        |      FROM e JOIN med m ON e.event_type = m.event_type),
+        |mad AS (SELECT event_type,
+        |    CAST(quantile_cont(adev2, 0.5) * 2 AS BIGINT) AS mad4
+        |  FROM d GROUP BY event_type)
+        |SELECT d.event_type,
+        |  CAST(max(d.med2) AS DOUBLE) / 20000.0 AS med,
+        |  CAST(max(mad.mad4) AS DOUBLE) / 40000.0 AS mad,
+        |  CAST(sum(CASE WHEN d.adev2 * 2 > mad.mad4 * 3
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
         |  count(*) AS n
         |FROM d JOIN mad ON d.event_type = mad.event_type

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps
+import graft.operators.Analytics
 
 /** Pins the fast-rounding equivalence dedup_embedding_cosine relies on:
   * floor(x·1e6 + 0.5) must agree with round(x, 6)·1e6 (BigDecimal
@@ -23,5 +24,28 @@ class RoundingSpec extends SparkSuite {
       round($"c", 6).as("r6"))
     assert(diff.filter($"slow" =!= $"fast").count() === 0L)
     assert(diff.filter($"r6" =!= $"fast".cast("double") / 1e6).count() === 0L)
+  }
+
+  test("anomaly_mad_outliers classifies a value EXACTLY on the 3·MAD boundary deterministically") {
+    import spark.implicits._
+    // Crafted fixture: values sorted 1,2,2,2,3,5,5.0001,-1.0001 →
+    // median = 2, deviations 1,0,0,0,1,3,3.0001,3.0001 → MAD = 1.
+    // The value 5.0 sits EXACTLY at med + 3·MAD: strict `>` must
+    // exclude it on BOTH engines. In the fixed-point formulation the
+    // compare is 2·adev2 > 3·mad4 over BIGINTs — there is no floating
+    // rounding on the classification path at all, so the boundary row
+    // cannot flip cross-engine (the oracle SQL mirrors the same
+    // integer arithmetic; the sf0.01 hash-match certifies parity).
+    val dir = "/root/repo/target/tmp/mad_boundary_fixture"
+    Seq(1.0, 2.0, 2.0, 2.0, 3.0, 5.0, 5.0001, -1.0001)
+      .map(v => ("t1", v)).toDF("event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val row = Analytics.anomalyMadOutliers(spark, dir).collect()
+    assert(row.length === 1)
+    assert(row(0).getAs[Double]("med") === 2.0)
+    assert(row(0).getAs[Double]("mad") === 1.0)
+    // only the two ±3.0001-deviation rows; NOT the exact-boundary 5.0
+    assert(row(0).getAs[Long]("n_outliers") === 2L)
+    assert(row(0).getAs[Long]("n") === 8L)
   }
 }
