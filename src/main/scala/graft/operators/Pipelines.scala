@@ -288,7 +288,13 @@ object Pipelines {
       .withColumn("l", count($"lang").over(whole))
       .withColumn("weight_fp", expr("(n * 1000000) div (l * docs)"))
       .withColumn("projected", expr("(docs * weight_fp) div 1000000"))
-      .select($"lang", $"docs", $"weight_fp", $"projected")
+      // '(none)' sentinel for a NULL-lang group: without it the output
+      // row exists on both engines but sorts NULLS FIRST on Spark and
+      // NULLS LAST on DuckDB — the row-order compare would desync.
+      // The weight itself already treats NULL symmetrically (count(lang)
+      // here == count(DISTINCT lang) there, both NULL-excluding).
+      .select(coalesce($"lang", lit("(none)")).as("lang"),
+        $"docs", $"weight_fp", $"projected")
       .orderBy($"lang")
   }
 
@@ -590,10 +596,10 @@ object Pipelines {
     "corpus_mix_rebalance" ->
       """WITH b AS (SELECT lang, count(*) AS docs FROM documents GROUP BY lang),
         |t AS (SELECT count(*) AS n, count(DISTINCT lang) AS l FROM documents)
-        |SELECT lang, docs,
+        |SELECT coalesce(lang, '(none)') AS lang, docs,
         |  (t.n * 1000000) // (t.l * b.docs) AS weight_fp,
         |  (b.docs * ((t.n * 1000000) // (t.l * b.docs))) // 1000000 AS projected
-        |FROM b CROSS JOIN t ORDER BY lang""".stripMargin,
+        |FROM b CROSS JOIN t ORDER BY coalesce(lang, '(none)')""".stripMargin,
     "pack_sequences" ->
       """WITH d AS (SELECT doc_id, lang, doc_id % 4 AS shard,
         |  CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tok

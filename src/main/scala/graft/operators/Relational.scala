@@ -41,6 +41,44 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** Deep nested-schema flatten — the log-ingest shape events.props is
+    * too shallow to exercise: a struct-of-array document
+    * `{meta:{kind,day}, items:[{i,v}…]}` parsed with an explicit
+    * schema (`from_json`), dot-path extraction (`j.meta.kind`), and
+    * `posexplode` of the inner array. The nested column is DERIVED
+    * deterministically from events (the text_pii_scrub
+    * injected-fixture precedent) with integer-only leaf values — a
+    * double serialized into JSON formats differently across engines,
+    * a BIGINT doesn't. At 100 TB this is the one-pass semi-structured
+    * path: explicit schema (no inference scan), the parse + explode
+    * pipeline whole-stage-codegens, and flattening multiplies rows by
+    * the bounded items arity, never joins. The DuckDB oracle builds
+    * the same JSON text and extracts with `$.`-path `json_extract` —
+    * the hash-match certifies parse+flatten parity end to end. */
+  def sourceJsonNested(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.events(spark, dir)
+      .select($"event_id", $"event_type",
+        ($"value".cast("decimal(18,4)") * 10000).cast("long").as("v_fp"),
+        Tables.nsToUs($"ts").as("t"))
+      .select($"event_id", $"event_type", $"v_fp",
+        expr("t div 86400000000").as("day"))
+    val doc = base.select($"event_id", concat(
+      lit("""{"meta":{"kind":""""), $"event_type", lit("\",\"day\":"), $"day",
+      lit("""},"items":[{"i":0,"v":"""), $"v_fp",
+      lit("""},{"i":1,"v":"""), ($"v_fp" * 2),
+      lit("}]}")).as("doc"))
+    val schema = "STRUCT<meta: STRUCT<kind: STRING, day: BIGINT>, " +
+      "items: ARRAY<STRUCT<i: BIGINT, v: BIGINT>>>"
+    doc.select($"event_id",
+        from_json($"doc", schema, Map.empty[String, String]).as("j"))
+      .select($"event_id", $"j.meta.kind".as("kind"), $"j.meta.day".as("day"),
+        posexplode($"j.items"))
+      .select($"event_id", $"kind", $"day", $"pos".cast("long").as("pos"),
+        $"col.i".as("i"), $"col.v".as("v"))
+      .orderBy($"event_id", $"pos")
+  }
+
   /** CSV round-trip (MR TextInputFormat analog): export nation to CSV,
     * read it back with an explicit schema (schema inference would cost
     * an extra full pass at scale). Oracled against the ORIGINAL nation
@@ -134,6 +172,43 @@ object Relational {
       .agg(count(lit(1)).as("n_items"),
         sum(Tables.dec2($"l_extendedprice")).cast("double").as("revenue"))
       .orderBy($"o_orderpriority")
+  }
+
+  /** Corpus-table layouts — the two physical layouts an LLM pipeline
+    * actually ships for documents/embeddings, in one key: documents
+    * hive-partitioned by `lang` (the column every corpus job slices
+    * by — readers prune whole directories via PartitionFilters) and
+    * embeddings BUCKETED by `vec_id` (the doc-hash join key — the
+    * doc⋈vec join reads pre-shuffled buckets, no exchange on the
+    * embedding side; pinned in BucketingSpec). The graded query reads
+    * the 'en' partition only and joins it back to the bucketed
+    * embeddings: at 100 TB that is one directory subtree scanned, one
+    * side of the join exchange eliminated, and the float array
+    * reduced to an 8-byte fixed-point scalar BEFORE the shuffle. The
+    * oracle runs the same join+agg on the ORIGINAL tables — the
+    * layout round trip must preserve every row. */
+  def sinkCorpusLayout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = "/root/repo/target/tmp/corpus_layout_docs"
+    val src = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"n_chars", $"lang")
+    graft.sources.Sinks.writePartitioned(src, tmp, "lang")
+    graft.sources.Sinks.writeBucketed(
+      Tables.embeddings(spark, dir).select($"vec_id", $"label",
+        floor(element_at($"embedding", 1).cast("double") * lit(1099511627776.0))
+          .cast("long").as("e0_fp")),
+      "embeddings_bkt", 32, "vec_id")
+    // explicit schema: directory inference has nothing to type on an
+    // empty write (sink_partitioned_read precedent)
+    spark.read.schema(src.schema).parquet(tmp)
+      .filter($"lang" === "en")
+      .join(spark.table("embeddings_bkt"), $"doc_id" === $"vec_id")
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
+        sum($"e0_fp").as("sum_e0_fp"))
+      .select($"label".cast("long").as("label"), $"n_docs", $"sum_chars",
+        $"sum_e0_fp")
+      .orderBy($"label")
   }
 
   // ---- §2.2 filters / projections -------------------------------------
@@ -795,11 +870,13 @@ object Relational {
     "scan_parquet" -> (scanParquet(_, _)),
     "scan_projection_pruning" -> (scanProjectionPruning(_, _)),
     "source_json_props" -> (sourceJsonProps(_, _)),
+    "source_json_nested" -> (sourceJsonNested(_, _)),
     "source_csv_roundtrip" -> (sourceCsvRoundtrip(_, _)),
     "source_orc_roundtrip" -> (sourceOrcRoundtrip(_, _)),
     "source_jsonl_roundtrip" -> (sourceJsonlRoundtrip(_, _)),
     "sink_partitioned_read" -> (sinkPartitionedRead(_, _)),
     "sink_bucketed_join" -> (sinkBucketedJoin(_, _)),
+    "sink_corpus_layout" -> (sinkCorpusLayout(_, _)),
     "filter_grep" -> (filterGrep(_, _)),
     "filter_predicates" -> (filterPredicates(_, _)),
     "project_derived" -> (projectDerived(_, _)),
@@ -898,6 +975,24 @@ object Relational {
       "SELECT l_orderkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_quantity",
     "source_json_props" ->
       "SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k FROM events ORDER BY event_id",
+    "source_json_nested" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v_fp,
+        |    epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |j AS (SELECT event_id,
+        |    '{"meta":{"kind":"' || event_type || '","day":' || day ||
+        |    '},"items":[{"i":0,"v":' || v_fp ||
+        |    '},{"i":1,"v":' || (v_fp * 2) || '}]}' AS doc
+        |  FROM e)
+        |SELECT j.event_id,
+        |  json_extract_string(doc, '$.meta.kind') AS kind,
+        |  CAST(json_extract(doc, '$.meta.day') AS BIGINT) AS day,
+        |  CAST(p.pos AS BIGINT) AS pos,
+        |  CAST(json_extract(doc, '$.items[' || p.pos || '].i') AS BIGINT) AS i,
+        |  CAST(json_extract(doc, '$.items[' || p.pos || '].v') AS BIGINT) AS v
+        |FROM j CROSS JOIN (VALUES (0), (1)) AS p(pos)
+        |ORDER BY j.event_id, p.pos""".stripMargin,
     // The round-trip oracles run on the ORIGINAL parquet tables: the
     // graded property is that export → re-import is value-preserving.
     "source_csv_roundtrip" ->
@@ -923,6 +1018,14 @@ object Relational {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "sink_corpus_layout" ->
+      """SELECT CAST(e.label AS BIGINT) AS label, count(*) AS n_docs,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CAST(floor(CAST(e.embedding[1] AS DOUBLE)
+        |    * 1099511627776.0) AS BIGINT)) AS BIGINT) AS sum_e0_fp
+        |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |WHERE d.lang = 'en'
+        |GROUP BY e.label ORDER BY label""".stripMargin,
     "filter_grep" ->
       "SELECT doc_id, text FROM documents WHERE regexp_matches(text, '\\bjoin\\b') ORDER BY doc_id",
     "filter_predicates" ->

@@ -145,6 +145,30 @@ object Windows {
       .orderBy($"user_id")
   }
 
+  /** Distinct aggregation over a window — `count(DISTINCT user_id)
+    * OVER (PARTITION BY event_type)` decorated onto every event row,
+    * the one classic BI window shape Spark's WindowExec refuses
+    * outright (`DISTINCT_WINDOW_FUNCTION_UNSUPPORTED`). The operator
+    * IS the two-pass rewrite: pass 1 computes the distinct count per
+    * partition key as an ordinary aggregate (map-side partial over
+    * (event_type, user_id), then a ≤#types-row final), pass 2 joins
+    * the tiny per-type frame back onto the fact rows by broadcast —
+    * no shuffle of the fact table at all, versus the window form
+    * which would hash-repartition every row by event_type (5 keys ⇒
+    * 5 reducers ⇒ catastrophic skew at 100 TB). The DuckDB oracle
+    * runs the native `count(DISTINCT …) OVER` — the hash-match proves
+    * the rewrite is semantics-preserving. */
+  def windowCountDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"event_id", $"event_type", $"user_id")
+    val perType = e.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("distinct_users"))
+    e.join(broadcast(perType), "event_type")
+      .select($"event_id", $"event_type", $"user_id", $"distinct_users")
+      .orderBy($"event_id")
+  }
+
   /** Distribution window functions: ntile / percent_rank / cume_dist of
     * order prices within customer. All rank-derived rationals (integer
     * counts divided) — deterministic in both engines; o_orderkey
@@ -313,6 +337,7 @@ object Windows {
 
   val queries: Map[String, QueryFn] = Map(
     "window_interval_overlap" -> (windowIntervalOverlap(_, _)),
+    "window_count_distinct" -> (windowCountDistinct(_, _)),
     "window_topk_per_group" -> (windowTopkPerGroup(_, _)),
     "window_rank_dense" -> (windowRankDense(_, _)),
     "window_lag" -> (windowLag(_, _)),
@@ -333,6 +358,11 @@ object Windows {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "window_count_distinct" ->
+      """SELECT event_id, event_type, user_id,
+        |  CAST(count(DISTINCT user_id) OVER (PARTITION BY event_type)
+        |    AS BIGINT) AS distinct_users
+        |FROM events ORDER BY event_id""".stripMargin,
     "window_interval_overlap" ->
       """WITH iv AS (
         |  SELECT o.o_orderkey, o.o_custkey,

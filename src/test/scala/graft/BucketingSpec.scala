@@ -24,6 +24,35 @@ class BucketingSpec extends SparkSuite {
     }
   }
 
+  test("sink_corpus_layout prunes the lang partition and joins the embedding buckets exchange-free") {
+    // writes the partitioned docs + bucketed embeddings layouts and
+    // checks values against sf0.001
+    assert(operators.Relational.sinkCorpusLayout(spark, sf0001).count() > 0L)
+    // directory pruning: the lang filter must become a PartitionFilter
+    // on the hive-partitioned layout (zero non-'en' files touched)
+    val pruned = spark.read
+      .parquet("/root/repo/target/tmp/corpus_layout_docs")
+      .filter(col("lang") === "en")
+    val pp = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(pp.contains("PartitionFilters: [isnotnull(lang") && pp.contains("= en)"),
+      pp.take(800))
+    // bucketed side: with broadcast/AQE off, the doc⋈vec join may only
+    // exchange the (pruned, unbucketed) docs side — the embeddings
+    // buckets are already hash-laid-out on vec_id
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val j = pruned.join(spark.table("embeddings_bkt"), col("doc_id") === col("vec_id"))
+      val plan = j.queryExecution.executedPlan.toString
+      val n = "Exchange".r.findAllIn(plan).size
+      assert(n <= 1, s"expected at most the docs-side exchange, got $n:\n${plan.take(900)}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("bucketed orders ⋈ lineitem joins without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")

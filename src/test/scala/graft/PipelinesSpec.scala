@@ -8,6 +8,26 @@ import graft.operators.Pipelines
   * the driver fixtures only exercise single-bucket merges. */
 class PipelinesSpec extends SparkSuite {
 
+  test("corpus_mix_rebalance: NULL-lang group gets the '(none)' sentinel and NULL-excluding l") {
+    import spark.implicits._
+    // 8 docs, 2 non-NULL langs; the NULL group must surface as a row
+    // (as DuckDB's GROUP BY does) but be EXCLUDED from l (as
+    // count(DISTINCT lang) is on the oracle side), and its label must
+    // sort identically on both engines — hence the sentinel.
+    val dir = "/root/repo/target/tmp/mix_null_lang"
+    Seq(("en", 1L), ("en", 2L), ("en", 3L), ("en", 4L),
+        ("fr", 5L), ("fr", 6L), (null, 7L), (null, 8L))
+      .toDF("lang", "doc_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Pipelines.corpusMixRebalance(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === Seq("(none)", "en", "fr"))
+    val m = rows.toMap
+    assert(m("en") === ((4L, 1000000L, 4L)))   // n=8, l=2: 8e6/(2*4)
+    assert(m("fr") === ((2L, 2000000L, 4L)))
+    assert(m("(none)") === ((2L, 2000000L, 4L)))
+  }
+
   test("dedup_cluster_cc: transitive merge across different bucket keys") {
     import spark.implicits._
     // 0–1 share a prefix bucket, 1–2 share a suffix bucket: one class.

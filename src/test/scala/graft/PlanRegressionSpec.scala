@@ -70,6 +70,20 @@ class PlanRegressionSpec extends SparkSuite {
     assert(over.isEmpty, s"exchange budget exceeded: $over")
   }
 
+  test("window_count_distinct plans as broadcast decoration, not a WindowExec") {
+    val p = plan("window_count_distinct")
+    // the two-pass rewrite: per-type distinct counts aggregate on the
+    // tiny side and broadcast back onto the fact rows — the fact table
+    // itself must NOT be hash-repartitioned by the 5-value partition
+    // key (what a real window would do), and no Window node may appear
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("Window"), "two-pass rewrite must not plan a WindowExec")
+    val n = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    // distinct-agg partials (≤2) + final sort only; the fact side rides
+    // scan → broadcast-join → sort with no shuffle of its own
+    assert(n <= 3, s"expected ≤3 shuffle exchanges, got $n")
+  }
+
   test("q6 pushes every scan predicate into the parquet reader") {
     val p = plan("q6_forecast_revenue")
     // all four predicate families must reach PushedFilters — Q6 is the
