@@ -56,16 +56,15 @@ object Analytics {
     // given b lands in one partition, so each round's partial aggregate
     // compresses the contribution sum to ≤|nodes| rows BEFORE its
     // shuffle (measured at sf0.1: 0.5M → 16k shuffled rows per round).
-    val edges = e0.unionAll(e0.select($"b".as("a"), $"a".as("b")))
-      .repartition($"b")
-      .localCheckpoint(true)
+    val edges = graft.PlanOnly.cut(
+      e0.unionAll(e0.select($"b".as("a"), $"a".as("b")))
+        .repartition($"b"))
     val deg = edges.groupBy($"a").agg(count(lit(1)).as("deg"))
       .withColumnRenamed("a", "id")
     val nodes = Tables.customer(spark, dir).select($"c_custkey".cast("long").as("id"))
       .unionAll(Tables.supplier(spark, dir).select(($"s_suppkey" + SupBase).as("id")))
-    var r = nodes.join(deg, Seq("id"), "left")
-      .select($"id", coalesce($"deg", lit(0L)).as("deg"), lit(RankOne).as("r"))
-      .localCheckpoint(true)
+    var r = graft.PlanOnly.cut(nodes.join(deg, Seq("id"), "left")
+      .select($"id", coalesce($"deg", lit(0L)).as("deg"), lit(RankOne).as("r")))
     for (_ <- 1 to 3) {
       // deg-0 nodes are never an edge source; the filter also keeps the
       // integer division away from ANSI div-by-zero
@@ -73,11 +72,10 @@ object Analytics {
         .join(broadcast(r.filter($"deg" > 0).select($"id".as("a"), expr("r div deg").as("c"))),
           Seq("a"))
         .groupBy($"b").agg(sum($"c").as("inc"))
-      r = r.join(inc, $"id" === $"b", "left")
+      r = graft.PlanOnly.cut(r.join(inc, $"id" === $"b", "left")
         .select($"id", $"deg",
           (lit(RankOne * 15 / 100) +
-            expr("(85 * coalesce(inc, CAST(0 AS BIGINT))) div 100")).as("r"))
-        .localCheckpoint(true)
+            expr("(85 * coalesce(inc, CAST(0 AS BIGINT))) div 100")).as("r")))
     }
     r.select($"id".as("node_id"), $"deg", $"r".as("rank_fp"))
       .orderBy($"node_id")
@@ -102,10 +100,12 @@ object Analytics {
     // materialized once: df derives FROM the tf frame, and without the
     // checkpoint both branches would re-tokenize the whole corpus — the
     // most expensive stage, twice, at any scale
-    val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+    val tf = graft.PlanOnly.cut(
+      terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf")))
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-    val nDocs = Tables.documents(spark, dir).count()
+    // N is a metadata-scale scalar folded in as a literal; a plan audit
+    // substitutes 1 rather than running the count job
+    val nDocs = if (graft.PlanOnly.enabled) 1L else Tables.documents(spark, dir).count()
     val w = Window.partitionBy($"doc_id").orderBy($"score_fp".desc, $"term")
     tf.join(df, "term")
       .withColumn("score_fp", expr(s"(tf * ${nDocs}L * 1000000) div df"))
@@ -363,10 +363,10 @@ object Analytics {
         struct($"s2".as("u"), $"s1".as("v"), $"sp"))).as("x"))
       .select($"x.u".as("u"), $"x.v".as("v"), $"x.sp".as("sp"))
     val w = Window.partitionBy($"u").orderBy($"sp".desc, $"v")
-    val e = inc.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
-      .select(least($"u", $"v").as("a"), greatest($"u", $"v").as("b"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = graft.PlanOnly.mark(
+      inc.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+        .select(least($"u", $"v").as("a"), greatest($"u", $"v").as("b"))
+        .distinct())
     val t = e.as("e1")
       .join(e.as("e2"), col("e2.a") === col("e1.b"))
       .join(e.as("e3"), col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))

@@ -291,7 +291,8 @@ object Multimodal {
     // real SemDeDup run materializes anyway) instead of recomputing the
     // assignment twice. Freed by the caller-clearCache contract
     // (Verify/Bench) — same lifecycle as text_decontaminate's grams.
-    val v = e.select($"vec_id", $"embedding").join(assign, "vec_id").persist()
+    val v = graft.PlanOnly.mark(
+      e.select($"vec_id", $"embedding").join(assign, "vec_id"))
     val va = v.select($"cid", $"vec_id".as("a_id"), $"embedding".as("ae"))
     val vb = v.select($"cid", $"vec_id".as("b_id"), $"embedding".as("be"))
     // within-cluster verify: equi-join on cid (the whole point — at any

@@ -62,13 +62,14 @@ object Pipelines {
       .unionAll(toks
         .select($"doc_id", concat(lit("s"), concat_ws(" ", slice($"t", -4, 4))).as("k")))
     // one window pass feeds both the edge list and the label seed
-    val star = keys.withColumn("m", min($"doc_id").over(Window.partitionBy($"k")))
-      .select($"doc_id", $"m").localCheckpoint(true)
+    val star = graft.PlanOnly.cut(
+      keys.withColumn("m", min($"doc_id").over(Window.partitionBy($"k")))
+        .select($"doc_id", $"m"))
     val e0 = star.filter($"m" =!= $"doc_id")
       .select($"doc_id".as("a"), $"m".as("b")).distinct()
     // symmetric closure, materialized once — reused every round
-    val edges = e0.unionAll(e0.select($"b".as("a"), $"a".as("b")))
-      .localCheckpoint(true)
+    val edges = graft.PlanOnly.cut(
+      e0.unionAll(e0.select($"b".as("a"), $"a".as("b"))))
     // Seed with the min over the doc's own buckets — the first
     // propagation round for free (same window pass that built the
     // edges), so single-bucket duplicate classes converge immediately.
@@ -106,8 +107,6 @@ object Pipelines {
     // are cheap derivations of inputs the caller already materialized;
     // a checkpoint here costs a whole extra job (measured)
     var labels = seeded.select($"id", $"lbl")
-    var converged = false
-    var rounds = 0
     // Each round: (1) neighbour-min propagation, (2) pointer halving
     // (lbl ← lbl(lbl)) — the small-star move from Kiveris et al.
     // SoCC '14. Labels are monotone non-increasing and always ids of
@@ -115,11 +114,11 @@ object Pipelines {
     // min), but chains collapse in O(log diameter) rounds instead of
     // O(diameter): a 1M-hop path converges in ~20 rounds, so maxRounds
     // is a true runaway guard, not a diameter bound.
-    while (!converged && rounds < maxRounds) {
+    def round(lbls: DataFrame): DataFrame = {
       val prop = edges
-        .join(labels.select($"id".as("nb"), $"lbl".as("nlbl")), $"b" === $"nb")
+        .join(lbls.select($"id".as("nb"), $"lbl".as("nlbl")), $"b" === $"nb")
         .groupBy($"a").agg(min($"nlbl").as("nlbl"))
-      val stepped = labels.join(prop, $"id" === $"a", "left")
+      val stepped = lbls.join(prop, $"id" === $"a", "left")
         .select($"id", $"lbl".as("old"),
           least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl"))
       // halving: follow the label one hop through the label table itself
@@ -130,11 +129,19 @@ object Pipelines {
       // plan dedupes the recompute via ReuseExchange (both sides shuffle
       // on the same child), so "two shuffle joins per round" relies on
       // that rule staying enabled — cache `stepped` if that ever changes
-      val next = stepped
+      stepped
         .join(stepped.select($"id".as("pid"), $"lbl".as("plbl")),
           $"lbl" === $"pid", "left")
         .select($"id", $"old", least($"lbl", coalesce($"plbl", $"lbl")).as("lbl"))
-        .localCheckpoint(true)
+    }
+    // plan-only audit: ONE unexecuted round — the per-round plan is the
+    // repeated unit; convergence is a runtime property, not a plan one
+    if (graft.PlanOnly.enabled)
+      return round(labels).select($"id", $"lbl".as("cluster_rep"))
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val next = round(labels).localCheckpoint(true)
       converged = next.filter($"lbl" =!= $"old").limit(1).count() == 0
       // the previous round's checkpoint blocks become unreachable here;
       // the ContextCleaner reclaims them asynchronously
@@ -193,14 +200,13 @@ object Pipelines {
     // Caller contract: the cache lives until the session drops it — the
     // Verify/Bench harnesses clearCache() after materializing each query;
     // a long-lived session embedding this operator should do the same.
-    val grams = Tables.documents(spark, dir)
+    val grams = graft.PlanOnly.mark(Tables.documents(spark, dir)
       .select($"doc_id", split($"text", " ").as("t"))
       .filter(size($"t") >= 8)
       .select($"doc_id", explode(expr(
         "transform(sequence(1, size(t) - 7), i -> xxhash64(concat_ws(' ', slice(t, i, 8))))"))
         .as("g"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .distinct())
     val bench = grams.filter($"doc_id" % 10 === 0)
       .select($"g", $"doc_id".as("bench_id"))
     val corpus = grams.filter($"doc_id" % 10 =!= 0)

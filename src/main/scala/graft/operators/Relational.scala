@@ -86,12 +86,14 @@ object Relational {
   def sourceCsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tmp = "/root/repo/target/tmp/csv_roundtrip"
-    Tables.nation(spark, dir).write.mode("overwrite").option("header", "true").csv(tmp)
-    val schema = StructType(Seq(
-      StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
-      StructField("n_regionkey", IntegerType)))
-    spark.read.option("header", "true").schema(schema).csv(tmp)
-      .orderBy($"n_nationkey")
+    graft.PlanOnly.roundTrip(Tables.nation(spark, dir).orderBy($"n_nationkey")) {
+      Tables.nation(spark, dir).write.mode("overwrite").option("header", "true").csv(tmp)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      spark.read.option("header", "true").schema(schema).csv(tmp)
+        .orderBy($"n_nationkey")
+    }
   }
 
   /** ORC round-trip: same dance as CSV through Spark's second columnar
@@ -101,8 +103,10 @@ object Relational {
   def sourceOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tmp = "/root/repo/target/tmp/orc_roundtrip"
-    Tables.supplier(spark, dir).write.mode("overwrite").orc(tmp)
-    spark.read.orc(tmp).orderBy($"s_suppkey")
+    graft.PlanOnly.roundTrip(Tables.supplier(spark, dir).orderBy($"s_suppkey")) {
+      Tables.supplier(spark, dir).write.mode("overwrite").orc(tmp)
+      spark.read.orc(tmp).orderBy($"s_suppkey")
+    }
   }
 
   /** JSON-lines round-trip with explicit schema (inference would scan
@@ -112,8 +116,10 @@ object Relational {
     import spark.implicits._
     val tmp = "/root/repo/target/tmp/jsonl_roundtrip"
     val src = Tables.region(spark, dir)
-    src.write.mode("overwrite").json(tmp)
-    spark.read.schema(src.schema).json(tmp).orderBy($"r_regionkey")
+    graft.PlanOnly.roundTrip(src.orderBy($"r_regionkey")) {
+      src.write.mode("overwrite").json(tmp)
+      spark.read.schema(src.schema).json(tmp).orderBy($"r_regionkey")
+    }
   }
 
   /** Partitioned-layout round trip — the 100 TB read path made a graded
@@ -132,11 +138,13 @@ object Relational {
       .select($"event_id", $"user_id", $"event_type", $"value",
         Tables.nsToUs($"ts").as("ts_us"))
       .withColumn("day", expr("ts_us div 86400000000"))
-    graft.sources.Sinks.writePartitioned(src, tmp, "day")
-    // Explicit schema on the readback: directory-name inference would
-    // type day as int (pinned back to long below either way), and an
-    // EMPTY write leaves no part files to infer from at all.
-    spark.read.schema(src.schema).parquet(tmp)
+    graft.PlanOnly.roundTrip(src) {
+      graft.sources.Sinks.writePartitioned(src, tmp, "day")
+      // Explicit schema on the readback: directory-name inference would
+      // type day as int (pinned back to long below either way), and an
+      // EMPTY write leaves no part files to infer from at all.
+      spark.read.schema(src.schema).parquet(tmp)
+    }
       .withColumn("day", $"day".cast("long"))
       .filter($"day" >= 19730L && $"day" <= 19736L)
       .groupBy($"day", $"event_type")
@@ -160,14 +168,17 @@ object Relational {
     // bucket after writeBucketed's repartition), so match the core
     // count; a 100 TB table would use hundreds of buckets for the same
     // reason.
-    graft.sources.Sinks.writeBucketed(
-      Tables.orders(spark, dir).select($"o_orderkey", $"o_orderpriority"),
-      "orders_bkt", 32, "o_orderkey")
-    graft.sources.Sinks.writeBucketed(
-      Tables.lineitem(spark, dir).select($"l_orderkey", $"l_extendedprice"),
-      "lineitem_bkt", 32, "l_orderkey")
-    spark.table("orders_bkt")
-      .join(spark.table("lineitem_bkt"), $"o_orderkey" === $"l_orderkey")
+    val o = Tables.orders(spark, dir).select($"o_orderkey", $"o_orderpriority")
+    val l = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_extendedprice")
+    val ob = graft.PlanOnly.roundTrip(o) {
+      graft.sources.Sinks.writeBucketed(o, "orders_bkt", 32, "o_orderkey")
+      spark.table("orders_bkt")
+    }
+    val lb = graft.PlanOnly.roundTrip(l) {
+      graft.sources.Sinks.writeBucketed(l, "lineitem_bkt", 32, "l_orderkey")
+      spark.table("lineitem_bkt")
+    }
+    ob.join(lb, $"o_orderkey" === $"l_orderkey")
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n_items"),
         sum(Tables.dec2($"l_extendedprice")).cast("double").as("revenue"))
@@ -192,17 +203,22 @@ object Relational {
     val tmp = "/root/repo/target/tmp/corpus_layout_docs"
     val src = Tables.documents(spark, dir)
       .select($"doc_id", $"source", $"n_chars", $"lang")
-    graft.sources.Sinks.writePartitioned(src, tmp, "lang")
-    graft.sources.Sinks.writeBucketed(
-      Tables.embeddings(spark, dir).select($"vec_id", $"label",
-        floor(element_at($"embedding", 1).cast("double") * lit(1099511627776.0))
-          .cast("long").as("e0_fp")),
-      "embeddings_bkt", 32, "vec_id")
-    // explicit schema: directory inference has nothing to type on an
-    // empty write (sink_partitioned_read precedent)
-    spark.read.schema(src.schema).parquet(tmp)
+    val vecs = Tables.embeddings(spark, dir).select($"vec_id", $"label",
+      floor(element_at($"embedding", 1).cast("double") * lit(1099511627776.0))
+        .cast("long").as("e0_fp"))
+    val docsBack = graft.PlanOnly.roundTrip(src) {
+      graft.sources.Sinks.writePartitioned(src, tmp, "lang")
+      // explicit schema: directory inference has nothing to type on an
+      // empty write (sink_partitioned_read precedent)
+      spark.read.schema(src.schema).parquet(tmp)
+    }
+    val vecsBack = graft.PlanOnly.roundTrip(vecs) {
+      graft.sources.Sinks.writeBucketed(vecs, "embeddings_bkt", 32, "vec_id")
+      spark.table("embeddings_bkt")
+    }
+    docsBack
       .filter($"lang" === "en")
-      .join(spark.table("embeddings_bkt"), $"doc_id" === $"vec_id")
+      .join(vecsBack, $"doc_id" === $"vec_id")
       .groupBy($"label")
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
         sum($"e0_fp").as("sum_e0_fp"))
@@ -619,19 +635,22 @@ object Relational {
     * writeBucketed lesson). */
   def sqlCtasInsert(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.nation(spark, dir).createOrReplaceTempView("nation_src")
-    spark.sql("DROP TABLE IF EXISTS nation_ctas")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), "nation_ctas")
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
-    spark.sql(
-      """CREATE TABLE nation_ctas USING parquet AS
-        |SELECT n_nationkey, n_name, n_regionkey FROM nation_src WHERE n_regionkey <> 4""".stripMargin)
-    spark.sql(
-      """INSERT INTO nation_ctas
-        |SELECT n_nationkey, n_name, n_regionkey FROM nation_src WHERE n_regionkey = 4""".stripMargin)
-    spark.table("nation_ctas").orderBy($"n_nationkey")
+    graft.PlanOnly.roundTrip(Tables.nation(spark, dir)
+        .select($"n_nationkey", $"n_name", $"n_regionkey").orderBy($"n_nationkey")) {
+      Tables.nation(spark, dir).createOrReplaceTempView("nation_src")
+      spark.sql("DROP TABLE IF EXISTS nation_ctas")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), "nation_ctas")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      spark.sql(
+        """CREATE TABLE nation_ctas USING parquet AS
+          |SELECT n_nationkey, n_name, n_regionkey FROM nation_src WHERE n_regionkey <> 4""".stripMargin)
+      spark.sql(
+        """INSERT INTO nation_ctas
+          |SELECT n_nationkey, n_name, n_regionkey FROM nation_src WHERE n_regionkey = 4""".stripMargin)
+      spark.table("nation_ctas").orderBy($"n_nationkey")
+    }
   }
 
   /** XML round-trip through Spark 4's NATIVE xml datasource (the
@@ -645,16 +664,19 @@ object Relational {
   def sourceXmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tmp = "/root/repo/target/tmp/xml_roundtrip"
-    Tables.part(spark, dir)
-      .select($"p_partkey", $"p_name", $"p_brand", $"p_size", $"p_retailprice")
-      .write.mode("overwrite").option("rowTag", "part").xml(tmp)
-    val schema = StructType(Seq(
-      StructField("p_partkey", LongType), StructField("p_name", StringType),
-      StructField("p_brand", StringType), StructField("p_size", IntegerType),
-      StructField("p_retailprice", DoubleType)))
-    spark.read.option("rowTag", "part").schema(schema).xml(tmp)
-      .select($"p_partkey", $"p_name", $"p_brand", $"p_size", $"p_retailprice")
-      .orderBy($"p_partkey")
+    val cols = Seq($"p_partkey", $"p_name", $"p_brand", $"p_size", $"p_retailprice")
+    graft.PlanOnly.roundTrip(
+        Tables.part(spark, dir).select(cols: _*).orderBy($"p_partkey")) {
+      Tables.part(spark, dir).select(cols: _*)
+        .write.mode("overwrite").option("rowTag", "part").xml(tmp)
+      val schema = StructType(Seq(
+        StructField("p_partkey", LongType), StructField("p_name", StringType),
+        StructField("p_brand", StringType), StructField("p_size", IntegerType),
+        StructField("p_retailprice", DoubleType)))
+      spark.read.option("rowTag", "part").schema(schema).xml(tmp)
+        .select(cols: _*)
+        .orderBy($"p_partkey")
+    }
   }
 
   /** Dense-grid zero-fill — the reporting pattern for sparse facts: a
@@ -703,17 +725,20 @@ object Relational {
       .select($"event_id", $"event_type", Tables.dec4($"value").as("v"),
         Tables.nsToUs($"ts").as("t"))
       .withColumn("day", expr("t div 86400000000"))
-    src.write.mode("overwrite").partitionBy("day").parquet(tmp)
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      src.filter($"day" === 19725L && $"event_type" =!= "error")
-        .write.mode("overwrite").partitionBy("day").parquet(tmp)
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    graft.PlanOnly.roundTrip(
+        src.filter(!($"day" === 19725L && $"event_type" === "error"))) {
+      src.write.mode("overwrite").partitionBy("day").parquet(tmp)
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        src.filter($"day" === 19725L && $"event_type" =!= "error")
+          .write.mode("overwrite").partitionBy("day").parquet(tmp)
+      } finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      spark.read.schema(src.schema).parquet(tmp)
     }
-    spark.read.schema(src.schema).parquet(tmp)
       .groupBy($"day".cast("long").as("day"))
       .agg(count(lit(1)).as("n"), sum($"v").cast("double").as("sum_value"))
       .orderBy($"day")
@@ -741,23 +766,35 @@ object Relational {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val splitUs = 19740L * 86400000000L // mid-range day boundary
-    val stateDir = "/root/repo/target/tmp/merge_upsert_state"
-    val fs = new org.apache.hadoop.fs.Path(stateDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // idempotent re-run: clear prior state AND the crash-recovery tmp
-    // (a stale __tmp would otherwise be reinstalled as state)
-    fs.delete(new org.apache.hadoop.fs.Path(stateDir), true)
-    fs.delete(new org.apache.hadoop.fs.Path(stateDir + "__tmp"), true)
+    // per-process state dir: two concurrent runs (a Verify alongside a
+    // Bench or --exec Explain, always separate JVMs) must not race on
+    // this table's delete/write/swap — same isolation move as
+    // LocalSession's pinned warehouse; re-runs in one JVM stay
+    // idempotent (delete-first) under the stable pid key
+    val stateDir =
+      s"/root/repo/target/tmp/merge_upsert_state_${ProcessHandle.current().pid()}"
     val ev = Tables.events(spark, dir)
       .select($"user_id", $"event_id", $"event_type",
         Tables.nsToUs($"ts").as("ts_us"), $"value")
     val w = Window.partitionBy($"user_id").orderBy($"ts_us".desc, $"event_id".desc)
     val standing = ev.filter($"ts_us" < splitUs)
       .withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
-    standing.write.mode("overwrite").parquet(stateDir)
-    graft.streaming.StreamingMirror.upsertBatch(ev.filter($"ts_us" >= splitUs), stateDir)
+    val state = graft.PlanOnly.roundTrip(
+        // latest-per-key over the FULL log — the associative-merge
+        // equivalence the oracle also relies on
+        ev.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")) {
+      val fs = new org.apache.hadoop.fs.Path(stateDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // idempotent re-run: clear prior state AND the crash-recovery tmp
+      // (a stale __tmp would otherwise be reinstalled as state)
+      fs.delete(new org.apache.hadoop.fs.Path(stateDir), true)
+      fs.delete(new org.apache.hadoop.fs.Path(stateDir + "__tmp"), true)
+      standing.write.mode("overwrite").parquet(stateDir)
+      graft.streaming.StreamingMirror.upsertBatch(ev.filter($"ts_us" >= splitUs), stateDir)
+      spark.read.parquet(stateDir)
+    }
     val standingKeys = standing.select($"user_id".as("sk")).distinct()
-    spark.read.parquet(stateDir)
+    state
       .join(broadcast(standingKeys), $"user_id" === $"sk", "left")
       .select($"user_id", $"event_id", $"event_type", $"ts_us", $"value",
         when($"ts_us" >= splitUs,
@@ -785,7 +822,6 @@ object Relational {
     // mismatches are partially repaired instead, parser-dependent)
     val bad = Seq("not-a-key|corrupted line|x", "g1|garbage|g2", "zz|bad row|yy")
       .toDF("value")
-    good.unionByName(bad).write.mode("overwrite").text(tmp)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("n_nationkey",
         org.apache.spark.sql.types.LongType),
@@ -795,17 +831,27 @@ object Relational {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("_corrupt_record",
         org.apache.spark.sql.types.StringType)))
-    spark.read.schema(schema)
-      .option("sep", "|").option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .csv(tmp)
-      // cached: Spark refuses CSV scans whose pruned schema is ONLY the
-      // internal corrupt-record column (which a downstream count()
-      // can produce by pruning the other aggregates); caching pins the
-      // full-schema parse — the documented workaround, and the same
-      // caller contract as the other cached frames (harness
-      // clearCache()s per query)
-      .cache()
+    graft.PlanOnly.roundTrip(
+        // same PERMISSIVE parse, file-free: from_csv over the in-memory
+        // lines (the scalar twin of the datasource parser)
+        good.unionByName(bad).select(from_csv($"value", schema, Map(
+            "sep" -> "|", "mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt_record")).as("r"))
+          .select($"r._corrupt_record".as("_corrupt_record"),
+            $"r.n_nationkey".as("n_nationkey"))) {
+      good.unionByName(bad).write.mode("overwrite").text(tmp)
+      spark.read.schema(schema)
+        .option("sep", "|").option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(tmp)
+        // cached: Spark refuses CSV scans whose pruned schema is ONLY the
+        // internal corrupt-record column (which a downstream count()
+        // can produce by pruning the other aggregates); caching pins the
+        // full-schema parse — the documented workaround, and the same
+        // caller contract as the other cached frames (harness
+        // clearCache()s per query)
+        .cache()
+    }
       .select(when($"_corrupt_record".isNull, lit("ok"))
         .otherwise(lit("corrupt")).as("status"), $"n_nationkey")
       .groupBy($"status")
@@ -827,11 +873,17 @@ object Relational {
     import spark.implicits._
     val tmp = "/root/repo/target/tmp/schema_evolution"
     val n = Tables.nation(spark, dir)
-    n.select($"n_nationkey", $"n_name")
-      .write.mode("overwrite").parquet(tmp + "/v=1")
-    n.select($"n_nationkey", $"n_name", $"n_regionkey")
-      .write.mode("overwrite").parquet(tmp + "/v=2")
-    spark.read.option("mergeSchema", "true").parquet(tmp)
+    graft.PlanOnly.roundTrip(
+        n.select(lit(1).as("v"), $"n_nationkey", $"n_name",
+            lit(null).cast("int").as("n_regionkey"))
+          .unionByName(n.select(lit(2).as("v"), $"n_nationkey", $"n_name",
+            $"n_regionkey"))) {
+      n.select($"n_nationkey", $"n_name")
+        .write.mode("overwrite").parquet(tmp + "/v=1")
+      n.select($"n_nationkey", $"n_name", $"n_regionkey")
+        .write.mode("overwrite").parquet(tmp + "/v=2")
+      spark.read.option("mergeSchema", "true").parquet(tmp)
+    }
       .select($"v".cast("long").as("v"), $"n_nationkey", $"n_name",
         coalesce($"n_regionkey", lit(-1L)).as("n_regionkey"))
       .orderBy($"v", $"n_nationkey")

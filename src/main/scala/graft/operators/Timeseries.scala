@@ -217,7 +217,9 @@ object Timeseries {
       .withColumn("version", row_number().over(w))
     kept.groupBy($"user_id")
       .agg(
-        max($"version").as("n_versions"),
+        // cast to long: every counter column in the contract is BIGINT
+        // (row_number's int would otherwise leak through max)
+        max($"version").cast("long").as("n_versions"),
         min($"t").as("first_from_us"),
         max($"t").as("current_from_us"),
         max(struct($"t", $"event_id", $"v")).as("cur"))

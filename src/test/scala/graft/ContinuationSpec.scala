@@ -140,8 +140,7 @@ class ContinuationSpec extends SparkSuite {
     val nEvents = Tables.events(spark, sf0001).count()
     assert(rows.map(_.getLong(1)).sum === nEvents, "per-user events sum to the table")
     rows.foreach { r =>
-      // n_versions is IntegerType (row_number max); the rest are longs
-      val (n, v, c) = (r.getLong(1), r.getInt(2).toLong, r.getLong(3))
+      val (n, v, c) = (r.getLong(1), r.getLong(2), r.getLong(3))
       assert(v >= 1 && v <= n && c === n - v)
       assert(r.getLong(4) <= r.getLong(5), "first version opens before the current one")
     }

@@ -26,6 +26,26 @@ class RoundingSpec extends SparkSuite {
     assert(diff.filter($"r6" =!= $"fast".cast("double") / 1e6).count() === 0L)
   }
 
+  test("the negative half-boundary divergence class is real but excluded by the pair-score pin") {
+    // DuckDB's round(x, 6) rounds half AWAY from zero; the fast form
+    // floor(x·1e6 + 0.5) rounds half toward +∞. The two can differ only
+    // when x·1e6 lands EXACTLY on a negative k+0.5 double — constructed
+    // below. The pair-score test above proves no fixture cosine reaches
+    // the class (dedup_semantic_cluster shares the same quantizer and
+    // certification); if a future fixture ever lands on it, THAT test
+    // fails and the sign-aware form floor(|x|·1e6 + 0.5)·sign(x) is the
+    // documented fix.
+    val x = -2.5e-6
+    val prod = x * 1e6
+    assert(prod == -2.5, "constructed product must land exactly on the boundary")
+    val fast = math.floor(prod + 0.5).toLong // -2: half toward +∞
+    val away = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact() // -3: half away from zero
+    assert(fast === -2L)
+    assert(away === -3L)
+  }
+
   test("anomaly_mad_outliers classifies a value EXACTLY on the 3·MAD boundary deterministically") {
     import spark.implicits._
     // Crafted fixture: values sorted 1,2,2,2,3,5,5.0001,-1.0001 →
