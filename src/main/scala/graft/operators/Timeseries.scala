@@ -231,7 +231,54 @@ object Timeseries {
       .orderBy($"user_id")
   }
 
+  /** Interval-union coverage — per customer, merge the overlapping
+    * order intervals [orderdate, last shipdate] into maximal islands
+    * and report how much of the customer's active span is actually
+    * covered (n_islands, covered_us, gaps_us). The complement of
+    * window_interval_overlap's peak-concurrency sweep: that key asks
+    * "how deep do intervals stack", this one "how much time do they
+    * blanket" — the uptime / SLA-coverage shape.
+    *
+    * Plan: the classic merged-intervals rewrite — sort intervals by
+    * start within the customer, an island STARTS where the start
+    * strictly exceeds the running max of all previous ends (touching
+    * intervals merge: coverage has no gap at s == prev_end), island id
+    * = running sum of start flags, then one aggregate per island and
+    * one per customer. Two window passes + two aggregates over a
+    * single (o_custkey) partitioning — Spark reuses the exchange+sort;
+    * O(n log n) in the per-key sort, NEVER the O(n²) overlap
+    * self-join. All-integer µs endpoints (unix_micros ⟷ epoch_us),
+    * ill-formed fixture intervals clamped to end ≥ start exactly as
+    * windowIntervalOverlap does. */
+  def timeseriesIntervalUnion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val iv = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir).groupBy($"l_orderkey")
+        .agg(max(unix_micros($"l_shipdate".cast("timestamp"))).as("e0")),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey", $"o_orderkey",
+        unix_micros($"o_orderdate".cast("timestamp")).as("s"),
+        greatest($"e0", unix_micros($"o_orderdate".cast("timestamp"))).as("e"))
+    val w = Window.partitionBy($"o_custkey").orderBy($"s", $"e", $"o_orderkey")
+    val prevMaxE = max($"e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = iv
+      .withColumn("new_island",
+        when(prevMaxE.isNull || $"s" > prevMaxE, 1L).otherwise(0L))
+      .withColumn("island", sum($"new_island")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"o_custkey", $"island")
+      .agg(min($"s").as("is"), max($"e").as("ie"))
+    islands.groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_islands"),
+        sum($"ie" - $"is").as("covered_us"),
+        min($"is").as("first_us"), max($"ie").as("last_us"))
+      .select($"o_custkey".as("c_custkey"), $"n_islands", $"covered_us",
+        ($"last_us" - $"first_us" - $"covered_us").as("gaps_us"))
+      .orderBy($"c_custkey")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "timeseries_interval_union" -> (timeseriesIntervalUnion(_, _)),
     "scd2_change_compression" -> (scd2ChangeCompression(_, _)),
     "scd2_asof_lookup" -> (scd2AsofLookup(_, _)),
     "timeseries_ohlc_bars" -> (timeseriesOhlcBars(_, _)),
@@ -241,6 +288,39 @@ object Timeseries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "timeseries_interval_union" ->
+      """WITH iv AS (
+        |  SELECT o.o_custkey, o.o_orderkey,
+        |    epoch_us(o.o_orderdate) AS s,
+        |    greatest(max(epoch_us(l.l_shipdate)),
+        |             epoch_us(o.o_orderdate)) AS e
+        |  FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2, 3),
+        |f AS (
+        |  SELECT o_custkey, s, e,
+        |    CASE WHEN max(e) OVER (PARTITION BY o_custkey
+        |           ORDER BY s, e, o_orderkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           IS NULL
+        |         OR s > max(e) OVER (PARTITION BY o_custkey
+        |           ORDER BY s, e, o_orderkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |         THEN 1 ELSE 0 END AS new_island
+        |  FROM iv),
+        |g AS (
+        |  SELECT o_custkey, s, e,
+        |    sum(new_island) OVER (PARTITION BY o_custkey
+        |      ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM f),
+        |isl AS (
+        |  SELECT o_custkey, island, min(s) AS i_s, max(e) AS i_e
+        |  FROM g GROUP BY 1, 2)
+        |SELECT o_custkey AS c_custkey,
+        |  count(*) AS n_islands,
+        |  CAST(sum(i_e - i_s) AS BIGINT) AS covered_us,
+        |  CAST(max(i_e) - min(i_s) - sum(i_e - i_s) AS BIGINT) AS gaps_us
+        |FROM isl GROUP BY 1 ORDER BY 1""".stripMargin,
     "scd2_change_compression" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
         |    CAST(value AS DECIMAL(18,4)) AS v FROM events),

@@ -123,11 +123,57 @@ object Streamy {
       .orderBy($"minute_bucket")
   }
 
+  /** Watermarked streaming dedup / rate-limit, batch replay — the
+    * `dropDuplicatesWithinWatermark` / per-key throttle semantics: an
+    * event is EMITTED iff its event time is more than `delay` after the
+    * last EMITTED event of its key (first event of a key always emits).
+    * This is NOT a lag filter — whether a row survives depends on which
+    * earlier rows survived (the chain is not prefix-decomposable), so
+    * no window rewrite exists; it is exactly the per-key linear state
+    * scan the streaming state store runs, expressed here with
+    * `groupByKey.flatMapGroups` (the batch twin of
+    * flatMapGroupsWithState — [[StatefulSessionizer]] precedent).
+    *
+    * Key = (event_type, user_id % 25): a sharded per-type throttle with
+    * 125 keyed states, dense enough chains for the delay to really drop
+    * rows at every SF. Emitted rows come out row-grain (event_id is the
+    * unique total-order key).
+    *
+    * Scale shape: ONE shuffle on the dedup key, then a per-key
+    * time-ordered scan holding a single 8-byte last-emitted timestamp —
+    * the same O(1)-per-key state a production streaming dedup holds;
+    * group size is bounded by per-(type, shard) traffic, never the
+    * corpus. The oracle replays the identical chain with a recursive
+    * CTE (frontier = last kept row per key, LATERAL next-kept probe) —
+    * the hash-match proves the state-machine semantics, which no
+    * single-pass SQL can express. */
+  def streamDedupWatermark(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val delayUs = 3600L * 1000 * 1000
+    Tables.events(spark, dir)
+      .select($"event_type", ($"user_id" % 25).as("shard"), $"event_id",
+        Tables.nsToUs($"ts").as("ts_us"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { case ((typ, shard), it) =>
+        val sorted = it.toArray.sortBy(r => (r._4, r._3))
+        var last = Long.MinValue
+        sorted.iterator.filter { r =>
+          val keep = last == Long.MinValue || r._4 - last > delayUs
+          if (keep) last = r._4
+          keep
+        }.map(r => (typ, shard, r._3, r._4))
+      }
+      .toDF("event_type", "shard", "event_id", "ts_us")
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "stream_tumbling_window" -> (streamTumblingWindow(_, _)),
     "stream_sliding_window" -> (streamSlidingWindow(_, _)),
     "stream_sessionize" -> (streamSessionize(_, _)),
-    "stream_late_data_census" -> (streamLateDataCensus(_, _))
+    "stream_late_data_census" -> (streamLateDataCensus(_, _)),
+    "stream_dedup_watermark" -> (streamDedupWatermark(_, _))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -157,6 +203,29 @@ object Streamy {
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(ts_us) AS start_us, max(ts_us) AS end_us
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    // the recursive CTE IS the point: the keep-chain depends on which
+    // earlier rows were kept, so the oracle must iterate too — frontier
+    // = last kept row per key, LATERAL probe = next row strictly more
+    // than the delay after it
+    "stream_dedup_watermark" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT event_type, user_id % 25 AS shard, event_id,
+        |    epoch_us(ts) AS ts_us
+        |  FROM events),
+        |keep(event_type, shard, event_id, ts_us) AS (
+        |  SELECT event_type, shard, event_id, ts_us
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY event_type, shard
+        |          ORDER BY ts_us, event_id) AS rn FROM e)
+        |  WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.event_type, n.shard, n.event_id, n.ts_us
+        |  FROM keep k, LATERAL (
+        |    SELECT event_type, shard, event_id, ts_us FROM e
+        |    WHERE e.event_type = k.event_type AND e.shard = k.shard
+        |      AND e.ts_us > k.ts_us + 3600000000
+        |    ORDER BY ts_us, event_id LIMIT 1) n)
+        |SELECT event_type, shard, event_id, ts_us
+        |FROM keep ORDER BY event_id""".stripMargin,
     "stream_late_data_census" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         |        event_id + CASE WHEN event_id % 10 = 0
