@@ -8,11 +8,15 @@ import org.apache.spark.sql.functions._
   * Every query goes through here so session-level gotchas are handled in
   * exactly one place:
   *
-  *  - `events.ts` is parquet TIMESTAMP(NANOS); Spark 4 refuses it unless
-  *    `spark.sql.legacy.parquet.nanosAsLong=true`, after which the column
-  *    reads as BIGINT nanoseconds since epoch (SURVEY.md §7 G1). The
-  *    DuckDB oracle reads the same column natively as TIMESTAMP_NS, so
-  *    oracle SQL compares via `epoch_ns(ts)` or converts both sides.
+  *  - `events.ts` has shipped in two physical forms across driver
+  *    fixture generations: parquet TIMESTAMP(NANOS) (reads as BIGINT
+  *    nanos under `spark.sql.legacy.parquet.nanosAsLong=true`, SURVEY.md
+  *    §7 G1) and, since the round-8 regeneration, TIMESTAMP(MICROS)
+  *    (reads as TIMESTAMP_NTZ). [[events]] normalizes BOTH to the
+  *    repo-wide contract — BIGINT nanoseconds since epoch — so every
+  *    operator keeps using `nsToUs`/`tsFromNanos` unchanged. The DuckDB
+  *    oracle reads the same column natively as a timestamp either way,
+  *    so oracle SQL keeps comparing via `epoch_us(ts)`.
   *  - Session timezone is pinned to UTC so date extraction matches the
   *    (timezone-less) DuckDB timestamps.
   *
@@ -49,7 +53,20 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  /** events with `ts` normalized to BIGINT epoch-nanos regardless of the
+    * fixture generation's physical type. TIMESTAMP_NTZ → instant via a
+    * session-tz cast (pinned UTC in [[configure]], so the cast is the
+    * identity on the instant); µs→ns is exact (`*1000` on a µs-precision
+    * value). LongType fixtures pass through untouched. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = table(s, d, "events")
+    // injected test fixtures may omit ts entirely (RoundingSpec)
+    df.schema.fields.find(_.name == "ts") match {
+      case Some(f) if f.dataType != org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+      case _ => df
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

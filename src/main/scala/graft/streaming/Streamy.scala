@@ -155,7 +155,8 @@ object Streamy {
         Tables.nsToUs($"ts").as("ts_us"))
       .as[(String, Long, Long, Long)]
       .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { case ((typ, shard), it) =>
+      .flatMapGroups { (key: (String, Long), it: Iterator[(String, Long, Long, Long)]) =>
+        val (typ, shard) = key
         val sorted = it.toArray.sortBy(r => (r._4, r._3))
         var last = Long.MinValue
         sorted.iterator.filter { r =>
