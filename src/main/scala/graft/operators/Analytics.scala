@@ -460,7 +460,55 @@ object Analytics {
       .orderBy($"event_type")
   }
 
+  /** 2-D Pareto skyline over parts — the cheapest-for-its-size
+    * frontier: a part survives iff NO other part is both
+    * no-more-expensive and no-smaller, with at least one strict
+    * inequality (minimize retail price, maximize size). The classic
+    * dominance query (Börzsönyi et al., "The Skyline Operator",
+    * ICDE'01) — product search fronts, price-performance audits,
+    * model-selection curves.
+    *
+    * Plan: the sort-based window rewrite, NEVER the O(n²) dominance
+    * self-join the textbook formulation implies — and the DuckDB
+    * oracle deliberately KEEPS the quadratic NOT EXISTS form, so the
+    * hash-match itself proves the rewrite. On DISTINCT (price, size)
+    * pairs sorted (price asc, size desc), a pair is dominated iff the
+    * running max of size over the strict row prefix ≥ its own size:
+    * a prefix row has either strictly smaller price (≥ size ⇒
+    * dominates) or equal price and — pairs being distinct — strictly
+    * larger size (dominates); conversely the prefix-max witness is
+    * always a dominator. Equal (price, size) parts never dominate
+    * each other, which the pair-dedup encodes for free.
+    *
+    * Scale shape: skyline is distributive — frontier(A ∪ B) =
+    * frontier(frontier(A) ∪ frontier(B)) — so phase 1 prunes with a
+    * PARTITIONED window per hash shard and only the ≤32 shard
+    * frontiers (each already tiny) reach the phase-2 global window;
+    * the one single-partition sort ingests survivors, never the
+    * table. Survivor pairs broadcast-join back to parts for the
+    * row-grain report. */
+  def skylinePareto(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = Tables.part(spark, dir)
+      .select($"p_partkey", Tables.dec2($"p_retailprice").as("price"), $"p_size")
+    val pairs = parts.groupBy($"price", $"p_size").agg(count(lit(1)).as("n_parts"))
+    def undominated(df: DataFrame, shard: Seq[Column]): DataFrame = {
+      val w = Window.partitionBy(shard: _*).orderBy($"price".asc, $"p_size".desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.withColumn("pm", max($"p_size").over(w))
+        .filter($"pm".isNull || $"pm" < $"p_size").drop("pm")
+    }
+    val local = undominated(
+      pairs.withColumn("shard", pmod(hash($"price", $"p_size"), lit(32))),
+      Seq($"shard")).drop("shard")
+    val global = undominated(local, Seq.empty)
+    parts.join(broadcast(global.select($"price", $"p_size")), Seq("price", "p_size"))
+      .select($"p_partkey", $"price".cast("double").as("price"), $"p_size")
+      .orderBy($"p_partkey")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "skyline_pareto" -> (skylinePareto(_, _)),
     "anomaly_zscore_exact" -> (anomalyZscoreExact(_, _)),
     "text_collocation_lift" -> (textCollocationLift(_, _)),
     "graph_triangle_count" -> (graphTriangleCount(_, _)),
@@ -512,6 +560,20 @@ object Analytics {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // the quadratic NOT EXISTS is the POINT: the oracle states the
+    // dominance definition directly; the Spark side must reproduce it
+    // with the sort-based linear rewrite
+    "skyline_pareto" ->
+      """WITH p AS (SELECT p_partkey,
+        |    CAST(p_retailprice AS DECIMAL(18,2)) AS price, p_size
+        |  FROM part)
+        |SELECT p_partkey, CAST(price AS DOUBLE) AS price, p_size
+        |FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.price <= a.price AND b.p_size >= a.p_size
+        |    AND (b.price < a.price OR b.p_size > a.p_size))
+        |ORDER BY p_partkey""".stripMargin,
     "anomaly_zscore_exact" ->
       """WITH v AS (SELECT event_type,
         |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS x

@@ -70,6 +70,18 @@ class PlanRegressionSpec extends SparkSuite {
     assert(over.isEmpty, s"exchange budget exceeded: $over")
   }
 
+  test("skyline_pareto prunes through windows and broadcasts the frontier back") {
+    val p = plan("skyline_pareto")
+    // survivors join back to parts as a broadcast (the frontier is
+    // tiny), never a shuffled or nested-loop join; the whole two-phase
+    // rewrite stays within 4 shuffles (pair agg, shard window, global
+    // window over survivors only, final sort)
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    val n = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(n <= 4, s"skyline_pareto exchange count $n > 4")
+  }
+
   test("window_count_distinct plans as broadcast decoration, not a WindowExec") {
     val p = plan("window_count_distinct")
     // the two-pass rewrite: per-type distinct counts aggregate on the

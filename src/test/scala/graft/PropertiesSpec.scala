@@ -146,6 +146,35 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("skyline law: prefix-max rewrite equals brute-force dominance, distributively") {
+    // local mirror of Analytics.skylinePareto's rewrite, on distinct
+    // (price, size) pairs: sorted (price asc, size desc), survive iff
+    // running max of size over the strict prefix < own size
+    def rewrite(pairs: Set[(Int, Int)]): Set[(Int, Int)] = {
+      val sorted = pairs.toList.sortBy { case (p, s) => (p, -s) }
+      var pm = Int.MinValue
+      sorted.filter { case (_, s) =>
+        val keep = s > pm; pm = math.max(pm, s); keep
+      }.toSet
+    }
+    def brute(pairs: Set[(Int, Int)]): Set[(Int, Int)] =
+      pairs.filter { case (p, s) =>
+        !pairs.exists { case (q, t) =>
+          q <= p && t >= s && (q < p || t > s)
+        }
+      }
+    val gen = Gen.listOf(Gen.zip(Gen.chooseNum(0, 20), Gen.chooseNum(0, 20))).map(_.toSet)
+    check(Prop.forAll(gen, Gen.chooseNum(1, 4)) { (pairs: Set[(Int, Int)], shards: Int) =>
+      val direct = rewrite(pairs) == brute(pairs)
+      // distributivity: frontier(∪ shard frontiers) == frontier(all) —
+      // the phase-1/phase-2 split the operator relies on
+      val sharded = rewrite(
+        pairs.groupBy { case (p, s) => (p * 31 + s) % shards }
+          .values.map(rewrite).fold(Set.empty)(_ ++ _))
+      direct && sharded == brute(pairs)
+    })
+  }
+
   test("int8 quantization law: range bound and maxabs element saturates") {
     val vec = Gen.nonEmptyListOf(Gen.chooseNum(-1e3f, 1e3f)).map(_.toArray)
     def quantize(xs: Array[Float]): Array[Long] = {
