@@ -73,6 +73,55 @@ object StatefulSessionizer {
         GroupStateTimeout.EventTimeTimeout())(sessionize)
   }
 
+  /** Streaming mirror of Streamy.streamDedupWatermark — the per-key
+    * throttle as a REAL stateful stream: flatMapGroupsWithState keyed
+    * on (event_type, user shard), state = the single last-emitted
+    * event time (8 bytes — exactly the state the batch form's scaladoc
+    * promises a production stream would hold). Each micro-batch's rows
+    * for a key are sorted by event time and run through the admission
+    * chain continuing from the stored state; admitted rows emit
+    * immediately (Append mode), state persists across batches.
+    *
+    * Ordered-ingest assumption: the chain is order-sensitive, so
+    * equality with the batch replay holds when micro-batch boundaries
+    * respect event-time order per key (AvailableNow over one staged
+    * snapshot = one batch = trivially ordered; a production deploy
+    * pairs this with a watermark bounding arrival disorder, the same
+    * caveat dropDuplicatesWithinWatermark documents). */
+  object Throttle {
+    case class In(event_type: String, shard: Long, event_id: Long, ts_us: Long)
+    case class Kept(event_type: String, shard: Long, event_id: Long, ts_us: Long)
+    val DelayUs: Long = 3600L * 1000 * 1000
+
+    def admit(key: (String, Long), rows: Iterator[In],
+        state: GroupState[Long]): Iterator[Kept] = {
+      if (state.hasTimedOut) Iterator.empty
+      else {
+        val sorted = rows.toArray.sortBy(r => (r.ts_us, r.event_id))
+        var last = state.getOption.getOrElse(Long.MinValue)
+        val out = sorted.iterator.filter { r =>
+          val keep = last == Long.MinValue || r.ts_us - last > DelayUs
+          if (keep) last = r.ts_us
+          keep
+        }.map(r => Kept(key._1, key._2, r.event_id, r.ts_us)).toArray
+        if (last != Long.MinValue) state.update(last)
+        out.iterator
+      }
+    }
+
+    def stream(spark: SparkSession, stageDir: String): Dataset[Kept] = {
+      import spark.implicits._
+      Tables.configure(spark)
+      val schema = spark.read.parquet(stageDir).schema
+      spark.readStream.schema(schema).parquet(stageDir)
+        .select($"event_type", ($"user_id" % 25).as("shard"), $"event_id",
+          Tables.nsToUs($"ts").as("ts_us")).as[In]
+        .groupByKey(r => (r.event_type, r.shard))
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.NoTimeout())(admit)
+    }
+  }
+
   /** Batch reference with identical semantics (all data in one group
     * pass — no timeouts fire, sessions close on gap or end-of-input;
     * the final open session per user is flushed explicitly). */

@@ -82,6 +82,24 @@ class StatefulStreamingSpec extends SparkSuite {
     assert(streamed.except(batch).count() === 0L)
   }
 
+  test("streaming throttle state machine equals the batch dedup-watermark replay") {
+    val stage = StreamingMirror.stageEvents(spark, sf0001,
+      "/root/repo/target/tmp/events_stage_throttle")
+    val q = StatefulSessionizer.Throttle.stream(spark, stage).writeStream
+      .format("memory").queryName("throttle_kept")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("throttle_kept")
+    val batch = Streamy.streamDedupWatermark(spark, sf0001)
+      .select("event_type", "shard", "event_id", "ts_us")
+    assert(streamed.count() > 0L)
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).count() === 0L)
+    assert(batch.except(streamed).count() === 0L)
+  }
+
   test("foreachBatch upsert converges to the batch latest-state compaction") {
     import spark.implicits._
     val base = "/root/repo/target/tmp/upsert"
