@@ -512,6 +512,38 @@ object LlmOps {
       .orderBy($"short_id", $"long_id")
   }
 
+  /** Source-priority dedup survivorship — WHICH copy wins, the policy
+    * dimension the other dedup keys fix by fiat (dedup_exact keeps
+    * min doc_id): within each first-4-token block, the surviving
+    * document is the one from the highest-priority source (priority =
+    * lexicographic source order here; a real pipeline supplies a
+    * curated > licensed > web rank), tie-broken by doc_id. The MDM
+    * "survivorship rule" applied to corpus dedup — prefer the curated
+    * copy of a boilerplate template, not whichever id sorts first.
+    * Reports each contended block (≥2 docs) with its size, source
+    * spread, and winner.
+    *
+    * Scale shape: ONE shuffle on the block key; the winner election is
+    * min(struct(source, doc_id)) — an associative partial-aggregable
+    * argmin, no window, no join; only (key, source, id) travel, never
+    * text. Block key = the same 4-token prefix family the containment
+    * and edit-distance stages block on, so at 100 TB this reuses their
+    * candidate exchange. */
+  def dedupPreferSource(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir)
+      .select($"doc_id", coalesce($"source", lit("(none)")).as("source"),
+        array_join(slice(split($"text", " "), 1, 4), " ").as("k4"))
+    d.groupBy($"k4")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"source").as("n_sources"),
+        min(struct($"source", $"doc_id")).as("kept"))
+      .filter($"n_docs" >= 2)
+      .select($"k4", $"n_docs", $"n_sources",
+        $"kept.doc_id".as("kept_doc_id"), $"kept.source".as("kept_source"))
+      .orderBy($"k4")
+  }
+
   /** Edit-distance near-dup verification: Levenshtein similarity over
     * blocked candidate pairs — the character-level verifier that
     * catches small in-place edits (typo fixes, template slot changes)
@@ -558,6 +590,7 @@ object LlmOps {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "dedup_prefer_source" -> (dedupPreferSource(_, _)),
     "dedup_edit_distance" -> (dedupEditDistance(_, _)),
     "dedup_containment_prefix" -> (dedupContainmentPrefix(_, _)),
     "dedup_exact" -> (dedupExact(_, _)),
@@ -603,6 +636,20 @@ object LlmOps {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
         |FROM documents GROUP BY lower(trim(text)) ORDER BY doc_id""".stripMargin,
+    "dedup_prefer_source" ->
+      """WITH k AS (SELECT doc_id, coalesce(source, '(none)') AS source,
+        |    array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ') AS k4
+        |  FROM documents),
+        |g AS (SELECT k4, count(*) AS n_docs,
+        |    count(DISTINCT source) AS n_sources
+        |  FROM k GROUP BY k4 HAVING count(*) >= 2),
+        |w AS (SELECT k4, doc_id, source,
+        |    row_number() OVER (PARTITION BY k4 ORDER BY source, doc_id) AS rn
+        |  FROM k)
+        |SELECT g.k4, g.n_docs, g.n_sources,
+        |  w.doc_id AS kept_doc_id, w.source AS kept_source
+        |FROM g JOIN w ON g.k4 = w.k4 AND w.rn = 1
+        |ORDER BY g.k4""".stripMargin,
     // dedup_minhash_near: ✖ not ANSI-expressible; verified by unit tests +
     // the oracled dedup_jaccard_verify companion
     "dedup_jaccard_verify" ->

@@ -471,7 +471,36 @@ object Pipelines {
       .orderBy($"status", $"lang")
   }
 
+  /** Per-cell quota cap — the C4/"max N pages per domain" sampler: at
+    * most K=3 documents survive per (lang, source) cell, chosen by
+    * content-hash order (sha256, doc_id tie-break) so the selection is
+    * a deterministic function of content — reproducible across
+    * re-shards, re-ingests, and engines, never favoring ingest order.
+    * The complement of corpus_mix_rebalance (which reweights by
+    * fraction): quotas CAP absolute per-cell volume so no source can
+    * dominate a language slice no matter how much it ships.
+    *
+    * Scale shape: one shuffle on the (lang, source) cell key, one
+    * partitioned window; per-cell row counts are bounded by source
+    * traffic and the rank column is the only addition — the same
+    * WindowGroupLimit shape as window_topk_per_group, so Spark prunes
+    * each partition to its first K rows before the filter at scale.
+    * Only (id, lang, source, 32-B hash) travel; text never moves. */
+  def corpusQuotaSampler(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"lang", $"source").orderBy($"h", $"doc_id")
+    Tables.documents(spark, dir)
+      .select($"doc_id", coalesce($"lang", lit("(none)")).as("lang"),
+        coalesce($"source", lit("(none)")).as("source"),
+        sha2($"text", 256).as("h"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"doc_id", $"lang", $"source", $"rk")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "corpus_quota_sampler" -> (corpusQuotaSampler(_, _)),
     "corpus_snapshot_diff" -> (corpusSnapshotDiff(_, _)),
     "compact_incremental_agg" -> (compactIncrementalAgg(_, _)),
     "quality_corpus_report" -> (qualityCorpusReport(_, _)),
@@ -487,6 +516,16 @@ object Pipelines {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "corpus_quota_sampler" ->
+      """WITH r AS (SELECT doc_id,
+        |    coalesce(lang, '(none)') AS lang,
+        |    coalesce(source, '(none)') AS source,
+        |    row_number() OVER (PARTITION BY coalesce(lang, '(none)'),
+        |        coalesce(source, '(none)')
+        |      ORDER BY sha256(text), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, lang, source, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 3 ORDER BY doc_id""".stripMargin,
     "corpus_snapshot_diff" ->
       """WITH v1 AS (SELECT doc_id, lang, sha256(text) AS h1 FROM documents),
         |kept AS (SELECT doc_id, lang,
