@@ -523,12 +523,14 @@ object LlmOps {
     * Reports each contended block (≥2 docs) with its size, source
     * spread, and winner.
     *
-    * Scale shape: ONE shuffle on the block key; the winner election is
-    * min(struct(source, doc_id)) — an associative partial-aggregable
-    * argmin, no window, no join; only (key, source, id) travel, never
-    * text. Block key = the same 4-token prefix family the containment
-    * and edit-distance stages block on, so at 100 TB this reuses their
-    * candidate exchange. */
+    * Scale shape: the winner election is min(struct(source, doc_id)) —
+    * an associative partial-aggregable argmin, no window, no join;
+    * only (key, source, id) travel, never text. Measured 3 exchanges:
+    * the n_sources countDistinct plans as the standard two-phase
+    * distinct aggregate (partial on (k4, source), final on k4) plus
+    * the ordering sort — all key-width. Block key = the same 4-token
+    * prefix family the containment and edit-distance stages block on,
+    * so at 100 TB this reuses their candidate exchange. */
   def dedupPreferSource(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d = Tables.documents(spark, dir)
