@@ -10,7 +10,10 @@ import org.apache.spark.sql.SparkSession
   * litter `<cwd>/spark-warehouse`. */
 object LocalSession {
 
-  val WarehouseDir = "/root/repo/target/tmp/warehouse"
+  /** Per-process: concurrent JVMs (Verify alongside Bench/tests) must
+    * not race on bucketed-table delete/overwrite under a shared
+    * warehouse (the Tables.scratch rationale applied to saveAsTable). */
+  val WarehouseDir = s"/root/repo/target/tmp/warehouse_${ProcessHandle.current().pid()}"
 
   /** @param cores    local[N] parallelism; shuffle partitions match it.
     * @param logLevel spark log level after startup.

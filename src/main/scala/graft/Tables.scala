@@ -70,6 +70,15 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** Per-process scratch dir for staging writes (sink/roundtrip keys).
+    * Concurrent sessions — a Verify run alongside Bench, Explain
+    * --exec, or the test suite — must never clobber each other's
+    * staging directories: a shared fixed path let one session's
+    * sf0.001 overwrite land under another's sf0.1 read (observed as a
+    * sink_partitioned_read mismatch during an overlapped run). */
+  def scratch(name: String): String =
+    s"/root/repo/target/tmp/${name}_${ProcessHandle.current().pid()}"
+
   /** Exact floor-division of a BIGINT nanos column by 1000 → micros.
     * NOT `c / 1000`: Column./ is double division, which both loses
     * precision above 2^53 (epoch-nanos ≈ 1.7e18) and rounds instead of

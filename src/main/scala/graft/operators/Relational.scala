@@ -85,7 +85,7 @@ object Relational {
     * parquet: the graded property is a value-preserving round trip. */
   def sourceCsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tmp = "/root/repo/target/tmp/csv_roundtrip"
+    val tmp = Tables.scratch("csv_roundtrip")
     graft.PlanOnly.roundTrip(Tables.nation(spark, dir).orderBy($"n_nationkey")) {
       Tables.nation(spark, dir).write.mode("overwrite").option("header", "true").csv(tmp)
       val schema = StructType(Seq(
@@ -102,7 +102,7 @@ object Relational {
     * round trip, doubles bit-exact through ORC). */
   def sourceOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tmp = "/root/repo/target/tmp/orc_roundtrip"
+    val tmp = Tables.scratch("orc_roundtrip")
     graft.PlanOnly.roundTrip(Tables.supplier(spark, dir).orderBy($"s_suppkey")) {
       Tables.supplier(spark, dir).write.mode("overwrite").orc(tmp)
       spark.read.orc(tmp).orderBy($"s_suppkey")
@@ -114,7 +114,7 @@ object Relational {
     * preserving round trip). */
   def sourceJsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tmp = "/root/repo/target/tmp/jsonl_roundtrip"
+    val tmp = Tables.scratch("jsonl_roundtrip")
     val src = Tables.region(spark, dir)
     graft.PlanOnly.roundTrip(src.orderBy($"r_regionkey")) {
       src.write.mode("overwrite").json(tmp)
@@ -133,7 +133,7 @@ object Relational {
     * must be value-preserving for the hash to match. */
   def sinkPartitionedRead(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tmp = "/root/repo/target/tmp/partitioned_events"
+    val tmp = Tables.scratch("partitioned_events")
     val src = Tables.events(spark, dir)
       .select($"event_id", $"user_id", $"event_type", $"value",
         Tables.nsToUs($"ts").as("ts_us"))
@@ -200,7 +200,7 @@ object Relational {
     * layout round trip must preserve every row. */
   def sinkCorpusLayout(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tmp = "/root/repo/target/tmp/corpus_layout_docs"
+    val tmp = Tables.scratch("corpus_layout_docs")
     val src = Tables.documents(spark, dir)
       .select($"doc_id", $"source", $"n_chars", $"lang")
     val vecs = Tables.embeddings(spark, dir).select($"vec_id", $"label",
@@ -663,7 +663,7 @@ object Relational {
     * text source. */
   def sourceXmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tmp = "/root/repo/target/tmp/xml_roundtrip"
+    val tmp = Tables.scratch("xml_roundtrip")
     val cols = Seq($"p_partkey", $"p_name", $"p_brand", $"p_size", $"p_retailprice")
     graft.PlanOnly.roundTrip(
         Tables.part(spark, dir).select(cols: _*).orderBy($"p_partkey")) {
@@ -720,7 +720,7 @@ object Relational {
     * mode is per-write semantics, not a global the operator may leak. */
   def sinkDynamicOverwrite(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tmp = "/root/repo/target/tmp/dynamic_overwrite"
+    val tmp = Tables.scratch("dynamic_overwrite")
     val src = Tables.events(spark, dir)
       .select($"event_id", $"event_type", Tables.dec4($"value").as("v"),
         Tables.nsToUs($"ts").as("t"))
@@ -771,8 +771,7 @@ object Relational {
     // this table's delete/write/swap — same isolation move as
     // LocalSession's pinned warehouse; re-runs in one JVM stay
     // idempotent (delete-first) under the stable pid key
-    val stateDir =
-      s"/root/repo/target/tmp/merge_upsert_state_${ProcessHandle.current().pid()}"
+    val stateDir = Tables.scratch("merge_upsert_state")
     val ev = Tables.events(spark, dir)
       .select($"user_id", $"event_id", $"event_type",
         Tables.nsToUs($"ts").as("ts_us"), $"value")
@@ -814,7 +813,7 @@ object Relational {
     * adds no shuffle. */
   def sourceCsvPermissive(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tmp = "/root/repo/target/tmp/csv_permissive"
+    val tmp = Tables.scratch("csv_permissive")
     val good = Tables.nation(spark, dir)
       .select(concat_ws("|", $"n_nationkey", $"n_name", $"n_regionkey").as("value"))
     // all three garbage lines are LONG-column type mismatches — the
@@ -871,7 +870,7 @@ object Relational {
     * merged schema in a catalog instead of re-inferring). */
   def sourceSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tmp = "/root/repo/target/tmp/schema_evolution"
+    val tmp = Tables.scratch("schema_evolution")
     val n = Tables.nation(spark, dir)
     graft.PlanOnly.roundTrip(
         n.select(lit(1).as("v"), $"n_nationkey", $"n_name",

@@ -92,6 +92,42 @@ object Windows {
       .orderBy($"user_id", $"t", $"event_id")
   }
 
+  /** Rolling MEDIAN over the last 7 events per user — the robust
+    * smoothing counterpart of windowRollingAvg: an order statistic over
+    * a moving frame, the shape monitoring pipelines use when a single
+    * spike must not drag the trend line. Spark has NO percentile
+    * window function, so this demonstrates the rewrite: collect_list
+    * over the bounded rows-frame, sort_array, index the two middle
+    * elements. Emitted as med2 = 2×median (the sum of the two middle
+    * fixed-point values — integer-exact for odd and even frames alike,
+    * no /2 ever happens), the same multiply-through discipline as the
+    * MAD key.
+    *
+    * Scale shape: one shuffle on user_id + one per-partition sort; the
+    * collected frame is BOUNDED at 7 elements by construction (row
+    * frame −6..0), so per-row state is O(7) longs — this is exactly
+    * the bounded-deque cost a native rolling median pays, never a
+    * partition-sized buffer. The oracle replays the same two-middle
+    * arithmetic over DuckDB's window list() — no engine median
+    * function is trusted on either side. */
+  def windowRollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+      .rowsBetween(-6, 0)
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", Tables.nsToUs($"ts").as("t"),
+        (Tables.dec4($"value") * 10000).cast("long").as("v_fp"))
+      .withColumn("win", sort_array(collect_list($"v_fp").over(w)))
+      .withColumn("n_win", size($"win").cast("long"))
+      // integer div, NOT Column./ (double division would produce a
+      // fractional index): middles at ⌈n/2⌉ and ⌊n/2⌋+1, 1-indexed —
+      // equal for odd n, adjacent for even n
+      .select($"user_id", $"event_id", $"t", $"n_win",
+        expr("element_at(win, int((n_win + 1) div 2)) + " +
+          "element_at(win, int(n_win div 2 + 1))").as("med2"))
+      .orderBy($"user_id", $"t", $"event_id")
+  }
+
   /** Time-based RANGE-frame window: per user, the rolling 1-hour sum of
     * event value — sum over [t − 1 h, t] by TIMESTAMP DISTANCE, not row
     * count (rowsBetween answers "last N events"; a feature store /
@@ -344,6 +380,7 @@ object Windows {
     "window_running_sum" -> (windowRunningSum(_, _)),
     "window_time_range_sum" -> (windowTimeRangeSum(_, _)),
     "window_rolling_avg" -> (windowRollingAvg(_, _)),
+    "window_rolling_median" -> (windowRollingMedian(_, _)),
     "window_gap_islands" -> (windowGapIslands(_, _)),
     "window_distribution" -> (windowDistribution(_, _)),
     "window_lead_firstlast" -> (windowLeadFirstlast(_, _)),
@@ -358,6 +395,20 @@ object Windows {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same two-middle arithmetic over DuckDB's window list() — no
+    // engine median function trusted on either side
+    "window_rolling_median" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v_fp
+        |  FROM events),
+        |w AS (SELECT user_id, event_id, t,
+        |    list_sort(list(v_fp) OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
+        |  FROM e)
+        |SELECT user_id, event_id, t, CAST(len(win) AS BIGINT) AS n_win,
+        |  win[(len(win) + 1) // 2] + win[len(win) // 2 + 1] AS med2
+        |FROM w ORDER BY user_id, t, event_id""".stripMargin,
     "window_count_distinct" ->
       """SELECT event_id, event_type, user_id,
         |  CAST(count(DISTINCT user_id) OVER (PARTITION BY event_type)

@@ -31,7 +31,7 @@ class BucketingSpec extends SparkSuite {
     // directory pruning: the lang filter must become a PartitionFilter
     // on the hive-partitioned layout (zero non-'en' files touched)
     val pruned = spark.read
-      .parquet("/root/repo/target/tmp/corpus_layout_docs")
+      .parquet(Tables.scratch("corpus_layout_docs"))
       .filter(col("lang") === "en")
     val pp = pruned.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))

@@ -65,7 +65,7 @@ class PlanOnlySpec extends SparkSuite {
 
   test("exec mode still writes the layouts (the graded path is unchanged)") {
     // property NOT set: the csv round trip must really write its tmp dir
-    val canary = tmpRoot.resolve("csv_roundtrip")
+    val canary = java.nio.file.Paths.get(Tables.scratch("csv_roundtrip"))
     org.apache.commons.io.FileUtils.deleteQuietly(canary.toFile)
     assert(operators.Relational.sourceCsvRoundtrip(spark, sf0001).count() > 0)
     assert(Files.exists(canary), "exec-mode round trip no longer writes its layout")
