@@ -679,6 +679,38 @@ object Relational {
     }
   }
 
+  /** Week-over-week top movers — the BI reporting staple no other key
+    * composes end to end: weekly value totals per event type, each
+    * week's delta vs the type's PRIOR OBSERVED week (lag over the
+    * per-type week series — a gap compares against the last week that
+    * exists, the standard dashboard convention), ranked by signed
+    * delta descending, top 10. Totals and deltas in BIGINT fixed point
+    * (DECIMAL(18,4) sums ×10⁴ — exact), so ordering ties are
+    * impossible to mis-break: the order key (delta, type, week) is
+    * unique.
+    *
+    * Scale shape: the event scan collapses to ≤|types|×|weeks| rows in
+    * one partial+final aggregate; the lag window and the global top-10
+    * (TakeOrderedAndProject, never a single-partition rank window) run
+    * on that tiny frame. */
+  def reportWeekOverWeek(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"week")
+    Tables.events(spark, dir)
+      .select($"event_type", Tables.nsToUs($"ts").as("t"),
+        Tables.dec4($"value").as("v"))
+      .select($"event_type", expr("t div 604800000000").as("week"), $"v")
+      .groupBy($"event_type", $"week")
+      .agg((sum($"v") * 10000).cast("long").as("wk_fp"))
+      .withColumn("prev_fp", lag($"wk_fp", 1).over(w))
+      .filter($"prev_fp".isNotNull)
+      .select($"event_type", $"week", $"wk_fp", $"prev_fp",
+        ($"wk_fp" - $"prev_fp").as("delta_fp"))
+      .orderBy($"delta_fp".desc, $"event_type", $"week")
+      .limit(10)
+  }
+
   /** Dense-grid zero-fill — the reporting pattern for sparse facts: a
     * dashboard needs EVERY (nation, priority) cell, including the
     * combinations no order hit, so the dimension grid is built first
@@ -946,10 +978,23 @@ object Relational {
     "join_lateral_topk" -> (joinLateralTopk(_, _)),
     "join_asof_nearest" -> (joinAsofNearest(_, _)),
     "profile_numeric_stats" -> (profileNumericStats(_, _)),
-    "profile_join_explosion" -> (profileJoinExplosion(_, _))
+    "profile_join_explosion" -> (profileJoinExplosion(_, _)),
+    "report_week_over_week" -> (reportWeekOverWeek(_, _))
   )
 
   val oracleSql: Map[String, String] = Map(
+    "report_week_over_week" ->
+      """WITH wk AS (SELECT event_type,
+        |    epoch_us(ts) // 604800000000 AS week,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS wk_fp
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT event_type, week, wk_fp,
+        |    lag(wk_fp, 1) OVER (PARTITION BY event_type ORDER BY week) AS prev_fp
+        |  FROM wk)
+        |SELECT event_type, week, wk_fp, prev_fp, wk_fp - prev_fp AS delta_fp
+        |FROM d WHERE prev_fp IS NOT NULL
+        |ORDER BY delta_fp DESC, event_type, week
+        |LIMIT 10""".stripMargin,
     "sql_ctas_insert" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "report_dense_grid" ->

@@ -277,7 +277,39 @@ object Timeseries {
       .orderBy($"c_custkey")
   }
 
+  /** Maximum drawdown per user — the largest peak-to-trough drop of the
+    * user's value series in event-time order: running peak via a
+    * prefix-max window, drawdown = peak − value, then one aggregate
+    * electing max drawdown with the EARLIEST witnessing event as the
+    * deterministic tie-break (max over the (dd, −event_id) struct — no
+    * second window pass, no self-join). The robustness/financial
+    * counterpart of the rolling keys: "how far below its best has this
+    * series fallen", the SLA/regression metric a monitoring pipeline
+    * tracks per entity.
+    *
+    * All arithmetic in BIGINT fixed point (value·10⁴): differences and
+    * comparisons are exact, so the hash-match is deterministic by
+    * construction. Scale shape: one user_id shuffle shared by the
+    * window and the aggregate (same partitioning), per-row window
+    * state is a single running max. */
+  def timeseriesMaxDrawdown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", Tables.nsToUs($"ts").as("t"),
+        (Tables.dec4($"value") * 10000).cast("long").as("v_fp"))
+      .withColumn("dd", max($"v_fp").over(w) - $"v_fp")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max($"dd").as("max_dd_fp"),
+        (-max(struct($"dd", (-$"event_id").as("neg_id"))).getField("neg_id"))
+          .as("at_event_id"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "timeseries_max_drawdown" -> (timeseriesMaxDrawdown(_, _)),
     "timeseries_interval_union" -> (timeseriesIntervalUnion(_, _)),
     "scd2_change_compression" -> (scd2ChangeCompression(_, _)),
     "scd2_asof_lookup" -> (scd2AsofLookup(_, _)),
@@ -288,6 +320,23 @@ object Timeseries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same struct-argmax election: max (dd, −event_id) picks the max
+    // drawdown with the earliest witnessing event
+    "timeseries_max_drawdown" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v_fp
+        |  FROM events),
+        |d AS (SELECT user_id, event_id,
+        |    max(v_fp) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - v_fp AS dd
+        |  FROM e),
+        |m AS (SELECT user_id, count(*) AS n_events, max(dd) AS max_dd_fp
+        |  FROM d GROUP BY user_id)
+        |SELECT m.user_id, m.n_events, m.max_dd_fp,
+        |  min(d.event_id) AS at_event_id
+        |FROM m JOIN d ON d.user_id = m.user_id AND d.dd = m.max_dd_fp
+        |GROUP BY m.user_id, m.n_events, m.max_dd_fp
+        |ORDER BY m.user_id""".stripMargin,
     "timeseries_interval_union" ->
       """WITH iv AS (
         |  SELECT o.o_custkey, o.o_orderkey,
