@@ -499,7 +499,46 @@ object Pipelines {
       .orderBy($"doc_id")
   }
 
+  /** Token-budget apportionment — the training-mix planning step: a
+    * global budget of 1 000 000 tokens is split across languages
+    * proportionally to their corpus token mass using LARGEST-REMAINDER
+    * (Hamilton) rounding, the apportionment rule that guarantees
+    * Σalloc == budget exactly and every allocation within one token of
+    * its exact proportional share. Naive per-lang rounding either
+    * over- or under-spends the budget; the remainder ranking is the
+    * fix every mix-planner reinvents.
+    *
+    * All-integer: quotaᵢ = ⌊B·nᵢ/N⌋ (decimal-38 products, integral
+    * div), remainderᵢ = B·nᵢ − quotaᵢ·N, the B − Σquota leftover goes
+    * +1 each to the largest remainders (lang tie-break). Scale shape:
+    * the corpus scan collapses to ≤|langs| rows map-side; the
+    * remainder rank and leftover are windows over that tiny frame —
+    * the single-partition window ingests |langs| rows, never the
+    * corpus. */
+  def corpusTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val budget = 1000000L
+    val wAll = Window.partitionBy()
+    val wRank = Window.partitionBy().orderBy($"rem".desc, $"lang")
+    Tables.documents(spark, dir)
+      .select(coalesce($"lang", lit("(none)")).as("lang"),
+        size(filter(split($"text", " "), t => t =!= "")).cast("long").as("nt"))
+      .groupBy($"lang").agg(sum($"nt").as("n_tokens"))
+      .withColumn("total", sum($"n_tokens").over(wAll))
+      .withColumn("quota",
+        expr(s"(CAST($budget AS DECIMAL(38,0)) * n_tokens) div total"))
+      .withColumn("rem",
+        expr(s"CAST($budget AS DECIMAL(38,0)) * n_tokens - quota * total"))
+      .withColumn("leftover", lit(budget) - sum($"quota").over(wAll))
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .select($"lang", $"n_tokens", $"quota",
+        when($"rk" <= $"leftover", 1L).otherwise(0L).as("bonus"),
+        ($"quota" + when($"rk" <= $"leftover", 1L).otherwise(0L)).as("alloc"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "corpus_token_budget" -> (corpusTokenBudget(_, _)),
     "corpus_quota_sampler" -> (corpusQuotaSampler(_, _)),
     "corpus_snapshot_diff" -> (corpusSnapshotDiff(_, _)),
     "compact_incremental_agg" -> (compactIncrementalAgg(_, _)),
@@ -516,6 +555,24 @@ object Pipelines {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "corpus_token_budget" ->
+      """WITH t AS (SELECT coalesce(lang, '(none)') AS lang,
+        |    sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |a AS (SELECT lang, n_tokens, sum(n_tokens) OVER () AS total FROM t),
+        |q AS (SELECT lang, n_tokens,
+        |    (1000000 * n_tokens) // total AS quota,
+        |    1000000 * n_tokens - ((1000000 * n_tokens) // total) * total AS rem
+        |  FROM a),
+        |r AS (SELECT lang, n_tokens, quota, rem,
+        |    1000000 - sum(quota) OVER () AS leftover,
+        |    row_number() OVER (ORDER BY rem DESC, lang) AS rk
+        |  FROM q)
+        |SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(quota AS BIGINT) AS quota,
+        |  CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS bonus,
+        |  CAST(quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r ORDER BY lang""".stripMargin,
     "corpus_quota_sampler" ->
       """WITH r AS (SELECT doc_id,
         |    coalesce(lang, '(none)') AS lang,

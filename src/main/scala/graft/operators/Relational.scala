@@ -679,6 +679,42 @@ object Relational {
     }
   }
 
+  /** Categorical-imbalance profile — Gini impurity per categorical
+    * column, the know-your-data skew metric that says whether a
+    * dimension is balanced enough to partition/stratify on. Entropy
+    * needs log (banned cross-engine); Gini = 1 − Σpᵢ² is RATIONAL, so
+    * the whole metric is exact integer arithmetic:
+    * gini_ppm = (n² − Σnᵢ²)·10⁶ div n². Profiled over three
+    * categorical columns (events.event_type, documents.lang,
+    * documents.source) in one output frame — per column: cardinality,
+    * n, the majority share in ppm, and the Gini.
+    *
+    * Scale shape: each column profiles as a two-level aggregate — the
+    * per-value counts collapse map-side (≤|domain| rows), the second
+    * level reduces to ONE row per column; Σnᵢ² of BIGINT counts is
+    * summed as DECIMAL(38,0) (headroom: n ≤ 3·10¹³ before n² nears
+    * 1e27, far beyond any fixture). The three profiles union — no
+    * joins, no windows. */
+  def profileCategoryGini(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def profile(df: DataFrame, colName: String, label: String): DataFrame =
+      df.select(col(colName).as("v"))
+        .groupBy($"v").agg(count(lit(1)).as("ni"))
+        .agg(count(lit(1)).as("cardinality"),
+          sum($"ni").as("n"),
+          max($"ni").as("max_ni"),
+          sum(($"ni" * $"ni").cast("decimal(38,0)")).as("ssq"))
+        .select(lit(label).as("column_name"), $"cardinality", $"n",
+          // integral div, not Column./ (double) — ppm stays exact
+          expr("(max_ni * 1000000) div n").as("majority_ppm"),
+          expr("((CAST(n AS DECIMAL(38,0)) * n - ssq) * 1000000) div " +
+            "(CAST(n AS DECIMAL(38,0)) * n)").as("gini_ppm"))
+    profile(Tables.events(spark, dir), "event_type", "events.event_type")
+      .unionByName(profile(Tables.documents(spark, dir), "lang", "documents.lang"))
+      .unionByName(profile(Tables.documents(spark, dir), "source", "documents.source"))
+      .orderBy($"column_name")
+  }
+
   /** Week-over-week top movers — the BI reporting staple no other key
     * composes end to end: weekly value totals per event type, each
     * week's delta vs the type's PRIOR OBSERVED week (lag over the
@@ -979,10 +1015,32 @@ object Relational {
     "join_asof_nearest" -> (joinAsofNearest(_, _)),
     "profile_numeric_stats" -> (profileNumericStats(_, _)),
     "profile_join_explosion" -> (profileJoinExplosion(_, _)),
+    "profile_category_gini" -> (profileCategoryGini(_, _)),
     "report_week_over_week" -> (reportWeekOverWeek(_, _))
   )
 
+  // HUGEINT division: DuckDB's `//` on DECIMAL operands is NOT
+  // integral (it keeps the quotient scale — 799987.94 — and the BIGINT
+  // cast then rounds HALF-UP, diverging from Spark's flooring `div` by
+  // one on any fractional quotient); on HUGEINT it floors exactly
+  private def giniSql(label: String, table: String, column: String): String =
+    s"""SELECT '$label' AS column_name, count(*) AS cardinality,
+       |  CAST(sum(ni) AS BIGINT) AS n,
+       |  CAST((max(ni) * 1000000) // sum(ni) AS BIGINT) AS majority_ppm,
+       |  CAST(((CAST(sum(ni) AS HUGEINT) * sum(ni)
+       |      - sum(CAST(ni AS HUGEINT) * ni)) * 1000000)
+       |    // (CAST(sum(ni) AS HUGEINT) * sum(ni)) AS BIGINT) AS gini_ppm
+       |FROM (SELECT count(*) AS ni FROM $table GROUP BY $column)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "profile_category_gini" ->
+      s"""SELECT * FROM (
+         |${giniSql("events.event_type", "events", "event_type")}
+         |UNION ALL
+         |${giniSql("documents.lang", "documents", "lang")}
+         |UNION ALL
+         |${giniSql("documents.source", "documents", "source")}
+         |) ORDER BY column_name""".stripMargin,
     "report_week_over_week" ->
       """WITH wk AS (SELECT event_type,
         |    epoch_us(ts) // 604800000000 AS week,
