@@ -507,7 +507,47 @@ object Analytics {
       .orderBy($"p_partkey")
   }
 
+  /** Temporal rate-spike census — the monitoring-alert shape the
+    * distribution-based outlier keys (z-score, MAD) don't cover: per
+    * (event_type, hour bucket), is the event RATE more than 2× the
+    * trailing-24-bucket average? Detected entirely in integers —
+    * spike ⟺ cnt·n_trailing > 2·Σtrailing — so the threshold compare
+    * cannot diverge cross-engine (the anomaly_zscore_exact
+    * multiply-through discipline applied to rates). Reports per type:
+    * buckets observed, spikes, the peak bucket and its count
+    * (struct-argmax, earliest bucket tie-break).
+    *
+    * Scale shape: the event scan collapses to ≤|types|×|hours| rows in
+    * one partial+final aggregate; the trailing window (range frame
+    * over the bucket index, so calendar gaps count as missing — rows
+    * frame would silently stretch the lookback) and the final census
+    * run on that tiny frame. First 24 buckets of a type have a short
+    * trailing history by construction; they census like any other
+    * (the trailing average adapts, the standard cold-start rule). */
+  def anomalyRateSpike(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wTrail = Window.partitionBy($"event_type").orderBy($"hr")
+      .rangeBetween(-24, -1)
+    val hourly = Tables.events(spark, dir)
+      .select($"event_type", Tables.nsToUs($"ts").as("t"))
+      .select($"event_type", expr("t div 3600000000").as("hr"))
+      .groupBy($"event_type", $"hr").agg(count(lit(1)).as("cnt"))
+    hourly
+      .withColumn("trail_sum", sum($"cnt").over(wTrail))
+      .withColumn("trail_n", count(lit(1)).over(wTrail))
+      .withColumn("spike",
+        when($"trail_n" > 0 && $"cnt" * $"trail_n" > $"trail_sum" * 2, 1L)
+          .otherwise(0L))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum($"spike").as("n_spikes"),
+        max(struct($"cnt", (-$"hr").as("neg_hr"))).getField("cnt").as("peak_cnt"),
+        (-max(struct($"cnt", (-$"hr").as("neg_hr"))).getField("neg_hr")).as("peak_hr"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "anomaly_rate_spike" -> (anomalyRateSpike(_, _)),
     "skyline_pareto" -> (skylinePareto(_, _)),
     "anomaly_zscore_exact" -> (anomalyZscoreExact(_, _)),
     "text_collocation_lift" -> (textCollocationLift(_, _)),
@@ -560,6 +600,29 @@ object Analytics {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "anomaly_rate_spike" ->
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, hr, cnt,
+        |    sum(cnt) OVER w AS trail_sum,
+        |    count(*) OVER w AS trail_n
+        |  FROM h
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+        |    RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |s AS (SELECT event_type, hr, cnt,
+        |    CASE WHEN trail_n > 0 AND cnt * trail_n > trail_sum * 2
+        |         THEN 1 ELSE 0 END AS spike
+        |  FROM t),
+        |p AS (SELECT event_type, cnt AS peak_cnt, hr AS peak_hr,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cnt DESC, hr) AS rn
+        |  FROM h)
+        |SELECT s.event_type, count(*) AS n_buckets,
+        |  CAST(sum(s.spike) AS BIGINT) AS n_spikes,
+        |  max(p.peak_cnt) AS peak_cnt, max(p.peak_hr) AS peak_hr
+        |FROM s JOIN p ON p.event_type = s.event_type AND p.rn = 1
+        |GROUP BY s.event_type ORDER BY s.event_type""".stripMargin,
     // the quadratic NOT EXISTS is the POINT: the oracle states the
     // dominance definition directly; the Spark side must reproduce it
     // with the sort-based linear rewrite

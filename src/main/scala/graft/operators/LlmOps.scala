@@ -512,6 +512,36 @@ object LlmOps {
       .orderBy($"short_id", $"long_id")
   }
 
+  /** N-gram novelty curve — per document (in ingest order), the
+    * fraction of its distinct trigrams that NO earlier document
+    * contains: the corpus-growth metric that answers "how much new
+    * content does each increment bring", the saturation signal a
+    * crawl/ingest pipeline watches to decide when a source is mined
+    * out. First-seen owner per gram = one min(doc_id) aggregate
+    * (the dedup_chunk_global election shape applied to grams), joined
+    * back to the per-doc gram sets; novelty in exact integer ppm.
+    *
+    * Scale shape: two aggregates + one join, all keyed on the gram;
+    * at 100 TB the gram key is xxhash64(8 B) and the join shuffles
+    * hashes only — the oracle keeps raw gram text so both engines
+    * derive identical keys (the decontaminate precedent). */
+  def textNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", explode(array_distinct(expr(
+        """transform(sequence(1, size(toks) - 2),
+          |  i -> concat_ws(' ', slice(toks, i, 3)))""".stripMargin))).as("g"))
+    val first = grams.groupBy($"g").agg(min($"doc_id").as("first_id"))
+    grams.join(first, "g")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"first_id" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr("(n_novel * 1000000) div n_grams"))
+      .orderBy($"doc_id")
+  }
+
   /** Source-priority dedup survivorship — WHICH copy wins, the policy
     * dimension the other dedup keys fix by fiat (dedup_exact keeps
     * min doc_id): within each first-4-token block, the surviving
@@ -592,6 +622,7 @@ object LlmOps {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "text_ngram_novelty" -> (textNgramNovelty(_, _)),
     "dedup_prefer_source" -> (dedupPreferSource(_, _)),
     "dedup_edit_distance" -> (dedupEditDistance(_, _)),
     "dedup_containment_prefix" -> (dedupContainmentPrefix(_, _)),
@@ -638,6 +669,22 @@ object LlmOps {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
         |FROM documents GROUP BY lower(trim(text)) ORDER BY doc_id""".stripMargin,
+    "text_ngram_novelty" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 3),
+        |g0 AS (SELECT DISTINCT doc_id, g FROM raw),
+        |f AS (SELECT g, min(doc_id) AS first_id FROM g0 GROUP BY g)
+        |SELECT g0.doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN f.first_id = g0.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  (CAST(sum(CASE WHEN f.first_id = g0.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 1000000) // count(*) AS novelty_ppm
+        |FROM g0 JOIN f USING (g)
+        |GROUP BY g0.doc_id ORDER BY g0.doc_id""".stripMargin,
     "dedup_prefer_source" ->
       """WITH k AS (SELECT doc_id, coalesce(source, '(none)') AS source,
         |    array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ') AS k4
