@@ -175,6 +175,104 @@ class ContinuationSpec extends SparkSuite {
       "cluster ids come from the 4 seeds")
   }
 
+  test("corpus_token_budget: allocations sum to the budget exactly, each within one of its quota") {
+    val rows = operators.Pipelines.corpusTokenBudget(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // the Hamilton guarantee: Σalloc == B exactly — naive rounding
+    // cannot make this hold for arbitrary token masses
+    assert(rows.map(_.getAs[Long]("alloc")).sum === 1000000L)
+    rows.foreach { r =>
+      val (q, b, a) = (r.getAs[Long]("quota"), r.getAs[Long]("bonus"), r.getAs[Long]("alloc"))
+      assert(b === 0L || b === 1L)
+      assert(a === q + b, "alloc must be quota plus the 0/1 bonus")
+    }
+  }
+
+  test("timeseries_max_drawdown: equals brute-force peak-to-trough on a replayed user") {
+    import spark.implicits._
+    val got = operators.Timeseries.timeseriesMaxDrawdown(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getAs[Long]("max_dd_fp") >= 0L, "drawdown is never negative"))
+    // replay one user's series independently and compare against the
+    // O(n²) definition: max over i ≤ j of v_i − v_j
+    val u = got.head.getAs[Long]("user_id")
+    val series = Tables.events(spark, sf0001)
+      .filter($"user_id" === u)
+      .select(Tables.nsToUs($"ts").as("t"), $"event_id",
+        (Tables.dec4($"value") * 10000).cast("long").as("v"))
+      .orderBy($"t", $"event_id").collect().map(_.getAs[Long]("v"))
+    val brute = (for {
+      i <- series.indices; j <- i until series.length
+    } yield series(i) - series(j)).max.max(0L)
+    assert(got.head.getAs[Long]("max_dd_fp") === brute)
+  }
+
+  test("anomaly_rate_spike: census reconciles and peak is the true bucket max") {
+    import spark.implicits._
+    val got = operators.Analytics.anomalyRateSpike(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    val hourly = Tables.events(spark, sf0001)
+      .select($"event_type", Tables.nsToUs($"ts").as("t"))
+      .select($"event_type", expr("t div 3600000000").as("hr"))
+      .groupBy($"event_type", $"hr").count().collect()
+      .groupBy(_.getAs[String]("event_type"))
+    got.foreach { r =>
+      val typ = r.getAs[String]("event_type")
+      val buckets = hourly(typ).map(x => (x.getAs[Long]("hr"), x.getAs[Long]("count")))
+      assert(r.getAs[Long]("n_buckets") === buckets.size.toLong)
+      assert(r.getAs[Long]("n_spikes") <= r.getAs[Long]("n_buckets"))
+      val peak = buckets.map(_._2).max
+      assert(r.getAs[Long]("peak_cnt") === peak)
+      // earliest bucket achieving the peak wins the tie-break
+      assert(r.getAs[Long]("peak_hr") === buckets.filter(_._2 == peak).map(_._1).min)
+    }
+  }
+
+  test("text_ngram_novelty: the first document is fully novel and ppm is exact") {
+    val rows = operators.LlmOps.textNgramNovelty(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // min doc_id in the output saw no earlier docs — every gram novel
+    val first = rows.minBy(_.getAs[Long]("doc_id"))
+    assert(first.getAs[Long]("n_novel") === first.getAs[Long]("n_grams"))
+    assert(first.getAs[Long]("novelty_ppm") === 1000000L)
+    rows.foreach { r =>
+      val (n, nov, ppm) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"),
+        r.getAs[Long]("novelty_ppm"))
+      assert(nov <= n)
+      assert(ppm === nov * 1000000L / n, "ppm must be the exact floor division")
+    }
+  }
+
+  test("window_rolling_median: med2 brackets within the frame and matches a replay") {
+    import spark.implicits._
+    val rows = operators.Windows.windowRollingMedian(spark, sf0001)
+      .filter($"n_win" === 7).limit(50).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // full 7-frame: med2 = 2 × the 4th-smallest — an actual doubled
+      // data value, so it must be even iff v_fp parity allows; bound
+      // check: between 2·min and 2·max is implied by order statistics,
+      // here we at least pin n_win and that med2 is attainable parity-wise
+      assert(r.getAs[Long]("n_win") === 7L)
+    }
+    // exactness replay on one user: compare against a local sort
+    val u = Tables.events(spark, sf0001).select($"user_id").limit(1)
+      .collect().head.getAs[Long]("user_id")
+    val vs = Tables.events(spark, sf0001).filter($"user_id" === u)
+      .select(Tables.nsToUs($"ts").as("t"), $"event_id",
+        (Tables.dec4($"value") * 10000).cast("long").as("v"))
+      .orderBy($"t", $"event_id").collect().map(_.getAs[Long]("v"))
+    val got = operators.Windows.windowRollingMedian(spark, sf0001)
+      .filter($"user_id" === u).orderBy($"t", $"event_id")
+      .collect().map(_.getAs[Long]("med2"))
+    vs.indices.foreach { i =>
+      val frame = vs.slice(math.max(0, i - 6), i + 1).sorted
+      val n = frame.length
+      val expect = frame((n + 1) / 2 - 1) + frame(n / 2 + 1 - 1)
+      assert(got(i) === expect, s"row $i: med2 ${got(i)} != replay $expect")
+    }
+  }
+
   test("join_lateral_topk: at most k=2 orders per customer, each customer's max first") {
     val rows = operators.Relational.joinLateralTopk(spark, sf0001).collect()
     val byCust = rows.groupBy(_.getLong(0))
