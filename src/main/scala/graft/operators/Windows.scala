@@ -115,6 +115,10 @@ object Windows {
     val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
       .rowsBetween(-6, 0)
     Tables.events(spark, dir)
+      // explicit NULL guard, mirrored in the oracle: collect_list
+      // DROPS nulls while DuckDB's window list() KEEPS them — a NULL
+      // value in a future fixture would silently desync frame lengths
+      .filter($"value".isNotNull)
       .select($"user_id", $"event_id", Tables.nsToUs($"ts").as("t"),
         (Tables.dec4($"value") * 10000).cast("long").as("v_fp"))
       .withColumn("win", sort_array(collect_list($"v_fp").over(w)))
@@ -400,7 +404,7 @@ object Windows {
     "window_rolling_median" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
         |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v_fp
-        |  FROM events),
+        |  FROM events WHERE value IS NOT NULL),
         |w AS (SELECT user_id, event_id, t,
         |    list_sort(list(v_fp) OVER (PARTITION BY user_id
         |      ORDER BY t, event_id
