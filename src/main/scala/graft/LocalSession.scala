@@ -22,6 +22,8 @@ object LocalSession {
       cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
       logLevel: String = "ERROR",
       extra: Map[String, String] = Map.empty): SparkSession = {
+    // reclaim dead-PID scratch/warehouse dirs before minting our own
+    Tables.sweepStaleScratch()
     val b = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)

@@ -76,8 +76,41 @@ object Tables {
     * staging directories: a shared fixed path let one session's
     * sf0.001 overwrite land under another's sf0.1 read (observed as a
     * sink_partitioned_read mismatch during an overlapped run). */
-  def scratch(name: String): String =
+  def scratch(name: String): String = {
+    sweepStaleScratch()
     s"/root/repo/target/tmp/${name}_${ProcessHandle.current().pid()}"
+  }
+
+  private val swept = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Once-per-JVM sweep of `target/tmp/<name>_<pid>` dirs whose owning
+    * process is dead. Per-PID isolation means every JVM mints fresh
+    * staging/warehouse dirs; without reclamation the tmp root grows
+    * unboundedly across runs (ADVICE r8). Live-PID dirs (concurrent
+    * sessions) and non-suffixed names are left untouched. */
+  def sweepStaleScratch(): Unit = {
+    if (!swept.compareAndSet(false, true)) return
+    val root = new java.io.File("/root/repo/target/tmp")
+    val self = ProcessHandle.current().pid()
+    val suffixed = "^.*_([0-9]+)$".r
+    Option(root.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
+      f.getName match {
+        case suffixed(p) =>
+          val pid = p.toLong
+          val o = ProcessHandle.of(pid)
+          val alive = o.isPresent && o.get.isAlive
+          if (pid != self && !alive) deleteRecursively(f)
+        case _ => ()
+      }
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .foreach(deleteRecursively)
+    f.delete(): Unit
+  }
 
   /** Exact floor-division of a BIGINT nanos column by 1000 → micros.
     * NOT `c / 1000`: Column./ is double division, which both loses

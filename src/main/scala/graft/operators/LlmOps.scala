@@ -521,10 +521,12 @@ object LlmOps {
     * (the dedup_chunk_global election shape applied to grams), joined
     * back to the per-doc gram sets; novelty in exact integer ppm.
     *
-    * Scale shape: two aggregates + one join, all keyed on the gram;
-    * at 100 TB the gram key is xxhash64(8 B) and the join shuffles
-    * hashes only — the oracle keeps raw gram text so both engines
-    * derive identical keys (the decontaminate precedent). */
+    * Scale shape: two aggregates + one join, keyed on xxhash64(gram)
+    * — 8-byte hashes travel through the shuffle, never the gram text
+    * (per-doc distinctness still runs on the raw grams inside the
+    * array, so n_grams is exact). The oracle keys on raw gram text;
+    * the two agree unless xxhash64 collides across distinct grams
+    * (~n²/2⁶⁵ — below 1e-6 even at 100 TB gram cardinality). */
   def textNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val grams = Tables.documents(spark, dir)
@@ -533,8 +535,9 @@ object LlmOps {
       .select($"doc_id", explode(array_distinct(expr(
         """transform(sequence(1, size(toks) - 2),
           |  i -> concat_ws(' ', slice(toks, i, 3)))""".stripMargin))).as("g"))
-    val first = grams.groupBy($"g").agg(min($"doc_id").as("first_id"))
-    grams.join(first, "g")
+      .select($"doc_id", xxhash64($"g").as("gh"))
+    val first = grams.groupBy($"gh").agg(min($"doc_id").as("first_id"))
+    grams.join(first, "gh")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when($"first_id" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))

@@ -259,13 +259,17 @@ object Pipelines {
   def sampleReservoirFixedK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val k = 20
+    // NULL-lang sentinel + NULL-text hash guard (the corpus_quota_sampler
+    // discipline): NULL ordering keys desync Spark NULLS FIRST vs DuckDB
+    // NULLS LAST; no current fixture has them, but the guard is free
     val w = Window.partitionBy($"lang")
-      .orderBy(sha2($"text", 256), $"doc_id")
+      .orderBy(sha2(coalesce($"text", lit("")), 256), $"doc_id")
     Tables.documents(spark, dir)
+      .withColumn("lang", coalesce($"lang", lit("(none)")))
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= k)
       .select($"lang", $"rk".cast("long").as("rk"), $"doc_id",
-        length($"text").cast("long").as("text_len"))
+        length(coalesce($"text", lit(""))).cast("long").as("text_len"))
       .orderBy($"lang", $"rk")
   }
 
@@ -492,7 +496,9 @@ object Pipelines {
     Tables.documents(spark, dir)
       .select($"doc_id", coalesce($"lang", lit("(none)")).as("lang"),
         coalesce($"source", lit("(none)")).as("source"),
-        sha2($"text", 256).as("h"))
+        // NULL text would hash to NULL, and Spark NULLS FIRST vs DuckDB
+        // NULLS LAST on ASC would desync the survivors — hash '' instead
+        sha2(coalesce($"text", lit("")), 256).as("h"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= 3)
       .select($"doc_id", $"lang", $"source", $"rk")
@@ -579,7 +585,7 @@ object Pipelines {
         |    coalesce(source, '(none)') AS source,
         |    row_number() OVER (PARTITION BY coalesce(lang, '(none)'),
         |        coalesce(source, '(none)')
-        |      ORDER BY sha256(text), doc_id) AS rk
+        |      ORDER BY sha256(coalesce(text, '')), doc_id) AS rk
         |  FROM documents)
         |SELECT doc_id, lang, source, CAST(rk AS BIGINT) AS rk
         |FROM r WHERE rk <= 3 ORDER BY doc_id""".stripMargin,
@@ -679,9 +685,10 @@ object Pipelines {
         |       WHEN 'error' THEN '20' WHEN 'signup' THEN '30' ELSE 'c0' END
         |ORDER BY event_id""".stripMargin,
     "sample_reservoir_fixed_k" ->
-      """WITH r AS (SELECT lang, doc_id, length(text) AS text_len,
-        |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY sha256(text), doc_id) AS rk
+      """WITH r AS (SELECT coalesce(lang, '(none)') AS lang, doc_id,
+        |    length(coalesce(text, '')) AS text_len,
+        |    row_number() OVER (PARTITION BY coalesce(lang, '(none)')
+        |      ORDER BY sha256(coalesce(text, '')), doc_id) AS rk
         |  FROM documents)
         |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id,
         |  CAST(text_len AS BIGINT) AS text_len

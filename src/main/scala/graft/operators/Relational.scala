@@ -691,10 +691,11 @@ object Relational {
     *
     * Scale shape: each column profiles as a two-level aggregate — the
     * per-value counts collapse map-side (≤|domain| rows), the second
-    * level reduces to ONE row per column; Σnᵢ² of BIGINT counts is
-    * summed as DECIMAL(38,0) (headroom: n ≤ 3·10¹³ before n² nears
-    * 1e27, far beyond any fixture). The three profiles union — no
-    * joins, no windows. */
+    * level reduces to ONE row per column; nᵢ is cast to DECIMAL(38,0)
+    * BEFORE squaring (mirroring the oracle's HUGEINT cast-then-multiply
+    * — a LongType nᵢ·nᵢ would overflow past nᵢ ≈ 3·10⁹), so the
+    * headroom is nᵢ ≤ ~10¹⁹ before nᵢ² nears the decimal-38 ceiling.
+    * The three profiles union — no joins, no windows. */
   def profileCategoryGini(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     def profile(df: DataFrame, colName: String, label: String): DataFrame =
@@ -703,10 +704,11 @@ object Relational {
         .agg(count(lit(1)).as("cardinality"),
           sum($"ni").as("n"),
           max($"ni").as("max_ni"),
-          sum(($"ni" * $"ni").cast("decimal(38,0)")).as("ssq"))
+          sum($"ni".cast("decimal(38,0)") * $"ni").as("ssq"))
         .select(lit(label).as("column_name"), $"cardinality", $"n",
-          // integral div, not Column./ (double) — ppm stays exact
-          expr("(max_ni * 1000000) div n").as("majority_ppm"),
+          // integral div, not Column./ (double) — ppm stays exact;
+          // widen max_ni before ×10⁶ (BIGINT would overflow at 9.2e12)
+          expr("(CAST(max_ni AS DECIMAL(38,0)) * 1000000) div n").as("majority_ppm"),
           expr("((CAST(n AS DECIMAL(38,0)) * n - ssq) * 1000000) div " +
             "(CAST(n AS DECIMAL(38,0)) * n)").as("gini_ppm"))
     profile(Tables.events(spark, dir), "event_type", "events.event_type")
@@ -1026,7 +1028,7 @@ object Relational {
   private def giniSql(label: String, table: String, column: String): String =
     s"""SELECT '$label' AS column_name, count(*) AS cardinality,
        |  CAST(sum(ni) AS BIGINT) AS n,
-       |  CAST((max(ni) * 1000000) // sum(ni) AS BIGINT) AS majority_ppm,
+       |  CAST((CAST(max(ni) AS HUGEINT) * 1000000) // sum(ni) AS BIGINT) AS majority_ppm,
        |  CAST(((CAST(sum(ni) AS HUGEINT) * sum(ni)
        |      - sum(CAST(ni AS HUGEINT) * ni)) * 1000000)
        |    // (CAST(sum(ni) AS HUGEINT) * sum(ni)) AS BIGINT) AS gini_ppm

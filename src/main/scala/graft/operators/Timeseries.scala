@@ -297,6 +297,10 @@ object Timeseries {
     val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(spark, dir)
+      // NULL values would emit a NULL max_dd_fp here while the oracle's
+      // dd = max_dd_fp join drops the user — filter on both sides (the
+      // window_rolling_median guard, commit fa40eb1)
+      .filter($"value".isNotNull)
       .select($"user_id", $"event_id", Tables.nsToUs($"ts").as("t"),
         (Tables.dec4($"value") * 10000).cast("long").as("v_fp"))
       .withColumn("dd", max($"v_fp").over(w) - $"v_fp")
@@ -325,7 +329,7 @@ object Timeseries {
     "timeseries_max_drawdown" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
         |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v_fp
-        |  FROM events),
+        |  FROM events WHERE value IS NOT NULL),
         |d AS (SELECT user_id, event_id,
         |    max(v_fp) OVER (PARTITION BY user_id ORDER BY t, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - v_fp AS dd
