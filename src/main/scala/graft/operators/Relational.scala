@@ -749,6 +749,100 @@ object Relational {
       .limit(10)
   }
 
+  /** Referential-integrity audit — one report row per foreign-key edge
+    * of the fixture star schema (all 9: the TPC-H skeleton's 7 plus
+    * events.user_id→customer and embeddings.vec_id→documents), with the
+    * child row count, NULL-key rows, distinct key count, and the orphan
+    * census (keys and rows whose parent is missing). The data-quality
+    * gate every warehouse runs before trusting a join: an inner join
+    * silently DROPS orphan rows, so this report is the difference
+    * between "the join lost 3% of revenue" and knowing why.
+    *
+    * Scale shape per edge: the child collapses to (key, cnt) in one
+    * map-side-combinable aggregate (≤|key domain| rows — the only
+    * row-grain scan), then a LEFT ANTI join against the parent's key
+    * column decides orphanhood at KEY grain; orphan rows come from
+    * summing cnt, never from re-touching child rows. Each child scan
+    * reads exactly one column (pruned); the 9 one-row results union. */
+  def profileFkOrphans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def edge(label: String, child: DataFrame, fk: String,
+        parent: DataFrame, pk: String): DataFrame = {
+      val keys = child.select(col(fk).as("k"))
+        .groupBy($"k").agg(count(lit(1)).as("cnt"))
+      val tot = keys.agg(
+        sum($"cnt").as("n_rows"),
+        coalesce(sum(when($"k".isNull, $"cnt")), lit(0L)).as("n_null_rows"),
+        count(when($"k".isNotNull, lit(1))).as("n_keys"))
+      val orph = keys.filter($"k".isNotNull)
+        .join(parent.select(col(pk).as("k")), Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphan_keys"),
+          coalesce(sum($"cnt"), lit(0L)).as("n_orphan_rows"))
+      tot.crossJoin(orph).select(lit(label).as("fk_edge"), $"n_rows",
+        $"n_null_rows", $"n_keys", $"n_orphan_keys", $"n_orphan_rows")
+    }
+    Seq(
+      edge("customer.c_nationkey->nation.n_nationkey",
+        Tables.customer(spark, dir), "c_nationkey",
+        Tables.nation(spark, dir), "n_nationkey"),
+      edge("embeddings.vec_id->documents.doc_id",
+        Tables.embeddings(spark, dir), "vec_id",
+        Tables.documents(spark, dir), "doc_id"),
+      edge("events.user_id->customer.c_custkey",
+        Tables.events(spark, dir), "user_id",
+        Tables.customer(spark, dir), "c_custkey"),
+      edge("lineitem.l_orderkey->orders.o_orderkey",
+        Tables.lineitem(spark, dir), "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey"),
+      edge("lineitem.l_partkey->part.p_partkey",
+        Tables.lineitem(spark, dir), "l_partkey",
+        Tables.part(spark, dir), "p_partkey"),
+      edge("lineitem.l_suppkey->supplier.s_suppkey",
+        Tables.lineitem(spark, dir), "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey"),
+      edge("nation.n_regionkey->region.r_regionkey",
+        Tables.nation(spark, dir), "n_regionkey",
+        Tables.region(spark, dir), "r_regionkey"),
+      edge("orders.o_custkey->customer.c_custkey",
+        Tables.orders(spark, dir), "o_custkey",
+        Tables.customer(spark, dir), "c_custkey"),
+      edge("supplier.s_nationkey->nation.n_nationkey",
+        Tables.supplier(spark, dir), "s_nationkey",
+        Tables.nation(spark, dir), "n_nationkey"))
+      .reduce(_.unionByName(_))
+      .orderBy($"fk_edge")
+  }
+
+  /** Small-file compaction — the table-maintenance staple: a
+    * deliberately fragmented staging write (64-way — the tasks×buckets
+    * pathology Sinks.writeBucketed documents) is rewritten to 4
+    * target-size files. The graded output is the compacted table's
+    * rows against the ORIGINAL events oracle (the roundtrip
+    * precedent: compaction exists to change LAYOUT, so value
+    * preservation is the contract); the before/after file-count
+    * manifest — the part compaction actually buys — is pinned in
+    * SinksSpec, where file counts are observable.
+    *
+    * Scale shape: both writes are distributed repartition writes (never
+    * coalesce(1) — a single-task funnel at 100 TB); the compactor is
+    * one shuffle sized so each task writes one target-size file. A real
+    * run picks the target count from bytes/128MB; the fixture pins 4. */
+  def sinkCompactSmallFiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frag = Tables.scratch("compact_frag")
+    val out = Tables.scratch("compact_out")
+    val src = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"event_type",
+        Tables.nsToUs($"ts").as("ts_us"), $"value")
+    graft.PlanOnly.roundTrip(src) {
+      src.repartition(64).write.mode("overwrite").parquet(frag)
+      val fragBack = spark.read.schema(src.schema).parquet(frag)
+      fragBack.repartition(4).write.mode("overwrite").parquet(out)
+      spark.read.schema(src.schema).parquet(out)
+    }
+      .orderBy($"event_id")
+  }
+
   /** Dense-grid zero-fill — the reporting pattern for sparse facts: a
     * dashboard needs EVERY (nation, priority) cell, including the
     * combinations no order hit, so the dimension grid is built first
@@ -1018,8 +1112,25 @@ object Relational {
     "profile_numeric_stats" -> (profileNumericStats(_, _)),
     "profile_join_explosion" -> (profileJoinExplosion(_, _)),
     "profile_category_gini" -> (profileCategoryGini(_, _)),
-    "report_week_over_week" -> (reportWeekOverWeek(_, _))
+    "report_week_over_week" -> (reportWeekOverWeek(_, _)),
+    "profile_fk_orphans" -> (profileFkOrphans(_, _)),
+    "sink_compact_small_files" -> (sinkCompactSmallFiles(_, _))
   )
+
+  // referential-integrity census per FK edge; the anti-join side of the
+  // Spark plan becomes LEFT JOIN … pk IS NULL here
+  private def fkSql(label: String, child: String, fk: String,
+      parent: String, pk: String): String =
+    s"""SELECT '$label' AS fk_edge,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(count(*) FILTER (WHERE k IS NULL) AS BIGINT) AS n_null_rows,
+       |  CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+       |  CAST(count(DISTINCT CASE WHEN k IS NOT NULL AND pk IS NULL
+       |    THEN k END) AS BIGINT) AS n_orphan_keys,
+       |  CAST(count(*) FILTER (WHERE k IS NOT NULL AND pk IS NULL)
+       |    AS BIGINT) AS n_orphan_rows
+       |FROM (SELECT $fk AS k FROM $child) c
+       |LEFT JOIN (SELECT DISTINCT $pk AS pk FROM $parent) p ON c.k = p.pk""".stripMargin
 
   // HUGEINT division: DuckDB's `//` on DECIMAL operands is NOT
   // integral (it keeps the quotient scale — 799987.94 — and the BIGINT
@@ -1035,6 +1146,31 @@ object Relational {
        |FROM (SELECT count(*) AS ni FROM $table GROUP BY $column)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "profile_fk_orphans" ->
+      s"""SELECT * FROM (
+         |${fkSql("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey", "nation", "n_nationkey")}
+         |UNION ALL
+         |${fkSql("embeddings.vec_id->documents.doc_id", "embeddings", "vec_id", "documents", "doc_id")}
+         |UNION ALL
+         |${fkSql("events.user_id->customer.c_custkey", "events", "user_id", "customer", "c_custkey")}
+         |UNION ALL
+         |${fkSql("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey")}
+         |UNION ALL
+         |${fkSql("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey")}
+         |UNION ALL
+         |${fkSql("lineitem.l_suppkey->supplier.s_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey")}
+         |UNION ALL
+         |${fkSql("nation.n_regionkey->region.r_regionkey", "nation", "n_regionkey", "region", "r_regionkey")}
+         |UNION ALL
+         |${fkSql("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey")}
+         |UNION ALL
+         |${fkSql("supplier.s_nationkey->nation.n_nationkey", "supplier", "s_nationkey", "nation", "n_nationkey")}
+         |) ORDER BY fk_edge""".stripMargin,
+    // compaction changes layout, never values: the oracle reads the
+    // ORIGINAL events (the sink_partitioned_read roundtrip precedent)
+    "sink_compact_small_files" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+        |FROM events ORDER BY event_id""".stripMargin,
     "profile_category_gini" ->
       s"""SELECT * FROM (
          |${giniSql("events.event_type", "events", "event_type")}

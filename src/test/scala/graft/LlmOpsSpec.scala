@@ -139,4 +139,38 @@ class LlmOpsSpec extends SparkSuite {
     val binSum = (0 until 16).map(b => col(f"b$b%02d")).reduce(_ + _)
     assert(f.filter(binSum =!= col("n_bytes")).count() === 0L)
   }
+
+  test("text_inverted_index: postings are self-consistent and cover every token") {
+    val idx = operators.Indexing.textInvertedIndex(spark, sf0001).cache()
+    // df == number of doc entries serialized into the postings string
+    assert(idx.filter(col("df") =!= size(split(col("postings"), "\\|"))).count() === 0L)
+    // n_occurrences == total positions listed across the postings
+    val nPos = aggregate(
+      transform(split(col("postings"), "\\|"),
+        e => size(split(element_at(split(e, ":"), 2), ","))),
+      lit(0), (acc, x) => acc + x).cast("long")
+    assert(idx.filter(col("n_occurrences") =!= nPos).count() === 0L)
+    // the index covers the corpus: Σ n_occurrences == non-empty token count
+    val totalIdx = idx.agg(sum("n_occurrences")).head.getLong(0)
+    val totalToks = Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "").count()
+    assert(totalIdx === totalToks)
+  }
+
+  test("text_bpe_merge_step: merge strictly shrinks pair mass, bounded by the elected count") {
+    val step = operators.Indexing.textBpeMergeStep(spark, sf0001).cache()
+    assert(step.count() === 20L)
+    val r = step.filter(col("rk") === 1).head
+    val (cnt, before, after) = (r.getAs[Long]("cnt"),
+      r.getAs[Long]("pairs_before"), r.getAs[Long]("pairs_after"))
+    assert(after < before, s"merge must reduce pair mass: $before -> $after")
+    // each replacement removes exactly one adjacency; overlapping
+    // occurrences can't all be replaced, so the reduction is bounded by
+    // the elected pair's count (and is at least half of it)
+    assert(before - after <= cnt)
+    assert((before - after) * 2 >= cnt)
+    // ranks are the contiguous top-20 by (cnt desc, a, b)
+    assert(step.agg(max("rk")).head.getLong(0) === 20L)
+  }
 }

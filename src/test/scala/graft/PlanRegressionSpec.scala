@@ -125,6 +125,34 @@ class PlanRegressionSpec extends SparkSuite {
     assert(over.isEmpty, s"exchange budget exceeded: $over")
   }
 
+  test("text_inverted_index pays exactly one term-key shuffle plus the output sort") {
+    // the up-front repartition($"term") is the ONLY data shuffle: both
+    // aggregation levels — (term, doc) postings, then the term rollup —
+    // take their clustering from that one hash partitioning (key-subset
+    // satisfaction), so a second aggregate exchange appearing here means
+    // the single-shuffle index build regressed
+    val p = plan("text_inverted_index")
+    val n = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(n == 2, s"expected 2 exchanges (term repartition + sort), got $n: " + p.take(600))
+    assert(p.contains("hashpartitioning(term"),
+      "the data exchange must hash-partition on term: " + p.take(600))
+  }
+
+  test("text_bpe_merge_step elects merges via top-k, within its exchange budget") {
+    val p = plan("text_bpe_merge_step")
+    // both the top-1 merge election and the top-20 report must plan as
+    // TakeOrderedAndProject — a global sort of the pair table would not
+    // survive a real alphabet after a few thousand merges
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("CartesianProduct"),
+      "only constant-size broadcasts may cross-join")
+    // pair-count partial/final + before-total + election pair-count +
+    // after-total (plan-only mode reruns the uncached branches; the
+    // graded run reuses the persisted frames)
+    val n = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(n <= 5, s"text_bpe_merge_step exchange count $n > 5")
+  }
+
   test("bloom probe rides the fact scan, not a post-join filter") {
     val p = plan("join_bloom_prefilter")
     // Formatted-mode node numbers are assigned bottom-up, so a child's
@@ -382,10 +410,12 @@ class PlanRegressionSpec extends SparkSuite {
     // as ml_kmeans_step; eval_ranking_metrics: the same constant query
     // broadcast as simsearch_cosine_topk — fan-out is k/|queries|, not
     // quadratic
+    // text_bpe_merge_step: every nested-loop side is a 1-row broadcast
+    // (elected pair, before/after totals) — fan-out 1, not quadratic
     val allowed = Set("simsearch_cosine_topk", "dedup_embedding_cosine",
       "simsearch_ann_ivf", "ml_kmeans_step", "report_dense_grid",
       "dedup_semantic_cluster", "ml_confusion_matrix",
-      "eval_ranking_metrics")
+      "eval_ranking_metrics", "text_bpe_merge_step")
     val offenders = SparkEntry.queries.keys.filterNot(allowed)
       .filter(n => n != "source_csv_roundtrip" && plan(n).contains("BroadcastNestedLoopJoin"))
     assert(offenders.isEmpty, s"unexpected nested-loop joins: $offenders")

@@ -187,4 +187,29 @@ class PropertiesSpec extends AnyFunSuite {
         (xs.forall(_ == 0f) || q.exists(v => v == 127 || v == -127))
     })
   }
+
+  /** Local mirror of the BPE merge step (Indexing.textBpeMergeStep):
+    * words as space-joined pieces, merges via String.replace — leftmost
+    * non-overlapping, the same semantics Spark and DuckDB replace() use. */
+  test("bpe merge law: greedy merge of the top pair strictly shrinks adjacent-pair mass") {
+    val word = Gen.choose(2, 8).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')))
+      .map(_.mkString)
+    val corpus = Gen.nonEmptyListOf(word)
+    check(Prop.forAll(corpus) { ws: List[String] =>
+      val spaced = ws.map(_.toList.map(_.toString).mkString(" "))
+      def pairs(ss: List[String]): List[(String, String)] = ss.flatMap { s =>
+        val ps = s.split(' ').toList
+        ps.zip(ps.drop(1))
+      }
+      val counts = pairs(spaced).groupBy(identity).view.mapValues(_.size).toMap
+      val ((ba, bb), cnt) = counts.toList
+        .minBy { case ((a, b), c) => (-c, a, b) }
+      val merged = spaced.map(_.replace(s"$ba $bb", s"$ba$bb"))
+      def mass(ss: List[String]): Int = ss.map(_.split(' ').length - 1).sum
+      val (before, after) = (mass(spaced), mass(merged))
+      // strict progress, bounded by the elected count (overlaps halve it
+      // at worst: of k overlapping occurrences, ceil(k/2) are replaced)
+      after < before && before - after <= cnt && (before - after) * 2 >= cnt
+    })
+  }
 }

@@ -43,6 +43,21 @@ class SinksSpec extends SparkSuite {
     assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(1200))
   }
 
+  test("sink_compact_small_files cuts the part-file count and keeps every row") {
+    import graft.operators.Relational
+    val back = Relational.sinkCompactSmallFiles(spark, sf0001)
+    assert(back.count() === Tables.events(spark, sf0001).count())
+    def parts(dir: String): Int =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val nFrag = parts(Tables.scratch("compact_frag"))
+    val nOut = parts(Tables.scratch("compact_out"))
+    // the fragmented staging really is fragmented, and compaction
+    // lands exactly the 4 target files
+    assert(nFrag === 64, s"expected 64 staging files, got $nFrag")
+    assert(nOut === 4, s"expected 4 compacted files, got $nOut")
+  }
+
   test("source_schema_evolution merges old and new file generations") {
     import graft.operators.Relational
     val rows = Relational.sourceSchemaEvolution(spark, sf0001).collect()
