@@ -375,7 +375,51 @@ object Windows {
       .orderBy($"c_custkey")
   }
 
+  /** Trailing-RANGE distinct count — per event row, the number of
+    * distinct users active in the same event_type over the inclusive
+    * trailing hour [t−1h, t]. The one window shape with no native
+    * Spark form (count(DISTINCT) over a moving RANGE frame) AND no
+    * window-sum decomposition: the cumulative trick behind
+    * window_cumulative_distinct (count first occurrences) fails on a
+    * SLIDING frame because "first in window" depends on the anchor —
+    * at anchor t an event counts iff its same-user predecessor fell
+    * before t−1h, a predicate PARAMETRIC in t that no fixed per-row
+    * weight can encode (SCALE.md has the full argument). Exact
+    * semantics therefore cost a bounded range self-join: anchors probe
+    * the two hour buckets covering their trailing window, candidates
+    * equi-join on (type, hour-bucket), the exact [t−1h, t] band filters
+    * after, and a (anchor, user) distinct-aggregate counts survivors.
+    *
+    * Scale shape: the join is a true equi-join on (event_type, bucket)
+    * — work is O(n · occupancy) where occupancy = events per
+    * type-hour (11 at sf0.01), never all-pairs; the distinct aggregate
+    * runs as the standard two-phase partial on (anchor, user). At
+    * 100 TB, unbounded per-type-hour occupancy makes ANY exact method
+    * Ω(n·occupancy) — the scale fallback is a mergeable sketch (HLL
+    * per (type, hour) merged across the frame), traded here for
+    * exactness because the oracle (DuckDB's NATIVE count(DISTINCT)
+    * OVER RANGE) grades exact values. */
+  def windowRollingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val HourUs = 3600000000L
+    val e = Tables.events(spark, dir)
+      .select($"event_id", $"event_type", $"user_id",
+        Tables.nsToUs($"ts").as("t"))
+    val anchors = e
+      .withColumn("h", explode(array(expr(s"t div $HourUs - 1"),
+        expr(s"t div $HourUs"))))
+    val members = e.select($"event_type", $"user_id".as("m_user"),
+      $"t".as("m_t"), expr(s"t div $HourUs").as("h"))
+    anchors.join(members, Seq("event_type", "h"))
+      .filter($"m_t" >= $"t" - HourUs && $"m_t" <= $"t")
+      .groupBy($"event_id", $"event_type", $"t")
+      .agg(countDistinct($"m_user").as("n_distinct_1h"))
+      .select($"event_id", $"event_type", $"t".as("t_us"), $"n_distinct_1h")
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "window_rolling_distinct" -> (windowRollingDistinct(_, _)),
     "window_interval_overlap" -> (windowIntervalOverlap(_, _)),
     "window_count_distinct" -> (windowCountDistinct(_, _)),
     "window_topk_per_group" -> (windowTopkPerGroup(_, _)),
@@ -399,6 +443,16 @@ object Windows {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // DuckDB runs the NATIVE count(DISTINCT) OVER a moving RANGE frame
+    // — the hash-match proves the banded self-join rewrite (the
+    // window_count_distinct precedent applied to a sliding frame)
+    "window_rolling_distinct" ->
+      """SELECT event_id, event_type, epoch_us(ts) AS t_us,
+        |  CAST(count(DISTINCT user_id) OVER (PARTITION BY event_type
+        |    ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS n_distinct_1h
+        |FROM events ORDER BY event_id""".stripMargin,
     // same two-middle arithmetic over DuckDB's window list() — no
     // engine median function trusted on either side
     "window_rolling_median" ->

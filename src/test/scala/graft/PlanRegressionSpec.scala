@@ -153,6 +153,18 @@ class PlanRegressionSpec extends SparkSuite {
     assert(n <= 5, s"text_bpe_merge_step exchange count $n > 5")
   }
 
+  test("window_rolling_distinct joins candidates through the hour-bucket equi-join") {
+    // the banded rewrite's whole point: the trailing-window candidate
+    // match is an EQUI-join on (event_type, hour bucket) with the exact
+    // [t-1h, t] band as a post-filter — a pure range/theta join would
+    // nest-loop and go quadratic per type
+    val p = plan("window_rolling_distinct")
+    val equi = "\\(\\d+\\) (BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"
+      .r.findAllIn(p).size
+    assert(equi >= 1, "candidate match must be an equi-join: " + p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("bloom probe rides the fact scan, not a post-join filter") {
     val p = plan("join_bloom_prefilter")
     // Formatted-mode node numbers are assigned bottom-up, so a child's
@@ -411,11 +423,13 @@ class PlanRegressionSpec extends SparkSuite {
     // broadcast as simsearch_cosine_topk — fan-out is k/|queries|, not
     // quadratic
     // text_bpe_merge_step: every nested-loop side is a 1-row broadcast
-    // (elected pair, before/after totals) — fan-out 1, not quadratic
+    // (elected pair, before/after totals) — fan-out 1, not quadratic.
+    // profile_fk_orphans: per edge, the totals row cross-joins the
+    // orphan-census row — 1-row × 1-row, fan-out 1
     val allowed = Set("simsearch_cosine_topk", "dedup_embedding_cosine",
       "simsearch_ann_ivf", "ml_kmeans_step", "report_dense_grid",
       "dedup_semantic_cluster", "ml_confusion_matrix",
-      "eval_ranking_metrics", "text_bpe_merge_step")
+      "eval_ranking_metrics", "text_bpe_merge_step", "profile_fk_orphans")
     val offenders = SparkEntry.queries.keys.filterNot(allowed)
       .filter(n => n != "source_csv_roundtrip" && plan(n).contains("BroadcastNestedLoopJoin"))
     assert(offenders.isEmpty, s"unexpected nested-loop joins: $offenders")
