@@ -813,6 +813,47 @@ object Relational {
       .orderBy($"fk_edge")
   }
 
+  /** Primary-key uniqueness audit — the complement of
+    * [[profileFkOrphans]]: one report row per candidate key of every
+    * fixture table (the 9 single-column ids plus lineitem's composite
+    * (l_orderkey, l_linenumber) — which the synthetic fixture
+    * deliberately violates, so the report shows real duplication), with
+    * row/key counts, duplicated-key and duplicated-row censuses, and
+    * the worst multiplicity. The other half of the join-trust gate: FK
+    * orphans say an inner join DROPS rows, PK duplicates say it
+    * MULTIPLIES them.
+    *
+    * Scale shape per key: one map-side-combinable count aggregate
+    * collapses the table to ≤|keys| rows (key columns only — pruned
+    * scan), then a 1-row rollup; the 10 one-row frames union. No
+    * joins, no windows. */
+  def profilePkDuplicates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def audit(label: String, df: DataFrame, cols: Seq[String]): DataFrame =
+      df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("cnt"))
+        .agg(sum($"cnt").as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          count(when($"cnt" > 1, lit(1))).as("n_dup_keys"),
+          coalesce(sum(when($"cnt" > 1, $"cnt")), lit(0L)).as("n_dup_rows"),
+          max($"cnt").as("max_multiplicity"))
+        .select(lit(label).as("key_name"), $"n_rows", $"n_keys",
+          $"n_dup_keys", $"n_dup_rows", $"max_multiplicity")
+    Seq(
+      audit("customer(c_custkey)", Tables.customer(spark, dir), Seq("c_custkey")),
+      audit("documents(doc_id)", Tables.documents(spark, dir), Seq("doc_id")),
+      audit("embeddings(vec_id)", Tables.embeddings(spark, dir), Seq("vec_id")),
+      audit("events(event_id)", Tables.events(spark, dir), Seq("event_id")),
+      audit("lineitem(l_orderkey,l_linenumber)", Tables.lineitem(spark, dir),
+        Seq("l_orderkey", "l_linenumber")),
+      audit("nation(n_nationkey)", Tables.nation(spark, dir), Seq("n_nationkey")),
+      audit("orders(o_orderkey)", Tables.orders(spark, dir), Seq("o_orderkey")),
+      audit("part(p_partkey)", Tables.part(spark, dir), Seq("p_partkey")),
+      audit("region(r_regionkey)", Tables.region(spark, dir), Seq("r_regionkey")),
+      audit("supplier(s_suppkey)", Tables.supplier(spark, dir), Seq("s_suppkey")))
+      .reduce(_.unionByName(_))
+      .orderBy($"key_name")
+  }
+
   /** Small-file compaction — the table-maintenance staple: a
     * deliberately fragmented staging write (64-way — the tasks×buckets
     * pathology Sinks.writeBucketed documents) is rewritten to 4
@@ -1114,8 +1155,21 @@ object Relational {
     "profile_category_gini" -> (profileCategoryGini(_, _)),
     "report_week_over_week" -> (reportWeekOverWeek(_, _)),
     "profile_fk_orphans" -> (profileFkOrphans(_, _)),
-    "sink_compact_small_files" -> (sinkCompactSmallFiles(_, _))
+    "sink_compact_small_files" -> (sinkCompactSmallFiles(_, _)),
+    "profile_pk_duplicates" -> (profilePkDuplicates(_, _))
   )
+
+  // PK-uniqueness census per candidate key; cnt>1 filters mirror the
+  // Spark when($"cnt" > 1, …) conditional aggregates
+  private def pkSql(label: String, table: String, cols: String): String =
+    s"""SELECT '$label' AS key_name,
+       |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+       |  CAST(count(*) AS BIGINT) AS n_keys,
+       |  CAST(count(*) FILTER (WHERE cnt > 1) AS BIGINT) AS n_dup_keys,
+       |  CAST(coalesce(sum(cnt) FILTER (WHERE cnt > 1), 0) AS BIGINT)
+       |    AS n_dup_rows,
+       |  CAST(max(cnt) AS BIGINT) AS max_multiplicity
+       |FROM (SELECT count(*) AS cnt FROM $table GROUP BY $cols)""".stripMargin
 
   // referential-integrity census per FK edge; the anti-join side of the
   // Spark plan becomes LEFT JOIN … pk IS NULL here
@@ -1146,6 +1200,28 @@ object Relational {
        |FROM (SELECT count(*) AS ni FROM $table GROUP BY $column)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "profile_pk_duplicates" ->
+      s"""SELECT * FROM (
+         |${pkSql("customer(c_custkey)", "customer", "c_custkey")}
+         |UNION ALL
+         |${pkSql("documents(doc_id)", "documents", "doc_id")}
+         |UNION ALL
+         |${pkSql("embeddings(vec_id)", "embeddings", "vec_id")}
+         |UNION ALL
+         |${pkSql("events(event_id)", "events", "event_id")}
+         |UNION ALL
+         |${pkSql("lineitem(l_orderkey,l_linenumber)", "lineitem", "l_orderkey, l_linenumber")}
+         |UNION ALL
+         |${pkSql("nation(n_nationkey)", "nation", "n_nationkey")}
+         |UNION ALL
+         |${pkSql("orders(o_orderkey)", "orders", "o_orderkey")}
+         |UNION ALL
+         |${pkSql("part(p_partkey)", "part", "p_partkey")}
+         |UNION ALL
+         |${pkSql("region(r_regionkey)", "region", "r_regionkey")}
+         |UNION ALL
+         |${pkSql("supplier(s_suppkey)", "supplier", "s_suppkey")}
+         |) ORDER BY key_name""".stripMargin,
     "profile_fk_orphans" ->
       s"""SELECT * FROM (
          |${fkSql("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey", "nation", "n_nationkey")}
