@@ -293,4 +293,73 @@ class ContinuationSpec extends SparkSuite {
     // customers with zero orders are absent (inner lateral join)
     assert(byCust.keySet.subsetOf(top.keySet))
   }
+
+  test("window_rolling_distinct equals a brute-force replay of one type's timeline") {
+    // independent scala replay: for every anchor of one event_type,
+    // count distinct users in the inclusive trailing hour — must match
+    // the banded self-join rewrite row for row
+    val HourUs = 3600000000L
+    val got = operators.Windows.windowRollingDistinct(spark, sf0001)
+      .filter(col("event_type") === "click").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val tl = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), Tables.nsToUs(col("ts")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tl.nonEmpty && got.size === tl.length)
+    tl.foreach { case (id, _, t) =>
+      val expect = tl.filter { case (_, _, mt) => mt >= t - HourUs && mt <= t }
+        .map(_._2).distinct.length.toLong
+      assert(got(id) === expect, s"anchor $id: ${got(id)} vs replay $expect")
+    }
+  }
+
+  test("text_inverted_index reconciles exactly with agg_wordcount (shared tokenization)") {
+    // both keys split on ' ' and drop empty tokens, so the index's
+    // per-term occurrence totals must equal wordcount's counts term for
+    // term — a cross-key drift in either tokenizer breaks this before
+    // any fixture-dependent hash does
+    val idx = operators.Indexing.textInvertedIndex(spark, sf0001)
+      .select(col("term"), col("n_occurrences")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wc = operators.Aggregations.aggWordcount(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(idx === wc, "inverted index occurrence totals must equal wordcount")
+  }
+
+  test("profile_fk_orphans: edge census reconciles with the raw tables") {
+    val rows = operators.Relational.profileFkOrphans(spark, sf0001).collect()
+    assert(rows.length === 9)
+    rows.foreach { r =>
+      val (nRows, nNull, nKeys, oKeys, oRows) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(oKeys <= nKeys, "orphan keys bounded by distinct keys")
+      assert(oRows >= oKeys, "every orphan key carries >= 1 row")
+      assert(oRows + nNull <= nRows, "orphan + null rows bounded by child rows")
+    }
+    // spot-reconcile one edge end to end against the raw tables
+    val li = rows.find(_.getString(0) == "lineitem.l_orderkey->orders.o_orderkey").get
+    assert(li.getLong(1) === Tables.lineitem(spark, sf0001).count())
+    assert(li.getLong(4) === 0L, "fixture lineitem must have no orphan orders")
+  }
+
+  test("profile_pk_duplicates: census reconciles and catches the composite-key violation") {
+    val rows = operators.Relational.profilePkDuplicates(spark, sf0001).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val (nRows, nKeys, dKeys, dRows, maxM) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nKeys <= nRows)
+      assert(dRows >= 2 * dKeys, "every duplicated key carries >= 2 rows")
+      assert((dKeys == 0) == (maxM == 1), "dup census and max multiplicity must agree")
+    }
+    // the single-column ids are clean; lineitem's composite is violated
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    assert(byName("events(event_id)").getLong(3) === 0L)
+    val li = byName("lineitem(l_orderkey,l_linenumber)")
+    val expectKeys = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_linenumber")).distinct().count()
+    assert(li.getLong(2) === expectKeys)
+    assert(li.getLong(3) > 0L, "fixture composite key is deliberately violated")
+  }
 }
