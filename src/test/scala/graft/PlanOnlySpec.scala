@@ -29,8 +29,14 @@ class PlanOnlySpec extends SparkSuite {
       // the persisting keys: PlanOnly.mark must not even REGISTER a
       // cache entry in plan-only mode
       "text_decontaminate", "dedup_semantic_cluster", "graph_triangle_count")
-    val before = snapshot()
+    // run the one-time stale-scratch janitor BEFORE the first
+    // snapshot: its first trigger is otherwise the Tables.scratch call
+    // inside the construction loop (SparkSuite doesn't go through
+    // LocalSession.create), and snapshotting first would blame the
+    // janitor's dead-PID deletions on the plan-only construction
+    Tables.sweepStaleScratch()
     spark.catalog.clearCache()
+    val before = snapshot()
     System.setProperty("graft.planOnly", "true")
     try {
       keys.foreach { k =>
