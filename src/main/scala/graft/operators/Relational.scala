@@ -758,58 +758,74 @@ object Relational {
     * silently DROPS orphan rows, so this report is the difference
     * between "the join lost 3% of revenue" and knowing why.
     *
-    * Scale shape per edge: the child collapses to (key, cnt) in one
-    * map-side-combinable aggregate (≤|key domain| rows — the only
-    * row-grain scan), then a LEFT ANTI join against the parent's key
-    * column decides orphanhood at KEY grain; orphan rows come from
-    * summing cnt, never from re-touching child rows. Each child scan
-    * reads exactly one column (pruned); the 9 one-row results union. */
+    * Scale shape — single-pass multi-audit: every child table is
+    * scanned ONCE (lineitem carries its three FK edges in one pass —
+    * each row explodes to its (edge, key) pairs), ONE combined
+    * map-side-combinable aggregate collapses all edges to
+    * (edge, key, cnt) (≤ Σ|key domains| rows), ONE left-anti join
+    * against the union of parent key columns decides orphanhood at KEY
+    * grain for every edge simultaneously, and the per-edge rollups
+    * equi-join (9 rows a side) for the report. Orphan rows come from
+    * summing cnt, never from re-touching child rows; at 100 TB this is
+    * one fact-table scan instead of one per FK. */
   def profileFkOrphans(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    def edge(label: String, child: DataFrame, fk: String,
-        parent: DataFrame, pk: String): DataFrame = {
-      val keys = child.select(col(fk).as("k"))
-        .groupBy($"k").agg(count(lit(1)).as("cnt"))
-      val tot = keys.agg(
-        sum($"cnt").as("n_rows"),
-        coalesce(sum(when($"k".isNull, $"cnt")), lit(0L)).as("n_null_rows"),
-        count(when($"k".isNotNull, lit(1))).as("n_keys"))
-      val orph = keys.filter($"k".isNotNull)
-        .join(parent.select(col(pk).as("k")), Seq("k"), "left_anti")
-        .agg(count(lit(1)).as("n_orphan_keys"),
-          coalesce(sum($"cnt"), lit(0L)).as("n_orphan_rows"))
-      tot.crossJoin(orph).select(lit(label).as("fk_edge"), $"n_rows",
-        $"n_null_rows", $"n_keys", $"n_orphan_keys", $"n_orphan_rows")
-    }
-    Seq(
-      edge("customer.c_nationkey->nation.n_nationkey",
-        Tables.customer(spark, dir), "c_nationkey",
-        Tables.nation(spark, dir), "n_nationkey"),
-      edge("embeddings.vec_id->documents.doc_id",
-        Tables.embeddings(spark, dir), "vec_id",
-        Tables.documents(spark, dir), "doc_id"),
-      edge("events.user_id->customer.c_custkey",
-        Tables.events(spark, dir), "user_id",
-        Tables.customer(spark, dir), "c_custkey"),
-      edge("lineitem.l_orderkey->orders.o_orderkey",
-        Tables.lineitem(spark, dir), "l_orderkey",
-        Tables.orders(spark, dir), "o_orderkey"),
-      edge("lineitem.l_partkey->part.p_partkey",
-        Tables.lineitem(spark, dir), "l_partkey",
-        Tables.part(spark, dir), "p_partkey"),
-      edge("lineitem.l_suppkey->supplier.s_suppkey",
-        Tables.lineitem(spark, dir), "l_suppkey",
-        Tables.supplier(spark, dir), "s_suppkey"),
-      edge("nation.n_regionkey->region.r_regionkey",
-        Tables.nation(spark, dir), "n_regionkey",
-        Tables.region(spark, dir), "r_regionkey"),
-      edge("orders.o_custkey->customer.c_custkey",
-        Tables.orders(spark, dir), "o_custkey",
-        Tables.customer(spark, dir), "c_custkey"),
-      edge("supplier.s_nationkey->nation.n_nationkey",
-        Tables.supplier(spark, dir), "s_nationkey",
-        Tables.nation(spark, dir), "n_nationkey"))
+    def childKeys(df: DataFrame, edges: (String, String)*): DataFrame =
+      df.select(explode(array(edges.map { case (label, fk) =>
+        struct(lit(label).as("edge"), col(fk).cast("long").as("k"))
+      }: _*)).as("e")).select($"e.edge".as("edge"), $"e.k".as("k"))
+    def parentKeys(df: DataFrame, pk: String, labels: String*): DataFrame =
+      labels.map(l => df.select(lit(l).as("edge"), col(pk).cast("long").as("k")))
+        .reduce(_.unionByName(_))
+    val children = Seq(
+      childKeys(Tables.customer(spark, dir),
+        "customer.c_nationkey->nation.n_nationkey" -> "c_nationkey"),
+      childKeys(Tables.embeddings(spark, dir),
+        "embeddings.vec_id->documents.doc_id" -> "vec_id"),
+      childKeys(Tables.events(spark, dir),
+        "events.user_id->customer.c_custkey" -> "user_id"),
+      childKeys(Tables.lineitem(spark, dir),
+        "lineitem.l_orderkey->orders.o_orderkey" -> "l_orderkey",
+        "lineitem.l_partkey->part.p_partkey" -> "l_partkey",
+        "lineitem.l_suppkey->supplier.s_suppkey" -> "l_suppkey"),
+      childKeys(Tables.nation(spark, dir),
+        "nation.n_regionkey->region.r_regionkey" -> "n_regionkey"),
+      childKeys(Tables.orders(spark, dir),
+        "orders.o_custkey->customer.c_custkey" -> "o_custkey"),
+      childKeys(Tables.supplier(spark, dir),
+        "supplier.s_nationkey->nation.n_nationkey" -> "s_nationkey"))
       .reduce(_.unionByName(_))
+    val parents = Seq(
+      parentKeys(Tables.nation(spark, dir), "n_nationkey",
+        "customer.c_nationkey->nation.n_nationkey",
+        "supplier.s_nationkey->nation.n_nationkey"),
+      parentKeys(Tables.documents(spark, dir), "doc_id",
+        "embeddings.vec_id->documents.doc_id"),
+      parentKeys(Tables.customer(spark, dir), "c_custkey",
+        "events.user_id->customer.c_custkey",
+        "orders.o_custkey->customer.c_custkey"),
+      parentKeys(Tables.orders(spark, dir), "o_orderkey",
+        "lineitem.l_orderkey->orders.o_orderkey"),
+      parentKeys(Tables.part(spark, dir), "p_partkey",
+        "lineitem.l_partkey->part.p_partkey"),
+      parentKeys(Tables.supplier(spark, dir), "s_suppkey",
+        "lineitem.l_suppkey->supplier.s_suppkey"),
+      parentKeys(Tables.region(spark, dir), "r_regionkey",
+        "nation.n_regionkey->region.r_regionkey"))
+      .reduce(_.unionByName(_))
+    val keys = children.groupBy($"edge", $"k").agg(count(lit(1)).as("cnt"))
+    val tot = keys.groupBy($"edge").agg(
+      sum($"cnt").as("n_rows"),
+      coalesce(sum(when($"k".isNull, $"cnt")), lit(0L)).as("n_null_rows"),
+      count(when($"k".isNotNull, lit(1))).as("n_keys"))
+    val orph = keys.filter($"k".isNotNull)
+      .join(parents, Seq("edge", "k"), "left_anti")
+      .groupBy($"edge").agg(count(lit(1)).as("n_orphan_keys"),
+        sum($"cnt").as("n_orphan_rows"))
+    tot.join(orph, Seq("edge"), "left")
+      .select($"edge".as("fk_edge"), $"n_rows", $"n_null_rows", $"n_keys",
+        coalesce($"n_orphan_keys", lit(0L)).as("n_orphan_keys"),
+        coalesce($"n_orphan_rows", lit(0L)).as("n_orphan_rows"))
       .orderBy($"fk_edge")
   }
 

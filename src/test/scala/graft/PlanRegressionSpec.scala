@@ -153,6 +153,17 @@ class PlanRegressionSpec extends SparkSuite {
     assert(n <= 5, s"text_bpe_merge_step exchange count $n > 5")
   }
 
+  test("profile_fk_orphans audits all three lineitem edges in ONE fact scan") {
+    // the single-pass multi-audit shape: each child table is scanned
+    // once, with lineitem's three FK edges exploded from the same rows
+    // — a per-edge formulation re-scans the biggest table three times
+    val p = plan("profile_fk_orphans")
+    // formatted mode prints each scan node twice (tree + details)
+    val scans = "lineitem\\.parquet".r.findAllIn(p).size
+    assert(scans == 2, s"expected exactly 1 lineitem scan (2 plan mentions), got $scans")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("window_rolling_distinct joins candidates through the hour-bucket equi-join") {
     // the banded rewrite's whole point: the trailing-window candidate
     // match is an EQUI-join on (event_type, hour bucket) with the exact
@@ -423,13 +434,11 @@ class PlanRegressionSpec extends SparkSuite {
     // broadcast as simsearch_cosine_topk — fan-out is k/|queries|, not
     // quadratic
     // text_bpe_merge_step: every nested-loop side is a 1-row broadcast
-    // (elected pair, before/after totals) — fan-out 1, not quadratic.
-    // profile_fk_orphans: per edge, the totals row cross-joins the
-    // orphan-census row — 1-row × 1-row, fan-out 1
+    // (elected pair, before/after totals) — fan-out 1, not quadratic
     val allowed = Set("simsearch_cosine_topk", "dedup_embedding_cosine",
       "simsearch_ann_ivf", "ml_kmeans_step", "report_dense_grid",
       "dedup_semantic_cluster", "ml_confusion_matrix",
-      "eval_ranking_metrics", "text_bpe_merge_step", "profile_fk_orphans")
+      "eval_ranking_metrics", "text_bpe_merge_step")
     val offenders = SparkEntry.queries.keys.filterNot(allowed)
       .filter(n => n != "source_csv_roundtrip" && plan(n).contains("BroadcastNestedLoopJoin"))
     assert(offenders.isEmpty, s"unexpected nested-loop joins: $offenders")
