@@ -402,7 +402,11 @@ object Windows {
   def windowRollingDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val HourUs = 3600000000L
+    // NULL ts would drop the anchor here (NULL bucket never equi-joins)
+    // while DuckDB's window still emits the row — filter on both sides
+    // (the timeseries_max_drawdown latent-NULL lesson)
     val e = Tables.events(spark, dir)
+      .filter($"ts".isNotNull)
       .select($"event_id", $"event_type", $"user_id",
         Tables.nsToUs($"ts").as("t"))
     val anchors = e
@@ -452,7 +456,7 @@ object Windows {
         |    ORDER BY epoch_us(ts)
         |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |    AS BIGINT) AS n_distinct_1h
-        |FROM events ORDER BY event_id""".stripMargin,
+        |FROM events WHERE ts IS NOT NULL ORDER BY event_id""".stripMargin,
     // same two-middle arithmetic over DuckDB's window list() — no
     // engine median function trusted on either side
     "window_rolling_median" ->
