@@ -96,17 +96,23 @@ object Tables {
     Option(root.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
       f.getName match {
         case suffixed(p) =>
-          val pid = p.toLong
-          val o = ProcessHandle.of(pid)
-          val alive = o.isPresent && o.get.isAlive
-          if (pid != self && !alive) deleteRecursively(f)
+          // Try: a >19-digit suffix would overflow toLong and abort every
+          // session whose first scratch() call runs the sweep (ADVICE r9)
+          scala.util.Try(p.toLong).foreach { pid =>
+            val o = ProcessHandle.of(pid)
+            val alive = o.isPresent && o.get.isAlive
+            if (pid != self && !alive) deleteRecursively(f)
+          }
         case _ => ()
       }
     }
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory)
+    // never follow symlinks: a pid-suffixed symlink under target/tmp must
+    // not let the sweep reach outside the scratch root (ADVICE r9) — the
+    // link itself is deleted, its target is left untouched
+    if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
       Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
         .foreach(deleteRecursively)
     f.delete(): Unit

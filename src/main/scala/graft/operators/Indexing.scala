@@ -118,28 +118,217 @@ object Indexing {
       .orderBy($"rk")
   }
 
+  /** Number of merges the BPE training loop runs. Bounded well under
+    * the fixture's merge capacity (31 words × up to 7 initial pair
+    * slots); a production train loops to a vocab-size target. */
+  val BpeIterations: Int = 6
+
+  /** BPE merge TRAINING LOOP — the round-9 single step
+    * ([[textBpeMergeStep]]) extended to the actual tokenizer-training
+    * workload: [[BpeIterations]] successive merges, each one re-counting
+    * adjacent pairs over the merged corpus, electing the most frequent
+    * pair (count desc, pair asc — the total order that makes every
+    * election deterministic) and applying it everywhere. Output: one row
+    * per iteration — the elected pair, its count at election, and the
+    * corpus adjacent-pair total after the merge (strictly decreasing
+    * across iterations; the monotone-progress law is pinned in
+    * PropertiesSpec).
+    *
+    * Two design upgrades over the single step, both the shape a real
+    * trainer (HF tokenizers, SentencePiece) uses:
+    *
+    * 1. **Word-frequency table, not the raw corpus.** The corpus is
+    *    tokenized ONCE into `(word, freq)` — pair counts are frequency-
+    *    weighted sums over DISTINCT words, and merges rewrite only the
+    *    distinct-word strings. Every iteration after the first touches
+    *    |vocab| rows, not |corpus| — at 100 TB the corpus pass happens
+    *    once and the merge loop runs on a frame millions of times
+    *    smaller.
+    * 2. **Double-space piece encoding makes string `replace` exact
+    *    greedy BPE.** Pieces are joined with TWO spaces and the word is
+    *    padded with one space each side (` c  a  t `); the merge rewrites
+    *    `' a  b '` → `' ab '`. Each piece owns one space on each side, so
+    *    (a) a piece boundary can never match inside a multi-char piece
+    *    (`' h  e '` does not match ` th  e ` — the round-9 single-space
+    *    form had that boundary unsoundness lurking for iteration ≥ 2),
+    *    and (b) consecutive matches in a run share no characters, so
+    *    leftmost non-overlapping `replace` — identical semantics in
+    *    Spark and DuckDB — merges `a a a a` into `aa aa` exactly like
+    *    HF's greedy left-to-right pass.
+    *
+    * Scale shape: one corpus shuffle (the word-frequency groupBy, map-
+    * side combinable), then per iteration: a pair-count groupBy over
+    * ≤|vocab|·len rows, a top-1 election (TakeOrderedAndProject), and a
+    * 1-row broadcast back over the vocab for the merge rewrite. The
+    * driver-coordinated loop cuts lineage per iteration via
+    * [[graft.PlanOnly.cut]] (the connectedComponents precedent) so
+    * iteration N's plan never nests N-1 merge plans. */
+  def textBpeMergeLoop(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wf = Tables.documents(spark, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+    // ' c  a  t ': chars double-space-joined, single-space padded
+    var cur = graft.PlanOnly.cut(wf.select(
+      concat(lit(" "), rtrim(regexp_replace($"w", "(.)", "$1  ")), lit(" ")).as("s"),
+      $"freq"))
+    val stats = (1 to BpeIterations).map { i =>
+      val pairCounts = cur
+        .select(split(trim($"s"), "  ").as("ps"), $"freq")
+        .filter(size($"ps") >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(ps) - 1),
+            |  i -> struct(element_at(ps, i) AS a, element_at(ps, i + 1) AS b))"""
+            .stripMargin)).as("p"), $"freq")
+        .groupBy($"p.a", $"p.b").agg(sum($"freq").as("cnt"))
+      val best = pairCounts.orderBy($"cnt".desc, $"a", $"b").limit(1)
+        .select($"a".as("ba"), $"b".as("bb"), $"cnt")
+      val merged = graft.PlanOnly.cut(cur.select($"s", $"freq")
+        .crossJoin(broadcast(best))
+        .select(replace($"s",
+          concat(lit(" "), $"ba", lit("  "), $"bb", lit(" ")),
+          concat(lit(" "), $"ba", $"bb", lit(" "))).as("s"),
+          $"freq", $"ba", $"bb", $"cnt"))
+      val stat = merged.agg(
+        max($"ba").as("a"), max($"bb").as("b"), max($"cnt").as("cnt"),
+        sum((size(split(trim($"s"), "  ")) - 1).cast("long") * $"freq")
+          .cast("long").as("pairs_after"))
+        .select(lit(i.toLong).as("iter"), $"a", $"b", $"cnt", $"pairs_after")
+      cur = merged.select($"s", $"freq")
+      stat
+    }
+    stats.reduce(_.unionByName(_)).orderBy($"iter")
+  }
+
+  /** Incremental inverted-index maintenance — the delta-merge pattern
+    * (compact_incremental_agg) applied to postings: the standing index
+    * over the established corpus is MATERIALIZED (written to parquet and
+    * read back — the state a nightly build persists), the newest tenth
+    * of the id space arrives as a delta batch, and maintenance merges
+    * delta postings into standing rows WITHOUT re-reading the base
+    * documents: a full-outer join on term, additive df/occurrence
+    * arithmetic, and postings-string concatenation. The append-only
+    * carve (`doc_id > max·9/10` — new crawl batches get new ids) is what
+    * makes concatenation legal: every delta doc_id sorts after every
+    * standing doc_id, so `standing || '|' || delta` IS the doc-ascending
+    * postings order.
+    *
+    * The ORACLE is the from-scratch full-corpus rebuild (the same SQL as
+    * text_inverted_index) — the graded hash-match is literally the
+    * `merge(standing, delta) == rebuild(corpus)` law every incremental
+    * index maintains.
+    *
+    * Scale shape: maintenance cost is O(|standing index| + |delta|),
+    * never O(corpus) — the base documents are not rescanned. The merge
+    * join shuffles both sides on term here; the production variant
+    * stores the standing index term-BUCKETED (the sink_bucketed_join
+    * machinery), making the standing side exchange-free so each
+    * maintenance run shuffles only the delta. */
+  def textIndexDeltaMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cut = Tables.documents(spark, dir)
+      .agg(expr("max(doc_id) * 9 div 10").as("cut"))
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("p0", "term")))
+      .filter($"term" =!= "")
+      .select($"term", $"doc_id", ($"p0" + 1).cast("long").as("pos"))
+      .crossJoin(broadcast(cut))
+    // the text_inverted_index build shape: one term shuffle feeds both
+    // aggregation levels (key-subset clustering satisfaction)
+    def build(df: DataFrame): DataFrame = df
+      .repartition($"term")
+      .groupBy($"term", $"doc_id")
+      .agg(count(lit(1)).as("n"),
+        array_join(transform(sort_array(collect_list($"pos")),
+          _.cast("string")), ",").as("poss"))
+      .groupBy($"term")
+      .agg(count(lit(1)).as("df"),
+        sum($"n").as("n_occurrences"),
+        array_join(transform(sort_array(collect_list(struct($"doc_id", $"poss"))),
+          x => concat(x.getField("doc_id").cast("string"), lit(":"),
+            x.getField("poss"))), "|").as("postings"))
+    val standingFrame = build(toks.filter($"doc_id" <= $"cut"))
+    val standingDir = Tables.scratch("index_standing")
+    val standing = graft.PlanOnly.roundTrip(standingFrame) {
+      standingFrame.write.mode("overwrite").parquet(standingDir)
+      spark.read.schema(standingFrame.schema).parquet(standingDir)
+    }
+    val delta = build(toks.filter($"doc_id" > $"cut"))
+    standing
+      .select($"term", $"df".as("bdf"), $"n_occurrences".as("bn"),
+        $"postings".as("bp"))
+      .join(delta.select($"term", $"df".as("ddf"),
+        $"n_occurrences".as("dn"), $"postings".as("dp")),
+        Seq("term"), "full_outer")
+      .select($"term",
+        (coalesce($"bdf", lit(0L)) + coalesce($"ddf", lit(0L))).as("df"),
+        (coalesce($"bn", lit(0L)) + coalesce($"dn", lit(0L))).as("n_occurrences"),
+        concat_ws("|", $"bp", $"dp").as("postings"))
+      .orderBy($"term")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "text_inverted_index" -> (textInvertedIndex(_, _)),
-    "text_bpe_merge_step" -> (textBpeMergeStep(_, _))
+    "text_bpe_merge_step" -> (textBpeMergeStep(_, _)),
+    "text_bpe_merge_loop" -> (textBpeMergeLoop(_, _)),
+    "text_index_delta_merge" -> (textIndexDeltaMerge(_, _))
   )
 
+  /** DuckDB replay of the BPE training loop: the same word-frequency
+    * table, double-space piece encoding, and (count desc, pair asc)
+    * election, unrolled to [[BpeIterations]] CTE generations — the
+    * from-scratch re-derivation the Spark loop must hash-match. */
+  private def bpeLoopOracle(n: Int): String = {
+    val head =
+      """WITH w0 AS (SELECT w, count(*) AS freq FROM
+        |    (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w),
+        |s0 AS (SELECT ' ' || rtrim(regexp_replace(w, '(.)', '\1  ', 'g')) || ' ' AS s,
+        |    freq FROM w0)""".stripMargin
+    val iters = (1 to n).map { i =>
+      s"""p$i AS (SELECT ps[j] AS a, ps[j + 1] AS b, freq FROM
+         |  (SELECT ps, freq, unnest(generate_series(1, len(ps) - 1)) AS j
+         |   FROM (SELECT string_split(trim(s), '  ') AS ps, freq FROM s${i - 1})
+         |   WHERE len(ps) >= 2)),
+         |c$i AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM p$i GROUP BY a, b),
+         |b$i AS (SELECT a AS ba, b AS bb, cnt FROM c$i
+         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |s$i AS (SELECT replace(s, ' ' || ba || '  ' || bb || ' ',
+         |    ' ' || ba || bb || ' ') AS s, freq FROM s${i - 1}, b$i),
+         |t$i AS (SELECT CAST($i AS BIGINT) AS iter, ba AS a, bb AS b, cnt,
+         |  (SELECT CAST(sum((len(string_split(trim(s), '  ')) - 1) * freq)
+         |     AS BIGINT) FROM s$i) AS pairs_after FROM b$i)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to n).map(i => s"SELECT * FROM t$i").mkString(" UNION ALL ")
+    s"$head,\n$iters\n$union ORDER BY iter"
+  }
+
+  /** The from-scratch full-corpus index build — shared verbatim between
+    * text_inverted_index and text_index_delta_merge: for the latter the
+    * graded hash-match IS the `merge(standing, delta) == rebuild` law. */
+  private val invertedIndexOracle: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+      |    FROM documents),
+      |tok AS (SELECT doc_id, unnest(generate_series(1, len(ts))) AS pos, ts
+      |  FROM toks),
+      |hit AS (SELECT doc_id, pos, ts[pos] AS term FROM tok
+      |  WHERE ts[pos] <> ''),
+      |perdoc AS (SELECT term, doc_id, count(*) AS n,
+      |    string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS poss
+      |  FROM hit GROUP BY term, doc_id)
+      |SELECT term, count(*) AS df, CAST(sum(n) AS BIGINT) AS n_occurrences,
+      |  string_agg(CAST(doc_id AS VARCHAR) || ':' || poss, '|'
+      |    ORDER BY doc_id) AS postings
+      |FROM perdoc GROUP BY term ORDER BY term""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "text_bpe_merge_loop" -> bpeLoopOracle(BpeIterations),
+    "text_index_delta_merge" -> invertedIndexOracle,
     // positions index the raw split array on both engines (1-based);
     // string_agg ORDER BY pos / doc_id mirrors sort_array-in-aggregate
-    "text_inverted_index" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
-        |    FROM documents),
-        |tok AS (SELECT doc_id, unnest(generate_series(1, len(ts))) AS pos, ts
-        |  FROM toks),
-        |hit AS (SELECT doc_id, pos, ts[pos] AS term FROM tok
-        |  WHERE ts[pos] <> ''),
-        |perdoc AS (SELECT term, doc_id, count(*) AS n,
-        |    string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS poss
-        |  FROM hit GROUP BY term, doc_id)
-        |SELECT term, count(*) AS df, CAST(sum(n) AS BIGINT) AS n_occurrences,
-        |  string_agg(CAST(doc_id AS VARCHAR) || ':' || poss, '|'
-        |    ORDER BY doc_id) AS postings
-        |FROM perdoc GROUP BY term ORDER BY term""".stripMargin,
+    "text_inverted_index" -> invertedIndexOracle,
     "text_bpe_merge_step" ->
       """WITH words AS (SELECT w FROM
         |    (SELECT unnest(string_split(text, ' ')) AS w FROM documents)

@@ -813,7 +813,13 @@ object Relational {
       parentKeys(Tables.region(spark, dir), "r_regionkey",
         "nation.n_regionkey->region.r_regionkey"))
       .reduce(_.unionByName(_))
-    val keys = children.groupBy($"edge", $"k").agg(count(lit(1)).as("cnt"))
+    // persisted: the (edge, key, cnt) frame feeds BOTH the per-edge
+    // totals and the orphan anti-join — without the reuse mark each
+    // branch re-derives the whole child pass and every child table
+    // (including the fact) is scanned twice (round-10 finding: the r9
+    // "1 fact scan" pin was counting plan-string mentions, not nodes)
+    val keys = graft.PlanOnly.mark(
+      children.groupBy($"edge", $"k").agg(count(lit(1)).as("cnt")))
     val tot = keys.groupBy($"edge").agg(
       sum($"cnt").as("n_rows"),
       coalesce(sum(when($"k".isNull, $"cnt")), lit(0L)).as("n_null_rows"),
@@ -870,10 +876,14 @@ object Relational {
       .orderBy($"key_name")
   }
 
+  /** Target bytes per compacted file — the standard 128 MB parquet
+    * row-group/file sweet spot a production compactor aims for. */
+  val CompactTargetBytes: Long = 128L * 1024 * 1024
+
   /** Small-file compaction — the table-maintenance staple: a
     * deliberately fragmented staging write (64-way — the tasks×buckets
-    * pathology Sinks.writeBucketed documents) is rewritten to 4
-    * target-size files. The graded output is the compacted table's
+    * pathology Sinks.writeBucketed documents) is rewritten to
+    * size-targeted files. The graded output is the compacted table's
     * rows against the ORIGINAL events oracle (the roundtrip
     * precedent: compaction exists to change LAYOUT, so value
     * preservation is the contract); the before/after file-count
@@ -881,9 +891,15 @@ object Relational {
     * SinksSpec, where file counts are observable.
     *
     * Scale shape: both writes are distributed repartition writes (never
-    * coalesce(1) — a single-task funnel at 100 TB); the compactor is
-    * one shuffle sized so each task writes one target-size file. A real
-    * run picks the target count from bytes/128MB; the fixture pins 4. */
+    * coalesce(1) — a zero-shuffle single-task funnel at 100 TB); the
+    * compactor SIZES its shuffle from the staged bytes it just listed —
+    * target count = ceil(stagedBytes / 128 MB) — so each task writes
+    * one target-size file at ANY corpus size (the fixture compacts to
+    * 1; a 100 TB table plans ~800k writers). The listing goes through
+    * the Path's own FileSystem, so the same code sizes an HDFS/S3
+    * staging dir on a cluster; a driver-side directory listing is the
+    * one driver round-trip every real compactor (Delta OPTIMIZE,
+    * Iceberg rewrite_data_files) also performs. */
   def sinkCompactSmallFiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val frag = Tables.scratch("compact_frag")
@@ -893,11 +909,23 @@ object Relational {
         Tables.nsToUs($"ts").as("ts_us"), $"value")
     graft.PlanOnly.roundTrip(src) {
       src.repartition(64).write.mode("overwrite").parquet(frag)
+      val target = compactTargetFileCount(spark, frag)
       val fragBack = spark.read.schema(src.schema).parquet(frag)
-      fragBack.repartition(4).write.mode("overwrite").parquet(out)
+      fragBack.repartition(target).write.mode("overwrite").parquet(out)
       spark.read.schema(src.schema).parquet(out)
     }
       .orderBy($"event_id")
+  }
+
+  /** ceil(total staged part-file bytes / 128 MB), floored at 1 — the
+    * size-aware writer count the compactor shuffles to. */
+  def compactTargetFileCount(spark: SparkSession, stagedDir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(stagedDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(p)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getLen).sum
+    math.max(1L, (bytes + CompactTargetBytes - 1) / CompactTargetBytes).toInt
   }
 
   /** Dense-grid zero-fill — the reporting pattern for sparse facts: a

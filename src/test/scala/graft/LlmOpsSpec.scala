@@ -173,4 +173,60 @@ class LlmOpsSpec extends SparkSuite {
     // ranks are the contiguous top-20 by (cnt desc, a, b)
     assert(step.agg(max("rk")).head.getLong(0) === 20L)
   }
+
+  test("text_bpe_merge_loop: pair mass strictly decreases, iteration 1 matches the single step") {
+    import graft.operators.Indexing
+    val loop = Indexing.textBpeMergeLoop(spark, sf0001).collect()
+    assert(loop.length === Indexing.BpeIterations)
+    // monotone training progress: every merge strictly shrinks the
+    // corpus adjacent-pair mass (the law a BPE trainer relies on to
+    // terminate) and elections always carry positive support
+    val after = loop.map(_.getAs[Long]("pairs_after"))
+    assert(after.zip(after.drop(1)).forall { case (x, y) => y < x },
+      s"pairs_after must strictly decrease: ${after.mkString(",")}")
+    assert(loop.map(_.getAs[Long]("cnt")).forall(_ > 0L))
+    // election counts are non-increasing is NOT a law (a merge can
+    // create a new pair more frequent than the next-best old one), but
+    // iteration 1 must elect exactly what the single-step key elects —
+    // same corpus, same (count desc, pair asc) total order
+    val step1 = Indexing.textBpeMergeStep(spark, sf0001)
+      .filter(col("rk") === 1).head
+    assert(loop.head.getAs[String]("a") === step1.getAs[String]("a"))
+    assert(loop.head.getAs[String]("b") === step1.getAs[String]("b"))
+    assert(loop.head.getAs[Long]("cnt") === step1.getAs[Long]("cnt"))
+  }
+
+  test("text_index_delta_merge: merged standing+delta equals the from-scratch rebuild") {
+    import graft.operators.Indexing
+    val merged = Indexing.textIndexDeltaMerge(spark, sf0001).collect()
+    val rebuilt = Indexing.textInvertedIndex(spark, sf0001).collect()
+    assert(merged.map(_.toString).toSeq === rebuilt.map(_.toString).toSeq)
+    // the carve is non-trivial: the materialized standing index is a
+    // strict subset of the merged one (delta really contributed)
+    val standing = spark.read.parquet(Tables.scratch("index_standing"))
+    val standingOcc = standing.agg(sum("n_occurrences")).head.getLong(0)
+    val mergedOcc = merged.map(_.getAs[Long]("n_occurrences")).sum
+    assert(standingOcc > 0L && standingOcc < mergedOcc,
+      s"carve must split the corpus: standing $standingOcc vs merged $mergedOcc")
+  }
+
+  test("eval_ann_recall: monotone in nprobe, exact at full probe, hits bounded by k") {
+    val r = Multimodal.evalAnnRecall(spark, sf0001).collect()
+    assert(r.length === Multimodal.AnnRecallProbes.length * 5)
+    // endpoint self-validation: probing every cell IS the exact search
+    assert(r.filter(_.getLong(0) == 10L).forall(_.getLong(4) === 1048576L))
+    assert(r.forall(_.getLong(3) <= 10L))
+    r.groupBy(_.getLong(1)).values.foreach { rows =>
+      val byProbe = rows.sortBy(_.getLong(0))
+      // recall monotone non-decreasing: a candidate superset can only
+      // promote global top-10 members (anything outranking one in the
+      // superset also outranked it globally)
+      val hits = byProbe.map(_.getLong(3))
+      assert(hits.zip(hits.drop(1)).forall { case (a, b) => a <= b },
+        s"recall must be monotone in nprobe: ${hits.mkString(",")}")
+      // candidate counts strictly grow with probed cells
+      val nc = byProbe.map(_.getLong(2))
+      assert(nc.zip(nc.drop(1)).forall { case (a, b) => a < b })
+    }
+  }
 }

@@ -26,6 +26,8 @@ class PlanOnlySpec extends SparkSuite {
       "sql_ctas_insert", "sink_partitioned_read", "sink_bucketed_join",
       "sink_corpus_layout", "sink_dynamic_overwrite", "sink_merge_upsert",
       "dedup_cluster_cc", "graph_pagerank", "text_tfidf",
+      "sink_compact_small_files", "text_bpe_merge_loop",
+      "text_index_delta_merge",
       // the persisting keys: PlanOnly.mark must not even REGISTER a
       // cache entry in plan-only mode
       "text_decontaminate", "dedup_semantic_cluster", "graph_triangle_count")

@@ -158,10 +158,25 @@ class PlanRegressionSpec extends SparkSuite {
     // once, with lineitem's three FK edges exploded from the same rows
     // — a per-edge formulation re-scans the biggest table three times
     val p = plan("profile_fk_orphans")
-    // formatted mode prints each scan node twice (tree + details)
-    val scans = "lineitem\\.parquet".r.findAllIn(p).size
-    assert(scans == 2, s"expected exactly 1 lineitem scan (2 plan mentions), got $scans")
+    // count Scan NODES whose own detail block mentions lineitem, not raw
+    // string occurrences — formatting changes must not flip this pin
+    // (ADVICE r9). Blocks are delimited by the "(n) <NodeName>" headers.
+    val scans = p.split("\\n(?=\\(\\d+\\) )")
+      .count(b => b.matches("(?s)\\(\\d+\\) Scan parquet.*") &&
+        b.contains("lineitem.parquet"))
+    assert(scans == 1, s"expected exactly 1 lineitem scan node, got $scans: " + p.take(600))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("text_index_delta_merge maintains postings via a term equi-join, never a rescan join") {
+    val p = plan("text_index_delta_merge")
+    // the maintenance merge is a full-outer EQUI-join on term — standing
+    // rows the delta never touches pass through, delta-only terms insert
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+    // both index builds keep the single-term-shuffle shape: every data
+    // exchange in the plan hash-partitions on term
+    assert(p.contains("hashpartitioning(term"), p.take(800))
   }
 
   test("window_rolling_distinct joins candidates through the hour-bucket equi-join") {
@@ -433,12 +448,16 @@ class PlanRegressionSpec extends SparkSuite {
     // as ml_kmeans_step; eval_ranking_metrics: the same constant query
     // broadcast as simsearch_cosine_topk — fan-out is k/|queries|, not
     // quadratic
-    // text_bpe_merge_step: every nested-loop side is a 1-row broadcast
-    // (elected pair, before/after totals) — fan-out 1, not quadratic
+    // text_bpe_merge_step / text_bpe_merge_loop: every nested-loop side
+    // is a 1-row broadcast (elected pair, totals) — fan-out 1
+    // eval_ann_recall: |cells| (10), |probes| (4) and |queries| (5)
+    // constant broadcasts — the IVF probe fan-out, not quadratic
+    // text_index_delta_merge: the 1-row carve-cutoff broadcast
     val allowed = Set("simsearch_cosine_topk", "dedup_embedding_cosine",
       "simsearch_ann_ivf", "ml_kmeans_step", "report_dense_grid",
       "dedup_semantic_cluster", "ml_confusion_matrix",
-      "eval_ranking_metrics", "text_bpe_merge_step")
+      "eval_ranking_metrics", "text_bpe_merge_step",
+      "text_bpe_merge_loop", "eval_ann_recall", "text_index_delta_merge")
     val offenders = SparkEntry.queries.keys.filterNot(allowed)
       .filter(n => n != "source_csv_roundtrip" && plan(n).contains("BroadcastNestedLoopJoin"))
     assert(offenders.isEmpty, s"unexpected nested-loop joins: $offenders")

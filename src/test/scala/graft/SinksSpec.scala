@@ -27,9 +27,10 @@ class SinksSpec extends SparkSuite {
 
   test("partitioned layout gets dynamic partition pruning from a dim-side filter") {
     import spark.implicits._
-    // materialize the day-partitioned events layout
+    // materialize the day-partitioned events layout (per-PID scratch —
+    // the fixed legacy path silently read a stale pre-suffix layout)
     operators.Relational.sinkPartitionedRead(spark, sf0001).count()
-    val fact = spark.read.parquet("/root/repo/target/tmp/partitioned_events")
+    val fact = spark.read.parquet(Tables.scratch("partitioned_events"))
     // dim with an attribute NOT derivable from the fact: static pruning
     // can't fire, only DPP can inject the day filter at runtime. The dim
     // must itself be a file-backed scan — DPP's filtering side check
@@ -52,10 +53,15 @@ class SinksSpec extends SparkSuite {
         .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
     val nFrag = parts(Tables.scratch("compact_frag"))
     val nOut = parts(Tables.scratch("compact_out"))
-    // the fragmented staging really is fragmented, and compaction
-    // lands exactly the 4 target files
-    assert(nFrag === 64, s"expected 64 staging files, got $nFrag")
-    assert(nOut === 4, s"expected 4 compacted files, got $nOut")
+    // the fragmented staging really is fragmented (empty round-robin
+    // partitions write no part file, so compare against the row count
+    // rather than pinning exactly 64 — ADVICE r9), and the compactor
+    // lands exactly the size-computed file count: ceil(bytes / 128 MB)
+    val expectFrag = math.min(64L, Tables.events(spark, sf0001).count()).toInt
+    assert(nFrag === expectFrag, s"expected $expectFrag staging files, got $nFrag")
+    val expected = Relational.compactTargetFileCount(spark, Tables.scratch("compact_frag"))
+    assert(nOut === expected, s"expected $expected compacted files, got $nOut")
+    assert(nOut < nFrag, s"compaction must cut the file count ($nFrag -> $nOut)")
   }
 
   test("source_schema_evolution merges old and new file generations") {
@@ -74,7 +80,7 @@ class SinksSpec extends SparkSuite {
     import org.apache.spark.sql.functions._
     import graft.operators.Relational
     Relational.sinkDynamicOverwrite(spark, sf0001) // builds + patches the layout
-    val back = spark.read.parquet("/root/repo/target/tmp/dynamic_overwrite")
+    val back = spark.read.parquet(Tables.scratch("dynamic_overwrite"))
     // the patched day lost its error events; a neighboring day kept everything
     assert(back.filter(col("day") === 19725 && col("event_type") === "error")
       .count() === 0L)
