@@ -165,12 +165,23 @@ object Indexing {
     * iteration N's plan never nests N-1 merge plans. */
   def textBpeMergeLoop(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    bpeTrain(spark, dir)._2.reduce(_.unionByName(_)).orderBy($"iter")
+  }
+
+  /** Shared BPE training chain: returns the trained word table
+    * `(w, s, freq)` — `s` the double-space piece string after
+    * [[BpeIterations]] merges — plus the per-iteration stat frames.
+    * [[textBpeMergeLoop]] grades the stats; [[textBpeTokenize]] grades
+    * the trained vocabulary applied back to the words. */
+  private def bpeTrain(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame]) = {
+    import spark.implicits._
     val wf = Tables.documents(spark, dir)
       .select(explode(split($"text", " ")).as("w"))
       .filter($"w" =!= "")
       .groupBy($"w").agg(count(lit(1)).as("freq"))
     // ' c  a  t ': chars double-space-joined, single-space padded
-    var cur = graft.PlanOnly.cut(wf.select(
+    var cur = graft.PlanOnly.cut(wf.select($"w",
       concat(lit(" "), rtrim(regexp_replace($"w", "(.)", "$1  ")), lit(" ")).as("s"),
       $"freq"))
     val stats = (1 to BpeIterations).map { i =>
@@ -184,9 +195,9 @@ object Indexing {
         .groupBy($"p.a", $"p.b").agg(sum($"freq").as("cnt"))
       val best = pairCounts.orderBy($"cnt".desc, $"a", $"b").limit(1)
         .select($"a".as("ba"), $"b".as("bb"), $"cnt")
-      val merged = graft.PlanOnly.cut(cur.select($"s", $"freq")
+      val merged = graft.PlanOnly.cut(cur.select($"w", $"s", $"freq")
         .crossJoin(broadcast(best))
-        .select(replace($"s",
+        .select($"w", replace($"s",
           concat(lit(" "), $"ba", lit("  "), $"bb", lit(" ")),
           concat(lit(" "), $"ba", $"bb", lit(" "))).as("s"),
           $"freq", $"ba", $"bb", $"cnt"))
@@ -195,10 +206,33 @@ object Indexing {
         sum((size(split(trim($"s"), "  ")) - 1).cast("long") * $"freq")
           .cast("long").as("pairs_after"))
         .select(lit(i.toLong).as("iter"), $"a", $"b", $"cnt", $"pairs_after")
-      cur = merged.select($"s", $"freq")
+      cur = merged.select($"w", $"s", $"freq")
       stat
     }
-    stats.reduce(_.unionByName(_)).orderBy($"iter")
+    (cur, stats)
+  }
+
+  /** BPE APPLY — the inference half the trainer exists for: the merge
+    * list learned by [[textBpeMergeLoop]] applied back to the vocabulary,
+    * yielding each word's final piece decomposition (the tokenizer a
+    * pipeline would ship). One row per distinct word: corpus frequency,
+    * the space-joined pieces, and the piece count — `Σ n_pieces · freq`
+    * is the corpus token count under the trained tokenizer, the number
+    * every token-budget planner needs.
+    *
+    * Greedy-apply correctness rides on the same double-space encoding as
+    * the trainer (the merged word strings ARE the applied tokenizer —
+    * train-then-apply over a closed vocabulary is one pass, exactly how
+    * HF's trainer emits its learned `vocab` file). Scale: output is
+    * |vocab| rows; applying to unseen text at 100 TB replays the merge
+    * list per word — constant work per word, embarrassingly parallel. */
+  def textBpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeTrain(spark, dir)._1
+      .select($"w".as("word"), $"freq",
+        array_join(split(trim($"s"), "  "), " ").as("tokens"),
+        size(split(trim($"s"), "  ")).cast("long").as("n_pieces"))
+      .orderBy($"word")
   }
 
   /** Incremental inverted-index maintenance — the delta-merge pattern
@@ -272,19 +306,21 @@ object Indexing {
     "text_inverted_index" -> (textInvertedIndex(_, _)),
     "text_bpe_merge_step" -> (textBpeMergeStep(_, _)),
     "text_bpe_merge_loop" -> (textBpeMergeLoop(_, _)),
+    "text_bpe_tokenize" -> (textBpeTokenize(_, _)),
     "text_index_delta_merge" -> (textIndexDeltaMerge(_, _))
   )
 
-  /** DuckDB replay of the BPE training loop: the same word-frequency
-    * table, double-space piece encoding, and (count desc, pair asc)
-    * election, unrolled to [[BpeIterations]] CTE generations — the
-    * from-scratch re-derivation the Spark loop must hash-match. */
-  private def bpeLoopOracle(n: Int): String = {
+  /** DuckDB replay of the shared BPE training chain ([[bpeTrain]]): the
+    * same word-frequency table, double-space piece encoding, and
+    * (count desc, pair asc) election, unrolled to [[BpeIterations]] CTE
+    * generations. Both BPE oracles append their own final SELECT. */
+  private def bpeChainSql(n: Int): String = {
     val head =
       """WITH w0 AS (SELECT w, count(*) AS freq FROM
         |    (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |  WHERE w <> '' GROUP BY w),
-        |s0 AS (SELECT ' ' || rtrim(regexp_replace(w, '(.)', '\1  ', 'g')) || ' ' AS s,
+        |s0 AS (SELECT w,
+        |    ' ' || rtrim(regexp_replace(w, '(.)', '\1  ', 'g')) || ' ' AS s,
         |    freq FROM w0)""".stripMargin
     val iters = (1 to n).map { i =>
       s"""p$i AS (SELECT ps[j] AS a, ps[j + 1] AS b, freq FROM
@@ -295,15 +331,26 @@ object Indexing {
          |  FROM p$i GROUP BY a, b),
          |b$i AS (SELECT a AS ba, b AS bb, cnt FROM c$i
          |  ORDER BY cnt DESC, a, b LIMIT 1),
-         |s$i AS (SELECT replace(s, ' ' || ba || '  ' || bb || ' ',
+         |s$i AS (SELECT w, replace(s, ' ' || ba || '  ' || bb || ' ',
          |    ' ' || ba || bb || ' ') AS s, freq FROM s${i - 1}, b$i),
          |t$i AS (SELECT CAST($i AS BIGINT) AS iter, ba AS a, bb AS b, cnt,
          |  (SELECT CAST(sum((len(string_split(trim(s), '  ')) - 1) * freq)
          |     AS BIGINT) FROM s$i) AS pairs_after FROM b$i)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to n).map(i => s"SELECT * FROM t$i").mkString(" UNION ALL ")
-    s"$head,\n$iters\n$union ORDER BY iter"
+    s"$head,\n$iters"
   }
+
+  private def bpeLoopOracle(n: Int): String = {
+    val union = (1 to n).map(i => s"SELECT * FROM t$i").mkString(" UNION ALL ")
+    s"${bpeChainSql(n)}\n$union ORDER BY iter"
+  }
+
+  private def bpeTokenizeOracle(n: Int): String =
+    s"""${bpeChainSql(n)}
+       |SELECT w AS word, freq,
+       |  array_to_string(string_split(trim(s), '  '), ' ') AS tokens,
+       |  CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_pieces
+       |FROM s$n ORDER BY word""".stripMargin
 
   /** The from-scratch full-corpus index build — shared verbatim between
     * text_inverted_index and text_index_delta_merge: for the latter the
@@ -325,6 +372,7 @@ object Indexing {
 
   val oracleSql: Map[String, String] = Map(
     "text_bpe_merge_loop" -> bpeLoopOracle(BpeIterations),
+    "text_bpe_tokenize" -> bpeTokenizeOracle(BpeIterations),
     "text_index_delta_merge" -> invertedIndexOracle,
     // positions index the raw split array on both engines (1-based);
     // string_agg ORDER BY pos / doc_id mirrors sort_array-in-aggregate

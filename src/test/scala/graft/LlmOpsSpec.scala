@@ -196,6 +196,23 @@ class LlmOpsSpec extends SparkSuite {
     assert(loop.head.getAs[Long]("cnt") === step1.getAs[Long]("cnt"))
   }
 
+  test("text_bpe_tokenize: pieces reconcile with words and with the trainer's final pair mass") {
+    import graft.operators.Indexing
+    val tok = Indexing.textBpeTokenize(spark, sf0001).collect()
+    // pieces concatenate back to the exact word (tokenization is a
+    // partition of the word, never a rewrite)
+    assert(tok.forall(r =>
+      r.getAs[String]("tokens").replace(" ", "") === r.getAs[String]("word")))
+    assert(tok.forall(_.getAs[Long]("n_pieces") >= 1L))
+    // token-mass conservation: Σ (n_pieces - 1) · freq over the applied
+    // vocabulary IS the trainer's final pairs_after — apply and train
+    // must describe the same tokenizer
+    val mass = tok.map(r => (r.getAs[Long]("n_pieces") - 1) * r.getAs[Long]("freq")).sum
+    val lastAfter = Indexing.textBpeMergeLoop(spark, sf0001).collect()
+      .maxBy(_.getAs[Long]("iter")).getAs[Long]("pairs_after")
+    assert(mass === lastAfter, s"apply mass $mass != trainer pairs_after $lastAfter")
+  }
+
   test("text_index_delta_merge: merged standing+delta equals the from-scratch rebuild") {
     import graft.operators.Indexing
     val merged = Indexing.textIndexDeltaMerge(spark, sf0001).collect()

@@ -27,7 +27,7 @@ class PlanOnlySpec extends SparkSuite {
       "sink_corpus_layout", "sink_dynamic_overwrite", "sink_merge_upsert",
       "dedup_cluster_cc", "graph_pagerank", "text_tfidf",
       "sink_compact_small_files", "text_bpe_merge_loop",
-      "text_index_delta_merge",
+      "text_bpe_tokenize", "text_index_delta_merge",
       // the persisting keys: PlanOnly.mark must not even REGISTER a
       // cache entry in plan-only mode
       "text_decontaminate", "dedup_semantic_cluster", "graph_triangle_count")
