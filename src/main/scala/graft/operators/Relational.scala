@@ -813,25 +813,24 @@ object Relational {
       parentKeys(Tables.region(spark, dir), "r_regionkey",
         "nation.n_regionkey->region.r_regionkey"))
       .reduce(_.unionByName(_))
-    // persisted: the (edge, key, cnt) frame feeds BOTH the per-edge
-    // totals and the orphan anti-join — without the reuse mark each
-    // branch re-derives the whole child pass and every child table
-    // (including the fact) is scanned twice (round-10 finding: the r9
-    // "1 fact scan" pin was counting plan-string mentions, not nodes)
-    val keys = graft.PlanOnly.mark(
-      children.groupBy($"edge", $"k").agg(count(lit(1)).as("cnt")))
-    val tot = keys.groupBy($"edge").agg(
-      sum($"cnt").as("n_rows"),
-      coalesce(sum(when($"k".isNull, $"cnt")), lit(0L)).as("n_null_rows"),
-      count(when($"k".isNotNull, lit(1))).as("n_keys"))
-    val orph = keys.filter($"k".isNotNull)
-      .join(parents, Seq("edge", "k"), "left_anti")
-      .groupBy($"edge").agg(count(lit(1)).as("n_orphan_keys"),
-        sum($"cnt").as("n_orphan_rows"))
-    tot.join(orph, Seq("edge"), "left")
+    // the (edge, key, cnt) frame is consumed ONCE: a left join tags each
+    // child key with a parent-exists marker (parents are PK columns —
+    // unique per edge — so the join never multiplies), and a single
+    // aggregate derives totals, NULL census and orphan census together.
+    // Round-10 finding: the r9 two-branch form (totals + anti-join) ran
+    // the whole child pass twice — the "1 fact scan" pin was counting
+    // plan-string mentions, not scan nodes, and hid the double scan.
+    val keys = children.groupBy($"edge", $"k").agg(count(lit(1)).as("cnt"))
+    keys.join(parents.withColumn("pk", lit(1)), Seq("edge", "k"), "left")
+      .groupBy($"edge").agg(
+        sum($"cnt").as("n_rows"),
+        coalesce(sum(when($"k".isNull, $"cnt")), lit(0L)).as("n_null_rows"),
+        count(when($"k".isNotNull, lit(1))).as("n_keys"),
+        count(when($"k".isNotNull && $"pk".isNull, lit(1))).as("n_orphan_keys"),
+        coalesce(sum(when($"k".isNotNull && $"pk".isNull, $"cnt")), lit(0L))
+          .as("n_orphan_rows"))
       .select($"edge".as("fk_edge"), $"n_rows", $"n_null_rows", $"n_keys",
-        coalesce($"n_orphan_keys", lit(0L)).as("n_orphan_keys"),
-        coalesce($"n_orphan_rows", lit(0L)).as("n_orphan_rows"))
+        $"n_orphan_keys", $"n_orphan_rows")
       .orderBy($"fk_edge")
   }
 

@@ -196,6 +196,27 @@ class LlmOpsSpec extends SparkSuite {
     assert(loop.head.getAs[Long]("cnt") === step1.getAs[Long]("cnt"))
   }
 
+  test("corpus_dedup_pipeline: census telescopes and stages agree with their standalone keys") {
+    // sf0.1: the only SF with exact-dup (8) and shared-prefix signal
+    val census = LlmOps.corpusDedupPipeline(spark, sf01).collect()
+    assert(census.length === 3)
+    // telescoping: stage i's n_out IS stage i+1's n_in, removals add up
+    census.foreach(r =>
+      assert(r.getAs[Long]("n_in") - r.getAs[Long]("n_removed") === r.getAs[Long]("n_out")))
+    census.sliding(2).foreach { case Array(x, y) =>
+      assert(x.getAs[Long]("n_out") === y.getAs[Long]("n_in"))
+    }
+    val byStage = census.map(r => r.getAs[String]("stage_name") -> r).toMap
+    // stage 1 reproduces the standalone quality filter's census
+    assert(byStage("quality_filter").getAs[Long]("n_out") ===
+      LlmOps.textQualityFilter(spark, sf01).count())
+    assert(byStage("quality_filter").getAs[Long]("n_in") ===
+      Tables.documents(spark, sf01).count())
+    // the cascade really removes something at each dedup tier at sf0.1
+    assert(byStage("exact_dedup").getAs[Long]("n_removed") > 0L)
+    assert(byStage("prefix_containment").getAs[Long]("n_removed") > 0L)
+  }
+
   test("text_bpe_tokenize: pieces reconcile with words and with the trainer's final pair mass") {
     import graft.operators.Indexing
     val tok = Indexing.textBpeTokenize(spark, sf0001).collect()

@@ -30,7 +30,8 @@ class PlanOnlySpec extends SparkSuite {
       "text_bpe_tokenize", "text_index_delta_merge",
       // the persisting keys: PlanOnly.mark must not even REGISTER a
       // cache entry in plan-only mode
-      "text_decontaminate", "dedup_semantic_cluster", "graph_triangle_count")
+      "text_decontaminate", "dedup_semantic_cluster", "graph_triangle_count",
+      "corpus_dedup_pipeline")
     // run the one-time stale-scratch janitor BEFORE the first
     // snapshot: its first trigger is otherwise the Tables.scratch call
     // inside the construction loop (SparkSuite doesn't go through

@@ -458,7 +458,7 @@ class PlanRegressionSpec extends SparkSuite {
       "dedup_semantic_cluster", "ml_confusion_matrix",
       "eval_ranking_metrics", "text_bpe_merge_step",
       "text_bpe_merge_loop", "text_bpe_tokenize", "eval_ann_recall",
-      "text_index_delta_merge")
+      "text_index_delta_merge", "corpus_dedup_pipeline")
     val offenders = SparkEntry.queries.keys.filterNot(allowed)
       .filter(n => n != "source_csv_roundtrip" && plan(n).contains("BroadcastNestedLoopJoin"))
     assert(offenders.isEmpty, s"unexpected nested-loop joins: $offenders")
