@@ -462,7 +462,57 @@ object Multimodal {
       .orderBy($"nprobe", $"q_id")
   }
 
+  /** Raw-blob ingest through Spark's built-in `binaryFile` source — the
+    * step every multimodal pipeline actually starts from: a directory of
+    * opaque per-item files (images/audio dropped on an object store).
+    * The staging layout is produced by DISTRIBUTED executor-side writes
+    * (foreachPartition — no driver funnel, the shape of any media
+    * scraper's output), one `doc_<id>.bin` per document; the graded read
+    * goes through `format("binaryFile")`, parses the id from the
+    * filename, and emits per-blob size + content hash — proving the
+    * bytes survived the round trip against the ORIGINAL documents
+    * oracle.
+    *
+    * Scale shape: binaryFile lists and reads files in parallel (one
+    * task per file up to maxPartitionBytes packing); content bytes stay
+    * on executors — the projection hashes them immediately and shuffles
+    * 32-byte digests, never payloads. The id-from-filename parse is the
+    * standard blob-store convention (key = id). At 100 TB this is the
+    * ingest scan; the `pathGlobFilter`/`modifiedAfter` options binaryFile
+    * supports are the incremental-crawl knobs (not exercised here). */
+  def sourceBinaryfileIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobDir = Tables.scratch("blob_ingest")
+    val src = Tables.documents(spark, dir)
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+    val equivalent = src.select($"doc_id",
+      octet_length($"payload").cast("long").as("n_bytes"),
+      sha2($"payload", 256).as("content_sha"))
+    graft.PlanOnly.roundTrip(equivalent) {
+      val d = new java.io.File(blobDir)
+      if (d.exists()) { // idempotent re-run: clear prior blobs
+        Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      }
+      d.mkdirs()
+      src.as[(Long, Array[Byte])].foreachPartition {
+        it: Iterator[(Long, Array[Byte])] =>
+          it.foreach { case (id, bytes) =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(blobDir, f"doc_$id%08d.bin"), bytes)
+          }
+      }
+      spark.read.format("binaryFile").load(blobDir)
+        .select(
+          regexp_extract(element_at(split($"path", "/"), -1),
+            "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
+          $"length".as("n_bytes"),
+          sha2($"content", 256).as("content_sha"))
+    }
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "source_binaryfile_ingest" -> (sourceBinaryfileIngest(_, _)),
     "eval_ann_recall" -> (evalAnnRecall(_, _)),
     "ml_confusion_matrix" -> (mlConfusionMatrix(_, _)),
     "eval_ranking_metrics" -> (evalRankingMetrics(_, _)),
@@ -477,6 +527,12 @@ object Multimodal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // blob round trip must preserve every byte: graded against the
+    // ORIGINAL documents (ascii corpus: octet_length == length)
+    "source_binaryfile_ingest" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS content_sha
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "eval_ann_recall" ->
       """WITH fp AS (SELECT vec_id, label,
         |    list_transform(CAST(embedding AS DOUBLE[]),

@@ -28,6 +28,7 @@ class PlanOnlySpec extends SparkSuite {
       "dedup_cluster_cc", "graph_pagerank", "text_tfidf",
       "sink_compact_small_files", "text_bpe_merge_loop",
       "text_bpe_tokenize", "text_index_delta_merge",
+      "source_binaryfile_ingest",
       // the persisting keys: PlanOnly.mark must not even REGISTER a
       // cache entry in plan-only mode
       "text_decontaminate", "dedup_semantic_cluster", "graph_triangle_count",

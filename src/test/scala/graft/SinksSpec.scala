@@ -64,6 +64,17 @@ class SinksSpec extends SparkSuite {
     assert(nOut < nFrag, s"compaction must cut the file count ($nFrag -> $nOut)")
   }
 
+  test("source_binaryfile_ingest stages one blob per document and round-trips bytes") {
+    val back = operators.Multimodal.sourceBinaryfileIngest(spark, sf0001)
+    assert(back.count() === Tables.documents(spark, sf0001).count())
+    val files = Option(new java.io.File(Tables.scratch("blob_ingest")).listFiles())
+      .getOrElse(Array.empty).count(_.getName.endsWith(".bin"))
+    assert(files.toLong === back.count(), s"one blob per doc, got $files")
+    // re-run is idempotent (stale blobs cleared, not merged into)
+    assert(operators.Multimodal.sourceBinaryfileIngest(spark, sf0001).count()
+      === back.count())
+  }
+
   test("source_schema_evolution merges old and new file generations") {
     import graft.operators.Relational
     val rows = Relational.sourceSchemaEvolution(spark, sf0001).collect()
