@@ -666,17 +666,21 @@ object LlmOps {
     val s3 = s2.join(dropped, Seq("doc_id"), "left_anti")
     def n(df: DataFrame, as: String): DataFrame =
       df.agg(count(lit(1)).as(as))
-    val c = n(docs, "n0").crossJoin(broadcast(n(s1, "n1")))
+    // ONE census row exploded to the 3 stage rows — unioning three
+    // selects of the same 1-row frame would replicate the whole census
+    // subtree (and its documents scan) per branch in the plan
+    def row(stage: Long, nm: String, in: Column, out: Column) =
+      struct(lit(stage).as("stage"), lit(nm).as("stage_name"),
+        in.as("n_in"), (in - out).as("n_removed"), out.as("n_out"))
+    n(docs, "n0").crossJoin(broadcast(n(s1, "n1")))
       .crossJoin(broadcast(n(s2, "n2")))
       .crossJoin(broadcast(n(s3, "n3")))
-    Seq(
-      c.select(lit(1L).as("stage"), lit("quality_filter").as("stage_name"),
-        $"n0".as("n_in"), ($"n0" - $"n1").as("n_removed"), $"n1".as("n_out")),
-      c.select(lit(2L).as("stage"), lit("exact_dedup").as("stage_name"),
-        $"n1".as("n_in"), ($"n1" - $"n2").as("n_removed"), $"n2".as("n_out")),
-      c.select(lit(3L).as("stage"), lit("prefix_containment").as("stage_name"),
-        $"n2".as("n_in"), ($"n2" - $"n3").as("n_removed"), $"n3".as("n_out")))
-      .reduce(_.unionByName(_))
+      .select(explode(array(
+        row(1L, "quality_filter", $"n0", $"n1"),
+        row(2L, "exact_dedup", $"n1", $"n2"),
+        row(3L, "prefix_containment", $"n2", $"n3"))).as("r"))
+      .select($"r.stage", $"r.stage_name", $"r.n_in", $"r.n_removed",
+        $"r.n_out")
       .orderBy($"stage")
   }
 

@@ -11,6 +11,13 @@ class PlanRegressionSpec extends SparkSuite {
     SparkEntry.queries(name)(spark, sf001).queryExecution
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
+  /** Count Scan NODES whose own detail block mentions `file`, not raw
+    * string occurrences — formatting changes must not flip scan pins
+    * (ADVICE r9). Blocks are delimited by the "(n) <NodeName>" headers. */
+  private def scanNodes(p: String, file: String): Int =
+    p.split("\\n(?=\\(\\d+\\) )")
+      .count(b => b.matches("(?s)\\(\\d+\\) Scan parquet.*") && b.contains(file))
+
   test("filter_predicates pushes all predicates to the parquet scan") {
     val p = plan("filter_predicates")
     assert(p.contains("PushedFilters: [IsNotNull"), p.take(800))
@@ -158,14 +165,20 @@ class PlanRegressionSpec extends SparkSuite {
     // once, with lineitem's three FK edges exploded from the same rows
     // — a per-edge formulation re-scans the biggest table three times
     val p = plan("profile_fk_orphans")
-    // count Scan NODES whose own detail block mentions lineitem, not raw
-    // string occurrences — formatting changes must not flip this pin
-    // (ADVICE r9). Blocks are delimited by the "(n) <NodeName>" headers.
-    val scans = p.split("\\n(?=\\(\\d+\\) )")
-      .count(b => b.matches("(?s)\\(\\d+\\) Scan parquet.*") &&
-        b.contains("lineitem.parquet"))
+    val scans = scanNodes(p, "lineitem.parquet")
     assert(scans == 1, s"expected exactly 1 lineitem scan node, got $scans: " + p.take(600))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("corpus_dedup_pipeline reads documents at most twice across all stages") {
+    // n0's census count + the stage-1 cache fill; stages 2-3 and their
+    // censuses must come off the persisted inter-stage frames, never a
+    // re-scan of the corpus
+    val p = plan("corpus_dedup_pipeline")
+    val scans = scanNodes(p, "documents.parquet")
+    assert(scans <= 2, s"expected <= 2 documents scan nodes, got $scans: " + p.take(600))
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      "inter-stage survivor frames must be persisted: " + p.take(600))
   }
 
   test("text_index_delta_merge maintains postings via a term equi-join, never a rescan join") {
