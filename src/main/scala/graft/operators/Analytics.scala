@@ -546,7 +546,47 @@ object Analytics {
       .orderBy($"event_type")
   }
 
+  /** ABC inventory classification — the Pareto report every
+    * supply-chain/revenue dashboard opens with: parts ranked by revenue,
+    * classed A while the running share stays ≤ 80%, B to 95%, C beyond,
+    * reported as the 3-row class census (count, revenue mass, rank
+    * span). Division-free: all comparisons are integer cross-products
+    * on revenue in 10⁻⁴-currency fixed point (cum·5 ≤ total·4 ⟺ share
+    * ≤ 80%) — exact in both engines; at extreme corpus scale the sums
+    * move to DECIMAL(38,0), same plan.
+    *
+    * Scale shape: the fact scan collapses to the per-part revenue frame
+    * (dimension-scale) before any windowing; the cumulative windows run
+    * over that aggregated frame under one global revenue order — the
+    * range-partitioned global-sort posture of sort_global; cum and
+    * total share the single sort. */
+  def reportAbcClassification(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.lineitem(spark, dir)
+      .select($"l_partkey",
+        (Tables.dec2($"l_extendedprice") *
+          (lit(BigDecimal(1)) - Tables.dec2($"l_discount")) * 10000)
+          .cast("long").as("r_fp"))
+      .groupBy($"l_partkey").agg(sum($"r_fp").as("r_fp"))
+    val w = Window.orderBy($"r_fp".desc, $"l_partkey")
+    rev
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum($"r_fp")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum($"r_fp")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("abc_class",
+        when($"cum" * 5 <= $"total" * 4, "A")
+          .when($"cum" * 20 <= $"total" * 19, "B")
+          .otherwise("C"))
+      .groupBy($"abc_class")
+      .agg(count(lit(1)).as("n_parts"), sum($"r_fp").as("revenue_fp"),
+        min($"rnk").as("min_rnk"), max($"rnk").as("max_rnk"))
+      .orderBy($"abc_class")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "report_abc_classification" -> (reportAbcClassification(_, _)),
     "anomaly_rate_spike" -> (anomalyRateSpike(_, _)),
     "skyline_pareto" -> (skylinePareto(_, _)),
     "anomaly_zscore_exact" -> (anomalyZscoreExact(_, _)),
@@ -600,6 +640,32 @@ object Analytics {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // every aggregate/window sum CAST to BIGINT (DuckDB sums into
+    // HUGEINT); same integer cross-product class boundaries
+    "report_abc_classification" ->
+      """WITH r AS (SELECT l_partkey,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT))
+        |      AS BIGINT) AS r_fp
+        |  FROM lineitem GROUP BY l_partkey),
+        |c AS (SELECT l_partkey, r_fp,
+        |    CAST(row_number() OVER (ORDER BY r_fp DESC, l_partkey)
+        |      AS BIGINT) AS rnk,
+        |    CAST(sum(r_fp) OVER (ORDER BY r_fp DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(r_fp) OVER () AS BIGINT) AS total
+        |  FROM r),
+        |k AS (SELECT *,
+        |    CASE WHEN cum * 5 <= total * 4 THEN 'A'
+        |         WHEN cum * 20 <= total * 19 THEN 'B'
+        |         ELSE 'C' END AS abc_class
+        |  FROM c)
+        |SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(r_fp) AS BIGINT) AS revenue_fp,
+        |  CAST(min(rnk) AS BIGINT) AS min_rnk,
+        |  CAST(max(rnk) AS BIGINT) AS max_rnk
+        |FROM k GROUP BY abc_class ORDER BY abc_class""".stripMargin,
     "anomaly_rate_spike" ->
       """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
         |    count(*) AS cnt

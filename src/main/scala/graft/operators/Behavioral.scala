@@ -213,7 +213,46 @@ object Behavioral {
       .orderBy($"event_type", $"day")
   }
 
+  /** Contiguous event-pattern detection per user — the MATCH_RECOGNIZE
+    * shape: each user's event-type stream (ordered by time) is scanned
+    * for the exact consecutive run view→click→purchase, with no other
+    * event in between (funnel_conversion answers the subsequence
+    * question; this answers the stricter adjacency one a
+    * sessionized-intent model asks). The stream is folded into a
+    * '>'-delimited string — no event type is a substring of another, so
+    * string containment IS sequence containment — and occurrences are
+    * counted by length difference under non-overlapping replace
+    * (identical semantics in both engines); the division is by a
+    * constant pattern length, exact on integers.
+    *
+    * Scale shape: one user_id shuffle into a sorted in-group fold
+    * (sort_array + transform, the timeseries_ewma_fixed posture);
+    * per-user state is the bounded per-entity event count. Output is
+    * one row per user. */
+  def behaviorSequenceMatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pat = "view>click>purchase"
+    Tables.events(spark, dir)
+      .select($"user_id", Tables.nsToUs($"ts").as("t"), $"event_id",
+        $"event_type")
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"t", $"event_id", $"event_type")))
+        .as("seq"))
+      .select($"user_id",
+        size($"seq").cast("long").as("n_events"),
+        expr("array_join(transform(seq, x -> x.event_type), '>')").as("s"))
+      .select($"user_id", $"n_events",
+        expr(s"(length(s) - length(replace(s, '$pat', ''))) div ${pat.length}")
+          .cast("long").as("n_matches"),
+        // instr is 1-based and 0 when absent; −1 sentinel keeps the
+        // "no match" case away from any real position
+        coalesce(nullif(instr($"s", pat), lit(0)), lit(-1)).cast("long")
+          .as("first_pos"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "behavior_sequence_match" -> (behaviorSequenceMatch(_, _)),
     "funnel_conversion" -> (funnelConversion(_, _)),
     "retention_cohort" -> (retentionCohort(_, _)),
     "agg_transition_matrix" -> (aggTransitionMatrix(_, _)),
@@ -223,6 +262,21 @@ object Behavioral {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // string_agg with ORDER BY replays the sorted fold; replace-count
+    // and strpos have identical literal semantics in both engines
+    "behavior_sequence_match" ->
+      """WITH s AS (SELECT user_id,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    string_agg(event_type, '>'
+        |      ORDER BY epoch_us(ts), event_id) AS s
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |  CAST((length(s) - length(replace(s, 'view>click>purchase', '')))
+        |    // 19 AS BIGINT) AS n_matches,
+        |  CAST(CASE WHEN strpos(s, 'view>click>purchase') = 0 THEN -1
+        |    ELSE strpos(s, 'view>click>purchase') END AS BIGINT)
+        |    AS first_pos
+        |FROM s ORDER BY user_id""".stripMargin,
     "agg_transition_matrix" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
         |    event_type FROM events),

@@ -511,7 +511,46 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Closed-form linear-regression sufficient statistics per
+    * (event_type, user_id) — value (·10⁴ fixed point) regressed on the
+    * event's day index. This is THE distributed-ML training shape: the
+    * model reduces to sums (n, Σx, Σy, Σx², Σxy) that partial-aggregate
+    * map-side and merge associatively, so one pass over any event-log
+    * size yields the exact global fit. The slope's numerator
+    * (n·Σxy − Σx·Σy) and denominator (n·Σx² − (Σx)²) are emitted as
+    * exact BIGINTs; the final division is deliberately left to the
+    * caller — an IEEE quotient has no identical-doubles guarantee
+    * across engines, while the sufficient statistics are exact.
+    *
+    * x is centered to days-since-corpus-start (inline scalar subquery,
+    * the agg_time_decay_weighted pattern) — centering keeps every
+    * product within BIGINT headroom at any realistic group size and is
+    * the numerically-sane parameterization a production fit would use
+    * anyway. */
+  def mlLinregSufficient(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .filter($"value".isNotNull)
+      .select($"event_type", $"user_id", Tables.nsToUs($"ts").as("t"),
+        (Tables.dec4($"value") * 10000).cast("long").as("v_fp"))
+      .createOrReplaceTempView("linreg_ev")
+    spark.sql(
+      """WITH b AS (SELECT event_type, user_id,
+        |    (t div 86400000000) -
+        |      (SELECT min(t div 86400000000) FROM linreg_ev) AS x,
+        |    v_fp
+        |  FROM linreg_ev)
+        |SELECT event_type, user_id, count(*) AS n,
+        |  sum(x) AS sx, sum(v_fp) AS sy_fp,
+        |  sum(x * x) AS sxx, sum(x * v_fp) AS sxy_fp,
+        |  count(*) * sum(x * v_fp) - sum(x) * sum(v_fp) AS num_fp,
+        |  count(*) * sum(x * x) - sum(x) * sum(x) AS den
+        |FROM b GROUP BY event_type, user_id
+        |ORDER BY event_type, user_id""".stripMargin)
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "ml_linreg_sufficient" -> (mlLinregSufficient(_, _)),
     "source_binaryfile_ingest" -> (sourceBinaryfileIngest(_, _)),
     "eval_ann_recall" -> (evalAnnRecall(_, _)),
     "ml_confusion_matrix" -> (mlConfusionMatrix(_, _)),
@@ -527,6 +566,28 @@ object Multimodal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // every aggregate CAST to BIGINT: DuckDB sums BIGINT into HUGEINT,
+    // which pandas would widen to float64 and fail the dtype match
+    "ml_linreg_sufficient" ->
+      """WITH e AS (SELECT event_type, user_id,
+        |    epoch_us(ts) AS t,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v_fp
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT event_type, user_id,
+        |    (t // 86400000000) -
+        |      (SELECT min(t // 86400000000) FROM e) AS x,
+        |    v_fp
+        |  FROM e)
+        |SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx,
+        |  CAST(sum(v_fp) AS BIGINT) AS sy_fp,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx,
+        |  CAST(sum(x * v_fp) AS BIGINT) AS sxy_fp,
+        |  CAST(count(*) * sum(x * v_fp) - sum(x) * sum(v_fp) AS BIGINT)
+        |    AS num_fp,
+        |  CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS den
+        |FROM b GROUP BY event_type, user_id
+        |ORDER BY event_type, user_id""".stripMargin,
     // blob round trip must preserve every byte: graded against the
     // ORIGINAL documents (ascii corpus: octet_length == length)
     "source_binaryfile_ingest" ->

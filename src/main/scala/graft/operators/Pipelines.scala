@@ -33,26 +33,13 @@ object Pipelines {
 
   // ---- duplicate clustering (connected components) ---------------------
 
-  /** Near-dup pairs → duplicate classes via connected components.
-    *
-    * Edge generation is the SQL-expressible bucket-star form so the
-    * whole operator can be oracled: each document keys on its first-4
-    * and last-4 token windows; every member of a bucket gets one edge to
-    * the bucket's min doc_id (star edges: O(n·keys) edges total, never
-    * the O(k²) bucket clique). Components then form transitively —
-    * doc A sharing a prefix with B, and B a suffix with C, lands A, B, C
-    * in one class. The same loop runs unchanged over MinHash/SimHash
-    * candidate pairs (LlmOps.dedupMinhashNear) in production.
-    *
-    * The propagation loop is driver-coordinated but fully distributed:
-    * label(x) ← min(label(x), min over neighbours' labels) until a
-    * fixed point, each round one equi-join + partial agg on 16-byte
-    * rows, lineage cut per round via localCheckpoint. Deterministic:
-    * the fixed point (component-min labels) is partitioning-invariant.
-    *
-    * Oracled via a DuckDB recursive CTE computing the same reachability
-    * min-label. */
-  def dedupClusterCc(spark: SparkSession, dir: String): DataFrame = {
+  /** Bucket-star candidate edges over the documents table — the shared
+    * graph substrate of dedup_cluster_cc and graph_bfs_reach: each doc
+    * keys on its first-4/last-4 token windows, every bucket member gets
+    * one star edge to the bucket's min doc_id, symmetric closure
+    * materialized once. Returns (star, edges): star additionally feeds
+    * the CC label seed. */
+  private def bucketStarFrames(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     val toks = Tables.documents(spark, dir)
       .select($"doc_id", split($"text", " ").as("t"))
@@ -70,6 +57,29 @@ object Pipelines {
     // symmetric closure, materialized once — reused every round
     val edges = graft.PlanOnly.cut(
       e0.unionAll(e0.select($"b".as("a"), $"a".as("b"))))
+    (star, edges)
+  }
+
+  /** Near-dup pairs → duplicate classes via connected components.
+    *
+    * Edge generation is the SQL-expressible bucket-star form
+    * ([[bucketStarFrames]]) so the whole operator can be oracled.
+    * Components form transitively — doc A sharing a prefix with B, and
+    * B a suffix with C, lands A, B, C in one class. The same loop runs
+    * unchanged over MinHash/SimHash candidate pairs
+    * (LlmOps.dedupMinhashNear) in production.
+    *
+    * The propagation loop is driver-coordinated but fully distributed:
+    * label(x) ← min(label(x), min over neighbours' labels) until a
+    * fixed point, each round one equi-join + partial agg on 16-byte
+    * rows, lineage cut per round via localCheckpoint. Deterministic:
+    * the fixed point (component-min labels) is partitioning-invariant.
+    *
+    * Oracled via a DuckDB recursive CTE computing the same reachability
+    * min-label. */
+  def dedupClusterCc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (star, edges) = bucketStarFrames(spark, dir)
     // Seed with the min over the doc's own buckets — the first
     // propagation round for free (same window pass that built the
     // edges), so single-bucket duplicate classes converge immediately.
@@ -543,7 +553,122 @@ object Pipelines {
       .orderBy($"lang")
   }
 
+  /** k-hop BFS reachability from a seed set — the graph primitive CC
+    * deliberately skips: not "which component" but "how FAR", the query
+    * behind contamination-radius checks (every doc within 3 dedup hops
+    * of a benchmark doc) and influence frontiers. Seeds are
+    * doc_id % 10 = 0; edges are the shared bucket-star frame
+    * ([[bucketStarFrames]]); 3 synchronous rounds of frontier
+    * expansion, each one equi-join + min-aggregate over (id, dist)
+    * longs with a per-round lineage cut — the connectedComponents loop
+    * shape with a hop budget instead of a fixed point. Only the
+    * previous round's FRONTIER joins edges (nodes already settled at a
+    * smaller distance never re-expand), so round cost tracks the
+    * frontier size, not the reached set. Oracled by a depth-bounded
+    * recursive CTE computing the same min-distance. */
+  def graphBfsReach(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, edges) = bucketStarFrames(spark, dir)
+    val seeds = Tables.documents(spark, dir)
+      .filter($"doc_id" % 10 === 0)
+      .select($"doc_id".as("id"), lit(0L).as("dist"))
+    var reach = graft.PlanOnly.cut(seeds)
+    for (h <- 1 to 3) {
+      val frontier = reach.filter($"dist" === (h - 1).toLong)
+      val next = frontier.join(edges, frontier("id") === edges("a"))
+        .select(edges("b").as("id"), lit(h.toLong).as("dist"))
+      reach = graft.PlanOnly.cut(
+        reach.unionAll(next).groupBy($"id").agg(min($"dist").as("dist")))
+    }
+    reach.select($"id".as("doc_id"), $"dist").orderBy($"doc_id")
+  }
+
+  /** Token-weighted systematic sampling — the curation step that draws a
+    * ~50-doc evaluation slice whose inclusion probability is proportional
+    * to token mass (long documents must be represented by their weight in
+    * the training mix, not their document count). A fixed grid of
+    * `stride = total_tokens div 50` points is laid over the cumulative
+    * token axis in doc_id order; a document is selected iff its token
+    * interval [cum_before, cum_before + n_tok) covers a grid point.
+    * Deterministic, exact, and engine-replayable: no RNG, no division
+    * beyond integer `div` on non-negative counts.
+    *
+    * Scale shape: the cumulative sum is computed as a TWO-LEVEL prefix
+    * sum — per-bucket subtotals (a metadata-scale frame, one row per 64
+    * doc_ids) carry the global offset via a window over buckets, and the
+    * per-document running sum windows WITHIN its bucket. No window ever
+    * sees more than one bucket of documents, so the operator has no
+    * single-partition global sort at any corpus size (the classic
+    * distributed prefix-sum decomposition; the oracle replays the
+    * mathematically-equal single window). */
+  def sampleSystematicWeighted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir)
+      .select($"doc_id",
+        expr("size(filter(split(text, ' '), w -> w <> ''))").cast("long").as("n_tok"),
+        expr("doc_id div 64").as("bkt"))
+    val wIn = Window.partitionBy($"bkt").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wBkt = Window.orderBy($"bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // bucket offsets: |docs|/64 rows — window over an aggregated frame
+    val offsets = d.groupBy($"bkt").agg(sum($"n_tok").as("bt"))
+      .withColumn("bkt_off", coalesce(sum($"bt").over(wBkt), lit(0L)))
+      .select($"bkt", $"bkt_off")
+    d.withColumn("in_off", coalesce(sum($"n_tok").over(wIn), lit(0L)))
+      .join(broadcast(offsets), "bkt")
+      .withColumn("cum_before", $"bkt_off" + $"in_off")
+      .createOrReplaceTempView("sysw_docs")
+    // grid points m·stride, m ≥ 0; npts(x) = #points < x = (x+stride−1) div
+    // stride for x ≥ 0. Selected iff the doc's interval contains a point.
+    spark.sql(
+      """WITH s AS (SELECT doc_id, n_tok, cum_before,
+        |    (SELECT sum(n_tok) div 50 FROM sysw_docs) AS stride
+        |  FROM sysw_docs)
+        |SELECT doc_id, n_tok, cum_before,
+        |  (cum_before + stride - 1) div stride AS pick_idx
+        |FROM s
+        |WHERE (cum_before + n_tok + stride - 1) div stride
+        |    > (cum_before + stride - 1) div stride
+        |ORDER BY doc_id""".stripMargin)
+  }
+
+  /** Deterministic training-shard manifest — the epoch "shuffle" a
+    * dataloader consumes: every document is assigned a pseudo-random but
+    * fully reproducible shard (LCG hash of doc_id — seeded PRNG without
+    * any engine-specific hash so the oracle replays it bit-for-bit),
+    * ordered within its shard by the same hash (the shuffle), and given
+    * its byte offset so a reader can seek straight to any document.
+    * One manifest row per document: the artifact written next to every
+    * webdataset/packed-shard corpus.
+    *
+    * Scale shape: assignment is a pure per-row projection (h, shard);
+    * the within-shard (pos, offset) window partitions by shard — with a
+    * production shard count (~bytes/shard_size, here the fixture knob
+    * 16) each partition holds one shard's manifest rows, the same
+    * bounded-window posture as pack_sequences. The LCG (mod 2^31, odd
+    * multiplier) is injective on doc_id below 2^31, so h ties cannot
+    * occur at fixture scale and doc_id breaks them beyond it. */
+  def corpusShardManifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val assigned = Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars",
+        expr("(doc_id * 1103515245 + 12345) % 2147483648").as("h"))
+      .withColumn("shard", $"h" % 16)
+    val w = Window.partitionBy($"shard").orderBy($"h", $"doc_id")
+    assigned
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("byte_offset", coalesce(
+        sum($"n_chars").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select($"shard", $"pos", $"doc_id", $"h", $"n_chars", $"byte_offset")
+      .orderBy($"shard", $"pos")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "graph_bfs_reach" -> (graphBfsReach(_, _)),
+    "sample_systematic_weighted" -> (sampleSystematicWeighted(_, _)),
+    "corpus_shard_manifest" -> (corpusShardManifest(_, _)),
     "corpus_token_budget" -> (corpusTokenBudget(_, _)),
     "corpus_quota_sampler" -> (corpusQuotaSampler(_, _)),
     "corpus_snapshot_diff" -> (corpusSnapshotDiff(_, _)),
@@ -561,6 +686,64 @@ object Pipelines {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same bucket-star edge CTE as dedup_cluster_cc; the walk is a
+    // depth-bounded recursive CTE, min(dist) = BFS distance
+    "graph_bfs_reach" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |keys AS (
+        |  SELECT doc_id, 'p' || array_to_string(list_slice(t, 1, 4), ' ') AS k
+        |  FROM toks WHERE len(t) >= 4
+        |  UNION ALL
+        |  SELECT doc_id, 's' || array_to_string(list_slice(t, -4, -1), ' ') AS k
+        |  FROM toks WHERE len(t) >= 4
+        |),
+        |star AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY k) AS m FROM keys),
+        |e0 AS (SELECT DISTINCT doc_id AS a, m AS b FROM star WHERE m <> doc_id),
+        |edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        |walk(id, dist) AS (
+        |  SELECT doc_id, 0 FROM documents WHERE doc_id % 10 = 0
+        |  UNION
+        |  SELECT e.a, w.dist + 1 FROM walk w JOIN edges e ON e.b = w.id
+        |  WHERE w.dist < 3
+        |)
+        |SELECT id AS doc_id, CAST(min(dist) AS BIGINT) AS dist
+        |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
+    // single global window replay of the two-level prefix sum (equal by
+    // associativity of + over the doc_id order)
+    "sample_systematic_weighted" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+        |      AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |    CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before,
+        |    (SELECT sum(n_tok) // 50 FROM d) AS stride
+        |  FROM d)
+        |SELECT doc_id, n_tok, cum_before,
+        |  CAST((cum_before + stride - 1) // stride AS BIGINT) AS pick_idx
+        |FROM c
+        |WHERE (cum_before + n_tok + stride - 1) // stride
+        |    > (cum_before + stride - 1) // stride
+        |ORDER BY doc_id""".stripMargin,
+    "corpus_shard_manifest" ->
+      """WITH a AS (SELECT doc_id, n_chars,
+        |    (doc_id * 1103515245 + 12345) % 2147483648 AS h
+        |  FROM documents),
+        |s AS (SELECT doc_id, n_chars, CAST(h AS BIGINT) AS h,
+        |    CAST(h % 16 AS BIGINT) AS shard FROM a)
+        |SELECT shard,
+        |  CAST(row_number() OVER w AS BIGINT) AS pos,
+        |  doc_id, h, n_chars,
+        |  CAST(coalesce(sum(n_chars) OVER (PARTITION BY shard
+        |    ORDER BY h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS byte_offset
+        |FROM s
+        |WINDOW w AS (PARTITION BY shard ORDER BY h, doc_id)
+        |ORDER BY shard, pos""".stripMargin,
     "corpus_token_budget" ->
       """WITH t AS (SELECT coalesce(lang, '(none)') AS lang,
         |    sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS n_tokens

@@ -312,7 +312,102 @@ object Timeseries {
       .orderBy($"user_id")
   }
 
+  /** Fixed-point EWMA smoothing per user — the recency-weighted state a
+    * monitoring/feature pipeline keeps per entity, with α = 1/4 so every
+    * step is exact integer arithmetic: s₀ = v₀, sᵢ = (vᵢ + 3·sᵢ₋₁) div 4
+    * over BIGINT value·10⁴ fixed point (exponential smoothing without
+    * exp/pow, which are banned for oracle parity; values are
+    * non-negative so truncating `div` and the oracle's floor `//`
+    * agree). The recurrence is inherently sequential per user, so it
+    * runs as an ordered in-group fold: sort_array over the collected
+    * (t, event_id, v) structs, then a codegen'd `aggregate` lambda —
+    * state O(events-per-entity), the bounded per-user profile every
+    * stateful-stream twin here assumes. The oracle replays the fold as
+    * a per-rank recursive CTE. */
+  def timeseriesEwmaFixed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      // NULL values would poison the fold on the Spark side only (the
+      // oracle's recursive join skips NULL-keyed rows differently) —
+      // filter on both sides, the window_rolling_median guard
+      .filter($"value".isNotNull)
+      .select($"user_id", Tables.nsToUs($"ts").as("t"), $"event_id",
+        (Tables.dec4($"value") * 10000).cast("long").as("v_fp"))
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"t", $"event_id", $"v_fp")))
+        .as("seq"))
+      .select($"user_id",
+        size($"seq").cast("long").as("n_events"),
+        expr("aggregate(slice(seq, 2, size(seq) - 1), seq[0].v_fp, " +
+          "(s, x) -> (x.v_fp + 3 * s) div 4)").as("ewma_fp"),
+        expr("element_at(seq, -1).v_fp").as("last_v_fp"))
+      .orderBy($"user_id")
+  }
+
+  /** CDC apply into an SCD2 dimension — the warehouse MERGE every
+    * change-data-capture feed runs: a standing type-2 history (built
+    * from the first 4/5 of the event-time span and MATERIALIZED to
+    * parquet — the stored dimension) receives the trailing 1/5 as a
+    * delta batch. Apply = close each user's open row at the user's
+    * first delta timestamp, then append the delta rows as new versions
+    * continuing the user's version counter. The graded hash-match IS
+    * the CDC invariant: apply(standing, delta) ≡ rebuild(full log) —
+    * the oracle rebuilds from scratch and tags provenance by
+    * valid_from < cut (the text_index_delta_merge merge≡rebuild
+    * shape, applied to dimension maintenance).
+    *
+    * Scale shape: both the history windows and the apply joins key on
+    * user_id — one shuffle partitioning serves all stages; the two
+    * per-user apply frames (first delta t, standing max version) are
+    * entity-scale and broadcast. Maintenance reads the standing
+    * dimension + the delta batch, never the full source log. */
+  def scd2CdcApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", Tables.nsToUs($"ts").as("t"),
+        $"value".as("v"))
+    val cutDf = ev.agg(expr("min(t) + ((max(t) - min(t)) * 4) div 5")
+      .as("cut"))
+    val tagged = ev.crossJoin(broadcast(cutDf))
+    val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+    def history(df: DataFrame): DataFrame = df
+      .select($"user_id", $"event_id",
+        row_number().over(w).cast("long").as("version"),
+        $"t".as("valid_from"),
+        coalesce(lead($"t", 1).over(w), lit(-1L)).as("valid_to"),
+        when(lead($"t", 1).over(w).isNull, 1).otherwise(0).as("is_current"),
+        $"v")
+    val standingDir = Tables.scratch("scd2_standing")
+    val standingFrame = history(tagged.filter($"t" < $"cut").drop("cut"))
+    val standing = graft.PlanOnly.roundTrip(standingFrame) {
+      standingFrame.write.mode("overwrite").parquet(standingDir)
+      spark.read.schema(standingFrame.schema).parquet(standingDir)
+    }
+    val delta = tagged.filter($"t" >= $"cut").drop("cut")
+    val firstDelta = delta.groupBy($"user_id")
+      .agg(min(struct($"t", $"event_id")).getField("t").as("first_t"))
+    val baseVer = standing.groupBy($"user_id")
+      .agg(max($"version").as("max_ver"))
+    val closed = standing.join(broadcast(firstDelta), Seq("user_id"), "left")
+      .select($"user_id", $"event_id", $"version", $"valid_from",
+        when($"is_current" === 1 && $"first_t".isNotNull, $"first_t")
+          .otherwise($"valid_to").as("valid_to"),
+        when($"is_current" === 1 && $"first_t".isNotNull, 0)
+          .otherwise($"is_current").as("is_current"),
+        $"v", lit("standing").as("origin"))
+    val appended = history(delta)
+      .join(broadcast(baseVer), Seq("user_id"), "left")
+      .select($"user_id", $"event_id",
+        ($"version" + coalesce($"max_ver", lit(0L))).as("version"),
+        $"valid_from", $"valid_to", $"is_current", $"v",
+        lit("delta").as("origin"))
+    closed.unionByName(appended)
+      .orderBy($"user_id", $"version")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "timeseries_ewma_fixed" -> (timeseriesEwmaFixed(_, _)),
+    "scd2_cdc_apply" -> (scd2CdcApply(_, _)),
     "timeseries_max_drawdown" -> (timeseriesMaxDrawdown(_, _)),
     "timeseries_interval_union" -> (timeseriesIntervalUnion(_, _)),
     "scd2_change_compression" -> (scd2ChangeCompression(_, _)),
@@ -324,6 +419,47 @@ object Timeseries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the ordered fold replayed as a per-rank recursive CTE: rank 1
+    // seeds s = v, rank k joins rank k−1 carrying s = (v + 3·s)//4
+    "timeseries_ewma_fixed" ->
+      """WITH RECURSIVE e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v_fp
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT user_id, event_id, t, v_fp,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM e),
+        |f AS (
+        |  SELECT user_id, rn, n, v_fp AS s FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.rn, r.n, (r.v_fp + 3 * f.s) // 4
+        |  FROM f JOIN r ON r.user_id = f.user_id AND r.rn = f.rn + 1)
+        |SELECT f.user_id, CAST(f.n AS BIGINT) AS n_events,
+        |  CAST(f.s AS BIGINT) AS ewma_fp, r.v_fp AS last_v_fp
+        |FROM f JOIN r ON r.user_id = f.user_id AND r.rn = f.rn
+        |WHERE f.rn = f.n
+        |ORDER BY f.user_id""".stripMargin,
+    // from-scratch SCD2 rebuild over the FULL log — the CDC invariant
+    // apply(standing, delta) ≡ rebuild(all); provenance by valid_from
+    // against the same 4/5-span cut
+    "scd2_cdc_apply" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    value AS v FROM events),
+        |c AS (SELECT min(t) + ((max(t) - min(t)) * 4) // 5 AS cut FROM e),
+        |h AS (SELECT user_id, event_id,
+        |    CAST(row_number() OVER w AS BIGINT) AS version,
+        |    t AS valid_from,
+        |    CAST(coalesce(lead(t, 1) OVER w, -1) AS BIGINT) AS valid_to,
+        |    CASE WHEN lead(t, 1) OVER w IS NULL THEN 1 ELSE 0 END
+        |      AS is_current,
+        |    v
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+        |SELECT user_id, event_id, version, valid_from, valid_to,
+        |  is_current, v,
+        |  CASE WHEN valid_from < (SELECT cut FROM c) THEN 'standing'
+        |    ELSE 'delta' END AS origin
+        |FROM h ORDER BY user_id, version""".stripMargin,
     // same struct-argmax election: max (dd, −event_id) picks the max
     // drawdown with the earliest witnessing event
     "timeseries_max_drawdown" ->

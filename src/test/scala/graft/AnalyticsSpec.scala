@@ -170,4 +170,50 @@ class AnalyticsSpec extends SparkSuite {
       col("q_max") =!= 127 && col("q_min") =!= -127).count() === 0L)
     q.unpersist()
   }
+
+  test("report_abc_classification: contiguous rank bands that partition the parts (sf0.001)") {
+    import spark.implicits._
+    val rows = Analytics.reportAbcClassification(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq.sorted === rows.map(_._1).toSeq)
+    assert(rows.head._4 === 1L, "class A must start at rank 1")
+    rows.sliding(2).foreach {
+      case Array((_, _, _, _, hiA), (_, _, _, loB, _)) =>
+        assert(hiA + 1 === loB, "rank bands must be contiguous")
+      case _ => ()
+    }
+    rows.foreach { case (_, n, _, lo, hi) => assert(n === hi - lo + 1) }
+    val nParts = Tables.lineitem(spark, sf0001)
+      .select($"l_partkey").distinct().count()
+    assert(rows.map(_._2).sum === nParts)
+    // Pareto bound: A's revenue share is ≤ 80% of the total by the
+    // class rule (the boundary row falls to B)
+    val total = rows.map(_._3).sum
+    val aRev = rows.find(_._1 == "A").map(_._3).getOrElse(0L)
+    assert(aRev * 5 <= total * 4)
+  }
+
+  test("ml_linreg_sufficient: statistics match a hand-computed fit; den obeys Cauchy–Schwarz (sf0.001)") {
+    import spark.implicits._
+    val dir = "/root/repo/target/tmp/linreg"
+    // one series: days 0,1,2 with values 1,2,3 → perfect slope 1/day:
+    // n=3 sx=3 sy_fp=60000 sxx=5 sxy_fp=80000 num=60000 den=6
+    val dayNs = 86400000000L * 1000L
+    Seq((1L, 1L, 0L * dayNs, "click", 1.0),
+        (2L, 1L, 1L * dayNs, "click", 2.0),
+        (3L, 1L, 2L * dayNs, "click", 3.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = operators.Multimodal.mlLinregSufficient(spark, dir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert((row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5),
+      row.getLong(6), row.getLong(7), row.getLong(8)) ===
+      ((3L, 3L, 60000L, 5L, 80000L, 60000L, 6L)))
+    // n·Σx² − (Σx)² ≥ 0 for every group, = 0 only when all x equal
+    val neg = operators.Multimodal.mlLinregSufficient(spark, sf0001)
+      .filter($"den" < 0).count()
+    assert(neg === 0L)
+  }
 }

@@ -337,4 +337,40 @@ class BehavioralSpec extends SparkSuite {
     }
     pairs.unpersist()
   }
+
+  test("behavior_sequence_match: exact contiguous-run semantics on an injected stream") {
+    import spark.implicits._
+    val dir = "/root/repo/target/tmp/seqmatch"
+    // user 1: two complete adjacent runs; user 2: no click between;
+    // user 3: only the FINAL run is adjacent (view>click>view>click>
+    // purchase contains exactly one view>click>purchase, at char 12)
+    val ev = Seq(
+      (1L, 1L, "view"), (2L, 1L, "click"), (3L, 1L, "purchase"),
+      (4L, 1L, "view"), (5L, 1L, "click"), (6L, 1L, "purchase"),
+      (7L, 2L, "view"), (8L, 2L, "purchase"),
+      (9L, 3L, "view"), (10L, 3L, "click"), (11L, 3L, "view"),
+      (12L, 3L, "click"), (13L, 3L, "purchase"))
+    ev.map { case (id, u, t) => (id, u, id * 1000L, t) }
+      .toDF("event_id", "user_id", "ts", "event_type").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val m = Behavioral.behaviorSequenceMatch(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(m(1L) === ((6L, 2L, 1L)))
+    assert(m(2L) === ((2L, 0L, -1L)))
+    assert(m(3L) === ((5L, 1L, 12L)))
+  }
+
+  test("behavior_sequence_match: a match implies a position, and never more matches than purchases (sf0.001)") {
+    import spark.implicits._
+    val out = Behavioral.behaviorSequenceMatch(spark, sf0001)
+    assert(out.count() > 0)
+    assert(out.filter($"n_matches" > 0 && $"first_pos" < 1).count() === 0L)
+    assert(out.filter($"n_matches" === 0 && $"first_pos" =!= -1).count() === 0L)
+    val purchases = Tables.events(spark, sf0001)
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id").agg(count(lit(1)).as("np"))
+    assert(out.join(purchases, Seq("user_id"), "left")
+      .filter($"n_matches" > coalesce($"np", lit(0L))).count() === 0L)
+  }
 }

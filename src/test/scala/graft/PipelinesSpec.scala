@@ -216,4 +216,69 @@ class PipelinesSpec extends SparkSuite {
       assert(r.getLong(6) <= r.getLong(1))
     }
   }
+
+  test("graph_bfs_reach: hop distances on an injected chain; the 3-hop budget caps the frontier") {
+    import spark.implicits._
+    // a 6-doc path 0–1–2–3–4–5: consecutive docs alternate sharing a
+    // prefix bucket (same first-4 tokens) and a suffix bucket (same
+    // last-4) — the driver fixture never exercises hops > 1, this does
+    val dir = "/root/repo/target/tmp/bfsdocs"
+    Seq(
+      (0L, "a b c d END0 x0 y0 z0 w0"),
+      (1L, "a b c d MID1 s1a s1b s1c s1d"),
+      (2L, "e f g h MID2 s1a s1b s1c s1d"),
+      (3L, "e f g h MID3 t3a t3b t3c t3d"),
+      (4L, "i j k l MID4 t3a t3b t3c t3d"),
+      (5L, "i j k l MID5 u5a u5b u5c u5d")
+    ).toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // seed set = doc_id % 10 = 0 → exactly doc 0
+    val m = Pipelines.graphBfsReach(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L),
+      "expected exact hop distances 0..3 and docs 4, 5 beyond the budget")
+  }
+
+  test("sample_systematic_weighted: selected docs cover their grid points exactly once (sf0.001)") {
+    val sel = Pipelines.sampleSystematicWeighted(spark, sf0001).collect()
+    val total = Tables.documents(spark, sf0001)
+      .agg(sum(expr("size(filter(split(text, ' '), w -> w <> ''))"))
+        .cast("long")).head().getLong(0)
+    val stride = total / 50
+    sel.foreach { r =>
+      val (nTok, cumBefore, pick) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(cumBefore <= pick * stride && pick * stride < cumBefore + nTok,
+        s"doc ${r.getLong(0)}: grid point ${pick * stride} outside its interval")
+    }
+    val picks = sel.map(_.getLong(3))
+    assert(picks.head === 0L, "first grid point (offset 0) must be covered")
+    assert(picks.toSeq === picks.sorted.toSeq && picks.distinct.length === picks.length,
+      "pick_idx must strictly increase with doc order")
+    // partition law: the doc intervals tile [0, total), so the covered
+    // grid-point count across selected docs is every point below total
+    val covered = sel.map { r =>
+      val (nTok, cb) = (r.getLong(1), r.getLong(2))
+      (cb + nTok + stride - 1) / stride - (cb + stride - 1) / stride
+    }.sum
+    assert(covered === (total + stride - 1) / stride)
+  }
+
+  test("corpus_shard_manifest: dense positions, telescoping offsets, full partition (sf0.001)") {
+    val m = Pipelines.corpusShardManifest(spark, sf0001).collect()
+    assert(m.map(_.getLong(2)).distinct.length === m.length,
+      "every doc appears exactly once")
+    assert(m.length === Tables.documents(spark, sf0001).count())
+    m.groupBy(_.getLong(0)).foreach { case (shard, rows) =>
+      assert(shard >= 0 && shard < 16, s"shard $shard out of range")
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq === (1L to rows.length).toSeq,
+        s"shard $shard positions not dense")
+      var off = 0L
+      sorted.foreach { r =>
+        assert(r.getLong(5) === off,
+          s"shard $shard pos ${r.getLong(1)}: offset ${r.getLong(5)} != $off")
+        off += r.getLong(4)
+      }
+    }
+  }
 }

@@ -86,4 +86,48 @@ class TimeseriesSpec extends SparkSuite {
         s"doc $doc: non-final chunk shorter than the window")
     }
   }
+
+  test("timeseries_ewma_fixed: recurrence verified on an injected series") {
+    import spark.implicits._
+    val dir = "/root/repo/target/tmp/ewma_fix"
+    // user 1: 4.0 then 8.0 → s = (80000 + 3·40000) div 4 = 50000;
+    // user 2: single event → ewma = its own value (init case)
+    Seq((1L, 1L, 1000L, 4.0), (2L, 1L, 2000L, 8.0), (3L, 2L, 1000L, 2.5))
+      .toDF("event_id", "user_id", "ts", "value").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val m = operators.Timeseries.timeseriesEwmaFixed(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(m(1L) === ((2L, 50000L, 80000L)))
+    assert(m(2L) === ((1L, 25000L, 25000L)))
+  }
+
+  test("timeseries_ewma_fixed: convex-combination bound — never outside the user's value range (sf0.001)") {
+    import spark.implicits._
+    // if v, s ≥ 4·lo then (v + 3s) div 4 ≥ lo exactly (4·lo is an
+    // integer), and symmetrically for hi — so any escape is a real bug
+    val range = Tables.events(spark, sf0001).filter($"value".isNotNull)
+      .select($"user_id",
+        (col("value").cast("decimal(18,4)") * 10000).cast("long").as("v"))
+      .groupBy($"user_id").agg(min($"v").as("lo"), max($"v").as("hi"))
+    val out = operators.Timeseries.timeseriesEwmaFixed(spark, sf0001)
+    assert(out.count() > 0)
+    val bad = out.join(range, "user_id")
+      .filter($"ewma_fp" < $"lo" || $"ewma_fp" > $"hi").count()
+    assert(bad === 0L)
+  }
+
+  test("scd2_cdc_apply: merge equals the from-scratch SCD2 rebuild (sf0.001)") {
+    import spark.implicits._
+    val applied = operators.Timeseries.scd2CdcApply(spark, sf0001)
+      .select($"user_id", $"event_id", $"version", $"valid_from",
+        $"valid_to", $"is_current".cast("int").as("is_current"), $"v")
+    val rebuilt = operators.Timeseries.scd2UserValueHistory(spark, sf0001)
+      .select($"user_id", $"event_id", $"version".cast("long").as("version"),
+        $"valid_from", $"valid_to",
+        $"is_current".cast("int").as("is_current"), $"v")
+    assert(applied.count() === rebuilt.count())
+    assert(applied.except(rebuilt).count() === 0L)
+    assert(rebuilt.except(applied).count() === 0L)
+  }
 }
