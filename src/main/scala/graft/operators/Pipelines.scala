@@ -611,8 +611,11 @@ object Pipelines {
       .rowsBetween(Window.unboundedPreceding, -1)
     val wBkt = Window.orderBy($"bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
-    // bucket offsets: |docs|/64 rows — window over an aggregated frame
-    val offsets = d.groupBy($"bkt").agg(sum($"n_tok").as("bt"))
+    // bucket subtotals: |docs|/64 rows — the stride scalar reads THIS
+    // metadata-scale frame, never the per-doc cum frame
+    val sub = d.groupBy($"bkt").agg(sum($"n_tok").as("bt"))
+    sub.createOrReplaceTempView("sysw_bkt")
+    val offsets = sub
       .withColumn("bkt_off", coalesce(sum($"bt").over(wBkt), lit(0L)))
       .select($"bkt", $"bkt_off")
     d.withColumn("in_off", coalesce(sum($"n_tok").over(wIn), lit(0L)))
@@ -623,7 +626,7 @@ object Pipelines {
     // stride for x ≥ 0. Selected iff the doc's interval contains a point.
     spark.sql(
       """WITH s AS (SELECT doc_id, n_tok, cum_before,
-        |    (SELECT sum(n_tok) div 50 FROM sysw_docs) AS stride
+        |    (SELECT sum(bt) div 50 FROM sysw_bkt) AS stride
         |  FROM sysw_docs)
         |SELECT doc_id, n_tok, cum_before,
         |  (cum_before + stride - 1) div stride AS pick_idx

@@ -383,7 +383,11 @@ object Timeseries {
       standingFrame.write.mode("overwrite").parquet(standingDir)
       spark.read.schema(standingFrame.schema).parquet(standingDir)
     }
-    val delta = tagged.filter($"t" >= $"cut").drop("cut")
+    // the delta batch is carved ONCE (lineage cut): both its consumers
+    // (first-delta frame, delta history) read the materialized carve
+    // instead of re-scanning the full event log — the apply truly
+    // touches standing + delta only
+    val delta = graft.PlanOnly.cut(tagged.filter($"t" >= $"cut").drop("cut"))
     val firstDelta = delta.groupBy($"user_id")
       .agg(min(struct($"t", $"event_id")).getField("t").as("first_t"))
     val baseVer = standing.groupBy($"user_id")

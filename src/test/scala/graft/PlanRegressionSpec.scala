@@ -465,15 +465,52 @@ class PlanRegressionSpec extends SparkSuite {
     // is a 1-row broadcast (elected pair, totals) — fan-out 1
     // eval_ann_recall: |cells| (10), |probes| (4) and |queries| (5)
     // constant broadcasts — the IVF probe fan-out, not quadratic
-    // text_index_delta_merge: the 1-row carve-cutoff broadcast
+    // text_index_delta_merge / scd2_cdc_apply: the 1-row carve-cutoff
+    // broadcast
     val allowed = Set("simsearch_cosine_topk", "dedup_embedding_cosine",
       "simsearch_ann_ivf", "ml_kmeans_step", "report_dense_grid",
       "dedup_semantic_cluster", "ml_confusion_matrix",
       "eval_ranking_metrics", "text_bpe_merge_step",
       "text_bpe_merge_loop", "text_bpe_tokenize", "eval_ann_recall",
-      "text_index_delta_merge", "corpus_dedup_pipeline")
+      "text_index_delta_merge", "corpus_dedup_pipeline",
+      "scd2_cdc_apply")
     val offenders = SparkEntry.queries.keys.filterNot(allowed)
       .filter(n => n != "source_csv_roundtrip" && plan(n).contains("BroadcastNestedLoopJoin"))
     assert(offenders.isEmpty, s"unexpected nested-loop joins: $offenders")
+  }
+
+  test("ml_linreg_sufficient is one partial+final aggregate pair plus the centering subquery") {
+    val p = plan("ml_linreg_sufficient")
+    // main pass + the min-day scalar subquery — never a third scan
+    assert(scanNodes(p, "events.parquet") === 2, p.take(600))
+    val aggs = "\\(\\d+\\) HashAggregate".r.findAllIn(p).size
+    assert(aggs === 4, s"expected 2 partial+final pairs (main + subquery), got $aggs")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("report_abc_classification: cum and total share a single window sort") {
+    val p = plan("report_abc_classification")
+    val windows = "\\(\\d+\\) Window".r.findAllIn(p).size
+    assert(windows === 1, s"cum + total must plan in ONE Window node, got $windows")
+    val n = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    // part-revenue agg, the global window order, final sort
+    assert(n <= 3, s"report_abc_classification exchange count $n > 3")
+  }
+
+  test("sample_systematic_weighted broadcasts the bucket-offset frame back") {
+    val p = plan("sample_systematic_weighted")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    // main plan: per-doc scan + offsets scan only; the stride scalar
+    // subqueries read the bucket-subtotal frame (dedupe at execution
+    // via ReuseSubquery), so count the MAIN section's scans
+    val main = p.split("\\nSubquery:")(0)
+    assert(scanNodes(main, "documents.parquet") <= 2, main.take(600))
+  }
+
+  test("sequential folds shuffle once: ewma and sequence_match stay within 2 exchanges") {
+    Seq("timeseries_ewma_fixed", "behavior_sequence_match").foreach { k =>
+      val n = "\\(\\d+\\) Exchange".r.findAllIn(plan(k)).size
+      assert(n <= 2, s"$k exchange count $n > 2 (group shuffle + final sort)")
+    }
   }
 }
