@@ -302,7 +302,106 @@ object Indexing {
       .orderBy($"term")
   }
 
+  /** Winnowing window width w: one fingerprint is selected from every
+    * run of [[WinnowW]] consecutive grams, giving the 2/(w+1) expected
+    * selection density of Schleimer/Wilkerson/Aiken (SIGMOD '03). */
+  private val WinnowW = 5
+  /** Fingerprint-hash modulus (prime < 2²⁰) and the position packing
+    * base: key = h·2²⁰ + pos encodes the (h, pos) lexicographic order
+    * into one BIGINT so a window min() IS the winnowing election —
+    * replayable in any engine without struct-min support. */
+  private val WinnowM = 1048573L
+  private val PosBase = 1048576L
+
+  /** The shared winnowing chain: 4-token grams hashed with an
+    * ENGINE-REPLAYABLE polynomial — token → dense rank over the sorted
+    * global vocabulary (no xxhash/murmur, both engines replay it
+    * bit-for-bit), gram h = (r₀·31³ + r₁·31² + r₂·31 + r₃) mod 1048573.
+    * Each w-gram window elects min(h·2²⁰ + pos); the distinct elected
+    * keys are the document's fingerprints. Documents with fewer than w
+    * grams contribute their single global minimum. */
+  private def winnowFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id",
+        posexplode(expr("filter(split(text, ' '), w -> w <> '')"))
+          .as(Seq("pos", "tok")))
+    // vocabulary ranks: a |vocab|-row global sort (metadata-scale next
+    // to the token stream), decoration joined back onto the tokens
+    val vocab = toks.select($"tok").distinct()
+      .withColumn("r", row_number().over(Window.orderBy($"tok")).cast("long"))
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+    val grams = toks.join(broadcast(vocab), "tok")
+      .select($"doc_id", $"pos", $"r")
+      .withColumn("h",
+        (($"r" * 29791 + lead($"r", 1).over(wDoc) * 961 +
+          lead($"r", 2).over(wDoc) * 31 + lead($"r", 3).over(wDoc))
+          % WinnowM))
+      .filter($"h".isNotNull)
+      .select($"doc_id", $"pos", ($"h" * PosBase + $"pos").as("key"))
+    val wWin = wDoc.rowsBetween(Window.currentRow, WinnowW - 1)
+    val full = grams
+      .withColumn("wn", count(lit(1)).over(wWin))
+      .withColumn("mk", min($"key").over(wWin))
+      .filter($"wn" === WinnowW)
+      .select($"doc_id", $"mk")
+    val short = grams.groupBy($"doc_id")
+      .agg(min($"key").as("mk"), count(lit(1)).as("n"))
+      .filter($"n" < WinnowW).select($"doc_id", $"mk")
+    full.unionAll(short).distinct()
+      .select($"doc_id", ($"mk" % PosBase).as("pos"),
+        expr(s"mk div $PosBase").as("h"))
+  }
+
+  /** Document fingerprint selection by winnowing — the MOSS algorithm
+    * (Schleimer, Wilkerson, Aiken, "Winnowing: Local Algorithms for
+    * Document Fingerprinting", SIGMOD '03): from every window of
+    * [[WinnowW]] consecutive 4-token gram hashes, keep the minimum —
+    * guaranteeing any shared run of ≥ w+3 tokens between two documents
+    * shares at least one SELECTED fingerprint, at ~2/(w+1) the storage
+    * of full gram shingling. The position-independent selection is what
+    * MinHash cannot give: matches localize to byte offsets.
+    *
+    * One row per selected fingerprint (doc_id, gram pos, hash).
+    * Scale shape: tokens shuffle once by doc for the gram/window pass;
+    * the vocabulary decoration is a broadcast; the window holds w rows
+    * of state. The 2²⁰ position base caps documents at 1M tokens —
+    * chunk longer docs first (text_chunk_overlap). Density law
+    * (selected/grams ≈ 1/3) and the guarantee pinned in IndexingSpec. */
+  def textWinnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    winnowFrame(spark, dir).orderBy($"doc_id", $"pos")
+  }
+
+  /** Near-dup candidate pairs via shared winnow fingerprints — what
+    * MOSS does with the fingerprints: bucket-join documents on
+    * fingerprint hash, count distinct shared hashes per pair, keep
+    * pairs sharing ≥ 8 (the fixture's clear near-dup band; random
+    * small-vocab cooccurrence stays below it). Complements the
+    * MinHash/SimHash cascade with the only member whose matches carry
+    * POSITIONS (via text_winnow_fingerprints) for span-level verify.
+    *
+    * Scale shape: the pair join is bucketed by h — never all-pairs —
+    * and hot fingerprints (> 20 docs: boilerplate grams) are dropped
+    * before pairing, the stopword-cap posture of the banded-LSH keys;
+    * candidate count is Σ_h df(h)², bounded by the cap. */
+  def dedupWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val f = winnowFrame(spark, dir).select($"doc_id", $"h").distinct()
+    val df = f.groupBy($"h").agg(count(lit(1)).as("c"))
+    val cold = f.join(df.filter($"c" <= 20), "h").select($"doc_id", $"h")
+    cold.select($"h", $"doc_id".as("doc_a"))
+      .join(cold.select($"h", $"doc_id".as("doc_b")), "h")
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= 8)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "text_winnow_fingerprints" -> (textWinnowFingerprints(_, _)),
+    "dedup_winnow_pairs" -> (dedupWinnowPairs(_, _)),
     "text_inverted_index" -> (textInvertedIndex(_, _)),
     "text_bpe_merge_step" -> (textBpeMergeStep(_, _)),
     "text_bpe_merge_loop" -> (textBpeMergeLoop(_, _)),
@@ -370,7 +469,51 @@ object Indexing {
       |    ORDER BY doc_id) AS postings
       |FROM perdoc GROUP BY term ORDER BY term""".stripMargin
 
+  /** DuckDB replay of the shared winnowing chain ([[winnowFrame]]):
+    * same vocabulary ranks, polynomial gram hash, packed (h, pos) key,
+    * and w-window min election. Both winnow oracles append their own
+    * final SELECT after the `fp` CTE. */
+  private val winnowChainSql: String =
+    """WITH toks0 AS (SELECT doc_id,
+      |    list_filter(string_split(text, ' '), w -> w <> '') AS t
+      |  FROM documents),
+      |toks AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+      |  FROM toks0 WHERE len(t) >= 1),
+      |tok AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok FROM toks),
+      |vocab AS (SELECT tok, row_number() OVER (ORDER BY tok) AS r
+      |  FROM (SELECT DISTINCT tok FROM tok)),
+      |rk AS (SELECT doc_id, pos, r FROM tok JOIN vocab USING (tok)),
+      |g AS (SELECT doc_id, pos,
+      |    (r * 29791 + lead(r, 1) OVER w * 961 +
+      |     lead(r, 2) OVER w * 31 + lead(r, 3) OVER w) % 1048573 AS h
+      |  FROM rk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |grams AS (SELECT doc_id, pos, h * 1048576 + pos AS key
+      |  FROM g WHERE h IS NOT NULL),
+      |win AS (SELECT doc_id, count(*) OVER wf AS wn, min(key) OVER wf AS mk
+      |  FROM grams WINDOW wf AS (PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)),
+      |fullsel AS (SELECT DISTINCT doc_id, mk FROM win WHERE wn = 5),
+      |shortsel AS (SELECT doc_id, min(key) AS mk FROM grams
+      |  GROUP BY doc_id HAVING count(*) < 5),
+      |sel AS (SELECT doc_id, mk FROM fullsel
+      |  UNION SELECT doc_id, mk FROM shortsel),
+      |fp AS (SELECT doc_id, CAST(mk % 1048576 AS BIGINT) AS pos,
+      |    CAST(mk // 1048576 AS BIGINT) AS h FROM sel)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "text_winnow_fingerprints" -> (winnowChainSql +
+      "\nSELECT doc_id, pos, h FROM fp ORDER BY doc_id, pos"),
+    "dedup_winnow_pairs" -> (winnowChainSql +
+      """,
+        |f AS (SELECT DISTINCT doc_id, h FROM fp),
+        |dfh AS (SELECT h, count(*) AS c FROM f GROUP BY h),
+        |cold AS (SELECT f.doc_id, f.h FROM f JOIN dfh USING (h)
+        |  WHERE dfh.c <= 20)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM cold a JOIN cold b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 8
+        |ORDER BY doc_a, doc_b""".stripMargin),
     "text_bpe_merge_loop" -> bpeLoopOracle(BpeIterations),
     "text_bpe_tokenize" -> bpeTokenizeOracle(BpeIterations),
     "text_index_delta_merge" -> invertedIndexOracle,

@@ -344,6 +344,38 @@ object Timeseries {
       .orderBy($"user_id")
   }
 
+  /** Holt's linear (double-exponential) smoothing per user — the
+    * level+trend extension of [[timeseriesEwmaFixed]], α = β = 1/4 in
+    * the same BIGINT value·10⁴ fixed point: lᵢ = ⌊(vᵢ + 3(lᵢ₋₁ +
+    * bᵢ₋₁))/4⌋, bᵢ = ⌊((lᵢ − lᵢ₋₁) + 3bᵢ₋₁)/4⌋, forecast = l + b.
+    * The TREND can be negative — measured before relying on it: both
+    * Spark's `div` AND DuckDB's `//` truncate toward zero on negative
+    * operands (-5 div 4 = -5 // 4 = -1), so plain integer division is
+    * cross-engine exact on both signs. Same ordered in-group fold posture as the
+    * EWMA (state is a 2-field struct); oracled by the same per-rank
+    * recursive CTE carrying (l, b). */
+  def timeseriesHoltLinear(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lNew = "((x.v_fp + 3L * (s.l + s.b)) div 4)"
+    val bNew = s"(($lNew - s.l + 3L * s.b) div 4)"
+    Tables.events(spark, dir)
+      .filter($"value".isNotNull)
+      .select($"user_id", Tables.nsToUs($"ts").as("t"), $"event_id",
+        (Tables.dec4($"value") * 10000).cast("long").as("v_fp"))
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"t", $"event_id", $"v_fp")))
+        .as("seq"))
+      .select($"user_id",
+        size($"seq").cast("long").as("n_events"),
+        expr("aggregate(slice(seq, 2, size(seq) - 1), " +
+          "named_struct('l', seq[0].v_fp, 'b', 0L), " +
+          s"(s, x) -> named_struct('l', $lNew, 'b', $bNew))").as("st"))
+      .select($"user_id", $"n_events",
+        $"st.l".as("level_fp"), $"st.b".as("trend_fp"),
+        ($"st.l" + $"st.b").as("forecast_fp"))
+      .orderBy($"user_id")
+  }
+
   /** CDC apply into an SCD2 dimension — the warehouse MERGE every
     * change-data-capture feed runs: a standing type-2 history (built
     * from the first 4/5 of the event-time span and MATERIALIZED to
@@ -410,6 +442,7 @@ object Timeseries {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "timeseries_holt_linear" -> (timeseriesHoltLinear(_, _)),
     "timeseries_ewma_fixed" -> (timeseriesEwmaFixed(_, _)),
     "scd2_cdc_apply" -> (scd2CdcApply(_, _)),
     "timeseries_max_drawdown" -> (timeseriesMaxDrawdown(_, _)),
@@ -423,6 +456,31 @@ object Timeseries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // (l, b) carried through the per-rank recursive CTE; DuckDB's //
+    // floors on both signs, matching the Spark side's explicit
+    // (a − pmod(a,4)) div 4
+    "timeseries_holt_linear" ->
+      """WITH RECURSIVE e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v_fp
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT user_id, event_id, t, v_fp,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM e),
+        |f AS (
+        |  SELECT user_id, rn, n, v_fp AS l, CAST(0 AS BIGINT) AS b
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.rn, r.n,
+        |    (r.v_fp + 3 * (f.l + f.b)) // 4,
+        |    (((r.v_fp + 3 * (f.l + f.b)) // 4) - f.l + 3 * f.b) // 4
+        |  FROM f JOIN r ON r.user_id = f.user_id AND r.rn = f.rn + 1)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+        |  CAST(l AS BIGINT) AS level_fp, CAST(b AS BIGINT) AS trend_fp,
+        |  CAST(l + b AS BIGINT) AS forecast_fp
+        |FROM f WHERE rn = n
+        |ORDER BY user_id""".stripMargin,
     // the ordered fold replayed as a per-rank recursive CTE: rank 1
     // seeds s = v, rank k joins rank k−1 carrying s = (v + 3·s)//4
     "timeseries_ewma_fixed" ->

@@ -117,6 +117,26 @@ class TimeseriesSpec extends SparkSuite {
     assert(bad === 0L)
   }
 
+  test("timeseries_holt_linear: constant series is a fixed point; trends follow direction") {
+    import spark.implicits._
+    val dir = "/root/repo/target/tmp/holt_fix"
+    // user 1: constant 5.0 → level 50000 trend 0 (exact fixed point);
+    // user 2: increasing 1,2,3 → positive trend;
+    // user 3: decreasing 3,2,1 → negative trend (the signed-div case)
+    Seq((1L, 1L, 1000L, 5.0), (2L, 1L, 2000L, 5.0), (3L, 1L, 3000L, 5.0),
+        (4L, 2L, 1000L, 1.0), (5L, 2L, 2000L, 2.0), (6L, 2L, 3000L, 3.0),
+        (7L, 3L, 1000L, 3.0), (8L, 3L, 2000L, 2.0), (9L, 3L, 3000L, 1.0))
+      .toDF("event_id", "user_id", "ts", "value").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val m = operators.Timeseries.timeseriesHoltLinear(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(m(1L) === ((50000L, 0L, 50000L)))
+    assert(m(2L)._2 > 0L, s"increasing series must carry positive trend: $m")
+    assert(m(3L)._2 < 0L, s"decreasing series must carry negative trend: $m")
+    m.values.foreach { case (l, b, f) => assert(f === l + b) }
+  }
+
   test("scd2_cdc_apply: merge equals the from-scratch SCD2 rebuild (sf0.001)") {
     import spark.implicits._
     val applied = operators.Timeseries.scd2CdcApply(spark, sf0001)
