@@ -11,6 +11,43 @@ import graft.streaming.{StatefulSessionizer, StreamingMirror, Streamy}
   * sessionizer on session count. */
 class StatefulStreamingSpec extends SparkSuite {
 
+  test("stateful EWMA stream equals the graded batch fold across a time-carved two-batch replay") {
+    import spark.implicits._
+    import graft.streaming.StatefulEwma
+    val dir = "/root/repo/target/tmp/ewma_stage"
+    val e = Tables.events(spark, sf0001).filter(col("value").isNotNull)
+    val (minNs, maxNs) = {
+      val r = e.agg(min("ts"), max("ts")).head(); (r.getLong(0), r.getLong(1))
+    }
+    val cutNs = minNs + (maxNs - minNs) / 5 * 4
+    // two single-file batches carved by TIME (mod-time order = event-time
+    // order), so the per-batch left folds compose into the global fold
+    e.filter(col("ts") < cutNs).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    Thread.sleep(1500)
+    e.filter(col("ts") >= cutNs).coalesce(1)
+      .write.mode("append").parquet(dir)
+    val q = StatefulEwma.stream(spark, dir)
+      .writeStream.format("memory").queryName("ewma_twin")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // Update mode emits a state snapshot per batch; n grows monotonically,
+    // so max-n per user is the final state
+    val streamed = spark.table("ewma_twin")
+      .groupBy("user_id")
+      .agg(max(struct(col("n"), col("ewma_fp"), col("last_v_fp"))).as("s"))
+      .select(col("user_id"), col("s.n").as("n"),
+        col("s.ewma_fp").as("se"), col("s.last_v_fp").as("sl"))
+    val batch = graft.operators.Timeseries.timeseriesEwmaFixed(spark, sf0001)
+    assert(streamed.count() === batch.count())
+    val diff = batch.join(streamed, "user_id")
+      .filter(col("n_events") =!= col("n") || col("ewma_fp") =!= col("se") ||
+        col("last_v_fp") =!= col("sl")).count()
+    assert(diff === 0L, "incremental stateful fold must equal the batch fold")
+  }
+
   test("batch reference agrees with the window-based sessionizer") {
     val ref = StatefulSessionizer.batch(spark, sf0001)
     assert(ref.count() === 946L)
