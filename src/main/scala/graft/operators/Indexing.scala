@@ -399,8 +399,32 @@ object Indexing {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** The verify tier on top of [[dedupWinnowPairs]] — exact token-set
+    * Jaccard over the winnow candidates (the LlmOps.exactJaccard core
+    * the MinHash cascade uses), with a 0.5 duplicate verdict. Together
+    * the three winnow keys are a complete select→pair→verify dedup
+    * path whose every stage is oracled. The single IEEE division
+    * ni/(na+nb−ni) of exactly-computed ints is correctly rounded,
+    * hence cross-engine identical (the dedup_jaccard_verify precedent).
+    * Scale: the verify join fans out only over candidate pairs — cost
+    * tracks the (capped) candidate count, never the corpus square. */
+  def dedupWinnowVerify(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = dedupWinnowPairs(spark, dir)
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id",
+        explode(expr("filter(split(text, ' '), w -> w <> '')")).as("sh"))
+      .distinct()
+    LlmOps.exactJaccard(pairs.select($"doc_a", $"doc_b"), toks)
+      .join(pairs, Seq("doc_a", "doc_b"))
+      .select($"doc_a", $"doc_b", $"n_shared", $"jaccard",
+        when($"jaccard" >= 0.5, 1L).otherwise(0L).as("is_dup"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "text_winnow_fingerprints" -> (textWinnowFingerprints(_, _)),
+    "dedup_winnow_verify" -> (dedupWinnowVerify(_, _)),
     "dedup_winnow_pairs" -> (dedupWinnowPairs(_, _)),
     "text_inverted_index" -> (textInvertedIndex(_, _)),
     "text_bpe_merge_step" -> (textBpeMergeStep(_, _)),
@@ -513,6 +537,31 @@ object Indexing {
         |  CAST(count(*) AS BIGINT) AS n_shared
         |FROM cold a JOIN cold b ON a.h = b.h AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 8
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    "dedup_winnow_verify" -> (winnowChainSql +
+      """,
+        |f AS (SELECT DISTINCT doc_id, h FROM fp),
+        |dfh AS (SELECT h, count(*) AS c FROM f GROUP BY h),
+        |cold AS (SELECT f.doc_id, f.h FROM f JOIN dfh USING (h)
+        |  WHERE dfh.c <= 20),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM cold a JOIN cold b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 8),
+        |sh AS (SELECT DISTINCT doc_id, tok AS sh0 FROM tok),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |it AS (SELECT p.doc_a, p.doc_b, p.n_shared, count(*) AS ni
+        |  FROM pr p
+        |  JOIN sh a ON a.doc_id = p.doc_a
+        |  JOIN sh b ON b.doc_id = p.doc_b AND b.sh0 = a.sh0
+        |  GROUP BY 1, 2, 3)
+        |SELECT it.doc_a, it.doc_b, it.n_shared,
+        |  CAST(it.ni AS DOUBLE) / (na.n + nb.n - it.ni) AS jaccard,
+        |  CAST(CASE WHEN CAST(it.ni AS DOUBLE) / (na.n + nb.n - it.ni)
+        |    >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+        |FROM it
+        |JOIN sz na ON na.doc_id = it.doc_a
+        |JOIN sz nb ON nb.doc_id = it.doc_b
         |ORDER BY doc_a, doc_b""".stripMargin),
     "text_bpe_merge_loop" -> bpeLoopOracle(BpeIterations),
     "text_bpe_tokenize" -> bpeTokenizeOracle(BpeIterations),

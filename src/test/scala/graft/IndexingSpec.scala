@@ -71,5 +71,19 @@ class IndexingSpec extends SparkSuite {
       s"near-dup pair must cross the shared-fingerprint threshold: $pairs")
     assert(pairs.keySet === Set((0L, 1L)),
       s"unrelated doc 2 must not pair with anything: $pairs")
+    // verify tier: the 60-of-63-token overlap is a clear duplicate
+    val v = Indexing.dedupWinnowVerify(spark, dir).collect()
+    assert(v.length === 1)
+    assert(v.head.getDouble(3) > 0.9 && v.head.getLong(4) === 1L,
+      s"near-dup must verify as duplicate: ${v.head}")
+  }
+
+  test("dedup_winnow_verify: jaccard bounded and consistent with the verdict (sf0.001)") {
+    import spark.implicits._
+    val v = Indexing.dedupWinnowVerify(spark, sf0001)
+    assert(v.count() > 0)
+    assert(v.filter($"jaccard" <= 0 || $"jaccard" > 1).count() === 0L)
+    assert(v.filter(($"jaccard" >= 0.5) =!= ($"is_dup" === 1L))
+      .count() === 0L)
   }
 }
