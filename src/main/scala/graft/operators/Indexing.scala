@@ -331,14 +331,16 @@ object Indexing {
     val vocab = toks.select($"tok").distinct()
       .withColumn("r", row_number().over(Window.orderBy($"tok")).cast("long"))
     val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
-    val grams = toks.join(broadcast(vocab), "tok")
+    // cut: the tokenize→rank→hash chain is the expensive stage and
+    // BOTH election branches (full windows, short docs) read it
+    val grams = graft.PlanOnly.cut(toks.join(broadcast(vocab), "tok")
       .select($"doc_id", $"pos", $"r")
       .withColumn("h",
         (($"r" * 29791 + lead($"r", 1).over(wDoc) * 961 +
           lead($"r", 2).over(wDoc) * 31 + lead($"r", 3).over(wDoc))
           % WinnowM))
       .filter($"h".isNotNull)
-      .select($"doc_id", $"pos", ($"h" * PosBase + $"pos").as("key"))
+      .select($"doc_id", $"pos", ($"h" * PosBase + $"pos").as("key")))
     val wWin = wDoc.rowsBetween(Window.currentRow, WinnowW - 1)
     val full = grams
       .withColumn("wn", count(lit(1)).over(wWin))
@@ -387,9 +389,15 @@ object Indexing {
     * candidate count is Σ_h df(h)², bounded by the cap. */
   def dedupWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val f = winnowFrame(spark, dir).select($"doc_id", $"h").distinct()
+    // the whole winnow chain (tokenize → rank → gram-hash → window
+    // election) is materialized ONCE: without the cut, the h-self-join
+    // below re-runs it for each side (the fingerprint frame is ~1/3 of
+    // the gram count — far cheaper to materialize than to recompute)
+    val f = graft.PlanOnly.cut(
+      winnowFrame(spark, dir).select($"doc_id", $"h").distinct())
     val df = f.groupBy($"h").agg(count(lit(1)).as("c"))
-    val cold = f.join(df.filter($"c" <= 20), "h").select($"doc_id", $"h")
+    val cold = graft.PlanOnly.cut(
+      f.join(df.filter($"c" <= 20), "h").select($"doc_id", $"h"))
     cold.select($"h", $"doc_id".as("doc_a"))
       .join(cold.select($"h", $"doc_id".as("doc_b")), "h")
       .filter($"doc_a" < $"doc_b")
@@ -411,10 +419,12 @@ object Indexing {
   def dedupWinnowVerify(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pairs = dedupWinnowPairs(spark, dir)
-    val toks = Tables.documents(spark, dir)
+    // cut: exactJaccard reads this frame on BOTH sides of its
+    // intersection join
+    val toks = graft.PlanOnly.cut(Tables.documents(spark, dir)
       .select($"doc_id",
         explode(expr("filter(split(text, ' '), w -> w <> '')")).as("sh"))
-      .distinct()
+      .distinct())
     LlmOps.exactJaccard(pairs.select($"doc_a", $"doc_b"), toks)
       .join(pairs, Seq("doc_a", "doc_b"))
       .select($"doc_a", $"doc_b", $"n_shared", $"jaccard",
