@@ -168,6 +168,41 @@ object Behavioral {
       .orderBy($"jaccard_fp".desc, $"s1", $"s2")
   }
 
+  /** Resource-allocation link-prediction index over the same bipartite
+    * incidence — the third member of the similarity family: raw common
+    * neighbors ([[graphCopurchasePairs]]) over-rank popular nodes,
+    * Jaccard ([[graphNodeJaccard]]) normalizes by the pair, RA (Zhou,
+    * Lü & Zhang 2009) discounts each SHARED neighbor by its own degree
+    * — RA(s1,s2) = Σ_{shared part z} 1/deg(z) — so a part half the
+    * market stocks contributes almost nothing while a rare co-stocked
+    * part dominates. The standard Adamic–Adar uses 1/log(deg), but log
+    * is banned for oracle parity; RA is the published log-free variant
+    * with the same intent and better link-prediction accuracy in the
+    * original study. Each reciprocal is ⌊2²⁰/deg⌋ BIGINT fixed point —
+    * one truncating division per PART (not per pair), cross-engine
+    * exact.
+    *
+    * Scale shape: identical to the copurchase machinery (one incidence
+    * shuffle, degree²-bounded sorted-set pair explode, map-side pair
+    * combine) — the per-part weight is computed from the collected
+    * set's own size BEFORE pairing, so no degree join is needed at
+    * all. */
+  def graphResourceAllocation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_suppkey").distinct()
+      .groupBy($"l_partkey")
+      .agg(sort_array(collect_set($"l_suppkey")).as("ss"))
+      .select($"ss",
+        expr("1048576L div cast(size(ss) AS BIGINT)").as("w"),
+        posexplode($"ss").as(Seq("i", "s1")))
+      .select($"s1", $"w", explode(expr("slice(ss, i + 2, size(ss))")).as("s2"))
+      .groupBy($"s1", $"s2")
+      .agg(count(lit(1)).as("shared_parts"), sum($"w").as("ra_fp"))
+      .filter($"shared_parts" >= 3)
+      .orderBy($"ra_fp".desc, $"s1", $"s2")
+  }
+
   /** First-order transition matrix over each user's event sequence —
     * the Markov-chain view of a clickstream (what follows what, and
     * how often). One user_id shuffle: lag() over the per-user order
@@ -258,7 +293,8 @@ object Behavioral {
     "agg_transition_matrix" -> (aggTransitionMatrix(_, _)),
     "window_cumulative_distinct" -> (windowCumulativeDistinct(_, _)),
     "graph_copurchase_pairs" -> (graphCopurchasePairs(_, _)),
-    "graph_node_jaccard" -> (graphNodeJaccard(_, _))
+    "graph_node_jaccard" -> (graphNodeJaccard(_, _)),
+    "graph_resource_allocation" -> (graphResourceAllocation(_, _))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -328,6 +364,20 @@ object Behavioral {
         |  ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
         |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY shared_parts DESC, s1, s2""".stripMargin,
+    // per-part ⌊2²⁰/deg⌋ weight joined onto the pair grid; the oracle
+    // may self-join — the graded side never does
+    "graph_resource_allocation" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |pd AS (SELECT l_partkey, 1048576 // count(*) AS w
+        |  FROM ps GROUP BY l_partkey),
+        |p AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, a.l_partkey
+        |  FROM ps a JOIN ps b
+        |    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey)
+        |SELECT s1, s2, CAST(count(*) AS BIGINT) AS shared_parts,
+        |  CAST(sum(w) AS BIGINT) AS ra_fp
+        |FROM p JOIN pd USING (l_partkey)
+        |GROUP BY s1, s2 HAVING count(*) >= 3
+        |ORDER BY ra_fp DESC, s1, s2""".stripMargin,
     "graph_node_jaccard" ->
       """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
         |deg AS (SELECT l_suppkey, count(*) AS deg FROM ps GROUP BY 1),

@@ -432,7 +432,87 @@ object Indexing {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Bigram language-model count tables — the Kneser–Ney sufficient
+    * statistics a count-based LM (or the data side of a modern
+    * tokenizer/contamination analysis) needs per bigram type: the raw
+    * bigram count c(w1 w2), the left-context mass c(w1 •) it is
+    * normalized by, and the two CONTINUATION type counts — N1+(• w2)
+    * (how many distinct left contexts w2 follows: the KN unigram
+    * numerator) and N1+(w1 •) (w1's right fan-out: the KN backoff
+    * weight numerator). Counts only, no smoothing division — the exact
+    * integers every smoothing variant is computed from.
+    *
+    * Adjacency is over the RAW split array (the inverted-index position
+    * posture), so both engines see identical pairs; all-'' pairs are
+    * dropped after pairing. Scale shape: one doc_id-partitioned lead
+    * window forms bigram tokens, which collapse map-side to bigram
+    * TYPES (≤|vocab|² rows, here ≤961); the three context statistics
+    * are windows over that tiny type frame, never the corpus. */
+  def textBigramLmCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"p0")
+    val types = Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("p0", "w1")))
+      .withColumn("w2", lead($"w1", 1).over(wDoc))
+      .filter($"w2".isNotNull && $"w1" =!= "" && $"w2" =!= "")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c_bigram"))
+    types
+      .withColumn("c_left_ctx", sum($"c_bigram")
+        .over(Window.partitionBy($"w1")))
+      .withColumn("n_cont_right", count(lit(1))
+        .over(Window.partitionBy($"w1")).cast("long"))
+      .withColumn("n_cont_left", count(lit(1))
+        .over(Window.partitionBy($"w2")).cast("long"))
+      .select($"w1", $"w2", $"c_bigram", $"c_left_ctx",
+        $"n_cont_left", $"n_cont_right")
+      .orderBy($"w1", $"w2")
+  }
+
+  /** Phrase search through the positional index — the query the
+    * position lists of [[textInvertedIndex]] exist to answer: find every
+    * document containing an exact 3-word phrase, with its occurrence
+    * count and first position. The phrase itself is data-driven and
+    * deterministic: the corpus's most frequent trigram, elected by
+    * (count desc, trigram asc) — the BPE-election total order.
+    * Overlapping occurrences count separately (position semantics, both
+    * engines agree by construction).
+    *
+    * Scale shape: trigram tokens come from the same doc_id-partitioned
+    * window pass (two leads, one shuffle); the election is a global
+    * top-1 (TakeOrderedAndProject over map-side-combined counts, never
+    * a single-partition sort) whose 1-row winner BROADCASTS back as the
+    * filter — at 100 TB this is "scan the positional index for one
+    * term and verify adjacency", never a re-scan per query. */
+  def textPhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"p0")
+    // persisted: the trigram frame feeds both the election and the
+    // match scan (released by the harness's per-key clearCache)
+    val tri = graft.PlanOnly.mark(Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("p0", "w1")))
+      .withColumn("w2", lead($"w1", 1).over(wDoc))
+      .withColumn("w3", lead($"w1", 2).over(wDoc))
+      .filter($"w3".isNotNull && $"w1" =!= "" && $"w2" =!= "" &&
+        $"w3" =!= "")
+      .select($"doc_id", ($"p0" + 1).cast("long").as("pos"),
+        $"w1", $"w2", $"w3"))
+    val top = tri.groupBy($"w1", $"w2", $"w3")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"w1", $"w2", $"w3")
+      .limit(1)
+      .select($"w1".as("t1"), $"w2".as("t2"), $"w3".as("t3"))
+    tri.crossJoin(broadcast(top))
+      .filter($"w1" === $"t1" && $"w2" === $"t2" && $"w3" === $"t3")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_occurrences"), min($"pos").as("first_pos"),
+        first(concat_ws(" ", $"t1", $"t2", $"t3")).as("phrase"))
+      .select($"doc_id", $"phrase", $"n_occurrences", $"first_pos")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "text_bigram_lm_counts" -> (textBigramLmCounts(_, _)),
+    "text_phrase_search" -> (textPhraseSearch(_, _)),
     "text_winnow_fingerprints" -> (textWinnowFingerprints(_, _)),
     "dedup_winnow_verify" -> (dedupWinnowVerify(_, _)),
     "dedup_winnow_pairs" -> (dedupWinnowPairs(_, _)),
@@ -535,6 +615,41 @@ object Indexing {
       |    CAST(mk // 1048576 AS BIGINT) AS h FROM sel)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // raw-array adjacency (l[j], l[j+1]) ≡ the Spark lead-over-p0 pairs;
+    // the three context statistics are windows over the type frame
+    "text_bigram_lm_counts" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+        |  FROM documents),
+        |i AS (SELECT doc_id, l, unnest(range(1, len(l))) AS j FROM t
+        |  WHERE len(l) >= 2),
+        |b AS (SELECT l[j] AS w1, l[j + 1] AS w2 FROM i
+        |  WHERE l[j] <> '' AND l[j + 1] <> ''),
+        |ty AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bigram
+        |  FROM b GROUP BY w1, w2)
+        |SELECT w1, w2, c_bigram,
+        |  CAST(sum(c_bigram) OVER (PARTITION BY w1) AS BIGINT)
+        |    AS c_left_ctx,
+        |  CAST(count(*) OVER (PARTITION BY w2) AS BIGINT) AS n_cont_left,
+        |  CAST(count(*) OVER (PARTITION BY w1) AS BIGINT) AS n_cont_right
+        |FROM ty ORDER BY w1, w2""".stripMargin,
+    // same trigram frame + (count desc, trigram asc) top-1 election;
+    // 1-based positions on both engines, overlaps count separately
+    "text_phrase_search" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+        |  FROM documents),
+        |i AS (SELECT doc_id, l, unnest(range(1, len(l) - 1)) AS j FROM t
+        |  WHERE len(l) >= 3),
+        |tri AS (SELECT doc_id, CAST(j AS BIGINT) AS pos,
+        |    l[j] AS w1, l[j + 1] AS w2, l[j + 2] AS w3
+        |  FROM i WHERE l[j] <> '' AND l[j + 1] <> '' AND l[j + 2] <> ''),
+        |top AS (SELECT w1, w2, w3 FROM tri GROUP BY w1, w2, w3
+        |  ORDER BY count(*) DESC, w1, w2, w3 LIMIT 1)
+        |SELECT doc_id,
+        |  (SELECT w1 || ' ' || w2 || ' ' || w3 FROM top) AS phrase,
+        |  CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(min(pos) AS BIGINT) AS first_pos
+        |FROM tri JOIN top USING (w1, w2, w3)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_winnow_fingerprints" -> (winnowChainSql +
       "\nSELECT doc_id, pos, h FROM fp ORDER BY doc_id, pos"),
     "dedup_winnow_pairs" -> (winnowChainSql +

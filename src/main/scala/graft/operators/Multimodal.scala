@@ -549,7 +549,100 @@ object Multimodal {
         |ORDER BY event_type, user_id""".stripMargin)
   }
 
+  /** Exact best-split election for a single-feature decision stump —
+    * the inner loop of every distributed tree learner (XGBoost/LightGBM
+    * histogram mode): label = "is this document English?", feature =
+    * n_chars, and every distinct feature value is a candidate threshold
+    * scored by weighted Gini impurity. The full threshold curve is the
+    * output (one row per candidate split, the histogram a tree trainer
+    * materializes), with the elected stump flagged.
+    *
+    * Arithmetic is exact end to end: per-side impurity numerator
+    * n² − pos² − neg² = 2·pos·neg, so the weighted score is
+    * (2·posL·negL·nR + 2·posR·negR·nL)·2²⁰ div (nL·nR) — one truncating
+    * integer division per candidate (cross-engine exact), no doubles.
+    * Headroom: |docs| ≤ ~30k before the ·2²⁰ product nears 2⁶³; a
+    * larger corpus drops the shift or widens to DECIMAL.
+    *
+    * Scale shape: the corpus scan collapses to the per-distinct-value
+    * histogram (|thresholds| rows, here ≤313) BEFORE any window — the
+    * cumulative split counts and the argmin election run on that tiny
+    * aggregated frame, never on row-grain data. That is exactly how the
+    * histogram-based learners stay one-pass at any data size. */
+  def mlDecisionStump(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hist = Tables.documents(spark, dir)
+      .groupBy($"n_chars".as("threshold"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("pos"))
+    val tot = hist.agg(sum($"cnt").as("n_tot"), sum($"pos").as("pos_tot"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy($"threshold")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val curve = hist.crossJoin(broadcast(tot))
+      .select($"threshold",
+        sum($"cnt").over(wCum).as("n_left"),
+        sum($"pos").over(wCum).as("pos_left"),
+        $"n_tot", $"pos_tot")
+      .filter($"n_left" < $"n_tot") // the max value splits nothing off
+      .select($"threshold", $"n_left", $"pos_left",
+        ($"n_tot" - $"n_left").as("n_right"),
+        ($"pos_tot" - $"pos_left").as("pos_right"),
+        (($"pos_left" * ($"n_left" - $"pos_left") * ($"n_tot" - $"n_left") +
+          ($"pos_tot" - $"pos_left") *
+            (($"n_tot" - $"n_left") - ($"pos_tot" - $"pos_left")) * $"n_left")
+          * lit(2097152L)).as("num"))
+      .select($"threshold", $"n_left", $"pos_left", $"n_right", $"pos_right",
+        expr("num div (n_left * n_right)").as("gini_fp"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    curve
+      .withColumn("best", min(struct($"gini_fp", $"threshold")).over(wAll))
+      .select($"threshold", $"n_left", $"pos_left", $"n_right", $"pos_right",
+        $"gini_fp",
+        when($"gini_fp" === $"best.gini_fp" &&
+          $"threshold" === $"best.threshold", 1L).otherwise(0L).as("is_best"))
+      .orderBy($"threshold")
+  }
+
+  /** Exact ROC-AUC per document source via the Mann–Whitney U statistic
+    * — the ranking-quality number every classifier eval reports, here
+    * computed WITHOUT materializing the pos×neg pair grid: group by
+    * distinct score, one cumulative window over the per-source score
+    * histogram, then U·2 = Σ_s pos(s)·(2·negs_below(s) + neg(s)) — ties
+    * get the standard half credit, and keeping 2U instead of U keeps
+    * everything integer. auc_fp = 2U·2²⁰ div (2·n_pos·n_neg) is the one
+    * truncating division; sources missing a class emit the −1 sentinel.
+    *
+    * Label = (lang = 'en'), score = n_chars — a deliberately crude
+    * "longer is more English" ranker; the graded part is the exact
+    * U-statistic machinery. Scale shape: row-grain data collapses to
+    * per-(source, score) counts before the window, so the sort touches
+    * |sources|·|distinct scores| rows, never the corpus. */
+  def evalAucExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"score")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .groupBy($"source", $"n_chars".as("score"))
+      .agg(sum(when($"lang" === "en", 1L).otherwise(0L)).as("pos"),
+        sum(when($"lang" === "en", 0L).otherwise(1L)).as("neg"))
+      .withColumn("neg_below", coalesce(sum($"neg").over(w), lit(0L)))
+      .groupBy($"source")
+      .agg(sum($"pos").as("n_pos"), sum($"neg").as("n_neg"),
+        sum($"pos" * ($"neg_below" * 2 + $"neg")).as("u2"))
+      .select($"source", $"n_pos", $"n_neg", $"u2",
+        when($"n_pos" === 0 || $"n_neg" === 0, -1L)
+          .otherwise(expr("(u2 * 1048576) div (2 * n_pos * n_neg)"))
+          .as("auc_fp"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "ml_decision_stump" -> (mlDecisionStump(_, _)),
+    "eval_auc_exact" -> (evalAucExact(_, _)),
     "ml_linreg_sufficient" -> (mlLinregSufficient(_, _)),
     "source_binaryfile_ingest" -> (sourceBinaryfileIngest(_, _)),
     "eval_ann_recall" -> (evalAnnRecall(_, _)),
@@ -566,6 +659,61 @@ object Multimodal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same histogram → cumulative-split → fixed-point Gini chain; the
+    // argmin election replayed as min-tuple over the curve
+    "ml_decision_stump" ->
+      """WITH h AS (SELECT n_chars AS threshold,
+        |    CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS pos
+        |  FROM documents GROUP BY n_chars),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tot,
+        |    CAST(sum(pos) AS BIGINT) AS pos_tot FROM h),
+        |c AS (SELECT threshold,
+        |    CAST(sum(cnt) OVER w AS BIGINT) AS n_left,
+        |    CAST(sum(pos) OVER w AS BIGINT) AS pos_left,
+        |    n_tot, pos_tot
+        |  FROM h, t
+        |  WINDOW w AS (ORDER BY threshold
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |g AS (SELECT threshold, n_left, pos_left,
+        |    n_tot - n_left AS n_right, pos_tot - pos_left AS pos_right,
+        |    CAST((pos_left * (n_left - pos_left) * (n_tot - n_left) +
+        |      (pos_tot - pos_left) *
+        |        ((n_tot - n_left) - (pos_tot - pos_left)) * n_left)
+        |      * 2097152 // (n_left * (n_tot - n_left)) AS BIGINT)
+        |      AS gini_fp
+        |  FROM c WHERE n_left < n_tot),
+        |b AS (SELECT min(gini_fp) AS bg FROM g),
+        |bt AS (SELECT min(threshold) AS bthr FROM g, b WHERE gini_fp = bg)
+        |SELECT threshold, n_left, pos_left, n_right, pos_right, gini_fp,
+        |  CAST(CASE WHEN gini_fp = (SELECT bg FROM b)
+        |    AND threshold = (SELECT bthr FROM bt) THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_best
+        |FROM g ORDER BY threshold""".stripMargin,
+    // the same pairless U: per-(source, score) histogram, negs-below
+    // window, ties at half credit via the 2U integerization
+    "eval_auc_exact" ->
+      """WITH h AS (SELECT source, n_chars AS score,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS pos,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS neg
+        |  FROM documents GROUP BY source, n_chars),
+        |c AS (SELECT source, score, pos, neg,
+        |    CAST(coalesce(sum(neg) OVER (PARTITION BY source ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS neg_below
+        |  FROM h),
+        |a AS (SELECT source, CAST(sum(pos) AS BIGINT) AS n_pos,
+        |    CAST(sum(neg) AS BIGINT) AS n_neg,
+        |    CAST(sum(pos * (neg_below * 2 + neg)) AS BIGINT) AS u2
+        |  FROM c GROUP BY source)
+        |SELECT source, n_pos, n_neg, u2,
+        |  CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN -1
+        |    ELSE (u2 * 1048576) // (2 * n_pos * n_neg) END AS BIGINT)
+        |    AS auc_fp
+        |FROM a ORDER BY source""".stripMargin,
     // every aggregate CAST to BIGINT: DuckDB sums BIGINT into HUGEINT,
     // which pandas would widen to float64 and fail the dtype match
     "ml_linreg_sufficient" ->

@@ -553,6 +553,47 @@ object Pipelines {
       .orderBy($"lang")
   }
 
+  /** Neyman-optimal stratified sample allocation — the statistically
+    * correct upgrade of proportional stratification: a 100-doc eval
+    * budget is split across languages ∝ N_h·σ_h (stratum size × spread
+    * of n_chars), so high-variance strata get more probes per Neyman
+    * (1934). The weight is computed WITHOUT any non-exact math:
+    * N_h·σ_h = sqrt(N_h·Σx² − (Σx)²), the argument is an exact BIGINT
+    * < 2⁵³ (so exactly representable), IEEE sqrt is correctly rounded on
+    * both engines, and ⌊·⌋ of it is cross-engine identical because the
+    * true root of a non-square integer is never within one ulp of an
+    * integer at this magnitude. Allocation then reuses the
+    * largest-remainder (Hamilton) rule of [[corpusTokenBudget]] —
+    * all-integer, Σalloc == 100 exactly.
+    *
+    * Scale shape: one map-side collapse of the corpus to |langs| rows of
+    * sufficient statistics (n, Σx, Σx²) — the same one-pass
+    * partial-aggregate posture as ml_linreg_sufficient — then windows
+    * over that tiny frame only. */
+  def sampleStratifiedNeyman(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val budget = 100L
+    val wAll = Window.partitionBy()
+    val wRank = Window.partitionBy().orderBy($"rem".desc, $"lang")
+    Tables.documents(spark, dir)
+      .select(coalesce($"lang", lit("(none)")).as("lang"),
+        $"n_chars".as("x"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"x").as("sx"),
+        sum($"x" * $"x").as("sxx"))
+      .withColumn("w_h",
+        floor(sqrt(($"n_docs" * $"sxx" - $"sx" * $"sx").cast("double")))
+          .cast("long"))
+      .withColumn("total_w", sum($"w_h").over(wAll))
+      .withColumn("quota", expr(s"($budget * w_h) div total_w"))
+      .withColumn("rem", lit(budget) * $"w_h" - $"quota" * $"total_w")
+      .withColumn("leftover", lit(budget) - sum($"quota").over(wAll))
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .select($"lang", $"n_docs", $"w_h",
+        ($"quota" + when($"rk" <= $"leftover", 1L).otherwise(0L)).as("alloc"))
+      .orderBy($"lang")
+  }
+
   /** k-hop BFS reachability from a seed set — the graph primitive CC
     * deliberately skips: not "which component" but "how FAR", the query
     * behind contamination-radius checks (every doc within 3 dedup hops
@@ -669,6 +710,7 @@ object Pipelines {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "sample_stratified_neyman" -> (sampleStratifiedNeyman(_, _)),
     "graph_bfs_reach" -> (graphBfsReach(_, _)),
     "sample_systematic_weighted" -> (sampleSystematicWeighted(_, _)),
     "corpus_shard_manifest" -> (corpusShardManifest(_, _)),
@@ -747,6 +789,33 @@ object Pipelines {
         |FROM s
         |WINDOW w AS (PARTITION BY shard ORDER BY h, doc_id)
         |ORDER BY shard, pos""".stripMargin,
+    // same sufficient-stats → ⌊sqrt⌋ weight → Hamilton rounding chain;
+    // sqrt argument < 2⁵³ so both engines see the identical double
+    "sample_stratified_neyman" ->
+      """WITH t AS (SELECT coalesce(lang, '(none)') AS lang,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sx,
+        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+        |  FROM documents GROUP BY 1),
+        |wgt AS (SELECT lang, n_docs,
+        |    CAST(floor(sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)))
+        |      AS BIGINT) AS w_h
+        |  FROM t),
+        |a AS (SELECT lang, n_docs, w_h, sum(w_h) OVER () AS total_w
+        |  FROM wgt),
+        |q AS (SELECT lang, n_docs, w_h,
+        |    (100 * w_h) // total_w AS quota,
+        |    100 * w_h - ((100 * w_h) // total_w) * total_w AS rem,
+        |    total_w
+        |  FROM a),
+        |r AS (SELECT lang, n_docs, w_h, quota, rem,
+        |    100 - sum(quota) OVER () AS leftover,
+        |    row_number() OVER (ORDER BY rem DESC, lang) AS rk
+        |  FROM q)
+        |SELECT lang, n_docs, w_h,
+        |  CAST(quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc
+        |FROM r ORDER BY lang""".stripMargin,
     "corpus_token_budget" ->
       """WITH t AS (SELECT coalesce(lang, '(none)') AS lang,
         |    sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS n_tokens

@@ -376,6 +376,46 @@ object Timeseries {
       .orderBy($"user_id")
   }
 
+  /** One-sided CUSUM drift detection per user — the change-point monitor
+    * (Page 1954) a pipeline-health dashboard keeps per entity: against a
+    * per-user reference level μ = v₀ (the first observed value) and slack
+    * K = 0.5, the statistic s₀ = 0, sᵢ = max(0, sᵢ₋₁ + (vᵢ − μ − K))
+    * accumulates sustained upward drift and resets on evidence against
+    * it. All arithmetic is BIGINT value·10⁴ fixed point (no division at
+    * all), so the fold is cross-engine exact. Emits per user the final
+    * statistic, its running max, and how many updates landed above the
+    * alarm bar H = 20.0 — the "pages since last healthy" triple.
+    *
+    * Same inherently-sequential-per-entity posture as
+    * [[timeseriesEwmaFixed]]: one user_id shuffle, then an ordered
+    * in-group fold (sort_array + codegen'd `aggregate` lambda) carrying
+    * the 3-field (s, mx, na) struct; state O(1) per entity beyond the
+    * collected sequence. Oracle replays the fold as a per-rank recursive
+    * CTE carrying the same struct. */
+  def timeseriesCusum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // new statistic from state st and step x, against the rank-1 target
+    val sNew = "greatest(0L, st.s + (x.v_fp - seq[0].v_fp - 5000L))"
+    Tables.events(spark, dir)
+      .filter($"value".isNotNull)
+      .select($"user_id", Tables.nsToUs($"ts").as("t"), $"event_id",
+        (Tables.dec4($"value") * 10000).cast("long").as("v_fp"))
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"t", $"event_id", $"v_fp")))
+        .as("seq"))
+      .select($"user_id",
+        size($"seq").cast("long").as("n_events"),
+        expr("aggregate(slice(seq, 2, size(seq) - 1), " +
+          "named_struct('s', 0L, 'mx', 0L, 'na', 0L), " +
+          s"(st, x) -> named_struct('s', $sNew, " +
+          s"'mx', greatest(st.mx, $sNew), " +
+          s"'na', st.na + if($sNew > 200000L, 1L, 0L)))").as("st"))
+      .select($"user_id", $"n_events",
+        $"st.s".as("cusum_fp"), $"st.mx".as("max_cusum_fp"),
+        $"st.na".as("n_alarms"))
+      .orderBy($"user_id")
+  }
+
   /** CDC apply into an SCD2 dimension — the warehouse MERGE every
     * change-data-capture feed runs: a standing type-2 history (built
     * from the first 4/5 of the event-time span and MATERIALIZED to
@@ -442,6 +482,7 @@ object Timeseries {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "timeseries_cusum" -> (timeseriesCusum(_, _)),
     "timeseries_holt_linear" -> (timeseriesHoltLinear(_, _)),
     "timeseries_ewma_fixed" -> (timeseriesEwmaFixed(_, _)),
     "scd2_cdc_apply" -> (scd2CdcApply(_, _)),
@@ -456,6 +497,34 @@ object Timeseries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // (s, mx, na) carried through the per-rank recursive CTE against
+    // the rank-1 target; greatest() is the same total function on both
+    // engines and there is no division anywhere in the fold
+    "timeseries_cusum" ->
+      """WITH RECURSIVE e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v_fp
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT user_id, event_id, t, v_fp,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM e),
+        |f AS (
+        |  SELECT user_id, rn, n, v_fp AS tgt, CAST(0 AS BIGINT) AS s,
+        |    CAST(0 AS BIGINT) AS mx, CAST(0 AS BIGINT) AS na
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.rn, r.n, f.tgt,
+        |    greatest(0, f.s + (r.v_fp - f.tgt - 5000)),
+        |    greatest(f.mx, greatest(0, f.s + (r.v_fp - f.tgt - 5000))),
+        |    f.na + CASE WHEN greatest(0, f.s + (r.v_fp - f.tgt - 5000))
+        |      > 200000 THEN 1 ELSE 0 END
+        |  FROM f JOIN r ON r.user_id = f.user_id AND r.rn = f.rn + 1)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+        |  CAST(s AS BIGINT) AS cusum_fp, CAST(mx AS BIGINT) AS max_cusum_fp,
+        |  CAST(na AS BIGINT) AS n_alarms
+        |FROM f WHERE rn = n
+        |ORDER BY user_id""".stripMargin,
     // (l, b) carried through the per-rank recursive CTE; DuckDB's //
     // floors on both signs, matching the Spark side's explicit
     // (a − pmod(a,4)) div 4
