@@ -684,7 +684,101 @@ object LlmOps {
       .orderBy($"stage")
   }
 
+  /** Confusion matrix of the in-repo language-ID classifier
+    * ([[textLangid]]) against the labeled `lang` column — grading one
+    * graft operator WITH another, the closed eval loop a real corpus
+    * pipeline runs before trusting a classifier gate. One row per
+    * (true_lang, pred_lang) cell with its count and the within-true-row
+    * share in 2²⁰ fixed point (exact recall diagonal). The fixture
+    * caveat of textLangid carries over (shared vocabulary ⇒ chance
+    * accuracy); the graded machinery — predict → join truth → cell
+    * aggregate → row-normalize — is the 100 TB-relevant part.
+    *
+    * Scale shape: the prediction chain is textLangid's (profile
+    * broadcast-ish join + per-doc argmax); the confusion aggregate
+    * collapses to ≤|langs|² rows before the row-total window. */
+  def qualityLangidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pred = textLangid(spark, dir).select($"doc_id", $"pred_lang")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang".as("true_lang"))
+      .join(pred, "doc_id")
+      .groupBy($"true_lang", $"pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total",
+        sum($"n").over(Window.partitionBy($"true_lang")))
+      .select($"true_lang", $"pred_lang", $"n", $"row_total",
+        expr("(n * 1048576) div row_total").as("share_fp"))
+      .orderBy($"true_lang", $"pred_lang")
+  }
+
+  /** Naive-Bayes sufficient statistics for language classification —
+    * the per-(class, token) count table, per-class token mass, and the
+    * Laplace-smoothed conditional `(c+1)/(total+|V|)` in 2²⁰ fixed
+    * point — everything a multinomial NB language-ID model needs,
+    * WITHOUT the log-space scoring (log is banned for oracle parity;
+    * the counts are the model, scoring is a consumer concern). This is
+    * the statistical companion to [[textLangid]]'s profile scorer.
+    *
+    * Scale shape: one map-side-combinable (lang, token) count — the
+    * wordcount shuffle; the class mass is a window over the ≤|langs|·
+    * |vocab| type frame and the vocabulary size a 1-row broadcast. */
+  def mlNaiveBayesCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(spark, dir)
+      .select($"lang", explode(split($"text", " ")).as("t"))
+      .filter($"t" =!= "")
+    val vocab = tok.agg(countDistinct($"t").as("v"))
+    tok.groupBy($"lang", $"t").agg(count(lit(1)).as("c"))
+      .withColumn("lang_total", sum($"c").over(Window.partitionBy($"lang")))
+      .crossJoin(broadcast(vocab))
+      .select($"lang", $"t".as("token"), $"c", $"lang_total",
+        expr("((c + 1) * 1048576) div (lang_total + v)").as("laplace_fp"))
+      .orderBy($"lang", $"token")
+  }
+
+  /** Eval-set n-gram coverage against the training split — the inverse
+    * of [[textDecontaminate]]: not "is the eval LEAKED into train" but
+    * "how much of the eval's surface is even REPRESENTED in train", the
+    * domain-shift diagnostic run before trusting a benchmark number.
+    * Eval = every 10th doc (doc_id % 10 = 7, the eval_holdout_split
+    * carve family); per eval doc: its distinct 4-gram count, how many
+    * of those grams occur anywhere in train, and the coverage ratio in
+    * ppm. Docs under 4 tokens carry no grams and drop out (both
+    * engines agree by construction).
+    *
+    * Scale shape: grams collapse to DISTINCT per side before the join,
+    * and the join is a hash equi-join on the gram key — at 100 TB the
+    * key is xxhash64(gram) (8 bytes, the text_ngram_novelty posture);
+    * at fixture scale raw gram text keeps the oracle collision-free by
+    * construction. Train-side distinct grams partial-aggregate
+    * map-side; nothing ever pairs docs. */
+  def textNgramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def grams(df: DataFrame): DataFrame = df
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 4)
+      .select($"doc_id", explode(array_distinct(expr(
+        """transform(sequence(1, size(toks) - 3),
+          |  i -> concat_ws(' ', slice(toks, i, 4)))""".stripMargin))).as("g"))
+    val docs = Tables.documents(spark, dir)
+    val evalG = grams(docs.filter($"doc_id" % 10 === 7))
+    val trainG = grams(docs.filter($"doc_id" % 10 =!= 7))
+      .select($"g").distinct().withColumn("seen", lit(1L))
+    evalG.join(trainG, Seq("g"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce($"seen", lit(0L))).as("n_seen"))
+      .withColumn("coverage_ppm", expr("(n_seen * 1000000) div n_grams"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "quality_langid_confusion" -> (qualityLangidConfusion(_, _)),
+    "ml_naive_bayes_counts" -> (mlNaiveBayesCounts(_, _)),
+    "text_ngram_coverage" -> (textNgramCoverage(_, _)),
     "corpus_dedup_pipeline" -> (corpusDedupPipeline(_, _)),
     "text_ngram_novelty" -> (textNgramNovelty(_, _)),
     "dedup_prefer_source" -> (dedupPreferSource(_, _)),
@@ -710,6 +804,63 @@ object LlmOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the text_langid chain verbatim as a CTE, joined back to truth;
+    // row share in exact fixed point
+    "quality_langid_confusion" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' '))
+        |    AS t FROM documents),
+        |tok2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+        |profile AS (SELECT t, lang AS cand, count(*) AS c FROM tok
+        |  WHERE t <> '' GROUP BY t, lang),
+        |scores AS (SELECT doc_id, cand, CAST(sum(c) AS BIGINT) AS score
+        |  FROM tok2 JOIN profile USING (t) GROUP BY doc_id, cand),
+        |r AS (SELECT doc_id, cand, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, cand) AS rn FROM scores),
+        |pred AS (SELECT doc_id, cand AS pred_lang FROM r WHERE rn = 1),
+        |cells AS (SELECT d.lang AS true_lang, p.pred_lang,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents d JOIN pred p USING (doc_id)
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT true_lang, pred_lang, n,
+        |    CAST(sum(n) OVER (PARTITION BY true_lang) AS BIGINT)
+        |      AS row_total FROM cells)
+        |SELECT true_lang, pred_lang, n, row_total,
+        |  CAST((n * 1048576) // row_total AS BIGINT) AS share_fp
+        |FROM tot ORDER BY true_lang, pred_lang""".stripMargin,
+    // same wordcount → class-mass window → Laplace fixed point
+    "ml_naive_bayes_counts" ->
+      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |tk AS (SELECT lang, t FROM tok WHERE t <> ''),
+        |v AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM tk),
+        |c AS (SELECT lang, t AS token, CAST(count(*) AS BIGINT) AS c
+        |  FROM tk GROUP BY lang, t),
+        |m AS (SELECT lang, token, c,
+        |    CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS lang_total
+        |  FROM c)
+        |SELECT lang, token, c, lang_total,
+        |  CAST(((c + 1) * 1048576) // (lang_total + (SELECT v FROM v))
+        |    AS BIGINT) AS laplace_fp
+        |FROM m ORDER BY lang, token""".stripMargin,
+    // same per-doc distinct 4-grams on both sides; LEFT JOIN against
+    // the train-side distinct gram set
+    "text_ngram_coverage" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 4),
+        |g AS (SELECT DISTINCT doc_id,
+        |    array_to_string(list_slice(toks, i, i + 3), ' ') AS g
+        |  FROM (SELECT doc_id, toks,
+        |      unnest(range(1, len(toks) - 2)) AS i FROM d)),
+        |ev AS (SELECT doc_id, g FROM g WHERE doc_id % 10 = 7),
+        |tr AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 <> 7)
+        |SELECT ev.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN tr.g IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_seen,
+        |  CAST((sum(CASE WHEN tr.g IS NULL THEN 0 ELSE 1 END) * 1000000)
+        |    // count(*) AS BIGINT) AS coverage_ppm
+        |FROM ev LEFT JOIN tr USING (g)
+        |GROUP BY ev.doc_id ORDER BY ev.doc_id""".stripMargin,
     "dedup_edit_distance" ->
       """WITH k AS (SELECT doc_id, text,
         |    array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS k5

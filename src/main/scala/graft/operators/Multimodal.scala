@@ -640,7 +640,47 @@ object Multimodal {
       .orderBy($"source")
   }
 
+  /** k-NN classification over the embedding corpus — the label-vote
+    * consumer of the cosine top-k machinery: every 50th vector is a
+    * query, its 5 nearest neighbors (by the native codegen'd
+    * cosine_similarity, rounded to 6 — bit-identical across engines)
+    * vote on its label, majority wins with (votes desc, label asc)
+    * tie-break. Emits the true label alongside the prediction — the
+    * leave-one-out eval frame an embedding-quality dashboard reports
+    * accuracy from.
+    *
+    * Scale shape: the query set is a constant-fraction broadcast (the
+    * simsearch_cosine_topk posture); candidate scoring fans out
+    * per-query, top-5 is a per-query window, and the vote collapses to
+    * ≤|queries|·|labels| rows before the final argmax window. The 100 TB
+    * path swaps the brute-force candidate set for the IVF/LSH-bucketed
+    * one without touching the vote. */
+  def mlKnnClassify(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorOps.registerAll(spark)
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"label".as("tl"), $"embedding".as("qe"))
+    val wTop = Window.partitionBy($"q_id").orderBy($"score".desc, $"vec_id")
+    val wVote = Window.partitionBy($"q_id").orderBy($"v".desc, $"label")
+    e.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"tl", $"vec_id", $"label",
+        round(expr("cosine_similarity(qe, embedding)"), 6).as("score"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter($"rn" <= 5)
+      .groupBy($"q_id", $"tl", $"label")
+      .agg(count(lit(1)).as("v"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter($"vr" === 1)
+      .select($"q_id", $"tl".cast("long").as("true_label"),
+        $"label".cast("long").as("pred_label"), $"v".as("n_votes"))
+      .orderBy($"q_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "ml_knn_classify" -> (mlKnnClassify(_, _)),
     "ml_decision_stump" -> (mlDecisionStump(_, _)),
     "eval_auc_exact" -> (evalAucExact(_, _)),
     "ml_linreg_sufficient" -> (mlLinregSufficient(_, _)),
@@ -659,6 +699,29 @@ object Multimodal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the simsearch_cosine_topk scoring formula (list_dot_product /
+    // sqrt·sqrt, round 6) + the same two-window vote
+    "ml_knn_classify" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(label AS BIGINT) AS tl,
+        |    CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |s AS (SELECT q_id, tl, vec_id, label,
+        |    round(list_dot_product(qe, CAST(embedding AS DOUBLE[])) /
+        |      (sqrt(list_dot_product(qe, qe)) *
+        |       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |         CAST(embedding AS DOUBLE[])))), 6) AS score
+        |  FROM q, embeddings WHERE vec_id <> q_id),
+        |r AS (SELECT q_id, tl, vec_id, label, score,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score DESC, vec_id) AS rn FROM s),
+        |votes AS (SELECT q_id, tl, label, CAST(count(*) AS BIGINT) AS v
+        |  FROM r WHERE rn <= 5 GROUP BY q_id, tl, label),
+        |w AS (SELECT q_id, tl, label, v,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY v DESC, label)
+        |      AS vr FROM votes)
+        |SELECT q_id, tl AS true_label, CAST(label AS BIGINT) AS pred_label,
+        |  v AS n_votes
+        |FROM w WHERE vr = 1 ORDER BY q_id""".stripMargin,
     // same histogram → cumulative-split → fixed-point Gini chain; the
     // argmin election replayed as min-tuple over the curve
     "ml_decision_stump" ->

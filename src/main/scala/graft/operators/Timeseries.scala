@@ -416,6 +416,40 @@ object Timeseries {
       .orderBy($"user_id")
   }
 
+  /** Seasonal-naive forecast backtest per user — the baseline every
+    * forecasting system must beat, and the eval loop that prices it:
+    * each user's end-of-day value is "forecast" by their value 7 days
+    * earlier (the weekly-seasonality naive), and the backtest reports
+    * forecast count, summed absolute error, and MAE — all in BIGINT
+    * value·10⁴ fixed point (|v−f| and the one truncating div are
+    * cross-engine exact). End-of-day value = argmax (t, event_id) via
+    * the max-struct election.
+    *
+    * Scale shape: ONE hash partitioning on (user_id, day) serves both
+    * the daily collapse and the self equi-join on day−7 (the join is
+    * key-shifted but same-width); the per-user error aggregate
+    * partial-aggregates map-side. The daily frame is persisted across
+    * its two join sides. */
+  def timeseriesForecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = graft.PlanOnly.mark(Tables.events(spark, dir)
+      .filter($"value".isNotNull)
+      .select($"user_id", $"event_id", Tables.nsToUs($"ts").as("t"),
+        (Tables.dec4($"value") * 10000).cast("long").as("v_fp"))
+      .withColumn("day", expr("t div 86400000000"))
+      .groupBy($"user_id", $"day")
+      .agg(max(struct($"t", $"event_id", $"v_fp")).getField("v_fp")
+        .as("v_fp")))
+    val prev = daily.select($"user_id", ($"day" + 7).as("day"),
+      $"v_fp".as("f_fp"))
+    daily.join(prev, Seq("user_id", "day"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_forecasts"),
+        sum(abs($"v_fp" - $"f_fp")).as("sae_fp"))
+      .withColumn("mae_fp", expr("sae_fp div n_forecasts"))
+      .orderBy($"user_id")
+  }
+
   /** CDC apply into an SCD2 dimension — the warehouse MERGE every
     * change-data-capture feed runs: a standing type-2 history (built
     * from the first 4/5 of the event-time span and MATERIALIZED to
@@ -482,6 +516,7 @@ object Timeseries {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "timeseries_forecast_backtest" -> (timeseriesForecastBacktest(_, _)),
     "timeseries_cusum" -> (timeseriesCusum(_, _)),
     "timeseries_holt_linear" -> (timeseriesHoltLinear(_, _)),
     "timeseries_ewma_fixed" -> (timeseriesEwmaFixed(_, _)),
@@ -497,6 +532,22 @@ object Timeseries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // end-of-day election replayed as rn=1 over (t desc, event_id
+    // desc) ≡ the Spark max-struct; day−7 self-join on the daily frame
+    "timeseries_forecast_backtest" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v_fp
+        |  FROM events WHERE value IS NOT NULL),
+        |d0 AS (SELECT user_id, t // 86400000000 AS day, v_fp,
+        |    row_number() OVER (PARTITION BY user_id, t // 86400000000
+        |      ORDER BY t DESC, event_id DESC) AS rn
+        |  FROM e),
+        |d AS (SELECT user_id, day, v_fp FROM d0 WHERE rn = 1)
+        |SELECT c.user_id, CAST(count(*) AS BIGINT) AS n_forecasts,
+        |  CAST(sum(abs(c.v_fp - p.v_fp)) AS BIGINT) AS sae_fp,
+        |  CAST(sum(abs(c.v_fp - p.v_fp)) // count(*) AS BIGINT) AS mae_fp
+        |FROM d c JOIN d p ON c.user_id = p.user_id AND c.day = p.day + 7
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
     // (s, mx, na) carried through the per-rank recursive CTE against
     // the rank-1 target; greatest() is the same total function on both
     // engines and there is no division anywhere in the fold

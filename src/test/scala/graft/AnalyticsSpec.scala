@@ -216,4 +216,55 @@ class AnalyticsSpec extends SparkSuite {
       .filter($"den" < 0).count()
     assert(neg === 0L)
   }
+
+  test("ml_decision_stump: curve matches a brute-force recompute; exactly one elected split (sf0.001)") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("n_chars", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1) == "en"))
+    val n = docs.length.toLong
+    val p = docs.count(_._2).toLong
+    // brute force: for every candidate threshold, the same exact
+    // integer Gini score the operator claims
+    val expected = docs.map(_._1).distinct.sorted.dropRight(1).map { t =>
+      val nl = docs.count(_._1 <= t).toLong
+      val pl = docs.count(d => d._1 <= t && d._2).toLong
+      val (nr, pr) = (n - nl, p - pl)
+      val num = (pl * (nl - pl) * nr + pr * (nr - pr) * nl) * 2097152L
+      t -> num / (nl * nr)
+    }.toMap
+    val got = operators.Multimodal.mlDecisionStump(spark, sf0001).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      assert(r.getLong(5) === expected(r.getLong(0)),
+        s"gini mismatch at threshold ${r.getLong(0)}")
+    }
+    assert(got.count(_.getLong(6) === 1L) === 1, "exactly one is_best")
+    val bestGini = got.filter(_.getLong(6) === 1L).head.getLong(5)
+    assert(got.forall(_.getLong(5) >= bestGini), "elected split is argmin")
+  }
+
+  test("eval_auc_exact: U statistic matches the pairwise definition (sf0.001)") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("source", "n_chars", "lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2) == "en"))
+      .groupBy(_._1)
+    val got = operators.Multimodal.evalAucExact(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val rows = docs(r.getString(0))
+      val pos = rows.filter(_._3).map(_._2)
+      val neg = rows.filter(!_._3).map(_._2)
+      // 2U = Σ_pairs (2·[sp > sn] + [sp = sn]) — ties at half credit
+      val u2 = (for { sp <- pos; sn <- neg } yield
+        if (sp > sn) 2L else if (sp == sn) 1L else 0L).sum
+      assert(r.getLong(1) === pos.length.toLong)
+      assert(r.getLong(2) === neg.length.toLong)
+      assert(r.getLong(3) === u2, s"u2 mismatch for ${r.getString(0)}")
+      val auc = r.getLong(4)
+      if (pos.nonEmpty && neg.nonEmpty)
+        assert(auc === u2 * 1048576L / (2L * pos.length * neg.length) &&
+          auc >= 0 && auc <= 1048576L)
+      else assert(auc === -1L)
+    }
+  }
 }

@@ -373,4 +373,25 @@ class BehavioralSpec extends SparkSuite {
     assert(out.join(purchases, Seq("user_id"), "left")
       .filter($"n_matches" > coalesce($"np", lit(0L))).count() === 0L)
   }
+
+  test("graph_resource_allocation: same pair set as copurchase; RA matches a brute-force recompute (sf0.001)") {
+    val inc = Tables.lineitem(spark, sf0001)
+      .select("l_partkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val partDeg = inc.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val bySupp = inc.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val got = Behavioral.graphResourceAllocation(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val cop = Behavioral.graphCopurchasePairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.keySet === cop,
+      "RA and copurchase must agree on the ≥3-shared-parts pair set")
+    got.foreach { case ((s1, s2), (shared, ra)) =>
+      val common = bySupp(s1) intersect bySupp(s2)
+      assert(shared === common.size.toLong)
+      assert(ra === common.toSeq.map(z => 1048576L / partDeg(z)).sum,
+        s"ra_fp mismatch for ($s1,$s2)")
+    }
+  }
 }

@@ -78,6 +78,61 @@ class IndexingSpec extends SparkSuite {
       s"near-dup must verify as duplicate: ${v.head}")
   }
 
+  test("text_bigram_lm_counts: counts reconcile on an injected corpus") {
+    import spark.implicits._
+    val dir = "/root/repo/target/tmp/bigramdocs"
+    // doc 0: "a b a b a" → ab×2 ba×2; doc 1: "c a b" → ca ab.
+    // Type ab: c=3, w1='a' mass = c(ab)+c... a is followed by b only:
+    // c_left_ctx(a •)=3; b followed by a: ba×2. Continuations:
+    // w2='b' has left contexts {a} → n_cont_left(b)=1;
+    // w2='a' has {b, c} → 2; w1='a' fans out to {b} → 1.
+    Seq((0L, "a b a b a"), (1L, "c a b"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Indexing.textBigramLmCounts(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got === Map(
+      ("a", "b") -> ((3L, 3L, 1L, 1L)),
+      ("b", "a") -> ((2L, 2L, 2L, 1L)),
+      ("c", "a") -> ((1L, 1L, 2L, 1L))))
+  }
+
+  test("text_bigram_lm_counts: token mass conserved corpus-wide (sf0.001)") {
+    import spark.implicits._
+    // Σ c_bigram == Σ_docs (n_tokens − 1): every adjacent slot counted
+    // exactly once (no empty tokens in the fixture)
+    val total = Indexing.textBigramLmCounts(spark, sf0001)
+      .agg(sum($"c_bigram")).head.getLong(0)
+    val expected = Tables.documents(spark, sf0001)
+      .select((size(split($"text", " ")) - 1).cast("long").as("n"))
+      .agg(sum($"n")).head.getLong(0)
+    assert(total === expected)
+    // and the left-context mass telescopes: Σ distinct c_left_ctx per
+    // w1 == Σ c_bigram (each w1 group sums to its own mass once)
+    val byW1 = Indexing.textBigramLmCounts(spark, sf0001)
+      .groupBy($"w1").agg(first($"c_left_ctx").as("m"), sum($"c_bigram").as("s"))
+      .filter($"m" =!= $"s").count()
+    assert(byW1 === 0L)
+  }
+
+  test("text_phrase_search: elected phrase, overlap counting, and positions (injected)") {
+    import spark.implicits._
+    val dir = "/root/repo/target/tmp/phrasedocs"
+    // "x x x x" contains the trigram (x,x,x) at positions 1 and 2 —
+    // overlapping occurrences count separately; doc 1 pushes (x,x,x)
+    // to the top election; doc 2 contains no x at all
+    Seq((0L, "x x x x"), (1L, "a x x x b"), (2L, "p q r s t"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Indexing.textPhraseSearch(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      0L -> (("x x x", 2L, 1L)),
+      1L -> (("x x x", 1L, 2L))))
+  }
+
   test("dedup_winnow_verify: jaccard bounded and consistent with the verdict (sf0.001)") {
     import spark.implicits._
     val v = Indexing.dedupWinnowVerify(spark, sf0001)

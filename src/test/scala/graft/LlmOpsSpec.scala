@@ -267,4 +267,94 @@ class LlmOpsSpec extends SparkSuite {
       assert(nc.zip(nc.drop(1)).forall { case (a, b) => a < b })
     }
   }
+
+  test("quality_langid_confusion: cells reconcile with the classifier and the corpus (sf0.001)") {
+    import spark.implicits._
+    val cells = LlmOps.qualityLangidConfusion(spark, sf0001).collect()
+    // total mass = one prediction per document
+    assert(cells.map(_.getLong(2)).sum ===
+      Tables.documents(spark, sf0001).count())
+    // row totals really are row sums, and shares are exact fixed point
+    cells.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val tot = rows.map(_.getLong(2)).sum
+      rows.foreach { r =>
+        assert(r.getLong(3) === tot)
+        assert(r.getLong(4) === r.getLong(2) * 1048576L / tot)
+      }
+    }
+    // cells match a direct recompute from the graded classifier output
+    val expected = LlmOps.textLangid(spark, sf0001)
+      .join(Tables.documents(spark, sf0001).select($"doc_id", $"lang"), "doc_id")
+      .groupBy($"lang", $"pred_lang").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(cells.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap === expected)
+  }
+
+  test("ml_naive_bayes_counts: masses reconcile; Laplace probabilities behave (sf0.001)") {
+    import spark.implicits._
+    val rows = LlmOps.mlNaiveBayesCounts(spark, sf0001).collect()
+    val totalTokens = Tables.documents(spark, sf0001)
+      .select(explode(split($"text", " ")).as("t")).filter($"t" =!= "")
+      .count()
+    assert(rows.map(_.getLong(2)).sum === totalTokens)
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val tot = rs.map(_.getLong(2)).sum
+      assert(rs.forall(_.getLong(3) === tot), s"lang_total wrong for $lang")
+    }
+    // smoothed probability strictly inside (0, 1) in fixed point
+    assert(rows.forall(r => r.getLong(4) > 0L && r.getLong(4) < 1048576L))
+  }
+
+  test("text_ngram_coverage: full and zero coverage on an injected carve") {
+    import spark.implicits._
+    val dir = "/root/repo/target/tmp/covdocs"
+    val body = (0 until 12).map(i => s"w$i").mkString(" ")
+    // doc 7 (eval) duplicates train doc 0 → every gram covered;
+    // doc 17 (eval) is disjoint vocabulary → zero coverage;
+    // doc 3 (train) is filler
+    Seq((0L, body), (3L, "filler text only here"),
+        (7L, body), (17L, (0 until 10).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = LlmOps.textNgramCoverage(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet === Set(7L, 17L))
+    assert(got(7L) === ((9L, 9L, 1000000L)), s"dup doc must be fully covered: $got")
+    assert(got(17L) === ((7L, 0L, 0L)), s"disjoint doc must be uncovered: $got")
+  }
+
+  test("ml_knn_classify: votes match a brute-force neighbor recompute (sf0.001)") {
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def score(a: Array[Float], b: Array[Float]): Double = {
+      // same sequential IEEE fold order as the native expression
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = operators.Multimodal.mlKnnClassify(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val q = vecs.find(_._1 === r.getLong(0)).get
+      val top5 = vecs.filter(_._1 != q._1)
+        .map(v => (score(q._2, v._2), v._1, v._3))
+        .sortBy { case (s, id, _) => (-s, id) }.take(5)
+      val votes = top5.groupBy(_._3).view.mapValues(_.length).toSeq
+        .sortBy { case (l, v) => (-v, l) }
+      assert(r.getLong(1) === q._3.toLong, "true label must ride along")
+      assert(r.getLong(2) === votes.head._1.toLong,
+        s"pred mismatch for query ${q._1}")
+      assert(r.getLong(3) === votes.head._2.toLong)
+    }
+  }
 }

@@ -263,6 +263,32 @@ class PipelinesSpec extends SparkSuite {
     assert(covered === (total + stride - 1) / stride)
   }
 
+  test("sample_stratified_neyman: budget spent exactly; weights match the sufficient statistics (sf0.001)") {
+    val got = Pipelines.sampleStratifiedNeyman(spark, sf0001).collect()
+    assert(got.map(_.getLong(3)).sum === 100L, "Σalloc == budget exactly")
+    assert(got.forall(_.getLong(3) >= 0L))
+    // w_h recomputed from the raw corpus: ⌊sqrt(N·Σx² − (Σx)²)⌋
+    val stats = Tables.documents(spark, sf0001)
+      .select("lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    got.foreach { r =>
+      val xs = stats(r.getString(0)).map(_._2)
+      val arg = xs.length.toLong * xs.map(x => x * x).sum - {
+        val s = xs.sum; s * s
+      }
+      assert(r.getLong(1) === xs.length.toLong)
+      assert(r.getLong(2) === math.floor(math.sqrt(arg.toDouble)).toLong,
+        s"w_h mismatch for ${r.getString(0)}")
+    }
+    // Hamilton: every allocation within 1 of its exact share
+    val totW = got.map(_.getLong(2)).sum.toDouble
+    got.foreach { r =>
+      val exact = 100.0 * r.getLong(2) / totW
+      assert(math.abs(r.getLong(3) - exact) < 1.0,
+        s"alloc for ${r.getString(0)} not within one seat of quota")
+    }
+  }
+
   test("corpus_shard_manifest: dense positions, telescoping offsets, full partition (sf0.001)") {
     val m = Pipelines.corpusShardManifest(spark, sf0001).collect()
     assert(m.map(_.getLong(2)).distinct.length === m.length,

@@ -117,6 +117,57 @@ class TimeseriesSpec extends SparkSuite {
     assert(bad === 0L)
   }
 
+  test("timeseries_forecast_backtest: day-7 alignment and end-of-day election (injected)") {
+    import spark.implicits._
+    val dir = "/root/repo/target/tmp/backtest_fix"
+    val dayNs = 86400000000L * 1000L
+    // user 1: day 0 v=4.0; day 7 has TWO events — end-of-day is the
+    // later (6.0) → one forecast, |6.0 − 4.0| = 20000; day 3 value
+    // has no day−7 partner and contributes nothing
+    Seq((1L, 1L, 0L * dayNs, 4.0),
+        (2L, 1L, 3L * dayNs, 100.0),
+        (3L, 1L, 7L * dayNs + 1000L, 9.0),
+        (4L, 1L, 7L * dayNs + 2000L, 6.0),
+        (5L, 2L, 1L * dayNs, 5.0))
+      .toDF("event_id", "user_id", "ts", "value").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.Timeseries.timeseriesForecastBacktest(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(1L -> ((1L, 20000L, 20000L))),
+      s"user 2 has no aligned pair and must drop: $got")
+  }
+
+  test("timeseries_cusum: recurrence, reset, and alarm verified on an injected series") {
+    import spark.implicits._
+    val dir = "/root/repo/target/tmp/cusum_fix"
+    // user 1: 4.0, 8.0, 4.0 → tgt 40000: s₂ = max(0, 80000−45000) =
+    // 35000, s₃ = max(0, 35000 + (40000−45000)) = 30000 (partial reset);
+    // user 2: single event → all-zero state;
+    // user 3: 1.0 then 30.0 → s₂ = 285000 > 200000 → one alarm
+    Seq((1L, 1L, 1000L, 4.0), (2L, 1L, 2000L, 8.0), (3L, 1L, 3000L, 4.0),
+        (4L, 2L, 1000L, 2.5),
+        (5L, 3L, 1000L, 1.0), (6L, 3L, 2000L, 30.0))
+      .toDF("event_id", "user_id", "ts", "value").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val m = operators.Timeseries.timeseriesCusum(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(m(1L) === ((3L, 30000L, 35000L, 0L)))
+    assert(m(2L) === ((1L, 0L, 0L, 0L)))
+    assert(m(3L) === ((2L, 285000L, 285000L, 1L)))
+  }
+
+  test("timeseries_cusum: state invariants hold corpus-wide (sf0.001)") {
+    import spark.implicits._
+    val out = operators.Timeseries.timeseriesCusum(spark, sf0001)
+    assert(out.count() > 0)
+    // s ≥ 0 by the max(0,·) clamp, mx dominates the final s, and an
+    // alarm needs an update step (n_alarms ≤ n_events − 1)
+    assert(out.filter($"cusum_fp" < 0 || $"max_cusum_fp" < $"cusum_fp" ||
+      $"n_alarms" > $"n_events" - 1).count() === 0L)
+  }
+
   test("timeseries_holt_linear: constant series is a fixed point; trends follow direction") {
     import spark.implicits._
     val dir = "/root/repo/target/tmp/holt_fix"
