@@ -467,13 +467,18 @@ class PlanRegressionSpec extends SparkSuite {
     // constant broadcasts — the IVF probe fan-out, not quadratic
     // text_index_delta_merge / scd2_cdc_apply: the 1-row carve-cutoff
     // broadcast
+    // §2.22: ml_decision_stump / ml_naive_bayes_counts ride a 1-row
+    // totals/vocab broadcast; ml_knn_classify / text_phrase_search a
+    // constant query/winner broadcast — fan-out k, not quadratic
+    // (sample_stratified_neyman is window-only and stays OFF the list)
     val allowed = Set("simsearch_cosine_topk", "dedup_embedding_cosine",
       "simsearch_ann_ivf", "ml_kmeans_step", "report_dense_grid",
       "dedup_semantic_cluster", "ml_confusion_matrix",
       "eval_ranking_metrics", "text_bpe_merge_step",
       "text_bpe_merge_loop", "text_bpe_tokenize", "eval_ann_recall",
       "text_index_delta_merge", "corpus_dedup_pipeline",
-      "scd2_cdc_apply")
+      "scd2_cdc_apply", "ml_decision_stump",
+      "ml_naive_bayes_counts", "ml_knn_classify", "text_phrase_search")
     val offenders = SparkEntry.queries.keys.filterNot(allowed)
       .filter(n => n != "source_csv_roundtrip" && plan(n).contains("BroadcastNestedLoopJoin"))
     assert(offenders.isEmpty, s"unexpected nested-loop joins: $offenders")
@@ -512,5 +517,44 @@ class PlanRegressionSpec extends SparkSuite {
       val n = "\\(\\d+\\) Exchange".r.findAllIn(plan(k)).size
       assert(n <= 2, s"$k exchange count $n > 2 (group shuffle + final sort)")
     }
+  }
+
+  test("round-10 §2.22 batch stays within its audited exchange budgets") {
+    // measured at landing (target/explain_new.txt audit); a higher
+    // count means a new shuffle crept into the operator
+    val budgets = Map(
+      "timeseries_cusum" -> 2,          // user fold shuffle + final sort
+      "ml_decision_stump" -> 4,         // histogram p/f + curve window + sort
+      "eval_auc_exact" -> 3,            // score histogram + source window + sort
+      "sample_stratified_neyman" -> 2,  // lang stats p/f + tiny-frame windows
+      "text_bigram_lm_counts" -> 5,     // doc window + type agg + 3 ctx windows share sorts
+      "text_phrase_search" -> 4,        // doc window + election + match agg + sort
+      "graph_resource_allocation" -> 3, // incidence distinct + pair agg + sort
+      "ml_knn_classify" -> 2,           // per-query windows + final sort
+      "text_ngram_coverage" -> 3,       // gram join + doc agg + sort
+      "timeseries_forecast_backtest" -> 4) // daily agg + join + user agg + sort
+    val over = budgets.flatMap { case (name, budget) =>
+      val n = "\\(\\d+\\) Exchange".r.findAllIn(plan(name)).size
+      if (n > budget) Some(s"$name: $n > $budget") else None
+    }
+    assert(over.isEmpty, s"exchange budget exceeded: $over")
+  }
+
+  test("the §2.22 ML keys cross-join only constant-size broadcast frames") {
+    // decision_stump's 1-row total, knn's constant query set, and NB's
+    // 1-row vocab ride BroadcastNestedLoopJoin by construction; a
+    // CartesianProduct would mean a real unbounded pair blow-up
+    Seq("ml_decision_stump", "ml_knn_classify", "ml_naive_bayes_counts")
+      .foreach { k =>
+        val p = plan(k)
+        assert(!p.contains("CartesianProduct"), s"$k plans a cartesian")
+      }
+    // the RA pair generation must never degenerate into a self-join
+    val ra = plan("graph_resource_allocation")
+    assert(!ra.contains("BroadcastNestedLoopJoin") &&
+      !ra.contains("CartesianProduct") && !ra.contains("SortMergeJoin"),
+      "RA pairs come from the sorted-set explode, not a join")
+    assert(scanNodes(ra, "lineitem.parquet") === 1,
+      "RA reads the incidence relation exactly once")
   }
 }
