@@ -203,6 +203,107 @@ object Behavioral {
       .orderBy($"ra_fp".desc, $"s1", $"s2")
   }
 
+  /** RFM segmentation — the classic behavioral customer partition:
+    * Recency (last active day), Frequency (event count), Monetary
+    * (summed purchase value, ·10⁴ fixed point) per user, each scored
+    * into quintiles by `ntile(5)` over a TOTAL order (metric then
+    * user_id — ntile is deterministic only under a total order, and
+    * both engines implement the SQL-standard first-(n mod 5)-buckets-
+    * get-the-extra-row split), then packed into the familiar 3-digit
+    * RFM code (555 = best). Score direction: higher metric ⇒ higher
+    * score, so R5 is most-recently-active.
+    *
+    * Scale shape: one user-grain aggregate (map-side combinable) over
+    * the event log, then three ntile windows over the |users| frame —
+    * entity-scale, not event-scale. A production variant at extreme
+    * |users| replaces ntile with pre-computed quantile boundaries
+    * (agg_percentile machinery) to avoid the global sort. */
+  def behaviorRfmSegmentation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.events(spark, dir)
+      .select($"user_id", Tables.nsToUs($"ts").as("t"), $"event_type",
+        $"value")
+      .groupBy($"user_id")
+      .agg(max(expr("t div 86400000000")).as("r_day"),
+        count(lit(1)).as("f_events"),
+        sum(when($"event_type" === "purchase",
+          coalesce((Tables.dec4($"value") * 10000).cast("long"), lit(0L)))
+          .otherwise(0L)).as("m_fp"))
+    base
+      .withColumn("r_score", ntile(5)
+        .over(Window.orderBy($"r_day", $"user_id")).cast("long"))
+      .withColumn("f_score", ntile(5)
+        .over(Window.orderBy($"f_events", $"user_id")).cast("long"))
+      .withColumn("m_score", ntile(5)
+        .over(Window.orderBy($"m_fp", $"user_id")).cast("long"))
+      .select($"user_id", $"r_day", $"f_events", $"m_fp",
+        $"r_score", $"f_score", $"m_score",
+        ($"r_score" * 100 + $"f_score" * 10 + $"m_score").as("rfm_code"))
+      .orderBy($"user_id")
+  }
+
+  /** Longest consecutive-active-day streak per user — the gaps-and-
+    * islands pattern applied to engagement: distinct active days,
+    * day − row_number() as the island key (consecutive days share it),
+    * island lengths, and the per-user argmax election (longest streak,
+    * earliest start on ties — the max-struct with negated start).
+    *
+    * Scale shape: one user_id shuffle serves the day-dedup, the
+    * row_number window, the island aggregate, and the final election —
+    * every frame after the dedup is entity-scale. */
+  def behaviorLongestStreak(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    Tables.events(spark, dir)
+      .select($"user_id", Tables.nsToUs($"ts").as("t"))
+      .select($"user_id", expr("t div 86400000000").as("day"))
+      .distinct()
+      .withColumn("grp", $"day" - row_number().over(w))
+      .groupBy($"user_id", $"grp")
+      .agg(count(lit(1)).as("len"), min($"day").as("start"))
+      .groupBy($"user_id")
+      .agg(sum($"len").as("n_active_days"),
+        max(struct($"len", (-$"start").as("ns"))).as("best"))
+      .select($"user_id", $"n_active_days",
+        $"best.len".as("longest_streak"),
+        (-$"best.ns").as("streak_start_day"))
+      .orderBy($"user_id")
+  }
+
+  /** Point-in-time feature snapshot — the feature-store join discipline
+    * that prevents label leakage: for every PURCHASE event, the user's
+    * state STRICTLY BEFORE it (prior event count, prior view count,
+    * the immediately-preceding value, days since first seen) — each a
+    * window over rows [unbounded, 1 preceding], never the current row.
+    * This is the training-set builder for a propensity model: the
+    * label row never sees itself or its future.
+    *
+    * Scale shape: ONE user_id shuffle; all four features ride the same
+    * (t, event_id) window sort; the purchase filter applies after
+    * feature computation (a filtered window would corrupt the "all
+    * prior events" semantics). */
+  def featurePitSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+    val wPrior = w.rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", Tables.nsToUs($"ts").as("t"),
+        $"event_type",
+        (Tables.dec4($"value") * 10000).cast("long").as("v_fp"))
+      .withColumn("n_prior_events",
+        coalesce(count(lit(1)).over(wPrior), lit(0L)))
+      .withColumn("n_prior_views",
+        coalesce(sum(when($"event_type" === "view", 1L).otherwise(0L))
+          .over(wPrior), lit(0L)))
+      .withColumn("prev_v_fp", coalesce(lag($"v_fp", 1).over(w), lit(-1L)))
+      .withColumn("days_since_first",
+        expr("t div 86400000000") - min(expr("t div 86400000000")).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"t", $"n_prior_events",
+        $"n_prior_views", $"prev_v_fp", $"days_since_first")
+      .orderBy($"event_id")
+  }
+
   /** First-order transition matrix over each user's event sequence —
     * the Markov-chain view of a clickstream (what follows what, and
     * how often). One user_id shuffle: lag() over the per-user order
@@ -294,7 +395,10 @@ object Behavioral {
     "window_cumulative_distinct" -> (windowCumulativeDistinct(_, _)),
     "graph_copurchase_pairs" -> (graphCopurchasePairs(_, _)),
     "graph_node_jaccard" -> (graphNodeJaccard(_, _)),
-    "graph_resource_allocation" -> (graphResourceAllocation(_, _))
+    "graph_resource_allocation" -> (graphResourceAllocation(_, _)),
+    "behavior_rfm_segmentation" -> (behaviorRfmSegmentation(_, _)),
+    "behavior_longest_streak" -> (behaviorLongestStreak(_, _)),
+    "feature_pit_snapshot" -> (featurePitSnapshot(_, _))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -364,6 +468,74 @@ object Behavioral {
         |  ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
         |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY shared_parts DESC, s1, s2""".stripMargin,
+    // ntile over a total order is engine-identical (SQL-standard
+    // first-(n mod 5)-buckets-get-one-extra split)
+    "behavior_rfm_segmentation" ->
+      """WITH b AS (SELECT user_id,
+        |    CAST(max(epoch_us(ts) // 86400000000) AS BIGINT) AS r_day,
+        |    CAST(count(*) AS BIGINT) AS f_events,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN
+        |      coalesce(CAST(CAST(value AS DECIMAL(18,4)) * 10000
+        |        AS BIGINT), 0) ELSE 0 END) AS BIGINT) AS m_fp
+        |  FROM events GROUP BY user_id),
+        |s AS (SELECT user_id, r_day, f_events, m_fp,
+        |    CAST(ntile(5) OVER (ORDER BY r_day, user_id) AS BIGINT)
+        |      AS r_score,
+        |    CAST(ntile(5) OVER (ORDER BY f_events, user_id) AS BIGINT)
+        |      AS f_score,
+        |    CAST(ntile(5) OVER (ORDER BY m_fp, user_id) AS BIGINT)
+        |      AS m_score
+        |  FROM b)
+        |SELECT user_id, r_day, f_events, m_fp, r_score, f_score, m_score,
+        |  CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT)
+        |    AS rfm_code
+        |FROM s ORDER BY user_id""".stripMargin,
+    // same islands key (day − row_number) and max-struct election via
+    // the (len, −start) tuple
+    "behavior_longest_streak" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |i AS (SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS grp FROM d),
+        |s AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+        |    CAST(min(day) AS BIGINT) AS start
+        |  FROM i GROUP BY user_id, grp),
+        |r AS (SELECT user_id, len, start,
+        |    CAST(sum(len) OVER (PARTITION BY user_id) AS BIGINT)
+        |      AS n_active_days,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY len DESC, start) AS rn
+        |  FROM s)
+        |SELECT user_id, n_active_days, len AS longest_streak,
+        |  start AS streak_start_day
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // all four features ride one window sort; the purchase filter
+    // applies AFTER feature computation on both engines
+    "feature_pit_snapshot" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    event_type,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v_fp
+        |  FROM events),
+        |f AS (SELECT event_id, user_id, t, event_type,
+        |    CAST(coalesce(count(*) OVER wp, 0) AS BIGINT)
+        |      AS n_prior_events,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1
+        |      ELSE 0 END) OVER wp, 0) AS BIGINT) AS n_prior_views,
+        |    CAST(coalesce(lag(v_fp) OVER w, -1) AS BIGINT) AS prev_v_fp,
+        |    CAST(t // 86400000000 -
+        |      min(t // 86400000000) OVER w2 AS BIGINT)
+        |      AS days_since_first
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id),
+        |    wp AS (PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    w2 AS (PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, t, n_prior_events, n_prior_views,
+        |  prev_v_fp, days_since_first
+        |FROM f WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
     // per-part ⌊2²⁰/deg⌋ weight joined onto the pair grid; the oracle
     // may self-join — the graded side never does
     "graph_resource_allocation" ->

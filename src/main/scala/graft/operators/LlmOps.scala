@@ -775,7 +775,48 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** Cohen's kappa per document source — chance-corrected agreement
+    * between the [[textLangid]] classifier and the labeled lang column,
+    * the statistically honest companion to [[qualityLangidConfusion]]'s
+    * raw shares (a rater that always answers the majority class gets a
+    * high raw agreement but κ ≈ 0). κ = (pₒ − pₑ)/(1 − pₑ) computed
+    * entirely in exact integers: with per-source N, agree, row/column
+    * marginals, κ·2²⁰ = ((N·agree − Σₖ rowₖ·colₖ)·2²⁰) div
+    * (N² − Σₖ rowₖ·colₖ) — one truncating division (negative-capable:
+    * both engines truncate toward zero), −1 sentinel when the
+    * denominator vanishes (both raters constant).
+    *
+    * Scale shape: everything after the langid chain is arithmetic over
+    * ≤|sources|·|langs|² cell frames; the marginal product Σ rowₖ·colₖ
+    * is an equi-join of two |sources|·|langs| frames on (source, k). */
+  def evalCohensKappa(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pred = textLangid(spark, dir).select($"doc_id", $"pred_lang")
+    val cells = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", $"lang".as("t"))
+      .join(pred, "doc_id")
+      .groupBy($"source", $"t", $"pred_lang".as("p"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy($"source")
+      .agg(sum($"n").as("n_docs"),
+        sum(when($"t" === $"p", $"n").otherwise(0L)).as("n_agree"))
+    val rows = cells.groupBy($"source", $"t").agg(sum($"n").as("rn"))
+    val cols = cells.groupBy($"source", $"p").agg(sum($"n").as("cn"))
+    val pe = rows.join(cols,
+        rows("source") === cols("source") && rows("t") === cols("p"))
+      .groupBy(rows("source").as("source"))
+      .agg(sum($"rn" * $"cn").as("pe_num"))
+    tot.join(pe, "source")
+      .select($"source", $"n_docs", $"n_agree",
+        expr("(n_agree * 1048576) div n_docs").as("po_fp"),
+        when($"n_docs" * $"n_docs" === $"pe_num", -1L)
+          .otherwise(expr("((n_docs * n_agree - pe_num) * 1048576) div " +
+            "(n_docs * n_docs - pe_num)")).as("kappa_fp"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "eval_cohens_kappa" -> (evalCohensKappa(_, _)),
     "quality_langid_confusion" -> (qualityLangidConfusion(_, _)),
     "ml_naive_bayes_counts" -> (mlNaiveBayesCounts(_, _)),
     "text_ngram_coverage" -> (textNgramCoverage(_, _)),
@@ -804,6 +845,43 @@ object LlmOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same langid chain → per-source cells → marginal-product join;
+    // truncating division agrees on negative κ on both engines
+    "eval_cohens_kappa" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' '))
+        |    AS t FROM documents),
+        |tok2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+        |profile AS (SELECT t, lang AS cand, count(*) AS c FROM tok
+        |  WHERE t <> '' GROUP BY t, lang),
+        |scores AS (SELECT doc_id, cand, CAST(sum(c) AS BIGINT) AS score
+        |  FROM tok2 JOIN profile USING (t) GROUP BY doc_id, cand),
+        |rr AS (SELECT doc_id, cand, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, cand) AS rn FROM scores),
+        |pred AS (SELECT doc_id, cand AS p FROM rr WHERE rn = 1),
+        |cells AS (SELECT d.source, d.lang AS t, pred.p,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents d JOIN pred USING (doc_id) GROUP BY 1, 2, 3),
+        |tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN t = p THEN n ELSE 0 END) AS BIGINT)
+        |      AS n_agree
+        |  FROM cells GROUP BY source),
+        |r AS (SELECT source, t, CAST(sum(n) AS BIGINT) AS rn
+        |  FROM cells GROUP BY source, t),
+        |c AS (SELECT source, p, CAST(sum(n) AS BIGINT) AS cn
+        |  FROM cells GROUP BY source, p),
+        |pe AS (SELECT r.source, CAST(sum(r.rn * c.cn) AS BIGINT)
+        |    AS pe_num
+        |  FROM r JOIN c ON r.source = c.source AND r.t = c.p
+        |  GROUP BY r.source)
+        |SELECT t2.source, t2.n_docs, t2.n_agree,
+        |  CAST((t2.n_agree * 1048576) // t2.n_docs AS BIGINT) AS po_fp,
+        |  CAST(CASE WHEN t2.n_docs * t2.n_docs = pe.pe_num THEN -1
+        |    ELSE ((t2.n_docs * t2.n_agree - pe.pe_num) * 1048576) //
+        |      (t2.n_docs * t2.n_docs - pe.pe_num) END AS BIGINT)
+        |    AS kappa_fp
+        |FROM tot t2 JOIN pe USING (source)
+        |ORDER BY t2.source""".stripMargin,
     // the text_langid chain verbatim as a CTE, joined back to truth;
     // row share in exact fixed point
     "quality_langid_confusion" ->

@@ -416,6 +416,42 @@ object Timeseries {
       .orderBy($"user_id")
   }
 
+  /** Lag-1 autocorrelation sufficient statistics per user — "is this
+    * series momentum or noise", reduced to the exact integers a
+    * monitoring pipeline can aggregate in one pass: over the (vᵢ₋₁, vᵢ)
+    * adjacent pairs of each user's value sequence (value·10⁴ fixed
+    * point), emit n and the five sums (Σx, Σy, Σxy, Σx², Σy²) plus the
+    * Pearson numerator n·Σxy − Σx·Σy and both denominator factors
+    * n·Σx² − (Σx)², n·Σy² − (Σy)². The final r = num/√(denx·deny) is
+    * deliberately left to the caller — the ml_linreg_sufficient
+    * posture: sufficient statistics are exact, an IEEE quotient is not
+    * guaranteed identical cross-engine.
+    *
+    * Scale shape: one user_id shuffle — the lag window pairs adjacent
+    * events in place, then the sums partial-aggregate map-side; users
+    * with a single event carry no pairs and drop out (both engines
+    * agree by construction). */
+  def timeseriesAutocorrStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+    Tables.events(spark, dir)
+      .filter($"value".isNotNull)
+      .select($"user_id", Tables.nsToUs($"ts").as("t"), $"event_id",
+        (Tables.dec4($"value") * 10000).cast("long").as("y"))
+      .withColumn("x", lag($"y", 1).over(w))
+      .filter($"x".isNotNull)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"))
+      .select($"user_id", $"n_pairs", $"sx", $"sy", $"sxy",
+        ($"n_pairs" * $"sxy" - $"sx" * $"sy").as("num_fp"),
+        ($"n_pairs" * $"sxx" - $"sx" * $"sx").as("den_x"),
+        ($"n_pairs" * $"syy" - $"sy" * $"sy").as("den_y"))
+      .orderBy($"user_id")
+  }
+
   /** Seasonal-naive forecast backtest per user — the baseline every
     * forecasting system must beat, and the eval loop that prices it:
     * each user's end-of-day value is "forecast" by their value 7 days
@@ -516,6 +552,7 @@ object Timeseries {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "timeseries_autocorr_stats" -> (timeseriesAutocorrStats(_, _)),
     "timeseries_forecast_backtest" -> (timeseriesForecastBacktest(_, _)),
     "timeseries_cusum" -> (timeseriesCusum(_, _)),
     "timeseries_holt_linear" -> (timeseriesHoltLinear(_, _)),
@@ -532,6 +569,25 @@ object Timeseries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same lag pairing + sufficient sums; every aggregate CAST BIGINT
+    "timeseries_autocorr_stats" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |p AS (SELECT user_id, y,
+        |    lag(y) OVER (PARTITION BY user_id ORDER BY t, event_id) AS x
+        |  FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x * y) AS BIGINT) AS sxy,
+        |  CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
+        |    AS num_fp,
+        |  CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
+        |    AS den_x,
+        |  CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS BIGINT)
+        |    AS den_y
+        |FROM p WHERE x IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // end-of-day election replayed as rn=1 over (t desc, event_id
     // desc) ≡ the Spark max-struct; day−7 self-join on the daily frame
     "timeseries_forecast_backtest" ->

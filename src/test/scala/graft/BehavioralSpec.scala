@@ -374,6 +374,64 @@ class BehavioralSpec extends SparkSuite {
       .filter($"n_matches" > coalesce($"np", lit(0L))).count() === 0L)
   }
 
+  test("behavior_rfm_segmentation: quintiles balance and the code packs the scores (sf0.001)") {
+    val rows = Behavioral.behaviorRfmSegmentation(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    Seq(4, 5, 6).foreach { idx =>
+      val hist = rows.groupBy(_.getLong(idx)).view.mapValues(_.length)
+      assert(hist.keySet.subsetOf(Set(1L, 2L, 3L, 4L, 5L)))
+      // SQL-standard ntile: bucket sizes differ by at most one
+      assert(hist.values.max - hist.values.min <= 1,
+        s"ntile buckets unbalanced at column $idx: $hist")
+    }
+    rows.foreach { r =>
+      assert(r.getLong(7) ===
+        r.getLong(4) * 100 + r.getLong(5) * 10 + r.getLong(6))
+    }
+  }
+
+  test("behavior_longest_streak: islands verified on an injected activity pattern") {
+    import spark.implicits._
+    val dir = "/root/repo/target/tmp/streak_fix"
+    val dayNs = 86400000000L * 1000L
+    // user 1 active on days 1,2,3 then 10,11 → longest 3 starting day 1;
+    // user 2 active once → streak 1
+    Seq((1L, 1L, 1L * dayNs, 1.0), (2L, 1L, 2L * dayNs, 1.0),
+        (3L, 1L, 2L * dayNs + 5L, 2.0), (4L, 1L, 3L * dayNs, 1.0),
+        (5L, 1L, 10L * dayNs, 1.0), (6L, 1L, 11L * dayNs, 1.0),
+        (7L, 2L, 4L * dayNs, 9.0))
+      .toDF("event_id", "user_id", "ts", "value").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Behavioral.behaviorLongestStreak(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(1L -> ((5L, 3L, 1L)), 2L -> ((1L, 1L, 4L))))
+  }
+
+  test("feature_pit_snapshot: strictly-prior semantics on an injected stream (no leakage)") {
+    import spark.implicits._
+    val dir = "/root/repo/target/tmp/pit_fix"
+    val dayNs = 86400000000L * 1000L
+    Seq((1L, 1L, 0L * dayNs, "view", 2.0),
+        (2L, 1L, 1L * dayNs, "click", 3.0),
+        (3L, 1L, 2L * dayNs, "purchase", 5.0),
+        (4L, 1L, 3L * dayNs, "purchase", 7.0),
+        (5L, 2L, 0L * dayNs, "purchase", 1.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Behavioral.featurePitSnapshot(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))).toMap
+    // purchase 3: two prior events, one view, prev value 3.0, day 2
+    assert(got(3L) === ((2L, 1L, 30000L, 2L)))
+    // purchase 4: sees purchase 3's value but never its own
+    assert(got(4L) === ((3L, 1L, 50000L, 3L)))
+    // user 2's first event: empty prior state, sentinel prev
+    assert(got(5L) === ((0L, 0L, -1L, 0L)))
+    assert(got.keySet === Set(3L, 4L, 5L))
+  }
+
   test("graph_resource_allocation: same pair set as copurchase; RA matches a brute-force recompute (sf0.001)") {
     val inc = Tables.lineitem(spark, sf0001)
       .select("l_partkey", "l_suppkey").distinct().collect()

@@ -325,6 +325,33 @@ class LlmOpsSpec extends SparkSuite {
     assert(got(17L) === ((7L, 0L, 0L)), s"disjoint doc must be uncovered: $got")
   }
 
+  test("eval_cohens_kappa: matches a brute-force recompute from the classifier cells (sf0.001)") {
+    import spark.implicits._
+    val joined = LlmOps.textLangid(spark, sf0001)
+      .join(Tables.documents(spark, sf0001)
+        .select($"doc_id", $"source", $"lang"), "doc_id")
+      .select("source", "lang", "pred_lang").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .groupBy(_._1)
+    val got = LlmOps.evalCohensKappa(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { g =>
+      val rows = joined(g.getString(0))
+      val n = rows.length.toLong
+      val agree = rows.count(r => r._2 == r._3).toLong
+      val rm = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val cm = rows.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+      val pe = rm.map { case (k, rv) => rv * cm.getOrElse(k, 0L) }.sum
+      assert(g.getLong(1) === n)
+      assert(g.getLong(2) === agree)
+      assert(g.getLong(3) === agree * 1048576L / n)
+      val expected =
+        if (n * n == pe) -1L else (n * agree - pe) * 1048576L / (n * n - pe)
+      assert(g.getLong(4) === expected, s"kappa mismatch for ${g.getString(0)}")
+      assert(g.getLong(4) <= 1048576L)
+    }
+  }
+
   test("ml_knn_classify: votes match a brute-force neighbor recompute (sf0.001)") {
     val vecs = Tables.embeddings(spark, sf0001)
       .select("vec_id", "embedding", "label").collect()

@@ -117,6 +117,33 @@ class TimeseriesSpec extends SparkSuite {
     assert(bad === 0L)
   }
 
+  test("timeseries_autocorr_stats: hand-computed sums; Cauchy–Schwarz corpus-wide (sf0.001)") {
+    import spark.implicits._
+    val dir = "/root/repo/target/tmp/acf_fix"
+    // user 1: 1.0, 2.0, 3.0 → pairs (1,2),(2,3): perfect lag-1
+    // correlation ⇒ num² = den_x·den_y exactly
+    Seq((1L, 1L, 1000L, 1.0), (2L, 1L, 2000L, 2.0), (3L, 1L, 3000L, 3.0),
+        (4L, 2L, 1000L, 5.0))
+      .toDF("event_id", "user_id", "ts", "value").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.Timeseries.timeseriesAutocorrStats(spark, dir)
+      .collect()
+    assert(got.length === 1, "single-event users carry no pairs")
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)) ===
+      ((1L, 2L, 30000L, 50000L, 800000000L, 100000000L,
+        100000000L, 100000000L)))
+    // |corr| ≤ 1 ⇔ num² ≤ den_x·den_y (BigInt: num² overflows Long)
+    operators.Timeseries.timeseriesAutocorrStats(spark, sf0001).collect()
+      .foreach { r =>
+        val (num, dx, dy) =
+          (BigInt(r.getLong(5)), BigInt(r.getLong(6)), BigInt(r.getLong(7)))
+        assert(num * num <= dx * dy, s"Cauchy–Schwarz violated: $r")
+        assert(dx >= 0 && dy >= 0)
+      }
+  }
+
   test("timeseries_forecast_backtest: day-7 alignment and end-of-day election (injected)") {
     import spark.implicits._
     val dir = "/root/repo/target/tmp/backtest_fix"
