@@ -792,11 +792,16 @@ object LlmOps {
   def evalCohensKappa(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pred = textLangid(spark, dir).select($"doc_id", $"pred_lang")
-    val cells = Tables.documents(spark, dir)
+    // persisted: the ≤|sources|·|langs|² cell frame feeds FOUR
+    // consumers (totals, row marginals, column marginals, and the
+    // marginal-product join) — without the mark each one re-plans the
+    // whole langid chain and re-scans documents (measured 17 exchanges
+    // vs 8 marked)
+    val cells = graft.PlanOnly.mark(Tables.documents(spark, dir)
       .select($"doc_id", $"source", $"lang".as("t"))
       .join(pred, "doc_id")
       .groupBy($"source", $"t", $"pred_lang".as("p"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
     val tot = cells.groupBy($"source")
       .agg(sum($"n").as("n_docs"),
         sum(when($"t" === $"p", $"n").otherwise(0L)).as("n_agree"))

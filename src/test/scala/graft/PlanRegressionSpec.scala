@@ -532,7 +532,12 @@ class PlanRegressionSpec extends SparkSuite {
       "graph_resource_allocation" -> 3, // incidence distinct + pair agg + sort
       "ml_knn_classify" -> 2,           // per-query windows + final sort
       "text_ngram_coverage" -> 3,       // gram join + doc agg + sort
-      "timeseries_forecast_backtest" -> 4) // daily agg + join + user agg + sort
+      "timeseries_forecast_backtest" -> 4, // daily agg + join + user agg + sort
+      "timeseries_autocorr_stats" -> 2, // lag window shuffle + final sort
+      "behavior_rfm_segmentation" -> 2, // user agg + ntile/sort single-partition
+      "behavior_longest_streak" -> 3,   // dedup + island window + sort
+      "feature_pit_snapshot" -> 2,      // user window shuffle + final sort
+      "eval_cohens_kappa" -> 9)         // langid chain + marked cells ×4 consumers
     val over = budgets.flatMap { case (name, budget) =>
       val n = "\\(\\d+\\) Exchange".r.findAllIn(plan(name)).size
       if (n > budget) Some(s"$name: $n > $budget") else None
