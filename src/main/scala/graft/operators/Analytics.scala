@@ -585,7 +585,81 @@ object Analytics {
       .orderBy($"abc_class")
   }
 
+  /** Winsorization clamp report per event type — the outlier-taming
+    * data-cleaning pass a feature pipeline runs before training: values
+    * below the exact 5th percentile (percentile_disc semantics: the
+    * smallest member value with cumulative rank ≥ p — an ELECTED member,
+    * never an interpolation) are raised to it, above the 95th lowered to
+    * it, and the report prices the intervention: n, clip counts on each
+    * side, and the value mass before/after (value·10⁴ BIGINT).
+    *
+    * Scale shape: one event_type window ranks the values (5 partitions —
+    * a production variant with high-cardinality groups pre-aggregates
+    * per (group, value) first, the eval_auc_exact histogram posture);
+    * the elected (lo, hi) frame is |types| rows and broadcasts back onto
+    * the fact rows for the clamp aggregate. */
+  def qualityWinsorizeClip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"v_fp", $"event_id")
+    val ranked = Tables.events(spark, dir)
+      .filter($"value".isNotNull)
+      .select($"event_type", $"event_id",
+        (Tables.dec4($"value") * 10000).cast("long").as("v_fp"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
+    val bounds = ranked
+      .groupBy($"event_type")
+      .agg(max(when($"rn" === expr("(n * 5 + 99) div 100"), $"v_fp"))
+        .as("lo"),
+        max(when($"rn" === expr("(n * 95 + 99) div 100"), $"v_fp"))
+          .as("hi"))
+    Tables.events(spark, dir)
+      .filter($"value".isNotNull)
+      .select($"event_type",
+        (Tables.dec4($"value") * 10000).cast("long").as("v_fp"))
+      .join(broadcast(bounds), "event_type")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"v_fp" < $"lo", 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when($"v_fp" > $"hi", 1L).otherwise(0L)).as("n_clip_hi"),
+        sum($"v_fp").as("sum_before_fp"),
+        sum(greatest($"lo", least($"hi", $"v_fp"))).as("sum_after_fp"),
+        max($"lo").as("lo_fp"), max($"hi").as("hi_fp"))
+      .orderBy($"event_type")
+  }
+
+  /** Open-order backlog aging — the operations report every order desk
+    * runs: orders still open (status 'O') bucketed by age (180-day
+    * bands relative to the latest order date, capped at band 4), per
+    * (priority, band): count and value mass in exact cents. The corpus
+    * anchor date is an inline scalar subquery (the
+    * agg_time_decay_weighted pattern), so the report is deterministic
+    * on any snapshot.
+    *
+    * Scale shape: one map-side-combinable (priority, band) aggregate
+    * over the filtered scan; the anchor is metadata-scale. */
+  def reportBacklogAging(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .filter($"o_orderstatus" === "O")
+      .select($"o_orderpriority",
+        (Tables.dec2($"o_totalprice") * 100).cast("long").as("cents"),
+        unix_date(to_date($"o_orderdate")).cast("long").as("od"))
+      .createOrReplaceTempView("backlog_src")
+    spark.sql(
+      """SELECT o_orderpriority,
+        |  least((((SELECT max(od) FROM backlog_src) - od) div 180), 4)
+        |    AS age_band,
+        |  count(*) AS n_orders,
+        |  sum(cents) AS value_cents
+        |FROM backlog_src
+        |GROUP BY o_orderpriority, age_band
+        |ORDER BY o_orderpriority, age_band""".stripMargin)
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "quality_winsorize_clip" -> (qualityWinsorizeClip(_, _)),
+    "report_backlog_aging" -> (reportBacklogAging(_, _)),
     "report_abc_classification" -> (reportAbcClassification(_, _)),
     "anomaly_rate_spike" -> (anomalyRateSpike(_, _)),
     "skyline_pareto" -> (skylinePareto(_, _)),
@@ -640,6 +714,49 @@ object Analytics {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // same row_number rank on (v, event_id), ceil-rank elections, and
+    // greatest/least clamp
+    "quality_winsorize_clip" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v_fp
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT event_type, v_fp,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY v_fp, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e),
+        |b AS (SELECT event_type,
+        |    max(CASE WHEN rn = (n * 5 + 99) // 100 THEN v_fp END) AS lo,
+        |    max(CASE WHEN rn = (n * 95 + 99) // 100 THEN v_fp END) AS hi
+        |  FROM r GROUP BY event_type)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN v_fp < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_lo,
+        |  CAST(sum(CASE WHEN v_fp > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_hi,
+        |  CAST(sum(v_fp) AS BIGINT) AS sum_before_fp,
+        |  CAST(sum(greatest(lo, least(hi, v_fp))) AS BIGINT)
+        |    AS sum_after_fp,
+        |  CAST(max(lo) AS BIGINT) AS lo_fp, CAST(max(hi) AS BIGINT)
+        |    AS hi_fp
+        |FROM e JOIN b ON e.event_type = b.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    // epoch-day integers on both engines; 180-day bands capped at 4
+    "report_backlog_aging" ->
+      """WITH o AS (SELECT o_orderpriority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS od
+        |  FROM orders WHERE o_orderstatus = 'O')
+        |SELECT o_orderpriority,
+        |  CAST(least(((SELECT max(od) FROM o) - od) // 180, 4) AS BIGINT)
+        |    AS age_band,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS value_cents
+        |FROM o
+        |GROUP BY o_orderpriority, age_band
+        |ORDER BY o_orderpriority, age_band""".stripMargin,
     // every aggregate/window sum CAST to BIGINT (DuckDB sums into
     // HUGEINT); same integer cross-product class boundaries
     "report_abc_classification" ->

@@ -679,7 +679,35 @@ object Multimodal {
       .orderBy($"q_id")
   }
 
+  /** Calibration (reliability-diagram) bins for a scored classifier —
+    * the companion to [[evalAucExact]]: AUC prices RANKING, calibration
+    * prices the scores themselves. The deterministic pseudo-probability
+    * score_fp = (n_chars·2²⁰) div 600 (corpus lengths < 600) is binned
+    * into deciles; per bin the report emits n, Σscore (exact BIGINT),
+    * positives, and the observed positive rate in 2²⁰ fixed point —
+    * the exact sufficient statistics of ECE (the final weighted-gap sum
+    * is one more integer pass for the caller). Empty deciles are simply
+    * absent (both engines agree).
+    *
+    * Scale shape: a pure projection then ONE map-side-combinable
+    * 10-row aggregate — the cheapest possible eval pass. */
+  def evalCalibrationBins(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(expr("(n_chars * 1048576) div 600").as("score_fp"),
+        when($"lang" === "en", 1L).otherwise(0L).as("pos"))
+      .select(expr("(score_fp * 10) div 1048576").as("bin"),
+        $"score_fp", $"pos")
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"), sum($"score_fp").as("sum_score_fp"),
+        sum($"pos").as("n_pos"))
+      .select($"bin", $"n", $"sum_score_fp", $"n_pos",
+        expr("(n_pos * 1048576) div n").as("pos_rate_fp"))
+      .orderBy($"bin")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "eval_calibration_bins" -> (evalCalibrationBins(_, _)),
     "ml_knn_classify" -> (mlKnnClassify(_, _)),
     "ml_decision_stump" -> (mlDecisionStump(_, _)),
     "eval_auc_exact" -> (evalAucExact(_, _)),
@@ -699,6 +727,17 @@ object Multimodal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "eval_calibration_bins" ->
+      """WITH s AS (SELECT (n_chars * 1048576) // 600 AS score_fp,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |b AS (SELECT (score_fp * 10) // 1048576 AS bin, score_fp, pos
+        |  FROM s)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(score_fp) AS BIGINT) AS sum_score_fp,
+        |  CAST(sum(pos) AS BIGINT) AS n_pos,
+        |  CAST((sum(pos) * 1048576) // count(*) AS BIGINT) AS pos_rate_fp
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     // the simsearch_cosine_topk scoring formula (list_dot_product /
     // sqrt·sqrt, round 6) + the same two-window vote
     "ml_knn_classify" ->

@@ -416,6 +416,36 @@ object Timeseries {
       .orderBy($"user_id")
   }
 
+  /** Bollinger-band sufficient statistics per event — the trailing
+    * volatility envelope a monitoring dashboard draws: over each
+    * user's last-10-observations window (ROWS frame, so the window is
+    * exact and bounded), n, Σv, and the n·σ numerator
+    * ⌊sqrt(n·Σv² − (Σv)²)⌋ — the sample-free-scaled band half-width in
+    * value·10⁴ fixed point. The sqrt argument is an exact BIGINT
+    * < 2⁵³ (10-row window bounds it), so the ⌊sqrt⌋ is cross-engine
+    * identical (the sample_stratified_neyman argument). Mid-band and
+    * ±k·σ bands are one integer division away for the caller; emitting
+    * the sufficient statistics keeps every row exact.
+    *
+    * Scale shape: one user_id shuffle, one window sort, three framed
+    * aggregates over a 10-row ROWS frame — O(1) state per row. */
+  def timeseriesBollingerStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+      .rowsBetween(-9, 0)
+    Tables.events(spark, dir)
+      .filter($"value".isNotNull)
+      .select($"user_id", $"event_id", Tables.nsToUs($"ts").as("t"),
+        (Tables.dec4($"value") * 10000).cast("long").as("v_fp"))
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("s1", sum($"v_fp").over(w))
+      .withColumn("s2", sum($"v_fp" * $"v_fp").over(w))
+      .select($"event_id", $"user_id", $"t", $"v_fp", $"n_win", $"s1",
+        floor(sqrt(($"n_win" * $"s2" - $"s1" * $"s1").cast("double")))
+          .cast("long").as("sd_num"))
+      .orderBy($"event_id")
+  }
+
   /** Lag-1 autocorrelation sufficient statistics per user — "is this
     * series momentum or noise", reduced to the exact integers a
     * monitoring pipeline can aggregate in one pass: over the (vᵢ₋₁, vᵢ)
@@ -552,6 +582,7 @@ object Timeseries {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "timeseries_bollinger_stats" -> (timeseriesBollingerStats(_, _)),
     "timeseries_autocorr_stats" -> (timeseriesAutocorrStats(_, _)),
     "timeseries_forecast_backtest" -> (timeseriesForecastBacktest(_, _)),
     "timeseries_cusum" -> (timeseriesCusum(_, _)),
@@ -569,6 +600,22 @@ object Timeseries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // identical 10-row ROWS frame; ⌊sqrt⌋ of an exact BIGINT < 2⁵³ is
+    // engine-identical
+    "timeseries_bollinger_stats" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v_fp
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT event_id, user_id, t, v_fp,
+        |    CAST(count(*) OVER w AS BIGINT) AS n_win,
+        |    CAST(sum(v_fp) OVER w AS BIGINT) AS s1,
+        |    CAST(sum(v_fp * v_fp) OVER w AS BIGINT) AS s2
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, t, v_fp, n_win, s1,
+        |  CAST(floor(sqrt(CAST(n_win * s2 - s1 * s1 AS DOUBLE)))
+        |    AS BIGINT) AS sd_num
+        |FROM b ORDER BY event_id""".stripMargin,
     // same lag pairing + sufficient sums; every aggregate CAST BIGINT
     "timeseries_autocorr_stats" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,

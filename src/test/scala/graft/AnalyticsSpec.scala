@@ -217,6 +217,61 @@ class AnalyticsSpec extends SparkSuite {
     assert(neg === 0L)
   }
 
+  test("quality_winsorize_clip: bounds and clamp match a brute-force recompute (sf0.001)") {
+    val evs = Tables.events(spark, sf0001)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        (col("value").cast("decimal(18,4)") * 10000).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val got = operators.Analytics.qualityWinsorizeClip(spark, sf0001)
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val rows = evs(r.getString(0)).sortBy(x => (x._3, x._2)).map(_._3)
+      val n = rows.length
+      val lo = rows((n * 5 + 99) / 100 - 1)
+      val hi = rows((n * 95 + 99) / 100 - 1)
+      assert(r.getLong(6) === lo && r.getLong(7) === hi,
+        s"percentile election mismatch for ${r.getString(0)}")
+      assert(r.getLong(1) === n.toLong)
+      assert(r.getLong(2) === rows.count(_ < lo).toLong)
+      assert(r.getLong(3) === rows.count(_ > hi).toLong)
+      assert(r.getLong(4) === rows.sum)
+      assert(r.getLong(5) === rows.map(v => math.max(lo, math.min(hi, v))).sum)
+      // clamping can only pull mass toward the band
+      assert(r.getLong(5) >= n * lo && r.getLong(5) <= n * hi)
+    }
+  }
+
+  test("report_backlog_aging: bands partition the open orders (sf0.001)") {
+    val got = operators.Analytics.reportBacklogAging(spark, sf0001).collect()
+    val open = Tables.orders(spark, sf0001)
+      .filter(col("o_orderstatus") === "O").count()
+    assert(got.map(_.getLong(2)).sum === open)
+    assert(got.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 4))
+    assert(got.forall(_.getLong(3) >= 0L))
+  }
+
+  test("eval_calibration_bins: deciles cover the corpus; rates are exact (sf0.001)") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("n_chars", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1) == "en"))
+    val expected = docs.groupBy { case (nc, _) =>
+      (nc * 1048576L / 600) * 10 / 1048576L
+    }
+    val bins = operators.Multimodal.evalCalibrationBins(spark, sf0001)
+      .collect()
+    assert(bins.map(_.getLong(1)).sum === docs.length.toLong)
+    bins.foreach { b =>
+      val rows = expected(b.getLong(0))
+      assert(b.getLong(1) === rows.length.toLong)
+      assert(b.getLong(2) === rows.map(_._1 * 1048576L / 600).sum)
+      assert(b.getLong(3) === rows.count(_._2).toLong)
+      assert(b.getLong(4) === rows.count(_._2).toLong * 1048576L / rows.length)
+    }
+  }
+
   test("ml_decision_stump: curve matches a brute-force recompute; exactly one elected split (sf0.001)") {
     val docs = Tables.documents(spark, sf0001)
       .select("n_chars", "lang").collect()

@@ -537,7 +537,11 @@ class PlanRegressionSpec extends SparkSuite {
       "behavior_rfm_segmentation" -> 2, // user agg + ntile/sort single-partition
       "behavior_longest_streak" -> 3,   // dedup + island window + sort
       "feature_pit_snapshot" -> 2,      // user window shuffle + final sort
-      "eval_cohens_kappa" -> 9)         // langid chain + marked cells ×4 consumers
+      "eval_cohens_kappa" -> 9,         // langid chain + marked cells ×4 consumers
+      "quality_winsorize_clip" -> 3,    // rank window + bounds agg + clamp agg
+      "report_backlog_aging" -> 3,      // band agg + sort (+ anchor subquery)
+      "eval_calibration_bins" -> 2,     // bin agg partial/final + sort
+      "timeseries_bollinger_stats" -> 2) // user window shuffle + final sort
     val over = budgets.flatMap { case (name, budget) =>
       val n = "\\(\\d+\\) Exchange".r.findAllIn(plan(name)).size
       if (n > budget) Some(s"$name: $n > $budget") else None

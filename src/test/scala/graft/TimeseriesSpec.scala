@@ -117,6 +117,26 @@ class TimeseriesSpec extends SparkSuite {
     assert(bad === 0L)
   }
 
+  test("timeseries_bollinger_stats: hand-computed trailing window; invariants corpus-wide (sf0.001)") {
+    import spark.implicits._
+    val dir = "/root/repo/target/tmp/boll_fix"
+    Seq((1L, 1L, 1000L, 1.0), (2L, 1L, 2000L, 2.0), (3L, 1L, 3000L, 3.0))
+      .toDF("event_id", "user_id", "ts", "value").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.Timeseries.timeseriesBollingerStats(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // row 3: n=3, Σ=60000, 3·(1+4+9)e8 − 36e8 = 6e8 → ⌊√6e8⌋ = 24494
+    assert(got === Map(
+      1L -> ((1L, 10000L, 0L)),
+      2L -> ((2L, 30000L, 10000L)),
+      3L -> ((3L, 60000L, 24494L))))
+    val corpus = operators.Timeseries.timeseriesBollingerStats(spark, sf0001)
+    assert(corpus.count() > 0)
+    assert(corpus.filter($"sd_num" < 0 || $"n_win" < 1 || $"n_win" > 10)
+      .count() === 0L)
+  }
+
   test("timeseries_autocorr_stats: hand-computed sums; Cauchy–Schwarz corpus-wide (sf0.001)") {
     import spark.implicits._
     val dir = "/root/repo/target/tmp/acf_fix"
