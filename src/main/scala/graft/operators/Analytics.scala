@@ -657,7 +657,46 @@ object Analytics {
         |ORDER BY o_orderpriority, age_band""".stripMargin)
   }
 
+  /** Order-to-ship latency report per priority class — the fulfilment
+    * SLA dashboard: every lineitem's shipping delay in whole days
+    * (l_shipdate − o_orderdate, epoch-day integers), rolled up per
+    * priority with count, min/max, exact day mass, and the exact median
+    * (percentile_disc election at rank ⌈n/2⌉ — the winsorize machinery
+    * pointed at a latency distribution).
+    *
+    * Scale shape: the orders→lineitem equi-join shuffles on orderkey
+    * (orders side is the smaller but NOT broadcast-size at 100 TB —
+    * the standard fact-fact shuffle join); the rank window partitions
+    * by the 5 priorities over (latency, orderkey, linenumber) — a
+    * production variant pre-aggregates per (priority, latency-day)
+    * first, since the day domain is tiny. */
+  def reportShipLatency(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lat = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_linenumber",
+        unix_date(to_date($"l_shipdate")).cast("long").as("sd"))
+      .join(Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_orderpriority",
+          unix_date(to_date($"o_orderdate")).cast("long").as("od")),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"o_orderpriority", $"l_orderkey", $"l_linenumber",
+        ($"sd" - $"od").as("days"))
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"days", $"l_orderkey", $"l_linenumber")
+    lat
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy($"o_orderpriority")))
+      .groupBy($"o_orderpriority")
+      .agg(max($"n").as("n_lines"),
+        min($"days").as("min_days"), max($"days").as("max_days"),
+        sum($"days").as("sum_days"),
+        max(when($"rn" === expr("(n + 1) div 2"), $"days")).as("p50_days"))
+      .orderBy($"o_orderpriority")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "report_ship_latency" -> (reportShipLatency(_, _)),
     "quality_winsorize_clip" -> (qualityWinsorizeClip(_, _)),
     "report_backlog_aging" -> (reportBacklogAging(_, _)),
     "report_abc_classification" -> (reportAbcClassification(_, _)),
@@ -714,6 +753,26 @@ object Analytics {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // same epoch-day latency, rank window, and ⌈n/2⌉ median election
+    "report_ship_latency" ->
+      """WITH lat AS (SELECT o.o_orderpriority, l.l_orderkey,
+        |    l.l_linenumber,
+        |    CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+        |      AS BIGINT) AS days
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |r AS (SELECT o_orderpriority, days,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY days, l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM lat)
+        |SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n_lines,
+        |  CAST(min(days) AS BIGINT) AS min_days,
+        |  CAST(max(days) AS BIGINT) AS max_days,
+        |  CAST(sum(days) AS BIGINT) AS sum_days,
+        |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN days END) AS BIGINT)
+        |    AS p50_days
+        |FROM r GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     // same row_number rank on (v, event_id), ceil-rank elections, and
     // greatest/least clamp
     "quality_winsorize_clip" ->

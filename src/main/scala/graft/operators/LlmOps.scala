@@ -820,7 +820,34 @@ object LlmOps {
       .orderBy($"source")
   }
 
+  /** The hashing trick — fixed-width sparse featurization without a
+    * vocabulary pass: every token hashes into one of 64 feature slots
+    * and each document becomes (doc_id, dim, count) triples, the input
+    * a linear classifier or MinHash-free sketch consumes. The hash is
+    * ENGINE-REPLAYABLE arithmetic over string primitives
+    * (131·len + ascii(first) + 7·ascii(last), mod 64 — the
+    * text_fingerprint family), not xxhash64, so the oracle replays it
+    * bit-exactly; a production variant swaps in xxhash64 for better
+    * mixing at identical plan shape.
+    *
+    * Scale shape: explode → pure projection → ONE map-side-combinable
+    * (doc, dim) aggregate; output is bounded by |docs|·64. */
+  def mlFeatureHashing(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("t"))
+      .filter($"t" =!= "")
+      .select($"doc_id",
+        pmod(length($"t") * 131 + ascii(substring($"t", 1, 1)) +
+          ascii(substring($"t", -1, 1)) * 7, lit(64)).cast("long")
+          .as("dim"))
+      .groupBy($"doc_id", $"dim")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"doc_id", $"dim")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "ml_feature_hashing" -> (mlFeatureHashing(_, _)),
     "eval_cohens_kappa" -> (evalCohensKappa(_, _)),
     "quality_langid_confusion" -> (qualityLangidConfusion(_, _)),
     "ml_naive_bayes_counts" -> (mlNaiveBayesCounts(_, _)),
@@ -850,6 +877,19 @@ object LlmOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same replayable string-primitive hash; substring(-1) ≡ indexing
+    // the last char on both engines (ascii corpus, verified)
+    "ml_feature_hashing" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    (length(t) * 131 + ascii(substring(t, 1, 1)) +
+        |     ascii(substring(t, length(t), 1)) * 7) % 64 AS dim
+        |  FROM tok WHERE t <> '')
+        |SELECT doc_id, CAST(dim AS BIGINT) AS dim,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM h GROUP BY doc_id, dim
+        |ORDER BY doc_id, dim""".stripMargin,
     // same langid chain → per-source cells → marginal-product join;
     // truncating division agrees on negative κ on both engines
     "eval_cohens_kappa" ->

@@ -706,7 +706,46 @@ object Multimodal {
       .orderBy($"bin")
   }
 
+  /** Mean-reciprocal-rank eval of the exact cosine retrieval against
+    * the label column — the third leg of the retrieval-eval stool
+    * (ranking = [[evalAucExact]], set overlap = eval_ranking_metrics /
+    * eval_ann_recall, first-hit position = MRR): per query (vec_id <
+    * 5), the rank of the FIRST same-label neighbor in the exact top-10
+    * and its reciprocal ⌊2²⁰/rank⌋ (one truncating division — no IEEE
+    * mean; the corpus MRR is Σrr_fp div n for the caller). Queries
+    * whose top-10 contains no same-label neighbor emit rank −1 /
+    * rr 0 — the miss is data, not an absent row.
+    *
+    * Scale shape: the scored candidate frame is the cosine_topk chain
+    * verbatim (constant query broadcast); first-hit election is a
+    * min-aggregate over ≤10 rows per query. */
+  def evalMrrFixed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorOps.registerAll(spark)
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"label".as("ql"), $"embedding".as("qe"))
+    val w = Window.partitionBy($"q_id").orderBy($"score".desc, $"vec_id")
+    e.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"ql", $"label",
+        round(expr("cosine_similarity(qe, embedding)"), 6).as("score"),
+        $"vec_id")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 10)
+      .groupBy($"q_id")
+      .agg(max($"ql").cast("long").as("label"),
+        coalesce(min(when($"label" === $"ql", $"rn")), lit(-1L))
+          .cast("long").as("first_match_rank"))
+      .select($"q_id", $"label", $"first_match_rank",
+        when($"first_match_rank" === -1L, 0L)
+          .otherwise(expr("1048576 div first_match_rank")).as("rr_fp"))
+      .orderBy($"q_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "eval_mrr_fixed" -> (evalMrrFixed(_, _)),
     "eval_calibration_bins" -> (evalCalibrationBins(_, _)),
     "ml_knn_classify" -> (mlKnnClassify(_, _)),
     "ml_decision_stump" -> (mlDecisionStump(_, _)),
@@ -727,6 +766,29 @@ object Multimodal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the cosine_topk scoring CTE + first same-label hit election
+    "eval_mrr_fixed" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(label AS BIGINT) AS ql,
+        |    CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q_id, ql, vec_id, label,
+        |    round(list_dot_product(qe, CAST(embedding AS DOUBLE[])) /
+        |      (sqrt(list_dot_product(qe, qe)) *
+        |       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |         CAST(embedding AS DOUBLE[])))), 6) AS score
+        |  FROM q, embeddings WHERE vec_id <> q_id),
+        |r AS (SELECT q_id, ql, label, score,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score DESC, vec_id) AS rn FROM s),
+        |m AS (SELECT q_id, max(ql) AS label,
+        |    coalesce(min(CASE WHEN label = ql THEN rn END), -1)
+        |      AS first_match_rank
+        |  FROM r WHERE rn <= 10 GROUP BY q_id)
+        |SELECT q_id, CAST(label AS BIGINT) AS label,
+        |  CAST(first_match_rank AS BIGINT) AS first_match_rank,
+        |  CAST(CASE WHEN first_match_rank = -1 THEN 0
+        |    ELSE 1048576 // first_match_rank END AS BIGINT) AS rr_fp
+        |FROM m ORDER BY q_id""".stripMargin,
     "eval_calibration_bins" ->
       """WITH s AS (SELECT (n_chars * 1048576) // 600 AS score_fp,
         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos

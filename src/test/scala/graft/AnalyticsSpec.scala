@@ -217,6 +217,34 @@ class AnalyticsSpec extends SparkSuite {
     assert(neg === 0L)
   }
 
+  test("report_ship_latency: mass and median match a brute-force recompute (sf0.001)") {
+    val lat = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        unix_date(to_date(col("l_shipdate"))).cast("long").as("sd"))
+      .join(Tables.orders(spark, sf0001)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          unix_date(to_date(col("o_orderdate"))).cast("long").as("od")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"), (col("sd") - col("od")).as("days"),
+        col("l_orderkey"), col("l_linenumber"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .groupBy(_._1)
+    val got = operators.Analytics.reportShipLatency(spark, sf0001).collect()
+    assert(got.map(_.getLong(1)).sum === Tables.lineitem(spark, sf0001).count())
+    got.foreach { r =>
+      val rows = lat(r.getString(0)).sortBy(x => (x._2, x._3, x._4))
+      val n = rows.length
+      assert(r.getLong(1) === n.toLong)
+      assert(r.getLong(2) === rows.map(_._2).min)
+      assert(r.getLong(3) === rows.map(_._2).max)
+      assert(r.getLong(4) === rows.map(_._2).sum)
+      assert(r.getLong(5) === rows((n + 1) / 2 - 1)._2,
+        s"median mismatch for ${r.getString(0)}")
+      assert(r.getLong(2) <= r.getLong(5) && r.getLong(5) <= r.getLong(3))
+    }
+  }
+
   test("quality_winsorize_clip: bounds and clamp match a brute-force recompute (sf0.001)") {
     val evs = Tables.events(spark, sf0001)
       .filter(col("value").isNotNull)

@@ -374,6 +374,25 @@ class BehavioralSpec extends SparkSuite {
       .filter($"n_matches" > coalesce($"np", lit(0L))).count() === 0L)
   }
 
+  test("graph_assortativity_stats: reconciles with the copurchase graph; |r| ≤ 1 (sf0.001)") {
+    val inc = Tables.lineitem(spark, sf0001)
+      .select("l_partkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = inc.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairs = Behavioral.graphCopurchasePairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val r = Behavioral.graphAssortativityStats(spark, sf0001).head()
+    assert(r.getLong(0) === 2L * pairs.length)
+    val ends = pairs.flatMap { case (a, b) =>
+      Seq((deg(a), deg(b)), (deg(b), deg(a)))
+    }
+    assert(r.getLong(1) === ends.map(_._1).sum)
+    assert(r.getLong(2) === ends.map { case (x, y) => x * y }.sum)
+    assert(r.getLong(3) === ends.map(x => x._1 * x._1).sum)
+    // |assortativity| ≤ 1 ⇔ |num| ≤ den (x and y marginals identical)
+    assert(BigInt(r.getLong(4)).abs <= BigInt(r.getLong(5)))
+  }
+
   test("behavior_rfm_segmentation: quintiles balance and the code packs the scores (sf0.001)") {
     val rows = Behavioral.behaviorRfmSegmentation(spark, sf0001).collect()
     assert(rows.nonEmpty)

@@ -325,6 +325,51 @@ class LlmOpsSpec extends SparkSuite {
     assert(got(17L) === ((7L, 0L, 0L)), s"disjoint doc must be uncovered: $got")
   }
 
+  test("ml_feature_hashing: mass conserved and hash recomputed (sf0.001)") {
+    import spark.implicits._
+    val rows = LlmOps.mlFeatureHashing(spark, sf0001).collect()
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 64))
+    val totalTokens = Tables.documents(spark, sf0001)
+      .select(explode(split($"text", " ")).as("t")).filter($"t" =!= "")
+      .count()
+    assert(rows.map(_.getLong(2)).sum === totalTokens)
+    // recompute the replayable hash in plain Scala for one document
+    val doc = Tables.documents(spark, sf0001)
+      .filter($"doc_id" === 0L).select("text").head.getString(0)
+    val expected = doc.split(" ").filter(_.nonEmpty)
+      .map(t => (t.length * 131 + t.head.toInt + t.last.toInt * 7) % 64)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = rows.filter(_.getLong(0) === 0L)
+      .map(r => r.getLong(1).toInt -> r.getLong(2)).toMap
+    assert(got === expected)
+  }
+
+  test("eval_mrr_fixed: reconciles with the graded top-10 retrieval key (sf0.001)") {
+    import spark.implicits._
+    val labels = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // first same-label rank derived from simsearch_cosine_topk's own
+    // output — two keys, one truth
+    val expected = LlmOps.simsearchCosineTopk(spark, sf0001)
+      .select(col("q_id"), col("rn").cast("long"), col("vec_id"))
+      .collect()
+      .groupBy(_.getLong(0)).map { case (q, rows) =>
+        val ql = labels(q)
+        val hit = rows.sortBy(_.getLong(1))
+          .find(r => labels(r.getLong(2)) == ql).map(_.getLong(1))
+        q -> hit.getOrElse(-1L)
+      }
+    val got = operators.Multimodal.evalMrrFixed(spark, sf0001).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      assert(r.getLong(2) === expected(r.getLong(0)),
+        s"first-match rank mismatch for query ${r.getLong(0)}")
+      val rank = r.getLong(2)
+      assert(r.getLong(3) === (if (rank == -1L) 0L else 1048576L / rank))
+    }
+  }
+
   test("eval_cohens_kappa: matches a brute-force recompute from the classifier cells (sf0.001)") {
     import spark.implicits._
     val joined = LlmOps.textLangid(spark, sf0001)
