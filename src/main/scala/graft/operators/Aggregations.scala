@@ -391,7 +391,44 @@ object Aggregations {
       .orderBy($"user_id")
   }
 
+  /** Exact WEIGHTED median per group — the quantity-weighted price
+    * midpoint (half the shipped units cost less, half more), which the
+    * unweighted percentile keys cannot express: per return flag, order
+    * lineitems by (price cents, orderkey, linenumber), accumulate
+    * quantity weight, and elect the first value whose doubled running
+    * weight reaches the total — the 2·cum ≥ W cross-product rule, no
+    * division at all. Because the cumulative weight is monotone along
+    * the value order, the qualifying set is a suffix and min(value)
+    * over it IS the boundary row — so the election is a plain
+    * conditional aggregate, not a second window.
+    *
+    * Scale shape: one flag-partitioned window sort (3 partitions here;
+    * a production variant pre-aggregates per (flag, cents) first —
+    * the winsorize histogram posture); everything else is
+    * map-side-combinable. Quantities are integral by data contract
+    * (TPC-H) — the BIGINT cast is exact. */
+  def aggWeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy($"cents", $"l_orderkey", $"l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_orderkey", $"l_linenumber",
+        (Tables.dec2($"l_extendedprice") * 100).cast("long").as("cents"),
+        $"l_quantity".cast("long").as("qty"))
+      .withColumn("cum_w", sum($"qty").over(w))
+      .withColumn("w_total",
+        sum($"qty").over(Window.partitionBy($"l_returnflag")))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_lines"), max($"w_total").as("w_total"),
+        min(when($"cum_w" * 2 >= $"w_total", $"cents"))
+          .as("wmedian_cents"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "agg_weighted_median" -> (aggWeightedMedian(_, _)),
     "agg_filtered_conditional" -> (aggFilteredConditional(_, _)),
     "agg_percentile_disc" -> (aggPercentileDisc(_, _)),
     "agg_string_concat" -> (aggStringConcat(_, _)),
@@ -414,6 +451,25 @@ object Aggregations {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same (cents, orderkey, linenumber) order and 2·cum ≥ W election
+    "agg_weighted_median" ->
+      """WITH l AS (SELECT l_returnflag, l_orderkey, l_linenumber,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem),
+        |c AS (SELECT l_returnflag, cents, qty,
+        |    sum(qty) OVER (PARTITION BY l_returnflag
+        |      ORDER BY cents, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+        |    sum(qty) OVER (PARTITION BY l_returnflag) AS w_total
+        |  FROM l)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(max(w_total) AS BIGINT) AS w_total,
+        |  CAST(min(CASE WHEN cum_w * 2 >= w_total THEN cents END)
+        |    AS BIGINT) AS wmedian_cents
+        |FROM c GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "agg_filtered_conditional" ->
       """WITH e AS (SELECT event_type, user_id,
         |    CAST(value AS DECIMAL(18,4)) AS v FROM events)

@@ -537,7 +537,7 @@ object Behavioral {
         |  CAST(sum(x * x) AS BIGINT) AS sxx,
         |  CAST(count(*) * sum(x * y) - sum(x) * sum(x) AS BIGINT) AS num,
         |  CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS den
-        |FROM d""".stripMargin,
+        |FROM d ORDER BY n_ends""".stripMargin,
     // ntile over a total order is engine-identical (SQL-standard
     // first-(n mod 5)-buckets-get-one-extra split)
     "behavior_rfm_segmentation" ->

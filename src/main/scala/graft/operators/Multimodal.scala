@@ -744,7 +744,83 @@ object Multimodal {
       .orderBy($"q_id")
   }
 
+  /** Chunk–frame alignment — the cross-modal join every
+    * caption/transcript pipeline performs: the k-th text chunk
+    * ([[LlmOps.textChunkOverlap]], 32-token windows at stride 24) is
+    * paired with the k-th sampled frame ([[multimodalFrameSample]],
+    * every 4th 64-byte frame), giving the (text window, media window)
+    * training pairs a contrastive aligner consumes. Ordinal = chunk_idx
+    * on the text side, (fidx−1) div 4 on the media side; documents
+    * where one modality runs longer simply stop pairing (inner join —
+    * the unmatched tail is a different dataset, not a NULL).
+    *
+    * Scale shape: both sides collapse to (doc_id, ordinal) keyed frames
+    * and the alignment is ONE equi-join on that composite key — the
+    * pairing never explodes beyond min(chunks, frames) per doc. */
+  def multimodalAlignChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val chunks = LlmOps.textChunkOverlap(spark, dir)
+      .select($"doc_id", $"chunk_idx".as("ord"), $"n_tok")
+    val frames = multimodalFrameSample(spark, dir)
+      .select($"doc_id", expr("(fidx - 1) div 4").as("ord"),
+        $"frame_len", $"frame_sha")
+    chunks.join(frames, Seq("doc_id", "ord"))
+      .select($"doc_id", $"ord", $"n_tok", $"frame_len", $"frame_sha")
+      .orderBy($"doc_id", $"ord")
+  }
+
+  /** Deterministic triplet mining for contrastive embedding training —
+    * per anchor vector, one positive (same label) and one negative
+    * (different label), selected by a REPRODUCIBLE pseudo-random order
+    * (h = id·2654435761 mod 2³¹, the corpus_shard_manifest LCG posture —
+    * no RNG, so the epoch's triplets are replayable). Anchors whose
+    * label has no second member emit pos −1.
+    *
+    * Scale shape: NO anchor×candidate pair grid — the (h, id) order is
+    * global per label, so the per-label TOP-2 (window over ≤|labels|
+    * partitions) answers every anchor's positive, and the 2-row
+    * best/second-best across label minima answers every negative; both
+    * election frames broadcast. */
+  def mlTripletMining(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label",
+        expr("(vec_id * 2654435761L) % 2147483648L").as("h"))
+    val wLab = Window.partitionBy($"label").orderBy($"h", $"vec_id")
+    val top2 = e.withColumn("rn", row_number().over(wLab))
+      .filter($"rn" <= 2)
+      .select($"label".as("p_label"), $"rn", $"vec_id".as("p_id"))
+    val labelMin = top2.filter($"rn" === 1)
+      .select($"p_label".as("m_label"), $"p_id".as("m_id"))
+      .join(e.select($"vec_id".as("m_id"), $"h".as("m_h")), "m_id")
+    val wAll = Window.orderBy($"m_h", $"m_id")
+    val best2 = labelMin.withColumn("gr", row_number().over(wAll))
+      .filter($"gr" <= 2)
+    val p1 = top2.filter($"rn" === 1)
+      .select($"p_label", $"p_id".as("p1_id"))
+    val p2 = top2.filter($"rn" === 2)
+      .select($"p_label", $"p_id".as("p2_id"))
+    val n1 = best2.filter($"gr" === 1)
+      .select($"m_label".as("n1_label"), $"m_id".as("n1_id"))
+    val n2 = best2.filter($"gr" === 2)
+      .select($"m_label".as("n2_label"), $"m_id".as("n2_id"))
+    e.join(broadcast(p1), $"label" === $"p_label")
+      .join(broadcast(p2.withColumnRenamed("p_label", "p_label2")),
+        $"label" === $"p_label2", "left")
+      .crossJoin(broadcast(n1))
+      .crossJoin(broadcast(n2))
+      .select($"vec_id", $"label".cast("long").as("label"),
+        when($"p1_id" =!= $"vec_id", $"p1_id")
+          .otherwise(coalesce($"p2_id", lit(-1L))).as("pos_id"),
+        when($"n1_label" =!= $"label", $"n1_id")
+          .otherwise($"n2_id").as("neg_id"))
+      .orderBy($"vec_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "multimodal_align_chunks" -> (multimodalAlignChunks(_, _)),
+    "ml_triplet_mining" -> (mlTripletMining(_, _)),
     "eval_mrr_fixed" -> (evalMrrFixed(_, _)),
     "eval_calibration_bins" -> (evalCalibrationBins(_, _)),
     "ml_knn_classify" -> (mlKnnClassify(_, _)),
@@ -766,6 +842,53 @@ object Multimodal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // both modality CTEs verbatim, joined on the (doc, ordinal) key
+    "multimodal_align_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |    len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, n,
+        |    unnest(range(0, CAST(1 + (greatest(0, n - 9) // 24) AS BIGINT)))
+        |      AS i
+        |  FROM d),
+        |ch AS (SELECT doc_id, CAST(i AS BIGINT) AS ord,
+        |    CAST(least(n - i * 24, 32) AS BIGINT) AS n_tok FROM c),
+        |fx AS (SELECT doc_id, text,
+        |    unnest(range(1, CAST(ceil(length(text) / 64.0) AS INT) + 1, 4))
+        |      AS fidx
+        |  FROM documents WHERE length(text) > 0),
+        |fr AS (SELECT doc_id, CAST((fidx - 1) // 4 AS BIGINT) AS ord,
+        |    CAST(length(substring(text, (fidx - 1) * 64 + 1, 64))
+        |      AS BIGINT) AS frame_len,
+        |    sha256(substring(text, (fidx - 1) * 64 + 1, 64)) AS frame_sha
+        |  FROM fx)
+        |SELECT ch.doc_id, ch.ord, ch.n_tok, fr.frame_len, fr.frame_sha
+        |FROM ch JOIN fr ON ch.doc_id = fr.doc_id AND ch.ord = fr.ord
+        |ORDER BY ch.doc_id, ch.ord""".stripMargin,
+    // same LCG order, per-label top-2, and cross-label best-2 elections
+    "ml_triplet_mining" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    (vec_id * 2654435761) % 2147483648 AS h FROM embeddings),
+        |t AS (SELECT label, vec_id,
+        |    row_number() OVER (PARTITION BY label ORDER BY h, vec_id)
+        |      AS rn FROM e),
+        |p1 AS (SELECT label, vec_id AS p1_id FROM t WHERE rn = 1),
+        |p2 AS (SELECT label, vec_id AS p2_id FROM t WHERE rn = 2),
+        |lm AS (SELECT t.label AS m_label, t.vec_id AS m_id, e.h AS m_h
+        |  FROM t JOIN e ON t.vec_id = e.vec_id WHERE t.rn = 1),
+        |b AS (SELECT m_label, m_id,
+        |    row_number() OVER (ORDER BY m_h, m_id) AS gr FROM lm),
+        |n1 AS (SELECT m_label AS n1_label, m_id AS n1_id FROM b
+        |  WHERE gr = 1),
+        |n2 AS (SELECT m_label AS n2_label, m_id AS n2_id FROM b
+        |  WHERE gr = 2)
+        |SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+        |  CAST(CASE WHEN p1.p1_id <> e.vec_id THEN p1.p1_id
+        |    ELSE coalesce(p2.p2_id, -1) END AS BIGINT) AS pos_id,
+        |  CAST(CASE WHEN n1.n1_label <> e.label THEN n1.n1_id
+        |    ELSE n2.n2_id END AS BIGINT) AS neg_id
+        |FROM e JOIN p1 ON e.label = p1.label
+        |LEFT JOIN p2 ON e.label = p2.label, n1, n2
+        |ORDER BY e.vec_id""".stripMargin,
     // the cosine_topk scoring CTE + first same-label hit election
     "eval_mrr_fixed" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(label AS BIGINT) AS ql,

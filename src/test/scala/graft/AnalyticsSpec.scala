@@ -217,6 +217,30 @@ class AnalyticsSpec extends SparkSuite {
     assert(neg === 0L)
   }
 
+  test("agg_weighted_median: election matches a brute-force weighted scan (sf0.001)") {
+    val lines = Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"),
+        col("l_quantity").cast("long").as("qty"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4)))
+      .groupBy(_._1)
+    val got = operators.Aggregations.aggWeightedMedian(spark, sf0001)
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val rows = lines(r.getString(0)).sortBy(x => (x._4, x._2, x._3))
+      val w = rows.map(_._5).sum
+      var cum = 0L
+      val med = rows.find { x => cum += x._5; cum * 2 >= w }.get._4
+      assert(r.getLong(1) === rows.length.toLong)
+      assert(r.getLong(2) === w)
+      assert(r.getLong(3) === med, s"weighted median mismatch for ${r.getString(0)}")
+    }
+  }
+
   test("report_ship_latency: mass and median match a brute-force recompute (sf0.001)") {
     val lat = Tables.lineitem(spark, sf0001)
       .select(col("l_orderkey"), col("l_linenumber"),

@@ -325,6 +325,54 @@ class LlmOpsSpec extends SparkSuite {
     assert(got(17L) === ((7L, 0L, 0L)), s"disjoint doc must be uncovered: $got")
   }
 
+  test("multimodal_align_chunks: pairs reconcile with both parent modality keys (sf0.001)") {
+    import spark.implicits._
+    val chunks = LlmOps.textChunkOverlap(spark, sf0001)
+      .groupBy($"doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val frames = operators.Multimodal.multimodalFrameSample(spark, sf0001)
+      .groupBy($"doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val aligned = operators.Multimodal.multimodalAlignChunks(spark, sf0001)
+      .groupBy($"doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(aligned.nonEmpty)
+    (chunks.keySet ++ frames.keySet).foreach { d =>
+      val expect = math.min(chunks.getOrElse(d, 0L), frames.getOrElse(d, 0L))
+      assert(aligned.getOrElse(d, 0L) === expect,
+        s"doc $d: aligned ${aligned.getOrElse(d, 0L)} != min(chunks, frames) $expect")
+    }
+  }
+
+  test("ml_triplet_mining: anchor/positive/negative label discipline and LCG determinism (sf0.001)") {
+    val labels = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = operators.Multimodal.mlTripletMining(spark, sf0001).collect()
+    assert(got.length === labels.size, "one triplet per anchor")
+    // expected elections recomputed in plain Scala from the same LCG
+    def h(id: Long) = (id * 2654435761L) % 2147483648L
+    val byLabel = labels.toSeq.groupBy(_._2).view
+      .mapValues(_.map(_._1).sortBy(id => (h(id), id))).toMap
+    val labelMins = byLabel.map { case (l, ids) => (l, ids.head) }.toSeq
+      .sortBy { case (_, id) => (h(id), id) }
+    got.foreach { r =>
+      val (a, l) = (r.getLong(0), r.getLong(1).toInt)
+      val ids = byLabel(l)
+      val expPos =
+        if (ids.head != a) ids.head
+        else if (ids.length > 1) ids(1) else -1L
+      assert(r.getLong(2) === expPos, s"pos mismatch for anchor $a")
+      val expNeg =
+        if (labelMins.head._1 != l) labelMins.head._2 else labelMins(1)._2
+      assert(r.getLong(3) === expNeg, s"neg mismatch for anchor $a")
+      if (r.getLong(2) != -1L) {
+        assert(labels(r.getLong(2)) === l && r.getLong(2) != a)
+      }
+      assert(labels(r.getLong(3)) !== l)
+    }
+  }
+
   test("ml_feature_hashing: mass conserved and hash recomputed (sf0.001)") {
     import spark.implicits._
     val rows = LlmOps.mlFeatureHashing(spark, sf0001).collect()
