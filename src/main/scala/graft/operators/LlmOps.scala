@@ -846,7 +846,59 @@ object LlmOps {
       .orderBy($"doc_id", $"dim")
   }
 
+  /** Per-document quality feature vector — the row a quality CLASSIFIER
+    * trains on, where [[textStats]] is the per-language report: char
+    * count, token count, distinct-token count, exact type–token ratio
+    * and mean token length (both 2²⁰ fixed point), and the longest
+    * token — one row per document, every feature an exact integer.
+    *
+    * Scale shape: one explode + ONE map-side-combinable doc aggregate;
+    * n_chars decorates via the same row (no join). */
+  def textDocFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars",
+        explode(split($"text", " ")).as("t"))
+      .filter($"t" =!= "")
+      .groupBy($"doc_id")
+      .agg(max($"n_chars").as("n_chars"),
+        count(lit(1)).as("n_tokens"),
+        countDistinct($"t").as("n_distinct"),
+        sum(length($"t").cast("long")).as("sum_tok_len"),
+        max(length($"t").cast("long")).as("max_tok_len"))
+      .select($"doc_id", $"n_chars", $"n_tokens", $"n_distinct",
+        expr("(n_distinct * 1048576) div n_tokens").as("ttr_fp"),
+        expr("(sum_tok_len * 1048576) div n_tokens")
+          .as("mean_tok_len_fp"),
+        $"max_tok_len")
+      .orderBy($"doc_id")
+  }
+
+  /** Deterministic k-fold cross-validation census — fold assignment by
+    * the reproducible LCG (doc_id·2654435761 mod 2³¹ mod 5, the
+    * shard-manifest/triplet-mining posture: replayable, no RNG), then
+    * the balance census per (fold, lang) every CV harness prints before
+    * trusting its variance estimate: doc count and token mass. The
+    * assignment itself is a pure projection any consumer re-derives.
+    *
+    * Scale shape: projection + one map-side-combinable ≤5·|langs|-row
+    * aggregate. */
+  def evalKfoldCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(expr("((doc_id * 2654435761L) % 2147483648L) % 5")
+        .as("fold"),
+        coalesce($"lang", lit("(none)")).as("lang"),
+        size(filter(split($"text", " "), t => t =!= "")).cast("long")
+          .as("nt"))
+      .groupBy($"fold", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"))
+      .orderBy($"fold", $"lang")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "text_doc_features" -> (textDocFeatures(_, _)),
+    "eval_kfold_census" -> (evalKfoldCensus(_, _)),
     "ml_feature_hashing" -> (mlFeatureHashing(_, _)),
     "eval_cohens_kappa" -> (evalCohensKappa(_, _)),
     "quality_langid_confusion" -> (qualityLangidConfusion(_, _)),
@@ -877,6 +929,30 @@ object LlmOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "text_doc_features" ->
+      """WITH tok AS (SELECT doc_id, n_chars,
+        |    unnest(string_split(text, ' ')) AS t FROM documents),
+        |a AS (SELECT doc_id, CAST(max(n_chars) AS BIGINT) AS n_chars,
+        |    CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(count(DISTINCT t) AS BIGINT) AS n_distinct,
+        |    CAST(sum(length(t)) AS BIGINT) AS sum_tok_len,
+        |    CAST(max(length(t)) AS BIGINT) AS max_tok_len
+        |  FROM tok WHERE t <> '' GROUP BY doc_id)
+        |SELECT doc_id, n_chars, n_tokens, n_distinct,
+        |  CAST((n_distinct * 1048576) // n_tokens AS BIGINT) AS ttr_fp,
+        |  CAST((sum_tok_len * 1048576) // n_tokens AS BIGINT)
+        |    AS mean_tok_len_fp,
+        |  max_tok_len
+        |FROM a ORDER BY doc_id""".stripMargin,
+    // same LCG fold arithmetic (non-negative operands: % agrees)
+    "eval_kfold_census" ->
+      """SELECT CAST(((doc_id * 2654435761) % 2147483648) % 5 AS BIGINT)
+        |    AS fold,
+        |  coalesce(lang, '(none)') AS lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(list_filter(string_split(text, ' '),
+        |    w -> w <> ''))) AS BIGINT) AS n_tokens
+        |FROM documents GROUP BY 1, 2 ORDER BY fold, lang""".stripMargin,
     // same replayable string-primitive hash; substring(-1) ≡ indexing
     // the last char on both engines (ascii corpus, verified)
     "ml_feature_hashing" ->

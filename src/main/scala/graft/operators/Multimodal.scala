@@ -818,7 +818,31 @@ object Multimodal {
       .orderBy($"vec_id")
   }
 
+  /** Confusion matrix of the k-NN classifier — [[mlKnnClassify]] graded
+    * against its own riding true labels, the same
+    * grade-one-operator-with-another loop as quality_langid_confusion:
+    * per (true, predicted) cell the count, plus the within-row share in
+    * 2²⁰ fixed point. The diagonal IS the per-class recall of the
+    * embedding space under leave-one-out 5-NN — the number an
+    * embedding-quality dashboard actually tracks.
+    *
+    * Scale shape: everything after the knn chain is a ≤|labels|² cell
+    * aggregate + one row-total window over that tiny frame. */
+  def mlKnnConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    mlKnnClassify(spark, dir)
+      .groupBy($"true_label", $"pred_label")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total",
+        sum($"n").over(Window.partitionBy($"true_label")))
+      .select($"true_label", $"pred_label", $"n", $"row_total",
+        expr("(n * 1048576) div row_total").as("share_fp"))
+      .orderBy($"true_label", $"pred_label")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "ml_knn_confusion" -> (mlKnnConfusion(_, _)),
     "multimodal_align_chunks" -> (multimodalAlignChunks(_, _)),
     "ml_triplet_mining" -> (mlTripletMining(_, _)),
     "eval_mrr_fixed" -> (evalMrrFixed(_, _)),
@@ -842,6 +866,35 @@ object Multimodal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the full knn-vote CTE + cell aggregate + row-share window
+    "ml_knn_confusion" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(label AS BIGINT) AS tl,
+        |    CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |s AS (SELECT q_id, tl, vec_id, label,
+        |    round(list_dot_product(qe, CAST(embedding AS DOUBLE[])) /
+        |      (sqrt(list_dot_product(qe, qe)) *
+        |       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |         CAST(embedding AS DOUBLE[])))), 6) AS score
+        |  FROM q, embeddings WHERE vec_id <> q_id),
+        |r AS (SELECT q_id, tl, vec_id, label, score,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score DESC, vec_id) AS rn FROM s),
+        |votes AS (SELECT q_id, tl, label, CAST(count(*) AS BIGINT) AS v
+        |  FROM r WHERE rn <= 5 GROUP BY q_id, tl, label),
+        |w AS (SELECT q_id, tl, label, v,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY v DESC, label)
+        |      AS vr FROM votes),
+        |pred AS (SELECT tl AS true_label, CAST(label AS BIGINT)
+        |    AS pred_label FROM w WHERE vr = 1),
+        |cells AS (SELECT true_label, pred_label,
+        |    CAST(count(*) AS BIGINT) AS n FROM pred GROUP BY 1, 2),
+        |tot AS (SELECT true_label, pred_label, n,
+        |    CAST(sum(n) OVER (PARTITION BY true_label) AS BIGINT)
+        |      AS row_total FROM cells)
+        |SELECT true_label, pred_label, n, row_total,
+        |  CAST((n * 1048576) // row_total AS BIGINT) AS share_fp
+        |FROM tot ORDER BY true_label, pred_label""".stripMargin,
     // both modality CTEs verbatim, joined on the (doc, ordinal) key
     "multimodal_align_chunks" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,

@@ -325,6 +325,54 @@ class LlmOpsSpec extends SparkSuite {
     assert(got(17L) === ((7L, 0L, 0L)), s"disjoint doc must be uncovered: $got")
   }
 
+  test("ml_knn_confusion: cells reconcile with the knn classifier output (sf0.001)") {
+    val preds = operators.Multimodal.mlKnnClassify(spark, sf0001).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val expected = preds.groupBy(identity).view.mapValues(_.length.toLong)
+    val got = operators.Multimodal.mlKnnConfusion(spark, sf0001).collect()
+    assert(got.map(_.getLong(2)).sum === preds.length.toLong)
+    got.foreach { r =>
+      assert(r.getLong(2) === expected((r.getLong(0), r.getLong(1))))
+      val rowTot = preds.count(_._1 == r.getLong(0)).toLong
+      assert(r.getLong(3) === rowTot)
+      assert(r.getLong(4) === r.getLong(2) * 1048576L / rowTot)
+    }
+  }
+
+  test("text_doc_features: features reconcile with the raw documents (sf0.001)") {
+    val feats = LlmOps.textDocFeatures(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(feats.length === docs.size)
+    feats.foreach { f =>
+      val (text, nc) = docs(f.getLong(0))
+      val toks = text.split(" ").filter(_.nonEmpty)
+      assert(f.getLong(1) === nc)
+      assert(f.getLong(2) === toks.length.toLong)
+      assert(f.getLong(3) === toks.distinct.length.toLong)
+      assert(f.getLong(4) === toks.distinct.length.toLong * 1048576L / toks.length)
+      assert(f.getLong(5) === toks.map(_.length.toLong).sum * 1048576L / toks.length)
+      assert(f.getLong(6) === toks.map(_.length).max.toLong)
+    }
+  }
+
+  test("eval_kfold_census: folds cover, masses reconcile, assignment is the LCG (sf0.001)") {
+    import spark.implicits._
+    val got = LlmOps.evalKfoldCensus(spark, sf0001).collect()
+    assert(got.map(_.getLong(0)).distinct.sorted.toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+    assert(got.map(_.getLong(2)).sum === Tables.documents(spark, sf0001).count())
+    // fold of one known doc recomputed from the LCG
+    val expected = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang").collect()
+      .map(r => ((r.getLong(0) * 2654435761L) % 2147483648L % 5, r.getString(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong)
+    got.foreach { r =>
+      assert(r.getLong(2) === expected((r.getLong(0), r.getString(1))),
+        s"census mismatch at fold ${r.getLong(0)} lang ${r.getString(1)}")
+    }
+  }
+
   test("multimodal_align_chunks: pairs reconcile with both parent modality keys (sf0.001)") {
     import spark.implicits._
     val chunks = LlmOps.textChunkOverlap(spark, sf0001)

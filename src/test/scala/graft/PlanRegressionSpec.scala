@@ -485,7 +485,7 @@ class PlanRegressionSpec extends SparkSuite {
       "text_index_delta_merge", "corpus_dedup_pipeline",
       "scd2_cdc_apply", "ml_decision_stump",
       "ml_naive_bayes_counts", "ml_knn_classify", "text_phrase_search",
-      "eval_mrr_fixed", "ml_triplet_mining")
+      "eval_mrr_fixed", "ml_triplet_mining", "ml_knn_confusion")
     val offenders = SparkEntry.queries.keys.filterNot(allowed)
       .filter(n => n != "source_csv_roundtrip" && plan(n).contains("BroadcastNestedLoopJoin"))
     assert(offenders.isEmpty, s"unexpected nested-loop joins: $offenders")
@@ -555,7 +555,10 @@ class PlanRegressionSpec extends SparkSuite {
       "eval_mrr_fixed" -> 2,            // per-query window + final sort
       "agg_weighted_median" -> 2,       // flag window + final sort
       "multimodal_align_chunks" -> 1,   // ordinal equi-join + final sort
-      "ml_triplet_mining" -> 5)         // label window + 10-row global window + sort
+      "ml_triplet_mining" -> 5,         // label window + 10-row global window + sort
+      "ml_knn_confusion" -> 4,          // knn chain + cell agg + row window
+      "text_doc_features" -> 3,         // doc agg with distinct + sort
+      "eval_kfold_census" -> 2)         // (fold, lang) agg partial/final + sort
     val over = budgets.flatMap { case (name, budget) =>
       val n = "\\(\\d+\\) Exchange".r.findAllIn(plan(name)).size
       if (n > budget) Some(s"$name: $n > $budget") else None
