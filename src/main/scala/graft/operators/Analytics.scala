@@ -695,7 +695,36 @@ object Analytics {
       .orderBy($"o_orderpriority")
   }
 
+  /** Supplier market concentration per brand — the Herfindahl–
+    * Hirschman index every procurement/antitrust review computes, in
+    * exact integer form: within each brand's shipped-quantity market,
+    * HHI = Σ share_s², emitted as the exact cross-product
+    * hhi_fp = (Σ q_s²·2²⁰) div (Σ q_s)² — one truncating division per
+    * brand, no per-supplier ratios. A brand served by one supplier
+    * scores 2²⁰ (monopoly); even splits score 2²⁰/n.
+    *
+    * Scale shape: lineitem joins the ≤|parts| brand map (broadcast at
+    * fixture scale, shuffled at 100 TB), collapses map-side to
+    * (brand, supplier) quantity mass, then to |brands| rows — the
+    * windowless two-level rollup. */
+  def reportBrandConcentration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_suppkey", $"l_quantity".cast("long").as("q"))
+      .join(Tables.part(spark, dir).select($"p_partkey", $"p_brand"),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"l_suppkey")
+      .agg(sum($"q").as("qs"))
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_suppliers"), sum($"qs").as("q_total"),
+        sum($"qs" * $"qs").as("sum_sq"))
+      .select($"p_brand", $"n_suppliers", $"q_total",
+        expr("(sum_sq * 1048576) div (q_total * q_total)").as("hhi_fp"))
+      .orderBy($"p_brand")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "report_brand_concentration" -> (reportBrandConcentration(_, _)),
     "report_ship_latency" -> (reportShipLatency(_, _)),
     "quality_winsorize_clip" -> (qualityWinsorizeClip(_, _)),
     "report_backlog_aging" -> (reportBacklogAging(_, _)),
@@ -753,6 +782,17 @@ object Analytics {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // same two-level rollup and exact HHI cross-product
+    "report_brand_concentration" ->
+      """WITH m AS (SELECT p.p_brand, l.l_suppkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qs
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY p.p_brand, l.l_suppkey)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |  CAST(sum(qs) AS BIGINT) AS q_total,
+        |  CAST((sum(qs * qs) * 1048576) // (sum(qs) * sum(qs))
+        |    AS BIGINT) AS hhi_fp
+        |FROM m GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     // same epoch-day latency, rank window, and ⌈n/2⌉ median election
     "report_ship_latency" ->
       """WITH lat AS (SELECT o.o_orderpriority, l.l_orderkey,

@@ -896,7 +896,43 @@ object LlmOps {
       .orderBy($"fold", $"lang")
   }
 
+  /** Boilerplate fraction per document — the CCNet-style corpus-common
+    * chunk signal: the same 8-token tiling as [[dedupChunkGlobal]], but
+    * scored by DOCUMENT FREQUENCY — a chunk appearing in >3 distinct
+    * documents is boilerplate (headers, templates, licence blocks), and
+    * each document reports how much of its body is made of it
+    * (fraction in ppm). Downstream, high-fraction docs are cleaned or
+    * dropped before training — this is the quality_repetition
+    * (within-doc) signal's ACROSS-doc sibling.
+    *
+    * Scale shape: chunk tiling is a projection; df is ONE
+    * map-side-combinable distinct aggregate on the chunk key (hash at
+    * 100 TB, the decontaminate posture); the blocklist join moves
+    * (chunk, df>3) pairs, never text pairs. */
+  def qualityBoilerplateFraction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ch = Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("t"))
+      .select($"doc_id", $"t", size($"t").as("n"))
+      .select($"doc_id",
+        explode(expr("sequence(0, greatest(0, n - 1) div 8)")).as("i"),
+        $"t")
+      .select($"doc_id",
+        concat_ws(" ", expr("slice(t, 1 + i * 8, 8)")).as("chunk"))
+    val common = ch.select($"doc_id", $"chunk").distinct()
+      .groupBy($"chunk").agg(count(lit(1)).as("df"))
+      .filter($"df" > 3)
+      .select($"chunk", lit(1L).as("is_common"))
+    ch.join(common, Seq("chunk"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce($"is_common", lit(0L))).as("n_boiler"))
+      .withColumn("boiler_ppm", expr("(n_boiler * 1000000) div n_chunks"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "quality_boilerplate_fraction" -> (qualityBoilerplateFraction(_, _)),
     "text_doc_features" -> (textDocFeatures(_, _)),
     "eval_kfold_census" -> (evalKfoldCensus(_, _)),
     "ml_feature_hashing" -> (mlFeatureHashing(_, _)),
@@ -929,6 +965,28 @@ object LlmOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same 8-token tiling, df > 3 blocklist, LEFT JOIN fraction
+    "quality_boilerplate_fraction" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM
+        |    documents),
+        |idx AS (SELECT doc_id, t,
+        |    unnest(range(0, greatest(0, len(t) - 1) // 8 + 1)) AS i
+        |  FROM t),
+        |ch AS (SELECT doc_id,
+        |    array_to_string(list_slice(t, 1 + i * 8, i * 8 + 8), ' ')
+        |      AS chunk
+        |  FROM idx),
+        |common AS (SELECT chunk FROM
+        |    (SELECT chunk, count(DISTINCT doc_id) AS df FROM ch
+        |     GROUP BY chunk)
+        |  WHERE df > 3)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN common.chunk IS NULL THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS n_boiler,
+        |  CAST((sum(CASE WHEN common.chunk IS NULL THEN 0 ELSE 1 END)
+        |    * 1000000) // count(*) AS BIGINT) AS boiler_ppm
+        |FROM ch LEFT JOIN common USING (chunk)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_doc_features" ->
       """WITH tok AS (SELECT doc_id, n_chars,
         |    unnest(string_split(text, ' ')) AS t FROM documents),

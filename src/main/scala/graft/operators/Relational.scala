@@ -848,6 +848,36 @@ object Relational {
     * collapses the table to ≤|keys| rows (key columns only — pruned
     * scan), then a 1-row rollup; the 10 one-row frames union. No
     * joins, no windows. */
+  /** Duplicate-invoice suspects — the fraud/data-quality sweep every
+    * billing pipeline runs: multiple DISTINCT orders by the same
+    * customer on the same calendar day are double-entry suspects a
+    * reviewer triages. Emits one row per contended (customer, day)
+    * business key: multiplicity, the min/max colliding order keys, and
+    * the total cents under review. Differs from
+    * [[profilePkDuplicates]] (which audits the PHYSICAL key): this
+    * audits a SEMANTIC key the schema never enforced — 355 contended
+    * keys at sf0.1, so the detector has real signal at every fixture
+    * scale.
+    *
+    * Scale shape: one map-side-combinable groupBy on the composite
+    * business key; only contended groups (HAVING > 1) survive to the
+    * tiny output. */
+  def profileDuplicateInvoices(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select($"o_custkey",
+        unix_date(to_date($"o_orderdate")).cast("long").as("od"),
+        (Tables.dec2($"o_totalprice") * 100).cast("long").as("cents"),
+        $"o_orderkey")
+      .groupBy($"o_custkey", $"od")
+      .agg(count(lit(1)).as("n_orders"),
+        min($"o_orderkey").as("min_orderkey"),
+        max($"o_orderkey").as("max_orderkey"),
+        sum($"cents").as("cents_at_risk"))
+      .filter($"n_orders" > 1)
+      .orderBy($"o_custkey", $"od")
+  }
+
   def profilePkDuplicates(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     def audit(label: String, df: DataFrame, cols: Seq[String]): DataFrame =
@@ -1199,7 +1229,8 @@ object Relational {
     "report_week_over_week" -> (reportWeekOverWeek(_, _)),
     "profile_fk_orphans" -> (profileFkOrphans(_, _)),
     "sink_compact_small_files" -> (sinkCompactSmallFiles(_, _)),
-    "profile_pk_duplicates" -> (profilePkDuplicates(_, _))
+    "profile_pk_duplicates" -> (profilePkDuplicates(_, _)),
+    "profile_duplicate_invoices" -> (profileDuplicateInvoices(_, _))
   )
 
   // PK-uniqueness census per candidate key; cnt>1 filters mirror the
@@ -1243,6 +1274,23 @@ object Relational {
        |FROM (SELECT count(*) AS ni FROM $table GROUP BY $column)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // semantic business key (custkey, epoch-day); only contended
+    // groups survive
+    "profile_duplicate_invoices" ->
+      """WITH o AS (SELECT o_custkey,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS od,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    o_orderkey
+        |  FROM orders)
+        |SELECT o_custkey, od, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_orderkey,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_orderkey,
+        |  CAST(sum(cents) AS BIGINT) AS cents_at_risk
+        |FROM o GROUP BY o_custkey, od
+        |HAVING count(*) > 1
+        |ORDER BY o_custkey, od""".stripMargin,
     "profile_pk_duplicates" ->
       s"""SELECT * FROM (
          |${pkSql("customer(c_custkey)", "customer", "c_custkey")}

@@ -217,6 +217,51 @@ class AnalyticsSpec extends SparkSuite {
     assert(neg === 0L)
   }
 
+  test("report_brand_concentration: HHI bounds and brute-force recompute (sf0.001)") {
+    val mass = Tables.lineitem(spark, sf0001)
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("q"))
+      .join(Tables.part(spark, sf0001).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .select("p_brand", "l_suppkey", "q").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val got = operators.Analytics.reportBrandConcentration(spark, sf0001)
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val bySupp = mass(r.getString(0)).groupBy(_._2).view
+        .mapValues(_.map(_._3).sum).toMap
+      val tot = bySupp.values.sum
+      val sumSq = bySupp.values.map(v => v * v).sum
+      assert(r.getLong(1) === bySupp.size.toLong)
+      assert(r.getLong(2) === tot)
+      assert(r.getLong(3) === sumSq * 1048576L / (tot * tot))
+      // 1/n ≤ HHI ≤ 1 (floor slack one ulp on the lower bound)
+      assert(r.getLong(3) <= 1048576L &&
+        r.getLong(3) >= 1048576L / r.getLong(1) - 1)
+    }
+  }
+
+  test("profile_duplicate_invoices: contended keys match a brute-force recompute (sf0.001)") {
+    val orders = Tables.orders(spark, sf0001)
+      .select(col("o_custkey"),
+        unix_date(to_date(col("o_orderdate"))).cast("long").as("od"),
+        col("o_orderkey")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val got = operators.Relational.profileDuplicateInvoices(spark, sf0001)
+      .collect()
+    val contended = orders.filter(_._2.length > 1)
+    assert(got.length === contended.size)
+    got.foreach { r =>
+      val ks = contended((r.getLong(0), r.getLong(1)))
+      assert(r.getLong(2) === ks.length.toLong)
+      assert(r.getLong(3) === ks.min && r.getLong(4) === ks.max)
+      assert(r.getLong(3) < r.getLong(4), "distinct orders must collide")
+    }
+  }
+
   test("agg_weighted_median: election matches a brute-force weighted scan (sf0.001)") {
     val lines = Tables.lineitem(spark, sf0001)
       .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),

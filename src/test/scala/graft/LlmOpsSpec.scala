@@ -325,6 +325,31 @@ class LlmOpsSpec extends SparkSuite {
     assert(got(17L) === ((7L, 0L, 0L)), s"disjoint doc must be uncovered: $got")
   }
 
+  test("quality_boilerplate_fraction: shared template chunks detected (injected)") {
+    import spark.implicits._
+    val dir = "/root/repo/target/tmp/boilerdocs"
+    val template = (0 until 8).map(i => s"tpl$i").mkString(" ")
+    // docs 0–4 open with the same 8-token template (df 5 > 3) and end
+    // with unique bodies; doc 9 shares nothing
+    val docs = (0L to 4L).map(d =>
+      (d, template + " " + (0 until 8).map(i => s"b${d}_$i").mkString(" "))) :+
+      (9L, (0 until 16).map(i => s"z$i").mkString(" "))
+    docs.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = LlmOps.qualityBoilerplateFraction(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    (0L to 4L).foreach { d =>
+      assert(got(d) === ((2L, 1L, 500000L)),
+        s"doc $d: template chunk must be flagged: ${got(d)}")
+    }
+    assert(got(9L) === ((2L, 0L, 0L)), "disjoint doc carries no boilerplate")
+    // corpus-wide sanity
+    val corpus = LlmOps.qualityBoilerplateFraction(spark, sf0001)
+    assert(corpus.count() === Tables.documents(spark, sf0001).count())
+    assert(corpus.filter($"n_boiler" > $"n_chunks").count() === 0L)
+  }
+
   test("ml_knn_confusion: cells reconcile with the knn classifier output (sf0.001)") {
     val preds = operators.Multimodal.mlKnnClassify(spark, sf0001).collect()
       .map(r => (r.getLong(1), r.getLong(2)))

@@ -558,7 +558,10 @@ class PlanRegressionSpec extends SparkSuite {
       "ml_triplet_mining" -> 5,         // label window + 10-row global window + sort
       "ml_knn_confusion" -> 4,          // knn chain + cell agg + row window
       "text_doc_features" -> 3,         // doc agg with distinct + sort
-      "eval_kfold_census" -> 2)         // (fold, lang) agg partial/final + sort
+      "eval_kfold_census" -> 2,         // (fold, lang) agg partial/final + sort
+      "quality_boilerplate_fraction" -> 4, // df distinct agg + blocklist join + doc agg
+      "report_brand_concentration" -> 3, // brand join + two rollup levels
+      "profile_duplicate_invoices" -> 2) // business-key agg partial/final + sort
     val over = budgets.flatMap { case (name, budget) =>
       val n = "\\(\\d+\\) Exchange".r.findAllIn(plan(name)).size
       if (n > budget) Some(s"$name: $n > $budget") else None
