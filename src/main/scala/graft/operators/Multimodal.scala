@@ -841,7 +841,29 @@ object Multimodal {
       .orderBy($"true_label", $"pred_label")
   }
 
+  /** Inverse-frequency class weights — the one-table fix every
+    * imbalanced-training run applies: per label, w = N/(k·n_c) in 2²⁰
+    * fixed point (balanced classes weigh 2²⁰; a class half as frequent
+    * weighs double). Emitted alongside the raw counts so the loss
+    * weighting is auditable.
+    *
+    * Scale shape: one map-side |labels|-row aggregate; N and k come
+    * from windows over that tiny frame. */
+  def mlClassBalanceWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    Tables.embeddings(spark, dir)
+      .groupBy($"label".cast("long").as("label"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_total", sum($"n").over(Window.partitionBy()))
+      .withColumn("k", count(lit(1)).over(Window.partitionBy()))
+      .select($"label", $"n", $"n_total",
+        expr("(n_total * 1048576) div (k * n)").as("weight_fp"))
+      .orderBy($"label")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "ml_class_balance_weights" -> (mlClassBalanceWeights(_, _)),
     "ml_knn_confusion" -> (mlKnnConfusion(_, _)),
     "multimodal_align_chunks" -> (multimodalAlignChunks(_, _)),
     "ml_triplet_mining" -> (mlTripletMining(_, _)),
@@ -866,6 +888,15 @@ object Multimodal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ml_class_balance_weights" ->
+      """WITH c AS (SELECT CAST(label AS BIGINT) AS label,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM embeddings GROUP BY label),
+        |t AS (SELECT label, n, CAST(sum(n) OVER () AS BIGINT) AS n_total,
+        |    CAST(count(*) OVER () AS BIGINT) AS k FROM c)
+        |SELECT label, n, n_total,
+        |  CAST((n_total * 1048576) // (k * n) AS BIGINT) AS weight_fp
+        |FROM t ORDER BY label""".stripMargin,
     // the full knn-vote CTE + cell aggregate + row-share window
     "ml_knn_confusion" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(label AS BIGINT) AS tl,

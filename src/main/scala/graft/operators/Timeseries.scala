@@ -416,6 +416,72 @@ object Timeseries {
       .orderBy($"user_id")
   }
 
+  /** Triangle-area downsampling per user — the LTTB-family (Steinarsson
+    * 2013) visualization reducer: each user's series is cut into 4
+    * equal-count rank buckets (4, not 60: the fixture averages ~7
+    * events per user, and every bucket must be non-empty for the
+    * neighbor anchors to exist — a dashboard over a longer series
+    * raises B without touching the plan); the first and last points are always
+    * kept, and every interior bucket keeps its visually-dominant point
+    * — the one maximizing the doubled triangle area against two FIXED
+    * anchors (last raw point of the previous bucket, first raw point of
+    * the next). Anchoring on raw neighbors instead of the previously
+    * SELECTED point is the parallel-exact variant: the election loses
+    * the sequential dependency, so every bucket elects independently —
+    * and stays bit-exact, because the area is the integer cross product
+    * |Δt·Δv − Δt'·Δv'| over (seconds, value·10⁴) with all deltas
+    * bounded well inside BIGINT.
+    *
+    * Scale shape: ONE user_id shuffle serves the rank windows, the
+    * bucket-boundary elections (≤10 rows per user, joined back on the
+    * same key), and the per-bucket argmax; no cross-bucket dependency
+    * at any point. */
+  def timeseriesDownsampleTriangle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val B = 4
+    val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+    val ranked = graft.PlanOnly.mark(Tables.events(spark, dir)
+      .filter($"value".isNotNull)
+      .select($"user_id", $"event_id", Tables.nsToUs($"ts").as("t"),
+        (Tables.dec4($"value") * 10000).cast("long").as("v"))
+      .withColumn("ts", expr("t div 1000000"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy($"user_id")))
+      .withColumn("bkt", expr(s"((rn - 1) * $B) div n")))
+    val lastOf = ranked.groupBy($"user_id", $"bkt")
+      .agg(max(struct($"rn", $"ts", $"v")).as("p"))
+      .select($"user_id", ($"bkt" + 1).as("bkt"),
+        $"p.ts".as("ta"), $"p.v".as("va"))
+    val firstOf = ranked.groupBy($"user_id", $"bkt")
+      .agg(min(struct($"rn", $"ts", $"v")).as("p"))
+      .select($"user_id", ($"bkt" - 1).as("bkt"),
+        $"p.ts".as("tn"), $"p.v".as("vn"))
+    val interior = ranked
+      .join(lastOf, Seq("user_id", "bkt"))
+      .join(firstOf, Seq("user_id", "bkt"))
+      .select($"user_id", $"bkt", $"event_id", $"ts", $"v",
+        abs(($"ts" - $"ta") * ($"vn" - $"va") -
+          ($"tn" - $"ta") * ($"v" - $"va")).as("area2"))
+      .groupBy($"user_id", $"bkt")
+      .agg(max(struct($"area2", (-$"ts").as("nt"), (-$"event_id").as("ne"),
+        $"v")).as("e"))
+      .select($"user_id", $"bkt", (-$"e.ne").as("sel_event_id"),
+        (-$"e.nt").as("sel_ts"), $"e.v".as("sel_v_fp"),
+        $"e.area2".as("area2"))
+    val edges = ranked
+      .filter($"rn" === 1 || $"rn" === $"n")
+      .select($"user_id",
+        when($"rn" === 1, lit(0L)).otherwise(lit(B - 1).cast("long"))
+          .as("bkt"),
+        $"event_id".as("sel_event_id"), $"ts".as("sel_ts"),
+        $"v".as("sel_v_fp"), lit(-1L).as("area2"))
+      .distinct() // a single-event user is rank 1 AND n: one row, kept once per bkt
+    interior.filter($"bkt" =!= 0 && $"bkt" =!= (B - 1))
+      .unionByName(edges)
+      .orderBy($"user_id", $"bkt", $"sel_event_id")
+  }
+
   /** Bollinger-band sufficient statistics per event — the trailing
     * volatility envelope a monitoring dashboard draws: over each
     * user's last-10-observations window (ROWS frame, so the window is
@@ -582,6 +648,7 @@ object Timeseries {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "timeseries_downsample_triangle" -> (timeseriesDownsampleTriangle(_, _)),
     "timeseries_bollinger_stats" -> (timeseriesBollingerStats(_, _)),
     "timeseries_autocorr_stats" -> (timeseriesAutocorrStats(_, _)),
     "timeseries_forecast_backtest" -> (timeseriesForecastBacktest(_, _)),
@@ -600,6 +667,47 @@ object Timeseries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same rank buckets, raw-neighbor anchors, and (area2 desc, ts,
+    // event_id) election; edges ride along with the −1 sentinel
+    "timeseries_downsample_triangle" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    epoch_us(ts) // 1000000 AS tsec,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT user_id, event_id, t, tsec, v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM e),
+        |rb AS (SELECT *, ((rn - 1) * 4) // n AS bkt FROM r),
+        |la AS (SELECT user_id, bkt + 1 AS bkt, tsec AS ta, v AS va FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY user_id, bkt
+        |     ORDER BY rn DESC) AS rr FROM rb) WHERE rr = 1),
+        |fi AS (SELECT user_id, bkt - 1 AS bkt, tsec AS tn, v AS vn FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY user_id, bkt
+        |     ORDER BY rn) AS rr FROM rb) WHERE rr = 1),
+        |a AS (SELECT rb.user_id, rb.bkt, rb.event_id, rb.tsec, rb.v,
+        |    abs((rb.tsec - la.ta) * (fi.vn - la.va) -
+        |        (fi.tn - la.ta) * (rb.v - la.va)) AS area2
+        |  FROM rb
+        |  JOIN la ON rb.user_id = la.user_id AND rb.bkt = la.bkt
+        |  JOIN fi ON rb.user_id = fi.user_id AND rb.bkt = fi.bkt
+        |  WHERE rb.bkt <> 0 AND rb.bkt <> 3),
+        |sel AS (SELECT user_id, bkt, event_id AS sel_event_id,
+        |    tsec AS sel_ts, v AS sel_v_fp, area2 FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY user_id, bkt
+        |     ORDER BY area2 DESC, tsec, event_id) AS rr FROM a)
+        |  WHERE rr = 1),
+        |ed AS (SELECT DISTINCT user_id,
+        |    CASE WHEN rn = 1 THEN 0 ELSE 3 END AS bkt,
+        |    event_id AS sel_event_id, tsec AS sel_ts, v AS sel_v_fp,
+        |    CAST(-1 AS BIGINT) AS area2
+        |  FROM rb WHERE rn = 1 OR rn = n)
+        |SELECT user_id, CAST(bkt AS BIGINT) AS bkt, sel_event_id,
+        |  CAST(sel_ts AS BIGINT) AS sel_ts, sel_v_fp,
+        |  CAST(area2 AS BIGINT) AS area2
+        |FROM (SELECT * FROM sel UNION ALL SELECT * FROM ed)
+        |ORDER BY user_id, bkt, sel_event_id""".stripMargin,
     // identical 10-row ROWS frame; ⌊sqrt⌋ of an exact BIGINT < 2⁵³ is
     // engine-identical
     "timeseries_bollinger_stats" ->

@@ -325,6 +325,23 @@ class LlmOpsSpec extends SparkSuite {
     assert(got(17L) === ((7L, 0L, 0L)), s"disjoint doc must be uncovered: $got")
   }
 
+  test("ml_class_balance_weights: inverse-frequency recompute (sf0.001)") {
+    val counts = Tables.embeddings(spark, sf0001)
+      .select("label").collect().map(_.getInt(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = counts.values.sum
+    val k = counts.size.toLong
+    val got = operators.Multimodal.mlClassBalanceWeights(spark, sf0001)
+      .collect()
+    assert(got.length === counts.size)
+    got.foreach { r =>
+      val c = counts(r.getLong(0).toInt)
+      assert(r.getLong(1) === c)
+      assert(r.getLong(2) === n)
+      assert(r.getLong(3) === n * 1048576L / (k * c))
+    }
+  }
+
   test("quality_boilerplate_fraction: shared template chunks detected (injected)") {
     import spark.implicits._
     val dir = "/root/repo/target/tmp/boilerdocs"

@@ -561,7 +561,9 @@ class PlanRegressionSpec extends SparkSuite {
       "eval_kfold_census" -> 2,         // (fold, lang) agg partial/final + sort
       "quality_boilerplate_fraction" -> 4, // df distinct agg + blocklist join + doc agg
       "report_brand_concentration" -> 3, // brand join + two rollup levels
-      "profile_duplicate_invoices" -> 2) // business-key agg partial/final + sort
+      "profile_duplicate_invoices" -> 2, // business-key agg partial/final + sort
+      "timeseries_downsample_triangle" -> 6, // user shuffle + boundary joins over the marked frame + union sort
+      "ml_class_balance_weights" -> 2)  // label agg + tiny-frame windows + sort
     val over = budgets.flatMap { case (name, budget) =>
       val n = "\\(\\d+\\) Exchange".r.findAllIn(plan(name)).size
       if (n > budget) Some(s"$name: $n > $budget") else None

@@ -117,6 +117,33 @@ class TimeseriesSpec extends SparkSuite {
     assert(bad === 0L)
   }
 
+  test("timeseries_downsample_triangle: hand-computed elections on an engineered series") {
+    import spark.implicits._
+    val dir = "/root/repo/target/tmp/lttb_fix"
+    val sec = 1000000000L // 1 s in nanos
+    // 8 events → 4 buckets of 2; spike at rn3 dominates bucket 1,
+    // the larger-offset point rn6 dominates bucket 2
+    val vs = Seq(0.0, 0.0, 10.0, 0.0, 0.0, 0.0, 5.0, 9.0)
+    vs.zipWithIndex.map { case (v, i) => ((i + 1).toLong, 1L, i * sec, v) }
+      .toDF("event_id", "user_id", "ts", "value").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.Timeseries.timeseriesDownsampleTriangle(spark, dir)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(4), r.getLong(5)))).toMap
+    assert(got === Map(
+      0L -> ((1L, 0L, -1L)),
+      1L -> ((3L, 100000L, 300000L)),
+      2L -> ((6L, 0L, 100000L)),
+      3L -> ((8L, 90000L, -1L))))
+    // corpus-wide shape laws
+    val corpus = operators.Timeseries
+      .timeseriesDownsampleTriangle(spark, sf0001)
+    assert(corpus.count() > 0)
+    assert(corpus.filter($"bkt" < 0 || $"bkt" > 3).count() === 0L)
+    assert(corpus.groupBy($"user_id").count().filter($"count" > 4)
+      .count() === 0L, "at most one elected point per bucket")
+  }
+
   test("timeseries_bollinger_stats: hand-computed trailing window; invariants corpus-wide (sf0.001)") {
     import spark.implicits._
     val dir = "/root/repo/target/tmp/boll_fix"
