@@ -931,7 +931,41 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** Hapax statistics per language, at the 4-GRAM level — vocabulary
+    * richness beyond the type–token ratio: how many 4-gram TYPES occur
+    * exactly once corpus-wide (hapax legomena) and their share of the
+    * type inventory in 2²⁰ fixed point. High hapax share flags
+    * fresh/diverse text, near-zero flags templated or looping corpora —
+    * the lexical-diversity signal alongside [[textDocFeatures]]' TTR.
+    * Grams, not words, deliberately: the fixture's 31-word vocabulary
+    * makes word-level hapax structurally zero, while the 31⁴ 4-gram
+    * space carries real singleton mass at every SF (a natural-language
+    * corpus has signal at both levels from the same plan).
+    *
+    * Scale shape: the novelty-key gram pass (sliding transform, one
+    * map-side-combinable (lang, gram) count — hashed gram keys at
+    * 100 TB), then a type-frame rollup to |langs| rows — no window, no
+    * join. */
+  def textHapaxStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(coalesce($"lang", lit("(none)")).as("lang"),
+        split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 4)
+      .select($"lang", explode(expr(
+        """transform(sequence(1, size(toks) - 3),
+          |  i -> concat_ws(' ', slice(toks, i, 4)))""".stripMargin)).as("g"))
+      .groupBy($"lang", $"g").agg(count(lit(1)).as("c"))
+      .groupBy($"lang")
+      .agg(sum($"c").as("n_gram_tokens"), count(lit(1)).as("n_types"),
+        sum(when($"c" === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select($"lang", $"n_gram_tokens", $"n_types", $"n_hapax",
+        expr("(n_hapax * 1048576) div n_types").as("hapax_share_fp"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "text_hapax_stats" -> (textHapaxStats(_, _)),
     "quality_boilerplate_fraction" -> (qualityBoilerplateFraction(_, _)),
     "text_doc_features" -> (textDocFeatures(_, _)),
     "eval_kfold_census" -> (evalKfoldCensus(_, _)),
@@ -965,6 +999,24 @@ object LlmOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same 4-gram pass; raw-array adjacency on both engines
+    "text_hapax_stats" ->
+      """WITH d AS (SELECT coalesce(lang, '(none)') AS lang,
+        |    string_split(text, ' ') AS toks FROM documents),
+        |i AS (SELECT lang, toks, unnest(range(1, len(toks) - 2)) AS j
+        |  FROM d WHERE len(toks) >= 4),
+        |g AS (SELECT lang,
+        |    array_to_string(list_slice(toks, j, j + 3), ' ') AS g
+        |  FROM i),
+        |c AS (SELECT lang, g, CAST(count(*) AS BIGINT) AS c
+        |  FROM g GROUP BY lang, g)
+        |SELECT lang, CAST(sum(c) AS BIGINT) AS n_gram_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hapax,
+        |  CAST((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1048576)
+        |    // count(*) AS BIGINT) AS hapax_share_fp
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
     // same 8-token tiling, df > 3 blocklist, LEFT JOIN fraction
     "quality_boilerplate_fraction" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM

@@ -862,7 +862,29 @@ object Multimodal {
       .orderBy($"label")
   }
 
+  /** Exact expected calibration error — the one-number summary of
+    * [[evalCalibrationBins]], computed WITHOUT any intermediate
+    * division: per bin, |accuracy − confidence|·n·2²⁰ =
+    * |n_pos·2²⁰ − Σscore_fp| EXACTLY (both cross-products clear the
+    * same n denominator), so ECE·2²⁰ = (Σ_b |n_pos_b·2²⁰ − Σscore_b|)
+    * div N with one final truncating division. Emits the bin count and
+    * the exact numerator alongside, so the summary is auditable against
+    * the bins key.
+    *
+    * Scale shape: the calibration-bin aggregate (10 rows) followed by
+    * a 1-row fold — nothing beyond the bins key's own cost. */
+  def evalEceExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    evalCalibrationBins(spark, dir)
+      .agg(count(lit(1)).as("n_bins"), sum($"n").as("n_total"),
+        sum(abs($"n_pos" * 1048576L - $"sum_score_fp")).as("ece_num"))
+      .select($"n_bins", $"n_total", $"ece_num",
+        expr("ece_num div n_total").as("ece_fp"))
+      .orderBy($"n_bins")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "eval_ece_exact" -> (evalEceExact(_, _)),
     "ml_class_balance_weights" -> (mlClassBalanceWeights(_, _)),
     "ml_knn_confusion" -> (mlKnnConfusion(_, _)),
     "multimodal_align_chunks" -> (multimodalAlignChunks(_, _)),
@@ -888,6 +910,24 @@ object Multimodal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the calibration-bin CTE + the divisionless |acc − conf| fold
+    "eval_ece_exact" ->
+      """WITH s AS (SELECT (n_chars * 1048576) // 600 AS score_fp,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |b AS (SELECT (score_fp * 10) // 1048576 AS bin, score_fp, pos
+        |  FROM s),
+        |bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(score_fp) AS BIGINT) AS sum_score_fp,
+        |    CAST(sum(pos) AS BIGINT) AS n_pos
+        |  FROM b GROUP BY bin)
+        |SELECT CAST(count(*) AS BIGINT) AS n_bins,
+        |  CAST(sum(n) AS BIGINT) AS n_total,
+        |  CAST(sum(abs(n_pos * 1048576 - sum_score_fp)) AS BIGINT)
+        |    AS ece_num,
+        |  CAST(sum(abs(n_pos * 1048576 - sum_score_fp)) // sum(n)
+        |    AS BIGINT) AS ece_fp
+        |FROM bins ORDER BY n_bins""".stripMargin,
     "ml_class_balance_weights" ->
       """WITH c AS (SELECT CAST(label AS BIGINT) AS label,
         |    CAST(count(*) AS BIGINT) AS n

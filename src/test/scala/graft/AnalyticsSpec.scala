@@ -369,6 +369,38 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("eval_ece_exact: summary reconciles with the calibration bins (sf0.001)") {
+    val bins = operators.Multimodal.evalCalibrationBins(spark, sf0001)
+      .collect()
+    val num = bins.map(b => math.abs(b.getLong(3) * 1048576L - b.getLong(2))).sum
+    val n = bins.map(_.getLong(1)).sum
+    val r = operators.Multimodal.evalEceExact(spark, sf0001).head()
+    assert(r.getLong(0) === bins.length.toLong)
+    assert(r.getLong(1) === n)
+    assert(r.getLong(2) === num)
+    assert(r.getLong(3) === num / n)
+    assert(r.getLong(3) >= 0 && r.getLong(3) <= 1048576L)
+  }
+
+  test("text_hapax_stats: inventory laws and a brute-force lang recompute (sf0.001)") {
+    val got = operators.LlmOps.textHapaxStats(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2) && r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(4) === r.getLong(3) * 1048576L / r.getLong(2))
+    }
+    // full recompute for one language
+    val grams = Tables.documents(spark, sf0001)
+      .filter(col("lang") === "de").select("text").collect()
+      .flatMap(_.getString(0).split(" ").sliding(4).filter(_.length == 4)
+        .map(_.mkString(" ")))
+    val counts = grams.groupBy(identity).view.mapValues(_.length)
+    val de = got.find(_.getString(0) == "de").get
+    assert(de.getLong(1) === grams.length.toLong)
+    assert(de.getLong(2) === counts.size.toLong)
+    assert(de.getLong(3) === counts.count(_._2 == 1).toLong)
+  }
+
   test("ml_decision_stump: curve matches a brute-force recompute; exactly one elected split (sf0.001)") {
     val docs = Tables.documents(spark, sf0001)
       .select("n_chars", "lang").collect()

@@ -563,7 +563,9 @@ class PlanRegressionSpec extends SparkSuite {
       "report_brand_concentration" -> 3, // brand join + two rollup levels
       "profile_duplicate_invoices" -> 2, // business-key agg partial/final + sort
       "timeseries_downsample_triangle" -> 6, // user shuffle + boundary joins over the marked frame + union sort
-      "ml_class_balance_weights" -> 2)  // label agg + tiny-frame windows + sort
+      "ml_class_balance_weights" -> 2,  // label agg + tiny-frame windows + sort
+      "eval_ece_exact" -> 2,            // bin agg + 1-row fold
+      "text_hapax_stats" -> 3)          // (lang, gram) count + lang rollup + sort
     val over = budgets.flatMap { case (name, budget) =>
       val n = "\\(\\d+\\) Exchange".r.findAllIn(plan(name)).size
       if (n > budget) Some(s"$name: $n > $budget") else None
