@@ -250,6 +250,35 @@ object Behavioral {
       .orderBy($"n_ends")
   }
 
+  /** Time-to-convert per impression — the FORWARD as-of the existing
+    * asof keys don't cover (they look back; attribution looks ahead):
+    * for every view event, the user's NEXT purchase timestamp and the
+    * gap in whole minutes (−1 when the user never converts after it).
+    * This is the label-construction step of a conversion-latency model
+    * and the direct input to time-to-event analyses.
+    *
+    * Scale shape: one user_id shuffle; the "next purchase" is a
+    * conditional min over the STRICTLY-FOLLOWING window frame — no
+    * self-join of the event log against itself, which is the naive
+    * formulation's O(views·purchases) per user. */
+  def behaviorTimeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+      .rowsBetween(1, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", Tables.nsToUs($"ts").as("t"),
+        $"event_type")
+      .withColumn("next_purchase_t",
+        min(when($"event_type" === "purchase", $"t")).over(w))
+      .filter($"event_type" === "view")
+      .select($"event_id", $"user_id", $"t",
+        coalesce($"next_purchase_t", lit(-1L)).as("next_purchase_t"),
+        when($"next_purchase_t".isNull, -1L)
+          .otherwise(expr("(next_purchase_t - t) div 60000000"))
+          .as("gap_minutes"))
+      .orderBy($"event_id")
+  }
+
   /** RFM segmentation — the classic behavioral customer partition:
     * Recency (last active day), Frequency (event count), Monetary
     * (summed purchase value, ·10⁴ fixed point) per user, each scored
@@ -443,6 +472,7 @@ object Behavioral {
     "graph_copurchase_pairs" -> (graphCopurchasePairs(_, _)),
     "graph_node_jaccard" -> (graphNodeJaccard(_, _)),
     "graph_resource_allocation" -> (graphResourceAllocation(_, _)),
+    "behavior_time_to_convert" -> (behaviorTimeToConvert(_, _)),
     "graph_assortativity_stats" -> (graphAssortativityStats(_, _)),
     "behavior_rfm_segmentation" -> (behaviorRfmSegmentation(_, _)),
     "behavior_longest_streak" -> (behaviorLongestStreak(_, _)),
@@ -516,6 +546,23 @@ object Behavioral {
         |  ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
         |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY shared_parts DESC, s1, s2""".stripMargin,
+    // same strictly-following conditional-min frame; whole-minute gap
+    // via truncating div on both engines
+    "behavior_time_to_convert" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    event_type FROM events),
+        |n AS (SELECT user_id, event_id, t, event_type,
+        |    min(CASE WHEN event_type = 'purchase' THEN t END)
+        |      OVER (PARTITION BY user_id ORDER BY t, event_id
+        |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |      AS np
+        |  FROM e)
+        |SELECT event_id, user_id, t,
+        |  CAST(coalesce(np, -1) AS BIGINT) AS next_purchase_t,
+        |  CAST(CASE WHEN np IS NULL THEN -1
+        |    ELSE (np - t) // 60000000 END AS BIGINT) AS gap_minutes
+        |FROM n WHERE event_type = 'view'
+        |ORDER BY event_id""".stripMargin,
     // both orientations of the same ≥3-shared pair grid, degree-
     // decorated; the oracle may self-join — the graded side never does
     "graph_assortativity_stats" ->

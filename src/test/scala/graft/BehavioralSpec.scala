@@ -374,6 +374,30 @@ class BehavioralSpec extends SparkSuite {
       .filter($"n_matches" > coalesce($"np", lit(0L))).count() === 0L)
   }
 
+  test("behavior_time_to_convert: strictly-forward semantics on an injected stream") {
+    import spark.implicits._
+    val dir = "/root/repo/target/tmp/ttc_fix"
+    val min = 60000000000L // 1 minute in nanos
+    // user 1: view → view → purchase → view: the two early views both
+    // convert at t=2min (gaps 2 and 1 min), the trailing view never
+    // converts; a purchase at the SAME instant as a view does not count
+    // for it (strictly following — user 2)
+    Seq((1L, 1L, 0L * min, "view"), (2L, 1L, 1L * min, "view"),
+        (3L, 1L, 2L * min, "purchase"), (4L, 1L, 3L * min, "view"),
+        (5L, 2L, 0L * min, "purchase"), (6L, 2L, 0L * min + 1000L, "view"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+      .withColumn("value", lit(1.0)).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Behavioral.behaviorTimeToConvert(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) === ((120000000L, 2L)))
+    assert(got(2L) === ((120000000L, 1L)))
+    assert(got(4L) === ((-1L, -1L)))
+    assert(got(6L) === ((-1L, -1L)),
+      "a purchase BEFORE the view must not count as its conversion")
+    assert(got.keySet === Set(1L, 2L, 4L, 6L))
+  }
+
   test("graph_assortativity_stats: reconciles with the copurchase graph; |r| ≤ 1 (sf0.001)") {
     val inc = Tables.lineitem(spark, sf0001)
       .select("l_partkey", "l_suppkey").distinct().collect()

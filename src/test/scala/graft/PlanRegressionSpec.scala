@@ -565,7 +565,8 @@ class PlanRegressionSpec extends SparkSuite {
       "timeseries_downsample_triangle" -> 6, // user shuffle + boundary joins over the marked frame + union sort
       "ml_class_balance_weights" -> 2,  // label agg + tiny-frame windows + sort
       "eval_ece_exact" -> 2,            // bin agg + 1-row fold
-      "text_hapax_stats" -> 3)          // (lang, gram) count + lang rollup + sort
+      "text_hapax_stats" -> 3,          // (lang, gram) count + lang rollup + sort
+      "behavior_time_to_convert" -> 2)  // user window shuffle + final sort
     val over = budgets.flatMap { case (name, budget) =>
       val n = "\\(\\d+\\) Exchange".r.findAllIn(plan(name)).size
       if (n > budget) Some(s"$name: $n > $budget") else None
