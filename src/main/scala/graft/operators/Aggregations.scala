@@ -402,26 +402,34 @@ object Aggregations {
     * over it IS the boundary row — so the election is a plain
     * conditional aggregate, not a second window.
     *
-    * Scale shape: one flag-partitioned window sort (3 partitions here;
-    * a production variant pre-aggregates per (flag, cents) first —
-    * the winsorize histogram posture); everything else is
-    * map-side-combinable. Quantities are integral by data contract
-    * (TPC-H) — the BIGINT cast is exact. */
+    * Scale shape: the fact rows collapse map-side to a per-(flag, cents)
+    * HISTOGRAM first (one combinable aggregate), so the cumulative
+    * window runs over the value-domain frame — |distinct prices| rows
+    * per flag, bounded by the price domain, never by the corpus. The
+    * election is grain-invariant: the qualifying rows form a suffix of
+    * the (cents, …) order, a row qualifies iff the last row of its
+    * cents run qualifies, so min(cents) over qualifying histogram rows
+    * ≡ min(cents) over qualifying fact rows (the oracle replays the
+    * fact-grain form; the hash-match proves the rewrite). Quantities
+    * are integral by data contract (TPC-H) — the BIGINT cast is
+    * exact. */
   def aggWeightedMedian(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"l_returnflag")
-      .orderBy($"cents", $"l_orderkey", $"l_linenumber")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    Tables.lineitem(spark, dir)
-      .select($"l_returnflag", $"l_orderkey", $"l_linenumber",
+    val hist = Tables.lineitem(spark, dir)
+      .select($"l_returnflag",
         (Tables.dec2($"l_extendedprice") * 100).cast("long").as("cents"),
         $"l_quantity".cast("long").as("qty"))
-      .withColumn("cum_w", sum($"qty").over(w))
+      .groupBy($"l_returnflag", $"cents")
+      .agg(sum($"qty").as("qw"), count(lit(1)).as("cnt"))
+    val wc = Window.partitionBy($"l_returnflag").orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hist
+      .withColumn("cum_w", sum($"qw").over(wc))
       .withColumn("w_total",
-        sum($"qty").over(Window.partitionBy($"l_returnflag")))
+        sum($"qw").over(Window.partitionBy($"l_returnflag")))
       .groupBy($"l_returnflag")
-      .agg(count(lit(1)).as("n_lines"), max($"w_total").as("w_total"),
+      .agg(sum($"cnt").as("n_lines"), max($"w_total").as("w_total"),
         min(when($"cum_w" * 2 >= $"w_total", $"cents"))
           .as("wmedian_cents"))
       .orderBy($"l_returnflag")

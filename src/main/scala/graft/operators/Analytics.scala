@@ -556,10 +556,13 @@ object Analytics {
     * move to DECIMAL(38,0), same plan.
     *
     * Scale shape: the fact scan collapses to the per-part revenue frame
-    * (dimension-scale) before any windowing; the cumulative windows run
-    * over that aggregated frame under one global revenue order — the
-    * range-partitioned global-sort posture of sort_global; cum and
-    * total share the single sort. */
+    * (dimension-scale) before any windowing; the global revenue-order
+    * rank and running sum then come from [[DistributedRank.rankCum]] —
+    * the multi-level prefix-sum decomposition, so no totally-ordered
+    * window ever sees more than a bounded bucket frame (the former
+    * single-partition `Window.orderBy` over |parts| rows is gone; the
+    * oracle replays the single-window form and the hash-match proves
+    * the decomposition). */
   def reportAbcClassification(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val rev = Tables.lineitem(spark, dir)
@@ -568,16 +571,11 @@ object Analytics {
           (lit(BigDecimal(1)) - Tables.dec2($"l_discount")) * 10000)
           .cast("long").as("r_fp"))
       .groupBy($"l_partkey").agg(sum($"r_fp").as("r_fp"))
-    val w = Window.orderBy($"r_fp".desc, $"l_partkey")
-    rev
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .withColumn("cum", sum($"r_fp")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("total", sum($"r_fp")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("neg_r", -$"r_fp")
+    DistributedRank.rankCum(rev, "neg_r", "l_partkey", "r_fp")
       .withColumn("abc_class",
-        when($"cum" * 5 <= $"total" * 4, "A")
-          .when($"cum" * 20 <= $"total" * 19, "B")
+        when($"cum" * 5 <= $"w_total" * 4, "A")
+          .when($"cum" * 20 <= $"w_total" * 19, "B")
           .otherwise("C"))
       .groupBy($"abc_class")
       .agg(count(lit(1)).as("n_parts"), sum($"r_fp").as("revenue_fp"),
@@ -593,37 +591,43 @@ object Analytics {
     * it, and the report prices the intervention: n, clip counts on each
     * side, and the value mass before/after (value·10⁴ BIGINT).
     *
-    * Scale shape: one event_type window ranks the values (5 partitions —
-    * a production variant with high-cardinality groups pre-aggregates
-    * per (group, value) first, the eval_auc_exact histogram posture);
-    * the elected (lo, hi) frame is |types| rows and broadcasts back onto
-    * the fact rows for the clamp aggregate. */
+    * Scale shape: the event rows collapse map-side to a per-(type,
+    * value) HISTOGRAM first — one combinable aggregate, after which
+    * every frame is value-domain-scale (|distinct v_fp| rows per type),
+    * never event-scale. The percentile election is grain-invariant:
+    * the rank-k row's value is the smallest value whose cumulative
+    * count reaches k, so min(v_fp | cum ≥ k) over the histogram ≡ the
+    * rank-k election over raw rows (the oracle replays the row-grain
+    * form; the hash-match proves the rewrite). The clamp report then
+    * reads the SAME persisted histogram — counts and masses weight by
+    * cnt — so the event log is scanned exactly once. */
   def qualityWinsorizeClip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"event_type").orderBy($"v_fp", $"event_id")
-    val ranked = Tables.events(spark, dir)
-      .filter($"value".isNotNull)
-      .select($"event_type", $"event_id",
-        (Tables.dec4($"value") * 10000).cast("long").as("v_fp"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
-    val bounds = ranked
-      .groupBy($"event_type")
-      .agg(max(when($"rn" === expr("(n * 5 + 99) div 100"), $"v_fp"))
-        .as("lo"),
-        max(when($"rn" === expr("(n * 95 + 99) div 100"), $"v_fp"))
-          .as("hi"))
-    Tables.events(spark, dir)
+    val hist = graft.PlanOnly.mark(Tables.events(spark, dir)
       .filter($"value".isNotNull)
       .select($"event_type",
         (Tables.dec4($"value") * 10000).cast("long").as("v_fp"))
+      .groupBy($"event_type", $"v_fp")
+      .agg(count(lit(1)).as("cnt")))
+    val wc = Window.partitionBy($"event_type").orderBy($"v_fp")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val bounds = hist
+      .withColumn("cum", sum($"cnt").over(wc))
+      .withColumn("n", sum($"cnt").over(Window.partitionBy($"event_type")))
+      .groupBy($"event_type")
+      .agg(min(when($"cum" >= expr("(n * 5 + 99) div 100"), $"v_fp"))
+        .as("lo"),
+        min(when($"cum" >= expr("(n * 95 + 99) div 100"), $"v_fp"))
+          .as("hi"))
+    hist
       .join(broadcast(bounds), "event_type")
       .groupBy($"event_type")
-      .agg(count(lit(1)).as("n"),
-        sum(when($"v_fp" < $"lo", 1L).otherwise(0L)).as("n_clip_lo"),
-        sum(when($"v_fp" > $"hi", 1L).otherwise(0L)).as("n_clip_hi"),
-        sum($"v_fp").as("sum_before_fp"),
-        sum(greatest($"lo", least($"hi", $"v_fp"))).as("sum_after_fp"),
+      .agg(sum($"cnt").as("n"),
+        sum(when($"v_fp" < $"lo", $"cnt").otherwise(0L)).as("n_clip_lo"),
+        sum(when($"v_fp" > $"hi", $"cnt").otherwise(0L)).as("n_clip_hi"),
+        sum($"v_fp" * $"cnt").as("sum_before_fp"),
+        sum(greatest($"lo", least($"hi", $"v_fp")) * $"cnt")
+          .as("sum_after_fp"),
         max($"lo").as("lo_fp"), max($"hi").as("hi_fp"))
       .orderBy($"event_type")
   }
@@ -666,32 +670,36 @@ object Analytics {
     *
     * Scale shape: the orders→lineitem equi-join shuffles on orderkey
     * (orders side is the smaller but NOT broadcast-size at 100 TB —
-    * the standard fact-fact shuffle join); the rank window partitions
-    * by the 5 priorities over (latency, orderkey, linenumber) — a
-    * production variant pre-aggregates per (priority, latency-day)
-    * first, since the day domain is tiny. */
+    * the standard fact-fact shuffle join); the join output then
+    * collapses map-side to a per-(priority, latency-day) HISTOGRAM —
+    * the day domain is tiny, so the cumulative/median window runs over
+    * a metadata-scale frame, never the fact rows. The median election
+    * is grain-invariant: the rank-⌈n/2⌉ latency is the smallest day
+    * whose cumulative count reaches ⌈n/2⌉ (the oracle replays the
+    * row-grain rank form; the hash-match proves the rewrite). */
   def reportShipLatency(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val lat = Tables.lineitem(spark, dir)
-      .select($"l_orderkey", $"l_linenumber",
+    val hist = Tables.lineitem(spark, dir)
+      .select($"l_orderkey",
         unix_date(to_date($"l_shipdate")).cast("long").as("sd"))
       .join(Tables.orders(spark, dir)
         .select($"o_orderkey", $"o_orderpriority",
           unix_date(to_date($"o_orderdate")).cast("long").as("od")),
         $"l_orderkey" === $"o_orderkey")
-      .select($"o_orderpriority", $"l_orderkey", $"l_linenumber",
-        ($"sd" - $"od").as("days"))
-    val w = Window.partitionBy($"o_orderpriority")
-      .orderBy($"days", $"l_orderkey", $"l_linenumber")
-    lat
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1))
+      .select($"o_orderpriority", ($"sd" - $"od").as("days"))
+      .groupBy($"o_orderpriority", $"days")
+      .agg(count(lit(1)).as("cnt"))
+    val wc = Window.partitionBy($"o_orderpriority").orderBy($"days")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hist
+      .withColumn("cum", sum($"cnt").over(wc))
+      .withColumn("n", sum($"cnt")
         .over(Window.partitionBy($"o_orderpriority")))
       .groupBy($"o_orderpriority")
       .agg(max($"n").as("n_lines"),
         min($"days").as("min_days"), max($"days").as("max_days"),
-        sum($"days").as("sum_days"),
-        max(when($"rn" === expr("(n + 1) div 2"), $"days")).as("p50_days"))
+        sum($"days" * $"cnt").as("sum_days"),
+        min(when($"cum" >= expr("(n + 1) div 2"), $"days")).as("p50_days"))
       .orderBy($"o_orderpriority")
   }
 

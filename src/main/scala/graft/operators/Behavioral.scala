@@ -290,10 +290,19 @@ object Behavioral {
     * score, so R5 is most-recently-active.
     *
     * Scale shape: one user-grain aggregate (map-side combinable) over
-    * the event log, then three ntile windows over the |users| frame —
-    * entity-scale, not event-scale. A production variant at extreme
-    * |users| replaces ntile with pre-computed quantile boundaries
-    * (agg_percentile machinery) to avoid the global sort. */
+    * the event log; the three metrics then MELT into one
+    * (user, metric, value) frame so a SINGLE
+    * [[graft.operators.DistributedRank.rankCumBy]] pass (metric =
+    * group key) computes all three exact global ranks via the
+    * multi-level prefix-sum decomposition — no single-partition
+    * window over the |users| frame, and one decomposition instead of
+    * three chained ones. Quintiles come from the SQL-standard ntile
+    * arithmetic inverted from the rank
+    * ([[graft.operators.DistributedRank.ntileFromRank]]); the final
+    * user-grain regroup re-assembles scores and metrics without a
+    * join. The oracle replays plain `ntile(5) OVER (ORDER BY metric,
+    * user_id)` ×3; the hash-match proves rank-arithmetic ≡ window
+    * ntile. */
   def behaviorRfmSegmentation(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = Tables.events(spark, dir)
@@ -305,13 +314,23 @@ object Behavioral {
         sum(when($"event_type" === "purchase",
           coalesce((Tables.dec4($"value") * 10000).cast("long"), lit(0L)))
           .otherwise(0L)).as("m_fp"))
-    base
-      .withColumn("r_score", ntile(5)
-        .over(Window.orderBy($"r_day", $"user_id")).cast("long"))
-      .withColumn("f_score", ntile(5)
-        .over(Window.orderBy($"f_events", $"user_id")).cast("long"))
-      .withColumn("m_score", ntile(5)
-        .over(Window.orderBy($"m_fp", $"user_id")).cast("long"))
+    val melted = base
+      .select($"user_id", explode(array(
+        struct(lit(1L).as("m"), $"r_day".as("v")),
+        struct(lit(2L).as("m"), $"f_events".as("v")),
+        struct(lit(3L).as("m"), $"m_fp".as("v")))).as("mv"))
+      .select($"user_id", $"mv.m".as("m"), $"mv.v".as("v"))
+      .withColumn("one", lit(1L))
+    DistributedRank.rankCumBy(melted, "m", "v", "user_id", "one")
+      .withColumn("score",
+        DistributedRank.ntileFromRank("rnk", "w_total", 5))
+      .groupBy($"user_id")
+      .agg(max(when($"m" === 1, $"v")).as("r_day"),
+        max(when($"m" === 2, $"v")).as("f_events"),
+        max(when($"m" === 3, $"v")).as("m_fp"),
+        max(when($"m" === 1, $"score")).as("r_score"),
+        max(when($"m" === 2, $"score")).as("f_score"),
+        max(when($"m" === 3, $"score")).as("m_score"))
       .select($"user_id", $"r_day", $"f_events", $"m_fp",
         $"r_score", $"f_score", $"m_score",
         ($"r_score" * 100 + $"f_score" * 10 + $"m_score").as("rfm_code"))

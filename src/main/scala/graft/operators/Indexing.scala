@@ -326,10 +326,23 @@ object Indexing {
       .select($"doc_id",
         posexplode(expr("filter(split(text, ' '), w -> w <> '')"))
           .as(Seq("pos", "tok")))
-    // vocabulary ranks: a |vocab|-row global sort (metadata-scale next
-    // to the token stream), decoration joined back onto the tokens
-    val vocab = toks.select($"tok").distinct()
-      .withColumn("r", row_number().over(Window.orderBy($"tok")).cast("long"))
+    // vocabulary ranks WITHOUT a single-partition global sort: UTF-8
+    // order is prefix-monotone (a < b ⇒ prefix₂(a) ≤ prefix₂(b)), so a
+    // 2-char prefix bucket + per-bucket row_number + broadcast bucket
+    // offsets reproduce the global rank exactly — the two-level prefix
+    // sum with a ≤|charset|²-row totally-ordered frame
+    val vocab0 = toks.select($"tok").distinct()
+      .withColumn("pb", substring($"tok", 1, 2))
+    val pbOffs = vocab0.groupBy($"pb").agg(count(lit(1)).as("pn"))
+      .withColumn("off", coalesce(sum($"pn").over(Window.orderBy($"pb")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"pb", $"off")
+    val vocab = vocab0
+      .withColumn("rin",
+        row_number().over(Window.partitionBy($"pb").orderBy($"tok"))
+          .cast("long"))
+      .join(broadcast(pbOffs), "pb")
+      .select($"tok", ($"off" + $"rin").as("r"))
     val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
     // cut: the tokenize→rank→hash chain is the expensive stage and
     // BOTH election branches (full windows, short docs) read it

@@ -702,7 +702,8 @@ object LlmOps {
     import org.apache.spark.sql.expressions.Window
     val pred = textLangid(spark, dir).select($"doc_id", $"pred_lang")
     Tables.documents(spark, dir)
-      .select($"doc_id", $"lang".as("true_lang"))
+      .select($"doc_id",
+        coalesce($"lang", lit("(none)")).as("true_lang"))
       .join(pred, "doc_id")
       .groupBy($"true_lang", $"pred_lang")
       .agg(count(lit(1)).as("n"))
@@ -728,7 +729,8 @@ object LlmOps {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val tok = Tables.documents(spark, dir)
-      .select($"lang", explode(split($"text", " ")).as("t"))
+      .select(coalesce($"lang", lit("(none)")).as("lang"),
+        explode(split($"text", " ")).as("t"))
       .filter($"t" =!= "")
     val vocab = tok.agg(countDistinct($"t").as("v"))
     tok.groupBy($"lang", $"t").agg(count(lit(1)).as("c"))
@@ -1127,8 +1129,8 @@ object LlmOps {
         |    row_number() OVER (PARTITION BY doc_id
         |      ORDER BY score DESC, cand) AS rn FROM scores),
         |pred AS (SELECT doc_id, cand AS pred_lang FROM r WHERE rn = 1),
-        |cells AS (SELECT d.lang AS true_lang, p.pred_lang,
-        |    CAST(count(*) AS BIGINT) AS n
+        |cells AS (SELECT coalesce(d.lang, '(none)') AS true_lang,
+        |    p.pred_lang, CAST(count(*) AS BIGINT) AS n
         |  FROM documents d JOIN pred p USING (doc_id)
         |  GROUP BY 1, 2),
         |tot AS (SELECT true_lang, pred_lang, n,
@@ -1139,7 +1141,8 @@ object LlmOps {
         |FROM tot ORDER BY true_lang, pred_lang""".stripMargin,
     // same wordcount → class-mass window → Laplace fixed point
     "ml_naive_bayes_counts" ->
-      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS t
+      """WITH tok AS (SELECT coalesce(lang, '(none)') AS lang,
+        |    unnest(string_split(text, ' ')) AS t
         |  FROM documents),
         |tk AS (SELECT lang, t FROM tok WHERE t <> ''),
         |v AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM tk),

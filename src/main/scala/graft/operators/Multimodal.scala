@@ -696,7 +696,9 @@ object Multimodal {
     Tables.documents(spark, dir)
       .select(expr("(n_chars * 1048576) div 600").as("score_fp"),
         when($"lang" === "en", 1L).otherwise(0L).as("pos"))
-      .select(expr("(score_fp * 10) div 1048576").as("bin"),
+      // a regenerated fixture with n_chars ≥ 600 would otherwise open
+      // an out-of-decile bin 10 — clamp keeps the diagram a diagram
+      .select(expr("least((score_fp * 10) div 1048576, 9L)").as("bin"),
         $"score_fp", $"pos")
       .groupBy($"bin")
       .agg(count(lit(1)).as("n"), sum($"score_fp").as("sum_score_fp"),
@@ -915,7 +917,8 @@ object Multimodal {
       """WITH s AS (SELECT (n_chars * 1048576) // 600 AS score_fp,
         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
         |  FROM documents),
-        |b AS (SELECT (score_fp * 10) // 1048576 AS bin, score_fp, pos
+        |b AS (SELECT least((score_fp * 10) // 1048576, 9) AS bin,
+        |    score_fp, pos
         |  FROM s),
         |bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(score_fp) AS BIGINT) AS sum_score_fp,
@@ -1040,7 +1043,8 @@ object Multimodal {
       """WITH s AS (SELECT (n_chars * 1048576) // 600 AS score_fp,
         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
         |  FROM documents),
-        |b AS (SELECT (score_fp * 10) // 1048576 AS bin, score_fp, pos
+        |b AS (SELECT least((score_fp * 10) // 1048576, 9) AS bin,
+        |    score_fp, pos
         |  FROM s)
         |SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(score_fp) AS BIGINT) AS sum_score_fp,

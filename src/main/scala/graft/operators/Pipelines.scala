@@ -585,8 +585,17 @@ object Pipelines {
         floor(sqrt(($"n_docs" * $"sxx" - $"sx" * $"sx").cast("double")))
           .cast("long"))
       .withColumn("total_w", sum($"w_h").over(wAll))
-      .withColumn("quota", expr(s"($budget * w_h) div total_w"))
-      .withColumn("rem", lit(budget) * $"w_h" - $"quota" * $"total_w")
+      // degenerate corpus guard (every stratum zero-variance ⇒
+      // total_w = 0, and x/0 is NULL-vs-error engine-divergent):
+      // fall back to proportional-by-n_docs weights — same Hamilton
+      // arithmetic, never a division by zero on either engine
+      .withColumn("w_eff",
+        when($"total_w" === 0, $"n_docs").otherwise($"w_h"))
+      .withColumn("total_eff",
+        when($"total_w" === 0, sum($"n_docs").over(wAll))
+          .otherwise($"total_w"))
+      .withColumn("quota", expr(s"($budget * w_eff) div total_eff"))
+      .withColumn("rem", lit(budget) * $"w_eff" - $"quota" * $"total_eff")
       .withColumn("leftover", lit(budget) - sum($"quota").over(wAll))
       .withColumn("rk", row_number().over(wRank).cast("long"))
       .select($"lang", $"n_docs", $"w_h",
@@ -635,25 +644,35 @@ object Pipelines {
     * beyond integer `div` on non-negative counts.
     *
     * Scale shape: the cumulative sum is computed as a TWO-LEVEL prefix
-    * sum — per-bucket subtotals (a metadata-scale frame, one row per 64
-    * doc_ids) carry the global offset via a window over buckets, and the
-    * per-document running sum windows WITHIN its bucket. No window ever
-    * sees more than one bucket of documents, so the operator has no
-    * single-partition global sort at any corpus size (the classic
-    * distributed prefix-sum decomposition; the oracle replays the
-    * mathematically-equal single window). */
+    * sum — per-bucket subtotals (an ADAPTIVE bucket width of
+    * ceil(id_domain/65536), floored at 64, keeps this frame bounded at
+    * ≤ 65536 rows at any corpus size) carry the global offset via a
+    * window over buckets, and the per-document running sum windows
+    * WITHIN its bucket. No totally-ordered window ever exceeds the
+    * bounded bucket frame (the classic distributed prefix-sum
+    * decomposition; the oracle replays the mathematically-equal single
+    * window). */
   def sampleSystematicWeighted(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val d = Tables.documents(spark, dir)
+    // adaptive bucket width: ceil(id_domain / 65536), floored at 64 —
+    // the subtotal frame stays ≤ 65536 rows at ANY corpus size (the
+    // result is bucket-assignment-invariant: the oracle replays the
+    // mathematically-equal single cumulative window)
+    val ids = Tables.documents(spark, dir)
       .select($"doc_id",
-        expr("size(filter(split(text, ' '), w -> w <> ''))").cast("long").as("n_tok"),
-        expr("doc_id div 64").as("bkt"))
+        expr("size(filter(split(text, ' '), w -> w <> ''))").cast("long")
+          .as("n_tok"))
+    val d = ids
+      .crossJoin(broadcast(ids.agg(max($"doc_id").as("id_max"))))
+      .withColumn("bkt",
+        expr("doc_id div greatest(64L, (id_max div 65536L) + 1L)"))
+      .drop("id_max")
     val wIn = Window.partitionBy($"bkt").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wBkt = Window.orderBy($"bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
-    // bucket subtotals: |docs|/64 rows — the stride scalar reads THIS
-    // metadata-scale frame, never the per-doc cum frame
+    // bucket subtotals: ≤ 65536 rows — the stride scalar reads THIS
+    // bounded frame, never the per-doc cum frame
     val sub = d.groupBy($"bkt").agg(sum($"n_tok").as("bt"))
     sub.createOrReplaceTempView("sysw_bkt")
     val offsets = sub
@@ -801,13 +820,18 @@ object Pipelines {
         |    CAST(floor(sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)))
         |      AS BIGINT) AS w_h
         |  FROM t),
-        |a AS (SELECT lang, n_docs, w_h, sum(w_h) OVER () AS total_w
+        |a AS (SELECT lang, n_docs, w_h, sum(w_h) OVER () AS total_w,
+        |    sum(n_docs) OVER () AS total_n
         |  FROM wgt),
-        |q AS (SELECT lang, n_docs, w_h,
-        |    (100 * w_h) // total_w AS quota,
-        |    100 * w_h - ((100 * w_h) // total_w) * total_w AS rem,
-        |    total_w
+        |e AS (SELECT lang, n_docs, w_h,
+        |    CASE WHEN total_w = 0 THEN n_docs ELSE w_h END AS w_eff,
+        |    CASE WHEN total_w = 0 THEN total_n ELSE total_w END
+        |      AS total_eff
         |  FROM a),
+        |q AS (SELECT lang, n_docs, w_h,
+        |    (100 * w_eff) // total_eff AS quota,
+        |    100 * w_eff - ((100 * w_eff) // total_eff) * total_eff AS rem
+        |  FROM e),
         |r AS (SELECT lang, n_docs, w_h, quota, rem,
         |    100 - sum(quota) OVER () AS leftover,
         |    row_number() OVER (ORDER BY rem DESC, lang) AS rk

@@ -485,7 +485,13 @@ class PlanRegressionSpec extends SparkSuite {
       "text_index_delta_merge", "corpus_dedup_pipeline",
       "scd2_cdc_apply", "ml_decision_stump",
       "ml_naive_bayes_counts", "ml_knn_classify", "text_phrase_search",
-      "eval_mrr_fixed", "ml_triplet_mining", "ml_knn_confusion")
+      "eval_mrr_fixed", "ml_triplet_mining", "ml_knn_confusion",
+      // round-11 adaptive-bucket-width sites: the only nested loops
+      // are 1-row bounds broadcasts — fan-out 1. (Grouped
+      // DistributedRank joins its bounds per group as a real equi-join
+      // — RFM stays OFF this list; the ungrouped wrapper's constant
+      // key folds away, leaving abc's 1-row bounds on a BNLJ.)
+      "sample_systematic_weighted", "report_abc_classification")
     val offenders = SparkEntry.queries.keys.filterNot(allowed)
       .filter(n => n != "source_csv_roundtrip" && plan(n).contains("BroadcastNestedLoopJoin"))
     assert(offenders.isEmpty, s"unexpected nested-loop joins: $offenders")
@@ -500,24 +506,77 @@ class PlanRegressionSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("report_abc_classification: cum and total share a single window sort") {
+  test("report_abc_classification decomposes the global rank (no single-partition fact window)") {
     val p = plan("report_abc_classification")
+    // the DistributedRank rewrite: three Window nodes — within-cell,
+    // intra-bucket cell prefix, and the bounded bucket-frame global
+    // prefix; the ONLY unpartitioned window must order by the bucket
+    // key drk_vb, never by the revenue/part columns directly
     val windows = "\\(\\d+\\) Window".r.findAllIn(p).size
-    assert(windows === 1, s"cum + total must plan in ONE Window node, got $windows")
-    val n = "\\(\\d+\\) Exchange".r.findAllIn(p).size
-    // part-revenue agg, the global window order, final sort
-    assert(n <= 3, s"report_abc_classification exchange count $n > 3")
+    assert(windows === 3, s"expected the 3-level rank decomposition, got $windows windows")
+    globalWindowsOrderOnlyBy(p, Set("drk_vb"), "report_abc_classification")
+    assert(n_exchanges(p) <= 14, s"report_abc_classification exchange count ${n_exchanges(p)} > 14")
+  }
+
+  test("behavior_rfm_segmentation scores quintiles without a global ntile sort") {
+    val p = plan("behavior_rfm_segmentation")
+    // three chained DistributedRank calls — every unpartitioned window
+    // orders by the bucket key; the former three |users|-frame ntile
+    // sorts are gone
+    globalWindowsOrderOnlyBy(p, Set("drk_vb"), "behavior_rfm_segmentation")
+    assert(!p.contains("ntile"), "quintiles must come from rank arithmetic, not a window ntile")
   }
 
   test("sample_systematic_weighted broadcasts the bucket-offset frame back") {
     val p = plan("sample_systematic_weighted")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
-    // main plan: per-doc scan + offsets scan only; the stride scalar
-    // subqueries read the bucket-subtotal frame (dedupe at execution
-    // via ReuseSubquery), so count the MAIN section's scans
+    // main plan: per-doc scan, the adaptive-bucket-width bounds scan
+    // (doc_id-only, column-pruned) and the subtotal scans; the stride
+    // scalar subqueries read the bucket-subtotal frame (dedupe at
+    // execution via ReuseSubquery), so count the MAIN section's scans
     val main = p.split("\\nSubquery:")(0)
-    assert(scanNodes(main, "documents.parquet") <= 2, main.take(600))
+    assert(scanNodes(main, "documents.parquet") <= 4, main.take(600))
+    globalWindowsOrderOnlyBy(p, Set("bkt"), "sample_systematic_weighted")
   }
+
+  test("fact-grain histogram rewrites: no window ever consumes fact/event-grain rows") {
+    // the round-11 scale-hardening pin: the three former fact-grain
+    // low-cardinality windows now run over per-(group, value)
+    // histograms — their Window nodes must not carry the fact tie
+    // columns the raw-grain plans ordered by
+    Seq("agg_weighted_median" -> Seq("l_orderkey", "l_linenumber"),
+      "quality_winsorize_clip" -> Seq("event_id"),
+      "report_ship_latency" -> Seq("l_orderkey", "l_linenumber"))
+      .foreach { case (name, factCols) =>
+        val p = plan(name)
+        windowBlocks(p).foreach { b =>
+          factCols.foreach(c => assert(!b.contains(c),
+            s"$name: a Window node consumes fact-grain column $c:\n" + b.take(400)))
+        }
+      }
+  }
+
+  private def n_exchanges(p: String): Int =
+    "\\(\\d+\\) Exchange".r.findAllIn(p).size
+
+  /** All `(n) Window` detail blocks of a formatted plan. */
+  private def windowBlocks(p: String): Seq[String] =
+    p.split("\\n(?=\\(\\d+\\) )").toSeq
+      .filter(_.matches("(?s)\\(\\d+\\) Window\\n.*"))
+
+  /** Asserts every UNPARTITIONED window (windowspecdefinition whose
+    * first argument is already a sort spec — no partition columns)
+    * orders only by one of `allowed` (bounded bucket-frame keys). */
+  private def globalWindowsOrderOnlyBy(p: String, allowed: Set[String],
+      name: String): Unit =
+    windowBlocks(p).foreach { b =>
+      "windowspecdefinition\\((\\w+)#\\d+L? (?:ASC|DESC)".r
+        .findAllMatchIn(b).foreach { m =>
+          assert(allowed.contains(m.group(1)),
+            s"$name: unpartitioned window orders by ${m.group(1)} — " +
+              s"a corpus-scaling global sort:\n" + b.take(400))
+        }
+    }
 
   test("sequential folds shuffle once: ewma and sequence_match stay within 2 exchanges") {
     Seq("timeseries_ewma_fixed", "behavior_sequence_match").foreach { k =>
@@ -541,19 +600,19 @@ class PlanRegressionSpec extends SparkSuite {
       "text_ngram_coverage" -> 3,       // gram join + doc agg + sort
       "timeseries_forecast_backtest" -> 4, // daily agg + join + user agg + sort
       "timeseries_autocorr_stats" -> 2, // lag window shuffle + final sort
-      "behavior_rfm_segmentation" -> 2, // user agg + ntile/sort single-partition
+      "behavior_rfm_segmentation" -> 16, // user agg + melt + ONE grouped DistributedRank decomposition + regroup (r11)
       "behavior_longest_streak" -> 3,   // dedup + island window + sort
       "feature_pit_snapshot" -> 2,      // user window shuffle + final sort
       "eval_cohens_kappa" -> 9,         // langid chain + marked cells ×4 consumers
-      "quality_winsorize_clip" -> 3,    // rank window + bounds agg + clamp agg
+      "quality_winsorize_clip" -> 4,    // histogram agg + type window + bounds agg + clamp agg (r11 rewrite)
       "report_backlog_aging" -> 3,      // band agg + sort (+ anchor subquery)
       "eval_calibration_bins" -> 2,     // bin agg partial/final + sort
       "timeseries_bollinger_stats" -> 2, // user window shuffle + final sort
       "ml_feature_hashing" -> 2,        // (doc, dim) agg partial/final + sort
-      "report_ship_latency" -> 2,       // orderkey join + priority window
+      "report_ship_latency" -> 3,       // orderkey join + histogram agg + day window (r11 rewrite)
       "graph_assortativity_stats" -> 6, // marked incidence/edges ×2 orientations
       "eval_mrr_fixed" -> 2,            // per-query window + final sort
-      "agg_weighted_median" -> 2,       // flag window + final sort
+      "agg_weighted_median" -> 3,       // histogram agg + flag window + final sort (r11 rewrite)
       "multimodal_align_chunks" -> 1,   // ordinal equi-join + final sort
       "ml_triplet_mining" -> 5,         // label window + 10-row global window + sort
       "ml_knn_confusion" -> 4,          // knn chain + cell agg + row window
