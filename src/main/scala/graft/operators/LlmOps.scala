@@ -466,6 +466,55 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** Substring-grain exact dedup — the Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better") workload at the rung
+    * the doc/paragraph keys miss: MAXIMAL token spans shared verbatim
+    * across documents. A 4-token gram is SHARED when it occurs in ≥ 2
+    * distinct documents; within a document, consecutive shared-gram
+    * positions collapse to maximal runs (the gap-islands pos −
+    * row_number key), each reported with its start, gram count, token
+    * length (n_grams + 3), and the first-seen owner of its OPENING
+    * gram (min doc_id over that gram's occurrences — where the span
+    * was first seen corpus-wide). One row per maximal shared span: the
+    * exact repeated-substring inventory a span-removal pass consumes,
+    * computed with sorted-gram runs instead of a suffix array.
+    *
+    * Scale shape: gram stats shuffle on the 8-byte xxhash64 key (raw
+    * gram text only in the fixture-scale oracle — the
+    * text_ngram_novelty collision posture); the shared-set join back
+    * is gram-keyed equi with fan-out 1 (a flag per occurrence, never a
+    * doc pairing — this is what keeps it sub-quadratic where winnow
+    * pairing is not); the run-collapse window partitions by doc_id
+    * (document-bounded frames). Everything map-side-combinable except
+    * the one gram shuffle. */
+  def dedupSubstringRuns(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val raw = Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 4)
+      .select($"doc_id", posexplode(expr(
+        """transform(sequence(1, size(toks) - 3),
+          |  i -> concat_ws(' ', slice(toks, i, 4)))""".stripMargin))
+        .as(Seq("p0", "g")))
+      .select($"doc_id", ($"p0" + 1).cast("long").as("pos"),
+        xxhash64($"g").as("gh"))
+    val stats = raw.groupBy($"gh")
+      .agg(countDistinct($"doc_id").as("df"), min($"doc_id").as("first_id"))
+      .filter($"df" >= 2)
+      .select($"gh", $"first_id")
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    raw.join(stats, "gh")
+      .withColumn("isl", $"pos" - row_number().over(w))
+      .groupBy($"doc_id", $"isl")
+      .agg(min($"pos").as("start_pos"), count(lit(1)).as("n_grams"),
+        min(struct($"pos", $"first_id")).getField("first_id")
+          .as("first_seen_doc"))
+      .select($"doc_id", $"start_pos", $"n_grams",
+        ($"n_grams" + 3).as("span_tokens"), $"first_seen_doc")
+      .orderBy($"doc_id", $"start_pos")
+  }
+
   def ngramGenerate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
@@ -991,6 +1040,7 @@ object LlmOps {
     "text_token_count" -> (textTokenCount(_, _)),
     "text_pii_scrub" -> (textPiiScrub(_, _)),
     "dedup_chunk_global" -> (dedupChunkGlobal(_, _)),
+    "dedup_substring_runs" -> (dedupSubstringRuns(_, _)),
     "simsearch_cosine_topk" -> (simsearchCosineTopk(_, _)),
     "simsearch_label_centroid" -> (simsearchLabelCentroid(_, _)),
     "text_stats" -> (textStats(_, _)),
@@ -1304,6 +1354,34 @@ object LlmOps {
         |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_pieces
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // raw gram text replays the xxhash64 grouping (collision-free at
+    // fixture scale by construction — the text_ngram_novelty posture);
+    // same 1-based positions, same gap-islands run key
+    "dedup_substring_runs" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks) - 2),
+        |      i -> array_to_string(list_slice(toks, i, i + 3), ' '))) AS g,
+        |    unnest(range(1, len(toks) - 2)) AS pos
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |    FROM documents)
+        |  WHERE len(toks) >= 4),
+        |f AS (SELECT g, count(DISTINCT doc_id) AS df,
+        |    min(doc_id) AS first_id
+        |  FROM raw GROUP BY g),
+        |sh AS (SELECT raw.doc_id, CAST(raw.pos AS BIGINT) AS pos,
+        |    f.first_id
+        |  FROM raw JOIN f USING (g) WHERE f.df >= 2),
+        |r AS (SELECT doc_id, pos, first_id,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |      AS isl
+        |  FROM sh)
+        |SELECT doc_id, min(pos) AS start_pos,
+        |  CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(*) + 3 AS BIGINT) AS span_tokens,
+        |  CAST(arg_min(first_id, pos) AS BIGINT) AS first_seen_doc
+        |FROM r GROUP BY doc_id, isl
+        |ORDER BY doc_id, start_pos""".stripMargin,
     "dedup_chunk_global" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |idx AS (SELECT doc_id, t,

@@ -462,6 +462,109 @@ object Multimodal {
       .orderBy($"nprobe", $"q_id")
   }
 
+  /** Product-quantization compression for the ANN path — the standard
+    * next rung of the index after scalar int8 (embedding_quantize):
+    * the 64-dim space splits into 8 subvectors of 8 dims; each
+    * subspace gets a 16-entry codebook (seeds = the first 16 vectors'
+    * subvectors, refined by ONE Lloyd's step — the ml_kmeans_step
+    * fixed-point machinery: exact BIGINT sqdist on 2²⁰-quantized
+    * coords, (sqdist, cid) argmin, floor(sum/count) centroids, every
+    * operation engine-replayable); every vector compresses to 8
+    * 4-bit codes (64 floats → 4 bytes, 64:1). The key grades the
+    * compression the only way that matters: recall@10 of
+    * PQ-approximated retrieval vs the EXACT ranking, per query.
+    *
+    * Scoring is asymmetric-distance (ADC) over inner product — the
+    * query stays uncompressed, score = Σ_m dot(q_m, centroid(code_m))
+    * via a per-query 8×16 lookup table, the canonical PQ scan. The
+    * exact baseline is therefore the exact fixed-point dot-product
+    * top-10 (MIPS semantics — and with a FULL codebook reconstruction
+    * is exact, so PQ ranking ≡ exact ranking and recall ≡ 2²⁰: the
+    * self-validating endpoint LlmOpsSpec pins, alongside the
+    * empirical recall-vs-codebook-bits ladder).
+    *
+    * Scale shape: codebooks and LUTs are constant-size broadcasts
+    * (8×16 rows); code assignment and ADC scoring are single passes
+    * over the corpus with map-side-combinable aggregates; the only
+    * per-query window ranks the scored frame (|queries| constant,
+    * broadcast). No all-pairs stage. */
+  def embeddingPqQuantize(spark: SparkSession, dir: String): DataFrame =
+    pqRecall(spark, dir, 16)
+
+  /** [[embeddingPqQuantize]] with a parameterized codebook size k —
+    * the unit-law surface (k = corpus ⇒ exact reconstruction ⇒
+    * recall ≡ 2²⁰; recall grows with k on the fixture ladder). */
+  def pqRecall(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val fp = Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        expr("transform(embedding, x -> CAST(floor(x * 1048576) AS BIGINT))")
+          .as("qv"))
+    val subs = fp
+      .select($"vec_id", posexplode(expr(
+        "transform(sequence(0, 7), mm -> slice(qv, mm * 8 + 1, 8))"))
+        .as(Seq("m", "sv")))
+      .select($"vec_id", $"m".cast("long").as("m"), $"sv")
+    val seeds = subs.filter($"vec_id" < k)
+      .select($"m", $"vec_id".as("cid"), $"sv".as("cq"))
+    val sq = "aggregate(zip_with(%s, %s, (x, y) -> (x - y) * (x - y)), " +
+      "0L, (acc, v) -> acc + v)"
+    // Lloyd assign to seeds, then exact floor-mean refine per (m, cid)
+    val assigned = subs.join(broadcast(seeds), "m")
+      .select($"vec_id", $"m", $"sv", $"cid",
+        expr(sq.format("sv", "cq")).as("sqd"))
+      .groupBy($"vec_id", $"m", $"sv")
+      .agg(min(struct($"sqd", $"cid")).getField("cid").as("cid"))
+    val cents = assigned
+      .select($"m", $"cid", posexplode($"sv").as(Seq("pos", "x")))
+      .groupBy($"m", $"cid", $"pos")
+      .agg(floor(sum($"x").cast("double") / count(lit(1))).cast("long")
+        .as("c"))
+      .groupBy($"m", $"cid")
+      .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
+      .select($"m", $"cid", expr("transform(pc, p -> p.c)").as("cent"))
+    // final code assignment against the refined codebooks
+    val codes = subs.join(broadcast(cents), "m")
+      .select($"vec_id", $"m", $"cid",
+        expr(sq.format("sv", "cent")).as("sqd"))
+      .groupBy($"vec_id", $"m")
+      .agg(min(struct($"sqd", $"cid")).getField("cid").as("cid"))
+    // per-query ADC lookup table: dot(query subvector, centroid)
+    val lut = subs.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"m", $"sv".as("qsv"))
+      .join(broadcast(cents), "m")
+      .select($"q_id", $"m", $"cid",
+        expr("aggregate(zip_with(qsv, cent, (x, y) -> x * y), 0L, " +
+          "(acc, v) -> acc + v)").as("pd"))
+    val adc = codes.join(broadcast(lut), Seq("m", "cid"))
+      .filter($"vec_id" =!= $"q_id")
+      .groupBy($"q_id", $"vec_id")
+      .agg(sum($"pd").as("adc"))
+    val wp = Window.partitionBy($"q_id").orderBy($"adc".desc, $"vec_id")
+    val pqTop = adc.withColumn("rn", row_number().over(wp))
+      .filter($"rn" <= 10).select($"q_id", $"vec_id")
+    // exact fixed-point dot-product top-10 (the MIPS ground truth the
+    // ADC scores approximate — identical at full codebook)
+    val qs = fp.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"qv".as("qq"))
+    val we = Window.partitionBy($"q_id").orderBy($"dot".desc, $"vec_id")
+    val exactTop = fp.crossJoin(broadcast(qs))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        expr("aggregate(zip_with(qv, qq, (x, y) -> x * y), 0L, " +
+          "(acc, v) -> acc + v)").as("dot"))
+      .withColumn("rn", row_number().over(we))
+      .filter($"rn" <= 10).select($"q_id", $"vec_id")
+    val nScored = adc.groupBy($"q_id").agg(count(lit(1)).as("n_scored"))
+    val hits = pqTop.join(exactTop, Seq("q_id", "vec_id"))
+      .groupBy($"q_id").agg(count(lit(1)).as("h"))
+    nScored.join(hits, Seq("q_id"), "left")
+      .select($"q_id", $"n_scored", coalesce($"h", lit(0L)).as("hits"))
+      .withColumn("recall_fp", expr("(hits * 1048576) div 10"))
+      .orderBy($"q_id")
+  }
+
   /** Raw-blob ingest through Spark's built-in `binaryFile` source — the
     * step every multimodal pipeline actually starts from: a directory of
     * opaque per-item files (images/audio dropped on an object store).
@@ -899,6 +1002,7 @@ object Multimodal {
     "ml_linreg_sufficient" -> (mlLinregSufficient(_, _)),
     "source_binaryfile_ingest" -> (sourceBinaryfileIngest(_, _)),
     "eval_ann_recall" -> (evalAnnRecall(_, _)),
+    "embedding_pq_quantize" -> (embeddingPqQuantize(_, _)),
     "ml_confusion_matrix" -> (mlConfusionMatrix(_, _)),
     "eval_ranking_metrics" -> (evalRankingMetrics(_, _)),
     "dedup_semantic_cluster" -> (dedupSemanticCluster(_, _)),
@@ -1157,6 +1261,70 @@ object Multimodal {
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
         |  sha256(text) AS content_sha
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // same subvector split / seed assign / floor-mean refine / code
+    // assign / ADC-LUT scoring / exact fixed-point-dot baseline
+    "embedding_pq_quantize" ->
+      """WITH fp AS (SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 1048576) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |ms AS (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS m),
+        |subs AS (SELECT vec_id, m,
+        |    list_slice(qv, m * 8 + 1, m * 8 + 8) AS sv FROM fp, ms),
+        |seeds AS (SELECT m, vec_id AS cid, sv AS cq FROM subs
+        |  WHERE vec_id < 16),
+        |d1 AS (SELECT s.vec_id, s.m, s.sv, c.cid,
+        |    CAST(list_sum(list_transform(list_zip(s.sv, c.cq),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS sqd
+        |  FROM subs s JOIN seeds c USING (m)),
+        |a1 AS (SELECT vec_id, m, sv, cid FROM
+        |    (SELECT vec_id, m, sv, cid, row_number() OVER
+        |      (PARTITION BY vec_id, m ORDER BY sqd, cid) AS rn FROM d1)
+        |  WHERE rn = 1),
+        |cx AS (SELECT m, cid, CAST(generate_subscripts(sv, 1) AS BIGINT)
+        |    AS pos, unnest(sv) AS x FROM a1),
+        |cm AS (SELECT m, cid, pos,
+        |    CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS c
+        |  FROM cx GROUP BY m, cid, pos),
+        |cents AS (SELECT m, cid, list(c ORDER BY pos) AS cent
+        |  FROM cm GROUP BY m, cid),
+        |d2 AS (SELECT s.vec_id, s.m, c.cid,
+        |    CAST(list_sum(list_transform(list_zip(s.sv, c.cent),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS sqd
+        |  FROM subs s JOIN cents c USING (m)),
+        |codes AS (SELECT vec_id, m, cid FROM
+        |    (SELECT vec_id, m, cid, row_number() OVER
+        |      (PARTITION BY vec_id, m ORDER BY sqd, cid) AS rn FROM d2)
+        |  WHERE rn = 1),
+        |lut AS (SELECT s.vec_id AS q_id, s.m, c.cid,
+        |    CAST(list_sum(list_transform(list_zip(s.sv, c.cent),
+        |      p -> p[1] * p[2])) AS BIGINT) AS pd
+        |  FROM subs s JOIN cents c USING (m) WHERE s.vec_id < 5),
+        |adc AS (SELECT l.q_id, k.vec_id, CAST(sum(l.pd) AS BIGINT) AS adc
+        |  FROM codes k JOIN lut l ON k.m = l.m AND k.cid = l.cid
+        |  WHERE k.vec_id <> l.q_id GROUP BY l.q_id, k.vec_id),
+        |pq AS (SELECT q_id, vec_id FROM
+        |    (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY adc DESC, vec_id) AS rn FROM adc)
+        |  WHERE rn <= 10),
+        |qs AS (SELECT vec_id AS q_id, qv AS qq FROM fp WHERE vec_id < 5),
+        |exd AS (SELECT q.q_id, f.vec_id,
+        |    CAST(list_sum(list_transform(list_zip(f.qv, q.qq),
+        |      p -> p[1] * p[2])) AS BIGINT) AS dot
+        |  FROM fp f, qs q WHERE f.vec_id <> q.q_id),
+        |ext AS (SELECT q_id, vec_id FROM
+        |    (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY dot DESC, vec_id) AS rn FROM exd)
+        |  WHERE rn <= 10),
+        |h AS (SELECT p.q_id, count(*) AS h FROM pq p
+        |  JOIN ext x ON p.q_id = x.q_id AND p.vec_id = x.vec_id
+        |  GROUP BY p.q_id),
+        |ns AS (SELECT q_id, count(*) AS n_scored FROM adc GROUP BY q_id)
+        |SELECT ns.q_id, CAST(ns.n_scored AS BIGINT) AS n_scored,
+        |  CAST(coalesce(h.h, 0) AS BIGINT) AS hits,
+        |  CAST(coalesce(h.h, 0) * 1048576 // 10 AS BIGINT) AS recall_fp
+        |FROM ns LEFT JOIN h ON ns.q_id = h.q_id
+        |ORDER BY ns.q_id""".stripMargin,
     "eval_ann_recall" ->
       """WITH fp AS (SELECT vec_id, label,
         |    list_transform(CAST(embedding AS DOUBLE[]),

@@ -325,6 +325,48 @@ class LlmOpsSpec extends SparkSuite {
     assert(got(17L) === ((7L, 0L, 0L)), s"disjoint doc must be uncovered: $got")
   }
 
+  test("dedup_substring_runs: exact span boundaries on an injected duplicate") {
+    import spark.implicits._
+    val dir = "/root/repo/target/tmp/ssrdocs"
+    val span = (0 until 10).map(i => s"s$i").mkString(" ")
+    // doc 0 carries the 10-token span at 1-based token 5, doc 1 the
+    // SAME span at token 3; all other tokens are globally unique, so
+    // the only shared 4-grams are the 7 interior to the span — one
+    // maximal run per doc, exact boundaries, owner = doc 0
+    Seq(
+      (0L, "u0 u1 u2 u3 " + span + " v0 v1 v2"),
+      (1L, "w0 w1 " + span + " x0 x1 x2"),
+      (2L, (0 until 16).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = LlmOps.dedupSubstringRuns(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (0L, 5L, 7L, 10L, 0L),
+      (1L, 3L, 7L, 10L, 0L)),
+      s"span boundaries must be exact and maximal: ${got.toSeq}")
+  }
+
+  test("embedding_pq_quantize: recall ladder monotone in codebook bits; exact at full codebook") {
+    val ladder = Seq(2, 4, 16, 1 << 20).map { k =>
+      k -> operators.Multimodal.pqRecall(spark, sf0001, k).collect()
+        .map(_.getLong(3)).toSeq
+    }
+    val avgs = ladder.map { case (k, rs) => k -> rs.sum / rs.length }
+    // k = corpus: every subvector is a seed, zero-distance assignment
+    // reconstructs it exactly, ADC ≡ exact dot → recall ≡ 2²⁰ (the
+    // provable endpoint — self-validates the harness)
+    assert(ladder.last._2.nonEmpty && ladder.last._2.forall(_ === 1048576L),
+      s"full-codebook recall must be exact: $avgs")
+    // more codebook bits never hurt on the fixture ladder (averaged
+    // over queries — per-query monotonicity is not a theorem for
+    // independently trained codebooks)
+    avgs.sliding(2).foreach { case Seq((k1, a1), (k2, a2)) =>
+      assert(a1 <= a2, s"avg recall fell from k=$k1 ($a1) to k=$k2 ($a2): $avgs")
+    }
+  }
+
   test("ml_class_balance_weights: inverse-frequency recompute (sf0.001)") {
     val counts = Tables.embeddings(spark, sf0001)
       .select("label").collect().map(_.getInt(0))
