@@ -163,18 +163,29 @@ object Indexing {
     * driver-coordinated loop cuts lineage per iteration via
     * [[graft.PlanOnly.cut]] (the connectedComponents precedent) so
     * iteration N's plan never nests N-1 merge plans. */
-  def textBpeMergeLoop(spark: SparkSession, dir: String): DataFrame = {
+  def textBpeMergeLoop(spark: SparkSession, dir: String): DataFrame =
+    textBpeMergeLoopN(spark, dir, BpeIterations)
+
+  /** [[textBpeMergeLoop]] with the merge count as an argument — the
+    * production surface (a real train loops to a vocab-size target;
+    * the graded key pins n = [[BpeIterations]] to match the unrolled
+    * oracle). Unit-lawed at n = 1 (≡ the single step) and n = 10 (an
+    * injected corpus with known merge capacity, IndexingSpec). The
+    * caller must keep n within the corpus's merge capacity (an
+    * exhausted corpus has no electable pair). */
+  def textBpeMergeLoopN(spark: SparkSession, dir: String, n: Int)
+      : DataFrame = {
     import spark.implicits._
-    bpeTrain(spark, dir)._2.reduce(_.unionByName(_)).orderBy($"iter")
+    bpeTrain(spark, dir, n)._2.reduce(_.unionByName(_)).orderBy($"iter")
   }
 
   /** Shared BPE training chain: returns the trained word table
-    * `(w, s, freq)` — `s` the double-space piece string after
-    * [[BpeIterations]] merges — plus the per-iteration stat frames.
+    * `(w, s, freq)` — `s` the double-space piece string after `n`
+    * merges — plus the per-iteration stat frames.
     * [[textBpeMergeLoop]] grades the stats; [[textBpeTokenize]] grades
     * the trained vocabulary applied back to the words. */
-  private def bpeTrain(spark: SparkSession, dir: String)
-      : (DataFrame, Seq[DataFrame]) = {
+  private def bpeTrain(spark: SparkSession, dir: String,
+      n: Int = BpeIterations): (DataFrame, Seq[DataFrame]) = {
     import spark.implicits._
     val wf = Tables.documents(spark, dir)
       .select(explode(split($"text", " ")).as("w"))
@@ -184,7 +195,7 @@ object Indexing {
     var cur = graft.PlanOnly.cut(wf.select($"w",
       concat(lit(" "), rtrim(regexp_replace($"w", "(.)", "$1  ")), lit(" ")).as("s"),
       $"freq"))
-    val stats = (1 to BpeIterations).map { i =>
+    val stats = (1 to n).map { i =>
       val pairCounts = cur
         .select(split(trim($"s"), "  ").as("ps"), $"freq")
         .filter(size($"ps") >= 2)

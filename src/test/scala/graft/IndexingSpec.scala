@@ -133,6 +133,30 @@ class IndexingSpec extends SparkSuite {
       1L -> (("x x x", 1L, 2L))))
   }
 
+  test("text_bpe_merge_loop: N=10 on an injected corpus with known merge sequence") {
+    import spark.implicits._
+    val dir = "/root/repo/target/tmp/bpedocs"
+    // one 16-letter word of distinct ascending characters: every pair
+    // counts 1, so the (count desc, a asc, b asc) election always
+    // merges the growing prefix ("ab" < "c" < ... lexicographically) —
+    // iteration i elects (a..<char i>, <char i+1>) and leaves 15 − i
+    // adjacent pairs. Capacity 15 merges ≥ the 10 requested.
+    val word = ('a' to 'p').mkString
+    Seq((0L, word)).toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = operators.Indexing.textBpeMergeLoopN(spark, dir, 10)
+      .collect()
+    assert(rows.length === 10)
+    rows.zipWithIndex.foreach { case (r, i0) =>
+      val i = i0 + 1
+      assert(r.getLong(0) === i.toLong)
+      assert(r.getString(1) === word.take(i), s"iter $i merges the prefix")
+      assert(r.getString(2) === word(i).toString)
+      assert(r.getLong(3) === 1L, "all pair counts are 1 on this corpus")
+      assert(r.getLong(4) === (15 - i).toLong, s"pairs_after at iter $i")
+    }
+  }
+
   test("dedup_winnow_verify: jaccard bounded and consistent with the verdict (sf0.001)") {
     import spark.implicits._
     val v = Indexing.dedupWinnowVerify(spark, sf0001)
