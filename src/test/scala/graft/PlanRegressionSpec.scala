@@ -491,7 +491,11 @@ class PlanRegressionSpec extends SparkSuite {
       // DistributedRank joins its bounds per group as a real equi-join
       // — RFM stays OFF this list; the ungrouped wrapper's constant
       // key folds away, leaving abc's 1-row bounds on a BNLJ.)
-      "sample_systematic_weighted", "report_abc_classification")
+      "sample_systematic_weighted", "report_abc_classification",
+      // embedding_pq_quantize: the exact-baseline side rides the same
+      // constant 5-query broadcast as simsearch_cosine_topk — fan-out
+      // |queries|, not quadratic
+      "embedding_pq_quantize")
     val offenders = SparkEntry.queries.keys.filterNot(allowed)
       .filter(n => n != "source_csv_roundtrip" && plan(n).contains("BroadcastNestedLoopJoin"))
     assert(offenders.isEmpty, s"unexpected nested-loop joins: $offenders")
@@ -537,6 +541,42 @@ class PlanRegressionSpec extends SparkSuite {
     val main = p.split("\\nSubquery:")(0)
     assert(scanNodes(main, "documents.parquet") <= 4, main.take(600))
     globalWindowsOrderOnlyBy(p, Set("bkt"), "sample_systematic_weighted")
+  }
+
+  test("unpartitioned windows appear ONLY over bounded/metadata-scale frames (all keys)") {
+    // The round-11 global audit, pinned: a totally-ordered WindowExec
+    // funnels its whole input through one task, so every key that
+    // plans one must order a frame whose size is BOUNDED (value
+    // domain / charset / top-k cut / Fan bucket cap) — never a frame
+    // that scales with the corpus. Allowlist = the audited ordering
+    // columns; a new unpartitioned window on any other column fails.
+    val allowedOrd: Map[String, Set[String]] = Map(
+      "corpus_token_budget" -> Set("rem"),        // |langs| Hamilton rank
+      "sample_stratified_neyman" -> Set("rem"),   // |langs| Hamilton rank
+      "dedup_winnow_pairs" -> Set("pb"),          // ≤|charset|² prefix buckets
+      "dedup_winnow_verify" -> Set("pb"),
+      "text_winnow_fingerprints" -> Set("pb"),
+      "ml_decision_stump" -> Set("threshold"),    // value-domain curve frame
+      "ml_triplet_mining" -> Set("m_h"),          // 10-row global window
+      "report_abc_classification" -> Set("drk_vb"), // ≤Fan bucket frame
+      "behavior_rfm_segmentation" -> Set("drk_vb"),
+      "sample_systematic_weighted" -> Set("bkt"), // ≤65536 bucket frame
+      "skyline_pareto" -> Set("price"),           // shard-pruned frontier
+      "text_bpe_merge_step" -> Set("cnt"))        // ≤20-row top-k cut
+    // whole-frame (unordered, unpartitioned) windows: |langs|/|labels|
+    // scale — corpus_mix_rebalance, corpus_token_budget,
+    // sample_stratified_neyman, ml_class_balance_weights,
+    // ml_decision_stump — no ordering column to check
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val allowed = allowedOrd.getOrElse(name, Set.empty[String])
+      windowBlocks(plan(name)).flatMap { b =>
+        "windowspecdefinition\\((\\w+)#\\d+L? (?:ASC|DESC)".r
+          .findAllMatchIn(b).map(_.group(1))
+          .filterNot(allowed.contains).map(c => s"$name:$c")
+      }
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows over unaudited frames: ${offenders.distinct}")
   }
 
   test("fact-grain histogram rewrites: no window ever consumes fact/event-grain rows") {
