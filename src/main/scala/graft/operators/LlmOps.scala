@@ -346,8 +346,13 @@ object LlmOps {
   def textLangid(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    // lang coalesced at the chain's source: a NULL-lang fixture would
+    // otherwise put NULL cand rows into the (score DESC, cand) window
+    // — the Spark NULLS-FIRST vs DuckDB NULLS-LAST tie divergence —
+    // here AND in every consumer (kappa, confusion)
     val tok = Tables.documents(spark, dir)
-      .select($"doc_id", $"lang", explode(split($"text", " ")).as("t"))
+      .select($"doc_id", coalesce($"lang", lit("(none)")).as("lang"),
+        explode(split($"text", " ")).as("t"))
       .filter($"t" =!= "")
     val profile = tok.groupBy($"t", $"lang").agg(count(lit(1)).as("c"))
     val scores = tok.select($"doc_id", $"t")
@@ -849,7 +854,8 @@ object LlmOps {
     // whole langid chain and re-scans documents (measured 17 exchanges
     // vs 8 marked)
     val cells = graft.PlanOnly.mark(Tables.documents(spark, dir)
-      .select($"doc_id", $"source", $"lang".as("t"))
+      .select($"doc_id", coalesce($"source", lit("(none)")).as("source"),
+        coalesce($"lang", lit("(none)")).as("t"))
       .join(pred, "doc_id")
       .groupBy($"source", $"t", $"pred_lang".as("p"))
       .agg(count(lit(1)).as("n")))
@@ -1131,8 +1137,8 @@ object LlmOps {
     // same langid chain → per-source cells → marginal-product join;
     // truncating division agrees on negative κ on both engines
     "eval_cohens_kappa" ->
-      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' '))
-        |    AS t FROM documents),
+      """WITH tok AS (SELECT doc_id, coalesce(lang, '(none)') AS lang,
+        |    unnest(string_split(text, ' ')) AS t FROM documents),
         |tok2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),
         |profile AS (SELECT t, lang AS cand, count(*) AS c FROM tok
         |  WHERE t <> '' GROUP BY t, lang),
@@ -1142,8 +1148,9 @@ object LlmOps {
         |    row_number() OVER (PARTITION BY doc_id
         |      ORDER BY score DESC, cand) AS rn FROM scores),
         |pred AS (SELECT doc_id, cand AS p FROM rr WHERE rn = 1),
-        |cells AS (SELECT d.source, d.lang AS t, pred.p,
-        |    CAST(count(*) AS BIGINT) AS n
+        |cells AS (SELECT coalesce(d.source, '(none)') AS source,
+        |    coalesce(d.lang, '(none)') AS t,
+        |    pred.p, CAST(count(*) AS BIGINT) AS n
         |  FROM documents d JOIN pred USING (doc_id) GROUP BY 1, 2, 3),
         |tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
         |    CAST(sum(CASE WHEN t = p THEN n ELSE 0 END) AS BIGINT)
@@ -1168,8 +1175,8 @@ object LlmOps {
     // the text_langid chain verbatim as a CTE, joined back to truth;
     // row share in exact fixed point
     "quality_langid_confusion" ->
-      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' '))
-        |    AS t FROM documents),
+      """WITH tok AS (SELECT doc_id, coalesce(lang, '(none)') AS lang,
+        |    unnest(string_split(text, ' ')) AS t FROM documents),
         |tok2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),
         |profile AS (SELECT t, lang AS cand, count(*) AS c FROM tok
         |  WHERE t <> '' GROUP BY t, lang),
@@ -1341,7 +1348,7 @@ object LlmOps {
         |  CAST(sum(pos * (length(tok) * 131 + ascii(substring(tok, 1, 1)))) % 2147483647 AS BIGINT) AS fingerprint
         |FROM t WHERE tok <> '' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_langid" ->
-      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents),
+      """WITH tok AS (SELECT doc_id, coalesce(lang, '(none)') AS lang, unnest(string_split(text, ' ')) AS t FROM documents),
         |tok2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),
         |profile AS (SELECT t, lang AS cand, count(*) AS c FROM tok WHERE t <> '' GROUP BY t, lang),
         |scores AS (SELECT doc_id, cand, CAST(sum(c) AS BIGINT) AS score

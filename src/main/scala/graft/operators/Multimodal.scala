@@ -729,7 +729,8 @@ object Multimodal {
       .partitionBy($"source").orderBy($"score")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     Tables.documents(spark, dir)
-      .groupBy($"source", $"n_chars".as("score"))
+      .groupBy(coalesce($"source", lit("(none)")).as("source"),
+        $"n_chars".as("score"))
       .agg(sum(when($"lang" === "en", 1L).otherwise(0L)).as("pos"),
         sum(when($"lang" === "en", 0L).otherwise(1L)).as("neg"))
       .withColumn("neg_below", coalesce(sum($"neg").over(w), lit(0L)))
@@ -1213,7 +1214,8 @@ object Multimodal {
     // the same pairless U: per-(source, score) histogram, negs-below
     // window, ties at half credit via the 2U integerization
     "eval_auc_exact" ->
-      """WITH h AS (SELECT source, n_chars AS score,
+      """WITH h AS (SELECT coalesce(source, '(none)') AS source,
+        |    n_chars AS score,
         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
         |      AS pos,
         |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)

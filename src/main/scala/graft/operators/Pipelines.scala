@@ -432,7 +432,8 @@ object Pipelines {
   def qualityCorpusReport(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .select($"source", $"lang", $"n_chars",
+      .select(coalesce($"source", lit("(none)")).as("source"), $"lang",
+        $"n_chars",
         concat_ws(" ", expr("slice(split(text, ' '), 1, 5)")).as("p5"))
       .groupBy($"source")
       .agg(
@@ -902,7 +903,8 @@ object Pipelines {
         |FROM e GROUP BY day, event_type
         |ORDER BY day, event_type""".stripMargin,
     "quality_corpus_report" ->
-      """WITH d AS (SELECT source, lang, n_chars,
+      """WITH d AS (SELECT coalesce(source, '(none)') AS source, lang,
+        |    n_chars,
         |    array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')
         |      AS p5 FROM documents)
         |SELECT source, count(*) AS n_docs,
