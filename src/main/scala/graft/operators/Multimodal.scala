@@ -556,12 +556,32 @@ object Multimodal {
           "(acc, v) -> acc + v)").as("dot"))
       .withColumn("rn", row_number().over(we))
       .filter($"rn" <= 10).select($"q_id", $"vec_id")
+    // second ground truth: the exact COSINE top-10 (the
+    // eval_ann_recall baseline) — norms shift the ranking, so this
+    // column prices what PQ-over-inner-product loses against a
+    // normalized retrieval stack
+    graft.functions.VectorOps.registerAll(spark)
+    val e = Tables.embeddings(spark, dir)
+    val qe = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("qe"))
+    val wc = Window.partitionBy($"q_id").orderBy($"score".desc, $"vec_id")
+    val cosTop = e.crossJoin(broadcast(qe))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        round(expr("cosine_similarity(qe, embedding)"), 6).as("score"))
+      .withColumn("rn", row_number().over(wc))
+      .filter($"rn" <= 10).select($"q_id", $"vec_id")
     val nScored = adc.groupBy($"q_id").agg(count(lit(1)).as("n_scored"))
     val hits = pqTop.join(exactTop, Seq("q_id", "vec_id"))
       .groupBy($"q_id").agg(count(lit(1)).as("h"))
+    val hitsCos = pqTop.join(cosTop, Seq("q_id", "vec_id"))
+      .groupBy($"q_id").agg(count(lit(1)).as("hc"))
     nScored.join(hits, Seq("q_id"), "left")
-      .select($"q_id", $"n_scored", coalesce($"h", lit(0L)).as("hits"))
+      .join(hitsCos, Seq("q_id"), "left")
+      .select($"q_id", $"n_scored", coalesce($"h", lit(0L)).as("hits"),
+        coalesce($"hc", lit(0L)).as("hits_cos"))
       .withColumn("recall_fp", expr("(hits * 1048576) div 10"))
+      .withColumn("recall_cos_fp", expr("(hits_cos * 1048576) div 10"))
       .orderBy($"q_id")
   }
 
@@ -1318,14 +1338,33 @@ object Multimodal {
         |    (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
         |      ORDER BY dot DESC, vec_id) AS rn FROM exd)
         |  WHERE rn <= 10),
+        |qe AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id < 5),
+        |exc AS (SELECT q.q_id, e.vec_id,
+        |    round(list_dot_product(qe, CAST(e.embedding AS DOUBLE[])) /
+        |      (sqrt(list_dot_product(qe, qe)) *
+        |       sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |            CAST(e.embedding AS DOUBLE[])))), 6) AS score
+        |  FROM qe q, embeddings e WHERE e.vec_id <> q.q_id),
+        |extc AS (SELECT q_id, vec_id FROM
+        |    (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score DESC, vec_id) AS rn FROM exc)
+        |  WHERE rn <= 10),
         |h AS (SELECT p.q_id, count(*) AS h FROM pq p
         |  JOIN ext x ON p.q_id = x.q_id AND p.vec_id = x.vec_id
+        |  GROUP BY p.q_id),
+        |hc AS (SELECT p.q_id, count(*) AS hc FROM pq p
+        |  JOIN extc x ON p.q_id = x.q_id AND p.vec_id = x.vec_id
         |  GROUP BY p.q_id),
         |ns AS (SELECT q_id, count(*) AS n_scored FROM adc GROUP BY q_id)
         |SELECT ns.q_id, CAST(ns.n_scored AS BIGINT) AS n_scored,
         |  CAST(coalesce(h.h, 0) AS BIGINT) AS hits,
-        |  CAST(coalesce(h.h, 0) * 1048576 // 10 AS BIGINT) AS recall_fp
+        |  CAST(coalesce(hc.hc, 0) AS BIGINT) AS hits_cos,
+        |  CAST(coalesce(h.h, 0) * 1048576 // 10 AS BIGINT) AS recall_fp,
+        |  CAST(coalesce(hc.hc, 0) * 1048576 // 10 AS BIGINT)
+        |    AS recall_cos_fp
         |FROM ns LEFT JOIN h ON ns.q_id = h.q_id
+        |LEFT JOIN hc ON ns.q_id = hc.q_id
         |ORDER BY ns.q_id""".stripMargin,
     "eval_ann_recall" ->
       """WITH fp AS (SELECT vec_id, label,

@@ -351,7 +351,7 @@ class LlmOpsSpec extends SparkSuite {
   test("embedding_pq_quantize: recall ladder monotone in codebook bits; exact at full codebook") {
     val ladder = Seq(2, 4, 16, 1 << 20).map { k =>
       k -> operators.Multimodal.pqRecall(spark, sf0001, k).collect()
-        .map(_.getLong(3)).toSeq
+        .map(_.getAs[Long]("recall_fp")).toSeq
     }
     val avgs = ladder.map { case (k, rs) => k -> rs.sum / rs.length }
     // k = corpus: every subvector is a seed, zero-distance assignment
