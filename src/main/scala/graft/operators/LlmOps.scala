@@ -520,6 +520,69 @@ object LlmOps {
       .orderBy($"doc_id", $"start_pos")
   }
 
+  /** Span-excision pass — the artifact [[dedupSubstringRuns]]'s
+    * inventory exists FOR (Lee et al. 2022 apply step): every
+    * NON-FIRST-SEEN occurrence of a shared maximal span is removed
+    * from its document (the opening gram's first-seen doc keeps its
+    * copy; every later doc loses the covered tokens), and the key
+    * emits the per-document excision census — token counts
+    * before/removed/after and the sha256 of the scrubbed text (the
+    * byte-exact cross-engine pin, the text_pii_scrub posture). Spans
+    * whose token ranges overlap excise their POSITION UNION (runs are
+    * maximal in gram space but their k-token footprints can overlap).
+    *
+    * Scale shape: the run inventory is the dedup_substring_runs chain
+    * (gram-hash shuffle, fan-out-1 membership join, doc-bounded
+    * windows); excision adds one doc-keyed anti-membership flag join
+    * and a per-doc ordered re-assembly (collect_list + array_sort —
+    * document-bounded state, the sequential-fold posture). Only
+    * positions travel; text is re-read per doc, never paired. */
+  def dedupSpanRemoval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("toks"))
+    val toks = docs
+      .select($"doc_id", posexplode($"toks").as(Seq("p0", "w")))
+      .select($"doc_id", ($"p0" + 1).cast("long").as("pos"), $"w")
+    val raw = docs
+      .filter(size($"toks") >= 4)
+      .select($"doc_id", posexplode(expr(
+        """transform(sequence(1, size(toks) - 3),
+          |  i -> concat_ws(' ', slice(toks, i, 4)))""".stripMargin))
+        .as(Seq("p0", "g")))
+      .select($"doc_id", ($"p0" + 1).cast("long").as("pos"),
+        xxhash64($"g").as("gh"))
+    val stats = raw.groupBy($"gh")
+      .agg(countDistinct($"doc_id").as("df"), min($"doc_id").as("first_id"))
+      .filter($"df" >= 2)
+      .select($"gh", $"first_id")
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val runs = raw.join(stats, "gh")
+      .withColumn("isl", $"pos" - row_number().over(w))
+      .groupBy($"doc_id", $"isl")
+      .agg(min($"pos").as("start_pos"), count(lit(1)).as("n_grams"),
+        min(struct($"pos", $"first_id")).getField("first_id")
+          .as("first_seen_doc"))
+    val removed = runs.filter($"first_seen_doc" =!= $"doc_id")
+      .select($"doc_id",
+        explode(expr("sequence(start_pos, start_pos + n_grams + 2)"))
+          .as("pos"))
+      .distinct()
+      .withColumn("rm", lit(1L))
+    toks.join(removed, Seq("doc_id", "pos"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        coalesce(sum($"rm"), lit(0L)).as("n_removed"),
+        array_join(expr("transform(array_sort(" +
+          "collect_list(CASE WHEN rm IS NULL THEN struct(pos, w) END))" +
+          ", s -> s.w)"), " ").as("scrubbed"))
+      .select($"doc_id", $"n_tokens", $"n_removed",
+        ($"n_tokens" - $"n_removed").as("n_kept"),
+        sha2($"scrubbed", 256).as("scrubbed_sha"))
+      .orderBy($"doc_id")
+  }
+
   def ngramGenerate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
@@ -1047,6 +1110,7 @@ object LlmOps {
     "text_pii_scrub" -> (textPiiScrub(_, _)),
     "dedup_chunk_global" -> (dedupChunkGlobal(_, _)),
     "dedup_substring_runs" -> (dedupSubstringRuns(_, _)),
+    "dedup_span_removal" -> (dedupSpanRemoval(_, _)),
     "simsearch_cosine_topk" -> (simsearchCosineTopk(_, _)),
     "simsearch_label_centroid" -> (simsearchLabelCentroid(_, _)),
     "text_stats" -> (textStats(_, _)),
@@ -1389,6 +1453,53 @@ object LlmOps {
         |  CAST(arg_min(first_id, pos) AS BIGINT) AS first_seen_doc
         |FROM r GROUP BY doc_id, isl
         |ORDER BY doc_id, start_pos""".stripMargin,
+    // the substring-runs chain + first-seen excision + ordered
+    // re-assembly; string_agg skips the removed (NULL) tokens and
+    // coalesces to '' for fully-excised docs (Spark's array_join of
+    // an empty array)
+    "dedup_span_removal" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id,
+        |    CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos,
+        |    unnest(toks) AS w FROM t),
+        |raw AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks) - 2),
+        |      i -> array_to_string(list_slice(toks, i, i + 3), ' '))) AS g,
+        |    unnest(range(1, len(toks) - 2)) AS pos
+        |  FROM t WHERE len(toks) >= 4),
+        |f AS (SELECT g, count(DISTINCT doc_id) AS df,
+        |    min(doc_id) AS first_id
+        |  FROM raw GROUP BY g),
+        |sh AS (SELECT raw.doc_id, CAST(raw.pos AS BIGINT) AS pos,
+        |    f.first_id
+        |  FROM raw JOIN f USING (g) WHERE f.df >= 2),
+        |r AS (SELECT doc_id, pos, first_id,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |      AS isl
+        |  FROM sh),
+        |runs AS (SELECT doc_id, min(pos) AS start_pos,
+        |    count(*) AS n_grams,
+        |    arg_min(first_id, pos) AS first_seen_doc
+        |  FROM r GROUP BY doc_id, isl),
+        |removed AS (SELECT DISTINCT doc_id,
+        |    CAST(unnest(range(start_pos, start_pos + n_grams + 3))
+        |      AS BIGINT) AS pos
+        |  FROM runs WHERE first_seen_doc <> doc_id),
+        |j AS (SELECT tok.doc_id, tok.pos, tok.w,
+        |    removed.pos IS NOT NULL AS rm
+        |  FROM tok LEFT JOIN removed
+        |    ON tok.doc_id = removed.doc_id AND tok.pos = removed.pos)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  CAST(count(*) - sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  sha256(coalesce(
+        |    string_agg(CASE WHEN NOT rm THEN w END, ' ' ORDER BY pos),
+        |    '')) AS scrubbed_sha
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_chunk_global" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |idx AS (SELECT doc_id, t,

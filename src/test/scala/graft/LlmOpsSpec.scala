@@ -346,6 +346,19 @@ class LlmOpsSpec extends SparkSuite {
       (0L, 5L, 7L, 10L, 0L),
       (1L, 3L, 7L, 10L, 0L)),
       s"span boundaries must be exact and maximal: ${got.toSeq}")
+    // excision law on the same fixture: the first-seen doc keeps its
+    // copy, doc 1 loses exactly the 10 span tokens, doc 2 untouched
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("w0 w1 x0 x1 x2".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val rem = LlmOps.dedupSpanRemoval(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(rem(0L)._1 === 17L && rem(0L)._2 === 0L, s"owner keeps: $rem")
+    assert(rem(1L) === ((15L, 10L, 5L, sha)),
+      s"doc 1 must lose exactly the span: ${rem(1L)}")
+    assert(rem(2L)._2 === 0L && rem(2L)._3 === 16L)
   }
 
   test("embedding_pq_quantize: recall ladder monotone in codebook bits; exact at full codebook") {
