@@ -169,7 +169,40 @@ object Streamy {
       .orderBy($"event_id")
   }
 
+  private val execSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** TRUE Structured Streaming execution, GRADED — closes the G7
+    * harness gap (SURVEY.md §7): the tumbling-window aggregate runs as
+    * a real micro-batch StreamingQuery (file source over a staged copy
+    * of the event log, 1-hour watermark, state-store-backed
+    * incremental aggregation, memory sink) driven to completion with
+    * Trigger.AvailableNow INSIDE the batch-shaped queries() contract —
+    * so the driver benches an actual streaming runtime and the DuckDB
+    * oracle grades its final state. Complete output mode makes the
+    * result independent of micro-batch boundaries (the watermark only
+    * bounds state), so a correct incremental execution must equal the
+    * batch aggregate — the equality the test-only mirrors assert,
+    * here promoted to the graded hash-match.
+    *
+    * Scale shape: readStream over an append-only directory IS the
+    * production ingest shape; state is |windows × types|; the staging
+    * write is the fixture's stand-in for the upstream feed. Plan-only
+    * mode returns the batch-equivalent frame (streams can't be
+    * explained unexecuted — the sink/round-trip contract). */
+  def streamExecTumbling(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.PlanOnly.roundTrip(streamTumblingWindow(spark, dir)) {
+      val stage = Tables.scratch("stream_exec_stage")
+      StreamingMirror.stageEvents(spark, dir, stage)
+      StreamingMirror.runToCompletion(spark,
+        StreamingMirror.tumblingStream(spark, stage),
+        s"stream_exec_tumbling_${execSeq.incrementAndGet()}")
+        .orderBy($"day", $"event_type")
+    }
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "stream_exec_tumbling" -> (streamExecTumbling(_, _)),
     "stream_tumbling_window" -> (streamTumblingWindow(_, _)),
     "stream_sliding_window" -> (streamSlidingWindow(_, _)),
     "stream_sessionize" -> (streamSessionize(_, _)),
@@ -178,6 +211,12 @@ object Streamy {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the streaming runtime's final complete-mode state must equal the
+    // batch aggregate — same oracle as the batch form
+    "stream_exec_tumbling" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "stream_tumbling_window" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
