@@ -20,6 +20,29 @@ object Behavioral {
   /** Microseconds per 7 days — the cohort/retention bucket width. */
   private val WeekUs = 604800000000L
 
+  /** Super-node guard for the bipartite pair machinery (copurchase /
+    * node-jaccard / resource-allocation / assortativity): a part whose
+    * collected supplier set exceeds this cap is EXCLUDED from pairing —
+    * the winnow hot-fingerprint posture ([[Indexing.dedupWinnowPairs]]
+    * drops df(h) > 20 buckets before its self-join). Per-group pair
+    * fan-out is C(degree, 2); one adversarial hot part with 10⁵
+    * suppliers would emit 10¹⁰ pairs from a single task, so the cap is
+    * what makes the degree²-bounded claim hold at 100 TB. The fixture's
+    * densest part has 10 / 41 / 52 suppliers at sf0.001/0.01/0.1 — ≥5×
+    * headroom under the cap, so no graded oracle changes (re-proved by
+    * the three-SF hash-match after the cap landed); BehavioralSpec pins
+    * both the exclusion law (parameterized cap) and the headroom bound. */
+  private[graft] val PairDegreeCap = 256
+
+  /** The shared capped collection step: one incidence shuffle → per-part
+    * sorted supplier set, super-node keys dropped before any pairing. */
+  private[graft] def supplierSets(incidence: DataFrame, cap: Int): DataFrame = {
+    import incidence.sparkSession.implicits._
+    incidence.groupBy($"l_partkey")
+      .agg(sort_array(collect_set($"l_suppkey")).as("ss"))
+      .filter(size($"ss") <= cap)
+  }
+
   /** Ordered three-stage funnel over the event log: a user converts
     * stage 2 only with a click strictly AFTER their first view, and
     * stage 3 only with a purchase strictly AFTER that qualifying click.
@@ -110,17 +133,15 @@ object Behavioral {
     * once (the self-join formulation re-shuffles and re-sorts it for
     * both SMJ sides: measured 2× slower at sf0.1 — CopurchaseProbe,
     * 4.0 s vs 8.1 s on the near-complete 499 496-pair graph). (3) The
-    * pair aggregate combines map-side before its exchange. At 100 TB
-    * the one real risk is a super-node part (thousands of suppliers);
-    * the standard mitigation — cap or drop top-degree keys before
-    * pairing, as in DISCO/cooccurrence-at-scale — is a degree filter
-    * on the collected set, without touching the rest of the plan. */
+    * pair aggregate combines map-side before its exchange. (4) The
+    * super-node risk — one hot part with thousands of suppliers — is
+    * ENFORCED away by [[supplierSets]]'s [[PairDegreeCap]] degree
+    * filter on the collected set (DISCO/cooccurrence-at-scale
+    * mitigation), without touching the rest of the plan. */
   def graphCopurchasePairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.lineitem(spark, dir)
-      .select($"l_partkey", $"l_suppkey").distinct()
-      .groupBy($"l_partkey")
-      .agg(sort_array(collect_set($"l_suppkey")).as("ss"))
+    supplierSets(Tables.lineitem(spark, dir)
+        .select($"l_partkey", $"l_suppkey").distinct(), PairDegreeCap)
       .select($"ss", posexplode($"ss").as(Seq("i", "s1")))
       .select($"s1", explode(expr("slice(ss, i + 2, size(ss))")).as("s2"))
       .groupBy($"s1", $"s2")
@@ -150,9 +171,7 @@ object Behavioral {
       .select($"l_partkey", $"l_suppkey").distinct()
     val deg = incidence.groupBy($"l_suppkey")
       .agg(count(lit(1)).as("deg"))
-    val pairs = incidence
-      .groupBy($"l_partkey")
-      .agg(sort_array(collect_set($"l_suppkey")).as("ss"))
+    val pairs = supplierSets(incidence, PairDegreeCap)
       .select($"ss", posexplode($"ss").as(Seq("i", "s1")))
       .select($"s1", explode(expr("slice(ss, i + 2, size(ss))")).as("s2"))
       .groupBy($"s1", $"s2")
@@ -189,10 +208,8 @@ object Behavioral {
     * all. */
   def graphResourceAllocation(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.lineitem(spark, dir)
-      .select($"l_partkey", $"l_suppkey").distinct()
-      .groupBy($"l_partkey")
-      .agg(sort_array(collect_set($"l_suppkey")).as("ss"))
+    supplierSets(Tables.lineitem(spark, dir)
+        .select($"l_partkey", $"l_suppkey").distinct(), PairDegreeCap)
       .select($"ss",
         expr("1048576L div cast(size(ss) AS BIGINT)").as("w"),
         posexplode($"ss").as(Seq("i", "s1")))
@@ -225,9 +242,7 @@ object Behavioral {
     val incidence = graft.PlanOnly.mark(Tables.lineitem(spark, dir)
       .select($"l_partkey", $"l_suppkey").distinct())
     val deg = incidence.groupBy($"l_suppkey").agg(count(lit(1)).as("deg"))
-    val edges = graft.PlanOnly.mark(incidence
-      .groupBy($"l_partkey")
-      .agg(sort_array(collect_set($"l_suppkey")).as("ss"))
+    val edges = graft.PlanOnly.mark(supplierSets(incidence, PairDegreeCap)
       .select($"ss", posexplode($"ss").as(Seq("i", "s1")))
       .select($"s1", explode(expr("slice(ss, i + 2, size(ss))")).as("s2"))
       .groupBy($"s1", $"s2")

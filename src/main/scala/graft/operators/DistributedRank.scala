@@ -33,7 +33,14 @@ import org.apache.spark.sql.functions._
   * single-window form (every caller's oracle replays that form — the
   * hash-match proves the decomposition). Requires `(g, v, tie)`
   * unique per row (both call sites rank entity frames keyed by the
-  * tie column). Descending orders negate `v` at the call site. All
+  * tie column) — and `v`/`tie`/`weight` NON-NULL: the bucket
+  * expressions evaluate to NULL for a NULL input and the inner
+  * equi-joins on the bucket keys then silently DROP those rows,
+  * unlike the single-window form this decomposes (which keeps
+  * NULLs, NULLS FIRST). Coalesce nullable metrics before calling
+  * (the suite-wide determinism rule already bans NULL sort keys, so
+  * every current call site satisfies this by construction).
+  * Descending orders negate `v` at the call site. All
   * bucket arithmetic is integer `div` on min-shifted (non-negative)
   * values — exact, monotone, engine-replayable. */
 object DistributedRank {

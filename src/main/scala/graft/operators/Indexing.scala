@@ -331,7 +331,12 @@ object Indexing {
     * Each w-gram window elects min(h·2²⁰ + pos); the distinct elected
     * keys are the document's fingerprints. Documents with fewer than w
     * grams contribute their single global minimum. */
-  private def winnowFrame(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared token→gram-hash chain — one row per 4-token gram
+    * (doc_id, pos, h), h the engine-replayable polynomial over the
+    * two-level vocabulary ranks. Consumed by the winnow election below
+    * AND by [[dedupMinhashReplayable]] (whose shingle set is the
+    * distinct (doc_id, h) projection). */
+  private def gramFrame(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val toks = Tables.documents(spark, dir)
       .select($"doc_id",
@@ -355,15 +360,22 @@ object Indexing {
       .join(broadcast(pbOffs), "pb")
       .select($"tok", ($"off" + $"rin").as("r"))
     val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
-    // cut: the tokenize→rank→hash chain is the expensive stage and
-    // BOTH election branches (full windows, short docs) read it
-    val grams = graft.PlanOnly.cut(toks.join(broadcast(vocab), "tok")
+    toks.join(broadcast(vocab), "tok")
       .select($"doc_id", $"pos", $"r")
       .withColumn("h",
         (($"r" * 29791 + lead($"r", 1).over(wDoc) * 961 +
           lead($"r", 2).over(wDoc) * 31 + lead($"r", 3).over(wDoc))
           % WinnowM))
       .filter($"h".isNotNull)
+      .select($"doc_id", $"pos", $"h")
+  }
+
+  private def winnowFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+    // cut: the tokenize→rank→hash chain is the expensive stage and
+    // BOTH election branches (full windows, short docs) read it
+    val grams = graft.PlanOnly.cut(gramFrame(spark, dir)
       .select($"doc_id", $"pos", ($"h" * PosBase + $"pos").as("key")))
     val wWin = wDoc.rowsBetween(Window.currentRow, WinnowW - 1)
     val full = grams
@@ -456,6 +468,88 @@ object Indexing {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** MinHash signature width / band count (r = K/Bands rows per band)
+    * and the affine hash family's prime modulus (= [[WinnowM]], the
+    * gram-hash field). Seeds are FIXED constants shared verbatim with
+    * the DuckDB oracle: aᵢ = (2654435761·(i+1)) mod P (never 0 — P is
+    * prime and the base is a non-multiple), bᵢ = (40503·(2i+1)) mod P. */
+  private val MinhashRepK = 16
+  private val MinhashRepBands = 4
+  private[graft] val MinhashRepSeeds: Seq[(Long, Long)] =
+    (0 until MinhashRepK).map { i =>
+      ((2654435761L * (i + 1)) % WinnowM, (40503L * (2 * i + 1)) % WinnowM)
+    }
+
+  /** Banded MinHash near-dup candidates with a fully ENGINE-REPLAYABLE
+    * hash family — the graded twin of the ✖-by-design
+    * `dedup_minhash_near` (whose xxhash64/murmur signatures no other
+    * engine can replay): shingles are the [[gramFrame]] 4-token
+    * polynomial gram hashes (the winnow field, h < 2²⁰), the K = 16
+    * signature slots are minima of fixed affine maps hᵢ(x) =
+    * (aᵢ·x + bᵢ) mod P over each doc's distinct shingle set (the
+    * classic universal-hash MinHash family, every product < 2⁴⁰), and
+    * the 4 band keys pack r = 4 consecutive slots with the base-31
+    * polynomial. Candidates share ≥1 band bucket; hot buckets (> 20
+    * docs — boilerplate) are dropped before pairing, the winnow
+    * posture. Each candidate pair is verified in-key with the exact
+    * shingle-set Jaccard in 2²⁰ fixed point — so the one dedup tier
+    * that was graded only by unit laws now has a green oracle row for
+    * its complete select→band→pair→verify chain.
+    *
+    * A band-collision pair sharing ZERO grams would be dropped by the
+    * inner verify join — identically in both engines (the sigs are
+    * functions of the shingle sets, so such a pair needs a base-31
+    * band-hash collision; none exists in the fixture).
+    *
+    * Scale shape: one gram shuffle per doc for the signature aggregate
+    * (all K minima in ONE map-side-combinable groupBy — the measured
+    * dedup_minhash_near formulation); the pair join is bucketed by
+    * (band, bh), never all-pairs, with the hot-bucket cap bounding
+    * Σ df² fan-out; the verify join touches candidates only. The
+    * xxhash64 production variant stays as dedup_minhash_near. */
+  def dedupMinhashReplayable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // cut: the gram chain feeds the signature aggregate AND both sides
+    // of the verify intersection join
+    val sh = graft.PlanOnly.cut(
+      gramFrame(spark, dir).select($"doc_id", $"h").distinct())
+    val sigCols = MinhashRepSeeds.zipWithIndex.map { case ((a, b), i) =>
+      min(($"h" * a + b) % WinnowM).as(s"s$i")
+    }
+    val sigs = sh.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val r = MinhashRepK / MinhashRepBands
+    val bandCols = (0 until MinhashRepBands).map { b =>
+      struct(lit(b.toLong).as("band"),
+        (col(s"s${r * b}") * 29791L + col(s"s${r * b + 1}") * 961L +
+          col(s"s${r * b + 2}") * 31L + col(s"s${r * b + 3}")).as("bh"))
+    }
+    val banded = sigs
+      .select($"doc_id", explode(array(bandCols: _*)).as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.bh".as("bh"))
+    val bsz = banded.groupBy($"band", $"bh").agg(count(lit(1)).as("c"))
+    val cold = banded.join(bsz.filter($"c" <= 20), Seq("band", "bh"))
+      .select($"band", $"bh", $"doc_id")
+    val cand = cold.select($"band", $"bh", $"doc_id".as("doc_a"))
+      .join(cold.select($"band", $"bh", $"doc_id".as("doc_b")),
+        Seq("band", "bh"))
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_shared_bands"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    cand
+      .join(sh.as("sa"), $"doc_a" === $"sa.doc_id")
+      .join(sh.as("sb"), $"doc_b" === $"sb.doc_id" && $"sa.h" === $"sb.h")
+      .groupBy($"doc_a", $"doc_b", $"n_shared_bands")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+      .withColumn("jaccard_fp",
+        expr("(n_shared * 1048576) div (na + nb - n_shared)"))
+      .select($"doc_a", $"doc_b", $"n_shared_bands", $"n_shared",
+        $"na", $"nb", $"jaccard_fp")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** Bigram language-model count tables — the Kneser–Ney sufficient
     * statistics a count-based LM (or the data side of a modern
     * tokenizer/contamination analysis) needs per bigram type: the raw
@@ -540,6 +634,7 @@ object Indexing {
     "text_winnow_fingerprints" -> (textWinnowFingerprints(_, _)),
     "dedup_winnow_verify" -> (dedupWinnowVerify(_, _)),
     "dedup_winnow_pairs" -> (dedupWinnowPairs(_, _)),
+    "dedup_minhash_replayable" -> (dedupMinhashReplayable(_, _)),
     "text_inverted_index" -> (textInvertedIndex(_, _)),
     "text_bpe_merge_step" -> (textBpeMergeStep(_, _)),
     "text_bpe_merge_loop" -> (textBpeMergeLoop(_, _)),
@@ -686,6 +781,43 @@ object Indexing {
         |  CAST(count(*) AS BIGINT) AS n_shared
         |FROM cold a JOIN cold b ON a.h = b.h AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 8
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    // same gram shingles (CTE g), the SAME seed constants (generated
+    // from MinhashRepSeeds — one source of truth), affine min-hash,
+    // base-31 band packing, hot-bucket cap, and fixed-point verify
+    "dedup_minhash_replayable" -> (winnowChainSql + s""",
+        |shg AS (SELECT DISTINCT doc_id, h FROM g WHERE h IS NOT NULL),
+        |seeds AS (SELECT * FROM (VALUES ${MinhashRepSeeds.zipWithIndex
+          .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")})
+        |  AS s(i, a, b)),
+        |sig AS (SELECT doc_id, i, min((h * a + b) % 1048573) AS s
+        |  FROM shg, seeds GROUP BY doc_id, i),
+        |band AS (SELECT doc_id, i // 4 AS band,
+        |    CAST(sum(s * CASE i % 4 WHEN 0 THEN 29791 WHEN 1 THEN 961
+        |      WHEN 2 THEN 31 ELSE 1 END) AS BIGINT) AS bh
+        |  FROM sig GROUP BY doc_id, i // 4),
+        |bsz AS (SELECT band, bh, count(*) AS c FROM band
+        |  GROUP BY band, bh),
+        |coldb AS (SELECT b.band, b.bh, b.doc_id FROM band b
+        |  JOIN bsz USING (band, bh) WHERE bsz.c <= 20),
+        |cnd AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared_bands
+        |  FROM coldb a JOIN coldb b
+        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shg
+        |  GROUP BY doc_id),
+        |iv AS (SELECT c.doc_a, c.doc_b, c.n_shared_bands,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM cnd c JOIN shg a ON a.doc_id = c.doc_a
+        |  JOIN shg b ON b.doc_id = c.doc_b AND b.h = a.h
+        |  GROUP BY 1, 2, 3)
+        |SELECT iv.doc_a, iv.doc_b, iv.n_shared_bands, iv.n_shared,
+        |  na.n AS na, nb.n AS nb,
+        |  CAST((iv.n_shared * 1048576) // (na.n + nb.n - iv.n_shared)
+        |    AS BIGINT) AS jaccard_fp
+        |FROM iv JOIN sz na ON na.doc_id = iv.doc_a
+        |JOIN sz nb ON nb.doc_id = iv.doc_b
         |ORDER BY doc_a, doc_b""".stripMargin),
     "dedup_winnow_verify" -> (winnowChainSql +
       """,

@@ -491,7 +491,17 @@ object LlmOps {
     * doc pairing — this is what keeps it sub-quadratic where winnow
     * pairing is not); the run-collapse window partitions by doc_id
     * (document-bounded frames). Everything map-side-combinable except
-    * the one gram shuffle. */
+    * the one gram shuffle.
+    *
+    * Collision honesty at the design point: grouping grams by a 64-bit
+    * hash makes the production answer APPROXIMATE — at ~10¹² distinct
+    * grams (100 TB) birthday collisions are near-certain (~E[pairs] ≈
+    * n²/2⁶⁵ ≈ 10⁴), each one able to merge two distinct grams' doc
+    * sets and mark a non-shared gram shared. The fixture grading is
+    * exact (a collision would fail the hash-match loudly — the oracle
+    * groups by raw gram text). The production hardening is a second
+    * independent hash (or span-grain text verify) on flagged runs;
+    * SCALE.md §substring-dedup-collisions records the decision. */
   def dedupSubstringRuns(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -530,6 +540,17 @@ object LlmOps {
     * byte-exact cross-engine pin, the text_pii_scrub posture). Spans
     * whose token ranges overlap excise their POSITION UNION (runs are
     * maximal in gram space but their k-token footprints can overlap).
+    *
+    * KNOWN LOSSY CASE (documented approximation): the owner is elected
+    * from the span's OPENING 4-gram alone (min doc_id over that gram's
+    * occurrences), so a doc containing only the opening gram — not the
+    * full span — can win ownership; then every doc holding the full
+    * span excises it and no complete copy survives, diverging from
+    * strict Lee-et-al keep-one semantics. Electing among docs sharing
+    * the full run would need a run-content key (one more gram-chain
+    * aggregate); the opening-gram rule is kept because it is
+    * single-pass, deterministic, and oracle-replayed verbatim — the
+    * census (not the retained copy) is this key's deliverable.
     *
     * Scale shape: the run inventory is the dedup_substring_runs chain
     * (gram-hash shuffle, fan-out-1 membership join, doc-bounded

@@ -499,6 +499,21 @@ object Multimodal {
   private def pqAdcScores(spark: SparkSession, dir: String, k: Int)
       : DataFrame = {
     import spark.implicits._
+    val (_, codes, lut) = pqTrain(spark, dir, k)
+    codes.join(broadcast(lut), Seq("m", "cid"))
+      .filter($"vec_id" =!= $"q_id")
+      .groupBy($"q_id", $"vec_id")
+      .agg(sum($"pd").as("adc"))
+  }
+
+  /** PQ codebook training at codebook size k, shared by the flat ADC
+    * scan ([[pqAdcScores]]) and the IVF-composed serving path
+    * ([[simsearchIvfPq]]): returns (subvectors, codes, per-query ADC
+    * LUT) — subs = (vec_id, m, sv), codes = (vec_id, m, cid), lut =
+    * (q_id, m, cid, pd). */
+  private def pqTrain(spark: SparkSession, dir: String, k: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
     val fp = Tables.embeddings(spark, dir)
       .select($"vec_id",
         expr("transform(embedding, x -> CAST(floor(x * 1048576) AS BIGINT))")
@@ -539,10 +554,95 @@ object Multimodal {
       .select($"q_id", $"m", $"cid",
         expr("aggregate(zip_with(qsv, cent, (x, y) -> x * y), 0L, " +
           "(acc, v) -> acc + v)").as("pd"))
-    codes.join(broadcast(lut), Seq("m", "cid"))
+    (subs, codes, lut)
+  }
+
+  /** The COMPOSED ANN serving plan — IVF cell probe feeding PQ ADC
+    * scoring over member codes only: what a 100 TB vector store
+    * actually executes per query, here graded end to end (the promise
+    * in [[simsearchPqTopk]]'s scaladoc, now a key). Per query and
+    * operating point nprobe ∈ {1, 2, 4, 10}: rank the IVF cells by the
+    * exact fixed-point dot(query, cell centroid) (the
+    * [[evalAnnRecall]] replica — floor-mean centroids over 2²⁰-
+    * quantized coords, all-BIGINT probe), admit the top-nprobe cells,
+    * ADC-score ONLY their member vectors' 4-byte PQ codes against the
+    * broadcast per-query LUT, take the top 10 by (adc desc, vec_id),
+    * and grade recall@10 against the exact fixed-point dot-product
+    * top-10 (the MIPS ground truth PQ approximates). Every stage is
+    * engine-replayable, so the full probe→ADC→recall pipeline oracles
+    * in DuckDB.
+    *
+    * Laws (LlmOpsSpec): candidate count is monotone in nprobe with the
+    * nprobe = |cells| = 10 endpoint scoring the whole corpus, where the
+    * composed top-10 must EQUAL the flat PQ serving path's
+    * ([[simsearchPqTopk]]) — recall itself is deliberately NOT asserted
+    * monotone: ADC-ranking vs an exact ground truth can dip when a
+    * wider probe admits a higher-ADC non-hit (unlike eval_ann_recall,
+    * where candidates are scored by the SAME metric as the truth).
+    *
+    * Scale shape: centroids and codebooks are constant-size broadcasts;
+    * the probe is |queries| × |cells|; ADC touches Σ(probed cell
+    * sizes) code rows — nprobe/|cells| of the corpus, the IVF point —
+    * scored once for the largest operating point and fanned to the
+    * nested smaller ones by cell rank. No all-pairs stage. */
+  def simsearchIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+    val fp = e.select($"vec_id", $"label",
+      expr("transform(embedding, x -> CAST(floor(x * 1048576) AS BIGINT))")
+        .as("qv"))
+    // IVF replica: fixed-point floor-mean centroids per label cell
+    val cells = fp
+      .select($"label", posexplode($"qv").as(Seq("pos", "x")))
+      .groupBy($"label", $"pos")
+      .agg(floor(sum($"x").cast("double") / count(lit(1))).cast("long").as("c"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
+      .select($"label".as("cell"), expr("transform(pc, p -> p.c)").as("cfp"))
+    val qs = fp.filter($"vec_id" < 5).select($"vec_id".as("q_id"), $"qv")
+    val wq = Window.partitionBy($"q_id").orderBy($"pd".desc, $"cell")
+    val ranked = qs.crossJoin(broadcast(cells))
+      .withColumn("pd", expr(
+        "aggregate(zip_with(qv, cfp, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("cr", row_number().over(wq).cast("long"))
+      .select($"q_id", $"cell", $"cr")
+    // members of the widest probe's cells, ADC-scored ONCE; the nested
+    // narrower operating points filter by the member's cell rank
+    val maxProbe = AnnRecallProbes.max
+    val members = e.select($"vec_id", $"label")
+      .join(broadcast(ranked.filter($"cr" <= maxProbe)), $"label" === $"cell")
       .filter($"vec_id" =!= $"q_id")
-      .groupBy($"q_id", $"vec_id")
+      .select($"q_id", $"vec_id", $"cr")
+    val (_, codes, lut) = pqTrain(spark, dir, 16)
+    val adc = members.join(codes, "vec_id")
+      .join(broadcast(lut), Seq("q_id", "m", "cid"))
+      .groupBy($"q_id", $"vec_id", $"cr")
       .agg(sum($"pd").as("adc"))
+    val probes = AnnRecallProbes.map(_.toLong).toDF("nprobe")
+    val cand = adc.crossJoin(broadcast(probes)).filter($"cr" <= $"nprobe")
+    val w = Window.partitionBy($"nprobe", $"q_id")
+      .orderBy($"adc".desc, $"vec_id")
+    val top = cand.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 10).select($"nprobe", $"q_id", $"vec_id")
+    // exact fixed-point MIPS ground truth (the PQ keys' baseline)
+    val qq = fp.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"qv".as("qq"))
+    val we = Window.partitionBy($"q_id").orderBy($"dot".desc, $"vec_id")
+    val exactTop = fp.crossJoin(broadcast(qq))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        expr("aggregate(zip_with(qv, qq, (x, y) -> x * y), 0L, " +
+          "(acc, v) -> acc + v)").as("dot"))
+      .withColumn("rn", row_number().over(we))
+      .filter($"rn" <= 10).select($"q_id", $"vec_id")
+    val nCand = cand.groupBy($"nprobe", $"q_id").agg(count(lit(1)).as("n_cand"))
+    val hits = top.join(exactTop, Seq("q_id", "vec_id"))
+      .groupBy($"nprobe", $"q_id").agg(count(lit(1)).as("h"))
+    nCand.join(hits, Seq("nprobe", "q_id"), "left")
+      .select($"nprobe", $"q_id", $"n_cand", coalesce($"h", lit(0L)).as("hits"))
+      .withColumn("recall_fp", expr("(hits * 1048576) div 10"))
+      .orderBy($"nprobe", $"q_id")
   }
 
   /** PQ-served top-10 retrieval — the ANN serving path the
@@ -1064,6 +1164,7 @@ object Multimodal {
     "eval_ann_recall" -> (evalAnnRecall(_, _)),
     "embedding_pq_quantize" -> (embeddingPqQuantize(_, _)),
     "simsearch_pq_topk" -> (simsearchPqTopk(_, _)),
+    "simsearch_ivf_pq" -> (simsearchIvfPq(_, _)),
     "ml_confusion_matrix" -> (mlConfusionMatrix(_, _)),
     "eval_ranking_metrics" -> (evalRankingMetrics(_, _)),
     "dedup_semantic_cluster" -> (dedupSemanticCluster(_, _)),
@@ -1369,6 +1470,94 @@ object Multimodal {
         |    (SELECT q_id, vec_id, adc, row_number() OVER (PARTITION BY
         |      q_id ORDER BY adc DESC, vec_id) AS rn FROM adc)
         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
+    // the COMPOSED serving plan: the pq chain's codebook/LUT CTEs + the
+    // ann-recall IVF probe CTEs, ADC restricted to probed-cell members,
+    // recall vs the exact fixed-point-dot top-10
+    "simsearch_ivf_pq" ->
+      """WITH fp AS (SELECT vec_id, label,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 1048576) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |ms AS (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS m),
+        |subs AS (SELECT vec_id, m,
+        |    list_slice(qv, m * 8 + 1, m * 8 + 8) AS sv FROM fp, ms),
+        |seeds AS (SELECT m, vec_id AS cid, sv AS cq FROM subs
+        |  WHERE vec_id < 16),
+        |d1 AS (SELECT s.vec_id, s.m, s.sv, c.cid,
+        |    CAST(list_sum(list_transform(list_zip(s.sv, c.cq),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS sqd
+        |  FROM subs s JOIN seeds c USING (m)),
+        |a1 AS (SELECT vec_id, m, sv, cid FROM
+        |    (SELECT vec_id, m, sv, cid, row_number() OVER
+        |      (PARTITION BY vec_id, m ORDER BY sqd, cid) AS rn FROM d1)
+        |  WHERE rn = 1),
+        |cx AS (SELECT m, cid, CAST(generate_subscripts(sv, 1) AS BIGINT)
+        |    AS pos, unnest(sv) AS x FROM a1),
+        |cm AS (SELECT m, cid, pos,
+        |    CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS c
+        |  FROM cx GROUP BY m, cid, pos),
+        |cents AS (SELECT m, cid, list(c ORDER BY pos) AS cent
+        |  FROM cm GROUP BY m, cid),
+        |d2 AS (SELECT s.vec_id, s.m, c.cid,
+        |    CAST(list_sum(list_transform(list_zip(s.sv, c.cent),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS sqd
+        |  FROM subs s JOIN cents c USING (m)),
+        |codes AS (SELECT vec_id, m, cid FROM
+        |    (SELECT vec_id, m, cid, row_number() OVER
+        |      (PARTITION BY vec_id, m ORDER BY sqd, cid) AS rn FROM d2)
+        |  WHERE rn = 1),
+        |lut AS (SELECT s.vec_id AS q_id, s.m, c.cid,
+        |    CAST(list_sum(list_transform(list_zip(s.sv, c.cent),
+        |      p -> p[1] * p[2])) AS BIGINT) AS pd
+        |  FROM subs s JOIN cents c USING (m) WHERE s.vec_id < 5),
+        |icx AS (SELECT label, CAST(generate_subscripts(qv, 1) AS BIGINT)
+        |    AS pos, unnest(qv) AS x FROM fp),
+        |icm AS (SELECT label, pos,
+        |    CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS c
+        |  FROM icx GROUP BY label, pos),
+        |cells AS (SELECT label AS cell, list(c ORDER BY pos) AS cfp
+        |  FROM icm GROUP BY label),
+        |qs AS (SELECT vec_id AS q_id, qv FROM fp WHERE vec_id < 5),
+        |pr AS (SELECT q_id, cell,
+        |    CAST(list_sum(list_transform(list_zip(qv, cfp),
+        |      p -> p[1] * p[2])) AS BIGINT) AS pd
+        |  FROM qs, cells),
+        |ranked AS (SELECT q_id, cell, CAST(row_number() OVER (PARTITION BY
+        |    q_id ORDER BY pd DESC, cell) AS BIGINT) AS cr FROM pr),
+        |mem AS (SELECT r.q_id, e.vec_id, r.cr
+        |  FROM ranked r JOIN embeddings e ON e.label = r.cell
+        |  WHERE r.cr <= 10 AND e.vec_id <> r.q_id),
+        |adc AS (SELECT mb.q_id, mb.vec_id, mb.cr,
+        |    CAST(sum(l.pd) AS BIGINT) AS adc
+        |  FROM mem mb JOIN codes k ON k.vec_id = mb.vec_id
+        |  JOIN lut l ON l.q_id = mb.q_id AND l.m = k.m AND l.cid = k.cid
+        |  GROUP BY mb.q_id, mb.vec_id, mb.cr),
+        |probes AS (SELECT CAST(unnest([1, 2, 4, 10]) AS BIGINT) AS nprobe),
+        |cand AS (SELECT p.nprobe, a.q_id, a.vec_id, a.adc
+        |  FROM adc a, probes p WHERE a.cr <= p.nprobe),
+        |tp AS (SELECT nprobe, q_id, vec_id FROM
+        |    (SELECT nprobe, q_id, vec_id, row_number() OVER (PARTITION BY
+        |      nprobe, q_id ORDER BY adc DESC, vec_id) AS rn FROM cand)
+        |  WHERE rn <= 10),
+        |qt AS (SELECT vec_id AS q_id, qv AS qq FROM fp WHERE vec_id < 5),
+        |exd AS (SELECT q.q_id, f.vec_id,
+        |    CAST(list_sum(list_transform(list_zip(f.qv, q.qq),
+        |      p -> p[1] * p[2])) AS BIGINT) AS dot
+        |  FROM fp f, qt q WHERE f.vec_id <> q.q_id),
+        |ext AS (SELECT q_id, vec_id FROM
+        |    (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY dot DESC, vec_id) AS rn FROM exd)
+        |  WHERE rn <= 10),
+        |nc AS (SELECT nprobe, q_id, count(*) AS n_cand
+        |  FROM cand GROUP BY nprobe, q_id),
+        |h AS (SELECT t.nprobe, t.q_id, count(*) AS h FROM tp t
+        |  JOIN ext x ON t.q_id = x.q_id AND t.vec_id = x.vec_id
+        |  GROUP BY t.nprobe, t.q_id)
+        |SELECT nc.nprobe, nc.q_id, CAST(nc.n_cand AS BIGINT) AS n_cand,
+        |  CAST(coalesce(h.h, 0) AS BIGINT) AS hits,
+        |  CAST(coalesce(h.h, 0) * 1048576 // 10 AS BIGINT) AS recall_fp
+        |FROM nc LEFT JOIN h ON nc.nprobe = h.nprobe AND nc.q_id = h.q_id
+        |ORDER BY nc.nprobe, nc.q_id""".stripMargin,
     // same subvector split / seed assign / floor-mean refine / code
     // assign / ADC-LUT scoring / exact fixed-point-dot baseline
     "embedding_pq_quantize" ->

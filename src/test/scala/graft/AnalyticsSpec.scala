@@ -196,7 +196,7 @@ class AnalyticsSpec extends SparkSuite {
 
   test("ml_linreg_sufficient: statistics match a hand-computed fit; den obeys Cauchy–Schwarz (sf0.001)") {
     import spark.implicits._
-    val dir = "/root/repo/target/tmp/linreg"
+    val dir = Tables.scratch("linreg")
     // one series: days 0,1,2 with values 1,2,3 → perfect slope 1/day:
     // n=3 sx=3 sy_fp=60000 sxx=5 sxy_fp=80000 num=60000 den=6
     val dayNs = 86400000000L * 1000L

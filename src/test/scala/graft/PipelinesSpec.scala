@@ -14,7 +14,7 @@ class PipelinesSpec extends SparkSuite {
     // (as DuckDB's GROUP BY does) but be EXCLUDED from l (as
     // count(DISTINCT lang) is on the oracle side), and its label must
     // sort identically on both engines — hence the sentinel.
-    val dir = "/root/repo/target/tmp/mix_null_lang"
+    val dir = Tables.scratch("mix_null_lang")
     Seq(("en", 1L), ("en", 2L), ("en", 3L), ("en", 4L),
         ("fr", 5L), ("fr", 6L), (null, 7L), (null, 8L))
       .toDF("lang", "doc_id").coalesce(1)
@@ -31,7 +31,7 @@ class PipelinesSpec extends SparkSuite {
   test("dedup_cluster_cc: transitive merge across different bucket keys") {
     import spark.implicits._
     // 0–1 share a prefix bucket, 1–2 share a suffix bucket: one class.
-    val dir = "/root/repo/target/tmp/ccdocs"
+    val dir = Tables.scratch("ccdocs")
     Seq(
       (0L, "alpha beta gamma delta xx yy zz pp qq rr ss"),
       (1L, "alpha beta gamma delta uu vv ww mm nn oo zz"),
@@ -118,7 +118,7 @@ class PipelinesSpec extends SparkSuite {
 
   test("text_decontaminate flags exactly the docs sharing an 8-gram with the benchmark split") {
     import spark.implicits._
-    val dir = "/root/repo/target/tmp/decondocs"
+    val dir = Tables.scratch("decondocs")
     val leaked = "alpha bravo charlie delta echo foxtrot golf hotel"
     Seq(
       (10L, s"benchmark question follows $leaked end of it"), // benchmark (10 % 10 == 0)
@@ -222,7 +222,7 @@ class PipelinesSpec extends SparkSuite {
     // a 6-doc path 0–1–2–3–4–5: consecutive docs alternate sharing a
     // prefix bucket (same first-4 tokens) and a suffix bucket (same
     // last-4) — the driver fixture never exercises hops > 1, this does
-    val dir = "/root/repo/target/tmp/bfsdocs"
+    val dir = Tables.scratch("bfsdocs")
     Seq(
       (0L, "a b c d END0 x0 y0 z0 w0"),
       (1L, "a b c d MID1 s1a s1b s1c s1d"),

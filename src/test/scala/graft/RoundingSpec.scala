@@ -85,7 +85,7 @@ class RoundingSpec extends SparkSuite {
     // rounding on the classification path at all, so the boundary row
     // cannot flip cross-engine (the oracle SQL mirrors the same
     // integer arithmetic; the sf0.01 hash-match certifies parity).
-    val dir = "/root/repo/target/tmp/mad_boundary_fixture"
+    val dir = Tables.scratch("mad_boundary_fixture")
     Seq(1.0, 2.0, 2.0, 2.0, 3.0, 5.0, 5.0001, -1.0001)
       .map(v => ("t1", v)).toDF("event_type", "value")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")

@@ -7,7 +7,7 @@ import graft.sources.Sinks
 class SinksSpec extends SparkSuite {
 
   test("writePartitioned round-trips and prunes") {
-    val dir = "/root/repo/target/tmp/sink_part"
+    val dir = Tables.scratch("sink_part")
     Sinks.writePartitioned(Tables.documents(spark, sf0001), dir, "lang")
     val back = spark.read.parquet(dir)
     assert(back.count() === 500L)
@@ -27,6 +27,7 @@ class SinksSpec extends SparkSuite {
 
   test("partitioned layout gets dynamic partition pruning from a dim-side filter") {
     import spark.implicits._
+    val dayDimDir = Tables.scratch("day_dim")
     // materialize the day-partitioned events layout (per-PID scratch —
     // the fixed legacy path silently read a stale pre-suffix layout)
     operators.Relational.sinkPartitionedRead(spark, sf0001).count()
@@ -36,8 +37,8 @@ class SinksSpec extends SparkSuite {
     // must itself be a file-backed scan — DPP's filtering side check
     // rejects in-memory LocalRelations.
     (19700 to 19760).map(d => (d, d % 7)).toDF("d_day", "dow")
-      .write.mode("overwrite").parquet("/root/repo/target/tmp/day_dim")
-    val dim = spark.read.parquet("/root/repo/target/tmp/day_dim")
+      .write.mode("overwrite").parquet(dayDimDir)
+    val dim = spark.read.parquet(dayDimDir)
     val q = fact.join(dim.filter(col("dow") === 3), fact("day") === dim("d_day"))
       .groupBy(col("event_type")).count()
     val plan = q.queryExecution.executedPlan.toString
@@ -134,7 +135,7 @@ class SinksSpec extends SparkSuite {
   }
 
   test("writeSorted produces row-group-skippable files") {
-    val dir = "/root/repo/target/tmp/sink_sorted"
+    val dir = Tables.scratch("sink_sorted")
     Sinks.writeSorted(Tables.orders(spark, sf0001), dir, "o_totalprice")
     val back = spark.read.parquet(dir)
     assert(back.count() === 1500L)

@@ -14,7 +14,7 @@ class StatefulStreamingSpec extends SparkSuite {
   test("stateful EWMA stream equals the graded batch fold across a time-carved two-batch replay") {
     import spark.implicits._
     import graft.streaming.StatefulEwma
-    val dir = "/root/repo/target/tmp/ewma_stage"
+    val dir = Tables.scratch("ewma_stage")
     val e = Tables.events(spark, sf0001).filter(col("value").isNotNull)
     val (minNs, maxNs) = {
       val r = e.agg(min("ts"), max("ts")).head(); (r.getLong(0), r.getLong(1))
@@ -62,7 +62,7 @@ class StatefulStreamingSpec extends SparkSuite {
   test("watermark drops late data in the streaming aggregate") {
     import spark.implicits._
     import graft.streaming.Streamy
-    val dir = "/root/repo/target/tmp/late_data_stage"
+    val dir = Tables.scratch("late_data_stage")
     // batch 1: the real events; batch 2: one event 10 days older than
     // everything — far beyond the 1h watermark when batch 2 runs.
     val e = Tables.events(spark, sf0001)
@@ -105,7 +105,7 @@ class StatefulStreamingSpec extends SparkSuite {
 
   test("streaming flatMapGroupsWithState emits closed sessions matching batch") {
     val stage = StreamingMirror.stageEvents(spark, sf0001,
-      "/root/repo/target/tmp/events_stage_fmgws")
+      Tables.scratch("events_stage_fmgws"))
     val q = StatefulSessionizer.stream(spark, stage).writeStream
       .format("memory").queryName("fmgws_sessions")
       .outputMode("append")
@@ -121,7 +121,7 @@ class StatefulStreamingSpec extends SparkSuite {
 
   test("streaming throttle state machine equals the batch dedup-watermark replay") {
     val stage = StreamingMirror.stageEvents(spark, sf0001,
-      "/root/repo/target/tmp/events_stage_throttle")
+      Tables.scratch("events_stage_throttle"))
     val q = StatefulSessionizer.Throttle.stream(spark, stage).writeStream
       .format("memory").queryName("throttle_kept")
       .outputMode("append")
@@ -139,7 +139,7 @@ class StatefulStreamingSpec extends SparkSuite {
 
   test("foreachBatch upsert converges to the batch latest-state compaction") {
     import spark.implicits._
-    val base = "/root/repo/target/tmp/upsert"
+    val base = Tables.scratch("upsert")
     // stage as 4 files so maxFilesPerTrigger=1 yields 4 real micro-batches
     Tables.events(spark, sf0001).repartition(4)
       .write.mode("overwrite").parquet(s"$base/stage")

@@ -10,7 +10,7 @@ import graft.streaming.{Streamy, StreamingMirror}
 class StreamingSpec extends SparkSuite {
 
   private lazy val stage =
-    StreamingMirror.stageEvents(spark, sf0001, "/root/repo/target/tmp/events_stage")
+    StreamingMirror.stageEvents(spark, sf0001, Tables.scratch("events_stage"))
 
   test("streaming tumbling window equals batch tumbling window") {
     val streamed = StreamingMirror.runToCompletion(
@@ -52,7 +52,7 @@ class StreamingSpec extends SparkSuite {
   test("streaming dedup drops at-least-once re-deliveries") {
     // stage the same events TWICE — an at-least-once redelivery of the
     // whole batch; the dedup stream must admit each event_id once
-    val dir = "/root/repo/target/tmp/events_stage_dup"
+    val dir = Tables.scratch("events_stage_dup")
     Tables.events(spark, sf0001).write.mode("overwrite").parquet(dir)
     Tables.events(spark, sf0001).write.mode("append").parquet(dir)
     val streamed = StreamingMirror.runToCompletionAppend(

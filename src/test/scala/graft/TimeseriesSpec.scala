@@ -89,7 +89,7 @@ class TimeseriesSpec extends SparkSuite {
 
   test("timeseries_ewma_fixed: recurrence verified on an injected series") {
     import spark.implicits._
-    val dir = "/root/repo/target/tmp/ewma_fix"
+    val dir = Tables.scratch("ewma_fix")
     // user 1: 4.0 then 8.0 → s = (80000 + 3·40000) div 4 = 50000;
     // user 2: single event → ewma = its own value (init case)
     Seq((1L, 1L, 1000L, 4.0), (2L, 1L, 2000L, 8.0), (3L, 2L, 1000L, 2.5))
@@ -119,7 +119,7 @@ class TimeseriesSpec extends SparkSuite {
 
   test("timeseries_downsample_triangle: hand-computed elections on an engineered series") {
     import spark.implicits._
-    val dir = "/root/repo/target/tmp/lttb_fix"
+    val dir = Tables.scratch("lttb_fix")
     val sec = 1000000000L // 1 s in nanos
     // 8 events → 4 buckets of 2; spike at rn3 dominates bucket 1,
     // the larger-offset point rn6 dominates bucket 2
@@ -146,7 +146,7 @@ class TimeseriesSpec extends SparkSuite {
 
   test("timeseries_bollinger_stats: hand-computed trailing window; invariants corpus-wide (sf0.001)") {
     import spark.implicits._
-    val dir = "/root/repo/target/tmp/boll_fix"
+    val dir = Tables.scratch("boll_fix")
     Seq((1L, 1L, 1000L, 1.0), (2L, 1L, 2000L, 2.0), (3L, 1L, 3000L, 3.0))
       .toDF("event_id", "user_id", "ts", "value").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
@@ -166,7 +166,7 @@ class TimeseriesSpec extends SparkSuite {
 
   test("timeseries_autocorr_stats: hand-computed sums; Cauchy–Schwarz corpus-wide (sf0.001)") {
     import spark.implicits._
-    val dir = "/root/repo/target/tmp/acf_fix"
+    val dir = Tables.scratch("acf_fix")
     // user 1: 1.0, 2.0, 3.0 → pairs (1,2),(2,3): perfect lag-1
     // correlation ⇒ num² = den_x·den_y exactly
     Seq((1L, 1L, 1000L, 1.0), (2L, 1L, 2000L, 2.0), (3L, 1L, 3000L, 3.0),
@@ -193,7 +193,7 @@ class TimeseriesSpec extends SparkSuite {
 
   test("timeseries_forecast_backtest: day-7 alignment and end-of-day election (injected)") {
     import spark.implicits._
-    val dir = "/root/repo/target/tmp/backtest_fix"
+    val dir = Tables.scratch("backtest_fix")
     val dayNs = 86400000000L * 1000L
     // user 1: day 0 v=4.0; day 7 has TWO events — end-of-day is the
     // later (6.0) → one forecast, |6.0 − 4.0| = 20000; day 3 value
@@ -214,7 +214,7 @@ class TimeseriesSpec extends SparkSuite {
 
   test("timeseries_cusum: recurrence, reset, and alarm verified on an injected series") {
     import spark.implicits._
-    val dir = "/root/repo/target/tmp/cusum_fix"
+    val dir = Tables.scratch("cusum_fix")
     // user 1: 4.0, 8.0, 4.0 → tgt 40000: s₂ = max(0, 80000−45000) =
     // 35000, s₃ = max(0, 35000 + (40000−45000)) = 30000 (partial reset);
     // user 2: single event → all-zero state;
@@ -244,7 +244,7 @@ class TimeseriesSpec extends SparkSuite {
 
   test("timeseries_holt_linear: constant series is a fixed point; trends follow direction") {
     import spark.implicits._
-    val dir = "/root/repo/target/tmp/holt_fix"
+    val dir = Tables.scratch("holt_fix")
     // user 1: constant 5.0 → level 50000 trend 0 (exact fixed point);
     // user 2: increasing 1,2,3 → positive trend;
     // user 3: decreasing 3,2,1 → negative trend (the signed-div case)
