@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryFn, Tables}
@@ -319,29 +319,54 @@ object Timeseries {
     * exp/pow, which are banned for oracle parity; values are
     * non-negative so truncating `div` and the oracle's floor `//`
     * agree). The recurrence is inherently sequential per user, so it
-    * runs as an ordered in-group fold: sort_array over the collected
-    * (t, event_id, v) structs, then a codegen'd `aggregate` lambda —
-    * state O(events-per-entity), the bounded per-user profile every
-    * stateful-stream twin here assumes. The oracle replays the fold as
-    * a per-rank recursive CTE. */
+    * runs as a SECONDARY-SORT streaming fold ([[sortedUserSeries]]):
+    * one user_id shuffle, a partition-local sort, then a one-pass
+    * group-wise fold holding O(1) recurrence state per entity — an
+    * adversarial hot key streams instead of materializing its whole
+    * history in one aggregation buffer (the round-11
+    * sort_array+aggregate form's accepted weakness, now closed). The
+    * oracle replays the fold as a per-rank recursive CTE. */
   def timeseriesEwmaFixed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    sortedUserSeries(spark, dir).mapPartitions { it =>
+      val buf = it.buffered
+      new Iterator[(Long, Long, Long, Long)] {
+        def hasNext: Boolean = buf.hasNext
+        def next(): (Long, Long, Long, Long) = {
+          val u = buf.head._1
+          var n = 0L; var s = 0L; var last = 0L; var first = true
+          while (buf.hasNext && buf.head._1 == u) {
+            val r = buf.next(); n += 1
+            if (first) { s = r._4; first = false }
+            else s = (r._4 + 3 * s) / 4 // JVM /: truncates like SQL div
+            last = r._4
+          }
+          (u, n, s, last)
+        }
+      }
+    }.toDF("user_id", "n_events", "ewma_fp", "last_v_fp")
+      .orderBy($"user_id")
+  }
+
+  /** Sorted per-entity event series shared by the three sequential-
+    * recurrence keys (EWMA / Holt / CUSUM): repartition on user_id +
+    * partition-local sort on (user_id, t, event_id) makes each user's
+    * rows CONTIGUOUS AND ORDERED inside its partition — the classic
+    * secondary-sort shape — so the downstream mapPartitions fold keeps
+    * only the recurrence registers per entity, never the entity's
+    * history. NULL values are filtered on both engines (they would
+    * poison the fold Spark-side only — the window_rolling_median
+    * guard). */
+  private def sortedUserSeries(spark: SparkSession, dir: String)
+      : Dataset[(Long, Long, Long, Long)] = {
+    import spark.implicits._
     Tables.events(spark, dir)
-      // NULL values would poison the fold on the Spark side only (the
-      // oracle's recursive join skips NULL-keyed rows differently) —
-      // filter on both sides, the window_rolling_median guard
       .filter($"value".isNotNull)
       .select($"user_id", Tables.nsToUs($"ts").as("t"), $"event_id",
         (Tables.dec4($"value") * 10000).cast("long").as("v_fp"))
-      .groupBy($"user_id")
-      .agg(sort_array(collect_list(struct($"t", $"event_id", $"v_fp")))
-        .as("seq"))
-      .select($"user_id",
-        size($"seq").cast("long").as("n_events"),
-        expr("aggregate(slice(seq, 2, size(seq) - 1), seq[0].v_fp, " +
-          "(s, x) -> (x.v_fp + 3 * s) div 4)").as("ewma_fp"),
-        expr("element_at(seq, -1).v_fp").as("last_v_fp"))
-      .orderBy($"user_id")
+      .repartition($"user_id")
+      .sortWithinPartitions($"user_id", $"t", $"event_id")
+      .as[(Long, Long, Long, Long)]
   }
 
   /** Holt's linear (double-exponential) smoothing per user — the
@@ -350,29 +375,33 @@ object Timeseries {
     * bᵢ₋₁))/4⌋, bᵢ = ⌊((lᵢ − lᵢ₋₁) + 3bᵢ₋₁)/4⌋, forecast = l + b.
     * The TREND can be negative — measured before relying on it: both
     * Spark's `div` AND DuckDB's `//` truncate toward zero on negative
-    * operands (-5 div 4 = -5 // 4 = -1), so plain integer division is
-    * cross-engine exact on both signs. Same ordered in-group fold posture as the
-    * EWMA (state is a 2-field struct); oracled by the same per-rank
-    * recursive CTE carrying (l, b). */
+    * operands (-5 div 4 = -5 // 4 = -1, and the JVM's `/` likewise), so
+    * plain integer division is cross-engine exact on both signs. Same
+    * secondary-sort streaming fold as the EWMA (state = the (l, b)
+    * registers per entity); oracled by the same per-rank recursive CTE
+    * carrying (l, b). */
   def timeseriesHoltLinear(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val lNew = "((x.v_fp + 3L * (s.l + s.b)) div 4)"
-    val bNew = s"(($lNew - s.l + 3L * s.b) div 4)"
-    Tables.events(spark, dir)
-      .filter($"value".isNotNull)
-      .select($"user_id", Tables.nsToUs($"ts").as("t"), $"event_id",
-        (Tables.dec4($"value") * 10000).cast("long").as("v_fp"))
-      .groupBy($"user_id")
-      .agg(sort_array(collect_list(struct($"t", $"event_id", $"v_fp")))
-        .as("seq"))
-      .select($"user_id",
-        size($"seq").cast("long").as("n_events"),
-        expr("aggregate(slice(seq, 2, size(seq) - 1), " +
-          "named_struct('l', seq[0].v_fp, 'b', 0L), " +
-          s"(s, x) -> named_struct('l', $lNew, 'b', $bNew))").as("st"))
-      .select($"user_id", $"n_events",
-        $"st.l".as("level_fp"), $"st.b".as("trend_fp"),
-        ($"st.l" + $"st.b").as("forecast_fp"))
+    sortedUserSeries(spark, dir).mapPartitions { it =>
+      val buf = it.buffered
+      new Iterator[(Long, Long, Long, Long, Long)] {
+        def hasNext: Boolean = buf.hasNext
+        def next(): (Long, Long, Long, Long, Long) = {
+          val u = buf.head._1
+          var n = 0L; var l = 0L; var b = 0L; var first = true
+          while (buf.hasNext && buf.head._1 == u) {
+            val r = buf.next(); n += 1
+            if (first) { l = r._4; b = 0L; first = false }
+            else {
+              val lNew = (r._4 + 3L * (l + b)) / 4
+              b = (lNew - l + 3L * b) / 4
+              l = lNew
+            }
+          }
+          (u, n, l, b, l + b)
+        }
+      }
+    }.toDF("user_id", "n_events", "level_fp", "trend_fp", "forecast_fp")
       .orderBy($"user_id")
   }
 
@@ -386,33 +415,34 @@ object Timeseries {
     * statistic, its running max, and how many updates landed above the
     * alarm bar H = 20.0 — the "pages since last healthy" triple.
     *
-    * Same inherently-sequential-per-entity posture as
-    * [[timeseriesEwmaFixed]]: one user_id shuffle, then an ordered
-    * in-group fold (sort_array + codegen'd `aggregate` lambda) carrying
-    * the 3-field (s, mx, na) struct; state O(1) per entity beyond the
-    * collected sequence. Oracle replays the fold as a per-rank recursive
-    * CTE carrying the same struct. */
+    * Same secondary-sort streaming fold as [[timeseriesEwmaFixed]]:
+    * one user_id shuffle, a partition-local sort, and a one-pass
+    * group-wise fold holding only the (μ, s, mx, na) registers per
+    * entity. Oracle replays the fold as a per-rank recursive CTE
+    * carrying the same state. */
   def timeseriesCusum(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // new statistic from state st and step x, against the rank-1 target
-    val sNew = "greatest(0L, st.s + (x.v_fp - seq[0].v_fp - 5000L))"
-    Tables.events(spark, dir)
-      .filter($"value".isNotNull)
-      .select($"user_id", Tables.nsToUs($"ts").as("t"), $"event_id",
-        (Tables.dec4($"value") * 10000).cast("long").as("v_fp"))
-      .groupBy($"user_id")
-      .agg(sort_array(collect_list(struct($"t", $"event_id", $"v_fp")))
-        .as("seq"))
-      .select($"user_id",
-        size($"seq").cast("long").as("n_events"),
-        expr("aggregate(slice(seq, 2, size(seq) - 1), " +
-          "named_struct('s', 0L, 'mx', 0L, 'na', 0L), " +
-          s"(st, x) -> named_struct('s', $sNew, " +
-          s"'mx', greatest(st.mx, $sNew), " +
-          s"'na', st.na + if($sNew > 200000L, 1L, 0L)))").as("st"))
-      .select($"user_id", $"n_events",
-        $"st.s".as("cusum_fp"), $"st.mx".as("max_cusum_fp"),
-        $"st.na".as("n_alarms"))
+    sortedUserSeries(spark, dir).mapPartitions { it =>
+      val buf = it.buffered
+      new Iterator[(Long, Long, Long, Long, Long)] {
+        def hasNext: Boolean = buf.hasNext
+        def next(): (Long, Long, Long, Long, Long) = {
+          val u = buf.head._1
+          var n = 0L; var mu = 0L; var s = 0L; var mx = 0L; var na = 0L
+          var first = true
+          while (buf.hasNext && buf.head._1 == u) {
+            val r = buf.next(); n += 1
+            if (first) { mu = r._4; first = false }
+            else {
+              s = math.max(0L, s + (r._4 - mu - 5000L))
+              mx = math.max(mx, s)
+              if (s > 200000L) na += 1
+            }
+          }
+          (u, n, s, mx, na)
+        }
+      }
+    }.toDF("user_id", "n_events", "cusum_fp", "max_cusum_fp", "n_alarms")
       .orderBy($"user_id")
   }
 

@@ -139,31 +139,36 @@ object Streamy {
     * rows at every SF. Emitted rows come out row-grain (event_id is the
     * unique total-order key).
     *
-    * Scale shape: ONE shuffle on the dedup key, then a per-key
-    * time-ordered scan holding a single 8-byte last-emitted timestamp —
-    * the same O(1)-per-key state a production streaming dedup holds;
-    * group size is bounded by per-(type, shard) traffic, never the
-    * corpus. The oracle replays the identical chain with a recursive
-    * CTE (frontier = last kept row per key, LATERAL next-kept probe) —
-    * the hash-match proves the state-machine semantics, which no
-    * single-pass SQL can express. */
+    * Scale shape: ONE shuffle on the dedup key, then a SECONDARY-SORT
+    * streaming scan (repartition + sortWithinPartitions +
+    * mapPartitions) holding a single 8-byte last-emitted timestamp per
+    * key — the same O(1)-per-key state a production streaming dedup
+    * holds, with NO per-key buffering at all (the round-11
+    * it.toArray.sortBy form materialized a key's whole history in one
+    * task; an adversarial hot key now streams). The oracle replays the
+    * identical chain with a recursive CTE (frontier = last kept row
+    * per key, LATERAL next-kept probe) — the hash-match proves the
+    * state-machine semantics, which no single-pass SQL can express. */
   def streamDedupWatermark(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val delayUs = 3600L * 1000 * 1000
     Tables.events(spark, dir)
       .select($"event_type", ($"user_id" % 25).as("shard"), $"event_id",
         Tables.nsToUs($"ts").as("ts_us"))
+      .repartition($"event_type", $"shard")
+      .sortWithinPartitions($"event_type", $"shard", $"ts_us", $"event_id")
       .as[(String, Long, Long, Long)]
-      .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (key: (String, Long), it: Iterator[(String, Long, Long, Long)]) =>
-        val (typ, shard) = key
-        val sorted = it.toArray.sortBy(r => (r._4, r._3))
+      .mapPartitions { it =>
+        var curT: String = null; var curS = Long.MinValue
         var last = Long.MinValue
-        sorted.iterator.filter { r =>
+        it.filter { r =>
+          if (r._1 != curT || r._2 != curS) {
+            curT = r._1; curS = r._2; last = Long.MinValue
+          }
           val keep = last == Long.MinValue || r._4 - last > delayUs
           if (keep) last = r._4
           keep
-        }.map(r => (typ, shard, r._3, r._4))
+        }
       }
       .toDF("event_type", "shard", "event_id", "ts_us")
       .orderBy($"event_id")
@@ -259,9 +264,85 @@ object Streamy {
     }
   }
 
+  /** Batch replay of what the WATERMARK-EVICTED sessionizer emits — the
+    * [[streamExecSessionize]] plan-only equivalent and the shape its
+    * oracle replays: sessionize by lag+cumsum (the streamSessionize
+    * machinery), then keep a session iff it CLOSED intra-stream (a
+    * later event of the same user opened the next session) OR its
+    * event-time timeout (last event + gap, at the state store's ms
+    * precision) fell strictly below the final watermark (max event
+    * time ms − 1 h) so the timer fired — the last open session of a
+    * late-active user is retained in state, never emitted. */
+  private[streaming] def sessionizeEmitted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = StatefulSessionizer.GapUs
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val s = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", Tables.nsToUs($"ts").as("ts_us"))
+      .withColumn("is_new",
+        when(lag($"ts_us", 1).over(w).isNull
+          || $"ts_us" - lag($"ts_us", 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("sid",
+        sum($"is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val g = s.groupBy($"user_id", $"sid")
+      .agg(min($"ts_us").as("start_us"), max($"ts_us").as("end_us"),
+        count(lit(1)).as("n_events"))
+    val lastSid = g.groupBy($"user_id").agg(max($"sid").as("last_sid"))
+    // the final watermark, ms precision exactly as the state store
+    // computes it: per-row floor(µs/1000), maxed (floor is monotone so
+    // floor(max) ≡ max(floor)), minus the 1 h delay — all integer div
+    // (a double division would lose precision above 2^53 ns). Scalar-
+    // decorated via a 1-row broadcast, no driver action (plan-only safe)
+    val wm = Tables.events(spark, dir)
+      .agg(expr("(max(ts) div 1000) div 1000 - 3600000").as("wm_ms"))
+    g.join(broadcast(lastSid), "user_id")
+      .crossJoin(broadcast(wm))
+      .filter($"sid" < $"last_sid" ||
+        expr(s"(end_us + $gapUs) div 1000") < $"wm_ms")
+      .select($"user_id", $"start_us", $"end_us", $"n_events")
+      .orderBy($"user_id", $"start_us")
+  }
+
+  /** STATEFUL streaming execution with REAL WATERMARK EVICTION, graded —
+    * the third rung of the G7 ladder after the stateless aggregate
+    * (complete mode) and the keyed admission chain (Append, NoTimeout):
+    * the flatMapGroupsWithState SESSIONIZER runs as a real
+    * StreamingQuery with EventTimeTimeout — sessions closed by a gap
+    * emit from the data batch, and when the data is exhausted the
+    * watermark advance triggers one more micro-batch in which
+    * EXPIRED TIMERS FIRE (timeout ts = last event + gap, strictly
+    * below the final watermark) and flush their open sessions from the
+    * state store; a user whose last session is still inside the
+    * watermark horizon keeps it in state, UNEMITTED. That asymmetry —
+    * emitted ≠ all sessions — is exactly watermark-eviction semantics,
+    * and the oracle replays it: sessionize + the timer-fire predicate
+    * against the final watermark. No batch query without the watermark
+    * model produces this output.
+    *
+    * Scale shape: one shuffle on user_id; state = one open session
+    * (3 longs) per active user, evicted as the watermark passes; the
+    * timeout scan is the state store's own index, never a data pass. */
+  def streamExecSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.PlanOnly.roundTrip(sessionizeEmitted(spark, dir)) {
+      dropStale(spark)
+      val stage = Tables.scratch("stream_exec_sess_stage")
+      StreamingMirror.stageEvents(spark, dir, stage)
+      val name = s"stream_exec_sessionize_${execSeq.incrementAndGet()}"
+      val out = StreamingMirror.runToCompletionAppend(spark,
+        StatefulSessionizer.stream(spark, stage).toDF(), name)
+        .select($"user_id", $"start_us", $"end_us", $"n_events")
+        .orderBy($"user_id", $"start_us")
+      staleViews.add(name)
+      out
+    }
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "stream_exec_tumbling" -> (streamExecTumbling(_, _)),
     "stream_exec_dedup" -> (streamExecDedup(_, _)),
+    "stream_exec_sessionize" -> (streamExecSessionize(_, _)),
     "stream_tumbling_window" -> (streamTumblingWindow(_, _)),
     "stream_sliding_window" -> (streamSlidingWindow(_, _)),
     "stream_sessionize" -> (streamSessionize(_, _)),
@@ -302,6 +383,35 @@ object Streamy {
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(ts_us) AS start_us, max(ts_us) AS end_us
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    // watermark-eviction replay: a session row is emitted iff it closed
+    // intra-stream OR its event-time timer (end + gap, ms) fired
+    // strictly below the final watermark (max event-time ms − 1 h);
+    // the still-open tail sessions stay in state, unemitted
+    "stream_exec_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |wm AS (SELECT max(ts_us) // 1000 - 3600000 AS wm_ms FROM e),
+        |f AS (SELECT user_id, ts_us, event_id,
+        |        CASE WHEN lag(ts_us, 1) OVER w IS NULL
+        |               OR ts_us - lag(ts_us, 1) OVER w > 1800000000
+        |             THEN 1 ELSE 0 END AS is_new
+        |      FROM e
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (SELECT user_id, ts_us,
+        |        CAST(sum(is_new) OVER (PARTITION BY user_id
+        |          ORDER BY ts_us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS sid
+        |      FROM f),
+        |g AS (SELECT user_id, sid, min(ts_us) AS start_us,
+        |        max(ts_us) AS end_us, CAST(count(*) AS BIGINT) AS n_events
+        |      FROM s GROUP BY user_id, sid),
+        |m AS (SELECT user_id, max(sid) AS last_sid FROM g GROUP BY user_id)
+        |SELECT g.user_id, g.start_us, g.end_us, g.n_events
+        |FROM g JOIN m USING (user_id), wm
+        |WHERE g.sid < m.last_sid
+        |   OR (g.end_us + 1800000000) // 1000 < wm.wm_ms
+        |ORDER BY user_id, start_us""".stripMargin,
     // the REAL stateful Append-mode streaming run must emit exactly the
     // chain the recursive-CTE state replay derives — same oracle as the
     // batch twin below

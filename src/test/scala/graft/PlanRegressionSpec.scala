@@ -495,7 +495,11 @@ class PlanRegressionSpec extends SparkSuite {
       // embedding_pq_quantize: the exact-baseline side rides the same
       // constant 5-query broadcast as simsearch_cosine_topk — fan-out
       // |queries|, not quadratic
-      "embedding_pq_quantize")
+      "embedding_pq_quantize",
+      // simsearch_ivf_pq: the same constant broadcasts as
+      // eval_ann_recall (|cells| = 10 probe, |probes| = 4 fan, |queries|
+      // = 5 exact baseline) — fan-out constant, not quadratic
+      "simsearch_ivf_pq")
     val offenders = SparkEntry.queries.keys.filterNot(allowed)
       .filter(n => n != "source_csv_roundtrip" && plan(n).contains("BroadcastNestedLoopJoin"))
     assert(offenders.isEmpty, s"unexpected nested-loop joins: $offenders")
