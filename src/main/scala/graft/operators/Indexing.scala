@@ -336,17 +336,20 @@ object Indexing {
     * two-level vocabulary ranks. Consumed by the winnow election below
     * AND by [[dedupMinhashReplayable]] (whose shingle set is the
     * distinct (doc_id, h) projection). */
-  private def gramFrame(spark: SparkSession, dir: String): DataFrame = {
+  /** Tokens decorated with their global vocabulary rank — one row per
+    * token position (doc_id, pos, r). The rank is computed WITHOUT a
+    * single-partition global sort: UTF-8 order is prefix-monotone
+    * (a < b ⇒ prefix₂(a) ≤ prefix₂(b)), so a 2-char prefix bucket +
+    * per-bucket row_number + broadcast bucket offsets reproduce the
+    * global rank exactly — the two-level prefix sum with a
+    * ≤|charset|²-row totally-ordered frame. Shared by the gram-hash
+    * chain and the replayable SimHash twin. */
+  private def rankedTokens(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val toks = Tables.documents(spark, dir)
       .select($"doc_id",
         posexplode(expr("filter(split(text, ' '), w -> w <> '')"))
           .as(Seq("pos", "tok")))
-    // vocabulary ranks WITHOUT a single-partition global sort: UTF-8
-    // order is prefix-monotone (a < b ⇒ prefix₂(a) ≤ prefix₂(b)), so a
-    // 2-char prefix bucket + per-bucket row_number + broadcast bucket
-    // offsets reproduce the global rank exactly — the two-level prefix
-    // sum with a ≤|charset|²-row totally-ordered frame
     val vocab0 = toks.select($"tok").distinct()
       .withColumn("pb", substring($"tok", 1, 2))
     val pbOffs = vocab0.groupBy($"pb").agg(count(lit(1)).as("pn"))
@@ -359,9 +362,14 @@ object Indexing {
           .cast("long"))
       .join(broadcast(pbOffs), "pb")
       .select($"tok", ($"off" + $"rin").as("r"))
-    val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
     toks.join(broadcast(vocab), "tok")
       .select($"doc_id", $"pos", $"r")
+  }
+
+  private def gramFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+    rankedTokens(spark, dir)
       .withColumn("h",
         (($"r" * 29791 + lead($"r", 1).over(wDoc) * 961 +
           lead($"r", 2).over(wDoc) * 31 + lead($"r", 3).over(wDoc))
@@ -513,10 +521,14 @@ object Indexing {
     // of the verify intersection join
     val sh = graft.PlanOnly.cut(
       gramFrame(spark, dir).select($"doc_id", $"h").distinct())
+    // ONE pass computes all 16 signature minima AND the shingle-set
+    // size the verify tier needs (a separate sizes aggregate would
+    // re-shuffle the gram frame)
     val sigCols = MinhashRepSeeds.zipWithIndex.map { case ((a, b), i) =>
       min(($"h" * a + b) % WinnowM).as(s"s$i")
-    }
-    val sigs = sh.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+    } :+ count(lit(1)).as("n")
+    val sigs = graft.PlanOnly.mark(
+      sh.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*))
     val r = MinhashRepK / MinhashRepBands
     val bandCols = (0 until MinhashRepBands).map { b =>
       struct(lit(b.toLong).as("band"),
@@ -535,7 +547,7 @@ object Indexing {
       .filter($"doc_a" < $"doc_b")
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("n_shared_bands"))
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val sizes = sigs.select($"doc_id", $"n")
     cand
       .join(sh.as("sa"), $"doc_a" === $"sa.doc_id")
       .join(sh.as("sb"), $"doc_b" === $"sb.doc_id" && $"sa.h" === $"sb.h")
@@ -547,6 +559,75 @@ object Indexing {
         expr("(n_shared * 1048576) div (na + nb - n_shared)"))
       .select($"doc_a", $"doc_b", $"n_shared_bands", $"n_shared",
         $"na", $"nb", $"jaccard_fp")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** The four 16-bit SimHash block scramblers — fixed odd multipliers
+    * (Knuth/xxhash-family primes) shared verbatim with the oracle:
+    * block j's per-token hash is bits 8..23 of r·K_j, i.e.
+    * ((r·K_j) div 256) mod 2¹⁶ — multiplicative hashing's high-quality
+    * middle bits, every step exact BIGINT. */
+  private[graft] val SimhashRepKs: Seq[Long] =
+    Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
+
+  /** SimHash near-dup detection with a fully ENGINE-REPLAYABLE hash
+    * family — the graded twin of the ✖-by-design `dedup_simhash`
+    * (whose 64-bit fingerprint rides Spark's xxhash64): per document,
+    * each distinct token's vocabulary rank r scrambles through the
+    * four fixed multipliers into four 16-bit hashes; each of the 64
+    * bit positions sign-aggregates (+1 if set, −1 if not, ties → 1),
+    * giving four 16-bit fingerprint blocks. Candidates share at least
+    * one identical block (the same 4-block pigeonhole as the
+    * production key: hamming ≤ 3 ⇒ some block equal), hot block
+    * buckets (> 20 docs) are dropped pre-pairing, and the verify tier
+    * is the exact hamming distance Σ_j bit_count(bv_aj ⊕ bv_bj) ≤ 3.
+    * Keeping the fingerprint as four BIGINT blocks (never assembled
+    * into one 64-bit word) sidesteps the sign-bit overflow that a
+    * 2⁶³ shift would hit in engines with checked arithmetic.
+    *
+    * Scale shape: ONE pass over the distinct (doc, token-rank) frame
+    * computes all 64 bit sums map-side (declarative sum(when)
+    * columns); the pair join is bucketed by (block, value) with the
+    * hot-bucket cap bounding Σ df²; hamming verify touches candidate
+    * pairs only. The xxhash64 production variant stays as
+    * dedup_simhash. */
+  def dedupSimhashReplayable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rk = rankedTokens(spark, dir).select($"doc_id", $"r").distinct()
+      .select(($"doc_id" +: (0 until 4).map(j =>
+        expr(s"((r * ${SimhashRepKs(j)}L) div 256) % 65536").as(s"h_$j"))): _*)
+    val bitSums = (for { j <- 0 until 4; b <- 0 until 16 } yield
+      sum(when(expr(s"(h_$j div ${1L << b}) % 2") === 1L, 1L).otherwise(-1L))
+        .as(s"s_${j}_$b")).toSeq
+    val bits = rk.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val bvCols = (0 until 4).map { j =>
+      (0 until 16).map(b =>
+        when(col(s"s_${j}_$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as(s"bv_$j")
+    }
+    // marked: the signature frame feeds the block buckets AND both
+    // sides of the hamming verify join
+    val sig = graft.PlanOnly.mark(bits.select(($"doc_id" +: bvCols): _*))
+    val blk = sig.select($"doc_id", explode(array((0 until 4).map(j =>
+        struct(lit(j.toLong).as("j"), col(s"bv_$j").as("bv"))): _*)).as("k"))
+      .select($"doc_id", $"k.j".as("j"), $"k.bv".as("bv"))
+    val bsz = blk.groupBy($"j", $"bv").agg(count(lit(1)).as("c"))
+    val cold = blk.join(bsz.filter($"c" <= 20), Seq("j", "bv"))
+      .select($"j", $"bv", $"doc_id")
+    val cand = cold.select($"j", $"bv", $"doc_id".as("doc_a"))
+      .join(cold.select($"j", $"bv", $"doc_id".as("doc_b")), Seq("j", "bv"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+    val sa = sig.select(($"doc_id".as("doc_a")) +:
+      (0 until 4).map(j => col(s"bv_$j").as(s"a_$j")): _*)
+    val sb = sig.select(($"doc_id".as("doc_b")) +:
+      (0 until 4).map(j => col(s"bv_$j").as(s"b_$j")): _*)
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("hamming", (0 until 4).map(j =>
+        bit_count(col(s"a_$j").bitwiseXOR(col(s"b_$j"))).cast("long"))
+        .reduce(_ + _))
+      .filter($"hamming" <= 3)
+      .select($"doc_a", $"doc_b", $"hamming")
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -635,6 +716,7 @@ object Indexing {
     "dedup_winnow_verify" -> (dedupWinnowVerify(_, _)),
     "dedup_winnow_pairs" -> (dedupWinnowPairs(_, _)),
     "dedup_minhash_replayable" -> (dedupMinhashReplayable(_, _)),
+    "dedup_simhash_replayable" -> (dedupSimhashReplayable(_, _)),
     "text_inverted_index" -> (textInvertedIndex(_, _)),
     "text_bpe_merge_step" -> (textBpeMergeStep(_, _)),
     "text_bpe_merge_loop" -> (textBpeMergeLoop(_, _)),
@@ -733,7 +815,51 @@ object Indexing {
       |fp AS (SELECT doc_id, CAST(mk % 1048576 AS BIGINT) AS pos,
       |    CAST(mk // 1048576 AS BIGINT) AS h FROM sel)""".stripMargin
 
+  /** DuckDB replay of [[dedupSimhashReplayable]], generated from the
+    * SAME [[SimhashRepKs]] constants and bit arithmetic as the Spark
+    * side — 64 sign-aggregated bit sums, 4 block assemblies, the
+    * hot-bucket cap, and the block-bucket pair join + hamming verify. */
+  private def simhashRepOracle: String = {
+    val bitSums = (for { j <- 0 until 4; b <- 0 until 16 } yield
+      s"CAST(sum(CASE WHEN (((((r * ${SimhashRepKs(j)}) // 256) % 65536)" +
+        s" // ${1L << b}) % 2) = 1 THEN 1 ELSE -1 END) AS BIGINT)" +
+        s" AS s_${j}_$b").mkString(",\n    ")
+    val bvs = (0 until 4).map { j =>
+      (0 until 16).map(b =>
+        s"CASE WHEN s_${j}_$b >= 0 THEN ${1L << b} ELSE 0 END")
+        .mkString("(", " + ", s") AS bv_$j")
+    }.mkString(",\n    ")
+    winnowChainSql + s""",
+rk2 AS (SELECT DISTINCT doc_id, r FROM rk),
+bits AS (SELECT doc_id,
+    $bitSums
+  FROM rk2 GROUP BY doc_id),
+sig AS (SELECT doc_id,
+    $bvs
+  FROM bits),
+blk AS (SELECT doc_id, k.j,
+    CASE k.j WHEN 0 THEN bv_0 WHEN 1 THEN bv_1
+             WHEN 2 THEN bv_2 ELSE bv_3 END AS bv
+  FROM sig, (VALUES (0), (1), (2), (3)) k(j)),
+bsz AS (SELECT j, bv, count(*) AS c FROM blk GROUP BY j, bv),
+cold AS (SELECT b.j, b.bv, b.doc_id FROM blk b
+  JOIN bsz USING (j, bv) WHERE bsz.c <= 20),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM cold a JOIN cold b
+    ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id),
+ham AS (SELECT c.doc_a, c.doc_b,
+    CAST(bit_count(xor(sa.bv_0, sb.bv_0)) +
+         bit_count(xor(sa.bv_1, sb.bv_1)) +
+         bit_count(xor(sa.bv_2, sb.bv_2)) +
+         bit_count(xor(sa.bv_3, sb.bv_3)) AS BIGINT) AS hamming
+  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b)
+SELECT doc_a, doc_b, hamming FROM ham
+WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "dedup_simhash_replayable" -> simhashRepOracle,
     // raw-array adjacency (l[j], l[j+1]) ≡ the Spark lead-over-p0 pairs;
     // the three context statistics are windows over the type frame
     "text_bigram_lm_counts" ->

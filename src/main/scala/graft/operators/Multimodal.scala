@@ -209,6 +209,67 @@ object Multimodal {
       .orderBy($"q_id", $"rn")
   }
 
+  /** Sign-LSH retrieval with a fully ENGINE-REPLAYABLE plane family —
+    * the graded twin of the ✖-by-design [[simsearchLshBucket]] (whose
+    * Gaussian planes and float dot signs no other engine can replay):
+    * the 12 hyperplanes' coordinates come from a fixed integer formula
+    * p(i,d) = ((i·64 + d + 1)·2654435761) mod 1048573 − 524286 (the
+    * multiplicative-scramble family, centered), vectors quantize to
+    * 2²⁰ fixed point, so every plane side is the sign of an exact
+    * BIGINT dot (|Σ| < 2⁴⁶ — no float sign flips), the 12-bit
+    * signature packs 3 bands × 4 bits, candidates share ≥1 band
+    * bucket, and in-bucket ranking is the oracled round-6 cosine with
+    * the (score desc, vec_id) tie rule. The whole
+    * signature→bucket→rank pipeline hash-grades in DuckDB.
+    *
+    * Scale shape: the signature stage here is the REPLICA formulation
+    * (posexplode × 768-row broadcast plane join, map-side-combinable —
+    * linear in the corpus with a 768× transient fan); the production
+    * signature is the codegen'd native PlaneSignature expression in
+    * simsearch_lsh_bucket — this twin grades the LSH math, that key
+    * keeps the fast path. Candidates stay ID-only through the
+    * distinct; embeddings re-join for scoring (the round-1 finding). */
+  def simsearchLshReplayable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorOps.registerAll(spark)
+    val e = Tables.embeddings(spark, dir)
+    val planes = (for { i <- 0 until 12; d <- 0 until 64 } yield
+      (i.toLong, d.toLong,
+        ((i * 64 + d + 1).toLong * 2654435761L) % 1048573L - 524286L))
+      .toDF("i", "d", "p")
+    val px = e.select($"vec_id", posexplode(
+        expr("transform(embedding, x -> CAST(floor(x * 1048576) AS BIGINT))"))
+        .as(Seq("d", "x")))
+      .select($"vec_id", $"d".cast("long").as("d"), $"x")
+    val dots = px.join(broadcast(planes), "d")
+      .groupBy($"vec_id", $"i")
+      .agg(sum($"x" * $"p").as("dt"))
+    val sig = dots.groupBy($"vec_id")
+      .agg(sum(when($"dt" >= 0, expr("shiftleft(1L, CAST(i AS INT))"))
+        .otherwise(0L)).as("sig"))
+    val banded = sig.select($"vec_id", explode(array((0 until 3).map(b =>
+        struct(lit(b.toLong).as("band"),
+          expr(s"(sig div ${1 << (4 * b)}) % 16").as("bv"))): _*)).as("k"))
+      .select($"vec_id", $"k.band".as("band"), $"k.bv".as("bv"))
+    val qb = banded.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"band", $"bv")
+    val cand = banded.join(qb, Seq("band", "bv"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id").distinct()
+    val qe = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("qe"))
+    val w = Window.partitionBy($"q_id").orderBy($"score".desc, $"vec_id")
+    cand.join(broadcast(qe), "q_id")
+      .join(e.select($"vec_id", $"embedding"), "vec_id")
+      .select($"q_id", $"vec_id",
+        round(expr("cosine_similarity(qe, embedding)"), 6).as("score"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 10)
+      .select($"q_id", $"rn", $"vec_id", $"score")
+      .orderBy($"q_id", $"rn")
+  }
+
   /** One Lloyd's-iteration k-means step over the embedding table:
     * assign every vector to its nearest of k=4 fixed seed centroids
     * (the first 4 vec_ids) and report per-cluster membership, inertia,
@@ -1174,7 +1235,8 @@ object Multimodal {
     "multimodal_resize_stub" -> (multimodalResizeStub(_, _)),
     "multimodal_frame_sample" -> (multimodalFrameSample(_, _)),
     "simsearch_ann_ivf" -> (simsearchAnnIvf(_, _)),
-    "simsearch_lsh_bucket" -> (simsearchLshBucket(_, _))
+    "simsearch_lsh_bucket" -> (simsearchLshBucket(_, _)),
+    "simsearch_lsh_replayable" -> (simsearchLshReplayable(_, _))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1469,6 +1531,49 @@ object Multimodal {
         |SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, adc FROM
         |    (SELECT q_id, vec_id, adc, row_number() OVER (PARTITION BY
         |      q_id ORDER BY adc DESC, vec_id) AS rn FROM adc)
+        |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
+    // same integer plane formula, fixed-point dot signs, 12-bit
+    // signature, 3×4-bit band buckets, and round-6 cosine ranking
+    "simsearch_lsh_replayable" ->
+      """WITH fp AS (SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 1048576) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |px AS (SELECT vec_id,
+        |    CAST(generate_subscripts(qv, 1) AS BIGINT) - 1 AS d,
+        |    unnest(qv) AS x FROM fp),
+        |pl AS (SELECT i.i, d.d,
+        |    ((i.i * 64 + d.d + 1) * 2654435761) % 1048573 - 524286 AS p
+        |  FROM (SELECT CAST(unnest(range(0, 12)) AS BIGINT) AS i) i,
+        |       (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS d) d),
+        |dots AS (SELECT px.vec_id, pl.i,
+        |    CAST(sum(px.x * pl.p) AS BIGINT) AS dt
+        |  FROM px JOIN pl USING (d) GROUP BY px.vec_id, pl.i),
+        |sig AS (SELECT vec_id,
+        |    CAST(sum(CASE WHEN dt >= 0 THEN (1 << i) ELSE 0 END)
+        |      AS BIGINT) AS sig
+        |  FROM dots GROUP BY vec_id),
+        |banded AS (SELECT vec_id, CAST(k.b AS BIGINT) AS band,
+        |    (sig // CASE k.b WHEN 0 THEN 1 WHEN 1 THEN 16 ELSE 256 END)
+        |      % 16 AS bv
+        |  FROM sig, (VALUES (0), (1), (2)) k(b)),
+        |qb AS (SELECT vec_id AS q_id, band, bv FROM banded
+        |  WHERE vec_id < 5),
+        |cand AS (SELECT DISTINCT qb.q_id, bd.vec_id
+        |  FROM banded bd JOIN qb USING (band, bv)
+        |  WHERE bd.vec_id <> qb.q_id),
+        |qe AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id < 5),
+        |sc AS (SELECT c.q_id, c.vec_id,
+        |    round(list_dot_product(qe, CAST(e.embedding AS DOUBLE[])) /
+        |      (sqrt(list_dot_product(qe, qe)) *
+        |       sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |            CAST(e.embedding AS DOUBLE[])))), 6) AS score
+        |  FROM cand c JOIN qe ON qe.q_id = c.q_id
+        |  JOIN embeddings e ON e.vec_id = c.vec_id)
+        |SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, score FROM
+        |    (SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY
+        |      q_id ORDER BY score DESC, vec_id) AS rn FROM sc)
         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
     // the COMPOSED serving plan: the pq chain's codebook/LUT CTEs + the
     // ann-recall IVF probe CTEs, ADC restricted to probed-cell members,

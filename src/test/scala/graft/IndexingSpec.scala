@@ -188,6 +188,21 @@ class IndexingSpec extends SparkSuite {
     assert(r.getLong(6) === 1048576L, "exact fixed-point jaccard must be 1")
   }
 
+  test("dedup_simhash_replayable: exact duplicates at hamming 0, verdicts bounded (sf0.1)") {
+    import spark.implicits._
+    val rep = Indexing.dedupSimhashReplayable(spark, sf01).cache()
+    assert(rep.filter($"hamming" < 0 || $"hamming" > 3).count() === 0L)
+    val exactPairs = Tables.documents(spark, sf01)
+      .groupBy(trim($"text").as("t"))
+      .agg(min($"doc_id").as("doc_a"), max($"doc_id").as("doc_b"),
+        count(lit(1)).as("c"))
+      .filter($"c" === 2).select($"doc_a", $"doc_b")
+    val missed = exactPairs.join(rep.filter($"hamming" === 0L),
+      Seq("doc_a", "doc_b"), "left_anti")
+    assert(missed.count() === 0L,
+      "identical token sets must fingerprint identically in every block")
+  }
+
   test("dedup_minhash_replayable finds every exact-duplicate pair at sf0.1") {
     import spark.implicits._
     val rep = Indexing.dedupMinhashReplayable(spark, sf01).cache()

@@ -109,6 +109,17 @@ class LlmOpsSpec extends SparkSuite {
     assert(hit / exact.count() >= 0.2, s"recall ${hit / exact.count()}")
   }
 
+  test("simsearch_lsh_replayable: ≤10 per query, recall above the random floor") {
+    val exact = LlmOps.simsearchCosineTopk(spark, sf0001).select("q_id", "vec_id")
+    val lsh = Multimodal.simsearchLshReplayable(spark, sf0001).cache()
+    assert(lsh.groupBy("q_id").count().filter(col("count") > 10).count() === 0L)
+    assert(lsh.filter(col("vec_id") === col("q_id")).count() === 0L)
+    val hit = exact.intersect(lsh.select("q_id", "vec_id")).count().toDouble
+    // integer planes are as sign-balanced as the Gaussian family here:
+    // same comfortably-above-the-3·2^-4-floor bound as the native key
+    assert(hit / exact.count() >= 0.2, s"recall ${hit / exact.count()}")
+  }
+
   test("simsearch_ivf_pq: candidates monotone in nprobe; full probe equals the flat PQ path") {
     import spark.implicits._
     val r = Multimodal.simsearchIvfPq(spark, sf0001).cache()

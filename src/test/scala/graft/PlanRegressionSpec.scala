@@ -560,6 +560,8 @@ class PlanRegressionSpec extends SparkSuite {
       "dedup_winnow_pairs" -> Set("pb"),          // ≤|charset|² prefix buckets
       "dedup_winnow_verify" -> Set("pb"),
       "text_winnow_fingerprints" -> Set("pb"),
+      "dedup_minhash_replayable" -> Set("pb"),    // same vocab-rank chain
+      "dedup_simhash_replayable" -> Set("pb"),
       "ml_decision_stump" -> Set("threshold"),    // value-domain curve frame
       "ml_triplet_mining" -> Set("m_h"),          // 10-row global window
       "report_abc_classification" -> Set("drk_vb"), // ≤Fan bucket frame
