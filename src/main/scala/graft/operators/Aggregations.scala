@@ -284,6 +284,83 @@ object Aggregations {
       .orderBy($"event_type")
   }
 
+  /** ⌊α₆₄·2²⁰⌋ for the raw-HLL estimator at m = 64 registers:
+    * α_m = 0.7213/(1 + 1.079/m) = 0.709392…; shared verbatim with the
+    * DuckDB oracle (the constant's exactness is irrelevant — only
+    * cross-engine identity matters). */
+  private[graft] val HllAlphaFp = 743862L
+
+  /** The ρ case chain: first-1-bit position (1-based from the MSB) of
+    * the 34-bit register suffix, 35 when the suffix is zero — plain
+    * integer comparisons, identical syntax in Spark SQL and DuckDB. */
+  private def hllRhoSql: String =
+    (1 to 34).map(k => s"WHEN w >= ${1L << (34 - k)} THEN $k")
+      .mkString("CASE ", " ", " ELSE 35 END")
+
+  /** HyperLogLog with a fully ENGINE-REPLAYABLE hash — the graded twin
+    * of the ✖-by-design `agg_approx_distinct` / `agg_hll_partition_merge`
+    * (whose xxhash64-fed sketch buffers no other engine can replay):
+    * per event type, each distinct user hashes through two independent
+    * QUADRATIC-mod-prime scrambles composed into a 40-bit value —
+    * half_a(u) = (q² + q + c_a) mod P with q = ((u+1)·K_a) mod P,
+    * P = 1048573 — quadratic because the purely multiplicative map
+    * sends consecutive ids to an arithmetic progression mod P whose
+    * leading-zero statistics are NOT uniform (measured: one multiply
+    * never reached bit 40 on small ids, 124× overestimate; two linear
+    * multiplies still skewed +47%; the quadratic lands −2.4% of exact
+    * at sf0.1, inside the 1.04/√64 ≈ 13% design σ). The low 6 bits
+    * pick one of m = 64 registers, and the register
+    * keeps max ρ(suffix) (first-1-bit rank of the 34-bit suffix — the
+    * [[hllRhoSql]] case chain). The RAW harmonic estimate is all-BIGINT
+    * fixed point: Σ2^−ρ carried as Σ(2⁴⁰ div 2^ρ) with absent
+    * registers contributing 2⁴⁰ each, est = ⌊α_fp·m²·2²⁰ / Σ⌋ — no
+    * bias/linear-counting corrections (they need ln, banned for oracle
+    * parity; the raw-range behavior is the graded contract). Output is
+    * the SKETCH ITSELF (one row per occupied register) decorated with
+    * the estimate and the exact distinct count, so the key grades
+    * bucketing, ρ ranks, register max-merge AND the estimator, and a
+    * reader can audit approx-vs-exact per type.
+    *
+    * Scale shape: one (type, user) distinct shuffle, then registers are
+    * a ≤|types|·64-row map-side-combinable aggregate — the sketch
+    * merges by register max exactly like production HLL (associative,
+    * order-free), which is what makes it a partition-merge replay. The
+    * production engine-specific sketches stay as agg_approx_distinct /
+    * agg_hll_partition_merge. */
+  def aggHllReplayable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // marked: the distinct (type, user) frame feeds the registers AND
+    // the exact-count audit column
+    val d = graft.PlanOnly.mark(Tables.events(spark, dir)
+      .select($"event_type", $"user_id").distinct())
+    val regs = d
+      .withColumn("q1", expr("((user_id + 1) * 2654435761L) % 1048573"))
+      .withColumn("q2", expr("((user_id + 1) * 2246822519L) % 1048573"))
+      .withColumn("h",
+        expr("((q1 * q1 + q1 + 12345) % 1048573) * 1048576 + " +
+          "(q2 * q2 + q2 + 98765) % 1048573"))
+      .withColumn("bucket", $"h" % 64)
+      .withColumn("w", expr("h div 64"))
+      .withColumn("rho", expr(hllRhoSql).cast("long"))
+      .groupBy($"event_type", $"bucket")
+      .agg(max($"rho").as("r_max"))
+    val est = regs.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_present"),
+        sum(expr("1099511627776L div shiftleft(1L, CAST(r_max AS INT))"))
+          .as("inv_present"))
+      .select($"event_type",
+        ($"inv_present" + (lit(64L) - $"n_present") * 1099511627776L)
+          .as("inv_sum_fp"))
+      .select($"event_type",
+        expr(s"${HllAlphaFp * 4096L * 1048576L}L div inv_sum_fp")
+          .as("est_users"))
+    val exact = d.groupBy($"event_type").agg(count(lit(1)).as("exact_users"))
+    regs.join(broadcast(est), "event_type")
+      .join(broadcast(exact), "event_type")
+      .select($"event_type", $"bucket", $"r_max", $"est_users", $"exact_users")
+      .orderBy($"event_type", $"bucket")
+  }
+
   /** Ordered string aggregation (SQL LISTAGG / string_agg): the
     * denormalized "members as one cell" view reporting layers ask for.
     * Determinism requires imposing the element order explicitly —
@@ -436,6 +513,7 @@ object Aggregations {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "agg_hll_replayable" -> (aggHllReplayable(_, _)),
     "agg_weighted_median" -> (aggWeightedMedian(_, _)),
     "agg_filtered_conditional" -> (aggFilteredConditional(_, _)),
     "agg_percentile_disc" -> (aggPercentileDisc(_, _)),
@@ -459,6 +537,36 @@ object Aggregations {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same scramble, register pick, ρ case chain (generated from ONE
+    // Scala source), max-merge, and fixed-point harmonic estimate
+    "agg_hll_replayable" -> s"""WITH d AS (
+  SELECT DISTINCT event_type, user_id FROM events),
+b AS (SELECT event_type,
+    ((q1 * q1 + q1 + 12345) % 1048573) * 1048576 +
+      (q2 * q2 + q2 + 98765) % 1048573 AS h
+  FROM (SELECT event_type,
+      ((user_id + 1) * 2654435761) % 1048573 AS q1,
+      ((user_id + 1) * 2246822519) % 1048573 AS q2 FROM d)),
+c AS (SELECT event_type, h % 64 AS bucket, h // 64 AS w FROM b),
+r AS (SELECT event_type, bucket,
+    CAST(max($hllRhoSql) AS BIGINT) AS r_max
+  FROM c GROUP BY event_type, bucket),
+e AS (SELECT event_type, count(*) AS n_present,
+    CAST(sum(1099511627776 // (1 << CAST(r_max AS INT))) AS BIGINT)
+      AS inv_present
+  FROM r GROUP BY event_type),
+s AS (SELECT event_type,
+    inv_present + (64 - n_present) * 1099511627776 AS inv_sum
+  FROM e),
+est AS (SELECT event_type,
+    CAST(${HllAlphaFp * 4096L * 1048576L} // inv_sum AS BIGINT)
+      AS est_users
+  FROM s),
+x AS (SELECT event_type, CAST(count(*) AS BIGINT) AS exact_users
+  FROM d GROUP BY event_type)
+SELECT r.event_type, r.bucket, r.r_max, est.est_users, x.exact_users
+FROM r JOIN est USING (event_type) JOIN x USING (event_type)
+ORDER BY r.event_type, r.bucket""",
     // same (cents, orderkey, linenumber) order and 2·cum ≥ W election
     "agg_weighted_median" ->
       """WITH l AS (SELECT l_returnflag, l_orderkey, l_linenumber,

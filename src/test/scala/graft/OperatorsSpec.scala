@@ -167,4 +167,19 @@ class OperatorsSpec extends SparkSuite {
       }
     }
   }
+
+  test("agg_hll_replayable: full registers, bounded ranks, estimate near exact (sf0.1)") {
+    val rows = operators.Aggregations.aggHllReplayable(spark, sf01).collect()
+    // every type fills all 64 registers at this cardinality (~1500 users)
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (t, rs) =>
+      assert(rs.length === 64, s"$t: registers must be full")
+      assert(rs.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 35))
+      val est = rs.head.getLong(3).toDouble
+      val exact = rs.head.getLong(4).toDouble
+      // raw HLL at m=64: σ ≈ 1.04/√64 ≈ 13%; assert a generous 3σ band
+      assert(math.abs(est / exact - 1.0) < 0.4,
+        s"$t: est $est vs exact $exact outside the HLL error band")
+    }
+  }
 }
