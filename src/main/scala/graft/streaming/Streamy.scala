@@ -339,10 +339,103 @@ object Streamy {
     }
   }
 
+  /** Batch equivalent of the stream-stream interval join (plan-only
+    * stand-in and the oracle's shape): every purchase joined to the
+    * same user's clicks from the preceding hour. */
+  private[streaming] def intervalJoinBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+    def side(tpe: String, prefix: String) = e.filter($"event_type" === tpe)
+      .select($"user_id".as(s"${prefix}_user"),
+        Tables.nsToUs($"ts").as(s"${prefix}_us"),
+        $"event_id".as(s"${prefix}_id"))
+    side("purchase", "p").join(side("click", "c"),
+      $"p_user" === $"c_user" &&
+        $"p_us" >= $"c_us" && $"p_us" <= $"c_us" + 3600000000L)
+      .select($"p_user".as("user_id"), $"c_id".as("click_id"),
+        $"p_id".as("purchase_id"))
+      .orderBy($"purchase_id", $"click_id")
+  }
+
+  /** STREAM-STREAM JOIN execution, graded — the fourth stateful
+    * primitive after windowed aggregation ([[streamExecTumbling]]),
+    * keyed admission ([[streamExecDedup]]) and timeout-evicted sessions
+    * ([[streamExecSessionize]]): [[StreamingMirror.intervalJoinStream]]
+    * runs as a real StreamingQuery — both sides watermarked, the join
+    * condition bounding event time in both directions so the state
+    * store can evict rows once the watermark passes the attribution
+    * interval — in Append mode to a memory sink. Inner stream-stream
+    * joins emit each match exactly once as both sides arrive, and the
+    * watermark gates EVICTION only, so the complete staged replay must
+    * emit exactly the batch interval join — the equality the oracle
+    * grades hash-for-hash.
+    *
+    * Scale shape: both sides shuffle once on user_id; state is bounded
+    * by the 1-hour interval × per-user traffic (the watermark bound),
+    * never stream lifetime. */
+  def streamExecIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.PlanOnly.roundTrip(intervalJoinBatch(spark, dir)) {
+      dropStale(spark)
+      val stage = Tables.scratch("stream_exec_ij_stage")
+      StreamingMirror.stageEvents(spark, dir, stage)
+      val name = s"stream_exec_interval_join_${execSeq.incrementAndGet()}"
+      val out = StreamingMirror.runToCompletionAppend(spark,
+        StreamingMirror.intervalJoinStream(spark, stage), name)
+        .orderBy($"purchase_id", $"click_id")
+      staleViews.add(name)
+      out
+    }
+  }
+
+  /** foreachBatch MERGE sink execution, graded — the fifth and last
+    * streaming runtime surface after the windowed aggregate, keyed
+    * admission, timeout-evicted sessions and the stream-stream join:
+    * [[StreamingMirror.upsertStream]] runs as a REAL MULTI-micro-batch
+    * StreamingQuery (the event log staged as 4 files,
+    * maxFilesPerTrigger = 1 → four genuine triggers), each batch
+    * merging into a keyed parquet state table via the tmp-write + swap
+    * upsert ([[StreamingMirror.upsertBatch]]); the graded frame is the
+    * FINAL STATE TABLE read back from disk. Latest-per-key with the
+    * (ts, event_id) tie-break is associative across any batch split,
+    * so the converged state must equal the batch latest-state
+    * compaction — the same oracle as compact_latest_state, now grading
+    * the incremental foreachBatch runtime (checkpointed, crash-swap
+    * recovery and all) rather than the one-shot window.
+    *
+    * Scale shape: per batch, one user_id window over state ∪ batch; at
+    * 100 TB the swap becomes MERGE INTO on a transactional format (the
+    * documented north-star gap) — the micro-batch merge DISCIPLINE is
+    * what this key certifies. */
+  def streamExecUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.PlanOnly.roundTrip(
+      graft.operators.Pipelines.compactLatestState(spark, dir)) {
+      val base = Tables.scratch("stream_exec_upsert")
+      Tables.events(spark, dir).repartition(4)
+        .write.mode("overwrite").parquet(s"$base/stage")
+      // reset state + checkpoint: Bench/Verify run the key repeatedly
+      // in one JVM and a stale checkpoint would mark the staged files
+      // already-processed (yielding an empty run)
+      Seq(s"$base/state", s"$base/ckpt").foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      StreamingMirror.upsertStream(spark, s"$base/stage", s"$base/state",
+        s"$base/ckpt")
+      spark.read.parquet(s"$base/state")
+        .select($"user_id", $"event_id", $"event_type", $"ts_us", $"value")
+        .orderBy($"user_id")
+    }
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "stream_exec_tumbling" -> (streamExecTumbling(_, _)),
     "stream_exec_dedup" -> (streamExecDedup(_, _)),
     "stream_exec_sessionize" -> (streamExecSessionize(_, _)),
+    "stream_exec_interval_join" -> (streamExecIntervalJoin(_, _)),
+    "stream_exec_upsert" -> (streamExecUpsert(_, _)),
     "stream_tumbling_window" -> (streamTumblingWindow(_, _)),
     "stream_sliding_window" -> (streamSlidingWindow(_, _)),
     "stream_sessionize" -> (streamSessionize(_, _)),
@@ -383,6 +476,26 @@ object Streamy {
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(ts_us) AS start_us, max(ts_us) AS end_us
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    // the multi-batch foreachBatch merge must converge to the batch
+    // latest-state compaction — same oracle as compact_latest_state
+    "stream_exec_upsert" ->
+      """WITH r AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |FROM events)
+        |SELECT user_id, event_id, event_type, ts_us, value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // the stream-stream inner join emits matches exactly once (the
+    // watermark gates state eviction, not emission), so the staged
+    // replay equals the batch interval join
+    "stream_exec_interval_join" ->
+      """SELECT p.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM events p JOIN events c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND p.user_id = c.user_id
+        | AND epoch_us(p.ts) >= epoch_us(c.ts)
+        | AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+        |ORDER BY purchase_id, click_id""".stripMargin,
     // watermark-eviction replay: a session row is emitted iff it closed
     // intra-stream OR its event-time timer (end + gap, ms) fired
     // strictly below the final watermark (max event-time ms − 1 h);
