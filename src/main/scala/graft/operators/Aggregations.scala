@@ -404,6 +404,101 @@ object Aggregations {
         |FROM ev_disc GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  /** Row hashes for the count–min sketch: 4 quadratic-mod-prime
+    * scrambles (multiplier, offset) shared verbatim with the oracle. */
+  private[graft] val CmKs: Seq[Long] =
+    Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
+  private[graft] val CmCs: Seq[Long] = Seq(12345L, 98765L, 424242L, 777777L)
+
+  /** Row-j column index as a SQL fragment over a decorated `q_j`
+    * column — identical syntax on both engines. */
+  private def cmColSql(j: Int): String =
+    s"(((q_$j * q_$j + q_$j + ${CmCs(j)}) % 1048573) % 256)"
+
+  /** Count–min sketch with a fully ENGINE-REPLAYABLE hash family — the
+    * graded twin of the ✖-by-design `agg_heavy_hitters`: Misra–Gries
+    * estimates depend on partial-merge order by construction, but CMS
+    * is the ORDER-FREE member of the frequent-items family — its
+    * counters are plain sums, so any partitioning or merge order
+    * yields the identical sketch, which is exactly what makes it
+    * oracle-gradeable. d = 4 rows × w = 256 columns; row j's hash is
+    * the quadratic-mod-prime scramble col_j(u) = ((q²+q+c_j) mod P)
+    * mod 256 with q = ((u+1)·K_j) mod P; every event increments
+    * counter (j, col_j(user)); a user's estimate is
+    * min_j counter[j][col_j(u)] — one-sided by the CMS guarantee
+    * (est ≥ exact, pinned as a law alongside the ε = e/w overcount
+    * bound). The graded output is the top-20 users by exact count with
+    * exact and estimated counts side by side — sketch, query path and
+    * error all hash-graded.
+    *
+    * Scale shape: the sketch is a 1 024-cell map-side-combinable
+    * aggregate (the order-free merge IS the partition-merge property);
+    * the probe joins the per-user frame to the broadcast 1 024-row
+    * sketch; top-20 is a TakeOrderedAndProject. The MG summary stays
+    * as agg_heavy_hitters for the ≤k-state-per-group shape CMS's
+    * fixed-width table doesn't give. */
+  def aggCountminReplayable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def withQ(df: DataFrame, key: String): DataFrame =
+      (0 until 4).foldLeft(df)((d, j) => d.withColumn(s"q_$j",
+        expr(s"(($key + 1) * ${CmKs(j)}L) % 1048573")))
+    val ev = graft.PlanOnly.mark(
+      Tables.events(spark, dir).select($"user_id"))
+    val counters = withQ(ev, "user_id")
+      .select(explode(array((0 until 4).map(j =>
+        struct(lit(j.toLong).as("j"), expr(cmColSql(j)).as("col"))): _*))
+        .as("k"))
+      .select($"k.j".as("j"), $"k.col".as("col"))
+      .groupBy($"j", $"col").agg(count(lit(1)).as("cnt"))
+    val users = ev.groupBy($"user_id").agg(count(lit(1)).as("exact_cnt"))
+    val probes = withQ(users, "user_id")
+      .select($"user_id", $"exact_cnt",
+        explode(array((0 until 4).map(j =>
+          struct(lit(j.toLong).as("j"), expr(cmColSql(j)).as("col"))): _*))
+          .as("k"))
+      .select($"user_id", $"exact_cnt", $"k.j".as("j"), $"k.col".as("col"))
+    probes.join(broadcast(counters), Seq("j", "col"))
+      .groupBy($"user_id", $"exact_cnt").agg(min($"cnt").as("est_cnt"))
+      .orderBy($"exact_cnt".desc, $"user_id").limit(20)
+      .select($"user_id", $"exact_cnt", $"est_cnt")
+      .orderBy($"exact_cnt".desc, $"user_id")
+  }
+
+  /** Deterministic-sample percentiles — the graded twin of the
+    * ✖-by-design `agg_approx_percentile` (the GK summary's internal
+    * sample depends on merge order; a CONTENT-HASH sample does not):
+    * keep the ~1/16 of events whose quadratic-scrambled event_id lands
+    * in residue 0, then exact percentile_disc over the sample, with
+    * the full-data percentiles decorated alongside so the key grades
+    * the sampling hash, the sampled quantiles AND exposes the
+    * approximation error row by row. percentile_disc returns actual
+    * data values (no interpolation arithmetic — cross-engine safe, the
+    * agg_percentile_disc precedent).
+    *
+    * Scale shape: the sample predicate is a scan-level filter (16×
+    * data reduction before any shuffle — the point of sample-based
+    * quantiles at 100 TB); both percentile passes are per-group sorts
+    * over their frames. */
+  def aggPercentileSampled(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_type", $"value".as("v"), $"event_id")
+      .withColumn("q", expr("((event_id + 1) * 2654435761L) % 1048573"))
+      .withColumn("keep", expr("((q * q + q + 7) % 1048573) % 16 = 0"))
+      .createOrReplaceTempView("ev_samp")
+    spark.sql(
+      """SELECT event_type,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_sample,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY CASE WHEN keep
+        |    THEN v END) AS p50_sample,
+        |  percentile_disc(0.9) WITHIN GROUP (ORDER BY CASE WHEN keep
+        |    THEN v END) AS p90_sample,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS p50_exact,
+        |  percentile_disc(0.9) WITHIN GROUP (ORDER BY v) AS p90_exact
+        |FROM ev_samp GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   /** Top users per event type via a Misra–Gries frequent-items summary
     * (functions/HeavyHittersAgg): fixed k=8 counters per group, so the
     * shuffle carries ≤8 (item, count) pairs per (group, map task) no
@@ -514,6 +609,8 @@ object Aggregations {
 
   val queries: Map[String, QueryFn] = Map(
     "agg_hll_replayable" -> (aggHllReplayable(_, _)),
+    "agg_countmin_replayable" -> (aggCountminReplayable(_, _)),
+    "agg_percentile_sampled" -> (aggPercentileSampled(_, _)),
     "agg_weighted_median" -> (aggWeightedMedian(_, _)),
     "agg_filtered_conditional" -> (aggFilteredConditional(_, _)),
     "agg_percentile_disc" -> (aggPercentileDisc(_, _)),
@@ -536,7 +633,58 @@ object Aggregations {
     "agg_histogram" -> (aggHistogram(_, _))
   )
 
+  /** DuckDB replay of [[aggCountminReplayable]] — q decorations, column
+    * CASE chain, counters, and the min-probe, all generated from the
+    * same [[CmKs]]/[[CmCs]]/[[cmColSql]] source of truth. */
+  private def countminOracle: String = {
+    val qDefs = (0 until 4)
+      .map(j => s"((user_id + 1) * ${CmKs(j)}) % 1048573 AS q_$j")
+      .mkString(",\n    ")
+    val colCase = "CASE k.j " +
+      (0 until 3).map(j => s"WHEN $j THEN ${cmColSql(j)}").mkString(" ") +
+      s" ELSE ${cmColSql(3)} END"
+    s"""WITH ev AS (SELECT user_id FROM events),
+q AS (SELECT user_id,
+    $qDefs
+  FROM ev),
+fan AS (SELECT k.j, $colCase AS col
+  FROM q, (VALUES (0), (1), (2), (3)) k(j)),
+counters AS (SELECT j, col, CAST(count(*) AS BIGINT) AS cnt
+  FROM fan GROUP BY j, col),
+users AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM ev GROUP BY user_id),
+uq AS (SELECT user_id, exact_cnt,
+    $qDefs
+  FROM users),
+probes AS (SELECT user_id, exact_cnt, k.j, $colCase AS col
+  FROM uq, (VALUES (0), (1), (2), (3)) k(j)),
+est AS (SELECT p.user_id, p.exact_cnt,
+    CAST(min(c.cnt) AS BIGINT) AS est_cnt
+  FROM probes p JOIN counters c USING (j, col)
+  GROUP BY p.user_id, p.exact_cnt)
+SELECT user_id, exact_cnt, est_cnt FROM est
+ORDER BY exact_cnt DESC, user_id LIMIT 20"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "agg_countmin_replayable" -> countminOracle,
+    // same scramble + residue sample, exact disc quantiles over sample
+    // and full data side by side
+    "agg_percentile_sampled" ->
+      """WITH s AS (SELECT event_type, value AS v,
+        |    ((event_id + 1) * 2654435761) % 1048573 AS q FROM events),
+        |k AS (SELECT event_type, v,
+        |    ((q * q + q + 7) % 1048573) % 16 = 0 AS keep FROM s)
+        |SELECT event_type,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_sample,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY CASE WHEN keep
+        |    THEN v END) AS p50_sample,
+        |  percentile_disc(0.9) WITHIN GROUP (ORDER BY CASE WHEN keep
+        |    THEN v END) AS p90_sample,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS p50_exact,
+        |  percentile_disc(0.9) WITHIN GROUP (ORDER BY v) AS p90_exact
+        |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
     // same scramble, register pick, ρ case chain (generated from ONE
     // Scala source), max-merge, and fixed-point harmonic estimate
     "agg_hll_replayable" -> s"""WITH d AS (

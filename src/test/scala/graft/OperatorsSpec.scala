@@ -168,6 +168,42 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("agg_countmin_replayable: one-sided estimates within the CMS overcount bound (sf0.1)") {
+    val rows = operators.Aggregations.aggCountminReplayable(spark, sf01).collect()
+    assert(rows.length === 20)
+    val n = Tables.events(spark, sf01).count().toDouble
+    rows.foreach { r =>
+      val exact = r.getLong(1); val est = r.getLong(2)
+      assert(est >= exact, s"CMS never undercounts: $r")
+      // e·n/w holds w.p. 1−e^−d per probe; generous 3n/w deterministic pin
+      assert(est - exact <= math.ceil(3 * n / 256).toLong,
+        s"overcount ${est - exact} beyond the 3n/w band: $r")
+    }
+    // the top-20 exact counts are strictly the heaviest users
+    val counts = rows.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("agg_percentile_sampled: sampled quantiles land within rank tolerance of exact (sf0.1)") {
+    val rows = operators.Aggregations.aggPercentileSampled(spark, sf01).collect()
+    val vals = Tables.events(spark, sf01)
+      .select(col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    rows.foreach { r =>
+      val tpe = r.getString(0)
+      assert(r.getLong(1) > 0, s"$tpe: empty sample")
+      val sorted = vals(tpe); val n = sorted.length
+      Seq(0.5 -> r.getDouble(2), 0.9 -> r.getDouble(3)).foreach { case (p, est) =>
+        val rank = sorted.count(_ <= est).toDouble / n
+        // ~1/16 sample of ~12k rows per type: 4σ rank band ≈ 0.07
+        assert(math.abs(rank - p) < 0.1,
+          s"$tpe p$p sampled=$est at rank $rank, outside +-0.1")
+      }
+    }
+  }
+
   test("agg_hll_replayable: full registers, bounded ranks, estimate near exact (sf0.1)") {
     val rows = operators.Aggregations.aggHllReplayable(spark, sf01).collect()
     // every type fills all 64 registers at this cardinality (~1500 users)
