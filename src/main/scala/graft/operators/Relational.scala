@@ -1022,6 +1022,58 @@ object Relational {
       .orderBy($"day")
   }
 
+  /** Transactional snapshot log with TIME TRAVEL, graded — the
+    * homegrown slice of the lakehouse north-star gap
+    * ([[graft.sources.TxnTable]]: atomic rename-installed version
+    * manifests over immutable parquet snapshots; Delta/Iceberg jars
+    * are unavailable offline, SCALE.md records the decision): v0 = the
+    * per-user event summary BEFORE the split day, committed; v1 = v0's
+    * SNAPSHOT READ merged with the post-split delta (read-prev →
+    * merge → commit-next — the MERGE INTO discipline, incremental by
+    * construction), committed; the graded frame reads BOTH snapshots
+    * back through the as-of resolver and stacks them. The hash-match
+    * therefore certifies three things at once: commit atomicity
+    * machinery really ran (the data only becomes visible through the
+    * renamed manifest), time travel resolves the right snapshot after
+    * later commits (v0 is read back AFTER v1 exists), and the
+    * incremental merge equals the from-scratch recompute the oracle
+    * performs.
+    *
+    * Scale shape: snapshots are table-level copy-on-write (honest
+    * write amplification of plain parquet — the file-level refinement
+    * is what the real formats add); the merge is one user_id
+    * aggregate over prev ∪ delta; manifests are O(1) driver I/O. */
+  def sinkTxnTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val splitUs = 19740L * 86400000000L // the sink_merge_upsert boundary
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", Tables.nsToUs($"ts").as("ts_us"))
+    def summarize(df: DataFrame): DataFrame = df.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), max($"ts_us").as("last_us"))
+    val equivalent = summarize(ev.filter($"ts_us" < splitUs))
+      .withColumn("version", lit(0L))
+      .unionByName(summarize(ev).withColumn("version", lit(1L)))
+      .select($"version", $"user_id", $"n_events", $"last_us")
+      .orderBy($"version", $"user_id")
+    graft.PlanOnly.roundTrip(equivalent) {
+      import graft.sources.TxnTable
+      val table = Tables.scratch("txn_table")
+      TxnTable.drop(spark, table)
+      TxnTable.commit(spark, table, 0,
+        summarize(ev.filter($"ts_us" >= 0L && $"ts_us" < splitUs)))
+      val v1 = TxnTable.read(spark, table, Some(0))
+        .unionByName(summarize(ev.filter($"ts_us" >= splitUs)))
+        .groupBy($"user_id")
+        .agg(sum($"n_events").as("n_events"), max($"last_us").as("last_us"))
+      TxnTable.commit(spark, table, 1, v1)
+      TxnTable.read(spark, table, Some(0)).withColumn("version", lit(0L))
+        .unionByName(
+          TxnTable.read(spark, table, None).withColumn("version", lit(1L)))
+        .select($"version", $"user_id", $"n_events", $"last_us")
+        .orderBy($"version", $"user_id")
+    }
+  }
+
   /** Batch MERGE/upsert — row-level update-else-insert against a
     * standing keyed table, the single most common warehouse write
     * pattern. The standing state (latest row per user before the split
@@ -1192,6 +1244,7 @@ object Relational {
     "report_dense_grid" -> (reportDenseGrid(_, _)),
     "sink_dynamic_overwrite" -> (sinkDynamicOverwrite(_, _)),
     "sink_merge_upsert" -> (sinkMergeUpsert(_, _)),
+    "sink_txn_time_travel" -> (sinkTxnTimeTravel(_, _)),
     "source_csv_permissive" -> (sourceCsvPermissive(_, _)),
     "source_schema_evolution" -> (sourceSchemaEvolution(_, _)),
     "sql_unpivot_melt" -> (sqlUnpivotMelt(_, _)),
@@ -1274,6 +1327,21 @@ object Relational {
        |FROM (SELECT count(*) AS ni FROM $table GROUP BY $column)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // the two committed snapshots recomputed from scratch: v0 = the
+    // pre-split summary, v1 = the full-log summary (incremental merge
+    // must equal recompute — associativity of count/max)
+    "sink_txn_time_travel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |v0 AS (SELECT CAST(0 AS BIGINT) AS version, user_id,
+        |    CAST(count(*) AS BIGINT) AS n_events, max(ts_us) AS last_us
+        |  FROM e WHERE ts_us >= 0 AND ts_us < 1705536000000000
+        |  GROUP BY user_id),
+        |v1 AS (SELECT CAST(1 AS BIGINT) AS version, user_id,
+        |    CAST(count(*) AS BIGINT) AS n_events, max(ts_us) AS last_us
+        |  FROM e GROUP BY user_id)
+        |SELECT version, user_id, n_events, last_us FROM
+        |  (SELECT * FROM v0 UNION ALL SELECT * FROM v1)
+        |ORDER BY version, user_id""".stripMargin,
     // semantic business key (custkey, epoch-day); only contended
     // groups survive
     "profile_duplicate_invoices" ->

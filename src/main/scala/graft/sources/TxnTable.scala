@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A minimal transactional table over parquet — the homegrown slice of
+  * the lakehouse commit protocol this offline environment can't get
+  * from Delta/Iceberg jars (SCALE.md records the decision; the full
+  * formats stay the documented north-star): an append-only `_log/`
+  * directory of version manifests, each installed by an ATOMIC RENAME
+  * of a hidden staged file, defines which data snapshot every reader
+  * sees.
+  *
+  * Protocol:
+  *  - WRITE: data lands under `data/v<N>/` (invisible — no manifest
+  *    references it yet), then the manifest `_log/v%05d.json` appears
+  *    via rename. Readers never see a torn commit: the rename either
+  *    happened or it didn't, and un-renamed `.tmp_*` staging files are
+  *    ignored by the version listing.
+  *  - READ: list committed manifests, pick max version ≤ `asOf` (or
+  *    the latest), read the path that manifest names. Time travel =
+  *    pass an older version; snapshot isolation = a reader that
+  *    resolved its manifest keeps its snapshot regardless of later
+  *    commits (old data dirs are never mutated).
+  *
+  * Model honesty: snapshots here are TABLE-level copy-on-write (each
+  * version rewrites its full data dir) — correct and atomic, with the
+  * production refinements being file-level COW + manifest lists
+  * (Iceberg) or a file-action log with compaction (Delta). MERGE runs
+  * as read-prev → merge → commit-next, which is exactly the
+  * discipline `sink_txn_time_travel` grades: the incrementally merged
+  * v1 must hash-equal the from-scratch recompute. */
+object TxnTable {
+
+  private def fsOf(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val ManifestRe = "v(\\d{5})\\.json".r
+
+  /** Stage `df` as version `version` and atomically commit it. */
+  def commit(spark: SparkSession, table: String, version: Int,
+      df: DataFrame): Unit = {
+    val dataPath = s"$table/data/v$version"
+    df.write.mode("overwrite").parquet(dataPath)
+    val log = new Path(s"$table/_log")
+    val fs = fsOf(spark, log)
+    fs.mkdirs(log)
+    val tmp = new Path(log, s".tmp_v$version.json")
+    val out = fs.create(tmp, true)
+    try out.write(
+      s"""{"version":$version,"path":"$dataPath"}""".getBytes("UTF-8"))
+    finally out.close()
+    val fin = new Path(log, f"v$version%05d.json")
+    require(fs.rename(tmp, fin),
+      s"commit of version $version failed: rename $tmp -> $fin")
+  }
+
+  /** Committed versions, ascending (staged `.tmp_*` files excluded). */
+  def versions(spark: SparkSession, table: String): Seq[Int] = {
+    val log = new Path(s"$table/_log")
+    val fs = fsOf(spark, log)
+    if (!fs.exists(log)) Seq.empty
+    else fs.listStatus(log).toSeq.map(_.getPath.getName).collect {
+      case ManifestRe(v) => v.toInt
+    }.sorted
+  }
+
+  /** Snapshot read: the newest committed version ≤ `asOf` (or the
+    * latest when `asOf` is empty). */
+  def read(spark: SparkSession, table: String,
+      asOf: Option[Int] = None): DataFrame = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions under $table")
+    val pick = asOf.fold(vs.last) { a =>
+      val ok = vs.filter(_ <= a)
+      require(ok.nonEmpty, s"no version <= $a under $table (have $vs)")
+      ok.last
+    }
+    val manifest = new Path(s"$table/_log/" + f"v$pick%05d.json")
+    val fs = fsOf(spark, manifest)
+    val in = fs.open(manifest)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val path = "\"path\":\"([^\"]+)\"".r.findFirstMatchIn(body)
+      .map(_.group(1))
+      .getOrElse(sys.error(s"malformed manifest $manifest: $body"))
+    spark.read.parquet(path)
+  }
+
+  /** Remove a table directory entirely (test/bench reset). */
+  def drop(spark: SparkSession, table: String): Unit = {
+    val p = new Path(table)
+    val fs = fsOf(spark, p)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+}

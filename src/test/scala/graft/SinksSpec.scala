@@ -145,4 +145,27 @@ class SinksSpec extends SparkSuite {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(plan.contains("GreaterThan(o_totalprice"), plan.take(800))
   }
+
+  test("TxnTable: atomic commits, time travel, staged-manifest invisibility (injected)") {
+    import spark.implicits._
+    import graft.sources.TxnTable
+    val t = Tables.scratch("txn_unit")
+    TxnTable.drop(spark, t)
+    TxnTable.commit(spark, t, 0, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    TxnTable.commit(spark, t, 1,
+      Seq((1L, "a2"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    // time travel: the v0 snapshot survives the v1 commit untouched
+    val v0 = TxnTable.read(spark, t, Some(0)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(v0 === Set((1L, "a"), (2L, "b")))
+    assert(TxnTable.read(spark, t).count() === 3L)
+    // as-of semantics: newest committed version <= the requested one
+    assert(TxnTable.read(spark, t, Some(7)).count() === 3L)
+    // a staged-but-unrenamed manifest is invisible to readers
+    val tmp = new org.apache.hadoop.fs.Path(s"$t/_log/.tmp_v2.json")
+    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true); out.write("{}".getBytes("UTF-8")); out.close()
+    assert(TxnTable.versions(spark, t) === Seq(0, 1))
+    assert(TxnTable.read(spark, t).count() === 3L)
+  }
 }
