@@ -14,7 +14,8 @@ object SparkEntry {
       operators.Pipelines.queries ++ streaming.Streamy.queries ++
       operators.Analytics.queries ++ operators.Recursion.queries ++
       operators.Behavioral.queries ++ operators.Timeseries.queries ++
-      operators.Tpch.queries ++ operators.Indexing.queries
+      operators.Tpch.queries ++ operators.Indexing.queries ++
+      operators.Lakehouse.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -25,5 +26,6 @@ object SparkEntry {
       operators.Pipelines.oracleSql ++ streaming.Streamy.oracleSql ++
       operators.Analytics.oracleSql ++ operators.Recursion.oracleSql ++
       operators.Behavioral.oracleSql ++ operators.Timeseries.oracleSql ++
-      operators.Tpch.oracleSql ++ operators.Indexing.oracleSql
+      operators.Tpch.oracleSql ++ operators.Indexing.oracleSql ++
+      operators.Lakehouse.oracleSql
 }

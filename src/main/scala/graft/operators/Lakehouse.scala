@@ -1,0 +1,409 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.Tables
+import graft.sources.TxnTable
+
+/** The lakehouse layer, graded — the transactional-table disciplines a
+  * 100 TB warehouse actually runs, built on [[graft.sources.TxnTable]]'s
+  * atomic snapshot log (Delta/Iceberg jars are unavailable offline;
+  * SCALE.md records the decision and the remaining file-level-COW
+  * refinements). `sink_txn_time_travel` (Relational.scala) grades the
+  * base protocol — commit atomicity + as-of resolution + incremental
+  * merge ≡ recompute; the four keys here grade the rest of the
+  * contract: schema enforcement/evolution on the write path, the
+  * change-data-feed between snapshots, optimistic-concurrency conflict
+  * detection with re-merge retry, and streaming ingest committing one
+  * atomic version per micro-batch with time travel across batch
+  * boundaries. No reference file:line can exist (/root/reference is
+  * empty — SURVEY.md §0); the public models are the Delta log protocol
+  * and Iceberg snapshot spec. */
+object Lakehouse {
+
+  private type QueryFn = (SparkSession, String) => DataFrame
+
+  private val DayUs = 86400000000L
+  /** The standing mid-range split day (same as sink_merge_upsert). */
+  private val SplitUs = 19740L * DayUs
+  /** Second boundary for the conflict-retry delta split. */
+  private val Split2Us = 19747L * DayUs
+  /** Retention lower bound for the change-feed refresh — two days
+    * BEFORE the split, so the windows overlap: a key wholly inside the
+    * overlap summarizes identically in both snapshots (the `carry`
+    * class is reachable, not vacuous) while pre-retention keys expire
+    * (real deletes in an append-only log). */
+  private val RetainUs = 19738L * DayUs
+  /** Micro-batch quartile bounds for the streaming txn sink — each
+    * staged file covers [prev, bound); the fixture's 30-day window
+    * (days 19723–19752) makes every quartile non-empty at all SFs. */
+  private val SinkBoundsUs =
+    Seq(19731L * DayUs, 19739L * DayUs, 19747L * DayUs, Long.MaxValue)
+
+  private def evUsers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        Tables.nsToUs($"ts").as("ts_us"), $"value")
+  }
+
+  // ---- schema enforcement / evolution ---------------------------------
+
+  /** Schema enforcement + additive evolution on the transactional
+    * write path, graded: v0 = the per-event-type pre-split summary,
+    * committed through [[TxnTable.commitStrict]]; then THREE
+    * deliberately invalid commits are thrown at the enforcer — a
+    * column type change (the fixed-point sum re-typed DOUBLE), a
+    * dropped column, and an additive column WITHOUT the evolution
+    * opt-in — each must be REJECTED before a byte is staged; then v1
+    * (the full-log summary plus a new `n_users` column) commits with
+    * `allowAdd = true`, the explicit ALTER-ADD-COLUMNS gesture. The
+    * graded frame reads v0 back through the as-of resolver AFTER v1
+    * exists (old schema — `n_users` absent, NULL-filled by the
+    * by-name union and coalesced to the −1 sentinel) stacked with the
+    * evolved v1, decorated with the count of rejected commits: the
+    * hash certifies the enforcer rejected exactly the three invalid
+    * writes AND that old-snapshot readers are undisturbed by the
+    * evolution — the two guarantees "schema enforcement" names.
+    *
+    * Scale shape: validation is schema-only driver work (O(columns),
+    * zero data movement, runs BEFORE staging); the summaries are one
+    * map-side-combinable per-type aggregate each. */
+  def sinkTxnSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", Tables.nsToUs($"ts").as("ts_us"),
+        Tables.dec4($"value").as("v"))
+    def perType(df: DataFrame): DataFrame = df.groupBy($"event_type")
+      .agg(count(lit(1)).as("cnt"),
+        (sum($"v") * lit(10000)).cast("long").as("v_sum_4dp"))
+    val v0 = perType(ev.filter($"ts_us" < SplitUs))
+    val v1 = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("cnt"),
+        (sum($"v") * lit(10000)).cast("long").as("v_sum_4dp"),
+        countDistinct($"user_id").as("n_users"))
+    def shape(df: DataFrame): DataFrame = df
+      .select($"version", $"event_type", $"cnt", $"v_sum_4dp",
+        coalesce($"n_users", lit(-1L)).as("n_users"), $"rejected_commits")
+      .orderBy($"version", $"event_type")
+    graft.PlanOnly.roundTrip(shape(
+        v0.withColumn("version", lit(0L)).withColumn("n_users", lit(-1L))
+          .unionByName(v1.withColumn("version", lit(1L)),
+            allowMissingColumns = true)
+          .withColumn("rejected_commits", lit(3L)))) {
+      val table = Tables.scratch("txn_schema_table")
+      TxnTable.drop(spark, table)
+      TxnTable.commitStrict(spark, table, 0, v0)
+      var rejected = 0L
+      def expectReject(df: DataFrame, allowAdd: Boolean): Unit =
+        try TxnTable.commitStrict(spark, table, 1, df, allowAdd)
+        catch { case _: TxnTable.SchemaViolation => rejected += 1 }
+      expectReject(v0.withColumn("v_sum_4dp", $"v_sum_4dp".cast("double")),
+        allowAdd = true) // type change: BIGINT -> DOUBLE
+      expectReject(v0.drop("cnt"), allowAdd = true) // dropped column
+      expectReject(v1, allowAdd = false) // additive without the opt-in
+      TxnTable.commitStrict(spark, table, 1, v1, allowAdd = true)
+      shape(
+        TxnTable.read(spark, table, Some(0)).withColumn("version", lit(0L))
+          .unionByName(
+            TxnTable.read(spark, table, None).withColumn("version", lit(1L)),
+            allowMissingColumns = true)
+          .withColumn("rejected_commits", lit(rejected)))
+    }
+  }
+
+  // ---- change data feed ----------------------------------------------
+
+  /** Change-data-feed between two committed snapshots, graded — the
+    * table_changes/CDF read every downstream incremental consumer
+    * runs: v0 = the cumulative per-(user, event_type) state up to the
+    * split day, v1 = the RETENTION-PRUNED refresh (only post-split
+    * activity — expiry is what makes deletes real in an append-only
+    * world). Both commit to the snapshot log; the feed reads them back
+    * through the as-of resolver (v0 resolved AFTER v1 exists — time
+    * travel again) and classifies every key full-outer-style: `delete`
+    * (expired from the retention window), `insert` (first seen after
+    * the split), `update` (present in both with changed values — the
+    * dominant class on this dense fixture), `carry` (identical, which
+    * the overlapping windows make reachable — EMITTED NOWHERE: a CDF
+    * that re-emits unchanged rows is a full snapshot in disguise; the
+    * all-four-classes classification law runs on an injected fixture
+    * in LakehouseSpec). NULL sides carry the −1 sentinel.
+    *
+    * Scale shape: one shuffle on the (user, type) key for each summary
+    * + one full outer join on the same key — co-partitioned, no
+    * broadcast needed, no corpus-scale window anywhere. */
+  def sinkTxnChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = evUsers(spark, dir)
+    def summarize(df: DataFrame): DataFrame =
+      df.groupBy($"user_id", $"event_type")
+        .agg(count(lit(1)).as("n_events"), max($"ts_us").as("last_us"))
+    val v0 = summarize(ev.filter($"ts_us" < SplitUs))
+    val v1 = summarize(ev.filter($"ts_us" >= RetainUs))
+    def feed(o0: DataFrame, o1: DataFrame): DataFrame = {
+      val o = o0.select($"user_id".as("ou"), $"event_type".as("ot"),
+        $"n_events".as("o_n"), $"last_us".as("o_last"))
+      val n = o1.select($"user_id".as("nu"), $"event_type".as("nt"),
+        $"n_events".as("n_n"), $"last_us".as("n_last"))
+      o.join(n, $"ou" === $"nu" && $"ot" === $"nt", "full_outer")
+        .withColumn("change",
+          when($"nu".isNull, lit("delete"))
+            .when($"ou".isNull, lit("insert"))
+            .when($"o_n" === $"n_n" && $"o_last" === $"n_last", lit("carry"))
+            .otherwise(lit("update")))
+        .filter($"change" =!= "carry")
+        .select(coalesce($"ou", $"nu").as("user_id"),
+          coalesce($"ot", $"nt").as("event_type"), $"change",
+          coalesce($"o_n", lit(-1L)).as("old_n"),
+          coalesce($"o_last", lit(-1L)).as("old_last"),
+          coalesce($"n_n", lit(-1L)).as("new_n"),
+          coalesce($"n_last", lit(-1L)).as("new_last"))
+        .orderBy($"user_id", $"event_type")
+    }
+    graft.PlanOnly.roundTrip(feed(v0, v1)) {
+      val table = Tables.scratch("txn_cdf_table")
+      TxnTable.drop(spark, table)
+      TxnTable.commit(spark, table, 0, v0)
+      TxnTable.commit(spark, table, 1, v1)
+      feed(TxnTable.read(spark, table, Some(0)),
+        TxnTable.read(spark, table, None))
+    }
+  }
+
+  // ---- optimistic concurrency ----------------------------------------
+
+  /** Optimistic-concurrency conflict detection with re-merge retry,
+    * graded — the multi-writer discipline of every log-based table
+    * format: writer A and writer B BOTH resolve the v0 snapshot (the
+    * pre-split per-user summary) as their merge base; A merges its
+    * delta (days in [split, split2)) and claims v1; B merges ITS delta
+    * (days ≥ split2) against the same stale base and tries to claim v1
+    * — [[TxnTable.tryCommit]] refuses (the version is taken; B's
+    * staged data never becomes visible), so B re-reads the CURRENT
+    * snapshot (= A's v1), re-merges its delta on top, and commits v2.
+    * The graded frame stacks all three snapshots read back through the
+    * as-of resolver: v1 hash-equal to base⊕A proves the loser's
+    * conflicting write is invisible; v2 hash-equal to the full-log
+    * summary proves the retry converged to the serial schedule —
+    * together, exactly "optimistic concurrency with write
+    * serializability".
+    *
+    * Scale shape: each merge is one user_id aggregate over prev ∪
+    * delta; the conflict check is O(1) driver manifest I/O; racing
+    * writers never share a data path (attempt-tagged dirs), so the
+    * only contention point is the atomic manifest claim. */
+  def sinkTxnConflictRetry(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = evUsers(spark, dir)
+    def summarize(df: DataFrame): DataFrame = df.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), max($"ts_us").as("last_us"))
+    def merged(prev: DataFrame, delta: DataFrame): DataFrame =
+      prev.unionByName(delta).groupBy($"user_id")
+        .agg(sum($"n_events").as("n_events"), max($"last_us").as("last_us"))
+    def shape(df: DataFrame): DataFrame = df
+      .select($"version", $"user_id", $"n_events", $"last_us")
+      .orderBy($"version", $"user_id")
+    val equivalent = shape(
+      summarize(ev.filter($"ts_us" < SplitUs)).withColumn("version", lit(0L))
+        .unionByName(summarize(ev.filter($"ts_us" < Split2Us))
+          .withColumn("version", lit(1L)))
+        .unionByName(summarize(ev).withColumn("version", lit(2L))))
+    graft.PlanOnly.roundTrip(equivalent) {
+      val table = Tables.scratch("txn_conflict_table")
+      TxnTable.drop(spark, table)
+      TxnTable.commit(spark, table, 0, summarize(ev.filter($"ts_us" < SplitUs)))
+      val deltaA = summarize(
+        ev.filter($"ts_us" >= SplitUs && $"ts_us" < Split2Us))
+      val deltaB = summarize(ev.filter($"ts_us" >= Split2Us))
+      // both writers resolve the SAME v0 base snapshot
+      val base = TxnTable.read(spark, table, Some(0))
+      require(TxnTable.tryCommit(spark, table, 1, merged(base, deltaA), "wa"),
+        "writer A lost an uncontended claim")
+      require(!TxnTable.tryCommit(spark, table, 1, merged(base, deltaB), "wb"),
+        "conflict undetected: writer B claimed an already-committed version")
+      // retry: re-read the CURRENT snapshot, re-merge, claim the next slot
+      require(TxnTable.tryCommit(spark, table, 2,
+        merged(TxnTable.read(spark, table, None), deltaB), "wb_retry"),
+        "writer B's retry lost an uncontended claim")
+      shape(Seq(0, 1, 2).map { v =>
+        TxnTable.read(spark, table, Some(v)).withColumn("version", lit(v.toLong))
+      }.reduce(_.unionByName(_)))
+    }
+  }
+
+  // ---- streaming ingest with per-batch atomic commits ----------------
+
+  /** Streaming ingest into the transactional table, graded — the
+    * lakehouse sink pattern that replaces foreachBatch-over-plain-
+    * parquet at 100 TB: the event log staged as FOUR single-file
+    * quartiles with strictly increasing mtimes (`maxFilesPerTrigger =
+    * 1` → four genuine micro-batches in a deterministic file order), a
+    * REAL Trigger.AvailableNow StreamingQuery whose foreachBatch
+    * merges each batch into the latest snapshot (latest-row-per-user
+    * upsert) and commits it as version = batchId via
+    * [[TxnTable.tryCommit]] — an already-committed version claim
+    * returns false and the batch is SKIPPED, which is precisely how a
+    * checkpoint replay becomes exactly-once. The graded frame TIME
+    * TRAVELS the result: all four committed snapshots read back
+    * through the as-of resolver, i.e. the per-batch state history —
+    * each version must equal the latest-per-key compaction of its
+    * event-time prefix, certifying the commit-per-micro-batch
+    * discipline end to end (ordering, atomic visibility, replay
+    * safety, travel across batch boundaries).
+    *
+    * Scale shape: per batch one user_id window over snapshot ∪ batch
+    * (table-level COW — the honest plain-parquet cost; file-level COW
+    * is the real formats' refinement); manifests are O(1) driver I/O;
+    * the stream shuffles each batch once on the state key. */
+  def streamExecTxnSink(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = evUsers(spark, dir)
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us".desc, $"event_id".desc)
+    def shape(df: DataFrame): DataFrame = df
+      .select($"version", $"user_id", $"event_id", $"event_type", $"ts_us",
+        $"value")
+      .orderBy($"version", $"user_id")
+    val equivalent = shape(SinkBoundsUs.zipWithIndex.map { case (b, i) =>
+      ev.filter($"ts_us" < b)
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+        .withColumn("version", lit(i.toLong))
+    }.reduce(_.unionByName(_)))
+    graft.PlanOnly.roundTrip(equivalent) {
+      import org.apache.hadoop.fs.Path
+      val base = Tables.scratch("stream_exec_txn")
+      val fs = new Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // reset: Bench/Verify re-run the key in one JVM; a stale
+      // checkpoint would mark the staged files already-processed
+      fs.delete(new Path(base), true): Unit
+      val stage = s"$base/stage"
+      fs.mkdirs(new Path(stage))
+      SinkBoundsUs.zipWithIndex.foreach { case (b, i) =>
+        val lo = if (i == 0) Long.MinValue else SinkBoundsUs(i - 1)
+        val tmp = s"$base/stage_tmp_$i"
+        ev.filter($"ts_us" >= lo && $"ts_us" < b)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+          .filter(_.getName.startsWith("part-")).head
+        val staged = new Path(stage, s"b$i.parquet")
+        require(fs.rename(part, staged), s"staging of quartile $i failed")
+        // strictly increasing mtimes pin the FileStreamSource order
+        fs.setTimes(staged, 1600000000000L + i * 60000L, -1)
+        fs.delete(new Path(tmp), true): Unit
+      }
+      val table = s"$base/table"
+      val schema = spark.read.parquet(stage).schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .writeStream.option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val s = batch.sparkSession
+          import s.implicits._
+          val wb = Window.partitionBy($"user_id")
+            .orderBy($"ts_us".desc, $"event_id".desc)
+          val prev =
+            if (TxnTable.versions(s, table).nonEmpty)
+              TxnTable.read(s, table, None)
+            else batch.limit(0)
+          val next = prev.unionByName(batch)
+            .withColumn("rn", row_number().over(wb))
+            .filter($"rn" === 1).drop("rn")
+          // false = version already committed (checkpoint replay):
+          // skipping IS the exactly-once guarantee
+          TxnTable.tryCommit(s, table, batchId.toInt, next, "ingest"): Unit
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      shape(TxnTable.versions(spark, table).map { v =>
+        TxnTable.read(spark, table, Some(v)).withColumn("version", lit(v.toLong))
+      }.reduce(_.unionByName(_)))
+    }
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "sink_txn_schema_evolution" -> (sinkTxnSchemaEvolution(_, _)),
+    "sink_txn_change_feed" -> (sinkTxnChangeFeed(_, _)),
+    "sink_txn_conflict_retry" -> (sinkTxnConflictRetry(_, _)),
+    "stream_exec_txn_sink" -> (streamExecTxnSink(_, _))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // v0 = pre-split per-type summary (n_users absent -> -1 sentinel),
+    // v1 = full-log summary with the evolved column; the 3 rejected
+    // commits are the enforcement contract
+    "sink_txn_schema_evolution" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |v0 AS (SELECT CAST(0 AS BIGINT) AS version, event_type,
+        |    CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(v) * 10000 AS BIGINT) AS v_sum_4dp,
+        |    CAST(-1 AS BIGINT) AS n_users
+        |  FROM e WHERE ts_us < 1705536000000000 GROUP BY event_type),
+        |v1 AS (SELECT CAST(1 AS BIGINT) AS version, event_type,
+        |    CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(v) * 10000 AS BIGINT) AS v_sum_4dp,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM e GROUP BY event_type)
+        |SELECT version, event_type, cnt, v_sum_4dp, n_users,
+        |  CAST(3 AS BIGINT) AS rejected_commits
+        |FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1)
+        |ORDER BY version, event_type""".stripMargin,
+    // cumulative-to-split state vs retention-pruned refresh, full-outer
+    // classified; carry rows are not part of a change feed
+    "sink_txn_change_feed" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |v0 AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+        |    max(ts_us) AS l
+        |  FROM e WHERE ts_us < 1705536000000000 GROUP BY 1, 2),
+        |v1 AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+        |    max(ts_us) AS l
+        |  FROM e WHERE ts_us >= 1705363200000000 GROUP BY 1, 2),
+        |j AS (SELECT coalesce(v0.user_id, v1.user_id) AS user_id,
+        |    coalesce(v0.event_type, v1.event_type) AS event_type,
+        |    CASE WHEN v1.user_id IS NULL THEN 'delete'
+        |         WHEN v0.user_id IS NULL THEN 'insert'
+        |         WHEN v0.n = v1.n AND v0.l = v1.l THEN 'carry'
+        |         ELSE 'update' END AS change,
+        |    coalesce(v0.n, -1) AS old_n, coalesce(v0.l, -1) AS old_last,
+        |    coalesce(v1.n, -1) AS new_n, coalesce(v1.l, -1) AS new_last
+        |  FROM v0 FULL JOIN v1
+        |    ON v0.user_id = v1.user_id AND v0.event_type = v1.event_type)
+        |SELECT user_id, event_type, change, old_n, old_last, new_n, new_last
+        |FROM j WHERE change <> 'carry'
+        |ORDER BY user_id, event_type""".stripMargin,
+    // the serial schedule the conflict-retry must converge to:
+    // v0 = pre-split, v1 = v0 (+) writer A's window, v2 = full log
+    "sink_txn_conflict_retry" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |s AS (SELECT v, user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    max(ts_us) AS last_us
+        |  FROM e JOIN (VALUES (CAST(0 AS BIGINT), 1705536000000000),
+        |                      (CAST(1 AS BIGINT), 1706140800000000),
+        |                      (CAST(2 AS BIGINT), 9223372036854775807))
+        |    AS b(v, hi) ON e.ts_us < b.hi
+        |  GROUP BY v, user_id)
+        |SELECT v AS version, user_id, n_events, last_us FROM s
+        |ORDER BY version, user_id""".stripMargin,
+    // each committed version = latest-per-user compaction of its
+    // event-time prefix (quartile bounds = the staged files)
+    "stream_exec_txn_sink" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |    value FROM events),
+        |pv AS (SELECT b.v AS version, e.user_id, e.event_id, e.event_type,
+        |    e.ts_us, e.value,
+        |    row_number() OVER (PARTITION BY b.v, e.user_id
+        |      ORDER BY e.ts_us DESC, e.event_id DESC) AS rn
+        |  FROM e JOIN (VALUES (CAST(0 AS BIGINT), 1704758400000000),
+        |                      (CAST(1 AS BIGINT), 1705449600000000),
+        |                      (CAST(2 AS BIGINT), 1706140800000000),
+        |                      (CAST(3 AS BIGINT), 9223372036854775807))
+        |    AS b(v, hi) ON e.ts_us < b.hi)
+        |SELECT version, user_id, event_id, event_type, ts_us, value
+        |FROM pv WHERE rn = 1 ORDER BY version, user_id""".stripMargin
+  )
+}
