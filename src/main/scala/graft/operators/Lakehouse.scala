@@ -235,6 +235,55 @@ object Lakehouse {
     }
   }
 
+  // ---- retention vacuum ----------------------------------------------
+
+  /** Retention VACUUM, graded — the storage-reclamation half of the
+    * snapshot log's lifecycle: v0 (pre-split per-user summary) and v1
+    * (full-log summary) commit; a CRASHED writer's orphan is staged
+    * (data written under `data/v9-crashed`, manifest never installed —
+    * invisible to every reader, immortal without a vacuum); then
+    * [[TxnTable.vacuum]] with keepLast = 1 expires v0 (manifest AND
+    * data) and sweeps the orphan. The graded frame is the surviving
+    * latest snapshot decorated with the vacuum census — 2 data dirs
+    * removed (expired v0 + the orphan), 1 manifest expired, and an
+    * `expired_travel_fails` flag proving time travel to the expired
+    * version now FAILS AT RESOLUTION (the version atom is gone; never
+    * a silent partial read) — together the retention contract: readers
+    * of retained versions are undisturbed, everything unreferenced is
+    * reclaimed, expiry is loud.
+    *
+    * Scale shape: vacuum is driver-side manifest listing + O(dirs)
+    * deletes — no data is read; at 100 TB with file-level COW the same
+    * sweep walks the manifest-referenced file set instead of dirs. */
+  def sinkTxnVacuum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = evUsers(spark, dir)
+    def summarize(df: DataFrame): DataFrame = df.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), max($"ts_us").as("last_us"))
+    def shape(df: DataFrame, dirsRemoved: Long, manifestsExpired: Long,
+        travelFails: Long): DataFrame = df
+      .select(lit(1L).as("version"), $"user_id", $"n_events", $"last_us",
+        lit(dirsRemoved).as("data_dirs_removed"),
+        lit(manifestsExpired).as("manifests_expired"),
+        lit(travelFails).as("expired_travel_fails"))
+      .orderBy($"user_id")
+    graft.PlanOnly.roundTrip(shape(summarize(ev), 2L, 1L, 1L)) {
+      val table = Tables.scratch("txn_vacuum_table")
+      TxnTable.drop(spark, table)
+      TxnTable.commit(spark, table, 0, summarize(ev.filter($"ts_us" < SplitUs)))
+      TxnTable.commit(spark, table, 1, summarize(ev))
+      // a crashed writer: data staged, manifest never installed
+      summarize(ev).limit(5).write.mode("overwrite")
+        .parquet(s"$table/data/v9-crashed")
+      val (dirsRemoved, manifestsExpired) = TxnTable.vacuum(spark, table, 1)
+      val travelFails =
+        try { TxnTable.read(spark, table, Some(0)); 0L }
+        catch { case _: IllegalArgumentException => 1L }
+      shape(TxnTable.read(spark, table, None),
+        dirsRemoved.toLong, manifestsExpired.toLong, travelFails)
+    }
+  }
+
   // ---- streaming ingest with per-batch atomic commits ----------------
 
   /** Streaming ingest into the transactional table, graded — the
@@ -328,6 +377,7 @@ object Lakehouse {
     "sink_txn_schema_evolution" -> (sinkTxnSchemaEvolution(_, _)),
     "sink_txn_change_feed" -> (sinkTxnChangeFeed(_, _)),
     "sink_txn_conflict_retry" -> (sinkTxnConflictRetry(_, _)),
+    "sink_txn_vacuum" -> (sinkTxnVacuum(_, _)),
     "stream_exec_txn_sink" -> (streamExecTxnSink(_, _))
   )
 
@@ -389,6 +439,16 @@ object Lakehouse {
         |  GROUP BY v, user_id)
         |SELECT v AS version, user_id, n_events, last_us FROM s
         |ORDER BY version, user_id""".stripMargin,
+    // the surviving latest snapshot + the vacuum census constants
+    // (2 dirs = expired v0 + the crashed orphan; expiry is loud)
+    "sink_txn_vacuum" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events)
+        |SELECT CAST(1 AS BIGINT) AS version, user_id,
+        |  CAST(count(*) AS BIGINT) AS n_events, max(ts_us) AS last_us,
+        |  CAST(2 AS BIGINT) AS data_dirs_removed,
+        |  CAST(1 AS BIGINT) AS manifests_expired,
+        |  CAST(1 AS BIGINT) AS expired_travel_fails
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
     // each committed version = latest-per-user compaction of its
     // event-time prefix (quartile bounds = the staged files)
     "stream_exec_txn_sink" ->

@@ -159,6 +159,52 @@ object TxnTable {
     spark.read.parquet(path)
   }
 
+  private def manifestDataPath(spark: SparkSession, table: String,
+      version: Int): String = {
+    val manifest = new Path(s"$table/_log/" + f"v$version%05d.json")
+    val fs = fsOf(spark, manifest)
+    val in = fs.open(manifest)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    "\"path\":\"([^\"]+)\"".r.findFirstMatchIn(body).map(_.group(1))
+      .getOrElse(sys.error(s"malformed manifest $manifest: $body"))
+  }
+
+  /** Retention vacuum: keep the newest `keepLast` committed versions,
+    * expire the rest (manifest + data), and remove every data dir no
+    * kept manifest references — which sweeps BOTH expired snapshots
+    * and the orphaned staging of crashed/lost writers (a commit that
+    * died after writing `data/` but before installing its manifest
+    * left data no reader can ever see; [[tryCommit]] losers are the
+    * same shape). Returns (dataDirsRemoved, manifestsExpired).
+    * Idempotent: a second vacuum with the same retention removes
+    * nothing. Time travel to an expired version fails loudly at
+    * resolution (the manifest is gone) — never a silent partial read:
+    * expiry removes the version atom, not files out from under it. */
+  def vacuum(spark: SparkSession, table: String, keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, "vacuum must keep at least the latest version")
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed versions under $table")
+    val keep = vs.takeRight(keepLast)
+    val keptData = keep.map(v => new Path(manifestDataPath(spark, table, v))
+      .toUri.getPath).toSet
+    val fs = fsOf(spark, new Path(table))
+    val expired = vs.dropRight(keepLast)
+    expired.foreach { v =>
+      fs.delete(new Path(s"$table/_log/" + f"v$v%05d.json"), false): Unit
+    }
+    val dataRoot = new Path(s"$table/data")
+    val removed =
+      if (!fs.exists(dataRoot)) 0
+      else fs.listStatus(dataRoot).count { st =>
+        val orphan = !keptData.contains(st.getPath.toUri.getPath)
+        if (orphan) require(fs.delete(st.getPath, true),
+          s"vacuum failed to remove ${st.getPath}")
+        orphan
+      }
+    (removed, expired.size)
+  }
+
   /** Remove a table directory entirely (test/bench reset). */
   def drop(spark: SparkSession, table: String): Unit = {
     val p = new Path(table)

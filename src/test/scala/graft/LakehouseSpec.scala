@@ -56,6 +56,22 @@ class LakehouseSpec extends SparkSuite {
     assert(!TxnTable.tryCommit(spark, t, 2, a, "replay"))
   }
 
+  test("vacuum: retained snapshot undisturbed, orphan + expired swept, idempotent, expiry loud (injected)") {
+    import spark.implicits._
+    val t = Tables.scratch("lh_vac")
+    TxnTable.drop(spark, t)
+    TxnTable.commit(spark, t, 0, Seq((1L, 10L)).toDF("k", "n"))
+    TxnTable.commit(spark, t, 1, Seq((1L, 10L), (2L, 20L)).toDF("k", "n"))
+    // crashed writer: staged data, no manifest — invisible, immortal
+    Seq((9L, 90L)).toDF("k", "n").write.parquet(s"$t/data/v9-crashed")
+    assert(TxnTable.vacuum(spark, t, 1) === ((2, 1)))
+    assert(TxnTable.versions(spark, t) === Seq(1))
+    assert(TxnTable.read(spark, t, None).count() === 2L)
+    intercept[IllegalArgumentException] { TxnTable.read(spark, t, Some(0)) }
+    assert(TxnTable.vacuum(spark, t, 1) === ((0, 0))) // idempotent
+    assert(TxnTable.read(spark, t, None).count() === 2L)
+  }
+
   test("change feed classifies all four ways and never emits carry (injected)") {
     import spark.implicits._
     val dir = Tables.scratch("lh_cdf")
