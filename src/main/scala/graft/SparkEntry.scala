@@ -15,7 +15,7 @@ object SparkEntry {
       operators.Analytics.queries ++ operators.Recursion.queries ++
       operators.Behavioral.queries ++ operators.Timeseries.queries ++
       operators.Tpch.queries ++ operators.Indexing.queries ++
-      operators.Lakehouse.queries
+      operators.Lakehouse.queries ++ operators.LakehouseCow.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -27,5 +27,5 @@ object SparkEntry {
       operators.Analytics.oracleSql ++ operators.Recursion.oracleSql ++
       operators.Behavioral.oracleSql ++ operators.Timeseries.oracleSql ++
       operators.Tpch.oracleSql ++ operators.Indexing.oracleSql ++
-      operators.Lakehouse.oracleSql
+      operators.Lakehouse.oracleSql ++ operators.LakehouseCow.oracleSql
 }

@@ -35,6 +35,22 @@ object TxnTable {
   /** Commit rejected by schema enforcement ([[commitStrict]]). */
   final case class SchemaViolation(msg: String) extends RuntimeException(msg)
 
+  /** One data file (a parquet dir) in a FILE-LEVEL manifest: the bucket
+    * it holds, its path, and min/max stats of the clustering key — the
+    * Iceberg manifest-entry / Delta add-action shape. A version's entry
+    * list may reference files written by EARLIER versions (copy-on-write
+    * carry: an untouched file is shared by reference, never copied), and
+    * readers of any version see exactly its entry list's union.
+    *
+    * `min2`/`max2` are OPTIONAL second-dimension stats (z-order and
+    * multi-column skipping carry two zone maps per file); the defaults
+    * are the "unknown/unbounded" range, which never prunes — a file
+    * without dim-2 stats is always scanned by a dim-2 predicate,
+    * exactly the safe direction. */
+  final case class FileEntry(bucket: Long, path: String,
+    minKey: Long, maxKey: Long,
+    min2: Long = Long.MinValue, max2: Long = Long.MaxValue)
+
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -137,37 +153,94 @@ object TxnTable {
     }.sorted
   }
 
-  /** Snapshot read: the newest committed version ≤ `asOf` (or the
-    * latest when `asOf` is empty). */
-  def read(spark: SparkSession, table: String,
-      asOf: Option[Int] = None): DataFrame = {
+  /** Resolve an as-of request to a committed version: the newest ≤
+    * `asOf`, or the latest when `asOf` is empty. Fails loudly when no
+    * such version exists (expiry/travel-out-of-range — never a silent
+    * partial read). */
+  def resolve(spark: SparkSession, table: String,
+      asOf: Option[Int] = None): Int = {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no committed versions under $table")
-    val pick = asOf.fold(vs.last) { a =>
+    asOf.fold(vs.last) { a =>
       val ok = vs.filter(_ <= a)
       require(ok.nonEmpty, s"no version <= $a under $table (have $vs)")
       ok.last
     }
-    val manifest = new Path(s"$table/_log/" + f"v$pick%05d.json")
-    val fs = fsOf(spark, manifest)
-    val in = fs.open(manifest)
-    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val path = "\"path\":\"([^\"]+)\"".r.findFirstMatchIn(body)
-      .map(_.group(1))
-      .getOrElse(sys.error(s"malformed manifest $manifest: $body"))
-    spark.read.parquet(path)
   }
 
-  private def manifestDataPath(spark: SparkSession, table: String,
+  private def manifestBody(spark: SparkSession, table: String,
       version: Int): String = {
     val manifest = new Path(s"$table/_log/" + f"v$version%05d.json")
     val fs = fsOf(spark, manifest)
     val in = fs.open(manifest)
-    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    "\"path\":\"([^\"]+)\"".r.findFirstMatchIn(body).map(_.group(1))
-      .getOrElse(sys.error(s"malformed manifest $manifest: $body"))
+  }
+
+  private val FileEntryRe =
+    ("""\{"bucket":(-?\d+),"path":"([^"]+)","min":(-?\d+),"max":(-?\d+),""" +
+      """"min2":(-?\d+),"max2":(-?\d+)\}""").r
+
+  /** Every data path a manifest references — ONE for a table-level
+    * snapshot ([[commit]]), the full entry list for a file-level one
+    * ([[commitEntries]]). The reference-aware vacuum keys off this. */
+  private def referencedPaths(body: String): Seq[String] =
+    if (body.contains("\"files\":["))
+      FileEntryRe.findAllMatchIn(body).map(_.group(2)).toSeq
+    else "\"path\":\"([^\"]+)\"".r.findFirstMatchIn(body).map(_.group(1)).toSeq
+
+  /** Snapshot read: the newest committed version ≤ `asOf` (or the
+    * latest when `asOf` is empty). Transparent over both manifest
+    * forms: a file-level version reads as the union of its entries. */
+  def read(spark: SparkSession, table: String,
+      asOf: Option[Int] = None): DataFrame = {
+    val pick = resolve(spark, table, asOf)
+    val paths = referencedPaths(manifestBody(spark, table, pick))
+    require(paths.nonEmpty,
+      s"malformed manifest v$pick under $table: no data paths")
+    spark.read.parquet(paths: _*)
+  }
+
+  /** Install a FILE-LEVEL manifest: the version's content is the union
+    * of `entries`, each carrying min/max stats of the clustering key.
+    * Data is already in place — new files written by the caller, carried
+    * files referenced from earlier versions' manifests (file-level COW:
+    * only touched buckets are rewritten; the rest are shared by
+    * reference, which is what makes a 100 TB MERGE affordable). Only the
+    * manifest install is here, with the same atomic-rename protocol as
+    * [[commit]]. */
+  def commitEntries(spark: SparkSession, table: String, version: Int,
+      entries: Seq[FileEntry]): Unit = {
+    require(entries.nonEmpty, s"empty entry list for v$version of $table")
+    val log = new Path(s"$table/_log")
+    val fs = fsOf(spark, log)
+    fs.mkdirs(log)
+    val body = s"""{"version":$version,"files":[""" +
+      entries.sortBy(_.bucket).map(e =>
+        s"""{"bucket":${e.bucket},"path":"${e.path}",""" +
+          s""""min":${e.minKey},"max":${e.maxKey},""" +
+          s""""min2":${e.min2},"max2":${e.max2}}""").mkString(",") + "]}"
+    val tmp = new Path(log, s".tmp_v$version.json")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val fin = new Path(log, f"v$version%05d.json")
+    require(fs.rename(tmp, fin),
+      s"commit of version $version failed: rename $tmp -> $fin")
+  }
+
+  /** The entry list of a file-level version — the scan-planning input:
+    * stats-based data skipping filters THIS (driver-side, O(files)
+    * metadata) before any data is read. */
+  def fileEntries(spark: SparkSession, table: String,
+      asOf: Option[Int] = None): Seq[FileEntry] = {
+    val pick = resolve(spark, table, asOf)
+    val body = manifestBody(spark, table, pick)
+    require(body.contains("\"files\":["),
+      s"v$pick of $table is a table-level snapshot (no file entries)")
+    FileEntryRe.findAllMatchIn(body).map(m =>
+      FileEntry(m.group(1).toLong, m.group(2),
+        m.group(3).toLong, m.group(4).toLong,
+        m.group(5).toLong, m.group(6).toLong)).toSeq
   }
 
   /** Retention vacuum: keep the newest `keepLast` committed versions,
@@ -186,8 +259,8 @@ object TxnTable {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no committed versions under $table")
     val keep = vs.takeRight(keepLast)
-    val keptData = keep.map(v => new Path(manifestDataPath(spark, table, v))
-      .toUri.getPath).toSet
+    val keptData = keep.flatMap(v => referencedPaths(
+      manifestBody(spark, table, v))).map(new Path(_).toUri.getPath).toSet
     val fs = fsOf(spark, new Path(table))
     val expired = vs.dropRight(keepLast)
     expired.foreach { v =>
@@ -196,12 +269,33 @@ object TxnTable {
     val dataRoot = new Path(s"$table/data")
     val removed =
       if (!fs.exists(dataRoot)) 0
-      else fs.listStatus(dataRoot).count { st =>
-        val orphan = !keptData.contains(st.getPath.toUri.getPath)
-        if (orphan) require(fs.delete(st.getPath, true),
-          s"vacuum failed to remove ${st.getPath}")
-        orphan
-      }
+      else fs.listStatus(dataRoot).toSeq.map { st =>
+        val p = st.getPath.toUri.getPath
+        if (keptData.contains(p)) 0 // a whole referenced snapshot dir
+        else {
+          // FILE-LEVEL manifests reference SUBDIRS of a version dir
+          // (data/vN/bkt=K): a COW carry keeps an old version's
+          // untouched files alive after the version itself expires, so
+          // the sweep must be file-granular — delete only the
+          // unreferenced child dirs, never files out from under a
+          // still-referenced sibling. Non-dir children (the write
+          // job's _SUCCESS marker) ride along with their dir.
+          val kids = fs.listStatus(st.getPath).toSeq
+          val anyKidKept = kids.exists(k =>
+            keptData.contains(k.getPath.toUri.getPath))
+          if (!anyKidKept) {
+            require(fs.delete(st.getPath, true),
+              s"vacuum failed to remove ${st.getPath}")
+            1 // the whole dir (an expired snapshot or a writer orphan)
+          } else kids.count { k =>
+            val gone = k.isDirectory &&
+              !keptData.contains(k.getPath.toUri.getPath)
+            if (gone) require(fs.delete(k.getPath, true),
+              s"vacuum failed to remove ${k.getPath}")
+            gone
+          }
+        }
+      }.sum
     (removed, expired.size)
   }
 

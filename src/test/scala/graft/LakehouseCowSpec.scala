@@ -1,0 +1,203 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.sources.TxnTable
+import graft.sources.TxnTable.FileEntry
+
+/** Laws for the FILE-LEVEL lakehouse layer (operators/LakehouseCow.scala
+  * + the TxnTable file-manifest protocol): COW merges share untouched
+  * files by reference, targeted deletes physically purge every erased
+  * byte while carried files survive the reference-aware vacuum, stats
+  * pruning never loses rows, and OPTIMIZE is content-identical. */
+class LakehouseCowSpec extends SparkSuite {
+
+  private def fs = new Path("/root/repo/target")
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("commitEntries/fileEntries roundtrip; file-level read is the entry union; carried files survive vacuum") {
+    import spark.implicits._
+    val t = Tables.scratch("lhc_proto")
+    TxnTable.drop(spark, t)
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.parquet(s"$t/data/v0/bkt=0")
+    Seq((11L, "c")).toDF("k", "v").write.parquet(s"$t/data/v0/bkt=1")
+    val e0 = Seq(FileEntry(0, s"$t/data/v0/bkt=0", 1, 2),
+      FileEntry(1, s"$t/data/v0/bkt=1", 11, 11))
+    TxnTable.commitEntries(spark, t, 0, e0)
+    assert(TxnTable.fileEntries(spark, t, Some(0)) === e0)
+    assert(TxnTable.read(spark, t, Some(0)).count() === 3)
+    // v1: rewrite bucket 1, carry bucket 0 by reference
+    Seq((12L, "d")).toDF("k", "v").write.parquet(s"$t/data/v1/bkt=1")
+    TxnTable.commitEntries(spark, t, 1,
+      Seq(e0.head, FileEntry(1, s"$t/data/v1/bkt=1", 12, 12)))
+    assert(TxnTable.read(spark, t, None).orderBy($"k")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 12L))
+    // vacuum keepLast=1: v0's manifest expires, but its CARRIED file
+    // (bkt=0, still referenced by v1) must survive — only the
+    // superseded v0/bkt=1 is purged
+    val (removed, expired) = TxnTable.vacuum(spark, t, 1)
+    assert((removed, expired) === (1, 1))
+    assert(fs.exists(new Path(s"$t/data/v0/bkt=0")))
+    assert(!fs.exists(new Path(s"$t/data/v0/bkt=1")))
+    // the carried file still serves the live table
+    assert(TxnTable.read(spark, t, None).count() === 3)
+    // idempotent
+    assert(TxnTable.vacuum(spark, t, 1) === ((0, 0)))
+  }
+
+  test("merge_cow: carried entries reference v0 files untouched; only the delta's bucket footprint is rewritten (sf0.001)") {
+    import spark.implicits._
+    val out = operators.LakehouseCow.sinkTxnMergeCow(spark, sf0001).cache()
+    // fixture footprint: users ≡ 3 (mod 64) land in bucket 3 alone
+    assert(out.select($"files_written").distinct().collect()
+      .map(_.getLong(0)).toSeq === Seq(1L))
+    val t = Tables.scratch("txn_cow_merge") // the key's per-PID table
+    val e1 = TxnTable.fileEntries(spark, t, Some(1))
+    val (fresh, carried) = e1.partition(_.path.contains("/data/v1/"))
+    assert(fresh.map(_.bucket) === Seq(3L))
+    assert(carried.nonEmpty && carried.forall(_.path.contains("/data/v0/")))
+    // carried entries are IDENTICAL to v0's (shared by reference — a
+    // rewrite would have changed the path)
+    val e0 = TxnTable.fileEntries(spark, t, Some(0)).map(e => e.bucket -> e).toMap
+    assert(carried.forall(c => e0(c.bucket) === c))
+    // stats honesty: every entry's min/max brackets its file's keys
+    e1.foreach { e =>
+      val mm = spark.read.parquet(e.path).agg(min($"user_id"), max($"user_id"))
+        .collect().head
+      assert(mm.getLong(0) === e.minKey && mm.getLong(1) === e.maxKey, e)
+    }
+    out.unpersist()
+  }
+
+  test("delete_cow: erased users physically purged from every surviving file; carried files serve the live read (sf0.001)") {
+    import spark.implicits._
+    val out = operators.LakehouseCow.sinkTxnDeleteCow(spark, sf0001).cache()
+    assert(out.filter($"user_id" % 64 === 7).count() === 0)
+    val t = Tables.scratch("txn_cow_delete")
+    // post-vacuum: only v1 is travelable, and EVERY file it references
+    // exists and contains no erased user — the GDPR guarantee is about
+    // bytes on disk, not query results
+    assert(TxnTable.versions(spark, t) === Seq(1))
+    TxnTable.fileEntries(spark, t, None).foreach { e =>
+      assert(fs.exists(new Path(e.path)), e.path)
+      assert(spark.read.parquet(e.path)
+        .filter($"user_id" % 64 === 7).count() === 0, e.path)
+    }
+    // sf0.001: user 7 was its bucket's only occupant — the file is
+    // DROPPED from the manifest (Delta remove-action), not rewritten
+    assert(out.select($"files_dropped").distinct().collect()
+      .map(_.getLong(0)).toSeq === Seq(1L))
+    assert(!fs.exists(new Path(s"$t/data/v0/bkt=7"))) // purged bytes
+    out.unpersist()
+  }
+
+  test("data_skipping: pruned scan ≡ full scan + filter, with files genuinely skipped (sf0.001 + adversarial bounds)") {
+    import spark.implicits._
+    val out = operators.LakehouseCow.sinkTxnDataSkipping(spark, sf0001).cache()
+    val census = out.select($"files_total", $"files_scanned", $"files_skipped")
+      .distinct().collect().head
+    assert(census.getLong(1) > 0 && census.getLong(2) > 0,
+      s"degenerate skip census: $census") // pruning did real work
+    assert(census.getLong(0) === census.getLong(1) + census.getLong(2))
+    // equivalence: the pruned result must equal the UNPRUNED scan of the
+    // committed table under the same residual filter
+    val t = Tables.scratch("txn_skip")
+    val mx = Tables.events(spark, sf0001).agg(max($"user_id"))
+      .collect().head.getLong(0)
+    val (lo, hi) = (mx * 3 / 10, mx * 9 / 20)
+    val full = TxnTable.read(spark, t, None)
+      .filter($"user_id".between(lo, hi))
+    val pruned = out.select($"user_id", $"n_events", $"last_us", $"v_sum_4dp")
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+    // adversarial: a predicate inside ONE file's range scans exactly it
+    val entries = TxnTable.fileEntries(spark, t, None)
+    val one = entries.filter(e => e.maxKey >= lo && e.minKey <= hi).head
+    val hits = entries.count(e => e.maxKey >= one.minKey && e.minKey <= one.minKey)
+    assert(hits === 1, "point predicate must prune to a single file")
+    out.unpersist()
+  }
+
+  test("zorder_skip: both dimensions prune; pruned rectangle ≡ unpruned rectangle (sf0.001)") {
+    import spark.implicits._
+    val out = operators.LakehouseCow.sinkTxnZorderSkip(spark, sf0001).cache()
+    val census = out.select($"files_total", $"files_scanned", $"files_skipped")
+      .distinct().collect().head
+    assert(census.getLong(1) > 0 && census.getLong(2) > 0,
+      s"degenerate z-order census: $census")
+    // the curve must produce a real multi-file tiling, not one z-range
+    assert(census.getLong(0) >= 8, s"z-bucketing collapsed: $census")
+    val t = Tables.scratch("txn_zorder")
+    val entries = TxnTable.fileEntries(spark, t, None)
+    val ev = Tables.events(spark, sf0001)
+    val mxu = ev.agg(max($"user_id")).collect().head.getLong(0)
+    val (ulo, uhi) = (mxu * 3 / 10, mxu * 9 / 20)
+    // rectangle equivalence: pruned result equals full-table filter
+    val full = TxnTable.read(spark, t, None)
+    val dRow = full.agg(min($"day"), max($"day")).collect().head
+    val (dmn, dmx) = (dRow.getLong(0), dRow.getLong(1))
+    val (dlo, dhi) = (dmn + (dmx - dmn) / 4, dmn + (dmx - dmn) * 5 / 8)
+    val expect = full.filter($"user_id".between(ulo, uhi) &&
+      $"day".between(dlo, dhi))
+      .select($"user_id", $"day", $"n_events", $"v_sum_4dp")
+    val got = out.select($"user_id", $"day", $"n_events", $"v_sum_4dp")
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+    // day-dimension pruning is REAL: at least one file whose user box
+    // overlaps the query range was still skipped — only its day zone
+    // map can have excluded it. A single-key user layout cannot have
+    // this property (every user-overlapping file would be scanned).
+    val scannedN = census.getLong(1)
+    val userOverlapping = entries.count(e => e.maxKey >= ulo && e.minKey <= uhi)
+    assert(scannedN < userOverlapping,
+      s"day zone map never pruned: scanned=$scannedN of $userOverlapping user-overlapping files")
+    out.unpersist()
+  }
+
+  test("partition_evolution: old spec carried unrewritten and fully day-pruned; new spec scans only matching days (sf0.001)") {
+    import spark.implicits._
+    val out = operators.LakehouseCow.sinkTxnPartitionEvolution(spark, sf0001)
+      .cache()
+    val t = Tables.scratch("txn_specevo")
+    val e1 = TxnTable.fileEntries(spark, t, Some(1))
+    val (specB, specA) = e1.partition(_.path.contains("/data/v1/"))
+    // spec A carried by reference (paths still under v0), never rewritten
+    assert(specA.nonEmpty && specA.forall(_.path.contains("/data/v0/")))
+    // spec change is visible in the layout: spec-B files are one day each
+    assert(specB.nonEmpty && specB.forall(e => e.min2 === e.max2))
+    // and spec-A files span many days (the old layout, coexisting)
+    assert(specA.exists(e => e.max2 > e.min2))
+    // the 4-day window prunes EVERY spec-A file by its day zone map
+    val (qlo, qhi) = (19742L, 19745L)
+    assert(specA.forall(e => e.max2 < qlo || e.min2 > qhi))
+    val scanned = out.select($"files_scanned").head.getLong(0)
+    assert(scanned === specB.count(e => e.max2 >= qlo && e.min2 <= qhi))
+    // content: only post-split days inside the window
+    assert(out.filter($"day" < qlo || $"day" > qhi).count() === 0)
+    out.unpersist()
+  }
+
+  test("compact_binpack: OPTIMIZE is content-identical, appends superseded and purged (sf0.001)") {
+    import spark.implicits._
+    val out = operators.LakehouseCow.sinkTxnCompactBinpack(spark, sf0001).cache()
+    val t = Tables.scratch("txn_binpack")
+    // the quartile append files are gone; only the clustered layout lives
+    (0 to 3).foreach { i =>
+      assert(!fs.exists(new Path(s"$t/data/v$i")), s"append v$i not purged")
+    }
+    assert(out.select($"paths_purged").distinct().collect()
+      .map(_.getLong(0)).toSeq === Seq(4L))
+    // content identity: the compacted table equals the raw event log
+    val ev = Tables.events(spark, sf0001)
+      .select($"user_id", $"event_id", $"event_type",
+        Tables.nsToUs($"ts").as("ts_us"), Tables.dec4($"value").as("v"))
+    val compacted = TxnTable.read(spark, t, None)
+    assert(compacted.exceptAll(ev).isEmpty && ev.exceptAll(compacted).isEmpty)
+    // every live file holds exactly one hash bucket (the cluster law)
+    TxnTable.fileEntries(spark, t, None).foreach { e =>
+      val b = spark.read.parquet(e.path)
+        .select(($"user_id" % 16).as("b")).distinct().collect()
+      assert(b.map(_.getLong(0)).toSeq === Seq(e.bucket), e)
+    }
+    out.unpersist()
+  }
+}
