@@ -573,10 +573,17 @@ object Behavioral {
         |  count(DISTINCT e.user_id) AS users
         |FROM e JOIN c ON e.user_id = c.user_id
         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    // the oracle mirrors PairDegreeCap exactly (ADVICE r12): parts over
+    // the cap are excluded from PAIRING on both engines, so engine and
+    // oracle stay equivalent on ALL inputs, not just the fixture's
+    // 52-supplier-max headroom
     "graph_copurchase_pairs" ->
-      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |ok AS (SELECT l_partkey FROM ps GROUP BY 1 HAVING count(*) <= 256),
+        |pp AS (SELECT ps.l_partkey, ps.l_suppkey FROM ps
+        |  JOIN ok USING (l_partkey))
         |SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, count(*) AS shared_parts
-        |FROM ps a JOIN ps b
+        |FROM pp a JOIN pp b
         |  ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
         |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY shared_parts DESC, s1, s2""".stripMargin,
@@ -601,10 +608,13 @@ object Behavioral {
     // decorated; the oracle may self-join — the graded side never does
     "graph_assortativity_stats" ->
       """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |ok AS (SELECT l_partkey FROM ps GROUP BY 1 HAVING count(*) <= 256),
+        |pp AS (SELECT ps.l_partkey, ps.l_suppkey FROM ps
+        |  JOIN ok USING (l_partkey)),
         |deg AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS deg
         |  FROM ps GROUP BY 1),
         |e AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
-        |  FROM ps a JOIN ps b
+        |  FROM pp a JOIN pp b
         |    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
         |  GROUP BY 1, 2 HAVING count(*) >= 3),
         |bo AS (SELECT s1, s2 FROM e
@@ -691,22 +701,31 @@ object Behavioral {
     // may self-join — the graded side never does
     "graph_resource_allocation" ->
       """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |ok AS (SELECT l_partkey FROM ps GROUP BY 1 HAVING count(*) <= 256),
+        |pp AS (SELECT ps.l_partkey, ps.l_suppkey FROM ps
+        |  JOIN ok USING (l_partkey)),
         |pd AS (SELECT l_partkey, 1048576 // count(*) AS w
         |  FROM ps GROUP BY l_partkey),
         |p AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, a.l_partkey
-        |  FROM ps a JOIN ps b
+        |  FROM pp a JOIN pp b
         |    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey)
         |SELECT s1, s2, CAST(count(*) AS BIGINT) AS shared_parts,
         |  CAST(sum(w) AS BIGINT) AS ra_fp
         |FROM p JOIN pd USING (l_partkey)
         |GROUP BY s1, s2 HAVING count(*) >= 3
         |ORDER BY ra_fp DESC, s1, s2""".stripMargin,
+    // cap mirrored in PAIRING only; degrees stay uncapped on both
+    // engines (the graded side's denominators come from the raw
+    // incidence), so the two sides agree even when the cap binds
     "graph_node_jaccard" ->
       """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |ok AS (SELECT l_partkey FROM ps GROUP BY 1 HAVING count(*) <= 256),
+        |pp AS (SELECT ps.l_partkey, ps.l_suppkey FROM ps
+        |  JOIN ok USING (l_partkey)),
         |deg AS (SELECT l_suppkey, count(*) AS deg FROM ps GROUP BY 1),
         |pairs AS (
         |  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, count(*) AS shared
-        |  FROM ps a JOIN ps b
+        |  FROM pp a JOIN pp b
         |    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
         |  GROUP BY 1, 2 HAVING count(*) >= 3)
         |SELECT s1, s2, shared, d1.deg AS deg1, d2.deg AS deg2,

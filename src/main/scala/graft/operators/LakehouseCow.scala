@@ -130,6 +130,24 @@ object LakehouseCow {
     if (entries.isEmpty) TxnTable.commit(spark, table, version, emptyFallback)
     else TxnTable.commitEntries(spark, table, version, entries)
 
+  /** Commit a COW rewrite as an O(changed-files) DELTA manifest
+    * (`adds` = rewritten files, `removes` = their superseded
+    * predecessors) when the chain supports it — the base version must
+    * be file-level and the resulting entry set non-empty; otherwise
+    * fall back to a self-contained commit of the full set (the
+    * degenerate empty-fixture shapes, where there is no census to
+    * delta against). Readers resolve both identically; only the bytes
+    * a commit writes differ — which is the point
+    * (TxnTable.commitDelta's scale contract). */
+  private def commitCowDelta(spark: SparkSession, table: String,
+      version: Int, baseEntries: Seq[FileEntry], adds: Seq[FileEntry],
+      removes: Seq[String], fullSet: Seq[FileEntry],
+      emptyFallback: DataFrame): Unit =
+    if (baseEntries.isEmpty || fullSet.isEmpty)
+      commitMaybeEmpty(spark, table, version, fullSet, emptyFallback)
+    else TxnTable.commitDelta(spark, table, version, adds = adds,
+      removes = removes)
+
   // ---- file-level copy-on-write MERGE --------------------------------
 
   /** File-level COW MERGE, graded — the operation that makes a 100 TB
@@ -192,7 +210,12 @@ object LakehouseCow {
       val e1 = writeBuckets(merged.withColumn("bkt", $"user_id" % NBuckets),
         s"$table/data/v1", "user_id")
       val carried = e0.filterNot(e => touched.contains(e.bucket))
-      commitMaybeEmpty(spark, table, 1, e1 ++ carried, merged)
+      // the commit writes O(touched-files) manifest bytes: adds = the
+      // rewritten buckets, removes = their v0 predecessors; carried
+      // files are IMPLICIT (they stay in the resolved set untouched)
+      commitCowDelta(spark, table, 1, e0, e1,
+        e0.filter(e => touched.contains(e.bucket)).map(_.path),
+        e1 ++ carried, merged)
       shape(TxnTable.read(spark, table, None)
         .withColumn("files_written", lit(e1.size.toLong))
         .withColumn("files_carried", lit(carried.size.toLong)))
@@ -275,7 +298,9 @@ object LakehouseCow {
         survivors.withColumn("bkt", $"user_id" % NBuckets),
         s"$table/data/v1", "user_id")
       val carried = e0.filterNot(e => touched.contains(e.bucket))
-      commitMaybeEmpty(spark, table, 1, e1 ++ carried, survivors)
+      commitCowDelta(spark, table, 1, e0, e1,
+        e0.filter(e => touched.contains(e.bucket)).map(_.path),
+        e1 ++ carried, survivors)
       val nErased = st.filter(erased).count() // the erasure receipt
       val (purged, expired) = TxnTable.vacuum(spark, table, 1)
       val travelFails =
@@ -286,6 +311,125 @@ object LakehouseCow {
         .withColumn("files_dropped", lit(touched.size.toLong - e1.size))
         .withColumn("files_carried", lit(carried.size.toLong))
         .withColumn("users_erased", lit(nErased))
+        .withColumn("paths_purged", lit(purged.toLong))
+        .withColumn("manifests_expired", lit(expired.toLong))
+        .withColumn("expired_travel_fails", lit(travelFails)))
+    }
+  }
+
+  // ---- GDPR delete, merge-on-read tier --------------------------------
+
+  /** MERGE-ON-READ point deletes, graded — the Iceberg-v2 delete-file /
+    * Delta deletion-vector contract the COW tier can't express: a
+    * trickle of point deletes (the GDPR steady state) must NOT force a
+    * bucket rewrite per commit. v0 = the 16-bucket clustered state;
+    * then TWO delete commits (`user_id % 64 = 7`, then `% 64 = 21`)
+    * each write ONLY a small parquet of deleted keys and an
+    * O(deleted-keys)-byte delta manifest (`delAdds`) — zero data files
+    * touched; every read from v1 on transparently anti-joins the live
+    * delete files, so deleted users are invisible the moment the
+    * delete commits (rows_v1/rows_v2 certify exactly this, derived
+    * from data by the oracle). An OPTIMIZE fold (v3) then rewrites
+    * only the deletes' bucket footprint without the erased rows, drops
+    * a bucket entirely when no survivor remains, carries the rest, and
+    * RETIRES both delete files (`delRemoves`) — read-side work returns
+    * to zero. The reference-aware vacuum physically purges the
+    * superseded v0 buckets AND the delete files (which expire with
+    * their versions — the retention law), and time travel to the
+    * pre-fold versions fails loudly. The graded frame is the
+    * post-vacuum snapshot + the full census: delete files written,
+    * per-version visible-row counts, fold rewrite/drop/carry split,
+    * paths purged, manifests expired, loud-expiry flag — every number
+    * re-derived from raw events by the oracle.
+    *
+    * Scale shape: a point delete is O(keys) bytes and O(1) files; the
+    * read-side anti-join touches |delete keys| (tiny) per scan until
+    * the fold amortizes it away; the fold rewrites |touched buckets|,
+    * never the table. At 100 TB this is the difference between a GDPR
+    * queue forcing daily bucket rewrites and a weekly OPTIMIZE. */
+  def sinkTxnDeleteMor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = evUsers(spark, dir)
+    val del1 = $"user_id" % 64 === 7
+    val del2 = $"user_id" % 64 === 21
+    val erased = del1 || del2
+    def shape(df: DataFrame): DataFrame = df
+      .select($"user_id", $"n_events", $"last_us", $"v_sum_4dp",
+        $"delete_files_written", $"rows_v1", $"rows_v2",
+        $"files_rewritten", $"files_dropped", $"files_carried",
+        $"paths_purged", $"manifests_expired", $"expired_travel_fails")
+      .orderBy($"user_id")
+    val equivalent = {
+      val allB = ev.select(($"user_id" % NBuckets).as("b")).distinct
+      val touchedB = ev.filter(erased)
+        .select(($"user_id" % NBuckets).as("b")).distinct
+      val survivorB = ev.filter(!erased)
+        .select(($"user_id" % NBuckets).as("b")).distinct
+        .join(touchedB, Seq("b"), "left_semi")
+      val census = Seq(1).toDF("one")
+        .crossJoin(broadcast(ev.filter(!del1)
+          .agg(countDistinct($"user_id").as("rows_v1"))))
+        .crossJoin(broadcast(ev.filter(!erased)
+          .agg(countDistinct($"user_id").as("rows_v2"))))
+        .crossJoin(broadcast(survivorB.agg(count(lit(1)).as("files_rewritten"))))
+        .crossJoin(broadcast(touchedB.agg(count(lit(1)).as("touched"))))
+        .crossJoin(broadcast(allB.join(touchedB, Seq("b"), "left_anti")
+          .agg(count(lit(1)).as("files_carried"))))
+      shape(state(ev.filter(!erased))
+        .crossJoin(broadcast(census.select(lit(2L).as("delete_files_written"),
+          $"rows_v1", $"rows_v2", $"files_rewritten",
+          ($"touched" - $"files_rewritten").as("files_dropped"),
+          $"files_carried", ($"touched" + 2L).as("paths_purged"))))
+        .withColumn("manifests_expired", lit(3L))
+        .withColumn("expired_travel_fails", lit(1L)))
+    }
+    graft.PlanOnly.roundTrip(equivalent) {
+      val table = Tables.scratch("txn_mor_delete")
+      TxnTable.drop(spark, table)
+      val st = state(ev)
+      val e0 = writeBuckets(st.withColumn("bkt", $"user_id" % NBuckets),
+        s"$table/data/v0", "user_id")
+      commitMaybeEmpty(spark, table, 0, e0, st)
+      // two point-delete commits: O(keys) bytes each, zero data rewrites
+      def deleteCommit(version: Int, pred: org.apache.spark.sql.Column): String = {
+        val path = s"$table/data/v$version/del"
+        st.filter(pred).select($"user_id").coalesce(1)
+          .write.mode("overwrite").parquet(path)
+        TxnTable.commitDelta(spark, table, version,
+          delAdds = Seq(TxnTable.DeleteFile(path, "user_id")))
+        path
+      }
+      val d1 = deleteCommit(1, del1)
+      val rowsV1 = TxnTable.read(spark, table, Some(1)).count()
+      val d2 = deleteCommit(2, del2)
+      val rowsV2 = TxnTable.read(spark, table, Some(2)).count()
+      // OPTIMIZE fold: rewrite only the deletes' bucket footprint from
+      // the MOR read (deletes already applied), retire the delete files
+      val touched = st.filter(erased)
+        .select(($"user_id" % NBuckets).as("b"))
+        .distinct.collect().map(_.getLong(0)).toSet // file planning
+      val survivors = TxnTable.read(spark, table, Some(2))
+        .filter(($"user_id" % NBuckets).isin(touched.toSeq: _*))
+      val e3 = writeBuckets(
+        survivors.withColumn("bkt", $"user_id" % NBuckets),
+        s"$table/data/v3", "user_id")
+      if (e0.isEmpty)
+        TxnTable.commitDelta(spark, table, 3, delRemoves = Seq(d1, d2))
+      else TxnTable.commitDelta(spark, table, 3, adds = e3,
+        removes = e0.filter(e => touched.contains(e.bucket)).map(_.path),
+        delRemoves = Seq(d1, d2))
+      val carried = e0.filterNot(e => touched.contains(e.bucket))
+      val (purged, expired) = TxnTable.vacuum(spark, table, 1)
+      val travelFails =
+        try { TxnTable.read(spark, table, Some(1)); 0L }
+        catch { case _: IllegalArgumentException => 1L }
+      shape(TxnTable.read(spark, table, None)
+        .withColumn("delete_files_written", lit(2L))
+        .withColumn("rows_v1", lit(rowsV1))
+        .withColumn("rows_v2", lit(rowsV2))
+        .withColumn("files_rewritten", lit(e3.size.toLong))
+        .withColumn("files_dropped", lit(touched.size.toLong - e3.size))
+        .withColumn("files_carried", lit(carried.size.toLong))
         .withColumn("paths_purged", lit(purged.toLong))
         .withColumn("manifests_expired", lit(expired.toLong))
         .withColumn("expired_travel_fails", lit(travelFails)))
@@ -429,17 +573,24 @@ object LakehouseCow {
         // append = prior entries carried + one add-action; O(1) rewrite.
         // Empty-batch stats: a [MaxValue, MinValue] sentinel range that
         // no predicate overlaps (skipping-correct for an empty file)
-        entries = entries :+ FileEntry(i.toLong, path,
+        val add = FileEntry(i.toLong, path,
           if (st.isNullAt(0)) Long.MaxValue else st.getLong(0),
           if (st.isNullAt(1)) Long.MinValue else st.getLong(1))
-        TxnTable.commitEntries(spark, table, i, entries)
+        entries = entries :+ add
+        // first commit anchors the chain (full); every later append is
+        // an O(1)-byte delta manifest carrying only its add-action
+        if (i == 0) TxnTable.commitEntries(spark, table, i, entries)
+        else TxnTable.commitDelta(spark, table, i, adds = Seq(add))
       }
       val filesBefore = entries.size.toLong
       // OPTIMIZE: content-identical re-clustering of the small files
       val pre = TxnTable.read(spark, table, None)
       val e4 = writeBuckets(pre.withColumn("bkt", $"user_id" % NBuckets),
         s"$table/data/v4", "user_id")
-      commitMaybeEmpty(spark, table, 4, e4, pre)
+      // OPTIMIZE as a delta: add the clustered layout, remove every
+      // superseded quartile — O(changed) manifest bytes again
+      commitCowDelta(spark, table, 4, entries, e4,
+        entries.map(_.path), e4, pre)
       val (purged, _) = TxnTable.vacuum(spark, table, 1)
       shape(summary(TxnTable.read(spark, table, None))
         .withColumn("files_before", lit(filesBefore))
@@ -554,6 +705,114 @@ object LakehouseCow {
     }
   }
 
+  // ---- write-audit-publish branch isolation ---------------------------
+
+  /** WRITE-AUDIT-PUBLISH, graded — the Iceberg WAP / Delta-on-a-branch
+    * workflow that keeps UNAUDITED data out of every main-table
+    * reader's view: the post-split ingest batch (per-(user, period)
+    * summaries) lands on an AUDIT BRANCH (its own snapshot log under
+    * `branches/audit/` — same TxnTable protocol, different root); the
+    * audit query then runs AGAINST THE BRANCH and flags rows from a
+    * known-poisoned ingest shard (`user_id % 64 = 9`); the fix commits
+    * the quarantined batch as branch v1; the re-audit passes; and only
+    * then does PUBLISH make the data visible on main — as a delta
+    * manifest whose adds REFERENCE THE BRANCH'S FILES (zero-copy: a
+    * publish moves no bytes, exactly Iceberg's fast-forward). Main's
+    * version count is captured BEFORE publish (still v0 while the
+    * branch held two commits) — the isolation guarantee, graded. A
+    * branch vacuum then purges the unaudited candidate's files while
+    * the published files survive (they are referenced by the branch's
+    * kept manifest AND by main — reference-aware both ways). The
+    * graded frame is the post-publish main read (pre-state ∪ audited
+    * batch) + the census: audit violations before/after the fix,
+    * main's pre-publish version count, published file count,
+    * candidate paths purged — every number re-derived from raw events
+    * by the oracle.
+    *
+    * Scale shape: the branch is a metadata namespace (zero data
+    * divergence cost); audits are ordinary reads of the branch
+    * snapshot; publish is O(published-files) manifest bytes and ZERO
+    * data I/O; the candidate purge is O(files) driver metadata. At
+    * 100 TB this is how nightly ingest ships: stage → audit → publish
+    * or quarantine, with main never serving an unaudited row. */
+  def sinkTxnWapPublish(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = evUsers(spark, dir)
+    val bad = $"user_id" % 64 === 9
+    def perPeriod(df: DataFrame, period: String): DataFrame = df
+      .groupBy($"user_id").agg(count(lit(1)).as("n_events"),
+        max($"ts_us").as("last_us"),
+        (sum($"v") * lit(10000)).cast("long").as("v_sum_4dp"))
+      .withColumn("period", lit(period))
+    val pre = perPeriod(ev.filter($"ts_us" < SplitUs), "pre")
+    val post = perPeriod(ev.filter($"ts_us" >= SplitUs), "post")
+    def shape(df: DataFrame): DataFrame = df
+      .select($"user_id", $"period", $"n_events", $"last_us", $"v_sum_4dp",
+        $"audit1_violations", $"audit2_violations",
+        $"main_versions_before_publish", $"published_files",
+        $"candidate_paths_purged")
+      .orderBy($"user_id", $"period")
+    val equivalent = {
+      val census = Seq(1).toDF("one")
+        .crossJoin(broadcast(post.filter(bad)
+          .agg(count(lit(1)).as("audit1_violations"))))
+        .crossJoin(broadcast(post.filter(!bad)
+          .select(($"user_id" % NBuckets).as("b")).distinct
+          .agg(count(lit(1)).as("published_files"))))
+      shape(pre.unionByName(post.filter(!bad))
+        .crossJoin(broadcast(census.select($"audit1_violations",
+          lit(0L).as("audit2_violations"),
+          lit(1L).as("main_versions_before_publish"),
+          $"published_files",
+          // the unaudited candidate sweeps as ONE whole version dir
+          // (no kept manifest references any of its files)
+          lit(1L).as("candidate_paths_purged")))))
+    }
+    graft.PlanOnly.roundTrip(equivalent) {
+      val table = Tables.scratch("txn_wap")
+      TxnTable.drop(spark, table)
+      val branch = s"$table/branches/audit"
+      // main v0: the already-published pre-split state
+      val e0 = writeBuckets(pre.withColumn("bkt", $"user_id" % NBuckets),
+        s"$table/data/v0", "user_id")
+      commitMaybeEmpty(spark, table, 0, e0, pre)
+      // WRITE: the candidate batch lands on the branch, not on main
+      val eC = writeBuckets(post.withColumn("bkt", $"user_id" % NBuckets),
+        s"$branch/data/v0", "user_id")
+      commitMaybeEmpty(spark, branch, 0, eC, post)
+      // AUDIT 1 (against the branch read): rows from the poisoned shard
+      val audit1 = TxnTable.read(spark, branch, None).filter(bad).count()
+      // FIX: quarantine the poisoned shard's rows, commit branch v1
+      val fixed = TxnTable.read(spark, branch, Some(0)).filter(!bad)
+      val eF = writeBuckets(fixed.withColumn("bkt", $"user_id" % NBuckets),
+        s"$branch/data/v1", "user_id")
+      if (eC.isEmpty || eF.isEmpty)
+        commitMaybeEmpty(spark, branch, 1, eF, fixed)
+      else TxnTable.commitDelta(spark, branch, 1, adds = eF,
+        removes = eC.map(_.path))
+      // AUDIT 2: the fixed batch is clean
+      val audit2 = TxnTable.read(spark, branch, None).filter(bad).count()
+      require(audit2 == 0, s"audit still failing after fix: $audit2 rows")
+      // ISOLATION receipt: main has NOT seen any of this
+      val mainVersionsBefore = TxnTable.versions(spark, table).size.toLong
+      // PUBLISH: main v1 references the branch's audited files — no copy
+      if (e0.isEmpty || eF.isEmpty) {
+        val merged = pre.unionByName(fixed)
+        commitMaybeEmpty(spark, table, 1,
+          if (eF.isEmpty) Seq.empty else e0 ++ eF, merged)
+      } else TxnTable.commitDelta(spark, table, 1, adds = eF)
+      // retention on the branch: the unaudited candidate's files are
+      // purged; the published files survive (referenced by branch v1)
+      val (purged, _) = TxnTable.vacuum(spark, branch, 1)
+      shape(TxnTable.read(spark, table, None)
+        .withColumn("audit1_violations", lit(audit1))
+        .withColumn("audit2_violations", lit(audit2))
+        .withColumn("main_versions_before_publish", lit(mainVersionsBefore))
+        .withColumn("published_files", lit(eF.size.toLong))
+        .withColumn("candidate_paths_purged", lit(purged.toLong)))
+    }
+  }
+
   // ---- partition-spec evolution --------------------------------------
 
   /** PARTITION-SPEC EVOLUTION, graded — the Iceberg contract the other
@@ -626,7 +885,9 @@ object LakehouseCow {
       val postGrid = grid.filter($"day" >= SplitDay)
       val eB = writeBuckets2(postGrid.withColumn("bkt", $"day"),
         s"$table/data/v1", "user_id", "day")
-      commitMaybeEmpty(spark, table, 1, eA ++ eB, grid)
+      // the spec change itself is metadata-only: v1 = a delta adding
+      // the spec-B files; spec-A files ride along unrewritten
+      commitCowDelta(spark, table, 1, eA, eB, Seq.empty, eA ++ eB, grid)
       val entries = eA ++ eB
       val scanned = entries.filter(e => e.max2 >= qlo && e.min2 <= qhi)
       val out =
@@ -646,6 +907,8 @@ object LakehouseCow {
   val queries: Map[String, QueryFn] = Map(
     "sink_txn_merge_cow" -> (sinkTxnMergeCow(_, _)),
     "sink_txn_delete_cow" -> (sinkTxnDeleteCow(_, _)),
+    "sink_txn_delete_mor" -> (sinkTxnDeleteMor(_, _)),
+    "sink_txn_wap_publish" -> (sinkTxnWapPublish(_, _)),
     "sink_txn_data_skipping" -> (sinkTxnDataSkipping(_, _)),
     "sink_txn_compact_binpack" -> (sinkTxnCompactBinpack(_, _)),
     "sink_txn_zorder_skip" -> (sinkTxnZorderSkip(_, _)),
@@ -697,6 +960,65 @@ object LakehouseCow {
         |  CAST(1 AS BIGINT) AS manifests_expired,
         |  CAST(1 AS BIGINT) AS expired_travel_fails
         |FROM e WHERE user_id % 64 <> 7
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // write-audit-publish: pre-state plus the audited batch, with the
+    // audit/isolation/publish census re-derived from raw events
+    "sink_txn_wap_publish" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |pre AS (SELECT user_id, 'pre' AS period,
+        |    CAST(count(*) AS BIGINT) AS n_events, max(ts_us) AS last_us,
+        |    CAST(sum(v) * 10000 AS BIGINT) AS v_sum_4dp
+        |  FROM e WHERE ts_us < 1705536000000000 GROUP BY user_id),
+        |post AS (SELECT user_id, 'post' AS period,
+        |    CAST(count(*) AS BIGINT) AS n_events, max(ts_us) AS last_us,
+        |    CAST(sum(v) * 10000 AS BIGINT) AS v_sum_4dp
+        |  FROM e WHERE ts_us >= 1705536000000000 GROUP BY user_id),
+        |a1 AS (SELECT CAST(count(*) AS BIGINT) AS audit1_violations
+        |  FROM post WHERE user_id % 64 = 9),
+        |pf AS (SELECT CAST(count(DISTINCT user_id % 16) AS BIGINT)
+        |    AS published_files FROM post WHERE user_id % 64 <> 9),
+        |u AS (SELECT * FROM pre
+        |  UNION ALL SELECT * FROM post WHERE user_id % 64 <> 9)
+        |SELECT user_id, period, n_events, last_us, v_sum_4dp,
+        |  (SELECT audit1_violations FROM a1) AS audit1_violations,
+        |  CAST(0 AS BIGINT) AS audit2_violations,
+        |  CAST(1 AS BIGINT) AS main_versions_before_publish,
+        |  (SELECT published_files FROM pf) AS published_files,
+        |  CAST(1 AS BIGINT) AS candidate_paths_purged
+        |FROM u ORDER BY user_id, period""".stripMargin,
+    // merge-on-read: survivors' state + the per-version visibility and
+    // fold/purge census, all re-derived from raw events
+    "sink_txn_delete_mor" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |tb AS (SELECT DISTINCT user_id % 16 AS b FROM e
+        |  WHERE user_id % 64 IN (7, 21)),
+        |sb AS (SELECT CAST(count(*) AS BIGINT) AS files_rewritten FROM
+        |  (SELECT DISTINCT user_id % 16 AS b FROM e
+        |     WHERE user_id % 64 NOT IN (7, 21)) s
+        |  WHERE s.b IN (SELECT b FROM tb)),
+        |ct AS (SELECT CAST(count(*) AS BIGINT) AS touched FROM tb),
+        |cc AS (SELECT CAST(count(*) AS BIGINT) AS files_carried FROM
+        |  (SELECT DISTINCT user_id % 16 AS b FROM e) a
+        |  WHERE a.b NOT IN (SELECT b FROM tb)),
+        |r1 AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS rows_v1
+        |  FROM e WHERE user_id % 64 <> 7),
+        |r2 AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS rows_v2
+        |  FROM e WHERE user_id % 64 NOT IN (7, 21))
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  max(ts_us) AS last_us, CAST(sum(v) * 10000 AS BIGINT) AS v_sum_4dp,
+        |  CAST(2 AS BIGINT) AS delete_files_written,
+        |  (SELECT rows_v1 FROM r1) AS rows_v1,
+        |  (SELECT rows_v2 FROM r2) AS rows_v2,
+        |  (SELECT files_rewritten FROM sb) AS files_rewritten,
+        |  (SELECT touched FROM ct) - (SELECT files_rewritten FROM sb)
+        |    AS files_dropped,
+        |  (SELECT files_carried FROM cc) AS files_carried,
+        |  (SELECT touched FROM ct) + 2 AS paths_purged,
+        |  CAST(3 AS BIGINT) AS manifests_expired,
+        |  CAST(1 AS BIGINT) AS expired_travel_fails
+        |FROM e WHERE user_id % 64 NOT IN (7, 21)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the 30–45% key-range scan + the skip census from per-bucket stats
     "sink_txn_data_skipping" ->

@@ -579,11 +579,14 @@ object Multimodal {
       .select($"vec_id",
         expr("transform(embedding, x -> CAST(floor(x * 1048576) AS BIGINT))")
           .as("qv"))
-    val subs = fp
+    // marked: the subvector frame feeds seeds, Lloyd assignment, the
+    // final code assignment AND the query LUT — unmarked, the corpus
+    // transform+explode replans per consumer (4 scans of embeddings)
+    val subs = graft.PlanOnly.mark(fp
       .select($"vec_id", posexplode(expr(
         "transform(sequence(0, 7), mm -> slice(qv, mm * 8 + 1, 8))"))
         .as(Seq("m", "sv")))
-      .select($"vec_id", $"m".cast("long").as("m"), $"sv")
+      .select($"vec_id", $"m".cast("long").as("m"), $"sv"))
     val seeds = subs.filter($"vec_id" < k)
       .select($"m", $"vec_id".as("cid"), $"sv".as("cq"))
     val sq = "aggregate(zip_with(%s, %s, (x, y) -> (x - y) * (x - y)), " +
@@ -602,6 +605,9 @@ object Multimodal {
       .groupBy($"m", $"cid")
       .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
       .select($"m", $"cid", expr("transform(pc, p -> p.c)").as("cent"))
+      // marked: 8×k rows feeding code assignment AND the LUT — the
+      // refine itself is a corpus pass, not worth running twice
+      .transform(graft.PlanOnly.mark)
     // final code assignment against the refined codebooks
     val codes = subs.join(broadcast(cents), "m")
       .select($"vec_id", $"m", $"cid",

@@ -18,16 +18,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    happened or it didn't, and un-renamed `.tmp_*` staging files are
   *    ignored by the version listing.
   *  - READ: list committed manifests, pick max version ≤ `asOf` (or
-  *    the latest), read the path that manifest names. Time travel =
+  *    the latest), resolve that version's snapshot. Time travel =
   *    pass an older version; snapshot isolation = a reader that
   *    resolved its manifest keeps its snapshot regardless of later
   *    commits (old data dirs are never mutated).
   *
-  * Model honesty: snapshots here are TABLE-level copy-on-write (each
-  * version rewrites its full data dir) — correct and atomic, with the
-  * production refinements being file-level COW + manifest lists
-  * (Iceberg) or a file-action log with compaction (Delta). MERGE runs
-  * as read-prev → merge → commit-next, which is exactly the
+  * MANIFEST TIERS (the 100 TB scale design — Delta's delta-log +
+  * checkpoint split, Iceberg's manifest-list intent):
+  *  - TABLE-LEVEL: `{"version":N,"path":...}` — one dir per snapshot
+  *    ([[commit]]/[[tryCommit]]); correct and atomic, full rewrite.
+  *  - FULL FILE-LEVEL: `{"version":N,"files":[entries]}`
+  *    ([[commitEntries]]) — self-contained entry list, O(table-files)
+  *    manifest bytes per commit.
+  *  - DELTA: `{"version":N,"delta":true,"adds":…,"removes":…,
+  *    "delAdds":…,"delRemoves":…}` ([[commitDelta]]) — a commit writes
+  *    O(changed-files) bytes; readers resolve by walking back to the
+  *    nearest self-contained form (a full manifest or a CHECKPOINT
+  *    sidecar `v%05d.full.json`, written every `checkpointEvery`
+  *    commits and by [[vacuum]] before expiry) and replaying deltas
+  *    forward. At 10⁵–10⁶ files this is the difference between every
+  *    commit rewriting the whole file census and a trickle append
+  *    staying O(1).
+  *  - MERGE-ON-READ deletes: a delta may add DELETE FILES
+  *    ([[DeleteFile]] — a small parquet of deleted keys); [[read]]
+  *    anti-joins them transparently, and an OPTIMIZE fold drops them
+  *    (`delRemoves`) once the data files are rewritten — the
+  *    Iceberg-v2 delete-file / Delta deletion-vector contract: a point
+  *    delete commits O(deleted-keys) bytes, never a bucket rewrite.
+  *
+  * Every manifest and checkpoint carries a CRC32 trailer
+  * (`\n@crc:xxxxxxxx`) verified on every read — a torn or corrupted
+  * manifest fails loudly at resolution, never a silent partial read.
+  *
+  * MERGE runs as read-prev → merge → commit-next, which is exactly the
   * discipline `sink_txn_time_travel` grades: the incrementally merged
   * v1 must hash-equal the from-scratch recompute. */
 object TxnTable {
@@ -51,44 +74,105 @@ object TxnTable {
     minKey: Long, maxKey: Long,
     min2: Long = Long.MinValue, max2: Long = Long.MaxValue)
 
+  /** A merge-on-read DELETE FILE: a small parquet whose `keyCol` column
+    * lists deleted keys. [[read]] anti-joins every live delete file
+    * over the data union — the Iceberg v2 equality-delete shape (the
+    * positional refinement needs stable row ids, which plain parquet
+    * dirs don't carry; SCALE.md records the honesty note). */
+  final case class DeleteFile(path: String, keyCol: String)
+
+  /** A fully-resolved version: the data files plus the delete files a
+    * reader must anti-join. `tableLevel` marks the synthetic one-entry
+    * snapshot of a [[commit]]-style manifest (no real file census). */
+  final case class Snapshot(entries: Seq[FileEntry], deletes: Seq[DeleteFile],
+    tableLevel: Boolean = false)
+
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private val ManifestRe = "v(\\d{5})\\.json".r
 
-  /** Stage `df` as version `version` and atomically commit it. */
+  // ---- checksummed manifest I/O ---------------------------------------
+
+  private def crcHex(body: String): String = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(body.getBytes("UTF-8"))
+    f"${crc.getValue}%08x"
+  }
+
+  /** Body + CRC32 trailer — what every manifest/checkpoint writer
+    * persists. */
+  private def withCrc(body: String): Array[Byte] =
+    (body + "\n@crc:" + crcHex(body)).getBytes("UTF-8")
+
+  /** Verify the trailer and strip it. Every writer in this object emits
+    * the trailer, so a missing or mismatched one IS corruption (a torn
+    * write, a flipped bit) and fails loudly — the checksum contract. */
+  private def verifyStrip(content: String, where: String): String = {
+    val i = content.lastIndexOf("\n@crc:")
+    require(i >= 0, s"manifest $where has no checksum trailer — " +
+      "truncated or foreign content")
+    val body = content.substring(0, i)
+    val want = content.substring(i + 6).trim
+    require(crcHex(body) == want,
+      s"manifest $where failed checksum verification " +
+        s"(stored $want, computed ${crcHex(body)}) — corruption")
+    body
+  }
+
+  private def readFile(spark: SparkSession, p: Path): String = {
+    val fs = fsOf(spark, p)
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** Write `body` (+ checksum trailer) to `fin` via stage-then-rename —
+    * the torn-write guard every installer shares. */
+  private def installByRename(spark: SparkSession, log: Path, tmpName: String,
+      fin: Path, body: String): Unit = {
+    val fs = fsOf(spark, log)
+    fs.mkdirs(log)
+    val tmp = new Path(log, tmpName)
+    val out = fs.create(tmp, true)
+    try out.write(withCrc(body)) finally out.close()
+    require(fs.rename(tmp, fin),
+      s"manifest install failed: rename $tmp -> $fin")
+  }
+
+  // ---- commits ---------------------------------------------------------
+
+  /** Stage `df` as version `version` and atomically commit it
+    * (TABLE-LEVEL: the manifest names one snapshot dir). */
   def commit(spark: SparkSession, table: String, version: Int,
       df: DataFrame): Unit = {
     val dataPath = s"$table/data/v$version"
     df.write.mode("overwrite").parquet(dataPath)
-    val log = new Path(s"$table/_log")
-    val fs = fsOf(spark, log)
-    fs.mkdirs(log)
-    val tmp = new Path(log, s".tmp_v$version.json")
-    val out = fs.create(tmp, true)
-    try out.write(
-      s"""{"version":$version,"path":"$dataPath"}""".getBytes("UTF-8"))
-    finally out.close()
-    val fin = new Path(log, f"v$version%05d.json")
-    require(fs.rename(tmp, fin),
-      s"commit of version $version failed: rename $tmp -> $fin")
+    installByRename(spark, new Path(s"$table/_log"), s".tmp_v$version.json",
+      new Path(s"$table/_log", f"v$version%05d.json"),
+      s"""{"version":$version,"path":"$dataPath"}""")
   }
 
   /** Optimistic-concurrency commit: stage `df`'s data under an
     * attempt-unique dir (`data/v<N>-<tag>` — two writers racing on the
     * same version NEVER touch the same data path; only the manifest is
     * the contention point, exactly the Delta/Iceberg model), then try
-    * to claim the version by EXCLUSIVE CREATE of the final manifest.
-    * Returns false when the version is already committed — the caller
-    * lost the race and must re-read the latest snapshot, re-merge, and
-    * retry at the next version. A loser's staged data dir stays on
-    * disk unreferenced (vacuum's job in the real formats).
+    * to claim the version atomically. Returns false when the version is
+    * already committed — the caller lost the race and must re-read the
+    * latest snapshot, re-merge, and retry at the next version. A
+    * loser's staged data dir stays on disk unreferenced (vacuum's job
+    * in the real formats).
     *
-    * The exclusive create (`fs.create(f, overwrite = false)`) is the
-    * atomic claim primitive real log-based formats use on HDFS/object
-    * stores; on HDFS the manifest becomes visible to listers complete
-    * (create+write+close before any reader lists — our graded readers
-    * run strictly after the commit returns). Re-invoking with an
+    * Claim primitive, by filesystem: on `file://` the manifest is fully
+    * staged (bytes + checksum) under a writer-unique name and then
+    * HARD-LINKED to the final path — POSIX link(2) is atomic and fails
+    * with EEXIST if the destination exists, so racing OS processes get
+    * exactly one winner AND the winning manifest appears complete
+    * (never mid-write). On HDFS/object stores the fallback is exclusive
+    * create (`fs.create(f, overwrite = false)`), the primitive the
+    * log-based formats use there — atomic on HDFS, while plain
+    * RawLocalFileSystem's create is check-then-create (the reason the
+    * local path gets the link claim). Re-invoking with an
     * already-committed version is the checkpoint-replay case and is
     * exactly-once by construction: the claim fails, the state is
     * already what this commit would have produced. */
@@ -101,13 +185,32 @@ object TxnTable {
     val dataPath = s"$table/data/v$version-$tag"
     df.write.mode("overwrite").parquet(dataPath)
     fs.mkdirs(log)
-    val out =
-      try fs.create(fin, false) // exclusive: fails iff already claimed
-      catch { case _: java.io.IOException => return false }
-    try out.write(
-      s"""{"version":$version,"path":"$dataPath"}""".getBytes("UTF-8"))
-    finally out.close()
-    true
+    val bytes = withCrc(s"""{"version":$version,"path":"$dataPath"}""")
+    if ("file" == fin.toUri.getScheme ||
+        fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+        fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]) {
+      // local: stage complete bytes, then atomic link-if-absent
+      val tmp = new Path(log, s".claim_${tag}_v$version.json")
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      val tmpNio = java.nio.file.Paths.get(tmp.toUri.getPath)
+      val finNio = java.nio.file.Paths.get(fin.toUri.getPath)
+      try {
+        java.nio.file.Files.createLink(finNio, tmpNio)
+        fs.delete(tmp, false): Unit
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          fs.delete(tmp, false): Unit
+          false
+      }
+    } else {
+      val out =
+        try fs.create(fin, false) // exclusive: fails iff already claimed
+        catch { case _: java.io.IOException => return false }
+      try out.write(bytes) finally out.close()
+      true
+    }
   }
 
   /** Schema-enforced commit, the write-side contract of the real table
@@ -143,7 +246,8 @@ object TxnTable {
     commit(spark, table, version, df)
   }
 
-  /** Committed versions, ascending (staged `.tmp_*` files excluded). */
+  /** Committed versions, ascending (staged `.tmp_*` files and
+    * `.full.json` checkpoint sidecars excluded). */
   def versions(spark: SparkSession, table: String): Seq[Int] = {
     val log = new Path(s"$table/_log")
     val fs = fsOf(spark, log)
@@ -168,64 +272,182 @@ object TxnTable {
     }
   }
 
+  private def manifestPath(table: String, version: Int): Path =
+    new Path(s"$table/_log/" + f"v$version%05d.json")
+
+  private def checkpointPath(table: String, version: Int): Path =
+    new Path(s"$table/_log/" + f"v$version%05d.full.json")
+
   private def manifestBody(spark: SparkSession, table: String,
       version: Int): String = {
-    val manifest = new Path(s"$table/_log/" + f"v$version%05d.json")
-    val fs = fsOf(spark, manifest)
-    val in = fs.open(manifest)
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
+    val p = manifestPath(table, version)
+    verifyStrip(readFile(spark, p), p.toString)
   }
 
   private val FileEntryRe =
     ("""\{"bucket":(-?\d+),"path":"([^"]+)","min":(-?\d+),"max":(-?\d+),""" +
       """"min2":(-?\d+),"max2":(-?\d+)\}""").r
+  private val DeleteFileRe = """\{"dpath":"([^"]+)","key":"([^"]+)"\}""".r
+  private val QuotedRe = "\"([^\"]+)\"".r
 
-  /** Every data path a manifest references — ONE for a table-level
-    * snapshot ([[commit]]), the full entry list for a file-level one
-    * ([[commitEntries]]). The reference-aware vacuum keys off this. */
-  private def referencedPaths(body: String): Seq[String] =
-    if (body.contains("\"files\":["))
-      FileEntryRe.findAllMatchIn(body).map(_.group(2)).toSeq
-    else "\"path\":\"([^\"]+)\"".r.findFirstMatchIn(body).map(_.group(1)).toSeq
+  private def entryJson(e: FileEntry): String =
+    s"""{"bucket":${e.bucket},"path":"${e.path}",""" +
+      s""""min":${e.minKey},"max":${e.maxKey},""" +
+      s""""min2":${e.min2},"max2":${e.max2}}"""
+
+  private def delJson(d: DeleteFile): String =
+    s"""{"dpath":"${d.path}","key":"${d.keyCol}"}"""
+
+  /** The `"name":[…]` array slice of a manifest body, or "" when the
+    * field is absent. Arrays here never nest arrays, so the non-`]`
+    * scan is exact. */
+  private def arraySlice(body: String, name: String): String = {
+    val m = (s""""$name":\\[([^\\]]*)\\]""").r.findFirstMatchIn(body)
+    m.map(_.group(1)).getOrElse("")
+  }
+
+  private def parseEntries(slice: String): Seq[FileEntry] =
+    FileEntryRe.findAllMatchIn(slice).map(m =>
+      FileEntry(m.group(1).toLong, m.group(2),
+        m.group(3).toLong, m.group(4).toLong,
+        m.group(5).toLong, m.group(6).toLong)).toSeq
+
+  private def parseDeletes(slice: String): Seq[DeleteFile] =
+    DeleteFileRe.findAllMatchIn(slice).map(m =>
+      DeleteFile(m.group(1), m.group(2))).toSeq
+
+  private def parsePaths(slice: String): Seq[String] =
+    QuotedRe.findAllMatchIn(slice).map(_.group(1)).toSeq
+
+  // ---- snapshot resolution (full | checkpoint | delta chain) ----------
+
+  /** Resolve a FILE-LEVEL version to its full snapshot: prefer the
+    * checkpoint sidecar, else the manifest itself if self-contained,
+    * else walk one step back and replay this delta. Chain length is
+    * bounded by `checkpointEvery`, so resolution is O(K) manifest
+    * parses — never O(history). */
+  private def snapshotAt(spark: SparkSession, table: String,
+      version: Int): Snapshot = {
+    val ckpt = checkpointPath(table, version)
+    if (fsOf(spark, ckpt).exists(ckpt)) {
+      val body = verifyStrip(readFile(spark, ckpt), ckpt.toString)
+      Snapshot(parseEntries(arraySlice(body, "files")),
+        parseDeletes(arraySlice(body, "deletes")))
+    } else {
+      val body = manifestBody(spark, table, version)
+      if (body.contains("\"delta\":true")) {
+        val below = versions(spark, table).filter(_ < version)
+        require(below.nonEmpty, s"delta manifest v$version of $table has " +
+          "no resolvable base (expired without a checkpoint?)")
+        val base = snapshotAt(spark, table, below.last)
+        val adds = parseEntries(arraySlice(body, "adds"))
+        val removes = parsePaths(arraySlice(body, "removes")).toSet
+        val delAdds = parseDeletes(arraySlice(body, "delAdds"))
+        val delRemoves = parsePaths(arraySlice(body, "delRemoves")).toSet
+        Snapshot(
+          base.entries.filterNot(e => removes.contains(e.path)) ++ adds,
+          base.deletes.filterNot(d => delRemoves.contains(d.path)) ++ delAdds)
+      } else if (body.contains("\"files\":[")) {
+        Snapshot(parseEntries(arraySlice(body, "files")),
+          parseDeletes(arraySlice(body, "deletes")))
+      } else {
+        // table-level: one snapshot dir, no file entries, no deletes
+        val p = "\"path\":\"([^\"]+)\"".r.findFirstMatchIn(body)
+        require(p.nonEmpty, s"malformed manifest v$version under $table")
+        Snapshot(Seq(FileEntry(0L, p.get.group(1),
+          Long.MinValue, Long.MaxValue)), Seq.empty, tableLevel = true)
+      }
+    }
+  }
+
+  /** Every data path a version references (data files + delete files) —
+    * the reference-aware vacuum keys off this. */
+  private def referencedPaths(spark: SparkSession, table: String,
+      version: Int): Seq[String] = {
+    val s = snapshotAt(spark, table, version)
+    s.entries.map(_.path) ++ s.deletes.map(_.path)
+  }
 
   /** Snapshot read: the newest committed version ≤ `asOf` (or the
-    * latest when `asOf` is empty). Transparent over both manifest
-    * forms: a file-level version reads as the union of its entries. */
+    * latest when `asOf` is empty). Transparent over every manifest
+    * form: a file-level version reads as the union of its entries,
+    * MINUS any live delete files (merge-on-read: deleted keys are
+    * anti-joined out before the caller sees a row). */
   def read(spark: SparkSession, table: String,
       asOf: Option[Int] = None): DataFrame = {
     val pick = resolve(spark, table, asOf)
-    val paths = referencedPaths(manifestBody(spark, table, pick))
-    require(paths.nonEmpty,
+    val snap = snapshotAt(spark, table, pick)
+    require(snap.entries.nonEmpty,
       s"malformed manifest v$pick under $table: no data paths")
-    spark.read.parquet(paths: _*)
+    val base = spark.read.parquet(snap.entries.map(_.path): _*)
+    snap.deletes.groupBy(_.keyCol).foldLeft(base) { case (df, (key, dels)) =>
+      val keys = spark.read.parquet(dels.map(_.path): _*)
+        .select(key).distinct()
+      df.join(keys, Seq(key), "left_anti")
+    }
   }
 
-  /** Install a FILE-LEVEL manifest: the version's content is the union
-    * of `entries`, each carrying min/max stats of the clustering key.
-    * Data is already in place — new files written by the caller, carried
-    * files referenced from earlier versions' manifests (file-level COW:
-    * only touched buckets are rewritten; the rest are shared by
-    * reference, which is what makes a 100 TB MERGE affordable). Only the
-    * manifest install is here, with the same atomic-rename protocol as
-    * [[commit]]. */
+  /** Install a FULL FILE-LEVEL manifest: the version's content is the
+    * union of `entries`, each carrying min/max stats of the clustering
+    * key. Data is already in place — new files written by the caller,
+    * carried files referenced from earlier versions' manifests
+    * (file-level COW: only touched buckets are rewritten; the rest are
+    * shared by reference, which is what makes a 100 TB MERGE
+    * affordable). Only the manifest install is here, with the same
+    * atomic-rename protocol as [[commit]]. Self-contained (an implicit
+    * checkpoint for any delta chained on top); for O(changed-files)
+    * commit bytes use [[commitDelta]]. */
   def commitEntries(spark: SparkSession, table: String, version: Int,
       entries: Seq[FileEntry]): Unit = {
     require(entries.nonEmpty, s"empty entry list for v$version of $table")
-    val log = new Path(s"$table/_log")
-    val fs = fsOf(spark, log)
-    fs.mkdirs(log)
     val body = s"""{"version":$version,"files":[""" +
-      entries.sortBy(_.bucket).map(e =>
-        s"""{"bucket":${e.bucket},"path":"${e.path}",""" +
-          s""""min":${e.minKey},"max":${e.maxKey},""" +
-          s""""min2":${e.min2},"max2":${e.max2}}""").mkString(",") + "]}"
-    val tmp = new Path(log, s".tmp_v$version.json")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    val fin = new Path(log, f"v$version%05d.json")
-    require(fs.rename(tmp, fin),
-      s"commit of version $version failed: rename $tmp -> $fin")
+      entries.sortBy(_.bucket).map(entryJson).mkString(",") + "]}"
+    installByRename(spark, new Path(s"$table/_log"), s".tmp_v$version.json",
+      manifestPath(table, version), body)
+  }
+
+  /** Install a DELTA manifest: this commit writes O(changed-files)
+    * bytes — `adds`/`removes` mutate the data-file set, `delAdds`/
+    * `delRemoves` the merge-on-read delete-file set — and readers
+    * resolve against the previous version's snapshot. Every
+    * `checkpointEvery`-th version also writes a checkpoint sidecar
+    * (the full resolved census) so chains stay short and vacuum can
+    * expire history; the sidecar is an optimization, never required
+    * for correctness while the chain's base manifest lives.
+    *
+    * The base must exist and be file-level (a delta over a table-level
+    * snapshot has no entry list to mutate — resolution fails loudly at
+    * read time, and the first file-level commit of a table must be
+    * [[commitEntries]]). */
+  def commitDelta(spark: SparkSession, table: String, version: Int,
+      adds: Seq[FileEntry] = Seq.empty, removes: Seq[String] = Seq.empty,
+      delAdds: Seq[DeleteFile] = Seq.empty,
+      delRemoves: Seq[String] = Seq.empty,
+      checkpointEvery: Int = 8): Unit = {
+    require(versions(spark, table).exists(_ < version),
+      s"delta commit v$version of $table has no prior version to chain on")
+    val body = s"""{"version":$version,"delta":true,""" +
+      s""""adds":[${adds.sortBy(_.bucket).map(entryJson).mkString(",")}],""" +
+      s""""removes":[${removes.map(p => s""""$p"""").mkString(",")}],""" +
+      s""""delAdds":[${delAdds.map(delJson).mkString(",")}],""" +
+      s""""delRemoves":[${delRemoves.map(p => s""""$p"""").mkString(",")}]}"""
+    installByRename(spark, new Path(s"$table/_log"), s".tmp_v$version.json",
+      manifestPath(table, version), body)
+    if (checkpointEvery > 0 && version % checkpointEvery == 0)
+      checkpoint(spark, table, version)
+  }
+
+  /** Materialize the checkpoint sidecar for `version` (idempotent): the
+    * fully-resolved snapshot as one self-contained `.full.json`, so
+    * resolution of this and later versions never walks past it — the
+    * Delta checkpoint / Iceberg manifest-list role. */
+  def checkpoint(spark: SparkSession, table: String, version: Int): Unit = {
+    val snap = snapshotAt(spark, table, version)
+    val body = s"""{"version":$version,"files":[""" +
+      snap.entries.sortBy(_.bucket).map(entryJson).mkString(",") +
+      s"""],"deletes":[${snap.deletes.map(delJson).mkString(",")}]}"""
+    installByRename(spark, new Path(s"$table/_log"),
+      s".tmp_v$version.full.json", checkpointPath(table, version), body)
   }
 
   /** The entry list of a file-level version — the scan-planning input:
@@ -234,14 +456,17 @@ object TxnTable {
   def fileEntries(spark: SparkSession, table: String,
       asOf: Option[Int] = None): Seq[FileEntry] = {
     val pick = resolve(spark, table, asOf)
-    val body = manifestBody(spark, table, pick)
-    require(body.contains("\"files\":["),
+    val snap = snapshotAt(spark, table, pick)
+    require(!snap.tableLevel,
       s"v$pick of $table is a table-level snapshot (no file entries)")
-    FileEntryRe.findAllMatchIn(body).map(m =>
-      FileEntry(m.group(1).toLong, m.group(2),
-        m.group(3).toLong, m.group(4).toLong,
-        m.group(5).toLong, m.group(6).toLong)).toSeq
+    snap.entries
   }
+
+  /** The live delete files of a version (merge-on-read state): empty
+    * once an OPTIMIZE fold has rewritten the deletes into the data. */
+  def deleteFiles(spark: SparkSession, table: String,
+      asOf: Option[Int] = None): Seq[DeleteFile] =
+    snapshotAt(spark, table, resolve(spark, table, asOf)).deletes
 
   /** Retention vacuum: keep the newest `keepLast` committed versions,
     * expire the rest (manifest + data), and remove every data dir no
@@ -249,7 +474,13 @@ object TxnTable {
     * and the orphaned staging of crashed/lost writers (a commit that
     * died after writing `data/` but before installing its manifest
     * left data no reader can ever see; [[tryCommit]] losers are the
-    * same shape). Returns (dataDirsRemoved, manifestsExpired).
+    * same shape). Delete files expire with their versions like any
+    * other referenced path. Before expiring, the oldest KEPT version
+    * is checkpointed if it is a delta (its chain is about to lose its
+    * base) — expiry never strands a live reader. Returns
+    * (dataDirsRemoved, manifestsExpired), counting only successful
+    * deletes — a failed manifest delete fails the vacuum loudly rather
+    * than reporting an expiry that did not happen.
     * Idempotent: a second vacuum with the same retention removes
     * nothing. Time travel to an expired version fails loudly at
     * resolution (the manifest is gone) — never a silent partial read:
@@ -259,12 +490,24 @@ object TxnTable {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no committed versions under $table")
     val keep = vs.takeRight(keepLast)
-    val keptData = keep.flatMap(v => referencedPaths(
-      manifestBody(spark, table, v))).map(new Path(_).toUri.getPath).toSet
-    val fs = fsOf(spark, new Path(table))
     val expired = vs.dropRight(keepLast)
+    val fs = fsOf(spark, new Path(table))
+    // keep the oldest retained version resolvable without its ancestors
+    if (expired.nonEmpty) {
+      val oldest = keep.head
+      val ckpt = checkpointPath(table, oldest)
+      if (!fs.exists(ckpt) &&
+          manifestBody(spark, table, oldest).contains("\"delta\":true"))
+        checkpoint(spark, table, oldest)
+    }
+    val keptData = keep.flatMap(v => referencedPaths(spark, table, v))
+      .map(new Path(_).toUri.getPath).toSet
     expired.foreach { v =>
-      fs.delete(new Path(s"$table/_log/" + f"v$v%05d.json"), false): Unit
+      require(fs.delete(manifestPath(table, v), false),
+        s"vacuum failed to expire manifest v$v of $table")
+      val ckpt = checkpointPath(table, v)
+      if (fs.exists(ckpt)) require(fs.delete(ckpt, false),
+        s"vacuum failed to expire checkpoint v$v of $table")
     }
     val dataRoot = new Path(s"$table/data")
     val removed =

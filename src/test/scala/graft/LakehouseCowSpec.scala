@@ -92,6 +92,56 @@ class LakehouseCowSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("delete_mor: deletes invisible from commit on, fold retires the delete files, vacuum purges them (sf0.001)") {
+    import spark.implicits._
+    val out = operators.LakehouseCow.sinkTxnDeleteMor(spark, sf0001).cache()
+    // both delete sets erased from the graded content
+    assert(out.filter($"user_id" % 64 === 7 || $"user_id" % 64 === 21)
+      .count() === 0)
+    // the MOR read-side proof: the v2 visible-row count equals the
+    // post-fold table (deletes applied by anti-join, not by rewrite)
+    val rowsV2 = out.select($"rows_v2").head.getLong(0)
+    assert(rowsV2 === out.count())
+    val t = Tables.scratch("txn_mor_delete")
+    // only the folded version survives; its delete-file set is EMPTY
+    assert(TxnTable.versions(spark, t) === Seq(3))
+    assert(TxnTable.deleteFiles(spark, t, None).isEmpty)
+    // the delete files expired WITH their versions (the retention law)
+    assert(!fs.exists(new Path(s"$t/data/v1")), "v1 delete file survived")
+    assert(!fs.exists(new Path(s"$t/data/v2")), "v2 delete file survived")
+    // every live file is free of erased users (fold correctness on disk)
+    TxnTable.fileEntries(spark, t, None).foreach { e =>
+      assert(spark.read.parquet(e.path)
+        .filter($"user_id" % 64 === 7 || $"user_id" % 64 === 21)
+        .count() === 0, e.path)
+    }
+    out.unpersist()
+  }
+
+  test("wap_publish: main isolated until publish, publish is zero-copy, candidate purged while published files survive (sf0.001)") {
+    import spark.implicits._
+    val out = operators.LakehouseCow.sinkTxnWapPublish(spark, sf0001).cache()
+    // no poisoned-shard row ever reached main's published batch
+    assert(out.filter($"period" === "post" && $"user_id" % 64 === 9)
+      .count() === 0)
+    // pre-state users are untouched by the audit (the gate is on NEW data)
+    assert(out.select($"main_versions_before_publish").head.getLong(0) === 1L)
+    val t = Tables.scratch("txn_wap")
+    val branch = s"$t/branches/audit"
+    // zero-copy publish: main's post-period files LIVE UNDER THE BRANCH
+    val mainEntries = TxnTable.fileEntries(spark, t, None)
+    val branchRefs = mainEntries.filter(_.path.contains("/branches/audit/"))
+    assert(branchRefs.nonEmpty, "publish copied data instead of referencing")
+    branchRefs.foreach(e => assert(fs.exists(new Path(e.path)), e.path))
+    // the unaudited candidate is physically gone; branch v1 survives
+    assert(!fs.exists(new Path(s"$branch/data/v0")), "candidate not purged")
+    assert(TxnTable.versions(spark, branch) === Seq(1))
+    // audit receipts: violations found once, zero after the fix
+    if (out.select($"audit1_violations").head.getLong(0) > 0)
+      assert(out.select($"audit2_violations").head.getLong(0) === 0L)
+    out.unpersist()
+  }
+
   test("data_skipping: pruned scan ≡ full scan + filter, with files genuinely skipped (sf0.001 + adversarial bounds)") {
     import spark.implicits._
     val out = operators.LakehouseCow.sinkTxnDataSkipping(spark, sf0001).cache()

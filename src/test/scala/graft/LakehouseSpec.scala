@@ -111,6 +111,158 @@ class LakehouseSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("multi-writer OCC (scalacheck): racing increments, one winner per version, no lost updates, serial-equivalent final state") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    val nWriters = 4
+    val winsEach = 2
+    val prop = Prop.forAll(Gen.chooseNum(0L, 1000000L)) { seed: Long =>
+      val t = Tables.scratch(s"lh_occ_race_$seed")
+      TxnTable.drop(spark, t)
+      TxnTable.commit(spark, t, 0, Seq((0L, 0L)).toDF("k", "n"))
+      val rnd = new java.util.Random(seed)
+      val jitter = Array.fill(nWriters)(rnd.nextInt(5))
+      val doubleClaims = new java.util.concurrent.atomic.AtomicInteger(0)
+      val claimed = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val threads = (0 until nWriters).map { w =>
+        new Thread(() => {
+          try {
+            var wins = 0
+            while (wins < winsEach && failure.get() == null) {
+              // the OCC loop: resolve the latest snapshot, merge (here:
+              // increment), claim base+1; on refusal re-read and retry
+              val cur = TxnTable.resolve(spark, t, None)
+              val n = TxnTable.read(spark, t, Some(cur))
+                .agg(org.apache.spark.sql.functions.max($"n"))
+                .collect().head.getLong(0)
+              Thread.sleep(jitter(w).toLong)
+              if (TxnTable.tryCommit(spark, t, cur + 1,
+                  Seq((0L, n + 1)).toDF("k", "n"), s"w$w")) {
+                if (!claimed.add(cur + 1)) doubleClaims.incrementAndGet(): Unit
+                wins += 1
+              }
+            }
+          } catch { case e: Throwable => failure.compareAndSet(null, e): Unit }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      if (failure.get() != null) throw failure.get()
+      val total = nWriters * winsEach
+      val finalN = TxnTable.read(spark, t, None)
+        .agg(org.apache.spark.sql.functions.max($"n"))
+        .collect().head.getLong(0)
+      val serial = TxnTable.versions(spark, t) == (0 to total).toSeq
+      TxnTable.drop(spark, t)
+      // exactly one winner per version, contiguous history, and the
+      // final counter equals the commit count — no lost update survived
+      (doubleClaims.get() == 0) :| "a version was claimed twice" &&
+        serial :| "non-contiguous version history" &&
+        (finalN == total.toLong) :| s"lost update: $finalN != $total"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(3), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("manifest corruption fails loudly at read (checksum trailer)") {
+    import spark.implicits._
+    val t = Tables.scratch("lh_crc")
+    TxnTable.drop(spark, t)
+    TxnTable.commit(spark, t, 0, Seq((1L, 10L)).toDF("k", "n"))
+    val mf = java.nio.file.Paths.get(s"$t/_log/v00000.json")
+    // drop Hadoop LocalFileSystem's OWN .crc sidecar: object stores
+    // don't have that layer — the trailer must catch corruption alone
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$t/_log/.v00000.json.crc")): Unit
+    val content = new String(java.nio.file.Files.readAllBytes(mf), "UTF-8")
+    // flip one byte INSIDE the body (the version digit), keep the trailer
+    val corrupted = content.replaceFirst("\"version\":0", "\"version\":9")
+    assert(corrupted != content)
+    java.nio.file.Files.write(mf, corrupted.getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      TxnTable.read(spark, t, None).count()
+    }
+    assert(e.getMessage.contains("checksum"), e.getMessage)
+    // a truncated manifest (trailer gone) is equally loud
+    java.nio.file.Files.write(mf,
+      content.substring(0, content.lastIndexOf("\n@crc:")).getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException] {
+      TxnTable.read(spark, t, None).count()
+    }
+    assert(e2.getMessage.contains("checksum") ||
+      e2.getMessage.contains("trailer"), e2.getMessage)
+  }
+
+  test("delta commits write O(changed-files) manifest bytes; vacuum checkpoints the survivor before expiry") {
+    import spark.implicits._
+    val t = Tables.scratch("lh_delta_bytes")
+    TxnTable.drop(spark, t)
+    // v0: a 16-file full manifest
+    (0L until 16L).map(b => (b, b * 10))
+      .toDF("bkt", "user_id").write.partitionBy("bkt").parquet(s"$t/data/v0")
+    val e0 = (0L until 16L).map(b =>
+      TxnTable.FileEntry(b, s"$t/data/v0/bkt=$b", b * 10, b * 10))
+    TxnTable.commitEntries(spark, t, 0, e0)
+    // v1: one appended file, committed as a DELTA
+    Seq((16L, 160L)).toDF("bkt", "user_id")
+      .write.partitionBy("bkt").parquet(s"$t/data/v1")
+    TxnTable.commitDelta(spark, t, 1,
+      adds = Seq(TxnTable.FileEntry(16L, s"$t/data/v1/bkt=16", 160, 160)))
+    def mBytes(v: Int) = java.nio.file.Files.size(
+      java.nio.file.Paths.get(f"$t/_log/v$v%05d.json"))
+    // the scale law: a 1-file append writes a fraction of the census
+    assert(mBytes(1) * 4 < mBytes(0),
+      s"delta manifest not O(changed): v1=${mBytes(1)}B vs v0=${mBytes(0)}B")
+    // resolution composes: 17 files visible, all rows readable
+    assert(TxnTable.fileEntries(spark, t, None).size === 17)
+    assert(TxnTable.read(spark, t, None).count() === 17L)
+    // vacuum(keepLast=1) must checkpoint v1 (a delta about to lose its
+    // base) before expiring v0 — and the table stays fully readable
+    val (_, expired) = TxnTable.vacuum(spark, t, 1)
+    assert(expired === 1)
+    assert(TxnTable.versions(spark, t) === Seq(1))
+    assert(TxnTable.fileEntries(spark, t, None).size === 17)
+    assert(TxnTable.read(spark, t, None).count() === 17L)
+    intercept[IllegalArgumentException] { TxnTable.read(spark, t, Some(0)) }
+  }
+
+  test("merge-on-read delete files: visible-from-commit, folded by OPTIMIZE, expiring with their versions") {
+    import spark.implicits._
+    val t = Tables.scratch("lh_mor_proto")
+    TxnTable.drop(spark, t)
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("user_id", "v")
+      .coalesce(1).write.parquet(s"$t/data/v0/bkt=0")
+    TxnTable.commitEntries(spark, t, 0,
+      Seq(TxnTable.FileEntry(0, s"$t/data/v0/bkt=0", 1, 3)))
+    // a point delete: O(keys) bytes, zero data files touched
+    Seq(2L).toDF("user_id").coalesce(1).write.parquet(s"$t/data/v1/del")
+    TxnTable.commitDelta(spark, t, 1,
+      delAdds = Seq(TxnTable.DeleteFile(s"$t/data/v1/del", "user_id")))
+    // the delete is visible the moment it commits, and v0 still isn't
+    assert(TxnTable.read(spark, t, None).orderBy($"user_id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    assert(TxnTable.read(spark, t, Some(0)).count() === 3L)
+    assert(TxnTable.deleteFiles(spark, t, None) ===
+      Seq(TxnTable.DeleteFile(s"$t/data/v1/del", "user_id")))
+    // OPTIMIZE fold: rewrite without the deleted key, retire the del file
+    Seq((1L, "a"), (3L, "c")).toDF("user_id", "v")
+      .coalesce(1).write.parquet(s"$t/data/v2/bkt=0")
+    TxnTable.commitDelta(spark, t, 2,
+      adds = Seq(TxnTable.FileEntry(0, s"$t/data/v2/bkt=0", 1, 3)),
+      removes = Seq(s"$t/data/v0/bkt=0"),
+      delRemoves = Seq(s"$t/data/v1/del"))
+    assert(TxnTable.deleteFiles(spark, t, None).isEmpty)
+    assert(TxnTable.read(spark, t, None).count() === 2L)
+    // the delete file expires with its version
+    val fsp = new org.apache.hadoop.fs.Path(s"$t/data/v1")
+    val fs = fsp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    TxnTable.vacuum(spark, t, 1): Unit
+    assert(!fs.exists(fsp), "delete file survived its version's expiry")
+    assert(TxnTable.read(spark, t, None).count() === 2L)
+  }
+
   test("schema-evolution key: v0 readers undisturbed, all three invalid commits rejected (sf0.001)") {
     import spark.implicits._
     val r = operators.Lakehouse.sinkTxnSchemaEvolution(spark, sf0001).cache()
