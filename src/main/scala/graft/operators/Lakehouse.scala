@@ -387,8 +387,99 @@ object Lakehouse {
     }
   }
 
+  /** One IVM step: apply the change feed between two snapshots (both at
+    * (user_id, event_type) grain with an `n` count) to a per-type view —
+    * the delta is Σ(coalesce(new,0) − coalesce(old,0)) over the
+    * full-outer key diff, which handles inserts, updates AND deletes
+    * with one algebra (a delete contributes −old). Factored out so
+    * LakehouseSpec can law-test the delete branch on an injected
+    * retention-pruned fixture. */
+  private[graft] def ivmDelta(prev: DataFrame, next: DataFrame): DataFrame = {
+    val s = prev.sparkSession
+    import s.implicits._
+    val o = prev.select($"user_id".as("ou"), $"event_type".as("ot"),
+      $"n".as("o_n"))
+    val n = next.select($"user_id".as("nu"), $"event_type".as("nt"),
+      $"n".as("n_n"))
+    o.join(n, $"ou" === $"nu" && $"ot" === $"nt", "full_outer")
+      .select(coalesce($"ot", $"nt").as("event_type"),
+        (coalesce($"n_n", lit(0L)) - coalesce($"o_n", lit(0L))).as("d"))
+      .groupBy($"event_type").agg(sum($"d").as("d"))
+  }
+
+  /** INCREMENTAL VIEW MAINTENANCE over the snapshot log, graded — the
+    * materialized-view discipline every 100 TB warehouse runs on top of
+    * a change feed: four event-time-prefix states commit as v0..v3;
+    * the per-type event-count VIEW is computed directly ONCE (at v0)
+    * and then MAINTAINED — each step reads only the CHANGE FEED between
+    * consecutive snapshots ([[ivmDelta]]: full-outer key diff →
+    * Σ(new − old) per type, the one algebra that covers insert, update
+    * and delete) and folds the delta into the running view, never
+    * recomputing from the base table. The graded frame stacks, per
+    * version, the MAINTAINED view value next to the DIRECT recompute —
+    * the DuckDB oracle derives both columns from raw prefixes, so a
+    * hash-match certifies the incremental fold converges to the direct
+    * aggregate at every step (the IVM correctness statement; the
+    * delete branch, unreachable on cumulative prefixes, is law-pinned
+    * on an injected retention fixture in LakehouseSpec).
+    *
+    * Scale shape: the view is |types| rows; each maintenance step
+    * costs one co-partitioned key diff of two snapshots (at 100 TB:
+    * one CDF read — O(changed rows), the entire point vs the O(table)
+    * direct recompute); the per-step fold is a broadcast-size join. */
+  def sinkTxnIvmView(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = evUsers(spark, dir)
+    def stateAt(hi: Long): DataFrame = ev.filter($"ts_us" < hi)
+      .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("n"))
+    def viewOf(df: DataFrame): DataFrame = df.groupBy($"event_type")
+      .agg(sum($"n").as("view_n_events"))
+    def shape(df: DataFrame): DataFrame = df
+      .select($"version", $"event_type", $"view_n_events",
+        $"direct_n_events")
+      .orderBy($"version", $"event_type")
+    val equivalent = shape(SinkBoundsUs.zipWithIndex.map { case (b, i) =>
+      ev.filter($"ts_us" < b).groupBy($"event_type")
+        .agg(count(lit(1)).as("view_n_events"))
+        .withColumn("direct_n_events", $"view_n_events")
+        .withColumn("version", lit(i.toLong))
+    }.reduce(_.unionByName(_)))
+    graft.PlanOnly.roundTrip(equivalent) {
+      val table = Tables.scratch("txn_ivm_table")
+      TxnTable.drop(spark, table)
+      SinkBoundsUs.zipWithIndex.foreach { case (b, i) =>
+        TxnTable.commit(spark, table, i, stateAt(b))
+      }
+      // direct computation happens exactly once, at the base version
+      val view0 = graft.PlanOnly.cut(
+        viewOf(TxnTable.read(spark, table, Some(0)))
+          .withColumn("version", lit(0L)))
+      val views = (1 to 3).foldLeft(Seq(view0)) { (acc, i) =>
+        val delta = ivmDelta(TxnTable.read(spark, table, Some(i - 1)),
+          TxnTable.read(spark, table, Some(i)))
+        // maintain: prev view ⊕ feed delta — types absent from the
+        // view so far enter through the outer side with a 0 base
+        val next = graft.PlanOnly.cut(acc.last.drop("version")
+          .join(delta, Seq("event_type"), "full_outer")
+          .select($"event_type",
+            (coalesce($"view_n_events", lit(0L)) + coalesce($"d", lit(0L)))
+              .as("view_n_events"))
+          .withColumn("version", lit(i.toLong)))
+        acc :+ next
+      }
+      val direct = SinkBoundsUs.zipWithIndex.map { case (_, i) =>
+        viewOf(TxnTable.read(spark, table, Some(i)))
+          .withColumnRenamed("view_n_events", "direct_n_events")
+          .withColumn("version", lit(i.toLong))
+      }.reduce(_.unionByName(_))
+      shape(views.reduce(_.unionByName(_))
+        .join(direct, Seq("version", "event_type")))
+    }
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "sink_txn_schema_evolution" -> (sinkTxnSchemaEvolution(_, _)),
+    "sink_txn_ivm_view" -> (sinkTxnIvmView(_, _)),
     "sink_txn_change_feed" -> (sinkTxnChangeFeed(_, _)),
     "sink_txn_conflict_retry" -> (sinkTxnConflictRetry(_, _)),
     "sink_txn_vacuum" -> (sinkTxnVacuum(_, _)),
@@ -396,6 +487,20 @@ object Lakehouse {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // per version, the maintained view and the direct recompute are the
+    // same prefix count — the hash-match certifies the incremental fold
+    "sink_txn_ivm_view" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us FROM events),
+        |b(v, hi) AS (VALUES (CAST(0 AS BIGINT), 1704758400000000),
+        |                    (CAST(1 AS BIGINT), 1705449600000000),
+        |                    (CAST(2 AS BIGINT), 1706140800000000),
+        |                    (CAST(3 AS BIGINT), 9223372036854775807))
+        |SELECT v AS version, event_type,
+        |  CAST(count(*) AS BIGINT) AS view_n_events,
+        |  CAST(count(*) AS BIGINT) AS direct_n_events
+        |FROM e JOIN b ON e.ts_us < b.hi
+        |GROUP BY v, event_type
+        |ORDER BY version, event_type""".stripMargin,
     // v0 = pre-split per-type summary (n_users absent -> -1 sentinel),
     // v1 = full-log summary with the evolved column; the 3 rejected
     // commits are the enforcement contract

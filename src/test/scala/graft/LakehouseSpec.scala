@@ -263,6 +263,26 @@ class LakehouseSpec extends SparkSuite {
     assert(TxnTable.read(spark, t, None).count() === 2L)
   }
 
+  test("ivm delta algebra: insert, update AND delete fold the view to the direct recompute (injected retention fixture)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // v0: cumulative counts; v1: retention-pruned — u1/a EXPIRES (the
+    // delete branch the graded cumulative-prefix key can't reach),
+    // u2/b shrinks (update), u3/c enters (insert)
+    val v0 = Seq((1L, "a", 5L), (2L, "b", 4L)).toDF("user_id", "event_type", "n")
+    val v1 = Seq((2L, "b", 2L), (3L, "c", 7L)).toDF("user_id", "event_type", "n")
+    val view0 = v0.groupBy($"event_type").agg(sum($"n").as("view_n_events"))
+    val maintained = view0
+      .join(operators.Lakehouse.ivmDelta(v0, v1), Seq("event_type"), "full_outer")
+      .select($"event_type",
+        (coalesce($"view_n_events", lit(0L)) + coalesce($"d", lit(0L)))
+          .as("view_n_events"))
+    val got = maintained.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a: 5 − 5 = 0 (expired), b: 4 − 2 = 2, c: 0 + 7 = 7
+    assert(got === Map("a" -> 0L, "b" -> 2L, "c" -> 7L))
+  }
+
   test("schema-evolution key: v0 readers undisturbed, all three invalid commits rejected (sf0.001)") {
     import spark.implicits._
     val r = operators.Lakehouse.sinkTxnSchemaEvolution(spark, sf0001).cache()
