@@ -667,6 +667,44 @@ object Indexing {
       .orderBy($"w1", $"w2")
   }
 
+  /** Count-based LM QUALITY SCORE per document — the CCNet-style
+    * perplexity filter without the logarithm (transcendentals are
+    * banned from oracled outputs): each bigram instance scores the
+    * fixed-point conditional frequency ⌊2²⁰·c(w1 w2)/c(w1 •)⌋ from the
+    * CORPUS-level tables ([[textBigramLmCounts]]'s sufficient
+    * statistics), and a document's coherence is the floor-mean over
+    * its instances — text whose transitions the corpus has seen scores
+    * high, word salad and boilerplate mashups score low. The same
+    * gating signal a perplexity filter provides, in exact integer
+    * arithmetic both engines replay bit-for-bit.
+    *
+    * Scale shape: instances collapse to bigram TYPES map-side before
+    * the stats window (≤\|V\|² rows); the instance→type decoration is
+    * an equi-join on the bigram key (broadcast at fixture scale,
+    * co-partitioned shuffle at corpus scale); the per-doc fold is one
+    * doc_id aggregate. No corpus-scale window. */
+  def qualityBigramCoherence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"p0")
+    val inst = Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("p0", "w1")))
+      .withColumn("w2", lead($"w1", 1).over(wDoc))
+      .filter($"w2".isNotNull && $"w1" =!= "" && $"w2" =!= "")
+      .select($"doc_id", $"w1", $"w2")
+    val types = inst.groupBy($"w1", $"w2")
+      .agg(count(lit(1)).as("c_bigram"))
+      .withColumn("c_left", sum($"c_bigram").over(Window.partitionBy($"w1")))
+      .withColumn("score_fp", expr("(c_bigram * 1048576) div c_left"))
+      .select($"w1", $"w2", $"score_fp")
+    inst.join(types, Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum($"score_fp").as("score_sum_fp"))
+      .select($"doc_id", $"n_bigrams", $"score_sum_fp",
+        expr("score_sum_fp div n_bigrams").as("coherence_fp"))
+      .orderBy($"doc_id")
+  }
+
   /** Phrase search through the positional index — the query the
     * position lists of [[textInvertedIndex]] exist to answer: find every
     * document containing an exact 3-word phrase, with its occurrence
@@ -711,6 +749,7 @@ object Indexing {
 
   val queries: Map[String, QueryFn] = Map(
     "text_bigram_lm_counts" -> (textBigramLmCounts(_, _)),
+    "quality_bigram_coherence" -> (qualityBigramCoherence(_, _)),
     "text_phrase_search" -> (textPhraseSearch(_, _)),
     "text_winnow_fingerprints" -> (textWinnowFingerprints(_, _)),
     "dedup_winnow_verify" -> (dedupWinnowVerify(_, _)),
@@ -862,6 +901,26 @@ WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
     "dedup_simhash_replayable" -> simhashRepOracle,
     // raw-array adjacency (l[j], l[j+1]) ≡ the Spark lead-over-p0 pairs;
     // the three context statistics are windows over the type frame
+    // the same bigram-instance frame, decorated with the corpus-level
+    // fixed-point conditional frequency and folded per doc
+    "quality_bigram_coherence" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+        |  FROM documents),
+        |i AS (SELECT doc_id, l, unnest(range(1, len(l))) AS j FROM t
+        |  WHERE len(l) >= 2),
+        |b AS (SELECT doc_id, l[j] AS w1, l[j + 1] AS w2 FROM i
+        |  WHERE l[j] <> '' AND l[j + 1] <> ''),
+        |ty AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bigram
+        |  FROM b GROUP BY w1, w2),
+        |sc AS (SELECT w1, w2,
+        |    (c_bigram * 1048576) //
+        |      sum(c_bigram) OVER (PARTITION BY w1) AS score_fp
+        |  FROM ty)
+        |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(score_fp) AS BIGINT) AS score_sum_fp,
+        |  CAST(sum(score_fp) // count(*) AS BIGINT) AS coherence_fp
+        |FROM b JOIN sc ON b.w1 = sc.w1 AND b.w2 = sc.w2
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
     "text_bigram_lm_counts" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
         |  FROM documents),

@@ -734,7 +734,43 @@ object Pipelines {
       .orderBy($"shard", $"pos")
   }
 
+  /** Per-EPOCH deterministic reshuffle — the dataloader contract
+    * [[corpusShardManifest]]'s static manifest can't express: every
+    * training epoch must see a DIFFERENT but fully reproducible global
+    * permutation (reshuffling between epochs measurably improves
+    * convergence; reproducibility is what makes a run restartable and
+    * a data bug bisectable). The epoch seed folds into the same
+    * LCG-family hash (odd multiplier, mod 2³¹ — engine-replayable
+    * integer arithmetic, no RNG state), so epoch e's order and shard
+    * assignment are pure functions of (doc_id, e): any worker can
+    * recompute any shard of any epoch independently — the property
+    * that lets a 1000-worker job resume mid-epoch without a
+    * coordinator.
+    *
+    * Scale shape: assignment is a per-row projection; the within-
+    * (epoch, shard) position is one window whose partitions are
+    * shard-sized (epochs × shards partitions in one shuffle). The
+    * cross-epoch permutation-inequality and shard-balance laws live in
+    * PipelinesSpec. */
+  def corpusEpochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val epochs = Seq(0L, 1L)
+    val assigned = epochs.map { e =>
+      Tables.documents(spark, dir)
+        .select(lit(e).as("epoch"), $"doc_id",
+          expr(s"(doc_id * 1103515245 + 12345 + $e * 2654435761) " +
+            "% 2147483648").as("h"))
+        .withColumn("shard", $"h" % 8)
+    }.reduce(_.unionByName(_))
+    val w = Window.partitionBy($"epoch", $"shard").orderBy($"h", $"doc_id")
+    assigned
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select($"epoch", $"doc_id", $"h", $"shard", $"pos")
+      .orderBy($"epoch", $"doc_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "corpus_epoch_shuffle" -> (corpusEpochShuffle(_, _)),
     "sample_stratified_neyman" -> (sampleStratifiedNeyman(_, _)),
     "graph_bfs_reach" -> (graphBfsReach(_, _)),
     "sample_systematic_weighted" -> (sampleSystematicWeighted(_, _)),
@@ -756,6 +792,18 @@ object Pipelines {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the epoch-seeded LCG replayed verbatim; % on nonneg BIGINTs
+    "corpus_epoch_shuffle" ->
+      """WITH a AS (SELECT e.epoch, d.doc_id,
+        |    (d.doc_id * 1103515245 + 12345 + e.epoch * 2654435761)
+        |      % 2147483648 AS h
+        |  FROM documents d
+        |  CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT)))
+        |    AS e(epoch))
+        |SELECT epoch, doc_id, h, h % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY epoch, h % 8
+        |    ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM a ORDER BY epoch, doc_id""".stripMargin,
     // same bucket-star edge CTE as dedup_cluster_cc; the walk is a
     // depth-bounded recursive CTE, min(dist) = BFS distance
     "graph_bfs_reach" ->

@@ -307,4 +307,30 @@ class PipelinesSpec extends SparkSuite {
       }
     }
   }
+
+  test("corpus_epoch_shuffle: each epoch is a full permutation, epochs genuinely reshuffle, shards balanced (sf0.001)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = operators.Pipelines.corpusEpochShuffle(spark, sf0001).cache()
+    val nDocs = Tables.documents(spark, sf0001).count()
+    // every doc appears exactly once per epoch; positions are dense 1..n
+    Seq(0L, 1L).foreach { e =>
+      val ep = out.filter($"epoch" === e)
+      assert(ep.count() === nDocs)
+      val byShard = ep.groupBy($"shard").agg(
+        count(lit(1)).as("n"), max($"pos").as("mx")).collect()
+      byShard.foreach(r => assert(r.getLong(1) === r.getLong(2),
+        s"epoch $e shard ${r.getLong(0)}: positions not dense"))
+      // balance: no shard over 3x the fair share (a hash-quality law)
+      val fair = nDocs.toDouble / 8
+      byShard.foreach(r => assert(r.getLong(1) <= 3 * fair + 1,
+        s"epoch $e shard ${r.getLong(0)} holds ${r.getLong(1)} of $nDocs"))
+    }
+    // the epochs are DIFFERENT permutations: some doc changes shard or
+    // within-shard position (the reshuffle-between-epochs guarantee)
+    val e0 = out.filter($"epoch" === 0L).select($"doc_id", $"shard", $"pos")
+    val e1 = out.filter($"epoch" === 1L).select($"doc_id", $"shard", $"pos")
+    assert(e0.exceptAll(e1).count() > 0, "epoch 1 repeated epoch 0's order")
+    out.unpersist()
+  }
 }
