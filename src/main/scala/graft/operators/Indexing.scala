@@ -686,11 +686,14 @@ object Indexing {
   def qualityBigramCoherence(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val wDoc = Window.partitionBy($"doc_id").orderBy($"p0")
-    val inst = Tables.documents(spark, dir)
+    // marked: the instance frame feeds the type-count aggregate AND the
+    // decoration join's probe side — unmarked, the corpus tokenization
+    // + lead window runs twice
+    val inst = graft.PlanOnly.mark(Tables.documents(spark, dir)
       .select($"doc_id", posexplode(split($"text", " ")).as(Seq("p0", "w1")))
       .withColumn("w2", lead($"w1", 1).over(wDoc))
       .filter($"w2".isNotNull && $"w1" =!= "" && $"w2" =!= "")
-      .select($"doc_id", $"w1", $"w2")
+      .select($"doc_id", $"w1", $"w2"))
     val types = inst.groupBy($"w1", $"w2")
       .agg(count(lit(1)).as("c_bigram"))
       .withColumn("c_left", sum($"c_bigram").over(Window.partitionBy($"w1")))

@@ -705,6 +705,98 @@ object LakehouseCow {
     }
   }
 
+  // ---- zero-copy shallow clone ----------------------------------------
+
+  /** SHALLOW CLONE + write isolation, graded — the Delta SHALLOW CLONE /
+    * Iceberg snapshot-ref workflow that makes a 100 TB table cheap to
+    * sandbox: the clone is a NEW snapshot log whose v0 manifest simply
+    * REFERENCES the source's files (zero bytes copied — the clone costs
+    * O(files) manifest metadata), and a subsequent COW merge INTO THE
+    * CLONE (one tenant shard's post-split backfill, `user_id % 64 = 5`)
+    * rewrites only the touched buckets under the clone's own data dir
+    * while the source stays byte-identical and version-identical — the
+    * two isolation directions (clone sees source data; source never
+    * sees clone writes) that make dev/test-against-production safe.
+    * The graded frame stacks the SOURCE read (must equal the original
+    * state — proving write isolation) with the CLONE read (must equal
+    * the merged state — proving the clone is live, not a copy of
+    * staleness), plus the census: cloned file count, clone-merge
+    * rewrite/carry split, and the source's version count after all
+    * clone activity (still 1). Every number data-derived by the
+    * oracle.
+    *
+    * Scale shape: the clone commit is O(files) manifest bytes, zero
+    * data I/O; the clone's merge pays only its bucket footprint; the
+    * source pays NOTHING. (Vacuum honesty: each root's vacuum walks
+    * its own data dir, so a clone vacuum cannot purge source files —
+    * but a SOURCE vacuum does not see clone references; production
+    * formats track cross-table references or disallow vacuum under
+    * clones, and the scaladoc records the same operational rule
+    * here.) */
+  def sinkTxnCloneShallow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = evUsers(spark, dir)
+    val pre = ev.filter($"ts_us" < SplitUs)
+    val delta = ev.filter($"ts_us" >= SplitUs && $"user_id" % 64 === 5)
+    def shape(df: DataFrame): DataFrame = df
+      .select($"side", $"user_id", $"n_events", $"last_us", $"v_sum_4dp",
+        $"cloned_files", $"clone_rewritten", $"clone_carried",
+        $"source_versions")
+      .orderBy($"side", $"user_id")
+    val equivalent = {
+      val allB = pre.select(($"user_id" % NBuckets).as("b")).distinct
+      val touchedB = delta.select(($"user_id" % NBuckets).as("b")).distinct
+      val census = Seq(1).toDF("one")
+        .crossJoin(broadcast(allB.agg(count(lit(1)).as("cloned_files"))))
+        .crossJoin(broadcast(touchedB.agg(count(lit(1)).as("clone_rewritten"))))
+        .crossJoin(broadcast(allB.join(touchedB, Seq("b"), "left_anti")
+          .agg(count(lit(1)).as("clone_carried"))))
+      val src = state(pre).withColumn("side", lit("source"))
+      val cln = state(pre.filter($"user_id" % 64 =!= 5)
+          .unionByName(ev.filter($"user_id" % 64 === 5)))
+        .withColumn("side", lit("clone"))
+      shape(src.unionByName(cln)
+        .crossJoin(broadcast(census.select($"cloned_files",
+          $"clone_rewritten", $"clone_carried")))
+        .withColumn("source_versions", lit(1L)))
+    }
+    graft.PlanOnly.roundTrip(equivalent) {
+      val table = Tables.scratch("txn_clone_src")
+      TxnTable.drop(spark, table)
+      val clone = s"$table/clones/dev"
+      val st0 = state(pre)
+      val e0 = writeBuckets(st0.withColumn("bkt", $"user_id" % NBuckets),
+        s"$table/data/v0", "user_id")
+      commitMaybeEmpty(spark, table, 0, e0, st0)
+      // SHALLOW CLONE: a new log whose v0 references the source's files
+      commitMaybeEmpty(spark, clone, 0, e0,
+        TxnTable.read(spark, table, None))
+      // COW merge INTO THE CLONE only
+      val deltaSt = state(delta)
+      val touched = deltaSt.select(($"user_id" % NBuckets).as("b"))
+        .distinct.collect().map(_.getLong(0)).toSet // file planning
+      val prevTouched = TxnTable.read(spark, clone, Some(0))
+        .filter(($"user_id" % NBuckets).isin(touched.toSeq: _*))
+      val merged = prevTouched.unionByName(deltaSt).groupBy($"user_id")
+        .agg(sum($"n_events").as("n_events"), max($"last_us").as("last_us"),
+          sum($"v_sum_4dp").as("v_sum_4dp"))
+      val e1 = writeBuckets(merged.withColumn("bkt", $"user_id" % NBuckets),
+        s"$clone/data/v1", "user_id")
+      commitCowDelta(spark, clone, 1, e0, e1,
+        e0.filter(e => touched.contains(e.bucket)).map(_.path),
+        e1 ++ e0.filterNot(e => touched.contains(e.bucket)), merged)
+      val srcVersions = TxnTable.versions(spark, table).size.toLong
+      shape(TxnTable.read(spark, table, None).withColumn("side", lit("source"))
+        .unionByName(
+          TxnTable.read(spark, clone, None).withColumn("side", lit("clone")))
+        .withColumn("cloned_files", lit(e0.size.toLong))
+        .withColumn("clone_rewritten", lit(e1.size.toLong))
+        .withColumn("clone_carried",
+          lit(e0.count(e => !touched.contains(e.bucket)).toLong))
+        .withColumn("source_versions", lit(srcVersions)))
+    }
+  }
+
   // ---- write-audit-publish branch isolation ---------------------------
 
   /** WRITE-AUDIT-PUBLISH, graded — the Iceberg WAP / Delta-on-a-branch
@@ -909,6 +1001,7 @@ object LakehouseCow {
     "sink_txn_delete_cow" -> (sinkTxnDeleteCow(_, _)),
     "sink_txn_delete_mor" -> (sinkTxnDeleteMor(_, _)),
     "sink_txn_wap_publish" -> (sinkTxnWapPublish(_, _)),
+    "sink_txn_clone_shallow" -> (sinkTxnCloneShallow(_, _)),
     "sink_txn_data_skipping" -> (sinkTxnDataSkipping(_, _)),
     "sink_txn_compact_binpack" -> (sinkTxnCompactBinpack(_, _)),
     "sink_txn_zorder_skip" -> (sinkTxnZorderSkip(_, _)),
@@ -961,6 +1054,36 @@ object LakehouseCow {
         |  CAST(1 AS BIGINT) AS expired_travel_fails
         |FROM e WHERE user_id % 64 <> 7
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // shallow clone: source unchanged next to the clone's merged state,
+    // with the zero-copy and isolation census data-derived
+    "sink_txn_clone_shallow" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |pre AS (SELECT * FROM e WHERE ts_us < 1705536000000000),
+        |m AS (SELECT * FROM e
+        |  WHERE ts_us < 1705536000000000 OR user_id % 64 = 5),
+        |ab AS (SELECT DISTINCT user_id % 16 AS b FROM pre),
+        |tb AS (SELECT DISTINCT user_id % 16 AS b FROM e
+        |  WHERE ts_us >= 1705536000000000 AND user_id % 64 = 5),
+        |cf AS (SELECT CAST(count(*) AS BIGINT) AS cloned_files FROM ab),
+        |cr AS (SELECT CAST(count(*) AS BIGINT) AS clone_rewritten FROM tb),
+        |cc AS (SELECT CAST(count(*) AS BIGINT) AS clone_carried FROM ab
+        |  WHERE ab.b NOT IN (SELECT b FROM tb)),
+        |src AS (SELECT 'source' AS side, user_id,
+        |    CAST(count(*) AS BIGINT) AS n_events, max(ts_us) AS last_us,
+        |    CAST(sum(v) * 10000 AS BIGINT) AS v_sum_4dp
+        |  FROM pre GROUP BY user_id),
+        |cln AS (SELECT 'clone' AS side, user_id,
+        |    CAST(count(*) AS BIGINT) AS n_events, max(ts_us) AS last_us,
+        |    CAST(sum(v) * 10000 AS BIGINT) AS v_sum_4dp
+        |  FROM m GROUP BY user_id),
+        |u AS (SELECT * FROM src UNION ALL SELECT * FROM cln)
+        |SELECT side, user_id, n_events, last_us, v_sum_4dp,
+        |  (SELECT cloned_files FROM cf) AS cloned_files,
+        |  (SELECT clone_rewritten FROM cr) AS clone_rewritten,
+        |  (SELECT clone_carried FROM cc) AS clone_carried,
+        |  CAST(1 AS BIGINT) AS source_versions
+        |FROM u ORDER BY side, user_id""".stripMargin,
     // write-audit-publish: pre-state plus the audited batch, with the
     // audit/isolation/publish census re-derived from raw events
     "sink_txn_wap_publish" ->

@@ -754,14 +754,13 @@ object Pipelines {
     * PipelinesSpec. */
   def corpusEpochShuffle(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val epochs = Seq(0L, 1L)
-    val assigned = epochs.map { e =>
-      Tables.documents(spark, dir)
-        .select(lit(e).as("epoch"), $"doc_id",
-          expr(s"(doc_id * 1103515245 + 12345 + $e * 2654435761) " +
-            "% 2147483648").as("h"))
-        .withColumn("shard", $"h" % 8)
-    }.reduce(_.unionByName(_))
+    // one corpus scan: epochs fan out via explode, not a per-epoch union
+    val assigned = Tables.documents(spark, dir)
+      .select($"doc_id", explode(array(lit(0L), lit(1L))).as("epoch"))
+      .withColumn("h",
+        expr("(doc_id * 1103515245 + 12345 + epoch * 2654435761) " +
+          "% 2147483648"))
+      .withColumn("shard", $"h" % 8)
     val w = Window.partitionBy($"epoch", $"shard").orderBy($"h", $"doc_id")
     assigned
       .withColumn("pos", row_number().over(w).cast("long"))

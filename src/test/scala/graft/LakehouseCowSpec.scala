@@ -142,6 +142,29 @@ class LakehouseCowSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("clone_shallow: clone v0 references source files (zero copy), clone writes never touch the source (sf0.001)") {
+    import spark.implicits._
+    val out = operators.LakehouseCow.sinkTxnCloneShallow(spark, sf0001).cache()
+    val t = Tables.scratch("txn_clone_src")
+    val clone = s"$t/clones/dev"
+    // zero copy: the clone's v0 manifest points INTO the source tree
+    val e0clone = TxnTable.fileEntries(spark, clone, Some(0))
+    assert(e0clone.nonEmpty && e0clone.forall(_.path.startsWith(s"$t/data/")),
+      "clone v0 copied data instead of referencing the source")
+    // isolation: the source log never advanced, and its content equals
+    // the graded 'source' side
+    assert(TxnTable.versions(spark, t) === Seq(0))
+    val srcRows = out.filter($"side" === "source")
+      .select($"user_id", $"n_events", $"last_us", $"v_sum_4dp")
+    val direct = TxnTable.read(spark, t, None)
+    assert(srcRows.exceptAll(direct).isEmpty && direct.exceptAll(srcRows).isEmpty)
+    // the clone's merge wrote only under the clone's own data dir
+    val e1clone = TxnTable.fileEntries(spark, clone, Some(1))
+    e1clone.filterNot(e0clone.toSet).foreach(e =>
+      assert(e.path.startsWith(s"$clone/data/"), e.path))
+    out.unpersist()
+  }
+
   test("data_skipping: pruned scan ≡ full scan + filter, with files genuinely skipped (sf0.001 + adversarial bounds)") {
     import spark.implicits._
     val out = operators.LakehouseCow.sinkTxnDataSkipping(spark, sf0001).cache()
