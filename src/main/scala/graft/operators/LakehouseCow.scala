@@ -705,6 +705,119 @@ object LakehouseCow {
     }
   }
 
+  // ---- GDPR delete, positional deletion-vector tier --------------------
+
+  /** POSITIONAL deletion vectors, graded — the refinement
+    * [[sinkTxnDeleteMor]]'s equality deletes approximate: a DV
+    * addresses PHYSICAL ROW POSITIONS, not key values, so applying it
+    * costs an anti-join on a compact (file, position) set with no key
+    * semantics at all (works for keyless tables, duplicate keys, and
+    * row-level ACLs alike). Stable addresses exist here because every
+    * data file is written SORTED by the cluster key and is immutable
+    * thereafter — `pos` (the in-file rank) is materialized at write
+    * time, the honest stand-in for the parquet row index the real
+    * formats address. The DELETE's scan resolves the matched rows'
+    * (bucket, pos) addresses from the v0 snapshot, commits them as ONE
+    * small DV parquet + an O(entries)-byte delta manifest; reads from
+    * v1 anti-join on the composite address ([[TxnTable.DeleteFile]]'s
+    * `"bkt,pos"` form); the OPTIMIZE fold rewrites the touched buckets
+    * (re-ranking positions — addresses are file-local and die with
+    * their file), retires the DV, and vacuum expires it with its
+    * version. Census all data-derived: DV entry count, v1 visibility,
+    * fold split, purge and loud-expiry receipts.
+    *
+    * Scale shape: identical to the equality tier — O(entries) delete
+    * commits, |touched buckets| fold — with the anti-join key now
+    * constant-width regardless of the table's key shape. */
+  def sinkTxnDeleteDv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = evUsers(spark, dir)
+    val bad = $"user_id" % 64 === 11
+    def shape(df: DataFrame): DataFrame = df
+      .select($"user_id", $"n_events", $"last_us", $"v_sum_4dp",
+        $"dv_positions", $"rows_v1", $"files_rewritten", $"files_dropped",
+        $"files_carried", $"paths_purged", $"manifests_expired",
+        $"expired_travel_fails")
+      .orderBy($"user_id")
+    val equivalent = {
+      val allB = ev.select(($"user_id" % NBuckets).as("b")).distinct
+      val touchedB = ev.filter(bad)
+        .select(($"user_id" % NBuckets).as("b")).distinct
+      val survivorB = ev.filter(!bad)
+        .select(($"user_id" % NBuckets).as("b")).distinct
+        .join(touchedB, Seq("b"), "left_semi")
+      val census = Seq(1).toDF("one")
+        .crossJoin(broadcast(ev.filter(bad)
+          .agg(countDistinct($"user_id").as("dv_positions"))))
+        .crossJoin(broadcast(ev.filter(!bad)
+          .agg(countDistinct($"user_id").as("rows_v1"))))
+        .crossJoin(broadcast(survivorB.agg(count(lit(1)).as("files_rewritten"))))
+        .crossJoin(broadcast(touchedB.agg(count(lit(1)).as("touched"))))
+        .crossJoin(broadcast(allB.join(touchedB, Seq("b"), "left_anti")
+          .agg(count(lit(1)).as("files_carried"))))
+      shape(state(ev.filter(!bad))
+        .crossJoin(broadcast(census.select($"dv_positions", $"rows_v1",
+          $"files_rewritten",
+          ($"touched" - $"files_rewritten").as("files_dropped"),
+          $"files_carried", ($"touched" + 1L).as("paths_purged"))))
+        .withColumn("manifests_expired", lit(2L))
+        .withColumn("expired_travel_fails", lit(1L)))
+    }
+    graft.PlanOnly.roundTrip(equivalent) {
+      val table = Tables.scratch("txn_dv_delete")
+      TxnTable.drop(spark, table)
+      val wPos = org.apache.spark.sql.expressions.Window
+        .partitionBy($"bkt").orderBy($"user_id")
+      // files are written sorted by the cluster key; (b, pos) = the
+      // stable in-file address every later DV targets. `b` is stored
+      // IN the file (partitionBy consumes `bkt` into the dir name, and
+      // per-file manifest reads don't run partition discovery).
+      def addressed(df: DataFrame): DataFrame = df
+        .withColumn("bkt", $"user_id" % NBuckets)
+        .withColumn("b", $"user_id" % NBuckets)
+        .withColumn("pos", row_number().over(wPos).cast("long"))
+      val st = addressed(state(ev))
+      val e0 = writeBuckets(st, s"$table/data/v0", "user_id")
+      commitMaybeEmpty(spark, table, 0, e0, st.drop("bkt"))
+      // the DELETE's scan resolves physical addresses from the snapshot
+      val dvPath = s"$table/data/v1/dv"
+      val dvRows = TxnTable.read(spark, table, Some(0)).filter(bad)
+        .select($"b", $"pos")
+      dvRows.coalesce(1).write.mode("overwrite").parquet(dvPath)
+      val dvN = dvRows.count()
+      TxnTable.commitDelta(spark, table, 1,
+        delAdds = Seq(TxnTable.DeleteFile(dvPath, "b,pos")))
+      val rowsV1 = TxnTable.read(spark, table, Some(1)).count()
+      // OPTIMIZE fold: rewrite the DV's bucket footprint, re-ranking
+      // positions (addresses are file-local and die with their file)
+      val touched = st.filter(bad)
+        .select($"b").distinct.collect().map(_.getLong(0)).toSet
+      val survivors = addressed(TxnTable.read(spark, table, Some(1))
+        .filter($"b".isin(touched.toSeq: _*))
+        .drop("b", "pos"))
+      val e2 = writeBuckets(survivors, s"$table/data/v2", "user_id")
+      if (e0.isEmpty)
+        TxnTable.commitDelta(spark, table, 2, delRemoves = Seq(dvPath))
+      else TxnTable.commitDelta(spark, table, 2, adds = e2,
+        removes = e0.filter(e => touched.contains(e.bucket)).map(_.path),
+        delRemoves = Seq(dvPath))
+      val carried = e0.filterNot(e => touched.contains(e.bucket))
+      val (purged, expired) = TxnTable.vacuum(spark, table, 1)
+      val travelFails =
+        try { TxnTable.read(spark, table, Some(1)); 0L }
+        catch { case _: IllegalArgumentException => 1L }
+      shape(TxnTable.read(spark, table, None)
+        .withColumn("dv_positions", lit(dvN))
+        .withColumn("rows_v1", lit(rowsV1))
+        .withColumn("files_rewritten", lit(e2.size.toLong))
+        .withColumn("files_dropped", lit(touched.size.toLong - e2.size))
+        .withColumn("files_carried", lit(carried.size.toLong))
+        .withColumn("paths_purged", lit(purged.toLong))
+        .withColumn("manifests_expired", lit(expired.toLong))
+        .withColumn("expired_travel_fails", lit(travelFails)))
+    }
+  }
+
   // ---- zero-copy shallow clone ----------------------------------------
 
   /** SHALLOW CLONE + write isolation, graded — the Delta SHALLOW CLONE /
@@ -1000,6 +1113,7 @@ object LakehouseCow {
     "sink_txn_merge_cow" -> (sinkTxnMergeCow(_, _)),
     "sink_txn_delete_cow" -> (sinkTxnDeleteCow(_, _)),
     "sink_txn_delete_mor" -> (sinkTxnDeleteMor(_, _)),
+    "sink_txn_delete_dv" -> (sinkTxnDeleteDv(_, _)),
     "sink_txn_wap_publish" -> (sinkTxnWapPublish(_, _)),
     "sink_txn_clone_shallow" -> (sinkTxnCloneShallow(_, _)),
     "sink_txn_data_skipping" -> (sinkTxnDataSkipping(_, _)),
@@ -1053,6 +1167,38 @@ object LakehouseCow {
         |  CAST(1 AS BIGINT) AS manifests_expired,
         |  CAST(1 AS BIGINT) AS expired_travel_fails
         |FROM e WHERE user_id % 64 <> 7
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // positional deletion vectors: survivors' state + the DV/visibility/
+    // fold/purge census, all re-derived from raw events
+    "sink_txn_delete_dv" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |tb AS (SELECT DISTINCT user_id % 16 AS b FROM e
+        |  WHERE user_id % 64 = 11),
+        |sb AS (SELECT CAST(count(*) AS BIGINT) AS files_rewritten FROM
+        |  (SELECT DISTINCT user_id % 16 AS b FROM e
+        |     WHERE user_id % 64 <> 11) s
+        |  WHERE s.b IN (SELECT b FROM tb)),
+        |ct AS (SELECT CAST(count(*) AS BIGINT) AS touched FROM tb),
+        |cc AS (SELECT CAST(count(*) AS BIGINT) AS files_carried FROM
+        |  (SELECT DISTINCT user_id % 16 AS b FROM e) a
+        |  WHERE a.b NOT IN (SELECT b FROM tb)),
+        |dv AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS dv_positions
+        |  FROM e WHERE user_id % 64 = 11),
+        |r1 AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS rows_v1
+        |  FROM e WHERE user_id % 64 <> 11)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  max(ts_us) AS last_us, CAST(sum(v) * 10000 AS BIGINT) AS v_sum_4dp,
+        |  (SELECT dv_positions FROM dv) AS dv_positions,
+        |  (SELECT rows_v1 FROM r1) AS rows_v1,
+        |  (SELECT files_rewritten FROM sb) AS files_rewritten,
+        |  (SELECT touched FROM ct) - (SELECT files_rewritten FROM sb)
+        |    AS files_dropped,
+        |  (SELECT files_carried FROM cc) AS files_carried,
+        |  (SELECT touched FROM ct) + 1 AS paths_purged,
+        |  CAST(2 AS BIGINT) AS manifests_expired,
+        |  CAST(1 AS BIGINT) AS expired_travel_fails
+        |FROM e WHERE user_id % 64 <> 11
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // shallow clone: source unchanged next to the clone's merged state,
     // with the zero-copy and isolation census data-derived

@@ -74,11 +74,14 @@ object TxnTable {
     minKey: Long, maxKey: Long,
     min2: Long = Long.MinValue, max2: Long = Long.MaxValue)
 
-  /** A merge-on-read DELETE FILE: a small parquet whose `keyCol` column
-    * lists deleted keys. [[read]] anti-joins every live delete file
-    * over the data union — the Iceberg v2 equality-delete shape (the
-    * positional refinement needs stable row ids, which plain parquet
-    * dirs don't carry; SCALE.md records the honesty note). */
+  /** A merge-on-read DELETE FILE: a small parquet whose `keyCol`
+    * column(s) list deleted rows. [[read]] anti-joins every live delete
+    * file over the data union. `keyCol` is a comma-joined column list:
+    * a single logical key (`"user_id"`) is the Iceberg v2
+    * EQUALITY-delete shape; a composite physical address
+    * (`"bkt,pos"` — file bucket + stable in-file position, materialized
+    * at write time since the files are immutable and sorted) is the
+    * POSITIONAL-delete / deletion-vector shape. */
   final case class DeleteFile(path: String, keyCol: String)
 
   /** A fully-resolved version: the data files plus the delete files a
@@ -381,9 +384,10 @@ object TxnTable {
       s"malformed manifest v$pick under $table: no data paths")
     val base = spark.read.parquet(snap.entries.map(_.path): _*)
     snap.deletes.groupBy(_.keyCol).foldLeft(base) { case (df, (key, dels)) =>
+      val cols = key.split(",").toSeq
       val keys = spark.read.parquet(dels.map(_.path): _*)
-        .select(key).distinct()
-      df.join(keys, Seq(key), "left_anti")
+        .select(cols.map(org.apache.spark.sql.functions.col): _*).distinct()
+      df.join(keys, cols, "left_anti")
     }
   }
 

@@ -142,6 +142,42 @@ class LakehouseCowSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("delete_dv: the DV is purely positional (no key column), applied read-side, folded and expired (sf0.001)") {
+    import spark.implicits._
+    // capture the DV parquet BEFORE the key's vacuum erases it: replay
+    // the v0 write + address resolution on an injected mini-table
+    val t = Tables.scratch("lhc_dv_proto")
+    TxnTable.drop(spark, t)
+    Seq((1L, "a"), (11L, "bad"), (27L, "c")).toDF("user_id", "v")
+      .withColumn("b", lit(0L))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"b")
+          .orderBy($"user_id")).cast("long"))
+      .coalesce(1).write.parquet(s"$t/data/v0/bkt=0")
+    TxnTable.commitEntries(spark, t, 0,
+      Seq(TxnTable.FileEntry(0, s"$t/data/v0/bkt=0", 1, 27)))
+    // a purely positional DV: addresses only, NO key semantics
+    Seq((0L, 2L)).toDF("b", "pos").coalesce(1)
+      .write.parquet(s"$t/data/v1/dv")
+    TxnTable.commitDelta(spark, t, 1,
+      delAdds = Seq(TxnTable.DeleteFile(s"$t/data/v1/dv", "b,pos")))
+    val dvSchema = spark.read.parquet(s"$t/data/v1/dv").columns.toSeq
+    assert(dvSchema === Seq("b", "pos"), "DV carries more than addresses")
+    // position 2 (user 11) is gone; keys were never consulted
+    assert(TxnTable.read(spark, t, None).select($"user_id")
+      .orderBy($"user_id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 27L))
+    // the graded key end-to-end
+    val out = operators.LakehouseCow.sinkTxnDeleteDv(spark, sf0001).cache()
+    assert(out.filter($"user_id" % 64 === 11).count() === 0)
+    assert(out.select($"rows_v1").head.getLong(0) === out.count())
+    val kt = Tables.scratch("txn_dv_delete")
+    assert(TxnTable.versions(spark, kt) === Seq(2))
+    assert(TxnTable.deleteFiles(spark, kt, None).isEmpty)
+    assert(!fs.exists(new Path(s"$kt/data/v1")), "DV survived its version")
+    out.unpersist()
+  }
+
   test("clone_shallow: clone v0 references source files (zero copy), clone writes never touch the source (sf0.001)") {
     import spark.implicits._
     val out = operators.LakehouseCow.sinkTxnCloneShallow(spark, sf0001).cache()
