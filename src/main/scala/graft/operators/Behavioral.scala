@@ -265,6 +265,56 @@ object Behavioral {
       .orderBy($"n_ends")
   }
 
+  /** Two deterministic LABEL-PROPAGATION rounds over the copurchase
+    * graph — the community-detection primitive (Raghavan et al. 2007)
+    * the similarity family lacks: every node starts labeled with its
+    * own id; each round a node adopts the MODE of its neighbors'
+    * labels, ties broken by the smallest label (the determinism rule —
+    * vanilla LPA's random tie-break would never oracle). On a simple
+    * graph round 1 from unique labels degenerates to min-neighbor
+    * (every neighbor label counts once — documented, not hidden);
+    * round 2 is genuine frequency voting over the round-1 labels, the
+    * step where communities begin to coalesce. Both rounds emitted per
+    * node so the oracle certifies the propagation chain, not just a
+    * fixed point.
+    *
+    * Scale shape: the edge list reuses the capped pair machinery (one
+    * incidence shuffle, degree²-bounded explode); each round is one
+    * (node, label) count aggregate + one argmax — O(edges) per round,
+    * the LPA promise; labels join back by node id, co-partitioned. */
+  def graphLabelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val incidence = Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_suppkey").distinct()
+    val edges = graft.PlanOnly.mark {
+      val e = supplierSets(incidence, PairDegreeCap)
+        .select($"ss", posexplode($"ss").as(Seq("i", "s1")))
+        .select($"s1", explode(expr("slice(ss, i + 2, size(ss))")).as("s2"))
+        .groupBy($"s1", $"s2")
+        .agg(count(lit(1)).as("shared"))
+        .filter($"shared" >= 3)
+        .select($"s1", $"s2")
+      e.unionByName(e.select($"s2".as("s1"), $"s1".as("s2")))
+    }
+    // one LPA round: node s adopts the most frequent label among its
+    // neighbors' current labels, smallest label on ties
+    def round(labels: DataFrame): DataFrame = edges
+      .join(labels.select($"s2".as("node"), $"label"), $"s2" === $"node")
+      .groupBy($"s1", $"label").agg(count(lit(1)).as("c"))
+      .groupBy($"s1")
+      .agg(min(struct((-$"c").as("nc"), $"label")).getField("label")
+        .as("label"))
+      .select($"s1".as("s2"), $"label") // shaped for the next round's join
+    val l0 = edges.select($"s1".as("s2")).distinct()
+      .withColumn("label", $"s2")
+    val l1 = graft.PlanOnly.mark(round(l0))
+    val l2 = round(l1)
+    l1.select($"s2".as("supplier"), $"label".as("label_r1"))
+      .join(l2.select($"s2".as("supplier"), $"label".as("label_r2")),
+        "supplier")
+      .orderBy($"supplier")
+  }
+
   /** Time-to-convert per impression — the FORWARD as-of the existing
     * asof keys don't cover (they look back; attribution looks ahead):
     * for every view event, the user's NEXT purchase timestamp and the
@@ -508,6 +558,7 @@ object Behavioral {
     "graph_resource_allocation" -> (graphResourceAllocation(_, _)),
     "behavior_time_to_convert" -> (behaviorTimeToConvert(_, _)),
     "graph_assortativity_stats" -> (graphAssortativityStats(_, _)),
+    "graph_label_propagation" -> (graphLabelPropagation(_, _)),
     "behavior_rfm_segmentation" -> (behaviorRfmSegmentation(_, _)),
     "behavior_longest_streak" -> (behaviorLongestStreak(_, _)),
     "feature_pit_snapshot" -> (featurePitSnapshot(_, _))
@@ -604,6 +655,32 @@ object Behavioral {
         |    ELSE (np - t) // 60000000 END AS BIGINT) AS gap_minutes
         |FROM n WHERE event_type = 'view'
         |ORDER BY event_id""".stripMargin,
+    // two LPA rounds over the same capped ≥3-shared pair grid; the mode
+    // election is (count desc, label asc) row_number on both engines
+    "graph_label_propagation" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |ok AS (SELECT l_partkey FROM ps GROUP BY 1 HAVING count(*) <= 256),
+        |pp AS (SELECT ps.l_partkey, ps.l_suppkey FROM ps
+        |  JOIN ok USING (l_partkey)),
+        |e0 AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+        |  FROM pp a JOIN pp b
+        |    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |e AS (SELECT s1, s2 FROM e0 UNION ALL SELECT s2 AS s1, s1 AS s2
+        |  FROM e0),
+        |r1c AS (SELECT s1, s2 AS label, CAST(count(*) AS BIGINT) AS c
+        |  FROM e GROUP BY 1, 2),
+        |r1 AS (SELECT s1, label FROM (SELECT s1, label,
+        |    row_number() OVER (PARTITION BY s1 ORDER BY c DESC, label)
+        |      AS rn FROM r1c) WHERE rn = 1),
+        |r2c AS (SELECT e.s1, r1.label, CAST(count(*) AS BIGINT) AS c
+        |  FROM e JOIN r1 ON e.s2 = r1.s1 GROUP BY 1, 2),
+        |r2 AS (SELECT s1, label FROM (SELECT s1, label,
+        |    row_number() OVER (PARTITION BY s1 ORDER BY c DESC, label)
+        |      AS rn FROM r2c) WHERE rn = 1)
+        |SELECT r1.s1 AS supplier, r1.label AS label_r1, r2.label AS label_r2
+        |FROM r1 JOIN r2 ON r1.s1 = r2.s1
+        |ORDER BY supplier""".stripMargin,
     // both orientations of the same ≥3-shared pair grid, degree-
     // decorated; the oracle may self-join — the graded side never does
     "graph_assortativity_stats" ->

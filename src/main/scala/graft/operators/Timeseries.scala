@@ -677,7 +677,42 @@ object Timeseries {
       .orderBy($"user_id", $"version")
   }
 
+  /** Weekly SEASONAL PROFILE per event type — the decomposition step a
+    * forecasting pipeline runs before any model (and the STL stand-in
+    * that needs no transcendentals): per (event_type, weekday) the
+    * exact event count, 4-dp fixed-point value sum and mean, and the
+    * weekday's DEVIATION from the type's overall mean — the additive
+    * seasonal index. Weekday = (epoch_day + 4) % 7 (day 0 = Thursday),
+    * identical integer arithmetic on both engines; means are
+    * truncating BIGINT divisions of the 4-dp sums (the determinism
+    * rule for ratios).
+    *
+    * Scale shape: one map-side-combinable (type, weekday) aggregate
+    * over the raw log (≤ types×7 rows out); the overall-mean
+    * decoration is a window over that tiny frame. No per-event
+    * window. */
+  def timeseriesSeasonalProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byWd = Tables.events(spark, dir)
+      .select($"event_type", Tables.nsToUs($"ts").as("ts_us"),
+        Tables.dec4($"value").as("v"))
+      .select($"event_type",
+        expr("((ts_us DIV 86400000000) + 4) % 7").as("weekday"), $"v")
+      .groupBy($"event_type", $"weekday")
+      .agg(count(lit(1)).as("n"),
+        (sum($"v") * lit(10000)).cast("long").as("v_sum_4dp"))
+    val wType = Window.partitionBy($"event_type")
+    byWd
+      .withColumn("mean_fp", expr("v_sum_4dp div n"))
+      .withColumn("type_sum_fp", sum($"v_sum_4dp").over(wType))
+      .withColumn("type_n", sum($"n").over(wType))
+      .select($"event_type", $"weekday", $"n", $"v_sum_4dp", $"mean_fp",
+        expr("mean_fp - (type_sum_fp div type_n)").as("seasonal_dev_fp"))
+      .orderBy($"event_type", $"weekday")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "timeseries_seasonal_profile" -> (timeseriesSeasonalProfile(_, _)),
     "timeseries_downsample_triangle" -> (timeseriesDownsampleTriangle(_, _)),
     "timeseries_bollinger_stats" -> (timeseriesBollingerStats(_, _)),
     "timeseries_autocorr_stats" -> (timeseriesAutocorrStats(_, _)),
@@ -697,6 +732,23 @@ object Timeseries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same (type, weekday) grid; means and the seasonal index are
+    // truncating BIGINT divisions of the 4-dp sums on both engines
+    "timeseries_seasonal_profile" ->
+      """WITH e AS (SELECT event_type,
+        |    ((epoch_us(ts) // 86400000000) + 4) % 7 AS weekday,
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |g AS (SELECT event_type, weekday,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) * 10000 AS BIGINT) AS v_sum_4dp
+        |  FROM e GROUP BY 1, 2)
+        |SELECT event_type, weekday, n, v_sum_4dp,
+        |  CAST(v_sum_4dp // n AS BIGINT) AS mean_fp,
+        |  CAST(v_sum_4dp // n -
+        |    (sum(v_sum_4dp) OVER (PARTITION BY event_type) //
+        |     sum(n) OVER (PARTITION BY event_type)) AS BIGINT)
+        |    AS seasonal_dev_fp
+        |FROM g ORDER BY event_type, weekday""".stripMargin,
     // same rank buckets, raw-neighbor anchors, and (area2 desc, ts,
     // event_id) election; edges ride along with the −1 sentinel
     "timeseries_downsample_triangle" ->

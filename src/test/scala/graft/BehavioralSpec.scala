@@ -496,6 +496,24 @@ class BehavioralSpec extends SparkSuite {
     }
   }
 
+  test("graph_label_propagation: round 1 is min-neighbor on the simple graph; round 2 labels are neighbor-reachable (sf0.001)") {
+    import spark.implicits._
+    val out = operators.Behavioral.graphLabelPropagation(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // adjacency from the graded copurchase pair list (same ≥3 grid)
+    val pairs = operators.Behavioral.graphCopurchasePairs(spark, sf0001)
+      .select($"s1", $"s2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(out.keySet === adj.keySet)
+    out.foreach { case (node, (r1, r2)) =>
+      assert(r1 === adj(node).min, s"node $node: r1 $r1 != min neighbor")
+      // r2 = mode of neighbors' r1 labels — must be SOME neighbor's r1
+      assert(adj(node).map(n => out(n)._1).contains(r2),
+        s"node $node: r2 $r2 not among neighbors' round-1 labels")
+    }
+  }
+
   test("super-node cap: oversize keys are excluded from pairing, fixture stays under the cap") {
     import spark.implicits._
     // one hot part with cap+1 suppliers is dropped; a normal part stays
