@@ -856,6 +856,53 @@ object Multimodal {
     * product within BIGINT headroom at any realistic group size and is
     * the numerically-sane parameterization a production fit would use
     * anyway. */
+  /** One ALTERNATING-LEAST-SQUARES round with rank-1 factors, graded —
+    * the collaborative-filtering primitive (Koren/Bell/Volinsky's
+    * matrix factorization, Zhou et al.'s ALS) at the dimensionality
+    * where the normal equation is a plain ratio and stays EXACT: with
+    * 1-D factors the per-user solve is u_c = Σ_p(r·v)/Σ_p(v²) and the
+    * per-item solve is v_p = Σ_c(r·u)/Σ_c(u²) — both closed forms, no
+    * matrix inverse, every sum an exact BIGINT. Ratings = summed
+    * order quantity per (customer, part); item factors initialize from
+    * the part's list price (a varying, data-derived start — an all-ones
+    * init would degenerate the first half-step to a row mean); both
+    * half-steps floor to 2²⁰ fixed point via integer division
+    * (positive operands, so div == floor on both engines). The graded
+    * frame is the per-part factor after the full round next to its
+    * init, so the hash certifies BOTH half-steps (v1 is a function of
+    * every u it touched).
+    *
+    * Scale shape: one (c, p) shuffle to build ratings, one c-keyed agg
+    * for the user solve, one co-partitioned join back on c, one
+    * p-keyed agg for the item solve — ALS's promise of O(obs) per
+    * half-step, never a |C|×|P| matrix. */
+  def mlAls1dStep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ratings = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey", $"l_quantity")
+      .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey".as("c"), $"l_partkey".as("p"))
+      .agg(sum($"l_quantity").cast("long").as("rt"))
+    val v0 = Tables.part(spark, dir)
+      .select($"p_partkey".as("p"),
+        floor($"p_retailprice").cast("long").as("v0"))
+    val u = ratings.join(v0, "p")
+      .groupBy($"c")
+      .agg(sum($"rt" * $"v0").as("srv"), sum($"v0" * $"v0").as("svv"))
+      .select($"c",
+        expr("(CAST(1048576 AS DECIMAL(38,0)) * srv) div svv").as("u"))
+    val v1 = ratings.join(u, "c")
+      .groupBy($"p")
+      .agg(count(lit(1)).as("n_obs"),
+        sum($"rt" * $"u").as("sru"), sum($"u" * $"u").as("suu"))
+      .select($"p", $"n_obs",
+        expr("(CAST(1048576 AS DECIMAL(38,0)) * sru) div suu").as("v1_fp"))
+    v1.join(v0, "p")
+      .select($"p".as("p_partkey"), $"n_obs", $"v0".as("v0_price"), $"v1_fp")
+      .orderBy($"p_partkey")
+  }
+
   def mlLinregSufficient(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)
@@ -1227,6 +1274,7 @@ object Multimodal {
     "ml_decision_stump" -> (mlDecisionStump(_, _)),
     "eval_auc_exact" -> (evalAucExact(_, _)),
     "ml_linreg_sufficient" -> (mlLinregSufficient(_, _)),
+    "ml_als_1d_step" -> (mlAls1dStep(_, _)),
     "source_binaryfile_ingest" -> (sourceBinaryfileIngest(_, _)),
     "eval_ann_recall" -> (evalAnnRecall(_, _)),
     "embedding_pq_quantize" -> (embeddingPqQuantize(_, _)),
@@ -1486,6 +1534,25 @@ object Multimodal {
         |  CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS den
         |FROM b GROUP BY event_type, user_id
         |ORDER BY event_type, user_id""".stripMargin,
+    // both ALS half-steps replayed in SQL: u from the price init,
+    // v1 from the u's — exact integer ratios at 2^20 fixed point
+    "ml_als_1d_step" ->
+      """WITH r AS (SELECT o_custkey AS c, l_partkey AS p,
+        |    CAST(sum(l_quantity) AS BIGINT) AS rt
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |v0 AS (SELECT p_partkey AS p,
+        |    CAST(floor(p_retailprice) AS BIGINT) AS v0 FROM part),
+        |u AS (SELECT c,
+        |    CAST((1048576 * sum(r.rt * v0.v0)) // sum(v0.v0 * v0.v0)
+        |      AS BIGINT) AS u
+        |  FROM r JOIN v0 ON r.p = v0.p GROUP BY c),
+        |v1 AS (SELECT r.p, CAST(count(*) AS BIGINT) AS n_obs,
+        |    CAST((1048576 * sum(r.rt * u.u)) // sum(u.u * u.u)
+        |      AS BIGINT) AS v1_fp
+        |  FROM r JOIN u ON r.c = u.c GROUP BY r.p)
+        |SELECT v1.p AS p_partkey, n_obs, v0.v0 AS v0_price, v1_fp
+        |FROM v1 JOIN v0 ON v1.p = v0.p ORDER BY p_partkey""".stripMargin,
     // blob round trip must preserve every byte: graded against the
     // ORIGINAL documents (ascii corpus: octet_length == length)
     "source_binaryfile_ingest" ->

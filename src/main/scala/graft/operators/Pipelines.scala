@@ -554,6 +554,46 @@ object Pipelines {
       .orderBy($"lang")
   }
 
+  /** TEMPERATURE-SCALED language mix (α = 0.5), graded — the published
+    * multilingual rebalancing move (mBERT / XLM-R: sample languages
+    * ∝ n^α with α < 1 to lift low-resource languages) computed with NO
+    * transcendentals: n^0.5 IS sqrt, so the temperature weight is
+    * ⌊2²⁰·√n_l⌋ (exact-BIGINT argument, correctly-rounded IEEE sqrt,
+    * cross-engine-identical floor — [[sampleStratifiedNeyman]]'s
+    * determinism argument), and the million-sample budget apportions
+    * by the Hamilton largest-remainder rule of [[corpusTokenBudget]]
+    * (Σalloc == budget exactly). The NATURAL per-million share sits
+    * next to the temperature alloc so the output exhibits the lift a
+    * low-resource language receives — the whole point of the knob.
+    *
+    * Scale shape: one map-side collapse of the corpus to |langs| rows,
+    * then windows over that tiny frame only. */
+  def corpusTemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val budget = 1000000L
+    val wAll = Window.partitionBy()
+    val wRank = Window.partitionBy().orderBy($"rem".desc, $"lang")
+    Tables.documents(spark, dir)
+      .select(coalesce($"lang", lit("(none)")).as("lang"))
+      .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight_fp",
+        floor(sqrt($"n_docs".cast("double")) * lit(1048576.0)).cast("long"))
+      .withColumn("n_total", sum($"n_docs").over(wAll))
+      .withColumn("w_total", sum($"weight_fp").over(wAll))
+      .withColumn("natural_ppm",
+        expr(s"(CAST($budget AS DECIMAL(38,0)) * n_docs) div n_total"))
+      .withColumn("quota",
+        expr(s"(CAST($budget AS DECIMAL(38,0)) * weight_fp) div w_total"))
+      .withColumn("rem",
+        expr(s"CAST($budget AS DECIMAL(38,0)) * weight_fp - quota * w_total"))
+      .withColumn("leftover", lit(budget) - sum($"quota").over(wAll))
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .select($"lang", $"n_docs", $"weight_fp", $"natural_ppm",
+        ($"quota" + when($"rk" <= $"leftover", 1L).otherwise(0L))
+          .as("alloc_temp"))
+      .orderBy($"lang")
+  }
+
   /** Neyman-optimal stratified sample allocation — the statistically
     * correct upgrade of proportional stratification: a 100-doc eval
     * budget is split across languages ∝ N_h·σ_h (stratum size × spread
@@ -775,6 +815,7 @@ object Pipelines {
     "sample_systematic_weighted" -> (sampleSystematicWeighted(_, _)),
     "corpus_shard_manifest" -> (corpusShardManifest(_, _)),
     "corpus_token_budget" -> (corpusTokenBudget(_, _)),
+    "corpus_temperature_mix" -> (corpusTemperatureMix(_, _)),
     "corpus_quota_sampler" -> (corpusQuotaSampler(_, _)),
     "corpus_snapshot_diff" -> (corpusSnapshotDiff(_, _)),
     "compact_incremental_agg" -> (compactIncrementalAgg(_, _)),
@@ -892,6 +933,28 @@ object Pipelines {
         |SELECT lang, n_docs, w_h,
         |  CAST(quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
         |    AS BIGINT) AS alloc
+        |FROM r ORDER BY lang""".stripMargin,
+    "corpus_temperature_mix" ->
+      """WITH t AS (SELECT coalesce(lang, '(none)') AS lang,
+        |    count(*) AS n_docs FROM documents GROUP BY 1),
+        |a AS (SELECT lang, n_docs,
+        |    CAST(floor(sqrt(n_docs) * 1048576) AS BIGINT) AS weight_fp,
+        |    sum(n_docs) OVER () AS n_total FROM t),
+        |b AS (SELECT lang, n_docs, weight_fp, n_total,
+        |    sum(weight_fp) OVER () AS w_total FROM a),
+        |q AS (SELECT lang, n_docs, weight_fp,
+        |    (1000000 * n_docs) // n_total AS natural_ppm,
+        |    (1000000 * weight_fp) // w_total AS quota,
+        |    1000000 * weight_fp
+        |      - ((1000000 * weight_fp) // w_total) * w_total AS rem
+        |  FROM b),
+        |r AS (SELECT lang, n_docs, weight_fp, natural_ppm, quota, rem,
+        |    1000000 - sum(quota) OVER () AS leftover,
+        |    row_number() OVER (ORDER BY rem DESC, lang) AS rk FROM q)
+        |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, weight_fp,
+        |  CAST(natural_ppm AS BIGINT) AS natural_ppm,
+        |  CAST(quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc_temp
         |FROM r ORDER BY lang""".stripMargin,
     "corpus_token_budget" ->
       """WITH t AS (SELECT coalesce(lang, '(none)') AS lang,

@@ -451,4 +451,38 @@ class AnalyticsSpec extends SparkSuite {
       else assert(auc === -1L)
     }
   }
+
+  test("ml_als_1d_step: a rank-1-consistent fixture is a FIXED POINT of the ALS round") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // ratings r = u_c * v_p with v initialized from p_retailprice: the
+    // user solve recovers u exactly (Σu·v²/Σv² = u, integral at 2^20)
+    // and the item solve must then return v UNCHANGED — the normal
+    // equations' fixed point, exact in integer arithmetic.
+    val dir = Tables.scratch("als_rank1")
+    Seq((1L, 1L), (2L, 2L)).toDF("o_orderkey", "o_custkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 2.0), (2L, 5.0)).toDF("p_partkey", "p_retailprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/part.parquet")
+    // u = (3, 4): r_cp = u_c * v_p
+    Seq((1L, 1L, 6L), (1L, 2L, 15L), (2L, 1L, 8L), (2L, 2L, 20L))
+      .toDF("l_orderkey", "l_partkey", "l_quantity")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = Multimodal.mlAls1dStep(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) === ((2L, 2L, 2L)), s"part 1: ${out(1L)}")
+    assert(out(2L) === ((2L, 5L, 5L)), s"part 2: ${out(2L)}")
+  }
+
+  test("ml_als_1d_step: sf0.001 factors are positive and obs counts tie to ratings") {
+    import graft.operators.Multimodal
+    val rows = Multimodal.mlAls1dStep(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1, "n_obs")
+      assert(r.getLong(2) > 0 && r.getLong(3) > 0,
+        s"factors must stay positive: $r")
+    }
+  }
 }

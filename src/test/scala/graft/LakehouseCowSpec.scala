@@ -309,4 +309,20 @@ class LakehouseCowSpec extends SparkSuite {
     }
     out.unpersist()
   }
+
+  test("sink_txn_restore: latest ≡ v0 through travel, v1 preserved and genuinely undone") {
+    operators.LakehouseCow.sinkTxnRestore(spark, sf0001).collect(): Unit
+    val t = Tables.scratch("txn_restore")
+    val latest = TxnTable.read(spark, t, None)
+    val v0 = TxnTable.read(spark, t, Some(0))
+    // the restore serves v0's exact state again...
+    assert(latest.exceptAll(v0).isEmpty && v0.exceptAll(latest).isEmpty,
+      "post-restore latest must equal v0 row-for-row")
+    // ...while HISTORY survives: the undone merge still time-travels,
+    // and it really differed (the restore was not vacuous)
+    val v1 = TxnTable.read(spark, t, Some(1))
+    assert(v1.exceptAll(v0).count() > 0,
+      "fixture must exercise a real merge before the restore")
+    assert(TxnTable.versions(spark, t) === Seq(0, 1, 2))
+  }
 }

@@ -333,4 +333,22 @@ class PipelinesSpec extends SparkSuite {
     assert(e0.exceptAll(e1).count() > 0, "epoch 1 repeated epoch 0's order")
     out.unpersist()
   }
+
+  test("corpus_temperature_mix: Σalloc == budget exactly; α=0.5 lifts every below-mean language") {
+    val rows = operators.Pipelines.corpusTemperatureMix(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("alloc_temp")).sum === 1000000L,
+      "largest-remainder apportionment must hit the budget exactly")
+    // by Cauchy–Schwarz the sqrt-weight crossover sits at or above the
+    // mean size, so a language strictly below the mean must be lifted
+    val nTotal = rows.map(_.getAs[Long]("n_docs")).sum
+    val L = rows.length
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val nat = r.getAs[Long]("natural_ppm")
+      val al = r.getAs[Long]("alloc_temp")
+      if (n * L < nTotal)
+        assert(al >= nat,
+          s"${r.getString(0)} (n=$n, below mean): temp $al < natural $nat")
+    }
+  }
 }
