@@ -1109,6 +1109,145 @@ object LakehouseCow {
     }
   }
 
+  // ---- merge-on-read UPSERT -------------------------------------------
+
+  /** MERGE-ON-READ UPSERT, graded — the Iceberg-v2 MOR merge / Delta
+    * DV-update contract that [[sinkTxnDeleteMor]]'s delete tier can't
+    * express: the upsert batch (post-split events of shard
+    * `user_id % 64 = 1`) commits as ONE positional delete file
+    * addressing the REPLACED rows plus the MERGED batch rows as new
+    * clustered files — the existing data files are never rewritten (a
+    * trickle of upserts costs O(batch) bytes per commit, not a bucket
+    * rewrite). The address is the 3-part (src, b, pos) — writing
+    * version, bucket, in-file rank — because equality deletes cannot
+    * serve an upsert here: the new files carry the SAME keys the
+    * delete names, so the address must be file-complete to kill only
+    * the superseded copies (Iceberg scopes positional deletes by file
+    * path + sequence number; materializing the writing version in the
+    * immutable file is this log's equivalent). Reads from v1 on
+    * anti-join the addresses transparently (rows_v1 certifies
+    * visibility: replaced keys appear ONCE, merged). OPTIMIZE (v2)
+    * folds: rewrites only the batch's bucket footprint from the MOR
+    * read, retires the delete file and the MOR files; vacuum purges
+    * the superseded v0 buckets and the whole v1 MOR staging; travel to
+    * pre-fold versions fails loudly. Census (replaced vs inserted
+    * keys, MOR files, fold rewrite/carry split, purge counts) is
+    * re-derived from raw events by the oracle.
+    *
+    * Scale shape: the upsert reads |touched buckets| of the snapshot
+    * and writes O(batch) bytes + O(changed-files) manifest; the
+    * read-side anti-join touches |outstanding delete addresses| until
+    * the fold amortizes it to zero — the GDPR/CDC steady state at
+    * 100 TB. */
+  def sinkTxnMergeMor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = evUsers(spark, dir)
+    val pre = ev.filter($"ts_us" < SplitUs)
+    val deltaEv = ev.filter($"ts_us" >= SplitUs && $"user_id" % 64 === 1)
+    def shape(df: DataFrame): DataFrame = df
+      .select($"user_id", $"n_events", $"last_us", $"v_sum_4dp",
+        $"upsert_users", $"replaced_keys", $"inserted_keys",
+        $"mor_files_written", $"rows_v1", $"files_rewritten",
+        $"files_carried", $"paths_purged", $"manifests_expired",
+        $"expired_travel_fails")
+      .orderBy($"user_id")
+    val equivalent = {
+      val batchU = deltaEv.select($"user_id").distinct
+      val preU = pre.select($"user_id").distinct
+      val tb = batchU.select(($"user_id" % NBuckets).as("b")).distinct
+      val v0b = preU.select(($"user_id" % NBuckets).as("b")).distinct
+      val census = Seq(1).toDF("one")
+        .crossJoin(broadcast(batchU.agg(count(lit(1)).as("upsert_users"))))
+        .crossJoin(broadcast(batchU.join(preU, Seq("user_id"), "left_semi")
+          .agg(count(lit(1)).as("replaced_keys"))))
+        .crossJoin(broadcast(tb.agg(count(lit(1)).as("mor_files_written"))))
+        .crossJoin(broadcast(preU.unionByName(batchU).distinct()
+          .agg(count(lit(1)).as("rows_v1"))))
+        .crossJoin(broadcast(v0b.join(tb, Seq("b"), "left_anti")
+          .agg(count(lit(1)).as("files_carried"))))
+        .crossJoin(broadcast(tb.join(v0b, Seq("b"), "left_semi")
+          .agg(count(lit(1)).as("tb_in_v0"))))
+      shape(state(pre.unionByName(deltaEv))
+        .crossJoin(broadcast(census.select($"upsert_users", $"replaced_keys",
+          ($"upsert_users" - $"replaced_keys").as("inserted_keys"),
+          $"mor_files_written", $"rows_v1",
+          $"mor_files_written".as("files_rewritten"), $"files_carried",
+          ($"tb_in_v0" + 1L).as("paths_purged"))))
+        .withColumn("manifests_expired", lit(2L))
+        .withColumn("expired_travel_fails", lit(1L)))
+    }
+    graft.PlanOnly.roundTrip(equivalent) {
+      val table = Tables.scratch("txn_mor_merge")
+      TxnTable.drop(spark, table)
+      val wPos = org.apache.spark.sql.expressions.Window
+        .partitionBy($"bkt").orderBy($"user_id")
+      def addressed(df: DataFrame, src: Long): DataFrame = df
+        .withColumn("bkt", $"user_id" % NBuckets)
+        .withColumn("b", $"user_id" % NBuckets)
+        .withColumn("src", lit(src))
+        .withColumn("pos", row_number().over(wPos).cast("long"))
+      val st0 = state(pre)
+      val e0 = writeBuckets(addressed(st0, 0L), s"$table/data/v0", "user_id")
+      commitMaybeEmpty(spark, table, 0, e0, addressed(st0, 0L).drop("bkt"))
+      val deltaSt = state(deltaEv)
+      val touched = deltaSt.select(($"user_id" % NBuckets).as("b"))
+        .distinct.collect().map(_.getLong(0)).toSet // file planning
+      val batchKeys = deltaSt.select($"user_id")
+      // resolve the replaced rows' physical addresses from the snapshot
+      val prevBatch = TxnTable.read(spark, table, Some(0))
+        .join(batchKeys, Seq("user_id"), "left_semi")
+      val dvPath = s"$table/data/v1/dv"
+      val dvRows = prevBatch.select($"src", $"b", $"pos")
+      dvRows.coalesce(1).write.mode("overwrite").parquet(dvPath)
+      val replaced = dvRows.count()
+      val merged = prevBatch
+        .select($"user_id", $"n_events", $"last_us", $"v_sum_4dp")
+        .unionByName(deltaSt).groupBy($"user_id")
+        .agg(sum($"n_events").as("n_events"), max($"last_us").as("last_us"),
+          sum($"v_sum_4dp").as("v_sum_4dp"))
+      val e1 = writeBuckets(addressed(merged, 1L), s"$table/data/v1/rows",
+        "user_id")
+      val degenerate = e0.isEmpty || e1.isEmpty
+      if (degenerate)
+        TxnTable.commit(spark, table, 1,
+          addressed(state(pre.unionByName(deltaEv)), 1L).drop("bkt"))
+      else TxnTable.commitDelta(spark, table, 1, adds = e1,
+        delAdds = Seq(TxnTable.DeleteFile(dvPath, "src,b,pos")))
+      val rowsV1 = TxnTable.read(spark, table, Some(1)).count()
+      // OPTIMIZE fold: rewrite only the batch's bucket footprint from
+      // the MOR read; retire the delete file and the MOR files
+      val foldSrc = TxnTable.read(spark, table, Some(1))
+        .filter(($"user_id" % NBuckets).isin(touched.toSeq: _*))
+        .select($"user_id", $"n_events", $"last_us", $"v_sum_4dp")
+      val e2 = writeBuckets(addressed(foldSrc, 2L), s"$table/data/v2",
+        "user_id")
+      if (degenerate)
+        TxnTable.commit(spark, table, 2,
+          addressed(state(pre.unionByName(deltaEv)), 2L).drop("bkt"))
+      else TxnTable.commitDelta(spark, table, 2, adds = e2,
+        removes = e0.filter(e => touched.contains(e.bucket)).map(_.path)
+          ++ e1.map(_.path),
+        delRemoves = Seq(dvPath))
+      val carried = e0.filterNot(e => touched.contains(e.bucket))
+      val (purged, expired) = TxnTable.vacuum(spark, table, 1)
+      val travelFails =
+        try { TxnTable.read(spark, table, Some(1)); 0L }
+        catch { case _: IllegalArgumentException => 1L }
+      val upsertUsers = deltaSt.count()
+      shape(TxnTable.read(spark, table, None)
+        .withColumn("upsert_users", lit(upsertUsers))
+        .withColumn("replaced_keys", lit(replaced))
+        .withColumn("inserted_keys", lit(upsertUsers - replaced))
+        .withColumn("mor_files_written", lit(e1.size.toLong))
+        .withColumn("rows_v1", lit(rowsV1))
+        .withColumn("files_rewritten", lit(e2.size.toLong))
+        .withColumn("files_carried", lit(carried.size.toLong))
+        .withColumn("paths_purged", lit(purged.toLong))
+        .withColumn("manifests_expired", lit(expired.toLong))
+        .withColumn("expired_travel_fails", lit(travelFails)))
+    }
+  }
+
   // ---- RESTORE: metadata-only rollback --------------------------------
 
   /** RESTORE TABLE TO VERSION, graded — Delta's RESTORE / Iceberg's
@@ -1197,6 +1336,7 @@ object LakehouseCow {
 
   val queries: Map[String, QueryFn] = Map(
     "sink_txn_restore" -> (sinkTxnRestore(_, _)),
+    "sink_txn_merge_mor" -> (sinkTxnMergeMor(_, _)),
     "sink_txn_merge_cow" -> (sinkTxnMergeCow(_, _)),
     "sink_txn_delete_cow" -> (sinkTxnDeleteCow(_, _)),
     "sink_txn_delete_mor" -> (sinkTxnDeleteMor(_, _)),
@@ -1210,6 +1350,43 @@ object LakehouseCow {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // MOR upsert: merged content for the batch shard, pre-split for the
+    // rest; replaced/inserted/MOR-file/fold/purge census data-derived
+    "sink_txn_merge_mor" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |pre AS (SELECT * FROM e WHERE ts_us < 1705536000000000),
+        |d AS (SELECT * FROM e
+        |  WHERE ts_us >= 1705536000000000 AND user_id % 64 = 1),
+        |bu AS (SELECT DISTINCT user_id FROM d),
+        |pu AS (SELECT DISTINCT user_id FROM pre),
+        |tb AS (SELECT DISTINCT user_id % 16 AS b FROM bu),
+        |vb AS (SELECT DISTINCT user_id % 16 AS b FROM pu),
+        |uu AS (SELECT CAST(count(*) AS BIGINT) AS upsert_users FROM bu),
+        |rk AS (SELECT CAST(count(*) AS BIGINT) AS replaced_keys FROM bu
+        |  WHERE bu.user_id IN (SELECT user_id FROM pu)),
+        |mf AS (SELECT CAST(count(*) AS BIGINT) AS mor_files FROM tb),
+        |r1 AS (SELECT CAST(count(*) AS BIGINT) AS rows_v1 FROM
+        |  (SELECT user_id FROM pu UNION SELECT user_id FROM bu)),
+        |fc AS (SELECT CAST(count(*) AS BIGINT) AS files_carried FROM vb
+        |  WHERE vb.b NOT IN (SELECT b FROM tb)),
+        |ti AS (SELECT CAST(count(*) AS BIGINT) AS tb_in_v0 FROM tb
+        |  WHERE tb.b IN (SELECT b FROM vb)),
+        |m AS (SELECT * FROM pre UNION ALL SELECT * FROM d)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  max(ts_us) AS last_us, CAST(sum(v) * 10000 AS BIGINT) AS v_sum_4dp,
+        |  (SELECT upsert_users FROM uu) AS upsert_users,
+        |  (SELECT replaced_keys FROM rk) AS replaced_keys,
+        |  (SELECT upsert_users FROM uu) - (SELECT replaced_keys FROM rk)
+        |    AS inserted_keys,
+        |  (SELECT mor_files FROM mf) AS mor_files_written,
+        |  (SELECT rows_v1 FROM r1) AS rows_v1,
+        |  (SELECT mor_files FROM mf) AS files_rewritten,
+        |  (SELECT files_carried FROM fc) AS files_carried,
+        |  (SELECT tb_in_v0 FROM ti) + 1 AS paths_purged,
+        |  CAST(2 AS BIGINT) AS manifests_expired,
+        |  CAST(1 AS BIGINT) AS expired_travel_fails
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
     // restored content = the pre-split state exactly; the re-reference/
     // remove census and v1's surviving row count all data-derived
     "sink_txn_restore" ->

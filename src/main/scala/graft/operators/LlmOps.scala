@@ -961,6 +961,64 @@ object LlmOps {
       .orderBy($"source")
   }
 
+  /** KRIPPENDORFF'S ALPHA (nominal), graded — the annotation-quality
+    * metric a labeling pipeline needs once raters can ABSTAIN: unlike
+    * Cohen's κ (exactly two raters, no missing cells —
+    * [[evalCohensKappa]]), α is defined over any number of raters with
+    * missing ratings, via the coincidence matrix (Krippendorff 2004).
+    * Raters here: the true `lang` column, the n-gram classifier's
+    * prediction ([[textLangid]]), and a third heuristic rater — the
+    * source's modal language — that ABSTAINS on every fourth document
+    * (doc_id % 4 = 0), producing genuine missingness. The algebra is
+    * EXACT end to end: the per-unit disagreement 2(m²−Σn_c²)/(m−1) is
+    * an exact integer for m ∈ {2,3} (the ×2 scale clears the m=3
+    * halves), the coincidence marginals reduce to plain category
+    * counts, and α = 1 − (n−1)·D₂ / (2·(n²−Σn_c²)) floors to 2²⁰
+    * fixed point. One α per source; a single-category source yields
+    * the −1 sentinel (α undefined).
+    *
+    * Scale shape: the ratings frame is 3·|docs| rows; everything after
+    * is (source, unit)- and (source, category)-grain map-side
+    * aggregates — no self-join, no rater×rater matrix. */
+  def evalKrippendorffAlpha(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pred = textLangid(spark, dir).select($"doc_id", $"pred_lang")
+    val base = graft.PlanOnly.mark(Tables.documents(spark, dir)
+      .select($"doc_id", coalesce($"source", lit("(none)")).as("source"),
+        coalesce($"lang", lit("(none)")).as("t"))
+      .join(pred, "doc_id"))
+    val modal = base.groupBy($"source", $"t").agg(count(lit(1)).as("c"))
+      .groupBy($"source")
+      .agg(min(struct((-$"c").as("nc"), $"t".as("t"))).getField("t")
+        .as("modal_lang"))
+    val ratings = base.select($"doc_id", $"source", $"t".as("cat"))
+      .unionByName(base.select($"doc_id", $"source",
+        $"pred_lang".as("cat")))
+      .unionByName(base.filter($"doc_id" % 4 =!= 0)
+        .join(broadcast(modal), "source")
+        .select($"doc_id", $"source", $"modal_lang".as("cat")))
+    val unitCat = ratings.groupBy($"source", $"doc_id", $"cat")
+      .agg(count(lit(1)).as("nuc"))
+    val unit = unitCat.groupBy($"source", $"doc_id")
+      .agg(sum($"nuc").as("m"), sum($"nuc" * $"nuc").as("s2"))
+      .filter($"m" >= 2) // α pairs within units; singletons drop out
+      .withColumn("term", expr("(2 * (m * m - s2)) div (m - 1)"))
+    val marg = unitCat.groupBy($"source", $"cat")
+      .agg(sum($"nuc").as("nc"))
+      .groupBy($"source")
+      .agg(sum($"nc").as("n"), sum($"nc" * $"nc").as("sn2"))
+    unit.groupBy($"source")
+      .agg(count(lit(1)).as("n_units"), sum($"term").as("d2"))
+      .join(marg, "source")
+      .select($"source", $"n_units", $"n".as("n_ratings"), $"d2",
+        ($"n" * $"n" - $"sn2").as("pairs_off"))
+      .withColumn("alpha_fp",
+        when($"pairs_off" === 0L, -1L)
+          .otherwise(lit(1048576L) -
+            expr("((n_ratings - 1) * d2 * 1048576) div (2 * pairs_off)")))
+      .orderBy($"source")
+  }
+
   /** The hashing trick — fixed-width sparse featurization without a
     * vocabulary pass: every token hashes into one of 64 feature slots
     * and each document becomes (doc_id, dim, count) triples, the input
@@ -1112,6 +1170,7 @@ object LlmOps {
     "eval_kfold_census" -> (evalKfoldCensus(_, _)),
     "ml_feature_hashing" -> (mlFeatureHashing(_, _)),
     "eval_cohens_kappa" -> (evalCohensKappa(_, _)),
+    "eval_krippendorff_alpha" -> (evalKrippendorffAlpha(_, _)),
     "quality_langid_confusion" -> (qualityLangidConfusion(_, _)),
     "ml_naive_bayes_counts" -> (mlNaiveBayesCounts(_, _)),
     "text_ngram_coverage" -> (textNgramCoverage(_, _)),
@@ -1221,6 +1280,50 @@ object LlmOps {
         |ORDER BY doc_id, dim""".stripMargin,
     // same langid chain → per-source cells → marginal-product join;
     // truncating division agrees on negative κ on both engines
+    // three raters (truth, n-gram classifier, source-modal with
+    // abstentions) through the exact coincidence-matrix algebra
+    "eval_krippendorff_alpha" ->
+      """WITH tok AS (SELECT doc_id, coalesce(lang, '(none)') AS lang,
+        |    unnest(string_split(text, ' ')) AS t FROM documents),
+        |tok2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+        |profile AS (SELECT t, lang AS cand, count(*) AS c FROM tok
+        |  WHERE t <> '' GROUP BY t, lang),
+        |scores AS (SELECT doc_id, cand, CAST(sum(c) AS BIGINT) AS score
+        |  FROM tok2 JOIN profile USING (t) GROUP BY doc_id, cand),
+        |rr AS (SELECT doc_id, cand, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, cand) AS rn FROM scores),
+        |pred AS (SELECT doc_id, cand AS p FROM rr WHERE rn = 1),
+        |base AS (SELECT d.doc_id, coalesce(d.source, '(none)') AS source,
+        |    coalesce(d.lang, '(none)') AS t, pred.p
+        |  FROM documents d JOIN pred USING (doc_id)),
+        |mc AS (SELECT source, t, count(*) AS c FROM base GROUP BY 1, 2),
+        |modal AS (SELECT source, t AS modal_lang FROM (SELECT source, t,
+        |    row_number() OVER (PARTITION BY source ORDER BY c DESC, t)
+        |      AS rn FROM mc) WHERE rn = 1),
+        |ratings AS (SELECT doc_id, source, t AS cat FROM base
+        |  UNION ALL SELECT doc_id, source, p AS cat FROM base
+        |  UNION ALL SELECT b.doc_id, b.source, m.modal_lang AS cat
+        |    FROM base b JOIN modal m USING (source)
+        |    WHERE b.doc_id % 4 <> 0),
+        |uc AS (SELECT source, doc_id, cat, CAST(count(*) AS BIGINT) AS nuc
+        |  FROM ratings GROUP BY 1, 2, 3),
+        |un AS (SELECT source, doc_id, sum(nuc) AS m, sum(nuc * nuc) AS s2
+        |  FROM uc GROUP BY 1, 2),
+        |up AS (SELECT source, doc_id,
+        |    (2 * (m * m - s2)) // (m - 1) AS term
+        |  FROM un WHERE m >= 2),
+        |mg AS (SELECT source, sum(nc) AS n, sum(nc * nc) AS sn2 FROM
+        |  (SELECT source, cat, sum(nuc) AS nc FROM uc GROUP BY 1, 2)
+        |  GROUP BY source),
+        |ds AS (SELECT source, CAST(count(*) AS BIGINT) AS n_units,
+        |    CAST(sum(term) AS BIGINT) AS d2 FROM up GROUP BY source)
+        |SELECT ds.source, n_units, CAST(n AS BIGINT) AS n_ratings, d2,
+        |  CAST(n * n - sn2 AS BIGINT) AS pairs_off,
+        |  CAST(CASE WHEN n * n - sn2 = 0 THEN -1
+        |    ELSE 1048576 - ((n - 1) * d2 * 1048576) // (2 * (n * n - sn2))
+        |    END AS BIGINT) AS alpha_fp
+        |FROM ds JOIN mg USING (source) ORDER BY ds.source""".stripMargin,
     "eval_cohens_kappa" ->
       """WITH tok AS (SELECT doc_id, coalesce(lang, '(none)') AS lang,
         |    unnest(string_split(text, ' ')) AS t FROM documents),

@@ -903,6 +903,106 @@ object Multimodal {
       .orderBy($"p_partkey")
   }
 
+  /** Two GRADIENT-BOOSTING rounds of regression stumps, graded — the
+    * Friedman (2001) GBM inner loop at the grain a distributed trainer
+    * actually runs (XGBoost/LightGBM histogram mode: per-feature-value
+    * sufficient statistics, prefix-sum split scan, argmax split, leaf
+    * = mean residual), computed EXACTLY: price cents as BIGINT, the
+    * split objective sL²/nL + sR²/nR as truncating integer division of
+    * DECIMAL(38,0) squares (sums reach 10²⁵ — past BIGINT, inside
+    * decimal128 on both engines), leaf values as truncating division
+    * of signed residual sums (both engines truncate toward zero —
+    * the round-10 measurement in the determinism playbook), and the
+    * SSE receipts sse_before/sse_after per round proving the boost
+    * monotonically improves (the law a wrong split election would
+    * break). Round 1 boosts on quantity, round 2 on the discount
+    * percentage over round 1's residuals — a real additive-model
+    * chain, so the hash certifies election AND residual update.
+    *
+    * Scale shape: each round is one map-side-combinable groupBy on the
+    * feature's value domain (≤ |distinct values| rows — the histogram
+    * trick), prefix sums over that tiny frame, and one scalar-
+    * decorated residual projection; the raw table is never shuffled.
+    * Mirrored Spark SQL ⟷ DuckDB SQL (`div` ⟷ `//`). */
+  def mlGbdtStumpBoost(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("gbdt_li")
+    // 1-row frames join in via broadcast CROSS JOIN (the house scalar-
+    // injection pattern) — Spark 4 cannot codegen scalar-subquery refs
+    // in these window/CASE positions (INTERNAL_ERROR, measured r13)
+    spark.sql(
+      """WITH base AS (SELECT
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+        |    CAST(l_quantity AS BIGINT) AS f1,
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS f2
+        |  FROM gbdt_li),
+        |g0 AS (SELECT sum(y) div count(*) AS p0 FROM base),
+        |b1 AS (SELECT /*+ BROADCAST(g0) */ f1, f2, y - p0 AS r1
+        |  FROM base CROSS JOIN g0),
+        |a1 AS (SELECT f1 AS v, CAST(count(*) AS BIGINT) AS nv,
+        |    CAST(sum(r1) AS BIGINT) AS sv FROM b1 GROUP BY f1),
+        |t1tot AS (SELECT sum(nv) AS nt, sum(sv) AS st FROM a1),
+        |q1 AS (SELECT v, sum(nv) OVER w AS nl, sum(sv) OVER w AS sl
+        |  FROM a1
+        |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW)),
+        |s1 AS (SELECT /*+ BROADCAST(t1tot) */ v, nl, sl,
+        |    nt - nl AS nr, st - sl AS sr,
+        |    (CAST(sl AS DECIMAL(38,0)) * CAST(sl AS DECIMAL(38,0))) div nl
+        |    + (CAST(st - sl AS DECIMAL(38,0)) * CAST(st - sl AS DECIMAL(38,0)))
+        |      div (nt - nl) AS score
+        |  FROM q1 CROSS JOIN t1tot WHERE nt - nl > 0),
+        |w1 AS (SELECT v AS t1, nl AS nl1, nr AS nr1,
+        |    sl div nl AS wl1, sr div nr AS wr1
+        |  FROM s1 ORDER BY score DESC, v LIMIT 1),
+        |b2 AS (SELECT /*+ BROADCAST(w1) */ f2, r1,
+        |    r1 - (CASE WHEN f1 <= t1 THEN wl1 ELSE wr1 END) AS r2
+        |  FROM b1 CROSS JOIN w1),
+        |a2 AS (SELECT f2 AS v, CAST(count(*) AS BIGINT) AS nv,
+        |    CAST(sum(r2) AS BIGINT) AS sv FROM b2 GROUP BY f2),
+        |t2tot AS (SELECT sum(nv) AS nt, sum(sv) AS st FROM a2),
+        |q2 AS (SELECT v, sum(nv) OVER w AS nl, sum(sv) OVER w AS sl
+        |  FROM a2
+        |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW)),
+        |s2 AS (SELECT /*+ BROADCAST(t2tot) */ v, nl, sl,
+        |    nt - nl AS nr, st - sl AS sr,
+        |    (CAST(sl AS DECIMAL(38,0)) * CAST(sl AS DECIMAL(38,0))) div nl
+        |    + (CAST(st - sl AS DECIMAL(38,0)) * CAST(st - sl AS DECIMAL(38,0)))
+        |      div (nt - nl) AS score
+        |  FROM q2 CROSS JOIN t2tot WHERE nt - nl > 0),
+        |w2 AS (SELECT v AS t2, nl AS nl2, nr AS nr2,
+        |    sl div nl AS wl2, sr div nr AS wr2
+        |  FROM s2 ORDER BY score DESC, v LIMIT 1),
+        |b3 AS (SELECT /*+ BROADCAST(w2) */ r2,
+        |    r2 - (CASE WHEN f2 <= t2 THEN wl2 ELSE wr2 END) AS r3
+        |  FROM b2 CROSS JOIN w2),
+        |sse AS (SELECT
+        |    sum(CAST(r1 AS DECIMAL(38,0)) * CAST(r1 AS DECIMAL(38,0)))
+        |      div 1000000 AS sse0,
+        |    sum(CAST(r2 AS DECIMAL(38,0)) * CAST(r2 AS DECIMAL(38,0)))
+        |      div 1000000 AS sse1
+        |  FROM b2),
+        |sse3 AS (SELECT
+        |    sum(CAST(r3 AS DECIMAL(38,0)) * CAST(r3 AS DECIMAL(38,0)))
+        |      div 1000000 AS sse2
+        |  FROM b3)
+        |SELECT * FROM (
+        |  SELECT /*+ BROADCAST(sse) */ CAST(1 AS BIGINT) AS round,
+        |    'l_quantity' AS feature,
+        |    t1 AS threshold, nl1 AS n_left, nr1 AS n_right,
+        |    wl1 AS w_left, wr1 AS w_right,
+        |    sse0 AS sse_before_m, sse1 AS sse_after_m
+        |  FROM w1 CROSS JOIN sse
+        |  UNION ALL
+        |  SELECT /*+ BROADCAST(sse, sse3) */ CAST(2 AS BIGINT) AS round,
+        |    'l_discount_pct' AS feature,
+        |    t2 AS threshold, nl2 AS n_left, nr2 AS n_right,
+        |    wl2 AS w_left, wr2 AS w_right,
+        |    sse1 AS sse_before_m, sse2 AS sse_after_m
+        |  FROM w2 CROSS JOIN sse CROSS JOIN sse3)
+        |ORDER BY round""".stripMargin)
+  }
+
   def mlLinregSufficient(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)
@@ -1275,6 +1375,7 @@ object Multimodal {
     "eval_auc_exact" -> (evalAucExact(_, _)),
     "ml_linreg_sufficient" -> (mlLinregSufficient(_, _)),
     "ml_als_1d_step" -> (mlAls1dStep(_, _)),
+    "ml_gbdt_stump_boost" -> (mlGbdtStumpBoost(_, _)),
     "source_binaryfile_ingest" -> (sourceBinaryfileIngest(_, _)),
     "eval_ann_recall" -> (evalAnnRecall(_, _)),
     "embedding_pq_quantize" -> (embeddingPqQuantize(_, _)),
@@ -1534,6 +1635,78 @@ object Multimodal {
         |  CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS den
         |FROM b GROUP BY event_type, user_id
         |ORDER BY event_type, user_id""".stripMargin,
+    // the full 2-round boost replayed: histogram stats, prefix-sum
+    // split scan, argmax election, leaf means, residual update, SSE
+    // receipts — HUGEINT where Spark used DECIMAL(38,0)
+    "ml_gbdt_stump_boost" ->
+      """WITH base AS (SELECT
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+        |    CAST(l_quantity AS BIGINT) AS f1,
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS f2
+        |  FROM lineitem),
+        |g0 AS (SELECT sum(y) // count(*) AS p0 FROM base),
+        |b1 AS (SELECT f1, f2, y - (SELECT p0 FROM g0) AS r1 FROM base),
+        |a1 AS (SELECT f1 AS v, CAST(count(*) AS BIGINT) AS nv,
+        |    CAST(sum(r1) AS BIGINT) AS sv FROM b1 GROUP BY f1),
+        |p1 AS (SELECT v, sum(nv) OVER w AS nl, sum(sv) OVER w AS sl,
+        |    (SELECT sum(nv) FROM a1) AS nt, (SELECT sum(sv) FROM a1) AS st
+        |  FROM a1
+        |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW)),
+        |s1 AS (SELECT v, nl, sl, nt - nl AS nr, st - sl AS sr,
+        |    (CAST(sl AS HUGEINT) * sl) // nl
+        |    + (CAST(st - sl AS HUGEINT) * (st - sl)) // (nt - nl) AS score
+        |  FROM p1 WHERE nt - nl > 0),
+        |w1 AS (SELECT v AS t1, nl AS nl1, nr AS nr1,
+        |    sl // nl AS wl1, sr // nr AS wr1
+        |  FROM s1 ORDER BY score DESC, v LIMIT 1),
+        |b2 AS (SELECT f2, r1,
+        |    r1 - (CASE WHEN f1 <= (SELECT t1 FROM w1)
+        |      THEN (SELECT wl1 FROM w1) ELSE (SELECT wr1 FROM w1) END) AS r2
+        |  FROM b1),
+        |a2 AS (SELECT f2 AS v, CAST(count(*) AS BIGINT) AS nv,
+        |    CAST(sum(r2) AS BIGINT) AS sv FROM b2 GROUP BY f2),
+        |p2 AS (SELECT v, sum(nv) OVER w AS nl, sum(sv) OVER w AS sl,
+        |    (SELECT sum(nv) FROM a2) AS nt, (SELECT sum(sv) FROM a2) AS st
+        |  FROM a2
+        |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW)),
+        |s2 AS (SELECT v, nl, sl, nt - nl AS nr, st - sl AS sr,
+        |    (CAST(sl AS HUGEINT) * sl) // nl
+        |    + (CAST(st - sl AS HUGEINT) * (st - sl)) // (nt - nl) AS score
+        |  FROM p2 WHERE nt - nl > 0),
+        |w2 AS (SELECT v AS t2, nl AS nl2, nr AS nr2,
+        |    sl // nl AS wl2, sr // nr AS wr2
+        |  FROM s2 ORDER BY score DESC, v LIMIT 1),
+        |b3 AS (SELECT r2,
+        |    r2 - (CASE WHEN f2 <= (SELECT t2 FROM w2)
+        |      THEN (SELECT wl2 FROM w2) ELSE (SELECT wr2 FROM w2) END) AS r3
+        |  FROM b2),
+        |sse AS (SELECT
+        |    sum(CAST(r1 AS HUGEINT) * r1) // 1000000 AS sse0,
+        |    sum(CAST(r2 AS HUGEINT) * r2) // 1000000 AS sse1
+        |  FROM b2),
+        |sse3 AS (SELECT
+        |    sum(CAST(r3 AS HUGEINT) * r3) // 1000000 AS sse2 FROM b3)
+        |SELECT CAST(round AS BIGINT) AS round, feature,
+        |  CAST(threshold AS BIGINT) AS threshold,
+        |  CAST(n_left AS BIGINT) AS n_left, CAST(n_right AS BIGINT) AS n_right,
+        |  CAST(w_left AS BIGINT) AS w_left, CAST(w_right AS BIGINT) AS w_right,
+        |  CAST(sse_before_m AS BIGINT) AS sse_before_m,
+        |  CAST(sse_after_m AS BIGINT) AS sse_after_m
+        |FROM (
+        |  SELECT 1 AS round, 'l_quantity' AS feature, t1 AS threshold,
+        |    nl1 AS n_left, nr1 AS n_right, wl1 AS w_left, wr1 AS w_right,
+        |    (SELECT sse0 FROM sse) AS sse_before_m,
+        |    (SELECT sse1 FROM sse) AS sse_after_m
+        |  FROM w1
+        |  UNION ALL
+        |  SELECT 2 AS round, 'l_discount_pct' AS feature, t2 AS threshold,
+        |    nl2 AS n_left, nr2 AS n_right, wl2 AS w_left, wr2 AS w_right,
+        |    (SELECT sse1 FROM sse) AS sse_before_m,
+        |    (SELECT sse2 FROM sse3) AS sse_after_m
+        |  FROM w2)
+        |ORDER BY round""".stripMargin,
     // both ALS half-steps replayed in SQL: u from the price init,
     // v1 from the u's — exact integer ratios at 2^20 fixed point
     "ml_als_1d_step" ->

@@ -475,6 +475,22 @@ class AnalyticsSpec extends SparkSuite {
     assert(out(2L) === ((2L, 5L, 5L)), s"part 2: ${out(2L)}")
   }
 
+  test("ml_gbdt_stump_boost: every round strictly reduces SSE and splits are non-degenerate") {
+    import graft.operators.Multimodal
+    val rows = Multimodal.mlGbdtStumpBoost(spark, sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    rows.foreach { r =>
+      val (nl, nr) = (r.getLong(3), r.getLong(4))
+      assert(nl >= 1 && nr >= 1, s"degenerate split: $r")
+      val (before, after) = (r.getLong(7), r.getLong(8))
+      assert(after < before,
+        s"round ${r.getLong(0)} did not reduce SSE: $before -> $after")
+    }
+    // the additive chain: round 2 starts where round 1 ended
+    assert(rows(1).getLong(7) === rows(0).getLong(8),
+      "round 2's sse_before must equal round 1's sse_after")
+  }
+
   test("ml_als_1d_step: sf0.001 factors are positive and obs counts tie to ratings") {
     import graft.operators.Multimodal
     val rows = Multimodal.mlAls1dStep(spark, sf0001).collect()

@@ -533,4 +533,25 @@ class BehavioralSpec extends SparkSuite {
     assert(maxDeg * 4 <= Behavioral.PairDegreeCap,
       s"fixture max degree $maxDeg must keep ≥4x headroom under the cap")
   }
+
+  test("graph_kcore_peel: peeling is monotone and the core degrees respect K (sf0.001)") {
+    val rows = Behavioral.graphKcorePeel(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (d0, d1, d2, in) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // induced degrees can only shrink as nodes peel
+      if (d1 >= 0) assert(d1 <= d0, s"round 1 grew a degree: $r")
+      // only round-1 survivors (induced degree >= K) reach round 2
+      if (d2 >= 0) { assert(d1 >= 6, s"revived node: $r"); assert(d2 <= d1) }
+      // a node absent from round 1 either started under K or lost every
+      // alive neighbor — it can never carry a degree >= K and be absent
+      if (d1 == -1) assert(in === 0L, s"peeled node flagged in-core: $r")
+      assert(in === (if (d2 >= 6) 1L else 0L), s"in_core flag wrong: $r")
+    }
+    // the peel is non-vacuous on the fixture: someone is out, someone in
+    assert(rows.exists(_.getLong(4) == 1L), "empty core")
+    assert(rows.exists(r => r.getLong(2) == -1L || r.getLong(3) == -1L)
+      || rows.forall(_.getLong(4) == 1L))
+  }
 }
