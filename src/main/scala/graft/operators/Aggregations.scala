@@ -327,6 +327,83 @@ object Aggregations {
     * order-free), which is what makes it a partition-merge replay. The
     * production engine-specific sketches stay as agg_approx_distinct /
     * agg_hll_partition_merge. */
+  /** Engine-replayable BLOOM FILTER, graded — completes the sketch
+    * family's replayable tier (MinHash/SimHash/LSH/HLL/count-min all
+    * have graded twins; the Bloom behind join_bloom_prefilter was the
+    * last hold-out, hidden inside Spark's native implementation): one
+    * 4096-bit filter per nation over its customer keys, k = 3
+    * quadratic-mod-prime hashes (the [[aggHllReplayable]] hash family),
+    * the bit array materialized as 128 32-bit words via `bit_or` of
+    * shifted ones. Every ordering customer then probes every nation's
+    * filter — the join-pruning decision a Bloom exists to make — and
+    * the output census is SELF-CERTIFYING: `false_negatives` is
+    * emitted and must be zero (the Bloom guarantee), while
+    * `false_positives` exhibits the saturation the m/n ratio predicts.
+    * The DuckDB oracle replays hashes, words, probes and census
+    * bit-for-bit.
+    *
+    * Scale shape: the filter build is one map-side (nation, word)
+    * `bit_or` (≤ |nations|·128 rows — the broadcastable artifact);
+    * probes join that tiny frame by (nation, word) and never shuffle
+    * the fact side at scale (broadcast hash join). */
+  def aggBloomReplayable(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("bloom_cust")
+    Tables.orders(spark, dir).createOrReplaceTempView("bloom_ord")
+    spark.sql(bloomSql("bloom_cust", "bloom_ord", "div"))
+  }
+
+  /** Shared Bloom SQL — `idiv` is `div` (Spark) or `//` (DuckDB). */
+  private[graft] def bloomSql(cust: String, ord: String,
+      idiv: String): String =
+    s"""WITH mem AS (SELECT DISTINCT c_nationkey AS nation,
+       |    CAST(c_custkey AS BIGINT) AS k FROM $cust),
+       |hs AS (SELECT nation, k,
+       |    (CASE i WHEN 1 THEN ((k + 1) * 2654435761) % 1048573
+       |            WHEN 2 THEN ((k + 1) * 2246822519) % 1048573
+       |            ELSE ((k + 1) * 3266489917) % 1048573 END) % 4096
+       |      AS slot
+       |  FROM mem CROSS JOIN (VALUES (1), (2), (3)) AS t(i)),
+       |words AS (SELECT nation, slot $idiv 32 AS w,
+       |    bit_or(CAST(1 AS BIGINT) << CAST(slot % 32 AS INT)) AS wv
+       |  FROM hs GROUP BY 1, 2),
+       |pk AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS k FROM $ord),
+       |probe AS (SELECT n.nation, pk.k
+       |  FROM (SELECT DISTINCT nation FROM mem) n CROSS JOIN pk),
+       |phs AS (SELECT nation, k,
+       |    (CASE i WHEN 1 THEN ((k + 1) * 2654435761) % 1048573
+       |            WHEN 2 THEN ((k + 1) * 2246822519) % 1048573
+       |            ELSE ((k + 1) * 3266489917) % 1048573 END) % 4096
+       |      AS slot
+       |  FROM probe CROSS JOIN (VALUES (1), (2), (3)) AS t(i)),
+       |hit AS (SELECT p.nation, p.k,
+       |    min(CASE WHEN w.wv IS NOT NULL
+       |      AND ((w.wv >> CAST(p.slot % 32 AS INT)) & 1) = 1
+       |      THEN 1 ELSE 0 END) AS pass
+       |  FROM phs p LEFT JOIN words w
+       |    ON p.nation = w.nation AND p.slot $idiv 32 = w.w
+       |  GROUP BY 1, 2),
+       |mk AS (SELECT h.nation, h.k, h.pass,
+       |    CASE WHEN m.k IS NOT NULL THEN 1 ELSE 0 END AS is_member
+       |  FROM hit h LEFT JOIN mem m
+       |    ON h.nation = m.nation AND h.k = m.k),
+       |bits AS (SELECT nation,
+       |    CAST(sum(bit_count(wv)) AS BIGINT) AS bits_set
+       |  FROM words GROUP BY nation),
+       |cen AS (SELECT nation, CAST(count(*) AS BIGINT) AS probes_total,
+       |    CAST(sum(pass) AS BIGINT) AS probes_passed,
+       |    CAST(sum(CASE WHEN pass = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS false_positives,
+       |    CAST(sum(CASE WHEN pass = 0 AND is_member = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS false_negatives
+       |  FROM mk GROUP BY nation),
+       |nm AS (SELECT nation, CAST(count(*) AS BIGINT) AS n_members
+       |  FROM mem GROUP BY nation)
+       |SELECT cen.nation, nm.n_members, bits.bits_set, cen.probes_total,
+       |  cen.probes_passed, cen.false_positives, cen.false_negatives
+       |FROM cen JOIN nm ON cen.nation = nm.nation
+       |JOIN bits ON cen.nation = bits.nation
+       |ORDER BY cen.nation""".stripMargin
+
   def aggHllReplayable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // marked: the distinct (type, user) frame feeds the registers AND
@@ -609,6 +686,7 @@ object Aggregations {
 
   val queries: Map[String, QueryFn] = Map(
     "agg_hll_replayable" -> (aggHllReplayable(_, _)),
+    "agg_bloom_replayable" -> (aggBloomReplayable(_, _)),
     "agg_countmin_replayable" -> (aggCountminReplayable(_, _)),
     "agg_percentile_sampled" -> (aggPercentileSampled(_, _)),
     "agg_weighted_median" -> (aggWeightedMedian(_, _)),
@@ -687,6 +765,7 @@ ORDER BY exact_cnt DESC, user_id LIMIT 20"""
         |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
     // same scramble, register pick, ρ case chain (generated from ONE
     // Scala source), max-merge, and fixed-point harmonic estimate
+    "agg_bloom_replayable" -> bloomSql("customer", "orders", "//"),
     "agg_hll_replayable" -> s"""WITH d AS (
   SELECT DISTINCT event_type, user_id FROM events),
 b AS (SELECT event_type,

@@ -305,9 +305,15 @@ object Behavioral {
       .agg(min(struct((-$"c").as("nc"), $"label")).getField("label")
         .as("label"))
       .select($"s1".as("s2"), $"label") // shaped for the next round's join
-    val l0 = edges.select($"s1".as("s2")).distinct()
-      .withColumn("label", $"s2")
-    val l1 = graft.PlanOnly.mark(round(l0))
+    // round 1 from identity labels on a simple graph IS min-neighbor
+    // (every neighbor label counts exactly once, so the frequency vote
+    // ties everywhere and the tie-break elects the minimum): one
+    // aggregate instead of round()'s join + two aggregates — identical
+    // output, proven by the unchanged oracle (which replays the full
+    // vote) and the BehavioralSpec min-neighbor law
+    val l1 = graft.PlanOnly.mark(
+      edges.groupBy($"s1").agg(min($"s2").as("label"))
+        .select($"s1".as("s2"), $"label"))
     val l2 = round(l1)
     l1.select($"s2".as("supplier"), $"label".as("label_r1"))
       .join(l2.select($"s2".as("supplier"), $"label".as("label_r2")),

@@ -711,7 +711,56 @@ object Timeseries {
       .orderBy($"event_type", $"weekday")
   }
 
+  /** Exact OFFLINE CHANGEPOINT election per event type — binary
+    * segmentation's first split (Scott–Knott / the offline twin of the
+    * online [[timeseriesCusum]]): over the per-day value series, every
+    * day boundary is a candidate changepoint scored by the
+    * variance-reduction objective ΣL²/nL + ΣR²/nR (maximizing it
+    * minimizes the two-segment SSE — the same prefix-sum histogram
+    * scan as [[Multimodal.mlGbdtStumpBoost]], with time as the
+    * feature), computed EXACTLY: 4-dp fixed-point daily sums, squares
+    * in DECIMAL(38,0) ⟷ HUGEINT (prefix sums pass 10²⁰), truncating
+    * integer division for the score and the segment means. The elected
+    * split plus both segment means per type, tie-broken by the
+    * earliest day.
+    *
+    * Scale shape: the raw log collapses to a (type, day) daily frame
+    * in one map-side aggregate; prefix sums and the election are
+    * windows over that tiny frame partitioned by type — no per-event
+    * window, no corpus-scale sort. */
+  def timeseriesChangepointBinary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_type", Tables.nsToUs($"ts").as("ts_us"),
+        Tables.dec4($"value").as("v"))
+      .groupBy($"event_type", expr("ts_us DIV 86400000000").as("day"))
+      .agg((sum($"v") * lit(10000)).cast("long").as("y"))
+      .createOrReplaceTempView("chg_daily")
+    spark.sql(
+      """WITH p AS (SELECT event_type, day, y,
+        |    sum(y) OVER w AS sl, count(*) OVER w AS nl,
+        |    sum(y) OVER (PARTITION BY event_type) AS st,
+        |    count(*) OVER (PARTITION BY event_type) AS nt
+        |  FROM chg_daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (SELECT event_type, day, nl, sl, nt - nl AS nr, st - sl AS sr,
+        |    (CAST(sl AS DECIMAL(38,0)) * CAST(sl AS DECIMAL(38,0))) div nl
+        |    + (CAST(st - sl AS DECIMAL(38,0)) * CAST(st - sl AS DECIMAL(38,0)))
+        |      div (nt - nl) AS score
+        |  FROM p WHERE nt - nl > 0),
+        |e AS (SELECT event_type, day, nl, nr, sl, sr,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY score DESC, day) AS rn
+        |  FROM s)
+        |SELECT event_type, day AS split_day, nl AS days_left,
+        |  nr AS days_right, sl div nl AS mean_left_4dp,
+        |  sr div nr AS mean_right_4dp
+        |FROM e WHERE rn = 1 ORDER BY event_type""".stripMargin)
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "timeseries_changepoint_binary" -> (timeseriesChangepointBinary(_, _)),
     "timeseries_seasonal_profile" -> (timeseriesSeasonalProfile(_, _)),
     "timeseries_downsample_triangle" -> (timeseriesDownsampleTriangle(_, _)),
     "timeseries_bollinger_stats" -> (timeseriesBollingerStats(_, _)),
@@ -734,6 +783,33 @@ object Timeseries {
   val oracleSql: Map[String, String] = Map(
     // same (type, weekday) grid; means and the seasonal index are
     // truncating BIGINT divisions of the 4-dp sums on both engines
+    // the same prefix-sum election replayed, HUGEINT for the squares
+    "timeseries_changepoint_binary" ->
+      """WITH e0 AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |d AS (SELECT event_type, day,
+        |    CAST(sum(v) * 10000 AS BIGINT) AS y
+        |  FROM e0 GROUP BY 1, 2),
+        |p AS (SELECT event_type, day, y,
+        |    sum(y) OVER w AS sl, count(*) OVER w AS nl,
+        |    sum(y) OVER (PARTITION BY event_type) AS st,
+        |    count(*) OVER (PARTITION BY event_type) AS nt
+        |  FROM d
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (SELECT event_type, day, nl, sl, nt - nl AS nr, st - sl AS sr,
+        |    (CAST(sl AS HUGEINT) * sl) // nl
+        |    + (CAST(st - sl AS HUGEINT) * (st - sl)) // (nt - nl) AS score
+        |  FROM p WHERE nt - nl > 0),
+        |e AS (SELECT event_type, day, nl, nr, sl, sr,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY score DESC, day) AS rn
+        |  FROM s)
+        |SELECT event_type, day AS split_day,
+        |  CAST(nl AS BIGINT) AS days_left, CAST(nr AS BIGINT) AS days_right,
+        |  CAST(sl // nl AS BIGINT) AS mean_left_4dp,
+        |  CAST(sr // nr AS BIGINT) AS mean_right_4dp
+        |FROM e WHERE rn = 1 ORDER BY event_type""".stripMargin,
     "timeseries_seasonal_profile" ->
       """WITH e AS (SELECT event_type,
         |    ((epoch_us(ts) // 86400000000) + 4) % 7 AS weekday,

@@ -136,6 +136,34 @@ object StreamingMirror {
       .select($"p_user".as("user_id"), $"c_id".as("click_id"), $"p_id".as("purchase_id"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — attribution WITH the
+    * unconverted rows: matched (purchase, click) pairs emit on match
+    * like the inner join; a purchase with NO click in its trailing
+    * hour emits NULL-padded only when the watermark proves no matching
+    * click can still arrive (its state evicts) — the Append-mode outer
+    * join semantics that make "every purchase appears exactly once,
+    * attributed or not" safe to consume incrementally. Purchases still
+    * inside the final watermark horizon stay in state, unemitted. */
+  def outerJoinStream(spark: SparkSession, stageDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.configure(spark)
+    val schema = spark.read.parquet(stageDir).schema
+    def side(tpe: String, prefix: String) =
+      spark.readStream.schema(schema).parquet(stageDir)
+        .filter($"event_type" === tpe)
+        .select(col("user_id").as(s"${prefix}_user"),
+          Tables.tsFromNanos($"ts").as(s"${prefix}_ts"),
+          col("event_id").as(s"${prefix}_id"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+    side("purchase", "p").join(side("click", "c"),
+      $"p_user" === $"c_user" &&
+        $"p_ts" >= $"c_ts" && $"p_ts" <= $"c_ts" + expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+      .select($"p_user".as("user_id"),
+        coalesce($"c_id", lit(-1L)).as("click_id"),
+        $"p_id".as("purchase_id"))
+  }
+
   /** Stream-static enrichment — the streaming half of the broadcast
     * dimension join: each micro-batch of the event stream joins a
     * STATIC per-user dimension (here: each user's total event count,

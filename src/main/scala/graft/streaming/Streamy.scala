@@ -424,6 +424,70 @@ object Streamy {
     }
   }
 
+  /** Batch replay of the Append-mode LEFT OUTER stream-stream join —
+    * [[streamExecOuterJoin]]'s plan-only equivalent and the shape its
+    * oracle replays: matched pairs are the plain interval join;
+    * unmatched purchases NULL-pad ONLY when the final watermark
+    * (min over both sides' max event-time ms − 1 h — the per-query
+    * watermark is the min across watermark operators) passed their
+    * event time, i.e. the state store provably cannot receive a
+    * matching click anymore. Tail purchases stay in state, unemitted —
+    * the [[sessionizeEmitted]] eviction law, applied to join state. */
+  private[streaming] def outerJoinEmitted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", Tables.nsToUs($"ts").as("t"),
+        $"event_type")
+    val p = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"t".as("pt"))
+    val c = e.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"event_id".as("click_id"),
+        $"t".as("ct"))
+    val wm = e.agg(
+      max(when($"event_type" === "purchase", $"t")).as("mp"),
+      max(when($"event_type" === "click", $"t")).as("mc"))
+      .select(expr("least(mp, mc) div 1000 - 3600000").as("wm_ms"))
+    val cond = p("user_id") === c("c_user") &&
+      $"pt" >= $"ct" && $"pt" <= $"ct" + lit(3600000000L)
+    val matched = p.join(c, cond)
+      .select($"user_id", $"click_id", $"purchase_id")
+    val unmatched = p.join(c, cond, "left_anti")
+      .crossJoin(broadcast(wm))
+      .filter(expr("pt div 1000") < $"wm_ms")
+      .select($"user_id", lit(-1L).as("click_id"), $"purchase_id")
+    matched.unionByName(unmatched)
+      .orderBy($"purchase_id", $"click_id")
+  }
+
+  /** TRUE Append-mode LEFT OUTER stream-stream join, GRADED — the
+    * attribution feed WITH the unconverted rows: matched pairs emit on
+    * match; a purchase with no click in its trailing hour emits
+    * NULL-padded (click_id = −1 sentinel) only when the watermark
+    * proves no matching click can still arrive — which makes "every
+    * purchase appears exactly once, attributed or not" safe for an
+    * incremental consumer, THE semantics Append-mode outer join
+    * exists to provide. Runs as a real micro-batch StreamingQuery
+    * over the shared staged feed (both sides watermarked, state
+    * bounded by the 1 h interval, Trigger.AvailableNow, memory sink);
+    * the oracle replays matched pairs AND the eviction cutoff
+    * (final watermark = min of both sides' max event-time ms − 1 h;
+    * tail purchases stay in state, unemitted).
+    *
+    * Scale shape: both sides shuffle once on user_id; state is
+    * bounded by the interval, and the outer emission adds no state —
+    * eviction time is when the NULL row surfaces. Plan-only mode
+    * returns the batch-equivalent frame. */
+  def streamExecOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.PlanOnly.roundTrip(outerJoinEmitted(spark, dir)) {
+      val stage = StreamingMirror.sharedStage(spark, dir)
+      val name = s"stream_exec_outer_join_${execSeq.incrementAndGet()}"
+      sealResult(spark, name, StreamingMirror.runToCompletionAppend(spark,
+        StreamingMirror.outerJoinStream(spark, stage), name)
+        .orderBy($"purchase_id", $"click_id"))
+    }
+  }
+
   /** TRUE streaming STREAM-STATIC JOIN execution, GRADED — the
     * cheapest streaming join and the 100 TB default for enriching a
     * feed with a slowly-changing dimension: each micro-batch of the
@@ -463,6 +527,7 @@ object Streamy {
 
   val queries: Map[String, QueryFn] = Map(
     "stream_exec_static_join" -> (streamExecStaticJoin(_, _)),
+    "stream_exec_outer_join" -> (streamExecOuterJoin(_, _)),
     "stream_exec_tumbling" -> (streamExecTumbling(_, _)),
     "stream_exec_dedup" -> (streamExecDedup(_, _)),
     "stream_exec_sessionize" -> (streamExecSessionize(_, _)),
@@ -525,6 +590,27 @@ object Streamy {
         |FROM events)
         |SELECT user_id, event_id, event_type, ts_us, value
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // matched pairs = the interval join; NULL-padded purchases emit iff
+    // the final watermark (min of both sides' max-ms - 1h) passed them
+    "stream_exec_outer_join" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS t
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id, epoch_us(ts) AS t
+        |  FROM events WHERE event_type = 'click'),
+        |wm AS (SELECT least((SELECT max(t) FROM p), (SELECT max(t) FROM c))
+        |    // 1000 - 3600000 AS wm_ms),
+        |m AS (SELECT p.user_id, c.event_id AS click_id,
+        |    p.event_id AS purchase_id
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND p.t >= c.t AND p.t <= c.t + 3600000000),
+        |um AS (SELECT p.user_id, -1 AS click_id, p.event_id AS purchase_id
+        |  FROM p
+        |  WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+        |      AND p.t >= c.t AND p.t <= c.t + 3600000000)
+        |    AND p.t // 1000 < (SELECT wm_ms FROM wm))
+        |SELECT user_id, click_id, purchase_id
+        |FROM (SELECT * FROM m UNION ALL SELECT * FROM um)
+        |ORDER BY purchase_id, click_id""".stripMargin,
     // the stream-stream inner join emits matches exactly once (the
     // watermark gates state eviction, not emission), so the staged
     // replay equals the batch interval join
