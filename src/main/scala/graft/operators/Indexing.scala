@@ -750,7 +750,64 @@ object Indexing {
       .orderBy($"doc_id")
   }
 
+  /** CONTENT-DEFINED CHUNKING, graded — the rsync / FastCDC boundary
+    * rule at token grain, the primitive that makes byte-store dedup
+    * insertion-stable (fixed-size chunking shifts every boundary after
+    * an insert; content-defined boundaries realign): a rolling hash
+    * over the last 4 tokens (the replayable 131·len+ascii family, four
+    * coprime multipliers) declares a chunk boundary wherever
+    * H % 8 = 0 — expected ~8-token chunks whose edges depend only on
+    * LOCAL content. Each chunk carries a position-weighted content
+    * hash and its corpus-wide duplicate count ((chash, len) match) —
+    * the sharing census a chunk store would see. Boundary → chunk-id
+    * assignment is the gap-island cumsum over the PRECEDING boundary
+    * flags (a boundary closes its chunk; the next token opens a new
+    * one).
+    *
+    * Scale shape: per-document windows only (lag×3 + one cumsum —
+    * token grain, never corpus grain); the duplicate census is one
+    * (chash, len) aggregate over chunk-grain rows, ~tokens/8 of them. */
+  def textCdcChunking(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("rp", "t")))
+      .filter($"t" =!= "")
+      .select($"doc_id", $"rp",
+        (length($"t") * 131 + ascii(substring($"t", 1, 1)) +
+          ascii(substring($"t", -1, 1)) * 7).cast("long").as("v"))
+      .createOrReplaceTempView("cdc_tok")
+    spark.sql(cdcSql("cdc_tok"))
+  }
+
+  /** Shared CDC SQL over a (doc_id, rp, v) token frame — pure %, no
+    * engine-specific division, so Spark and DuckDB run it verbatim. */
+  private[graft] def cdcSql(tok: String): String =
+    s"""WITH s AS (SELECT doc_id, v,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY rp) AS pos
+       |  FROM $tok),
+       |r AS (SELECT doc_id, v, pos,
+       |    CASE WHEN pos >= 4 AND
+       |      (v * 41 + lag(v, 1) OVER w * 37 + lag(v, 2) OVER w * 31
+       |       + lag(v, 3) OVER w * 29) % 8 = 0 THEN 1 ELSE 0 END AS b
+       |  FROM s WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |c AS (SELECT doc_id, v, pos,
+       |    1 + coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+       |  FROM r),
+       |g AS (SELECT doc_id, cid, min(pos) AS start_pos,
+       |    CAST(count(*) AS BIGINT) AS n_tokens,
+       |    (sum(v * pos) - (min(pos) - 1) * sum(v)) % 2147483647 AS chash
+       |  FROM c GROUP BY 1, 2),
+       |d AS (SELECT chash, n_tokens, CAST(count(*) AS BIGINT) AS dup_count
+       |  FROM g GROUP BY 1, 2)
+       |SELECT g.doc_id, CAST(g.cid AS BIGINT) AS chunk_idx,
+       |  CAST(g.start_pos AS BIGINT) AS start_pos, g.n_tokens,
+       |  CAST(g.chash AS BIGINT) AS chash, d.dup_count
+       |FROM g JOIN d ON g.chash = d.chash AND g.n_tokens = d.n_tokens
+       |ORDER BY g.doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, QueryFn] = Map(
+    "text_cdc_chunking" -> (textCdcChunking(_, _)),
     "text_bigram_lm_counts" -> (textBigramLmCounts(_, _)),
     "quality_bigram_coherence" -> (qualityBigramCoherence(_, _)),
     "text_phrase_search" -> (textPhraseSearch(_, _)),
@@ -901,6 +958,19 @@ WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
   }
 
   val oracleSql: Map[String, String] = Map(
+    // the same CDC SQL verbatim over the exploded-token CTE
+    "text_cdc_chunking" -> {
+      val tok =
+        """(SELECT doc_id, rp, CAST(length(t) * 131
+          |    + ascii(substring(t, 1, 1))
+          |    + ascii(substring(t, length(t), 1)) * 7 AS BIGINT) AS v
+          |  FROM (SELECT doc_id,
+          |      CAST(generate_subscripts(string_split(text, ' '), 1)
+          |        AS BIGINT) AS rp,
+          |      unnest(string_split(text, ' ')) AS t FROM documents)
+          |  WHERE t <> '')""".stripMargin
+      cdcSql(tok)
+    },
     "dedup_simhash_replayable" -> simhashRepOracle,
     // raw-array adjacency (l[j], l[j+1]) ≡ the Spark lead-over-p0 pairs;
     // the three context statistics are windows over the type frame

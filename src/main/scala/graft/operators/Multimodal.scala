@@ -903,6 +903,108 @@ object Multimodal {
       .orderBy($"p_partkey")
   }
 
+  /** MATRYOSHKA TRUNCATION evaluation, graded — the measurement behind
+    * MRL-style adaptive retrieval (Kusupati et al. 2022: embed once,
+    * serve prefixes): for 20 query vectors, the exact top-10 under the
+    * FULL 64-dim ranking sits next to a flag saying whether each hit
+    * survives in the 16-dim-PREFIX top-10 — the recall@10 curve a
+    * deployment reads before choosing its serving dimensionality.
+    * Ranking is exact end to end: coordinates quantize at 2¹⁶ (the
+    * products-need-headroom scale), scores are BIGINT dot products
+    * normalized by ⌊√Σx²⌋ via truncating division (norm-adjusted
+    * ranking — the query's own norm is constant per ranking and drops
+    * out), ties broken by vec_id.
+    *
+    * Scale shape: one posexplode join against the broadcast 20×64
+    * query frame, collapsed map-side to (query, candidate) partial
+    * sums — both prefix and full sums in the SAME pass (conditional
+    * aggregation), so the truncated ranking costs no second scan. */
+  def embeddingMatryoshkaTrunc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val quant = Tables.embeddings(spark, dir)
+      .select($"vec_id", posexplode($"embedding").as(Seq("pos0", "x")))
+      .select($"vec_id", ($"pos0" + 1).cast("long").as("pos"),
+        floor($"x".cast("double") * lit(65536.0)).cast("long").as("qx"))
+    val qv = quant.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"pos", $"qx".as("qq"))
+    val scored = graft.PlanOnly.mark(quant.join(broadcast(qv), "pos")
+      .filter($"vec_id" =!= $"q_id")
+      .groupBy($"q_id", $"vec_id")
+      .agg(sum($"qq" * $"qx").as("s64"),
+        sum(when($"pos" <= 16, $"qq" * $"qx").otherwise(0L)).as("s16"),
+        sum($"qx" * $"qx").as("n64"),
+        sum(when($"pos" <= 16, $"qx" * $"qx").otherwise(0L)).as("n16"))
+      .select($"q_id", $"vec_id",
+        expr("(s64 * 1048576) div " +
+          "CAST(floor(sqrt(greatest(n64, 1))) AS BIGINT)").as("k64"),
+        expr("(s16 * 1048576) div " +
+          "CAST(floor(sqrt(greatest(n16, 1))) AS BIGINT)").as("k16")))
+    val wF = Window.partitionBy($"q_id").orderBy($"k64".desc, $"vec_id")
+    val wT = Window.partitionBy($"q_id").orderBy($"k16".desc, $"vec_id")
+    val full10 = scored
+      .withColumn("rn", row_number().over(wF).cast("long"))
+      .filter($"rn" <= 10)
+    val trunc10 = scored
+      .withColumn("rn16", row_number().over(wT)).filter($"rn16" <= 10)
+      .select($"q_id", $"vec_id", lit(1L).as("hit"))
+    full10.join(trunc10, Seq("q_id", "vec_id"), "left")
+      .select($"q_id", $"rn", $"vec_id".as("full_id"), $"k64".as("score_fp"),
+        coalesce($"hit", lit(0L)).as("in_trunc_top10"))
+      .orderBy($"q_id", $"rn")
+  }
+
+  /** Two BRADLEY–TERRY MM steps, graded — the pairwise-preference
+    * strength model behind RLHF reward aggregation and arena-style
+    * leaderboards (Zermelo 1929; Hunter's 2004 MM algorithm), EXACT:
+    * matches = per-user head-to-heads between event types (the more
+    * frequent type wins; ties are not decisive games, the standard BT
+    * posture), and the minorize–maximize update
+    * p_i ← W_i / Σ_j n_ij/(p_i + p_j) runs twice from the uniform
+    * start in pure 2²⁰ fixed point — every term
+    * ⌊n_ij·2⁴⁰ div (P_i + P_j)⌋ and the outer ⌊W_i·2⁴⁰ div D_i⌋ are
+    * truncating BIGINT divisions (identical both engines). Both
+    * iterates emitted: the hash certifies the update CHAIN, and a
+    * denominator of a later step consumes every earlier value, so one
+    * wrong fixed point poisons the whole frame.
+    *
+    * Scale shape: the match grid is one (user) co-partitioned
+    * self-join collapsed map-side to |types|² rows; each MM step joins
+    * that tiny frame against the broadcast strength vector — O(pairs)
+    * per step, never per-event work after the first aggregate. */
+  def mlBradleyTerryStep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.events(spark, dir)
+      .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("n"))
+    val ca = c.select($"user_id", $"event_type".as("ta"), $"n".as("na"))
+    val cb = c.select($"user_id", $"event_type".as("tb"), $"n".as("nb"))
+    val m0 = ca.join(cb, "user_id").filter($"ta" < $"tb")
+      .groupBy($"ta", $"tb")
+      .agg(sum(when($"na" > $"nb", 1L).otherwise(0L)).as("wa"),
+        sum(when($"nb" > $"na", 1L).otherwise(0L)).as("wb"))
+    val sym = graft.PlanOnly.mark(
+      m0.select($"ta".as("i"), $"tb".as("j"),
+          ($"wa" + $"wb").as("nij"), $"wa".as("wij"))
+        .unionByName(m0.select($"tb".as("i"), $"ta".as("j"),
+          ($"wa" + $"wb").as("nij"), $"wb".as("wij"))))
+    val tot = graft.PlanOnly.mark(sym.groupBy($"i")
+      .agg(sum($"nij").as("games"), sum($"wij").as("wins")))
+    def step(p: DataFrame): DataFrame = sym
+      .join(broadcast(p.select($"i", $"p".as("pi"))), "i")
+      .join(broadcast(p.select($"i".as("j"), $"p".as("pj"))), "j")
+      .groupBy($"i")
+      .agg(sum(expr("(nij * 1099511627776) div (pi + pj)")).as("d"))
+      .join(broadcast(tot), "i")
+      .select($"i", when($"d" === 0L, -1L)
+        .otherwise(expr("(wins * 1099511627776) div d")).as("p"))
+    val q1 = graft.PlanOnly.mark(step(tot.select($"i", lit(1048576L).as("p"))))
+    val q2 = step(q1)
+    tot.join(q1.select($"i", $"p".as("p1_fp")), "i")
+      .join(q2.select($"i", $"p".as("p2_fp")), "i")
+      .select($"i".as("event_type"), $"games", $"wins", $"p1_fp", $"p2_fp")
+      .orderBy($"event_type")
+  }
+
   /** Two GRADIENT-BOOSTING rounds of regression stumps, graded — the
     * Friedman (2001) GBM inner loop at the grain a distributed trainer
     * actually runs (XGBoost/LightGBM histogram mode: per-feature-value
@@ -1376,6 +1478,8 @@ object Multimodal {
     "ml_linreg_sufficient" -> (mlLinregSufficient(_, _)),
     "ml_als_1d_step" -> (mlAls1dStep(_, _)),
     "ml_gbdt_stump_boost" -> (mlGbdtStumpBoost(_, _)),
+    "ml_bradley_terry_step" -> (mlBradleyTerryStep(_, _)),
+    "embedding_matryoshka_trunc" -> (embeddingMatryoshkaTrunc(_, _)),
     "source_binaryfile_ingest" -> (sourceBinaryfileIngest(_, _)),
     "eval_ann_recall" -> (evalAnnRecall(_, _)),
     "embedding_pq_quantize" -> (embeddingPqQuantize(_, _)),
@@ -1635,6 +1739,77 @@ object Multimodal {
         |  CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS den
         |FROM b GROUP BY event_type, user_id
         |ORDER BY event_type, user_id""".stripMargin,
+    // both rankings replayed bit-exactly: 2^16 quantization, BIGINT
+    // dots, floor-sqrt norms, truncating division, vec_id tie-break
+    "embedding_matryoshka_trunc" ->
+      """WITH u AS (SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 65536.0)
+        |      AS BIGINT) AS qx
+        |  FROM embeddings),
+        |qv AS (SELECT vec_id AS q_id, pos, qx AS qq FROM u
+        |  WHERE vec_id < 20),
+        |sc AS (SELECT qv.q_id, u.vec_id,
+        |    CAST(sum(qq * qx) AS BIGINT) AS s64,
+        |    CAST(sum(CASE WHEN u.pos <= 16 THEN qq * qx ELSE 0 END)
+        |      AS BIGINT) AS s16,
+        |    CAST(sum(qx * qx) AS BIGINT) AS n64,
+        |    CAST(sum(CASE WHEN u.pos <= 16 THEN qx * qx ELSE 0 END)
+        |      AS BIGINT) AS n16
+        |  FROM u JOIN qv ON u.pos = qv.pos AND u.vec_id <> qv.q_id
+        |  GROUP BY 1, 2),
+        |k AS (SELECT q_id, vec_id,
+        |    (s64 * 1048576) //
+        |      CAST(floor(sqrt(greatest(n64, 1))) AS BIGINT) AS k64,
+        |    (s16 * 1048576) //
+        |      CAST(floor(sqrt(greatest(n16, 1))) AS BIGINT) AS k16
+        |  FROM sc),
+        |f AS (SELECT q_id, vec_id, k64, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY k64 DESC, vec_id) AS rn FROM k),
+        |t AS (SELECT q_id, vec_id, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY k16 DESC, vec_id) AS rn16 FROM k)
+        |SELECT f.q_id, CAST(f.rn AS BIGINT) AS rn, f.vec_id AS full_id,
+        |  f.k64 AS score_fp,
+        |  CAST(CASE WHEN t2.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        |    AS in_trunc_top10
+        |FROM f LEFT JOIN (SELECT q_id, vec_id FROM t WHERE rn16 <= 10) t2
+        |  ON f.q_id = t2.q_id AND f.vec_id = t2.vec_id
+        |WHERE f.rn <= 10
+        |ORDER BY f.q_id, f.rn""".stripMargin,
+    // both MM iterates replayed from the per-user head-to-head grid;
+    // every division a truncating BIGINT div
+    "ml_bradley_terry_step" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m0 AS (SELECT a.event_type AS ta, b.event_type AS tb,
+        |    CAST(sum(CASE WHEN a.n > b.n THEN 1 ELSE 0 END) AS BIGINT) AS wa,
+        |    CAST(sum(CASE WHEN b.n > a.n THEN 1 ELSE 0 END) AS BIGINT) AS wb
+        |  FROM c a JOIN c b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT ta AS i, tb AS j, wa + wb AS nij, wa AS wij FROM m0
+        |  UNION ALL SELECT tb AS i, ta AS j, wa + wb AS nij, wb AS wij
+        |  FROM m0),
+        |tot AS (SELECT i, CAST(sum(nij) AS BIGINT) AS games,
+        |    CAST(sum(wij) AS BIGINT) AS wins FROM sym GROUP BY i),
+        |d1 AS (SELECT i, CAST(sum((nij * 1099511627776)
+        |    // (1048576 + 1048576)) AS BIGINT) AS d FROM sym GROUP BY i),
+        |q1 AS (SELECT tot.i, tot.games, tot.wins,
+        |    CASE WHEN d1.d = 0 THEN -1
+        |      ELSE (tot.wins * 1099511627776) // d1.d END AS p1_fp
+        |  FROM tot JOIN d1 ON tot.i = d1.i),
+        |d2 AS (SELECT s.i, CAST(sum((s.nij * 1099511627776)
+        |    // (qa.p1_fp + qb.p1_fp)) AS BIGINT) AS d
+        |  FROM sym s JOIN q1 qa ON s.i = qa.i JOIN q1 qb ON s.j = qb.i
+        |  GROUP BY s.i),
+        |q2 AS (SELECT q1.i, CASE WHEN d2.d = 0 THEN -1
+        |    ELSE (q1.wins * 1099511627776) // d2.d END AS p2_fp
+        |  FROM q1 JOIN d2 ON q1.i = d2.i)
+        |SELECT q1.i AS event_type, q1.games, q1.wins,
+        |  CAST(q1.p1_fp AS BIGINT) AS p1_fp,
+        |  CAST(q2.p2_fp AS BIGINT) AS p2_fp
+        |FROM q1 JOIN q2 ON q1.i = q2.i
+        |ORDER BY event_type""".stripMargin,
     // the full 2-round boost replayed: histogram stats, prefix-sum
     // split scan, argmax election, leaf means, residual update, SSE
     // receipts — HUGEINT where Spark used DECIMAL(38,0)

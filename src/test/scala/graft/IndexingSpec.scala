@@ -217,4 +217,26 @@ class IndexingSpec extends SparkSuite {
     assert(missed.count() === 0L,
       "identical docs always collide in every band (MinHash guarantee)")
   }
+
+  test("text_cdc_chunking: boundaries realign after a prefix insertion (the CDC property)") {
+    import spark.implicits._
+    // doc 1 = doc 0 with one token PREPENDED. Fixed-size chunking would
+    // shift every boundary; content-defined boundaries re-sync as soon
+    // as the 4-token rolling windows align over shared content, so all
+    // chunks after the first few must be identical (chash, n_tokens).
+    val words = (1 to 80).map(i => ("abcdefghijklmnop".take(1 + i % 13)) + i)
+    val base = words.mkString(" ")
+    val dir = Tables.scratch("cdc_docs")
+    Seq((0L, base), (1L, "zzz " + base)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Indexing.textCdcChunking(spark, dir).collect()
+    val c0 = out.filter(_.getLong(0) == 0L)
+      .map(r => (r.getLong(4), r.getLong(3))).toSeq
+    val c1 = out.filter(_.getLong(0) == 1L)
+      .map(r => (r.getLong(4), r.getLong(3))).toSeq
+    assert(c0.size >= 4, s"fixture must produce several chunks, got ${c0.size}")
+    val shared = c0.intersect(c1).size
+    assert(shared >= c0.size - 3,
+      s"only $shared of ${c0.size} chunks survived a 1-token prefix insert")
+  }
 }
