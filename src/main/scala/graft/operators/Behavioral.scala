@@ -341,9 +341,12 @@ object Behavioral {
     *
     * Scale shape: pair generation reuses the capped machinery
     * (Σdf² under PairDegreeCap, never corpus²); the backbone election
-    * is one rank over the capped pair frame; each peel round is one
-    * semi-join + one count aggregate on the shrinking edge set —
-    * O(edges) per round, the peeling promise. */
+    * is one rank over the capped pair frame — bounded by the cap, and
+    * at extreme scale it would move to a value-domain histogram
+    * threshold (rank the ≤|distinct shared-counts| histogram, then
+    * filter shared ≥ t*) so no single task ever orders the pair frame;
+    * each peel round is one semi-join + one count aggregate on the
+    * shrinking edge set — O(edges) per round, the peeling promise. */
   def graphKcorePeel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val K = 6

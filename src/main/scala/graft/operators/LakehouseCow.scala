@@ -1248,6 +1248,112 @@ object LakehouseCow {
     }
   }
 
+  // ---- row lineage across COW rewrites ---------------------------------
+
+  /** ROW LINEAGE across a COW rewrite, graded — the Iceberg-v3 row
+    * lineage contract (row_id + last_updated_sequence_number): every
+    * row carries (first_commit, last_modified), and the subtlety the
+    * grading targets is that lineage is ROW-level, not file-level — a
+    * COW merge rewrites every row of a touched bucket, but only rows
+    * whose CONTENT changed may advance `last_modified`; an innocent
+    * bystander row that was physically rewritten into a new file keeps
+    * its original lineage (without this rule, CDC consumers reading
+    * "what changed since v0" would re-process whole buckets). v0 =
+    * the pre-split state (lineage (0,0)); v1 = the COW merge of shard
+    * `user_id % 64 = 2`'s post-split backfill — updated rows keep
+    * first_commit = 0 and advance last_modified = 1, NEW users enter
+    * with (1,1), bystanders in rewritten buckets stay (0,0). The
+    * graded frame is the post-merge read with both lineage columns +
+    * the created/updated/rewritten/carried census, all re-derived from
+    * raw events by the oracle.
+    *
+    * Scale shape: identical to the COW merge (≤16-row file planning,
+    * touched-bucket rewrite, carry by reference); lineage adds two
+    * BIGINT columns and zero extra passes — the full-outer merge
+    * computes them in the same join. */
+  def sinkTxnRowLineage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = evUsers(spark, dir)
+    val pre = ev.filter($"ts_us" < SplitUs)
+    val delta = ev.filter($"ts_us" >= SplitUs && $"user_id" % 64 === 2)
+    def shape(df: DataFrame): DataFrame = df
+      .select($"user_id", $"n_events", $"last_us", $"v_sum_4dp",
+        $"first_commit", $"last_modified",
+        $"rows_created", $"rows_updated", $"files_rewritten",
+        $"files_carried")
+      .orderBy($"user_id")
+    val equivalent = {
+      val batchU = delta.select($"user_id").distinct
+      val preU = pre.select($"user_id").distinct
+      val tb = batchU.select(($"user_id" % NBuckets).as("b")).distinct
+      val census = Seq(1).toDF("one")
+        .crossJoin(broadcast(batchU.join(preU, Seq("user_id"), "left_anti")
+          .agg(count(lit(1)).as("rows_created"))))
+        .crossJoin(broadcast(batchU.join(preU, Seq("user_id"), "left_semi")
+          .agg(count(lit(1)).as("rows_updated"))))
+        .crossJoin(broadcast(tb.agg(count(lit(1)).as("files_rewritten"))))
+        .crossJoin(broadcast(
+          preU.select(($"user_id" % NBuckets).as("b")).distinct
+            .join(tb, Seq("b"), "left_anti")
+            .agg(count(lit(1)).as("files_carried"))))
+      shape(state(pre.unionByName(delta))
+        .join(preU.withColumn("had_pre", lit(1L)), Seq("user_id"), "left")
+        .join(batchU.withColumn("in_batch", lit(1L)), Seq("user_id"), "left")
+        .withColumn("first_commit",
+          when($"had_pre".isNull, 1L).otherwise(0L))
+        .withColumn("last_modified",
+          when($"in_batch".isNotNull, 1L).otherwise(0L))
+        .crossJoin(broadcast(census.select($"rows_created", $"rows_updated",
+          $"files_rewritten", $"files_carried"))))
+    }
+    graft.PlanOnly.roundTrip(equivalent) {
+      val table = Tables.scratch("txn_lineage")
+      TxnTable.drop(spark, table)
+      val st0 = state(pre)
+        .withColumn("first_commit", lit(0L))
+        .withColumn("last_modified", lit(0L))
+      val e0 = writeBuckets(st0.withColumn("bkt", $"user_id" % NBuckets),
+        s"$table/data/v0", "user_id")
+      commitMaybeEmpty(spark, table, 0, e0, st0)
+      val deltaSt = state(delta)
+      val touched = deltaSt.select(($"user_id" % NBuckets).as("b"))
+        .distinct.collect().map(_.getLong(0)).toSet // file planning
+      val prevTouched = TxnTable.read(spark, table, Some(0))
+        .filter(($"user_id" % NBuckets).isin(touched.toSeq: _*))
+      // row-level lineage through the full-outer merge: updated rows
+      // keep first_commit and advance last_modified; bystanders of the
+      // rewritten buckets pass through with lineage UNTOUCHED
+      val d = deltaSt.select($"user_id", $"n_events".as("d_n"),
+        $"last_us".as("d_last"), $"v_sum_4dp".as("d_v"))
+      val merged = prevTouched.join(d, Seq("user_id"), "full_outer")
+        .select($"user_id",
+          (coalesce($"n_events", lit(0L)) + coalesce($"d_n", lit(0L)))
+            .as("n_events"),
+          greatest(coalesce($"last_us", lit(Long.MinValue)),
+            coalesce($"d_last", lit(Long.MinValue))).as("last_us"),
+          (coalesce($"v_sum_4dp", lit(0L)) + coalesce($"d_v", lit(0L)))
+            .as("v_sum_4dp"),
+          when($"first_commit".isNull, 1L).otherwise($"first_commit")
+            .as("first_commit"),
+          when($"d_n".isNotNull, 1L).otherwise($"last_modified")
+            .as("last_modified"))
+      val e1 = writeBuckets(merged.withColumn("bkt", $"user_id" % NBuckets),
+        s"$table/data/v1", "user_id")
+      val carried = e0.filterNot(e => touched.contains(e.bucket))
+      commitCowDelta(spark, table, 1, e0, e1,
+        e0.filter(e => touched.contains(e.bucket)).map(_.path),
+        e1 ++ carried, merged)
+      val created = deltaSt.join(st0.select($"user_id"), Seq("user_id"),
+        "left_anti").count()
+      val updated = deltaSt.count() - created
+      shape(TxnTable.read(spark, table, None)
+        .withColumn("rows_created", lit(created))
+        .withColumn("rows_updated", lit(updated))
+        .withColumn("files_rewritten", lit(e1.size.toLong))
+        .withColumn("files_carried", lit(carried.size.toLong)))
+    }
+  }
+
   // ---- RESTORE: metadata-only rollback --------------------------------
 
   /** RESTORE TABLE TO VERSION, graded — Delta's RESTORE / Iceberg's
@@ -1337,6 +1443,7 @@ object LakehouseCow {
   val queries: Map[String, QueryFn] = Map(
     "sink_txn_restore" -> (sinkTxnRestore(_, _)),
     "sink_txn_merge_mor" -> (sinkTxnMergeMor(_, _)),
+    "sink_txn_row_lineage" -> (sinkTxnRowLineage(_, _)),
     "sink_txn_merge_cow" -> (sinkTxnMergeCow(_, _)),
     "sink_txn_delete_cow" -> (sinkTxnDeleteCow(_, _)),
     "sink_txn_delete_mor" -> (sinkTxnDeleteMor(_, _)),
@@ -1350,6 +1457,37 @@ object LakehouseCow {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // row lineage: merged content + (first_commit, last_modified)
+    // re-derived from raw membership; bystanders stay (0,0)
+    "sink_txn_row_lineage" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |pre AS (SELECT * FROM e WHERE ts_us < 1705536000000000),
+        |d AS (SELECT * FROM e
+        |  WHERE ts_us >= 1705536000000000 AND user_id % 64 = 2),
+        |bu AS (SELECT DISTINCT user_id FROM d),
+        |pu AS (SELECT DISTINCT user_id FROM pre),
+        |tb AS (SELECT DISTINCT user_id % 16 AS b FROM bu),
+        |rc AS (SELECT CAST(count(*) AS BIGINT) AS rows_created FROM bu
+        |  WHERE bu.user_id NOT IN (SELECT user_id FROM pu)),
+        |ru AS (SELECT CAST(count(*) AS BIGINT) AS rows_updated FROM bu
+        |  WHERE bu.user_id IN (SELECT user_id FROM pu)),
+        |fw AS (SELECT CAST(count(*) AS BIGINT) AS files_rewritten FROM tb),
+        |fc AS (SELECT CAST(count(*) AS BIGINT) AS files_carried FROM
+        |  (SELECT DISTINCT user_id % 16 AS b FROM pu) vb
+        |  WHERE vb.b NOT IN (SELECT b FROM tb)),
+        |m AS (SELECT * FROM pre UNION ALL SELECT * FROM d)
+        |SELECT m.user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  max(ts_us) AS last_us, CAST(sum(v) * 10000 AS BIGINT) AS v_sum_4dp,
+        |  CAST(CASE WHEN m.user_id IN (SELECT user_id FROM pu)
+        |    THEN 0 ELSE 1 END AS BIGINT) AS first_commit,
+        |  CAST(CASE WHEN m.user_id IN (SELECT user_id FROM bu)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS last_modified,
+        |  (SELECT rows_created FROM rc) AS rows_created,
+        |  (SELECT rows_updated FROM ru) AS rows_updated,
+        |  (SELECT files_rewritten FROM fw) AS files_rewritten,
+        |  (SELECT files_carried FROM fc) AS files_carried
+        |FROM m GROUP BY m.user_id ORDER BY m.user_id""".stripMargin,
     // MOR upsert: merged content for the batch shard, pre-split for the
     // rest; replaced/inserted/MOR-file/fold/purge census data-derived
     "sink_txn_merge_mor" ->

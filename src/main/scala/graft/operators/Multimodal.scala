@@ -903,6 +903,59 @@ object Multimodal {
       .orderBy($"p_partkey")
   }
 
+  /** ISOTONIC CALIBRATION, graded — the monotone probability-map fit
+    * (sklearn's IsotonicRegression / Zadrozny–Elkan calibration) that
+    * turns a classifier's raw score into a calibrated rate, computed
+    * through the EXACT minimax closed form of weighted PAVA:
+    * fit_i = max_{j≤i} min_{k≥i} wavg(j..k) (the pool-adjacent-
+    * violators solution characterization — no sequential pooling
+    * loop), with every interval's weighted average a truncating 2²⁰
+    * fixed-point division of exact counts. Input = the
+    * [[evalCalibrationBins]] reliability diagram (10 score deciles ×
+    * is-English); output = each bin's raw positive rate next to its
+    * isotonic fit, which a spec law pins MONOTONE — the property the
+    * raw diagram lacks and the whole point of the fit.
+    *
+    * Scale shape: the corpus collapses map-side to 10 bin rows;
+    * the minimax runs over ≤10³ interval triples of that tiny frame.
+    * Mirrored Spark SQL ⟷ DuckDB SQL (`div` ⟷ `//`). */
+  def mlIsotonicCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(expr("(n_chars * 1048576) div 600").as("score_fp"),
+        when($"lang" === "en", 1L).otherwise(0L).as("pos"))
+      .select(expr("least((score_fp * 10) div 1048576, 9L)").as("bin"),
+        $"pos")
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"), sum($"pos").as("n_pos"))
+      .createOrReplaceTempView("iso_bins")
+    spark.sql(isoSql("iso_bins", "div"))
+  }
+
+  /** Shared isotonic SQL over a (bin, n, n_pos) frame. */
+  private[graft] def isoSql(bins: String, idiv: String): String =
+    s"""WITH c AS (SELECT bin, n, n_pos,
+       |    sum(n) OVER w AS cn, sum(n_pos) OVER w AS cp
+       |  FROM $bins
+       |  WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+       |    AND CURRENT ROW)),
+       |ivl AS (SELECT a.bin AS j, b.bin AS k,
+       |    ((b.cp - a.cp + a.n_pos) * 1048576) $idiv
+       |      (b.cn - a.cn + a.n) AS avg_fp
+       |  FROM c a JOIN c b ON a.bin <= b.bin),
+       |inner_min AS (SELECT i.bin AS i, ivl.j,
+       |    min(ivl.avg_fp) AS min_avg
+       |  FROM c i JOIN ivl ON ivl.j <= i.bin AND ivl.k >= i.bin
+       |  GROUP BY 1, 2),
+       |fit AS (SELECT i, CAST(max(min_avg) AS BIGINT) AS iso_rate_fp
+       |  FROM inner_min GROUP BY i)
+       |SELECT c.bin, CAST(c.n AS BIGINT) AS n,
+       |  CAST(c.n_pos AS BIGINT) AS n_pos,
+       |  CAST((c.n_pos * 1048576) $idiv c.n AS BIGINT) AS raw_rate_fp,
+       |  fit.iso_rate_fp
+       |FROM c JOIN fit ON c.bin = fit.i
+       |ORDER BY c.bin""".stripMargin
+
   /** MATRYOSHKA TRUNCATION evaluation, graded — the measurement behind
     * MRL-style adaptive retrieval (Kusupati et al. 2022: embed once,
     * serve prefixes): for 20 query vectors, the exact top-10 under the
@@ -1480,6 +1533,7 @@ object Multimodal {
     "ml_gbdt_stump_boost" -> (mlGbdtStumpBoost(_, _)),
     "ml_bradley_terry_step" -> (mlBradleyTerryStep(_, _)),
     "embedding_matryoshka_trunc" -> (embeddingMatryoshkaTrunc(_, _)),
+    "ml_isotonic_calibration" -> (mlIsotonicCalibration(_, _)),
     "source_binaryfile_ingest" -> (sourceBinaryfileIngest(_, _)),
     "eval_ann_recall" -> (evalAnnRecall(_, _)),
     "embedding_pq_quantize" -> (embeddingPqQuantize(_, _)),
@@ -1739,6 +1793,16 @@ object Multimodal {
         |  CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS den
         |FROM b GROUP BY event_type, user_id
         |ORDER BY event_type, user_id""".stripMargin,
+    // the same minimax PAVA replayed over the same decile bins
+    "ml_isotonic_calibration" -> {
+      val bins =
+        """(SELECT least(((n_chars * 1048576) // 600) * 10 // 1048576, 9)
+          |    AS bin, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_pos
+          |  FROM documents GROUP BY 1)""".stripMargin
+      isoSql(bins, "//")
+    },
     // both rankings replayed bit-exactly: 2^16 quantization, BIGINT
     // dots, floor-sqrt norms, truncating division, vec_id tie-break
     "embedding_matryoshka_trunc" ->

@@ -477,6 +477,37 @@ object Relational {
     * At 100 TB this is the shape to prefer over per-column jobs: the
     * unpivot multiplies rows ×8 but each carries 1 value, and the
     * aggregate is 8 groups — scan-bound, exactly like q1. */
+  /** BENFORD first-digit profile per order priority — the audit /
+    * fraud-screening classic (Benford 1938; Nigrini's forensic use):
+    * the leading digit of every order's total (in cents — always ≥ 1,
+    * so the digit is '1'–'9' with no zero case), counted per priority
+    * class with the per-million share in exact fixed point. No
+    * logarithms anywhere: the digit comes from the integer's decimal
+    * string (identical rendering of a positive BIGINT on both
+    * engines), and conformance-to-Benford is the CALLER's judgment
+    * call on the emitted shares — the operator's job is the exact
+    * profile. (Honest note: TPC-H totals are range-bounded, so this
+    * fixture is deliberately NON-Benford — which is exactly what the
+    * profile exhibits.)
+    *
+    * Scale shape: one map-side-combinable (priority, digit) aggregate
+    * over the scan; the share decoration windows the ≤ 5×9-row
+    * result. */
+  def profileBenfordDigits(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select($"o_orderpriority",
+        substring((Tables.dec2($"o_totalprice") * 100).cast("long")
+          .cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy($"o_orderpriority", $"digit")
+      .agg(count(lit(1)).as("n_orders"))
+      .withColumn("share_ppm",
+        expr("(n_orders * 1000000) div sum(n_orders) OVER " +
+          "(PARTITION BY o_orderpriority)"))
+      .select($"o_orderpriority", $"digit", $"n_orders", $"share_ppm")
+      .orderBy($"o_orderpriority", $"digit")
+  }
+
   def profileNumericStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax",
@@ -1277,6 +1308,7 @@ object Relational {
     "join_lateral_topk" -> (joinLateralTopk(_, _)),
     "join_asof_nearest" -> (joinAsofNearest(_, _)),
     "profile_numeric_stats" -> (profileNumericStats(_, _)),
+    "profile_benford_digits" -> (profileBenfordDigits(_, _)),
     "profile_join_explosion" -> (profileJoinExplosion(_, _)),
     "profile_category_gini" -> (profileCategoryGini(_, _)),
     "report_week_over_week" -> (reportWeekOverWeek(_, _)),
@@ -1693,6 +1725,20 @@ object Relational {
         |    THEN pcid WHEN nv THEN ncid ELSE -1 END AS BIGINT)
         |    AS click_id
         |FROM f ORDER BY purchase_id""".stripMargin,
+    // first digit of the cent-integer's decimal string, counted per
+    // priority; share in exact ppm fixed point
+    "profile_benford_digits" ->
+      """WITH o AS (SELECT o_orderpriority,
+        |    CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |      * 100 AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders),
+        |g AS (SELECT o_orderpriority, digit,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM o GROUP BY 1, 2)
+        |SELECT o_orderpriority, digit, n_orders,
+        |  CAST((n_orders * 1000000) // sum(n_orders)
+        |    OVER (PARTITION BY o_orderpriority) AS BIGINT) AS share_ppm
+        |FROM g ORDER BY o_orderpriority, digit""".stripMargin,
     "profile_numeric_stats" ->
       """WITH u AS (
         |  SELECT 'l_quantity' AS col_name, CAST(l_quantity AS DECIMAL(18,2)) AS v FROM lineitem

@@ -491,6 +491,20 @@ class AnalyticsSpec extends SparkSuite {
       "round 2's sse_before must equal round 1's sse_after")
   }
 
+  test("ml_isotonic_calibration: the fit is monotone nondecreasing and mass-consistent") {
+    import graft.operators.Multimodal
+    val rows = Multimodal.mlIsotonicCalibration(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val iso = rows.map(_.getLong(4))
+    // THE isotonic property (which the raw diagram lacks)
+    iso.sliding(2).foreach(p =>
+      if (p.length == 2) assert(p(0) <= p(1), s"fit not monotone: ${iso.toSeq}"))
+    // the fit stays inside the observed rate range
+    val raw = rows.map(_.getLong(3))
+    assert(iso.min >= raw.min && iso.max <= raw.max,
+      s"fit escapes the data range: iso=${iso.toSeq} raw=${raw.toSeq}")
+  }
+
   test("ml_als_1d_step: sf0.001 factors are positive and obs counts tie to ratings") {
     import graft.operators.Multimodal
     val rows = Multimodal.mlAls1dStep(spark, sf0001).collect()

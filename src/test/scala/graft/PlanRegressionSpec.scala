@@ -499,7 +499,15 @@ class PlanRegressionSpec extends SparkSuite {
       // simsearch_ivf_pq: the same constant broadcasts as
       // eval_ann_recall (|cells| = 10 probe, |probes| = 4 fan, |queries|
       // = 5 exact baseline) — fan-out constant, not quadratic
-      "simsearch_ivf_pq")
+      "simsearch_ivf_pq",
+      // round-13: graph_kcore_peel / ml_gbdt_stump_boost ride 1-row
+      // scalar broadcasts (|nodes| count; mean/stump/SSE frames);
+      // ml_isotonic_calibration's non-equi interval join is bin×bin
+      // over the 10-row decile frame; agg_bloom_replayable's probe
+      // grid crosses the CONSTANT |nations| dim (25) with the probe
+      // keys — fan-out |nations|, not quadratic
+      "graph_kcore_peel", "ml_gbdt_stump_boost",
+      "ml_isotonic_calibration", "agg_bloom_replayable")
     val offenders = SparkEntry.queries.keys.filterNot(allowed)
       .filter(n => n != "source_csv_roundtrip" && plan(n).contains("BroadcastNestedLoopJoin"))
     assert(offenders.isEmpty, s"unexpected nested-loop joins: $offenders")
@@ -568,7 +576,16 @@ class PlanRegressionSpec extends SparkSuite {
       "behavior_rfm_segmentation" -> Set("drk_vb"),
       "sample_systematic_weighted" -> Set("bkt"), // ≤65536 bucket frame
       "skyline_pareto" -> Set("price"),           // shard-pruned frontier
-      "text_bpe_merge_step" -> Set("cnt"))        // ≤20-row top-k cut
+      "text_bpe_merge_step" -> Set("cnt"),        // ≤20-row top-k cut
+      // round-13 additions, each over an audited bounded frame:
+      "corpus_temperature_mix" -> Set("rem"),     // |langs| Hamilton rank
+      "ml_gbdt_stump_boost" -> Set("v"),          // value-domain histogram
+      "ml_isotonic_calibration" -> Set("bin"),    // 10-row decile frame
+      // the backbone election ranks the CAPPED pair frame (Σdf² under
+      // PairDegreeCap — the same bound the pair machinery guarantees);
+      // at extreme scale the election moves to a value-domain histogram
+      // threshold (scaladoc note on the key)
+      "graph_kcore_peel" -> Set("shared"))
     // whole-frame (unordered, unpartitioned) windows: |langs|/|labels|
     // scale — corpus_mix_rebalance, corpus_token_budget,
     // sample_stratified_neyman, ml_class_balance_weights,
