@@ -294,4 +294,36 @@ class LakehouseSpec extends SparkSuite {
     assert(r.filter($"version" === 1L && $"n_users" <= 0L).count() === 0L)
     r.unpersist()
   }
+
+  test("MOR upsert addressing: a version-scoped positional delete kills ONLY the superseded copies") {
+    import spark.implicits._
+    // the sink_txn_merge_mor subtlety, isolated at the TxnTable API:
+    // the upsert's new file carries the SAME key the delete names, so
+    // an equality delete would erase both copies — the 3-part
+    // (src, b, pos) address must kill exactly the old one.
+    val t = Tables.scratch("mor_addr_law")
+    TxnTable.drop(spark, t)
+    val v0 = Seq((1L, 10L, 0L, 0L, 1L), (2L, 20L, 0L, 0L, 2L))
+      .toDF("user_id", "v", "b", "src", "pos")
+    v0.coalesce(1).write.mode("overwrite").parquet(s"$t/data/v0/rows")
+    TxnTable.commitEntries(spark, t, 0,
+      Seq(TxnTable.FileEntry(0L, s"$t/data/v0/rows", 1L, 2L)))
+    // upsert user 1: delete its OLD address, add the merged row (same
+    // key!) under src = 1
+    Seq((0L, 0L, 1L)).toDF("b", "src", "pos").coalesce(1)
+      .write.mode("overwrite").parquet(s"$t/data/v1/dv")
+    Seq((1L, 11L, 0L, 1L, 1L)).toDF("user_id", "v", "b", "src", "pos")
+      .coalesce(1).write.mode("overwrite").parquet(s"$t/data/v1/rows")
+    TxnTable.commitDelta(spark, t, 1,
+      adds = Seq(TxnTable.FileEntry(0L, s"$t/data/v1/rows", 1L, 1L)),
+      delAdds = Seq(TxnTable.DeleteFile(s"$t/data/v1/dv", "src,b,pos")))
+    val got = TxnTable.read(spark, t, None)
+      .select($"user_id", $"v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // user 1 appears EXACTLY once with the NEW value (the old copy at
+    // (0,0,1) is dead, the new copy at (1,0,1) — same b and pos! — is
+    // alive because src scopes the address); user 2 untouched
+    assert(got === Map(1L -> 11L, 2L -> 20L),
+      s"version-scoped positional delete mis-addressed: $got")
+  }
 }
