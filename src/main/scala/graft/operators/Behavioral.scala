@@ -352,13 +352,18 @@ object Behavioral {
     val K = 6
     val incidence = Tables.lineitem(spark, dir)
       .select($"l_partkey", $"l_suppkey").distinct()
-    val sets = supplierSets(incidence, PairDegreeCap)
-    val pairs = sets
+    val pairs = graft.PlanOnly.mark(supplierSets(incidence, PairDegreeCap)
       .select($"ss", posexplode($"ss").as(Seq("i", "s1")))
       .select($"s1", explode(expr("slice(ss, i + 2, size(ss))")).as("s2"))
-      .groupBy($"s1", $"s2").agg(count(lit(1)).as("shared"))
-    val nSup = sets.select(explode($"ss").as("s")).distinct()
-      .agg(count(lit(1)).as("n"))
+      .groupBy($"s1", $"s2").agg(count(lit(1)).as("shared")))
+    // |nodes| from the capped incidence directly — identical to the
+    // oracle's count(DISTINCT l_suppkey) FROM pp and far cheaper than
+    // re-expanding the pair machinery a second time
+    val okParts = incidence.groupBy($"l_partkey")
+      .agg(count(lit(1)).as("d")).filter($"d" <= PairDegreeCap)
+      .select($"l_partkey")
+    val nSup = incidence.join(okParts, Seq("l_partkey"), "left_semi")
+      .agg(countDistinct($"l_suppkey").as("n"))
     val wRank = Window.partitionBy().orderBy($"shared".desc, $"s1", $"s2")
     val top = pairs.withColumn("rk", row_number().over(wRank))
       .crossJoin(broadcast(nSup))
