@@ -744,6 +744,7 @@ object Analytics {
     "graph_triangle_count" -> (graphTriangleCount(_, _)),
     "anomaly_mad_outliers" -> (anomalyMadOutliers(_, _)),
     "graph_pagerank" -> (graphPagerank(_, _)),
+    "graph_ppr_seeded" -> (graphPprSeeded(_, _)),
     "text_tfidf" -> (textTfidf(_, _)),
     "quality_repetition" -> (qualityRepetition(_, _)),
     "quality_classifier_score" -> (qualityClassifierScore(_, _)),
@@ -762,6 +763,91 @@ object Analytics {
        |SELECT event_id, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
        |  CAST($terms AS BIGINT) AS zval
        |FROM b ORDER BY zval, event_id""".stripMargin
+  }
+
+  /** PERSONALIZED PageRank (2 fixed iterations, damping 0.85, restart
+    * mass confined to a seed set), graded — the Jeh–Widom / Page et al.
+    * personalization that turns the global importance walk into a
+    * FROM-WHOSE-PERSPECTIVE walk: restart probability flows only to
+    * the seeds (customers with `c_custkey % 100 = 1`), so rank mass
+    * decays with graph distance from them — the primitive behind
+    * graph-based recommendation and the weighted contamination radius
+    * (graph_bfs_reach's hop census, upgraded with mass). Same exact
+    * integer scheme as [[graphPagerank]]: contributions `r div deg`,
+    * update `seed·0.15·RankOne + (85·Σincoming) div 100` — every
+    * division truncating, zero floats, two unrolled iterations
+    * hash-matched against the recursive-free oracle.
+    *
+    * Scale shape: identical to pagerank (edges pre-partitioned by
+    * destination, per-round partial-aggregated contribution sums);
+    * the engine additionally drops zero-rank sources from the
+    * broadcast (they contribute nothing — arithmetic unchanged, the
+    * frontier shrinks to the seeds' neighborhood early on, which is
+    * the sparsity PPR exists to exploit). */
+  def graphPprSeeded(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e0 = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("a"), ($"l_suppkey" + SupBase).as("b"))
+      .distinct()
+    val edges = graft.PlanOnly.cut(
+      e0.unionAll(e0.select($"b".as("a"), $"a".as("b")))
+        .repartition($"b"))
+    val deg = edges.groupBy($"a").agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("a", "id")
+    val nodes = Tables.customer(spark, dir)
+      .select($"c_custkey".cast("long").as("id"))
+      .unionAll(Tables.supplier(spark, dir)
+        .select(($"s_suppkey" + SupBase).as("id")))
+    var r = graft.PlanOnly.cut(nodes.join(deg, Seq("id"), "left")
+      .select($"id", coalesce($"deg", lit(0L)).as("deg"),
+        when($"id" < SupBase && $"id" % 100 === 1, 1L).otherwise(0L)
+          .as("seed"))
+      .withColumn("r", $"seed" * lit(RankOne)))
+    for (_ <- 1 to 2) {
+      val inc = edges
+        .join(broadcast(r.filter($"deg" > 0 && $"r" > 0)
+          .select($"id".as("a"), expr("r div deg").as("c"))), Seq("a"))
+        .groupBy($"b").agg(sum($"c").as("inc"))
+      r = graft.PlanOnly.cut(r.join(inc, $"id" === $"b", "left")
+        .select($"id", $"deg", $"seed",
+          ($"seed" * lit(RankOne * 15 / 100) +
+            expr("(85 * coalesce(inc, CAST(0 AS BIGINT))) div 100"))
+            .as("r")))
+    }
+    r.select($"id".as("node_id"), $"deg", $"seed".as("is_seed"),
+      $"r".as("ppr_fp"))
+      .orderBy($"node_id")
+  }
+
+  private def pprSql: String = {
+    def iter(i: Int): String = {
+      val prev = s"r${i - 1}"
+      s"""i$i AS (SELECT e.b AS id, sum(s.r // s.deg) AS inc
+         |        FROM edges e JOIN $prev s ON s.id = e.a GROUP BY e.b),
+         |r$i AS (SELECT p.id, p.deg, p.seed,
+         |          CAST(p.seed * ${RankOne * 15 / 100}
+         |            + (85 * coalesce(i.inc, 0)) // 100 AS BIGINT) AS r
+         |        FROM $prev p LEFT JOIN i$i i ON i.id = p.id)""".stripMargin
+    }
+    s"""WITH e0 AS (SELECT DISTINCT o_custkey AS a,
+       |              CAST(l_suppkey + $SupBase AS BIGINT) AS b
+       |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |edges AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+       |deg AS (SELECT a AS id, count(*) AS deg FROM edges GROUP BY a),
+       |nodes AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer
+       |          UNION ALL SELECT CAST(s_suppkey + $SupBase AS BIGINT) FROM supplier),
+       |r0 AS (SELECT n.id, CAST(coalesce(d.deg, 0) AS BIGINT) AS deg,
+       |         CAST(CASE WHEN n.id < $SupBase AND n.id % 100 = 1
+       |           THEN 1 ELSE 0 END AS BIGINT) AS seed,
+       |         CAST(CASE WHEN n.id < $SupBase AND n.id % 100 = 1
+       |           THEN $RankOne ELSE 0 END AS BIGINT) AS r
+       |       FROM nodes n LEFT JOIN deg d ON d.id = n.id),
+       |${iter(1)},
+       |${iter(2)}
+       |SELECT id AS node_id, deg, seed AS is_seed, r AS ppr_fp
+       |FROM r2 ORDER BY node_id""".stripMargin
   }
 
   private def pagerankSql: String = {
@@ -998,6 +1084,7 @@ object Analytics {
         |FROM d JOIN mad ON d.event_type = mad.event_type
         |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     "graph_pagerank" -> pagerankSql,
+    "graph_ppr_seeded" -> pprSql,
     "text_tfidf" ->
       """WITH terms AS (SELECT doc_id,
         |    unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
