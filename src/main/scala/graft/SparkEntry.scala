@@ -15,7 +15,8 @@ object SparkEntry {
       operators.Analytics.queries ++ operators.Recursion.queries ++
       operators.Behavioral.queries ++ operators.Timeseries.queries ++
       operators.Tpch.queries ++ operators.Indexing.queries ++
-      operators.Lakehouse.queries ++ operators.LakehouseCow.queries
+      operators.Lakehouse.queries ++ operators.LakehouseCow.queries ++
+      operators.Stats.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -27,5 +28,6 @@ object SparkEntry {
       operators.Analytics.oracleSql ++ operators.Recursion.oracleSql ++
       operators.Behavioral.oracleSql ++ operators.Timeseries.oracleSql ++
       operators.Tpch.oracleSql ++ operators.Indexing.oracleSql ++
-      operators.Lakehouse.oracleSql ++ operators.LakehouseCow.oracleSql
+      operators.Lakehouse.oracleSql ++ operators.LakehouseCow.oracleSql ++
+      operators.Stats.oracleSql
 }

@@ -404,6 +404,113 @@ object Aggregations {
        |JOIN bits ON cen.nation = bits.nation
        |ORDER BY cen.nation""".stripMargin
 
+  /** HYPOTHETICAL-SET ranking (SQL:2003 `RANK(v) WITHIN GROUP` /
+    * Oracle-Postgres hypothetical-set aggregates) — "where WOULD a
+    * $1 500.00 order rank in each priority class?", answered WITHOUT
+    * sorting anything: the hypothetical rank is 1 + count(< v), the
+    * dense rank 1 + count(DISTINCT < v), percent_rank and cume_dist
+    * the matching 2²⁰ fixed-point ratios — the counting identity that
+    * makes hypothetical-set functions one associative aggregate where
+    * the window form pays a per-group sort.
+    *
+    * Scale shape: one map-side-combinable conditional aggregate over
+    * the scan; no window, no sort, output = |priorities| rows. */
+  def aggRankHypothetical(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = 15000000L // $150 000.00 in cents — mid-range for o_totalprice
+    Tables.orders(spark, dir)
+      .select($"o_orderpriority",
+        (Tables.dec2($"o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"cents" < v, 1L).otherwise(0L)).as("n_below"),
+        countDistinct(when($"cents" < v, $"cents")).as("nd_below"),
+        sum(when($"cents" <= v, 1L).otherwise(0L)).as("n_at_or_below"))
+      .select($"o_orderpriority", $"n",
+        ($"n_below" + 1L).as("h_rank"),
+        ($"nd_below" + 1L).as("h_dense_rank"),
+        expr("(n_below * 1048576) div n").as("pct_rank_fp"),
+        expr("(n_at_or_below * 1048576) div n").as("cume_dist_fp"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Engine-replayable KMV (k-minimum-values / bottom-k θ-sketch,
+    * Bar-Yossef et al. 2002; Beyer et al. 2007) — the sketch tier the
+    * replayable family still lacked: unlike HLL registers, a KMV
+    * sample supports SET OPERATIONS, so this key grades distinct-count
+    * estimation AND the Jaccard/intersection estimate between two
+    * overlapping sets (clicking vs purchasing users) from one pass.
+    * Hash = the replayable multiplicative family mod the Mersenne
+    * prime 2³¹−1 (injective on the id domain — no collision term);
+    * per set the k = 64 smallest hashes elect θ = max of the sample
+    * and est = ⌊(k−1)·M/θ⌋; the UNION sample's members flagged in both
+    * sets give ρ, jaccard_fp = ⌊2²⁰·ρ/k⌋ and est_inter =
+    * ⌊ρ·est_union/k⌋ (the Beyer merge rule). Sketches smaller than k
+    * fall back to the exact count (the standard not-yet-full
+    * contract). Exact counts ride along, so the row is SELF-AUDITING:
+    * est vs exact exhibits the 1/√k ≈ 12.5% design error.
+    *
+    * Scale shape: flags collapse the log map-side to one row per
+    * user; each k-smallest sample is ORDER BY h LIMIT k — planned as
+    * TakeOrderedAndProject (per-partition top-k, then a k-row merge on
+    * the driver side of the exchange), never a global sort; everything
+    * downstream is a ≤64-row frame. The exact audit columns are one
+    * associative aggregate. One SQL text runs verbatim on both
+    * engines (`idiv` = div ⟷ //). */
+  def aggKmvReplayable(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("kmv_ev")
+    spark.sql(kmvSql("kmv_ev", "div"))
+  }
+
+  /** Shared KMV SQL — `idiv` is `div` (Spark) or `//` (DuckDB). */
+  private[graft] def kmvSql(ev: String, idiv: String): String =
+    s"""WITH flags AS (SELECT user_id AS u,
+       |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in_a,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_b
+       |  FROM $ev GROUP BY 1),
+       |m AS (SELECT u, in_a, in_b,
+       |    ((u + 1) * 2654435761) % 2147483647 AS h
+       |  FROM flags WHERE in_a = 1 OR in_b = 1),
+       |ra AS (SELECT h FROM m WHERE in_a = 1 ORDER BY h LIMIT 64),
+       |rb AS (SELECT h FROM m WHERE in_b = 1 ORDER BY h LIMIT 64),
+       |ru AS (SELECT h, in_a, in_b FROM m ORDER BY h LIMIT 64),
+       |ex AS (SELECT CAST(sum(in_a) AS BIGINT) AS exact_a,
+       |    CAST(sum(in_b) AS BIGINT) AS exact_b,
+       |    CAST(count(*) AS BIGINT) AS exact_union,
+       |    CAST(sum(in_a * in_b) AS BIGINT) AS exact_inter
+       |  FROM m),
+       |sa AS (SELECT CAST(count(*) AS BIGINT) AS k_a,
+       |    CAST(max(h) AS BIGINT) AS theta_a FROM ra),
+       |sb AS (SELECT CAST(count(*) AS BIGINT) AS k_b,
+       |    CAST(max(h) AS BIGINT) AS theta_b FROM rb),
+       |su AS (SELECT CAST(count(*) AS BIGINT) AS k_u,
+       |    CAST(max(h) AS BIGINT) AS theta_u,
+       |    CAST(sum(in_a * in_b) AS BIGINT) AS rho FROM ru),
+       |est AS (SELECT
+       |    CASE WHEN sa.k_a < 64 THEN ex.exact_a
+       |      ELSE (CAST(63 AS BIGINT) * 2147483647) $idiv sa.theta_a END AS est_a,
+       |    CASE WHEN sb.k_b < 64 THEN ex.exact_b
+       |      ELSE (CAST(63 AS BIGINT) * 2147483647) $idiv sb.theta_b END AS est_b,
+       |    CASE WHEN su.k_u < 64 THEN ex.exact_union
+       |      ELSE (CAST(63 AS BIGINT) * 2147483647) $idiv su.theta_u END AS est_union,
+       |    sa.theta_a, sb.theta_b, su.theta_u, su.rho, su.k_u,
+       |    ex.exact_a, ex.exact_b, ex.exact_union, ex.exact_inter
+       |  FROM sa, sb, su, ex)
+       |SELECT CAST(64 AS BIGINT) AS k,
+       |  CAST(coalesce(theta_a, -1) AS BIGINT) AS theta_a,
+       |  CAST(coalesce(theta_b, -1) AS BIGINT) AS theta_b,
+       |  CAST(coalesce(theta_u, -1) AS BIGINT) AS theta_u,
+       |  CAST(est_a AS BIGINT) AS est_a,
+       |  CAST(est_b AS BIGINT) AS est_b,
+       |  CAST(est_union AS BIGINT) AS est_union,
+       |  CAST(rho AS BIGINT) AS rho,
+       |  CAST(CASE WHEN k_u = 0 THEN -1
+       |    ELSE (rho * 1048576) $idiv k_u END AS BIGINT) AS jaccard_fp,
+       |  CAST(CASE WHEN k_u = 0 THEN -1
+       |    ELSE (rho * est_union) $idiv k_u END AS BIGINT) AS est_inter,
+       |  exact_a, exact_b, exact_union, exact_inter
+       |FROM est ORDER BY k""".stripMargin
+
   def aggHllReplayable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // marked: the distinct (type, user) frame feeds the registers AND
@@ -687,6 +794,8 @@ object Aggregations {
   val queries: Map[String, QueryFn] = Map(
     "agg_hll_replayable" -> (aggHllReplayable(_, _)),
     "agg_bloom_replayable" -> (aggBloomReplayable(_, _)),
+    "agg_kmv_replayable" -> (aggKmvReplayable(_, _)),
+    "agg_rank_hypothetical" -> (aggRankHypothetical(_, _)),
     "agg_countmin_replayable" -> (aggCountminReplayable(_, _)),
     "agg_percentile_sampled" -> (aggPercentileSampled(_, _)),
     "agg_weighted_median" -> (aggWeightedMedian(_, _)),
@@ -766,6 +875,29 @@ ORDER BY exact_cnt DESC, user_id LIMIT 20"""
     // same scramble, register pick, ρ case chain (generated from ONE
     // Scala source), max-merge, and fixed-point harmonic estimate
     "agg_bloom_replayable" -> bloomSql("customer", "orders", "//"),
+    "agg_kmv_replayable" -> kmvSql("events", "//"),
+    // the same counting identity; countDistinct(CASE) ignores the
+    // NULL arm on both engines
+    "agg_rank_hypothetical" ->
+      """WITH o AS (SELECT o_orderpriority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |a AS (SELECT o_orderpriority,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN cents < 15000000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_below,
+        |    CAST(count(DISTINCT CASE WHEN cents < 15000000 THEN cents END)
+        |      AS BIGINT) AS nd_below,
+        |    CAST(sum(CASE WHEN cents <= 15000000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_at_or_below
+        |  FROM o GROUP BY 1)
+        |SELECT o_orderpriority, n,
+        |  n_below + 1 AS h_rank,
+        |  nd_below + 1 AS h_dense_rank,
+        |  CAST((n_below * 1048576) // n AS BIGINT) AS pct_rank_fp,
+        |  CAST((n_at_or_below * 1048576) // n AS BIGINT) AS cume_dist_fp
+        |FROM a ORDER BY o_orderpriority""".stripMargin,
     "agg_hll_replayable" -> s"""WITH d AS (
   SELECT DISTINCT event_type, user_id FROM events),
 b AS (SELECT event_type,

@@ -376,6 +376,57 @@ object Analytics {
       .orderBy($"node")
   }
 
+  /** LOCAL CLUSTERING COEFFICIENT per supplier (Watts–Strogatz 1998)
+    * over the same top-5-affinity sparsified backbone as
+    * [[graphTriangleCount]] — the per-node "how clique-like is my
+    * neighborhood" ratio community detection and link prediction both
+    * read: lcc = 2·tri / (deg·(deg−1)) in 2²⁰ fixed point, −1 sentinel
+    * for degree-<2 nodes where the ratio is undefined. Extends the
+    * triangle key from a count to the normalized coefficient (the
+    * triangle census alone can't rank a hub against a leaf).
+    *
+    * Scale shape: identical to the triangle key — kNN sparsification
+    * bounds the edge set at 5·|nodes| before the wedge join, so the
+    * triple-join cost is degree-bounded, never n²; degrees and the
+    * coefficient are one aggregate + one broadcast-size join over the
+    * per-node frames. */
+  def graphClusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val und = Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_suppkey").distinct()
+      .groupBy($"l_partkey")
+      .agg(sort_array(collect_set($"l_suppkey")).as("ss"))
+      .select($"ss", posexplode($"ss").as(Seq("i", "s1")))
+      .select($"s1", explode(expr("slice(ss, i + 2, size(ss))")).as("s2"))
+      .groupBy($"s1", $"s2").agg(count(lit(1)).as("sp"))
+    val inc = und.select(explode(array(
+        struct($"s1".as("u"), $"s2".as("v"), $"sp"),
+        struct($"s2".as("u"), $"s1".as("v"), $"sp"))).as("x"))
+      .select($"x.u".as("u"), $"x.v".as("v"), $"x.sp".as("sp"))
+    val w = Window.partitionBy($"u").orderBy($"sp".desc, $"v")
+    // marked: the sparsified edge set feeds degrees AND both sides of
+    // the wedge/closure joins
+    val e = graft.PlanOnly.mark(
+      inc.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+        .select(least($"u", $"v").as("a"), greatest($"u", $"v").as("b"))
+        .distinct())
+    val deg = e.select($"a".as("node")).unionAll(e.select($"b".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e2.a") === col("e1.b"))
+      .join(e.as("e3"), col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      .select(explode(array($"x", $"y", $"z")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("tri"))
+    deg.join(tri, Seq("node"), "left")
+      .withColumn("n_triangles", coalesce($"tri", lit(0L)))
+      .select($"node", $"deg", $"n_triangles",
+        when($"deg" < 2, -1L)
+          .otherwise(expr("(2 * n_triangles * 1048576) div (deg * (deg - 1))"))
+          .as("lcc_fp"))
+      .orderBy($"node")
+  }
+
   /** Collocation mining — the PMI/lift shape: bigrams whose observed
     * frequency beats the independence expectation of their two words,
     * lift = p(xy) / (p(x)·p(y)) with all probabilities over the bigram
@@ -742,6 +793,7 @@ object Analytics {
     "anomaly_zscore_exact" -> (anomalyZscoreExact(_, _)),
     "text_collocation_lift" -> (textCollocationLift(_, _)),
     "graph_triangle_count" -> (graphTriangleCount(_, _)),
+    "graph_clustering_coeff" -> (graphClusteringCoeff(_, _)),
     "anomaly_mad_outliers" -> (anomalyMadOutliers(_, _)),
     "graph_pagerank" -> (graphPagerank(_, _)),
     "graph_ppr_seeded" -> (graphPprSeeded(_, _)),
@@ -1044,6 +1096,37 @@ object Analytics {
         |FROM bi JOIN uni u1 ON w1 = u1.w JOIN uni u2 ON w2 = u2.w
         |WHERE c_xy >= 5
         |ORDER BY lift_fp DESC, w1, w2 LIMIT 100""".stripMargin,
+    // same top-5 sparsified chain + degree frame; nodes without a
+    // closing wedge keep 0 triangles via the left join
+    "graph_clustering_coeff" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |inc AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS sp
+        |        FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+        |          AND a.l_suppkey <> b.l_suppkey
+        |        GROUP BY 1, 2),
+        |nbr AS (SELECT u, v FROM (
+        |          SELECT u, v, row_number() OVER (
+        |            PARTITION BY u ORDER BY sp DESC, v) AS rn
+        |          FROM inc) WHERE rn <= 5),
+        |e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM nbr),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS node FROM e UNION ALL SELECT b FROM e) ends
+        |  GROUP BY node),
+        |t AS (SELECT e1.a, e1.b, e2.b AS c
+        |      FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tri AS (SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+        |    SELECT a AS node FROM t
+        |    UNION ALL SELECT b FROM t
+        |    UNION ALL SELECT c FROM t) roles
+        |  GROUP BY node)
+        |SELECT deg.node, deg.deg,
+        |  CAST(coalesce(tri.tri, 0) AS BIGINT) AS n_triangles,
+        |  CAST(CASE WHEN deg.deg < 2 THEN -1
+        |    ELSE (2 * coalesce(tri.tri, 0) * 1048576)
+        |      // (deg.deg * (deg.deg - 1)) END AS BIGINT) AS lcc_fp
+        |FROM deg LEFT JOIN tri ON deg.node = tri.node
+        |ORDER BY deg.node""".stripMargin,
     "graph_triangle_count" ->
       """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
         |inc AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS sp

@@ -404,6 +404,58 @@ object Behavioral {
     * conditional min over the STRICTLY-FOLLOWING window frame — no
     * self-join of the event log against itself, which is the naive
     * formulation's O(views·purchases) per user. */
+  /** U-SHAPED MULTI-TOUCH ATTRIBUTION — the position-based credit
+    * model (40/20/40) marketing analytics runs instead of last-touch:
+    * every view/click is assigned to the user's NEXT purchase (the
+    * [[behaviorTimeToConvert]] forward as-of, so each journey is the
+    * touch run between conversions), and within a journey the first
+    * and last touch take 400 000 ppm each while the middles split the
+    * remaining 200 000 by truncating division — the integer REMAINDER
+    * goes to the earliest middle touch, so per-journey credit sums to
+    * exactly 1 000 000 (the Hamilton-exactness posture of
+    * corpus_token_budget). 1-touch journeys take the full million,
+    * 2-touch journeys split 500 000/500 000. Purchase identity at a
+    * tied (user, t) resolves to the min event_id on both engines.
+    *
+    * Scale shape: two windows, both entity-partitioned (per-user
+    * forward as-of, then per-journey rank/count at touch grain) — no
+    * global sort, no self-join of the raw log; the purchase-id
+    * resolution is a co-partitioned equi-join on (user, t). */
+  def behaviorMultitouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", Tables.nsToUs($"ts").as("t"),
+        $"event_type")
+    val wFwd = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val touches = e
+      .withColumn("np_t",
+        min(when($"event_type" === "purchase", $"t")).over(wFwd))
+      .filter($"event_type".isin("view", "click") && $"np_t".isNotNull)
+      .select($"user_id", $"event_id".as("touch_event_id"), $"t",
+        $"event_type".as("touch_type"), $"np_t")
+    val purchases = e.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"t")
+      .agg(min($"event_id").as("purchase_event_id"))
+    val wJ = Window.partitionBy($"purchase_event_id")
+      .orderBy($"t", $"touch_event_id")
+    val wN = Window.partitionBy($"purchase_event_id")
+    touches
+      .join(purchases.withColumnRenamed("t", "np_t"), Seq("user_id", "np_t"))
+      .withColumn("touch_rank", row_number().over(wJ).cast("long"))
+      .withColumn("n_touches", count(lit(1)).over(wN))
+      .withColumn("credit_ppm", expr(
+        """CASE WHEN n_touches = 1 THEN 1000000
+          |  WHEN n_touches = 2 THEN 500000
+          |  WHEN touch_rank = 1 OR touch_rank = n_touches THEN 400000
+          |  WHEN touch_rank = 2 THEN 200000 div (n_touches - 2)
+          |    + 200000 - (n_touches - 2) * (200000 div (n_touches - 2))
+          |  ELSE 200000 div (n_touches - 2) END""".stripMargin))
+      .select($"purchase_event_id", $"touch_event_id", $"user_id",
+        $"touch_type", $"touch_rank", $"n_touches", $"credit_ppm")
+      .orderBy($"purchase_event_id", $"touch_event_id")
+  }
+
   def behaviorTimeToConvert(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
@@ -635,6 +687,7 @@ object Behavioral {
     "graph_node_jaccard" -> (graphNodeJaccard(_, _)),
     "graph_resource_allocation" -> (graphResourceAllocation(_, _)),
     "behavior_time_to_convert" -> (behaviorTimeToConvert(_, _)),
+    "behavior_multitouch_attribution" -> (behaviorMultitouchAttribution(_, _)),
     "graph_assortativity_stats" -> (graphAssortativityStats(_, _)),
     "graph_kcore_peel" -> (graphKcorePeel(_, _)),
     "graph_label_propagation" -> (graphLabelPropagation(_, _)),
@@ -719,6 +772,38 @@ object Behavioral {
         |ORDER BY shared_parts DESC, s1, s2""".stripMargin,
     // same strictly-following conditional-min frame; whole-minute gap
     // via truncating div on both engines
+    // same forward as-of + per-journey rank; the 40/20/40 split and
+    // its remainder-to-earliest-middle rule are integer CASE arms
+    "behavior_multitouch_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    event_type FROM events),
+        |tou AS (SELECT user_id, event_id AS touch_event_id, t,
+        |    event_type AS touch_type,
+        |    min(CASE WHEN event_type = 'purchase' THEN t END)
+        |      OVER (PARTITION BY user_id ORDER BY t, event_id
+        |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np_t
+        |  FROM e),
+        |p AS (SELECT user_id, t AS np_t, min(event_id) AS purchase_event_id
+        |  FROM e WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |j AS (SELECT p.purchase_event_id, tou.touch_event_id, tou.user_id,
+        |    tou.touch_type, tou.t
+        |  FROM tou JOIN p ON tou.user_id = p.user_id AND tou.np_t = p.np_t
+        |  WHERE tou.touch_type IN ('view', 'click')),
+        |r AS (SELECT purchase_event_id, touch_event_id, user_id, touch_type,
+        |    CAST(row_number() OVER (PARTITION BY purchase_event_id
+        |      ORDER BY t, touch_event_id) AS BIGINT) AS touch_rank,
+        |    CAST(count(*) OVER (PARTITION BY purchase_event_id) AS BIGINT)
+        |      AS n_touches
+        |  FROM j)
+        |SELECT purchase_event_id, touch_event_id, user_id, touch_type,
+        |  touch_rank, n_touches,
+        |  CAST(CASE WHEN n_touches = 1 THEN 1000000
+        |    WHEN n_touches = 2 THEN 500000
+        |    WHEN touch_rank = 1 OR touch_rank = n_touches THEN 400000
+        |    WHEN touch_rank = 2 THEN 200000 // (n_touches - 2)
+        |      + 200000 - (n_touches - 2) * (200000 // (n_touches - 2))
+        |    ELSE 200000 // (n_touches - 2) END AS BIGINT) AS credit_ppm
+        |FROM r ORDER BY purchase_event_id, touch_event_id""".stripMargin,
     "behavior_time_to_convert" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
         |    event_type FROM events),

@@ -148,6 +148,86 @@ object LakehouseCow {
     else TxnTable.commitDelta(spark, table, version, adds = adds,
       removes = removes)
 
+  /** DESCRIBE HISTORY, graded — the log-metadata audit table every
+    * format exposes (Delta DESCRIBE HISTORY / Iceberg snapshots
+    * metadata table), here certified AGAINST THE DATA: a 4-version
+    * chain commits the clustered per-user state at the standing
+    * quartile prefixes (v0 self-contained, v1..v3 as COW DELTAS whose
+    * adds/removes are exactly the slice's bucket footprint), and the
+    * graded frame is read FROM THE LOG — per version the visible row
+    * count (snapshot read), live-file count (resolved manifest), the
+    * delta's add/remove action counts, and the manifest kind — while
+    * the oracle re-derives every number from the raw events (bucket
+    * first-seen vs the quartile bounds). A hash-match certifies the
+    * log's self-description: versions added exactly the buckets the
+    * data changed, removed exactly their predecessors, and the live
+    * census tracks the data's bucket closure.
+    *
+    * Scale shape: history is O(versions × chain) manifest parses and
+    * one snapshot count per version — log metadata, no table scan
+    * beyond the per-version state reads; commit planning is the ≤16-row
+    * changed-bucket collect every COW key shares. */
+  def sinkTxnHistoryAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = evUsers(spark, dir)
+    def expected(): DataFrame = {
+      val f = ev.select($"user_id", ($"user_id" % NBuckets).as("bkt"),
+        $"ts_us")
+      val perB = f.groupBy($"bkt").agg(min($"ts_us").as("mn"))
+      val fj = f.join(broadcast(perB), Seq("bkt"))
+      val frames = AppendBoundsUs.zipWithIndex.map { case (hi, k) =>
+        val lo = if (k == 0) Long.MinValue else AppendBoundsUs(k - 1)
+        fj.agg(
+          countDistinct(when($"ts_us" < hi, $"user_id")).as("rows_visible"),
+          countDistinct(when($"ts_us" < hi, $"bkt")).as("files_live"),
+          countDistinct(when($"ts_us" >= lo && $"ts_us" < hi, $"bkt"))
+            .as("files_added"),
+          countDistinct(when($"ts_us" >= lo && $"ts_us" < hi &&
+            $"mn" < lo, $"bkt")).as("files_removed"))
+          .select(lit(k.toLong).as("version"), $"rows_visible",
+            $"files_live", $"files_added", $"files_removed",
+            lit(if (k > 0) 1L else 0L).as("is_delta"))
+      }
+      frames.reduce(_ unionAll _).orderBy($"version")
+    }
+    graft.PlanOnly.roundTrip(expected()) {
+      val table = Tables.scratch("txn_history_table")
+      TxnTable.drop(spark, table)
+      var prev: Seq[FileEntry] = Seq.empty
+      AppendBoundsUs.zipWithIndex.foreach { case (hi, k) =>
+        val st = state(ev.filter($"ts_us" < hi))
+          .withColumn("bkt", $"user_id" % NBuckets)
+        if (k == 0) {
+          prev = writeBuckets(st, s"$table/data/v0", "user_id")
+          commitMaybeEmpty(spark, table, 0, prev, st.drop("bkt"))
+        } else if (prev.isEmpty) {
+          // empty-fixture degenerate: no file tier to delta against
+          TxnTable.commit(spark, table, k, st.drop("bkt"))
+        } else {
+          val lo = AppendBoundsUs(k - 1)
+          val changed = ev.filter($"ts_us" >= lo && $"ts_us" < hi)
+            .select(($"user_id" % NBuckets).as("b")).distinct()
+            .collect().map(_.getLong(0)).toSet // ≤16: planning metadata
+          val adds = writeBuckets(
+            st.filter($"bkt".isInCollection(changed)), s"$table/data/v$k",
+            "user_id")
+          val removes = prev.filter(e => changed(e.bucket)).map(_.path)
+          TxnTable.commitDelta(spark, table, k, adds = adds,
+            removes = removes)
+          prev = prev.filterNot(e => changed(e.bucket)) ++ adds
+        }
+      }
+      val rows = TxnTable.history(spark, table).map {
+        case (v, files, _, isDelta, adds, removes) =>
+          (v.toLong, TxnTable.read(spark, table, Some(v)).count(),
+            files.toLong, adds.toLong, removes.toLong,
+            if (isDelta) 1L else 0L)
+      }
+      rows.toDF("version", "rows_visible", "files_live", "files_added",
+        "files_removed", "is_delta").orderBy($"version")
+    }
+  }
+
   // ---- file-level copy-on-write MERGE --------------------------------
 
   /** File-level COW MERGE, graded — the operation that makes a 100 TB
@@ -1445,6 +1525,7 @@ object LakehouseCow {
     "sink_txn_merge_mor" -> (sinkTxnMergeMor(_, _)),
     "sink_txn_row_lineage" -> (sinkTxnRowLineage(_, _)),
     "sink_txn_merge_cow" -> (sinkTxnMergeCow(_, _)),
+    "sink_txn_history_audit" -> (sinkTxnHistoryAudit(_, _)),
     "sink_txn_delete_cow" -> (sinkTxnDeleteCow(_, _)),
     "sink_txn_delete_mor" -> (sinkTxnDeleteMor(_, _)),
     "sink_txn_delete_dv" -> (sinkTxnDeleteDv(_, _)),
@@ -1457,6 +1538,38 @@ object LakehouseCow {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // every history number re-derived from raw events: visible rows =
+    // distinct users under the bound, live/added/removed files from
+    // the bucket closure vs the quartile slices
+    "sink_txn_history_audit" ->
+      """WITH f AS (SELECT user_id, user_id % 16 AS bkt, epoch_us(ts) AS t
+        |  FROM events),
+        |pb AS (SELECT bkt, min(t) AS mn FROM f GROUP BY 1),
+        |j AS (SELECT f.user_id, f.bkt, f.t, pb.mn
+        |  FROM f JOIN pb ON f.bkt = pb.bkt),
+        |bounds AS (SELECT * FROM (VALUES
+        |    (0, CAST(-9223372036854775807 AS BIGINT) - 1,
+        |     CAST(19731 AS BIGINT) * 86400000000),
+        |    (1, CAST(19731 AS BIGINT) * 86400000000,
+        |     CAST(19739 AS BIGINT) * 86400000000),
+        |    (2, CAST(19739 AS BIGINT) * 86400000000,
+        |     CAST(19747 AS BIGINT) * 86400000000),
+        |    (3, CAST(19747 AS BIGINT) * 86400000000,
+        |     CAST(9223372036854775807 AS BIGINT)))
+        |  AS t(v, lo, hi))
+        |SELECT CAST(v AS BIGINT) AS version,
+        |  CAST(count(DISTINCT CASE WHEN t < hi THEN user_id END) AS BIGINT)
+        |    AS rows_visible,
+        |  CAST(count(DISTINCT CASE WHEN t < hi THEN bkt END) AS BIGINT)
+        |    AS files_live,
+        |  CAST(count(DISTINCT CASE WHEN t >= lo AND t < hi THEN bkt END)
+        |    AS BIGINT) AS files_added,
+        |  CAST(count(DISTINCT CASE WHEN t >= lo AND t < hi AND mn < lo
+        |    THEN bkt END) AS BIGINT) AS files_removed,
+        |  CAST(CASE WHEN v > 0 THEN 1 ELSE 0 END AS BIGINT) AS is_delta
+        |FROM j CROSS JOIN bounds
+        |GROUP BY v, lo, hi
+        |ORDER BY version""".stripMargin,
     // row lineage: merged content + (first_commit, last_modified)
     // re-derived from raw membership; bystanders stay (0,0)
     "sink_txn_row_lineage" ->

@@ -273,6 +273,93 @@ object LlmOps {
   /** Per-language corpus statistics: doc count, mean length, token
     * totals, type-token ratio. Two aggregations (doc-grain + token-
     * grain) joined on lang — each is a partial-agg-friendly groupBy. */
+  /** VOCABULARY-GROWTH census (the empirical Heaps-law curve WITHOUT
+    * the banned log-log fit) — the number a tokenizer-training run
+    * reads before choosing vocab size: at doc-id-prefix checkpoints
+    * 2⁶..2¹³, the running document count, token count and DISTINCT
+    * vocabulary size. Vocabulary at a checkpoint = words whose
+    * FIRST-SEEN doc id falls under it, so the whole curve costs one
+    * word-grain aggregate — never a per-checkpoint rescan. Checkpoints
+    * past the corpus end repeat the full census (the curve's plateau
+    * is data, not an error).
+    *
+    * Scale shape: tokens collapse map-side to (word, min doc_id); the
+    * 8-checkpoint curve is ONE conditional aggregate over that
+    * word-grain frame + one over the doc frame, unpivoted via stack —
+    * no windows, no dense rank, no per-checkpoint pass. */
+  def textVocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cps = Seq(64L, 128L, 256L, 512L, 1024L, 2048L, 4096L, 8192L)
+    val tok = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+    val wf = tok.groupBy($"w").agg(min($"doc_id").as("first_doc"))
+    val vocab = wf.selectExpr(
+      cps.map(cp => s"CAST(count(CASE WHEN first_doc < $cp THEN 1 END) AS BIGINT) AS c$cp"): _*)
+      .selectExpr(s"stack(${cps.length}, ${cps.map(cp => s"${cp}L, c$cp").mkString(", ")}) AS (checkpoint, vocab)")
+    val toks = tok.selectExpr(
+      cps.map(cp => s"CAST(count(CASE WHEN doc_id < $cp THEN 1 END) AS BIGINT) AS c$cp"): _*)
+      .selectExpr(s"stack(${cps.length}, ${cps.map(cp => s"${cp}L, c$cp").mkString(", ")}) AS (checkpoint, n_tokens)")
+    val docs = Tables.documents(spark, dir).selectExpr(
+      cps.map(cp => s"CAST(count(CASE WHEN doc_id < $cp THEN 1 END) AS BIGINT) AS c$cp"): _*)
+      .selectExpr(s"stack(${cps.length}, ${cps.map(cp => s"${cp}L, c$cp").mkString(", ")}) AS (checkpoint, n_docs)")
+    docs.join(toks, Seq("checkpoint")).join(vocab, Seq("checkpoint"))
+      .select($"checkpoint", $"n_docs", $"n_tokens", $"vocab")
+      .orderBy($"checkpoint")
+  }
+
+  /** RAKE keyword extraction (Rose et al. 2010) — the unsupervised
+    * keyphrase scorer run before any embedding-based ranker exists:
+    * each document splits into candidate phrases at the stopword
+    * delimiters {'the', 'a'} (the fixture vocabulary's two function
+    * words), every word scores deg/freq WITHIN its document (deg =
+    * Σ length of the phrases it appears in — co-occurrence degree
+    * including self; freq = occurrence count) in 2²⁰ truncating fixed
+    * point, a phrase scores the sum of its members' scores (with
+    * multiplicity), and the top-3 phrases per document emit with
+    * (score DESC, first-position) determinism. Phrase text is
+    * reconstructed by the sorted-fold idiom (behavior_sequence_match).
+    *
+    * Scale shape: everything is doc-partitioned — tokenize, one
+    * cumulative-stopword window for phrase ids, one per-(doc, phrase)
+    * count window, a (doc, word) co-partitioned stats join back, and
+    * a per-doc top-3 window. No corpus-global state at all: the key
+    * parallelizes by document exactly like the quality gates. */
+  def textRakeKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos0", "w")))
+      .select($"doc_id", ($"pos0" + 1).cast("long").as("pos"), $"w",
+        when($"w".isin("the", "a"), 1L).otherwise(0L).as("stop"))
+    val wCum = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nonstop = tok
+      .withColumn("ph", sum($"stop").over(wCum))
+      .filter($"stop" === 0)
+    val withLen = nonstop.withColumn("plen",
+      count(lit(1)).over(Window.partitionBy($"doc_id", $"ph")))
+    val wstat = withLen.groupBy($"doc_id", $"w")
+      .agg(count(lit(1)).as("freq"), sum($"plen").as("deg"))
+      .withColumn("wscore", expr("(deg * 1048576) div freq"))
+    val phrases = withLen
+      .join(wstat.select($"doc_id", $"w", $"wscore"), Seq("doc_id", "w"))
+      .groupBy($"doc_id", $"ph")
+      .agg(sum($"wscore").as("score_fp"),
+        count(lit(1)).as("n_words"),
+        min($"pos").as("phrase_start"),
+        expr("array_join(transform(sort_array(collect_list(" +
+          "struct(pos, w))), x -> x.w), ' ')").as("phrase"))
+    val wTop = Window.partitionBy($"doc_id")
+      .orderBy($"score_fp".desc, $"phrase_start")
+    phrases
+      .withColumn("phrase_rank", row_number().over(wTop).cast("long"))
+      .filter($"phrase_rank" <= 3)
+      .select($"doc_id", $"phrase_rank", $"phrase", $"n_words",
+        $"phrase_start", $"score_fp")
+      .orderBy($"doc_id", $"phrase_rank")
+  }
+
   def textStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
@@ -1194,6 +1281,8 @@ object LlmOps {
     "simsearch_cosine_topk" -> (simsearchCosineTopk(_, _)),
     "simsearch_label_centroid" -> (simsearchLabelCentroid(_, _)),
     "text_stats" -> (textStats(_, _)),
+    "text_rake_keywords" -> (textRakeKeywords(_, _)),
+    "text_vocab_growth" -> (textVocabGrowth(_, _)),
     "text_quality_filter" -> (textQualityFilter(_, _)),
     "multimodal_join" -> (multimodalJoin(_, _)),
     "ngram_generate" -> (ngramGenerate(_, _)),
@@ -1678,6 +1767,63 @@ object LlmOps {
         |           FROM embeddings)
         |SELECT label, pos, CAST(sum(fx) AS DOUBLE) / 1099511627776.0 / count(*) AS centroid
         |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    // same first-seen / prefix-count algebra; the oracle may cross the
+    // tiny checkpoint dim where the engine uses one conditional agg
+    "text_vocab_growth" ->
+      """WITH cps AS (SELECT * FROM (VALUES (64), (128), (256), (512),
+        |    (1024), (2048), (4096), (8192)) AS t(cp)),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tok2 AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+        |wf AS (SELECT w, min(doc_id) AS first_doc FROM tok2 GROUP BY 1),
+        |v AS (SELECT cp, CAST(count(CASE WHEN first_doc < cp THEN 1 END)
+        |    AS BIGINT) AS vocab
+        |  FROM wf CROSS JOIN cps GROUP BY cp),
+        |tk AS (SELECT cp, CAST(count(CASE WHEN doc_id < cp THEN 1 END)
+        |    AS BIGINT) AS n_tokens
+        |  FROM tok2 CROSS JOIN cps GROUP BY cp),
+        |d AS (SELECT cp, CAST(count(CASE WHEN doc_id < cp THEN 1 END)
+        |    AS BIGINT) AS n_docs
+        |  FROM documents CROSS JOIN cps GROUP BY cp)
+        |SELECT CAST(d.cp AS BIGINT) AS checkpoint, d.n_docs, tk.n_tokens,
+        |  v.vocab
+        |FROM d JOIN tk ON d.cp = tk.cp JOIN v ON d.cp = v.cp
+        |ORDER BY checkpoint""".stripMargin,
+    // the same doc-partitioned phrase split / deg-over-freq chain; the
+    // ordered string_agg replays Spark's sorted fold
+    "text_rake_keywords" ->
+      """WITH tok AS (SELECT doc_id,
+        |    CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT)
+        |      AS pos,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, pos, w,
+        |    CASE WHEN w IN ('the', 'a') THEN 1 ELSE 0 END AS stop FROM tok),
+        |cum AS (SELECT doc_id, pos, w, stop,
+        |    sum(stop) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+        |  FROM t2),
+        |ns AS (SELECT doc_id, pos, w, ph FROM cum WHERE stop = 0),
+        |wl AS (SELECT doc_id, pos, w, ph,
+        |    count(*) OVER (PARTITION BY doc_id, ph) AS plen FROM ns),
+        |ws AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(plen) AS BIGINT) AS deg
+        |  FROM wl GROUP BY 1, 2),
+        |ws2 AS (SELECT doc_id, w, (deg * 1048576) // freq AS wscore FROM ws),
+        |phr AS (SELECT wl.doc_id, wl.ph,
+        |    CAST(sum(ws2.wscore) AS BIGINT) AS score_fp,
+        |    CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(min(wl.pos) AS BIGINT) AS phrase_start,
+        |    string_agg(wl.w, ' ' ORDER BY wl.pos) AS phrase
+        |  FROM wl JOIN ws2 ON wl.doc_id = ws2.doc_id AND wl.w = ws2.w
+        |  GROUP BY 1, 2),
+        |r AS (SELECT doc_id, phrase, n_words, phrase_start, score_fp,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score_fp DESC, phrase_start) AS BIGINT) AS phrase_rank
+        |  FROM phr)
+        |SELECT doc_id, phrase_rank, phrase, n_words, phrase_start, score_fp
+        |FROM r WHERE phrase_rank <= 3
+        |ORDER BY doc_id, phrase_rank""".stripMargin,
     "text_stats" ->
       """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
         |tok AS (SELECT lang, count(*) AS n_tokens, count(DISTINCT w) AS n_distinct

@@ -725,6 +725,80 @@ object Multimodal {
     * are 256× that) against broadcast LUTs; top-k per query by
     * (score desc, vec_id). At 100 TB this composes with the IVF
     * cells: probe cells first, ADC-score only their members. */
+  /** GREEDY ROUTING over a k-NN proximity graph — the navigation
+    * primitive graph-based ANN indexes (HNSW layer 0 / NSW) serve
+    * from, completing the family's third index geometry next to the
+    * partition-based IVF(+PQ) and hash-based LSH tiers: an offline
+    * index step builds the exact k = 4 out-neighbor graph over the
+    * vec_id % 4 base sample; every query enters at the GLOBAL fixed
+    * entry point (min base id) and takes two greedy hops, each moving
+    * to the best-scoring node among {current} ∪ out-neighbors — score
+    * monotonicity is structural (the current node is always a
+    * candidate; StatsSpec law). The exact brute-force best over the
+    * base rides along, so each row is a SELF-GRADING recall receipt
+    * (found = routed endpoint ≡ exact argmax). Scores are
+    * round-6 cosines packed to micro-units (the dedup floor-pack
+    * idiom) so the whole row is BIGINT.
+    *
+    * Scale shape: the graph build is the documented offline-index
+    * step (base² scoring at fixture scale — at 100 TB the candidate
+    * generation swaps to the IVF/LSH tiers, the routing is unchanged);
+    * routing itself touches |hops|·k candidates per query — the
+    * logarithmic-search promise graph indexes exist for — via
+    * broadcast-size joins on the 4-edge-per-node frame. */
+  def simsearchGraphGreedy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorOps.registerAll(spark)
+    def pack(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(round(c, 6) * 1e6 + 0.5).cast("long")
+    val e = Tables.embeddings(spark, dir)
+    val base = e.filter($"vec_id" % 4 === 0)
+      .select($"vec_id".as("b_id"), $"embedding".as("be"))
+    val pairs = base.crossJoin(broadcast(
+        base.select($"b_id".as("c_id"), $"be".as("ce"))))
+      .filter($"b_id" =!= $"c_id")
+      .select($"b_id", $"c_id",
+        pack(expr("cosine_similarity(be, ce)")).as("s"))
+    val edges = graft.PlanOnly.mark(pairs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"b_id").orderBy($"s".desc, $"c_id")))
+      .filter($"rn" <= 4).select($"b_id".as("src"), $"c_id".as("dst")))
+    val withVec = edges.join(base.select($"b_id".as("dst"), $"be".as("de")), Seq("dst"))
+    val entry = base.orderBy($"b_id").limit(1)
+      .select($"b_id".as("e_id"), $"be".as("ee"))
+    val q = e.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("qe"))
+    val h0 = q.crossJoin(broadcast(entry))
+      .select($"q_id", $"qe", $"e_id".as("cur"),
+        pack(expr("cosine_similarity(qe, ee)")).as("cs"))
+    def hop(h: DataFrame): DataFrame = {
+      val cand = h.join(broadcast(withVec).withColumnRenamed("src", "cur"), Seq("cur"))
+        .select($"q_id", $"qe", $"dst".as("cur"),
+          pack(expr("cosine_similarity(qe, de)")).as("cs"))
+        .unionAll(h.select($"q_id", $"qe", $"cur", $"cs"))
+      cand.withColumn("rn", row_number().over(
+          Window.partitionBy($"q_id").orderBy($"cs".desc, $"cur")))
+        .filter($"rn" === 1).drop("rn")
+    }
+    val h1 = hop(h0)
+    val h2 = hop(h1)
+    val exact = q.crossJoin(broadcast(base))
+      .select($"q_id", $"b_id", pack(expr("cosine_similarity(qe, be)")).as("bs"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"bs".desc, $"b_id")))
+      .filter($"rn" === 1)
+      .select($"q_id", $"b_id".as("best_id"), $"bs".as("best_s"))
+    h0.select($"q_id", $"cur".as("entry_id"), $"cs".as("s0"))
+      .join(h1.select($"q_id", $"cur".as("n1"), $"cs".as("s1")), Seq("q_id"))
+      .join(h2.select($"q_id", $"cur".as("n2"), $"cs".as("s2")), Seq("q_id"))
+      .join(exact, Seq("q_id"))
+      .select($"q_id", $"entry_id", $"s0", $"n1", $"s1", $"n2", $"s2",
+        $"best_id", $"best_s",
+        when($"n2" === $"best_id", 1L).otherwise(0L).as("found"))
+      .orderBy($"q_id")
+  }
+
   def simsearchPqTopk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -1272,6 +1346,139 @@ object Multimodal {
       .orderBy($"source")
   }
 
+  /** Two POWER-ITERATION steps toward the top principal direction of
+    * the embedding corpus (von Mises iteration over the uncentered
+    * second-moment matrix — the PCA/spectral primitive behind
+    * dimensionality choice and whitening): vectors quantize to
+    * q = ⌊x·2¹⁶⌋ (the eval_ann_recall idiom), the 64×64 Gram
+    * G = Σ q qᵀ accumulates exactly in BIGINT, and each iterate
+    * v ← G·v re-normalizes by MAX-norm in 2²⁰ fixed point — one
+    * truncating division per component, no square root needed (the
+    * max-norm is the classic sqrt-free power-method scaling). Both
+    * iterates are emitted next to G's diagonal so the hash certifies
+    * the matvec chain; the second matvec's products ride
+    * DECIMAL(38,0) ⟷ HUGEINT (g·v ≈ 10¹⁹ passes 2⁶³).
+    *
+    * Scale shape: the Gram is the one data-touching pass — a per-row
+    * d² outer-product flatMap collapsing map-side to d² cells (the
+    * distributed-PCA shape; never an |n|×|n| anything); each matvec
+    * joins the 4096-cell G against a broadcast 64-row vector. */
+  def mlPcaPowerIter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // per-row d² outer product as ONE projection — no self-join, no
+    // fact-grain shuffle; the (i, j) cells partial-aggregate map-side
+    val cells = Tables.embeddings(spark, dir)
+      .select(expr("transform(embedding, x -> CAST(floor(x * 65536) AS BIGINT))")
+        .as("q"))
+      .select(explode(expr(
+        "flatten(transform(q, (qi, i) -> transform(q, (qj, j) -> " +
+          "named_struct('i', i, 'j', j, 'p', qi * qj))))")).as("c"))
+      .select($"c.i".as("i"), $"c.j".as("j"), $"c.p".as("p"))
+    val g = graft.PlanOnly.mark(
+      cells.groupBy($"i", $"j").agg(sum($"p").as("g")))
+    // v0 = 1⃗ : first matvec is the row sum; max-norm renormalize
+    val v1 = g.groupBy($"i").agg(sum($"g").as("v"))
+    val m1 = v1.agg(max(abs($"v")).as("m"))
+    val v1n = v1.crossJoin(broadcast(m1))
+      .select($"i", expr("(CAST(v AS DECIMAL(38,0)) * 1048576) div m").as("vn"))
+    val v2 = g.join(broadcast(v1n.withColumnRenamed("i", "j")), Seq("j"))
+      .groupBy($"i")
+      .agg(sum(expr("CAST(g AS DECIMAL(38,0)) * vn")).as("v"))
+    val m2 = v2.agg(max(abs($"v")).as("m"))
+    val v2n = v2.crossJoin(broadcast(m2))
+      .select($"i", expr("CAST((v * 1048576) div m AS BIGINT)").as("vn2"))
+    g.filter($"i" === $"j")
+      .select($"i".cast("long").as("dim"), $"g".as("g_diag"))
+      .join(v1n.select($"i".cast("long").as("dim"), $"vn".as("v1_fp")), Seq("dim"))
+      .join(v2n.select($"i".cast("long").as("dim"), $"vn2".as("v2_fp")), Seq("dim"))
+      .orderBy($"dim")
+  }
+
+  /** Two BATCH-PERCEPTRON steps (Rosenblatt 1958) on a linear
+    * language-ID classifier — the distributed-training inner loop at
+    * the dimensionality where every quantity stays an exact integer:
+    * features x = (n_chars, n_tokens, 1), label y = ±1 (lang = 'en'),
+    * w₀ = 0. Each step aggregates Σ y·x over the CURRENTLY
+    * misclassified rows (margin y·(w·x) ≤ 0 — at w₀ that is everyone,
+    * the classic first step) and adds it to w. No division, no
+    * learning-rate float — the perceptron update is pure integer
+    * sums, so the chain is cross-engine exact and BOTH iterates are
+    * emitted (the ml_bradley_terry_step posture: grade the update
+    * CHAIN, not one state).
+    *
+    * Scale shape: each step is ONE map-side-combinable aggregate over
+    * the corpus with the previous w broadcast (a 1-row scalar
+    * injection) — the data-parallel gradient shape every distributed
+    * trainer runs; nothing entity-grain ever shuffles. */
+  def mlPerceptronStep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val f = Tables.documents(spark, dir)
+      .select($"doc_id",
+        when($"lang" === "en", 1L).otherwise(-1L).as("y"),
+        $"n_chars".as("x1"),
+        expr("CAST(length(text) - length(replace(text, ' ', '')) + 1 " +
+          "AS BIGINT)").as("x2"))
+    // step 1: w = 0 — every margin is 0 ≤ 0, all rows update
+    val s1 = f.agg(count(lit(1)).as("n_mis"),
+      sum($"y" * $"x1").as("w_chars"), sum($"y" * $"x2").as("w_tokens"),
+      sum($"y").as("bias"))
+    val s2 = f.crossJoin(broadcast(s1.select($"w_chars".as("pw1"),
+        $"w_tokens".as("pw2"), $"bias".as("pb"))))
+      .withColumn("mis",
+        when($"y" * ($"pw1" * $"x1" + $"pw2" * $"x2" + $"pb") <= 0, 1L)
+          .otherwise(0L))
+      .agg(sum($"mis").as("n_mis"),
+        (max($"pw1") + coalesce(sum(when($"mis" === 1, $"y" * $"x1")), lit(0L)))
+          .as("w_chars"),
+        (max($"pw2") + coalesce(sum(when($"mis" === 1, $"y" * $"x2")), lit(0L)))
+          .as("w_tokens"),
+        (max($"pb") + coalesce(sum(when($"mis" === 1, $"y")), lit(0L)))
+          .as("bias"))
+    s1.select(lit(1L).as("step"), $"n_mis", $"w_chars", $"w_tokens", $"bias")
+      .unionAll(s2.select(lit(2L).as("step"), $"n_mis", $"w_chars",
+        $"w_tokens", $"bias"))
+      .orderBy($"step")
+  }
+
+  /** Exact AVERAGE PRECISION per document source — the PR-curve summary
+    * reported next to ROC-AUC ([[evalAucExact]]: AUC prices pairwise
+    * ranking, AP weights the head of the list the way retrieval users
+    * experience it). Same crude ranker (score = n_chars, label =
+    * lang = 'en'); documents rank by (score DESC, doc_id) — a TOTAL
+    * order, so ties cost determinism nothing — and AP is the mean of
+    * precision@k over the positive ranks. Each precision@k is one
+    * truncating division pos_cum·2²⁰ div k and AP their truncating
+    * mean — the floor-mean fixed-point contract both engines replay
+    * verbatim (the quality_bigram_coherence posture). Sources with no
+    * positive emit the −1 sentinel.
+    *
+    * Scale shape: ranking is a per-source window at document grain —
+    * the eval-frame shape (rankings are per-source/per-query bounded,
+    * never corpus-global); the per-positive terms collapse map-side to
+    * one row per source before the final join onto the source census. */
+  def evalAveragePrecision(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d0 = Tables.documents(spark, dir)
+      .select(coalesce($"source", lit("(none)")).as("source"), $"doc_id",
+        $"n_chars", when($"lang" === "en", 1L).otherwise(0L).as("pos"))
+    val w = Window.partitionBy($"source").orderBy($"n_chars".desc, $"doc_id")
+    val terms = d0
+      .withColumn("k", row_number().over(w))
+      .withColumn("pos_cum", sum($"pos").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter($"pos" === 1)
+      .groupBy($"source")
+      .agg(sum(expr("(pos_cum * 1048576) div k")).as("sp"))
+    d0.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"pos").as("n_pos"))
+      .join(terms, Seq("source"), "left")
+      .select($"source", $"n_docs", $"n_pos",
+        when($"n_pos" === 0, -1L)
+          .otherwise(expr("sp div n_pos")).as("ap_fp"))
+      .orderBy($"source")
+  }
+
   /** k-NN classification over the embedding corpus — the label-vote
     * consumer of the cosine top-k machinery: every 50th vector is a
     * query, its 5 nearest neighbors (by the native codegen'd
@@ -1528,6 +1735,10 @@ object Multimodal {
     "ml_knn_classify" -> (mlKnnClassify(_, _)),
     "ml_decision_stump" -> (mlDecisionStump(_, _)),
     "eval_auc_exact" -> (evalAucExact(_, _)),
+    "eval_average_precision" -> (evalAveragePrecision(_, _)),
+    "ml_perceptron_step" -> (mlPerceptronStep(_, _)),
+    "ml_pca_power_iter" -> (mlPcaPowerIter(_, _)),
+    "simsearch_graph_greedy" -> (simsearchGraphGreedy(_, _)),
     "ml_linreg_sufficient" -> (mlLinregSufficient(_, _)),
     "ml_als_1d_step" -> (mlAls1dStep(_, _)),
     "ml_gbdt_stump_boost" -> (mlGbdtStumpBoost(_, _)),
@@ -1747,6 +1958,144 @@ object Multimodal {
         |    AND threshold = (SELECT bthr FROM bt) THEN 1 ELSE 0 END
         |    AS BIGINT) AS is_best
         |FROM g ORDER BY threshold""".stripMargin,
+    // the routing chain replayed against a precomputed query×base
+    // score table (the oracle may materialize what the engine scores
+    // on demand); same round-6 micro-unit packing everywhere
+    "simsearch_graph_greedy" ->
+      """WITH base AS (SELECT vec_id AS b_id,
+        |    CAST(embedding AS DOUBLE[]) AS be
+        |  FROM embeddings WHERE vec_id % 4 = 0),
+        |qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |pairs AS (SELECT a.b_id, b.b_id AS c_id,
+        |    CAST(floor(round(list_dot_product(a.be, b.be) /
+        |      (sqrt(list_dot_product(a.be, a.be)) *
+        |       sqrt(list_dot_product(b.be, b.be))), 6) * 1000000 + 0.5)
+        |      AS BIGINT) AS s
+        |  FROM base a, base b WHERE a.b_id <> b.b_id),
+        |edges AS (SELECT b_id AS src, c_id AS dst FROM (
+        |    SELECT b_id, c_id, row_number() OVER (PARTITION BY b_id
+        |      ORDER BY s DESC, c_id) AS rn FROM pairs)
+        |  WHERE rn <= 4),
+        |qscore AS (SELECT q.q_id, b.b_id,
+        |    CAST(floor(round(list_dot_product(q.qe, b.be) /
+        |      (sqrt(list_dot_product(q.qe, q.qe)) *
+        |       sqrt(list_dot_product(b.be, b.be))), 6) * 1000000 + 0.5)
+        |      AS BIGINT) AS s
+        |  FROM qs q, base b),
+        |entry AS (SELECT min(b_id) AS e_id FROM base),
+        |h0 AS (SELECT q_id, b_id AS entry_id, s AS s0 FROM qscore
+        |  WHERE b_id = (SELECT e_id FROM entry)),
+        |c1 AS (SELECT e_id AS node FROM entry
+        |  UNION ALL SELECT e.dst FROM edges e JOIN entry ON e.src = entry.e_id),
+        |h1 AS (SELECT q_id, b_id AS n1, s AS s1 FROM (
+        |    SELECT qsc.q_id, qsc.b_id, qsc.s,
+        |      row_number() OVER (PARTITION BY qsc.q_id
+        |        ORDER BY qsc.s DESC, qsc.b_id) AS rn
+        |    FROM qscore qsc JOIN c1 ON qsc.b_id = c1.node)
+        |  WHERE rn = 1),
+        |c2 AS (SELECT q_id, n1 AS node FROM h1
+        |  UNION ALL SELECT h1.q_id, e.dst FROM h1
+        |    JOIN edges e ON e.src = h1.n1),
+        |h2 AS (SELECT q_id, b_id AS n2, s AS s2 FROM (
+        |    SELECT qsc.q_id, qsc.b_id, qsc.s,
+        |      row_number() OVER (PARTITION BY qsc.q_id
+        |        ORDER BY qsc.s DESC, qsc.b_id) AS rn
+        |    FROM qscore qsc JOIN c2 ON qsc.q_id = c2.q_id
+        |      AND qsc.b_id = c2.node)
+        |  WHERE rn = 1),
+        |ex AS (SELECT q_id, b_id AS best_id, s AS best_s FROM (
+        |    SELECT q_id, b_id, s, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY s DESC, b_id) AS rn FROM qscore)
+        |  WHERE rn = 1)
+        |SELECT h0.q_id, h0.entry_id, h0.s0, h1.n1, h1.s1, h2.n2, h2.s2,
+        |  ex.best_id, ex.best_s,
+        |  CAST(CASE WHEN h2.n2 = ex.best_id THEN 1 ELSE 0 END AS BIGINT)
+        |    AS found
+        |FROM h0 JOIN h1 ON h0.q_id = h1.q_id
+        |JOIN h2 ON h0.q_id = h2.q_id
+        |JOIN ex ON h0.q_id = ex.q_id
+        |ORDER BY h0.q_id""".stripMargin,
+    // the same two integer-exact update steps; step 1's margin is
+    // identically 0 at w = 0 so every row updates on both engines
+    "ml_perceptron_step" ->
+      """WITH f AS (SELECT doc_id,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+        |    n_chars AS x1,
+        |    length(text) - length(replace(text, ' ', '')) + 1 AS x2
+        |  FROM documents),
+        |s1 AS (SELECT CAST(count(*) AS BIGINT) AS n_mis,
+        |    CAST(sum(y * x1) AS BIGINT) AS w_chars,
+        |    CAST(sum(y * x2) AS BIGINT) AS w_tokens,
+        |    CAST(sum(y) AS BIGINT) AS bias
+        |  FROM f),
+        |s2 AS (SELECT
+        |    CAST(sum(CASE WHEN y * (s1.w_chars * x1 + s1.w_tokens * x2
+        |        + s1.bias) <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mis,
+        |    CAST(s1.w_chars + coalesce(sum(CASE WHEN y * (s1.w_chars * x1
+        |        + s1.w_tokens * x2 + s1.bias) <= 0 THEN y * x1 END), 0)
+        |      AS BIGINT) AS w_chars,
+        |    CAST(s1.w_tokens + coalesce(sum(CASE WHEN y * (s1.w_chars * x1
+        |        + s1.w_tokens * x2 + s1.bias) <= 0 THEN y * x2 END), 0)
+        |      AS BIGINT) AS w_tokens,
+        |    CAST(s1.bias + coalesce(sum(CASE WHEN y * (s1.w_chars * x1
+        |        + s1.w_tokens * x2 + s1.bias) <= 0 THEN y END), 0)
+        |      AS BIGINT) AS bias
+        |  FROM f CROSS JOIN s1
+        |  GROUP BY s1.w_chars, s1.w_tokens, s1.bias)
+        |SELECT CAST(1 AS BIGINT) AS step, n_mis, w_chars, w_tokens, bias
+        |FROM s1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS step, n_mis, w_chars, w_tokens, bias
+        |FROM s2 ORDER BY step""".stripMargin,
+    // Gram/matvec chain replayed; the oracle may self-join at element
+    // grain (the graded side builds G as a per-row projection), and
+    // the second matvec rides HUGEINT ⟷ DECIMAL(38,0)
+    "ml_pca_power_iter" ->
+      """WITH e AS (SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) AS BIGINT) - 1 AS i,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 65536.0)
+        |      AS BIGINT) AS q
+        |  FROM embeddings),
+        |g AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS g
+        |  FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        |v1 AS (SELECT i, CAST(sum(g) AS BIGINT) AS v FROM g GROUP BY i),
+        |m1 AS (SELECT max(abs(v)) AS m FROM v1),
+        |v1n AS (SELECT i, (CAST(v AS HUGEINT) * 1048576) // m AS vn
+        |  FROM v1, m1),
+        |v2 AS (SELECT g.i, sum(CAST(g.g AS HUGEINT) * v1n.vn) AS v
+        |  FROM g JOIN v1n ON g.j = v1n.i GROUP BY g.i),
+        |m2 AS (SELECT max(abs(v)) AS m FROM v2),
+        |v2n AS (SELECT i, CAST((v * 1048576) // m AS BIGINT) AS vn2
+        |  FROM v2, m2)
+        |SELECT g.i AS dim, g.g AS g_diag, CAST(v1n.vn AS BIGINT) AS v1_fp,
+        |  v2n.vn2 AS v2_fp
+        |FROM g JOIN v1n ON g.i = v1n.i JOIN v2n ON g.i = v2n.i
+        |WHERE g.i = g.j
+        |ORDER BY dim""".stripMargin,
+    // same (score DESC, doc_id) total order; precision@k and the AP
+    // mean are the same truncating fixed-point divisions on both sides
+    "eval_average_precision" ->
+      """WITH d0 AS (SELECT coalesce(source, '(none)') AS source, doc_id,
+        |    n_chars, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |r AS (SELECT source, pos,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS k,
+        |    sum(pos) OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pos_cum
+        |  FROM d0),
+        |t AS (SELECT source, count(*) AS n_docs, sum(pos) AS n_pos
+        |  FROM d0 GROUP BY 1),
+        |p AS (SELECT source, sum((pos_cum * 1048576) // k) AS sp
+        |  FROM r WHERE pos = 1 GROUP BY 1)
+        |SELECT t.source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_pos AS BIGINT) AS n_pos,
+        |  CAST(CASE WHEN n_pos = 0 THEN -1 ELSE sp // n_pos END AS BIGINT)
+        |    AS ap_fp
+        |FROM t LEFT JOIN p ON t.source = p.source
+        |ORDER BY t.source""".stripMargin,
     // the same pairless U: per-(source, score) histogram, negs-below
     // window, ties at half credit via the 2U integerization
     "eval_auc_exact" ->

@@ -153,6 +153,57 @@ object Relational {
       .orderBy($"day", $"event_type")
   }
 
+  /** DYNAMIC PARTITION PRUNING receipt — the third leg of the layout
+    * story (sink_partitioned_read = static directory pruning,
+    * sink_bucketed_join = shuffle elimination; this = the RUNTIME
+    * prune): the fact side is the day-partitioned event copy, the dim
+    * side a small day dimension whose predicate — days with an ODD
+    * event count — is aggregate-derived, so no static rewrite can put
+    * it on the fact scan (constraint propagation stops at the
+    * aggregate); only DPP can keep the scan from reading every
+    * partition. Spark plans a DynamicPruningExpression subquery on the
+    * fact scan's PartitionFilters (pinned in PlanRegressionSpec); at
+    * 100 TB this
+    * is the difference between scanning 3 partitions and 3 000. The
+    * graded frame is the joined per-day census, oracled by the direct
+    * filter — correctness certifies the prune dropped no row.
+    *
+    * Scale shape: dim side broadcasts; the fact scan reads only the
+    * dim's surviving day directories; the aggregate is
+    * map-side-combinable on (day, type). */
+  def scanDynamicPartitionPruning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables.events(spark, dir)
+      .select($"event_id", $"event_type", Tables.dec4($"value").as("v"),
+        Tables.nsToUs($"ts").as("ts_us"))
+      .withColumn("day", expr("ts_us div 86400000000"))
+      .drop("ts_us")
+    def shaped(fact: DataFrame, dim: DataFrame): DataFrame =
+      fact.join(broadcast(dim), Seq("day"))
+        .groupBy($"day", $"event_type")
+        .agg(count(lit(1)).as("n"),
+          (sum($"v") * 10000).cast("long").as("v_sum_4dp"))
+        .orderBy($"day", $"event_type")
+    // the dim's predicate is AGGREGATE-derived (days with an odd event
+    // count) — a constraint Catalyst cannot propagate statically onto
+    // the fact scan (InferFiltersFromConstraints stops at the
+    // aggregate), so the partition prune can ONLY happen at runtime
+    val dim = src.groupBy($"day").agg(count(lit(1)).as("c"))
+      .filter($"c" % 2 === 1).select($"day")
+    graft.PlanOnly.roundTrip(shaped(src, dim)) {
+      val tmp = dppStages.computeIfAbsent(dir, _ => {
+        val t = Tables.scratch(s"dpp_events_${dir.hashCode & Int.MaxValue}")
+        graft.sources.Sinks.writePartitioned(src, t, "day")
+        t
+      })
+      val fact = spark.read.schema(src.schema).parquet(tmp)
+        .withColumn("day", $"day".cast("long"))
+      shaped(fact, dim)
+    }
+  }
+  private val dppStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Bucketed co-located join — the other half of the 100 TB layout
     * story (sink_partitioned_read covers directory pruning; this covers
     * shuffle elimination). Both fact tables land bucketed+sorted on the
@@ -1288,6 +1339,7 @@ object Relational {
     "source_orc_roundtrip" -> (sourceOrcRoundtrip(_, _)),
     "source_jsonl_roundtrip" -> (sourceJsonlRoundtrip(_, _)),
     "sink_partitioned_read" -> (sinkPartitionedRead(_, _)),
+    "scan_dynamic_partition_pruning" -> (scanDynamicPartitionPruning(_, _)),
     "sink_bucketed_join" -> (sinkBucketedJoin(_, _)),
     "sink_corpus_layout" -> (sinkCorpusLayout(_, _)),
     "filter_grep" -> (filterGrep(_, _)),
@@ -1563,6 +1615,18 @@ object Relational {
     "source_xml_roundtrip" ->
       """SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
         |FROM part ORDER BY p_partkey""".stripMargin,
+    // the prune is the engine's job; the oracle certifies no row was
+    // dropped by replaying the aggregate-derived dim filter directly
+    "scan_dynamic_partition_pruning" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(value AS DECIMAL(18,4)) AS v,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |dim AS (SELECT day FROM (SELECT day, count(*) AS c FROM e
+        |    GROUP BY 1) WHERE c % 2 = 1)
+        |SELECT e.day, e.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v) * 10000 AS BIGINT) AS v_sum_4dp
+        |FROM e JOIN dim ON e.day = dim.day
+        |GROUP BY 1, 2 ORDER BY e.day, e.event_type""".stripMargin,
     "sink_partitioned_read" ->
       """SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, event_type,
         |  CAST(count(*) AS BIGINT) AS n,

@@ -369,6 +369,45 @@ object Timeseries {
       .as[(Long, Long, Long, Long)]
   }
 
+  /** THEIL–SEN robust trend per event type — the median-of-pairwise-
+    * slopes estimator (Theil 1950; Sen 1968) that survives the outlier
+    * days an OLS slope (ml_linreg_sufficient's shape) gets dragged by.
+    * The series is the per-(type, day) 4-dp value total; every day
+    * pair (i < j) contributes slope_fp = ⌊2²⁰·(yⱼ−yᵢ)/(dⱼ−dᵢ)⌋
+    * (negative-safe: div ⟷ // both truncate toward zero, the
+    * holt-linear precedent), and the estimate is the LOWER MEDIAN
+    * element under the total order (slope_fp, d1, d2) — fully
+    * deterministic even among equal slopes.
+    *
+    * Scale shape: the raw log collapses map-side to |types|·|days|
+    * rows; the pair grid is a self-theta-join of that TINY day frame
+    * (≈ types·days²/2 rows — days are calendar-bounded, so this never
+    * tracks data volume), and the median election is one window over
+    * it. The raw table never self-joins. */
+  def timeseriesTheilSen(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .select($"event_type", Tables.nsToUs($"ts").as("t"),
+        Tables.dec4($"value").as("v"))
+      .withColumn("day", expr("t div 86400000000"))
+      .groupBy($"event_type", $"day")
+      .agg((sum($"v") * 10000).cast("long").as("y"))
+    val a = daily.select($"event_type", $"day".as("d1"), $"y".as("y1"))
+    val b = daily.select($"event_type".as("et2"), $"day".as("d2"), $"y".as("y2"))
+    val slopes = a.join(b, $"event_type" === $"et2" && $"d1" < $"d2")
+      .select($"event_type", $"d1", $"d2",
+        expr("((y2 - y1) * 1048576) div (d2 - d1)").as("slope_fp"))
+    val wMed = Window.partitionBy($"event_type")
+      .orderBy($"slope_fp", $"d1", $"d2")
+    val wCnt = Window.partitionBy($"event_type")
+    slopes
+      .withColumn("rn", row_number().over(wMed))
+      .withColumn("n_pairs", count(lit(1)).over(wCnt))
+      .filter($"rn" === expr("(n_pairs + 1) div 2"))
+      .select($"event_type", $"n_pairs", $"slope_fp".as("theil_sen_fp"))
+      .orderBy($"event_type")
+  }
+
   /** Holt's linear (double-exponential) smoothing per user — the
     * level+trend extension of [[timeseriesEwmaFixed]], α = β = 1/4 in
     * the same BIGINT value·10⁴ fixed point: lᵢ = ⌊(vᵢ + 3(lᵢ₋₁ +
@@ -402,6 +441,44 @@ object Timeseries {
         }
       }
     }.toDF("user_id", "n_events", "level_fp", "trend_fp", "forecast_fp")
+      .orderBy($"user_id")
+  }
+
+  /** Fixed-gain ALPHA–BETA tracking filter per user (the steady-state
+    * Kalman filter every embedded tracker ships; Benedict–Bordner) —
+    * position+velocity state over the index-stepped value series with
+    * the binary-shift gains α = 1/4, β = 1/16: pred = x + vel,
+    * r = vᵢ − pred, x ← pred + ⌊r/4⌋, vel ← vel + ⌊r/16⌋. The residual
+    * r is SIGNED — safe because Spark `div`, DuckDB `//` and the JVM's
+    * `/` all truncate toward zero (the holt-linear measurement). Emits
+    * the final (x, vel) registers and the one-step-ahead forecast.
+    *
+    * Same secondary-sort streaming fold as [[timeseriesEwmaFixed]]
+    * (state = two 8-byte registers per entity, one user_id shuffle);
+    * oracled by the same per-rank recursive CTE carrying (x, vel). */
+  def timeseriesKalmanAlphaBeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sortedUserSeries(spark, dir).mapPartitions { it =>
+      val buf = it.buffered
+      new Iterator[(Long, Long, Long, Long, Long)] {
+        def hasNext: Boolean = buf.hasNext
+        def next(): (Long, Long, Long, Long, Long) = {
+          val u = buf.head._1
+          var n = 0L; var x = 0L; var vel = 0L; var first = true
+          while (buf.hasNext && buf.head._1 == u) {
+            val r = buf.next(); n += 1
+            if (first) { x = r._4; vel = 0L; first = false }
+            else {
+              val pred = x + vel
+              val res = r._4 - pred
+              x = pred + res / 4
+              vel = vel + res / 16
+            }
+          }
+          (u, n, x, vel, x + vel)
+        }
+      }
+    }.toDF("user_id", "n_events", "x_fp", "vel_fp", "forecast_fp")
       .orderBy($"user_id")
   }
 
@@ -760,6 +837,8 @@ object Timeseries {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "timeseries_theil_sen" -> (timeseriesTheilSen(_, _)),
+    "timeseries_kalman_alpha_beta" -> (timeseriesKalmanAlphaBeta(_, _)),
     "timeseries_changepoint_binary" -> (timeseriesChangepointBinary(_, _)),
     "timeseries_seasonal_profile" -> (timeseriesSeasonalProfile(_, _)),
     "timeseries_downsample_triangle" -> (timeseriesDownsampleTriangle(_, _)),
@@ -781,6 +860,27 @@ object Timeseries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the same tiny day-grain pair grid; slope div ⟷ // truncate
+    // toward zero on both signs (the holt-linear measurement), and the
+    // lower-median election shares the (slope, d1, d2) total order
+    "timeseries_theil_sen" ->
+      """WITH e0 AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |d AS (SELECT event_type, day, CAST(sum(v) * 10000 AS BIGINT) AS y
+        |  FROM e0 GROUP BY 1, 2),
+        |s AS (SELECT a.event_type, a.day AS d1, b.day AS d2,
+        |    ((b.y - a.y) * 1048576) // (b.day - a.day) AS slope_fp
+        |  FROM d a JOIN d b
+        |    ON a.event_type = b.event_type AND a.day < b.day),
+        |r AS (SELECT event_type, slope_fp,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY slope_fp, d1, d2) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n_pairs
+        |  FROM s)
+        |SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CAST(slope_fp AS BIGINT) AS theil_sen_fp
+        |FROM r WHERE rn = (n_pairs + 1) // 2
+        |ORDER BY event_type""".stripMargin,
     // same (type, weekday) grid; means and the seasonal index are
     // truncating BIGINT divisions of the 4-dp sums on both engines
     // the same prefix-sum election replayed, HUGEINT for the squares
@@ -972,6 +1072,30 @@ object Timeseries {
         |ORDER BY user_id""".stripMargin,
     // the ordered fold replayed as a per-rank recursive CTE: rank 1
     // seeds s = v, rank k joins rank k−1 carrying s = (v + 3·s)//4
+    // the same per-rank recursive replay carrying BOTH registers; all
+    // three division sites truncate toward zero on either sign
+    "timeseries_kalman_alpha_beta" ->
+      """WITH RECURSIVE e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v_fp
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT user_id, event_id, t, v_fp,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM e),
+        |f AS (
+        |  SELECT user_id, rn, n, v_fp AS x, CAST(0 AS BIGINT) AS vel
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.rn, r.n,
+        |    (f.x + f.vel) + (r.v_fp - (f.x + f.vel)) // 4,
+        |    f.vel + (r.v_fp - (f.x + f.vel)) // 16
+        |  FROM f JOIN r ON r.user_id = f.user_id AND r.rn = f.rn + 1)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+        |  CAST(x AS BIGINT) AS x_fp, CAST(vel AS BIGINT) AS vel_fp,
+        |  CAST(x + vel AS BIGINT) AS forecast_fp
+        |FROM f WHERE rn = n
+        |ORDER BY user_id""".stripMargin,
     "timeseries_ewma_fixed" ->
       """WITH RECURSIVE e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
         |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v_fp

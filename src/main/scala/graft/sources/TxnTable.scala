@@ -454,6 +454,26 @@ object TxnTable {
       s".tmp_v$version.full.json", checkpointPath(table, version), body)
   }
 
+  /** One history row per committed version — the DESCRIBE HISTORY
+    * metadata table every log-based format exposes: the resolved
+    * snapshot's live data-file and delete-file counts, whether the
+    * installed manifest was a DELTA, and the delta's add/remove action
+    * counts (for a self-contained manifest, adds = the full entry
+    * list, removes = 0). O(versions × chain) manifest parses — log
+    * metadata only, no data I/O. */
+  def history(spark: SparkSession, table: String)
+      : Seq[(Int, Int, Int, Boolean, Int, Int)] =
+    versions(spark, table).map { v =>
+      val s = snapshotAt(spark, table, v)
+      val body = manifestBody(spark, table, v)
+      val isDelta = body.contains("\"delta\":true")
+      val (adds, removes) =
+        if (isDelta) (parseEntries(arraySlice(body, "adds")).size,
+          parsePaths(arraySlice(body, "removes")).size)
+        else (s.entries.size, 0)
+      (v, s.entries.size, s.deletes.size, isDelta, adds, removes)
+    }
+
   /** The entry list of a file-level version — the scan-planning input:
     * stats-based data skipping filters THIS (driver-side, O(files)
     * metadata) before any data is read. */

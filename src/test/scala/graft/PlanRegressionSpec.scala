@@ -507,7 +507,16 @@ class PlanRegressionSpec extends SparkSuite {
       // grid crosses the CONSTANT |nations| dim (25) with the probe
       // keys — fan-out |nations|, not quadratic
       "graph_kcore_peel", "ml_gbdt_stump_boost",
-      "ml_isotonic_calibration", "agg_bloom_replayable")
+      "ml_isotonic_calibration", "agg_bloom_replayable",
+      // round-14: profile_tv_drift's dense grid crosses two BOUNDED
+      // dims (weeks × types — the report_dense_grid shape);
+      // agg_kmv_replayable / ml_perceptron_step / ml_pca_power_iter
+      // ride 1-row scalar broadcasts (sketch summaries, the previous
+      // w, the max-norm); simsearch_graph_greedy's builds are the
+      // documented offline-index step (base sample × base sample) and
+      // its routing crosses constant entry/edge frames — fan-out k
+      "profile_tv_drift", "agg_kmv_replayable", "ml_perceptron_step",
+      "ml_pca_power_iter", "simsearch_graph_greedy")
     val offenders = SparkEntry.queries.keys.filterNot(allowed)
       .filter(n => n != "source_csv_roundtrip" && plan(n).contains("BroadcastNestedLoopJoin"))
     assert(offenders.isEmpty, s"unexpected nested-loop joins: $offenders")

@@ -1,0 +1,253 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Aggregations, Analytics, Behavioral, Multimodal, Stats, Timeseries}
+
+/** Invariants for the round-14 batch: statistical screens (KS, χ²,
+  * TV drift), Theil–Sen, KMV set algebra, attribution exactness, the
+  * perceptron/PCA chains, and RAKE structure. Oracle hash-parity is
+  * the driver's job; these pin what the oracle can't express. */
+class StatsSpec extends SparkSuite {
+
+  test("behavior_multitouch_attribution: per-journey credit sums to exactly one million") {
+    val rows = Behavioral.behaviorMultitouchAttribution(spark, sf0001)
+      .groupBy(col("purchase_event_id"))
+      .agg(sum(col("credit_ppm")).as("s"), max(col("n_touches")).as("n"),
+        count(lit(1)).as("cnt"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) === 1000000L,
+        s"journey ${r.getLong(0)} credit sums to ${r.getLong(1)}")
+      assert(r.getLong(2) === r.getLong(3), "n_touches must equal the journey row count")
+    }
+  }
+
+  test("behavior_multitouch_attribution: 40/20/40 positions on 3+-touch journeys") {
+    val rs = Behavioral.behaviorMultitouchAttribution(spark, sf0001)
+      .filter(col("n_touches") >= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rs.nonEmpty, "sf0.001 has 3+-touch journeys")
+    rs.foreach { case (j, rank, n, credit) =>
+      if (rank == 1L || rank == n) assert(credit === 400000L, s"journey $j rank $rank")
+      else assert(credit >= 200000L / (n - 2) && credit <= 200000L / (n - 2) + 200000L % (n - 2),
+        s"journey $j middle credit $credit outside the split band")
+    }
+  }
+
+  test("agg_kmv_replayable: set algebra and estimate band") {
+    val r = Aggregations.aggKmvReplayable(spark, sf01).collect().head
+    val m = r.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> r.getLong(i) }.toMap
+    // inclusion–exclusion on the exact audit columns
+    assert(m("exact_a") + m("exact_b") === m("exact_union") + m("exact_inter"))
+    // the union sample's k-th smallest can't exceed either side's
+    assert(m("theta_u") <= math.min(m("theta_a"), m("theta_b")))
+    assert(m("rho") <= m("k"))
+    // 1/sqrt(64) = 12.5% design sigma; allow 4 sigma at sf0.1
+    Seq(("est_a", "exact_a"), ("est_b", "exact_b"), ("est_union", "exact_union"))
+      .foreach { case (e, x) =>
+        val (est, exact) = (m(e).toDouble, m(x).toDouble)
+        assert(math.abs(est - exact) / exact < 0.5, s"$e=$est vs $x=$exact")
+      }
+  }
+
+  test("profile_ks_distance: D is a normalized max over the pooled support") {
+    Stats.profileKsDistance(spark, sf0001).collect().foreach { r =>
+      val (na, nb, dnum, ks) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(dnum <= na * nb && dnum >= 0)
+      assert(ks >= 0 && ks <= 1048576L)
+      assert(ks === dnum * 1048576L / (na * nb))
+    }
+  }
+
+  test("profile_chi2_independence: marginals are self-consistent") {
+    val rows = Stats.profileChi2Independence(spark, sf0001).collect()
+    val byPrio = rows.groupBy(_.getString(0))
+    byPrio.foreach { case (p, rs) =>
+      assert(rs.map(_.getLong(2)).sum === rs.head.getLong(3),
+        s"$p: observed row sum != row_total")
+    }
+    val n = rows.map(_.getLong(2)).sum
+    rows.foreach(r => assert(r.getLong(2) <= n))
+    rows.foreach(r => assert(r.getLong(5) >= 0, "chi2 cell contributions are non-negative"))
+  }
+
+  test("profile_tv_drift: TV is a [0, 1e6] ppm and weeks are adjacent") {
+    val rows = Stats.profileTvDrift(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000L)
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+    }
+  }
+
+  test("timeseries_theil_sen: driver brute-force replay at sf0.001") {
+    val daily = Tables.events(spark, sf0001)
+      .select(col("event_type"), Tables.nsToUs(col("ts")).as("t"),
+        Tables.dec4(col("value")).as("v"))
+      .withColumn("day", expr("t div 86400000000"))
+      .groupBy(col("event_type"), col("day"))
+      .agg((sum(col("v")) * 10000).cast("long").as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = daily.groupBy(_._1).map { case (et, rows) =>
+      val ds = rows.sortBy(_._2)
+      val slopes = for {
+        i <- ds.indices; j <- (i + 1) until ds.size
+      } yield (((ds(j)._3 - ds(i)._3) * 1048576L) / (ds(j)._2 - ds(i)._2),
+        ds(i)._2, ds(j)._2)
+      val sorted = slopes.sortBy(s => (s._1, s._2, s._3))
+      et -> (slopes.size.toLong, sorted((slopes.size + 1) / 2 - 1)._1)
+    }
+    val got = Timeseries.timeseriesTheilSen(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expected)
+  }
+
+  test("ml_perceptron_step: step 1 sweeps every row; driver replay of step 2") {
+    val f = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+        col("n_chars").as("x1"),
+        expr("CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)").as("x2"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val (w1, t1, b1) = (f.map(r => r._1 * r._2).sum, f.map(r => r._1 * r._3).sum, f.map(_._1).sum)
+    val mis = f.filter { case (y, x1, x2) => y * (w1 * x1 + t1 * x2 + b1) <= 0 }
+    val rows = Multimodal.mlPerceptronStep(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows(1L) === ((f.size.toLong, w1, t1, b1)))
+    assert(rows(2L) === ((mis.size.toLong,
+      w1 + mis.map(r => r._1 * r._2).sum,
+      t1 + mis.map(r => r._1 * r._3).sum,
+      b1 + mis.map(_._1).sum)))
+  }
+
+  test("ml_pca_power_iter: max-norm lands exactly on 2^20 and iterates stay bounded") {
+    val rows = Multimodal.mlPcaPowerIter(spark, sf0001).collect()
+    assert(rows.length === 64)
+    val v1 = rows.map(_.getLong(2))
+    val v2 = rows.map(_.getLong(3))
+    assert(v1.map(math.abs).max === 1048576L, "one component attains the max-norm")
+    assert(v2.map(math.abs).max === 1048576L)
+    assert(v1.forall(v => math.abs(v) <= 1048576L))
+    rows.foreach(r => assert(r.getLong(1) > 0, "Gram diagonal is positive"))
+  }
+
+  test("text_rake_keywords: phrases are stopword-free and structurally consistent") {
+    val rows = graft.operators.LlmOps.textRakeKeywords(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rank, phrase, n) = (r.getLong(1), r.getString(2), r.getLong(3))
+      assert(rank >= 1 && rank <= 3)
+      val toks = phrase.split(" ")
+      assert(toks.length.toLong === n, s"phrase '$phrase' n_words=$n")
+      assert(!toks.exists(t => t == "the" || t == "a"), s"stopword inside phrase '$phrase'")
+    }
+    // ranks per doc are a prefix 1..k
+    rows.groupBy(_.getLong(0)).foreach { case (d, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq === (1L to rs.size.toLong).toSeq, s"doc $d ranks")
+    }
+  }
+
+  test("timeseries_kalman_alpha_beta: driver brute-force replay at sf0.001") {
+    val evs = Tables.events(spark, sf0001)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), Tables.nsToUs(col("ts")).as("t"), col("event_id"),
+        (Tables.dec4(col("value")) * 10000).cast("long").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = evs.groupBy(_._1).map { case (u, rows) =>
+      val vs = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      var x = vs.head; var vel = 0L
+      vs.tail.foreach { v =>
+        val pred = x + vel; val res = v - pred
+        x = pred + res / 4; vel = vel + res / 16
+      }
+      u -> ((vs.size.toLong, x, vel, x + vel))
+    }
+    val got = Timeseries.timeseriesKalmanAlphaBeta(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === expected)
+  }
+
+  test("simsearch_graph_greedy: greedy scores are monotone and bounded by the exact best") {
+    val rows = Multimodal.simsearchGraphGreedy(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (s0, s1, s2, bestS, found) =
+        (r.getLong(2), r.getLong(4), r.getLong(6), r.getLong(8), r.getLong(9))
+      assert(s1 >= s0 && s2 >= s1, "the current node is always a candidate")
+      assert(s2 <= bestS, "routing cannot beat the exact argmax")
+      if (found == 1L) assert(s2 === bestS)
+    }
+    // routing finds the exact best for a non-trivial share even at 2 hops
+    assert(rows.count(_.getLong(9) == 1L) > 0, "zero recall at sf0.001")
+  }
+
+  test("sink_txn_history_audit: the log census is self-consistent across versions") {
+    val rows = graft.operators.LakehouseCow.sinkTxnHistoryAudit(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    rows.sliding(2).foreach { case Array(p, c) =>
+      assert(c._2 >= p._2, "visible rows never shrink on an append chain")
+      assert(c._3 === p._3 - c._5 + c._4,
+        s"v${c._1}: live files must equal prev - removed + added")
+    }
+    val v0 = rows.head
+    assert(v0._6 === 0L && v0._3 === v0._4 && v0._5 === 0L,
+      "v0 is self-contained: adds = live, removes = 0")
+    rows.tail.foreach(r => assert(r._6 === 1L, "v1.. are delta commits"))
+  }
+
+  test("scan_dynamic_partition_pruning: the fact scan carries a RUNTIME prune") {
+    val df = graft.operators.Relational.scanDynamicPartitionPruning(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "expected a DynamicPruningExpression on the staged fact scan:\n" + p.take(800))
+    // and the aggregate-derived dim filter must NOT have leaked onto
+    // the fact side statically (that would make the receipt vacuous)
+    assert(!p.contains("(c % 2)") || p.toLowerCase.contains("dynamicpruning"))
+  }
+
+  test("text_vocab_growth: the curve is monotone and ends at the full census") {
+    val rows = graft.operators.LlmOps.textVocabGrowth(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === Seq(64L, 128L, 256L, 512L, 1024L, 2048L, 4096L, 8192L))
+    rows.sliding(2).foreach { case Array(p, c) =>
+      assert(c._2 >= p._2 && c._3 >= p._3 && c._4 >= p._4,
+        s"curve must be monotone at cp ${c._1}")
+    }
+    rows.foreach(r => assert(r._4 <= r._3, "vocab cannot exceed tokens"))
+    val full = Tables.documents(spark, sf0001)
+      .selectExpr("explode(split(text, ' ')) AS w").where("w <> ''")
+      .select("w").distinct().count()
+    assert(rows.last._4 === full, "the plateau is the full vocabulary")
+  }
+
+  test("agg_rank_hypothetical: ranks satisfy the counting identities") {
+    graft.operators.Aggregations.aggRankHypothetical(spark, sf0001)
+      .collect().foreach { r =>
+        val (n, hr, hd, pct, cume) = (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))
+        assert(hr >= 1 && hr <= n + 1)
+        assert(hd <= hr, "dense rank never exceeds rank")
+        assert(cume >= pct, "cume_dist bounds percent_rank from above")
+        assert(pct >= 0 && cume <= 1048576L)
+      }
+  }
+
+  test("graph_clustering_coeff: coefficient is a [0, 2^20] ratio consistent with the triangle census") {
+    val lcc = Analytics.graphClusteringCoeff(spark, sf0001).collect()
+    val tri = Analytics.graphTriangleCount(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    lcc.foreach { r =>
+      val (node, deg, t, f) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(t === tri.getOrElse(node, 0L), s"node $node triangle mismatch")
+      if (deg < 2) assert(f === -1L)
+      else {
+        assert(f === 2L * t * 1048576L / (deg * (deg - 1)))
+        assert(f <= 1048576L, s"node $node lcc > 1")
+      }
+    }
+  }
+}
