@@ -376,6 +376,50 @@ object Analytics {
       .orderBy($"node")
   }
 
+  /** ASSOCIATION RULES over order baskets (Agrawal–Srikant market-
+    * basket analysis) — the top-50 part pairs by LIFT with
+    * support ≥ 2 baskets: support/confidence in exact ppm, lift in 2²⁰
+    * fixed point (lift = P(p1,p2)/(P(p1)·P(p2)) cleared to
+    * n_pair·N div (c1·c2)), (lift DESC, p1, p2) total order under the
+    * LIMIT so the cut is deterministic. The classic retail
+    * cross-sell / co-occurrence screen at the order grain the
+    * copurchase graph keys don't cover (they pair SUPPLIERS via
+    * parts; this pairs PARTS via baskets).
+    *
+    * Scale shape: pair generation is the basket-local slice-explode
+    * (fan-out bounded by basket size — TPC-H baskets are ≤ 7 lines;
+    * the graded side never self-joins the fact table), part counts are
+    * one aggregate, the N scalar an inline subquery (ReuseSubquery
+    * dedupes), and the cut is TakeOrderedAndProject. */
+  def reportAssociationRules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bi = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    bi.createOrReplaceTempView("ar_bi")
+    bi.groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_partkey")).as("ps"))
+      .select($"ps", posexplode($"ps").as(Seq("i", "p1")))
+      .select($"p1", explode(expr("slice(ps, i + 2, size(ps))")).as("p2"))
+      .groupBy($"p1", $"p2").agg(count(lit(1)).as("n_pair"))
+      .filter($"n_pair" >= 2)
+      .createOrReplaceTempView("ar_pairs")
+    bi.groupBy($"l_partkey").agg(count(lit(1)).as("c"))
+      .createOrReplaceTempView("ar_cnt")
+    spark.sql(
+      """SELECT p.p1, p.p2, p.n_pair, c1.c AS c1, c2.c AS c2,
+        |  (SELECT count(DISTINCT l_orderkey) FROM ar_bi) AS n_orders,
+        |  (p.n_pair * 1000000)
+        |    div (SELECT count(DISTINCT l_orderkey) FROM ar_bi)
+        |    AS support_ppm,
+        |  (p.n_pair * 1000000) div c1.c AS conf_ppm,
+        |  (p.n_pair * (SELECT count(DISTINCT l_orderkey) FROM ar_bi)
+        |    * 1048576) div (c1.c * c2.c) AS lift_fp
+        |FROM ar_pairs p
+        |JOIN ar_cnt c1 ON p.p1 = c1.l_partkey
+        |JOIN ar_cnt c2 ON p.p2 = c2.l_partkey
+        |ORDER BY lift_fp DESC, p1, p2 LIMIT 50""".stripMargin)
+  }
+
   /** LOCAL CLUSTERING COEFFICIENT per supplier (Watts–Strogatz 1998)
     * over the same top-5-affinity sparsified backbone as
     * [[graphTriangleCount]] — the per-node "how clique-like is my
@@ -794,6 +838,7 @@ object Analytics {
     "text_collocation_lift" -> (textCollocationLift(_, _)),
     "graph_triangle_count" -> (graphTriangleCount(_, _)),
     "graph_clustering_coeff" -> (graphClusteringCoeff(_, _)),
+    "report_association_rules" -> (reportAssociationRules(_, _)),
     "anomaly_mad_outliers" -> (anomalyMadOutliers(_, _)),
     "graph_pagerank" -> (graphPagerank(_, _)),
     "graph_ppr_seeded" -> (graphPprSeeded(_, _)),
@@ -1096,6 +1141,30 @@ object Analytics {
         |FROM bi JOIN uni u1 ON w1 = u1.w JOIN uni u2 ON w2 = u2.w
         |WHERE c_xy >= 5
         |ORDER BY lift_fp DESC, w1, w2 LIMIT 100""".stripMargin,
+    // the oracle may self-join the distinct basket frame (bounded
+    // fan-out); identical cleared-fraction arithmetic and cut order
+    "report_association_rules" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pr AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+        |    CAST(count(*) AS BIGINT) AS n_pair
+        |  FROM bi a JOIN bi b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |cnt AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+        |  FROM bi GROUP BY 1),
+        |no AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n
+        |  FROM bi)
+        |SELECT p.p1, p.p2, p.n_pair, c1.c AS c1, c2.c AS c2,
+        |  (SELECT n FROM no) AS n_orders,
+        |  CAST((p.n_pair * 1000000) // (SELECT n FROM no) AS BIGINT)
+        |    AS support_ppm,
+        |  CAST((p.n_pair * 1000000) // c1.c AS BIGINT) AS conf_ppm,
+        |  CAST((p.n_pair * (SELECT n FROM no) * 1048576)
+        |    // (c1.c * c2.c) AS BIGINT) AS lift_fp
+        |FROM pr p
+        |JOIN cnt c1 ON p.p1 = c1.l_partkey
+        |JOIN cnt c2 ON p.p2 = c2.l_partkey
+        |ORDER BY lift_fp DESC, p1, p2 LIMIT 50""".stripMargin,
     // same top-5 sparsified chain + degree frame; nodes without a
     // closing wedge keep 0 triangles via the left join
     "graph_clustering_coeff" ->

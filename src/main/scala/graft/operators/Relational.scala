@@ -463,6 +463,44 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** BANDED self-join via BUCKET EQUI-JOIN — the scale rewrite of the
+    * |a−b| ≤ band inequality join (joinRangeTheta covers the
+    * interval-expansion variant; this is the VALUE-band one): every
+    * order counts its price-comparable peers (±$10.00). A naive theta
+    * join is n²; instead each row lands in bucket ⌊cents/band⌋ and
+    * probes exactly the three neighbor buckets (a candidate pair
+    * matches in exactly ONE of the probe's three exploded buckets, so
+    * no dedup pass is needed), then the exact band predicate filters.
+    * Candidate cost is Σ bucket-density² over the value domain —
+    * 1.8 M candidates vs 22.5 G naive pairs at sf0.1 — and a hot
+    * bucket salts like any hot equi-key.
+    *
+    * Scale shape: one shuffle on the bucket id, map-side-combinable
+    * count, left-join-back for zero-comparable rows; the oracle runs
+    * the direct BETWEEN theta join (DuckDB IEJoin), certifying the
+    * rewrite drops and invents nothing. */
+  def joinRangeBucketed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val band = 1000L // ±$10.00 in cents
+    val o = Tables.orders(spark, dir)
+      .select($"o_orderkey",
+        (Tables.dec2($"o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("b", expr(s"cents div $band"))
+    val probe = o.select($"o_orderkey", $"cents",
+      explode(array($"b" - 1, $"b", $"b" + 1)).as("nb"))
+    val build = o.select($"o_orderkey".as("k2"), $"cents".as("c2"),
+      $"b".as("nb"))
+    val counts = probe.join(build, Seq("nb"))
+      .filter(abs($"c2" - $"cents") <= band && $"k2" =!= $"o_orderkey")
+      .groupBy($"o_orderkey")
+      .agg(count(lit(1)).as("n_comparable"))
+    o.select($"o_orderkey", $"cents")
+      .join(counts, Seq("o_orderkey"), "left")
+      .select($"o_orderkey", $"cents",
+        coalesce($"n_comparable", lit(0L)).as("n_comparable"))
+      .orderBy($"o_orderkey")
+  }
+
   /** As-of self join: for every click, the most recent strictly-earlier
     * purchase by the same user. Implemented scalably as one pass over a
     * tagged union with a window (no nested-loop join): partition by
@@ -1340,6 +1378,7 @@ object Relational {
     "source_jsonl_roundtrip" -> (sourceJsonlRoundtrip(_, _)),
     "sink_partitioned_read" -> (sinkPartitionedRead(_, _)),
     "scan_dynamic_partition_pruning" -> (scanDynamicPartitionPruning(_, _)),
+    "join_range_bucketed" -> (joinRangeBucketed(_, _)),
     "sink_bucketed_join" -> (sinkBucketedJoin(_, _)),
     "sink_corpus_layout" -> (sinkCorpusLayout(_, _)),
     "filter_grep" -> (filterGrep(_, _)),
@@ -1615,6 +1654,18 @@ object Relational {
     "source_xml_roundtrip" ->
       """SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
         |FROM part ORDER BY p_partkey""".stripMargin,
+    // the bucket rewrite is the engine's job; the oracle runs the
+    // direct BETWEEN theta join (IEJoin) over the same cents
+    "join_range_bucketed" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders)
+        |SELECT a.o_orderkey, a.cents,
+        |  CAST(count(b.o_orderkey) AS BIGINT) AS n_comparable
+        |FROM o a LEFT JOIN o b ON b.o_orderkey <> a.o_orderkey
+        |  AND b.cents BETWEEN a.cents - 1000 AND a.cents + 1000
+        |GROUP BY 1, 2 ORDER BY a.o_orderkey""".stripMargin,
     // the prune is the engine's job; the oracle certifies no row was
     // dropped by replaying the aggregate-derived dim filter directly
     "scan_dynamic_partition_pruning" ->

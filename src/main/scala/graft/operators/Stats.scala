@@ -95,15 +95,17 @@ object Stats {
     * Scale shape: one map-side (priority, segment) count over the scan
     * (customer broadcast); marginals and N are windows over the
     * ≤25-row cell frame. */
-  def profileChi2Independence(spark: SparkSession, dir: String): DataFrame = {
+  /** The decorated contingency cells shared by [[profileChi2Independence]]
+    * and [[profileCramersV]]: observed counts with marginals, N, and
+    * the per-cell ⌊2²⁰·(N·O−R·C)²/(N·R·C)⌋ contribution. */
+  private def chi2Cells(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val cells = Tables.orders(spark, dir)
+    Tables.orders(spark, dir)
       .select($"o_custkey", $"o_orderpriority")
       .join(broadcast(Tables.customer(spark, dir)
         .select($"c_custkey", $"c_mktsegment")), $"o_custkey" === $"c_custkey")
       .groupBy($"o_orderpriority", $"c_mktsegment")
       .agg(count(lit(1)).as("observed"))
-    cells
       .withColumn("row_total", sum($"observed").over(
         Window.partitionBy($"o_orderpriority")))
       .withColumn("col_total", sum($"observed").over(
@@ -111,13 +113,42 @@ object Stats {
       .withColumn("n", sum($"observed").over(Window.partitionBy()))
       .withColumn("dev", ($"n" * $"observed" - $"row_total" * $"col_total")
         .cast("decimal(38,0)"))
-      .select($"o_orderpriority", $"c_mktsegment", $"observed",
-        $"row_total", $"col_total",
-        // ⌊2²⁰·(N·O−R·C)²/(N·R·C)⌋ — integral division on decimals
+      // ⌊2²⁰·(N·O−R·C)²/(N·R·C)⌋ — integral division on decimals
+      .withColumn("chi2_cell_fp",
         expr("CAST((dev * dev * 1048576) div " +
-          "(CAST(n AS DECIMAL(38,0)) * row_total * col_total) AS BIGINT)")
-          .as("chi2_cell_fp"))
+          "(CAST(n AS DECIMAL(38,0)) * row_total * col_total) AS BIGINT)"))
+  }
+
+  def profileChi2Independence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    chi2Cells(spark, dir)
+      .select($"o_orderpriority", $"c_mktsegment", $"observed",
+        $"row_total", $"col_total", $"chi2_cell_fp")
       .orderBy($"o_orderpriority", $"c_mktsegment")
+  }
+
+  /** CRAMÉR'S V effect size — the [0, 1] normalization that makes
+    * chi-square statistics comparable across grids of different
+    * shapes: V = √(χ²/(N·min(r−1, c−1))), reduced to one exact-integer
+    * radicand (χ²_fp·2²⁰ div (N·k)) and one ⌊√·⌋ — floor of a
+    * correctly-rounded square root of an exactly-representable BIGINT
+    * is engine-identical (the Neyman-sqrt argument). Rides the same
+    * [[chi2Cells]] frame as the chi-square screen.
+    *
+    * Scale shape: identical to profile_chi2_independence plus one
+    * ≤25-row final aggregate. */
+  def profileCramersV(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    chi2Cells(spark, dir)
+      .agg(max($"n").as("n"),
+        countDistinct($"o_orderpriority").as("r_levels"),
+        countDistinct($"c_mktsegment").as("c_levels"),
+        sum($"chi2_cell_fp").as("chi2_fp"))
+      .select($"n", $"r_levels", $"c_levels", $"chi2_fp",
+        expr("CAST(floor(sqrt(CAST((chi2_fp * 1048576) div " +
+          "(n * least(r_levels - 1, c_levels - 1)) AS DOUBLE))) AS BIGINT)")
+          .as("cramers_v_fp"))
+      .orderBy($"n")
   }
 
   /** Week-over-week TOTAL-VARIATION drift of the event-type mix — the
@@ -163,6 +194,7 @@ object Stats {
   val queries: Map[String, QueryFn] = Map(
     "profile_ks_distance" -> (profileKsDistance(_, _)),
     "profile_chi2_independence" -> (profileChi2Independence(_, _)),
+    "profile_cramers_v" -> (profileCramersV(_, _)),
     "profile_tv_drift" -> (profileTvDrift(_, _))
   )
 
@@ -225,6 +257,34 @@ object Stats {
         |    // (CAST(n AS HUGEINT) * row_total * col_total) AS BIGINT)
         |    AS chi2_cell_fp
         |FROM m ORDER BY o_orderpriority, c_mktsegment""".stripMargin,
+    // same cleared-denominator cells; the effect size is one exact
+    // radicand + floor(sqrt) on both engines
+    "profile_cramers_v" ->
+      """WITH cells AS (SELECT o.o_orderpriority, c.c_mktsegment,
+        |    count(*) AS observed
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |m AS (SELECT o_orderpriority, c_mktsegment, observed,
+        |    sum(observed) OVER (PARTITION BY o_orderpriority) AS row_total,
+        |    sum(observed) OVER (PARTITION BY c_mktsegment) AS col_total,
+        |    sum(observed) OVER () AS n
+        |  FROM cells),
+        |cc AS (SELECT o_orderpriority, c_mktsegment, n,
+        |    CAST((CAST(n * observed - row_total * col_total AS HUGEINT)
+        |        * CAST(n * observed - row_total * col_total AS HUGEINT)
+        |        * 1048576)
+        |      // (CAST(n AS HUGEINT) * row_total * col_total) AS BIGINT)
+        |      AS cell
+        |  FROM m)
+        |SELECT CAST(max(n) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS r_levels,
+        |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS c_levels,
+        |  CAST(sum(cell) AS BIGINT) AS chi2_fp,
+        |  CAST(floor(sqrt(CAST((sum(cell) * 1048576)
+        |    // (max(n) * least(count(DISTINCT o_orderpriority) - 1,
+        |         count(DISTINCT c_mktsegment) - 1)) AS DOUBLE)))
+        |    AS BIGINT) AS cramers_v_fp
+        |FROM cc ORDER BY n""".stripMargin,
     // dense (week × type) grid so absent types count zero on both
     // engines; only adjacent calendar weeks compare
     "profile_tv_drift" ->

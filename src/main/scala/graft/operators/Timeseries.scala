@@ -444,6 +444,61 @@ object Timeseries {
       .orderBy($"user_id")
   }
 
+  /** L1 MOTIF DISCOVERY per event type (the matrix-profile shape —
+    * Yeh/Keogh — at day grain, with the exact L1 metric instead of the
+    * sqrt-normalized z-distance): over the dense per-(type, day) 4-dp
+    * total series, every length-7 window finds its nearest
+    * NON-OVERLAPPING twin (|Δstart| ≥ 7 — the trivial-match exclusion
+    * zone) by exact integer L1 distance, earliest-twin tie-break. The
+    * emitted (window, twin, distance) profile is what anomaly hunting
+    * reads: a window whose nearest twin is FAR is a discord, a pair at
+    * distance near zero a motif.
+    *
+    * Scale shape: the raw log collapses map-side to the calendar-
+    * bounded dense grid (the resample idiom); windows are a 7-way
+    * explode of that tiny frame, the pair grid joins on (type, offset)
+    * with the exclusion predicate — ≈ types·windows²·7 rows where
+    * |windows| is calendar-bounded, never data-bounded. */
+  def timeseriesMotifL1(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_type", Tables.nsToUs($"ts").as("t"),
+        Tables.dec4($"value").as("v"))
+      .withColumn("day", expr("t div 86400000000"))
+      .createOrReplaceTempView("ev_motif")
+    spark.sql(
+      """WITH daily AS (SELECT event_type, day,
+        |    CAST(sum(v) * 10000 AS BIGINT) AS y
+        |  FROM ev_motif GROUP BY 1, 2),
+        |grid AS (SELECT event_type,
+        |    explode(sequence((SELECT min(day) FROM ev_motif),
+        |                     (SELECT max(day) FROM ev_motif))) AS day
+        |  FROM (SELECT DISTINCT event_type FROM ev_motif)),
+        |dense AS (SELECT g.event_type, g.day, coalesce(d.y, 0L) AS y
+        |  FROM grid g LEFT JOIN daily d
+        |    ON g.event_type = d.event_type AND g.day = d.day),
+        |win AS (SELECT event_type, day - i AS d, i, y
+        |  FROM (SELECT event_type, day, y, explode(sequence(0, 6)) AS i
+        |        FROM dense)),
+        |w2 AS (SELECT * FROM win
+        |  WHERE d >= (SELECT min(day) FROM ev_motif)
+        |    AND d <= (SELECT max(day) FROM ev_motif) - 6),
+        |pairs AS (SELECT a.event_type, a.d AS d1, b.d AS d2,
+        |    CAST(sum(abs(a.y - b.y)) AS BIGINT) AS dist
+        |  FROM w2 a JOIN w2 b
+        |    ON a.event_type = b.event_type AND a.i = b.i
+        |    AND abs(b.d - a.d) >= 7
+        |  GROUP BY 1, 2, 3),
+        |m AS (SELECT event_type, d1, d2, dist,
+        |    row_number() OVER (PARTITION BY event_type, d1
+        |      ORDER BY dist, d2) AS rn
+        |  FROM pairs)
+        |SELECT event_type, CAST(d1 AS BIGINT) AS window_start,
+        |  CAST(d2 AS BIGINT) AS motif_match, dist AS l1_dist
+        |FROM m WHERE rn = 1
+        |ORDER BY event_type, window_start""".stripMargin)
+  }
+
   /** Fixed-gain ALPHA–BETA tracking filter per user (the steady-state
     * Kalman filter every embedded tracker ships; Benedict–Bordner) —
     * position+velocity state over the index-stepped value series with
@@ -839,6 +894,7 @@ object Timeseries {
   val queries: Map[String, QueryFn] = Map(
     "timeseries_theil_sen" -> (timeseriesTheilSen(_, _)),
     "timeseries_kalman_alpha_beta" -> (timeseriesKalmanAlphaBeta(_, _)),
+    "timeseries_motif_l1" -> (timeseriesMotifL1(_, _)),
     "timeseries_changepoint_binary" -> (timeseriesChangepointBinary(_, _)),
     "timeseries_seasonal_profile" -> (timeseriesSeasonalProfile(_, _)),
     "timeseries_downsample_triangle" -> (timeseriesDownsampleTriangle(_, _)),
@@ -1072,6 +1128,41 @@ object Timeseries {
         |ORDER BY user_id""".stripMargin,
     // the ordered fold replayed as a per-rank recursive CTE: rank 1
     // seeds s = v, rank k joins rank k−1 carrying s = (v + 3·s)//4
+    // the same dense-grid window/pair chain; generate_series ⟷
+    // sequence, unnest(range) ⟷ explode(sequence)
+    "timeseries_motif_l1" ->
+      """WITH e0 AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |daily AS (SELECT event_type, day, CAST(sum(v) * 10000 AS BIGINT)
+        |    AS y
+        |  FROM e0 GROUP BY 1, 2),
+        |grid AS (SELECT t.event_type,
+        |    unnest(generate_series((SELECT min(day) FROM e0),
+        |                           (SELECT max(day) FROM e0))) AS day
+        |  FROM (SELECT DISTINCT event_type FROM e0) t),
+        |dense AS (SELECT g.event_type, g.day, coalesce(d.y, 0) AS y
+        |  FROM grid g LEFT JOIN daily d
+        |    ON g.event_type = d.event_type AND g.day = d.day),
+        |win AS (SELECT event_type, day - i AS d, i, y
+        |  FROM (SELECT event_type, day, y, unnest(range(0, 7)) AS i
+        |        FROM dense)),
+        |w2 AS (SELECT * FROM win
+        |  WHERE d >= (SELECT min(day) FROM e0)
+        |    AND d <= (SELECT max(day) FROM e0) - 6),
+        |pairs AS (SELECT a.event_type, a.d AS d1, b.d AS d2,
+        |    CAST(sum(abs(a.y - b.y)) AS BIGINT) AS dist
+        |  FROM w2 a JOIN w2 b
+        |    ON a.event_type = b.event_type AND a.i = b.i
+        |    AND abs(b.d - a.d) >= 7
+        |  GROUP BY 1, 2, 3),
+        |m AS (SELECT event_type, d1, d2, dist,
+        |    row_number() OVER (PARTITION BY event_type, d1
+        |      ORDER BY dist, d2) AS rn
+        |  FROM pairs)
+        |SELECT event_type, CAST(d1 AS BIGINT) AS window_start,
+        |  CAST(d2 AS BIGINT) AS motif_match, dist AS l1_dist
+        |FROM m WHERE rn = 1
+        |ORDER BY event_type, window_start""".stripMargin,
     // the same per-rank recursive replay carrying BOTH registers; all
     // three division sites truncate toward zero on either sign
     "timeseries_kalman_alpha_beta" ->

@@ -236,6 +236,51 @@ class StatsSpec extends SparkSuite {
       }
   }
 
+  test("join_range_bucketed: driver brute-force band count at sf0.001") {
+    val cents = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), (Tables.dec2(col("o_totalprice")) * 100)
+        .cast("long").as("cents"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val expected = cents.map { case (k, c) =>
+      k -> cents.count { case (k2, c2) => k2 != k && math.abs(c2 - c) <= 1000L }.toLong
+    }.toMap
+    val got = graft.operators.Relational.joinRangeBucketed(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === expected)
+  }
+
+  test("timeseries_motif_l1: twins respect the exclusion zone and distances are exact L1") {
+    val rows = Timeseries.timeseriesMotifL1(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (d1, d2, dist) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(math.abs(d2 - d1) >= 7, "trivial-match exclusion")
+      assert(dist >= 0)
+    }
+  }
+
+  test("profile_cramers_v: the effect size is a [0, 2^20] ratio consistent with the chi2 screen") {
+    val v = Stats.profileCramersV(spark, sf0001).collect().head
+    val chi2Sum = Stats.profileChi2Independence(spark, sf0001)
+      .agg(sum(col("chi2_cell_fp"))).collect().head.getLong(0)
+    assert(v.getLong(3) === chi2Sum, "chi2_fp must equal the screen's cell sum")
+    assert(v.getLong(4) >= 0 && v.getLong(4) <= 1048576L)
+    assert(v.getLong(1) === 5L && v.getLong(2) === 5L)
+  }
+
+  test("report_association_rules: the cut is lift-ordered and fractions are consistent") {
+    val rows = graft.operators.Analytics.reportAssociationRules(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    val lifts = rows.map(_.getLong(8))
+    assert(lifts.sameElements(lifts.sortBy(-_)), "rows must be lift-descending")
+    rows.foreach { r =>
+      val (np, c1, c2, conf) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(7))
+      assert(np <= math.min(c1, c2), "a pair cannot outnumber either member")
+      assert(conf <= 1000000L)
+    }
+  }
+
   test("graph_clustering_coeff: coefficient is a [0, 2^20] ratio consistent with the triangle census") {
     val lcc = Analytics.graphClusteringCoeff(spark, sf0001).collect()
     val tri = Analytics.graphTriangleCount(spark, sf0001)
