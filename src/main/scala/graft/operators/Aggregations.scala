@@ -404,6 +404,47 @@ object Aggregations {
        |JOIN bits ON cen.nation = bits.nation
        |ORDER BY cen.nation""".stripMargin
 
+  /** Exact BITMAP-INDEX words — the roaring/bitmap-index storage tier
+    * OLAP engines keep for low-cardinality predicates, graded at word
+    * grain: the ordering customers of status 'O' and status 'F' each
+    * materialize as packed 32-bit words (`bit_or` of shifted ones on
+    * `custkey div 32` — the [[bloomSql]] word idiom, but EXACT: no
+    * hashing, the bit position IS the key), and the graded frame is
+    * the aligned word table with per-word AND/OR population counts —
+    * the intersect/union cardinalities a bitmap index answers without
+    * touching rows. Complements agg_kmv_replayable (approximate set
+    * ops) with the exact tier.
+    *
+    * Scale shape: one map-side (status, word) `bit_or` over the
+    * distinct membership — the bitmap build is associative and
+    * order-free exactly like production bitmap indexes; the set ops
+    * align words with one full-outer equi-join of two
+    * |keyspace|/32-row frames. One SQL text runs verbatim on both
+    * engines. */
+  def aggBitmapWords(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("bmw_ord")
+    spark.sql(bitmapSql("bmw_ord", "div"))
+  }
+
+  /** Shared bitmap SQL — `idiv` is `div` (Spark) or `//` (DuckDB). */
+  private[graft] def bitmapSql(ord: String, idiv: String): String =
+    s"""WITH mem AS (SELECT DISTINCT o_orderstatus AS st,
+       |    CAST(o_custkey AS BIGINT) AS k FROM $ord
+       |  WHERE o_orderstatus IN ('O', 'F')),
+       |wd AS (SELECT st, k $idiv 32 AS w,
+       |    bit_or(CAST(1 AS BIGINT) << CAST(k % 32 AS INT)) AS wv
+       |  FROM mem GROUP BY 1, 2),
+       |o_ AS (SELECT w, wv FROM wd WHERE st = 'O'),
+       |f_ AS (SELECT w, wv FROM wd WHERE st = 'F'),
+       |j AS (SELECT coalesce(o_.w, f_.w) AS w,
+       |    coalesce(o_.wv, 0) AS wo, coalesce(f_.wv, 0) AS wf
+       |  FROM o_ FULL OUTER JOIN f_ ON o_.w = f_.w)
+       |SELECT CAST(w AS BIGINT) AS w, CAST(wo AS BIGINT) AS bits_o,
+       |  CAST(wf AS BIGINT) AS bits_f,
+       |  CAST(bit_count(wo & wf) AS BIGINT) AS n_and,
+       |  CAST(bit_count(wo | wf) AS BIGINT) AS n_or
+       |FROM j ORDER BY w""".stripMargin
+
   /** HYPOTHETICAL-SET ranking (SQL:2003 `RANK(v) WITHIN GROUP` /
     * Oracle-Postgres hypothetical-set aggregates) — "where WOULD a
     * $1 500.00 order rank in each priority class?", answered WITHOUT
@@ -796,6 +837,7 @@ object Aggregations {
     "agg_bloom_replayable" -> (aggBloomReplayable(_, _)),
     "agg_kmv_replayable" -> (aggKmvReplayable(_, _)),
     "agg_rank_hypothetical" -> (aggRankHypothetical(_, _)),
+    "agg_bitmap_words" -> (aggBitmapWords(_, _)),
     "agg_countmin_replayable" -> (aggCountminReplayable(_, _)),
     "agg_percentile_sampled" -> (aggPercentileSampled(_, _)),
     "agg_weighted_median" -> (aggWeightedMedian(_, _)),
@@ -876,6 +918,7 @@ ORDER BY exact_cnt DESC, user_id LIMIT 20"""
     // Scala source), max-merge, and fixed-point harmonic estimate
     "agg_bloom_replayable" -> bloomSql("customer", "orders", "//"),
     "agg_kmv_replayable" -> kmvSql("events", "//"),
+    "agg_bitmap_words" -> bitmapSql("orders", "//"),
     // the same counting identity; countDistinct(CASE) ignores the
     // NULL arm on both engines
     "agg_rank_hypothetical" ->

@@ -404,6 +404,44 @@ object Behavioral {
     * conditional min over the STRICTLY-FOLLOWING window frame — no
     * self-join of the event log against itself, which is the naive
     * formulation's O(views·purchases) per user. */
+  /** One BORŮVKA round + STAR CONTRACTION over the weighted copurchase
+    * graph — the distributed-MST building block (Borůvka 1926; the
+    * GraphX/Pregel MSF inner loop): every node of the capped ≥3-shared
+    * supplier graph elects its best incident edge (max shared, then
+    * smallest neighbor — the deterministic tie-break Borůvka needs to
+    * avoid cycles), and the star-contraction pointer
+    * rep(u) = min(u, p(u), p(p(u))) folds elected stars toward their
+    * minima — after O(log n) such rounds components stabilize; ONE
+    * round is graded so the hash certifies the election AND the
+    * two-hop contraction exactly.
+    *
+    * Scale shape: the election is one (node) aggregate over the capped
+    * pair frame (both orientations); the contraction is two
+    * self-equi-joins of the |nodes|-row pointer frame — O(V + E), the
+    * Borůvka promise, never a sort. */
+  def graphBoruvkaStar(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val incidence = Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_suppkey").distinct()
+    val pairs = supplierSets(incidence, PairDegreeCap)
+      .select($"ss", posexplode($"ss").as(Seq("i", "s1")))
+      .select($"s1", explode(expr("slice(ss, i + 2, size(ss))")).as("s2"))
+      .groupBy($"s1", $"s2").agg(count(lit(1)).as("shared"))
+      .filter($"shared" >= 3)
+    val both = pairs.select($"s1".as("u"), $"s2".as("v"), $"shared")
+      .unionAll(pairs.select($"s2".as("u"), $"s1".as("v"), $"shared"))
+    // best incident edge per node: (shared DESC, v ASC) via struct-max
+    // on (shared, -v) — one aggregate, no window
+    val elect = graft.PlanOnly.mark(both
+      .groupBy($"u")
+      .agg(max(struct($"shared", (-$"v").as("nv"))).as("best"))
+      .select($"u", $"best.shared".as("shared"), (-$"best.nv").as("p")))
+    val rep = elect.as("e1")
+      .join(elect.select($"u".as("p"), $"p".as("pp")).as("e2"), Seq("p"))
+      .select($"u", $"shared", $"p", least($"u", $"p", $"pp").as("rep"))
+    rep.orderBy($"u")
+  }
+
   /** U-SHAPED MULTI-TOUCH ATTRIBUTION — the position-based credit
     * model (40/20/40) marketing analytics runs instead of last-touch:
     * every view/click is assigned to the user's NEXT purchase (the
@@ -688,6 +726,7 @@ object Behavioral {
     "graph_resource_allocation" -> (graphResourceAllocation(_, _)),
     "behavior_time_to_convert" -> (behaviorTimeToConvert(_, _)),
     "behavior_multitouch_attribution" -> (behaviorMultitouchAttribution(_, _)),
+    "graph_boruvka_star" -> (graphBoruvkaStar(_, _)),
     "graph_assortativity_stats" -> (graphAssortativityStats(_, _)),
     "graph_kcore_peel" -> (graphKcorePeel(_, _)),
     "graph_label_propagation" -> (graphLabelPropagation(_, _)),
@@ -772,6 +811,26 @@ object Behavioral {
         |ORDER BY shared_parts DESC, s1, s2""".stripMargin,
     // same strictly-following conditional-min frame; whole-minute gap
     // via truncating div on both engines
+    // same capped pair grid; the election is the (shared DESC, v)
+    // argmax and the contraction a two-hop pointer join
+    "graph_boruvka_star" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |ok AS (SELECT l_partkey FROM ps GROUP BY 1 HAVING count(*) <= 256),
+        |pp AS (SELECT ps.l_partkey, ps.l_suppkey FROM ps
+        |  JOIN ok USING (l_partkey)),
+        |pr AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+        |    CAST(count(*) AS BIGINT) AS shared
+        |  FROM pp a JOIN pp b
+        |    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |bo AS (SELECT s1 AS u, s2 AS v, shared FROM pr
+        |  UNION ALL SELECT s2, s1, shared FROM pr),
+        |el AS (SELECT u, shared, v AS p FROM (SELECT u, v, shared,
+        |    row_number() OVER (PARTITION BY u ORDER BY shared DESC, v)
+        |      AS rn FROM bo) WHERE rn = 1)
+        |SELECT e1.u, e1.shared, e1.p, least(e1.u, e1.p, e2.p) AS rep
+        |FROM el e1 JOIN el e2 ON e1.p = e2.u
+        |ORDER BY e1.u""".stripMargin,
     // same forward as-of + per-journey rank; the 40/20/40 split and
     // its remainder-to-earliest-middle rule are integer CASE arms
     "behavior_multitouch_attribution" ->

@@ -163,6 +163,50 @@ object Timeseries {
     * preserving. A probe at exactly a version's valid_from takes that
     * version (kind ordering: version rows sort before probes at the
     * same µs). */
+  /** BITEMPORAL as-of — the valid-time × transaction-time distinction
+    * (SQL:2011 system/application time; Snodgrass) the plain SCD2 keys
+    * can't express: facts carry WHEN they were true (valid time = the
+    * event timestamp's ingest quartile) and, separately, WHEN the
+    * warehouse LEARNED them (transaction time — rows with
+    * `event_id % 16 = 7` arrive one batch LATE, the standing
+    * late-arrival shard). The graded frame answers "as KNOWN at
+    * transaction batch T, what was each user's state for facts VALID
+    * in or before batch 1?" for every T — at T = 1 the late shard's
+    * batch-1 facts are valid but NOT YET KNOWN, and the frame's
+    * divergence between T = 1 and T = 2 IS the bitemporal correction
+    * a retroactive report needs (and what an audit replays).
+    *
+    * Scale shape: tx batch is a pure per-row projection (valid
+    * quartile + lateness flag, capped); the whole key is one
+    * (tx_t × user) conditional aggregate — map-side-combinable, no
+    * windows, no history explosion. */
+  def scd2BitemporalAsof(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val b1 = 19731L * 86400000000L
+    val b2 = 19739L * 86400000000L
+    val b3 = 19747L * 86400000000L
+    val e = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", Tables.nsToUs($"ts").as("t"),
+        // null-measure facts are still KNOWN facts: they count, sum 0
+        coalesce((Tables.dec4($"value") * 10000).cast("long"), lit(0L))
+          .as("v_fp"))
+      .withColumn("valid_b", when($"t" < b1, 0L).when($"t" < b2, 1L)
+        .when($"t" < b3, 2L).otherwise(3L))
+      .withColumn("tx_b", least($"valid_b" +
+        when($"event_id" % 16 === 7, 1L).otherwise(0L), lit(3L)))
+    val txs = Seq(0L, 1L, 2L, 3L)
+    txs.map { txT =>
+      e.filter($"tx_b" <= txT && $"valid_b" <= 1L)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_known"),
+          sum($"v_fp").as("v_sum_fp"),
+          max($"t").as("last_valid_us"))
+        .select(lit(txT).as("tx_t"), $"user_id", $"n_known",
+          $"v_sum_fp", $"last_valid_us")
+    }.reduce(_ unionAll _)
+      .orderBy($"tx_t", $"user_id")
+  }
+
   def scd2AsofLookup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // 2024-01-08 / 01-15 / 01-22 / 01-29 00:00 UTC, epoch µs
@@ -895,6 +939,7 @@ object Timeseries {
     "timeseries_theil_sen" -> (timeseriesTheilSen(_, _)),
     "timeseries_kalman_alpha_beta" -> (timeseriesKalmanAlphaBeta(_, _)),
     "timeseries_motif_l1" -> (timeseriesMotifL1(_, _)),
+    "scd2_bitemporal_asof" -> (scd2BitemporalAsof(_, _)),
     "timeseries_changepoint_binary" -> (timeseriesChangepointBinary(_, _)),
     "timeseries_seasonal_profile" -> (timeseriesSeasonalProfile(_, _)),
     "timeseries_downsample_triangle" -> (timeseriesDownsampleTriangle(_, _)),
@@ -1128,6 +1173,32 @@ object Timeseries {
         |ORDER BY user_id""".stripMargin,
     // the ordered fold replayed as a per-rank recursive CTE: rank 1
     // seeds s = v, rank k joins rank k−1 carrying s = (v + 3·s)//4
+    // same per-row (valid, tx) projection and conditional aggregate;
+    // the tx dim crosses as a tiny VALUES table
+    "scd2_bitemporal_asof" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    coalesce(CAST(CAST(value AS DECIMAL(18,4)) * 10000
+        |      AS BIGINT), 0) AS v_fp
+        |  FROM events),
+        |b AS (SELECT user_id, event_id, t, v_fp,
+        |    CASE WHEN t < CAST(19731 AS BIGINT) * 86400000000 THEN 0
+        |      WHEN t < CAST(19739 AS BIGINT) * 86400000000 THEN 1
+        |      WHEN t < CAST(19747 AS BIGINT) * 86400000000 THEN 2
+        |      ELSE 3 END AS valid_b
+        |  FROM e),
+        |bt AS (SELECT user_id, t, v_fp, valid_b,
+        |    least(valid_b + CASE WHEN event_id % 16 = 7 THEN 1 ELSE 0 END,
+        |      3) AS tx_b
+        |  FROM b),
+        |txs AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS x(tx_t))
+        |SELECT CAST(txs.tx_t AS BIGINT) AS tx_t, user_id,
+        |  CAST(count(*) AS BIGINT) AS n_known,
+        |  CAST(sum(v_fp) AS BIGINT) AS v_sum_fp,
+        |  CAST(max(t) AS BIGINT) AS last_valid_us
+        |FROM bt CROSS JOIN txs
+        |WHERE bt.tx_b <= txs.tx_t AND bt.valid_b <= 1
+        |GROUP BY 1, 2
+        |ORDER BY tx_t, user_id""".stripMargin,
     // the same dense-grid window/pair chain; generate_series ⟷
     // sequence, unnest(range) ⟷ explode(sequence)
     "timeseries_motif_l1" ->

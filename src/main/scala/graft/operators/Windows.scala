@@ -259,6 +259,61 @@ object Windows {
 
   /** Global top-10 by price → TakeOrderedAndProject: each partition
     * keeps its local top-10, driver merges — O(k) memory, no shuffle. */
+  /** FAGIN'S THRESHOLD ALGORITHM receipt (Fagin–Lotem–Naor 2001) — the
+    * classic early-termination top-k over TWO ranked lists (customers
+    * by balance; customers by order count; combined score
+    * a + 200 000·b): at sorted-access depth d the threshold
+    * T(d) = a@d + 200 000·b@d bounds every UNSEEN object, so the scan
+    * may STOP as soon as the k-th best seen score ≥ T(d). The graded
+    * frame emits the full receipt at 8 fixed depths — threshold, seen
+    * count, k-th best seen (k = 10), and the stop flag — the evidence
+    * a top-k serving layer shows for why it read depth-d prefixes
+    * instead of the whole table.
+    *
+    * Scale shape: both ranked prefixes are ORDER BY … LIMIT 128
+    * (TakeOrderedAndProject — per-partition top-k, never a global
+    * window over the table); ranks, the seen set (≤256 rows) and the
+    * per-depth elections are windows over those BOUNDED frames; the
+    * depth dim is an 8-row broadcast. */
+  def topkThresholdAlgorithm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val W = 200000L
+    val stats = Tables.customer(spark, dir)
+      .select($"c_custkey", (Tables.dec2($"c_acctbal") * 100).cast("long").as("a"))
+      .join(Tables.orders(spark, dir).groupBy($"o_custkey")
+        .agg(count(lit(1)).as("b")), $"c_custkey" === $"o_custkey", "left")
+      .select($"c_custkey", $"a", coalesce($"b", lit(0L)).as("b"))
+    val wA = Window.orderBy($"a".desc, $"c_custkey")
+    val wB = Window.orderBy($"b".desc, $"c_custkey")
+    val topA = stats.orderBy($"a".desc, $"c_custkey").limit(128)
+      .withColumn("rA", row_number().over(wA).cast("long"))
+    val topB = stats.orderBy($"b".desc, $"c_custkey").limit(128)
+      .withColumn("rB", row_number().over(wB).cast("long"))
+    val depths = Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L).toDF("d")
+    val thr = topA.select($"rA".as("d"), $"a".as("a_at"))
+      .join(broadcast(depths), Seq("d"))
+      .join(topB.select($"rB".as("d"), $"b".as("b_at")), Seq("d"))
+      .select($"d", ($"a_at" + lit(W) * $"b_at").as("threshold"))
+    val cand = topA.select($"c_custkey", $"rA")
+      .join(topB.select($"c_custkey", $"rB"), Seq("c_custkey"), "full_outer")
+      .select($"c_custkey",
+        least(coalesce($"rA", lit(129L)), coalesce($"rB", lit(129L))).as("minR"))
+      .join(stats, Seq("c_custkey"))
+      .select($"c_custkey", $"minR", ($"a" + lit(W) * $"b").as("s"))
+    val perD = cand.join(broadcast(depths), $"minR" <= $"d")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"d").orderBy($"s".desc, $"c_custkey")))
+      .groupBy($"d")
+      .agg(count(lit(1)).as("n_seen"),
+        max(when($"rn" === 10, $"s")).as("kb"))
+    thr.join(perD, Seq("d"))
+      .select($"d", $"threshold", $"n_seen",
+        coalesce($"kb", lit(-1L)).as("kth_best"),
+        when($"kb".isNotNull && $"kb" >= $"threshold", 1L).otherwise(0L)
+          .as("stopped"))
+      .orderBy($"d")
+  }
+
   def topkLimit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.orders(spark, dir)
@@ -423,6 +478,7 @@ object Windows {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "topk_threshold_algorithm" -> (topkThresholdAlgorithm(_, _)),
     "window_rolling_distinct" -> (windowRollingDistinct(_, _)),
     "window_interval_overlap" -> (windowIntervalOverlap(_, _)),
     "window_count_distinct" -> (windowCountDistinct(_, _)),
@@ -447,6 +503,39 @@ object Windows {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the oracle may rank the full table (global row_number); the
+    // engine's 128-prefix ranks agree on every depth it reads
+    "topk_threshold_algorithm" ->
+      """WITH st AS (SELECT c_custkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS a,
+        |    coalesce(o.b, 0) AS b
+        |  FROM customer LEFT JOIN (SELECT o_custkey,
+        |      CAST(count(*) AS BIGINT) AS b FROM orders GROUP BY 1) o
+        |    ON c_custkey = o.o_custkey),
+        |ra AS (SELECT c_custkey, a, b,
+        |    row_number() OVER (ORDER BY a DESC, c_custkey) AS rA,
+        |    row_number() OVER (ORDER BY b DESC, c_custkey) AS rB
+        |  FROM st),
+        |ds AS (SELECT * FROM (VALUES (1), (2), (4), (8), (16), (32),
+        |    (64), (128)) AS t(d)),
+        |thr AS (SELECT ds.d,
+        |    (SELECT a FROM ra WHERE rA = ds.d)
+        |      + 200000 * (SELECT b FROM ra WHERE rB = ds.d) AS threshold
+        |  FROM ds),
+        |seen AS (SELECT ds.d, ra.c_custkey, ra.a + 200000 * ra.b AS s
+        |  FROM ra JOIN ds ON least(ra.rA, ra.rB) <= ds.d),
+        |kth AS (SELECT d, CAST(count(*) AS BIGINT) AS n_seen,
+        |    max(CASE WHEN rn = 10 THEN s END) AS kb
+        |  FROM (SELECT d, s, c_custkey, row_number() OVER (
+        |      PARTITION BY d ORDER BY s DESC, c_custkey) AS rn FROM seen)
+        |  GROUP BY d)
+        |SELECT CAST(thr.d AS BIGINT) AS d,
+        |  CAST(thr.threshold AS BIGINT) AS threshold, kth.n_seen,
+        |  CAST(coalesce(kth.kb, -1) AS BIGINT) AS kth_best,
+        |  CAST(CASE WHEN kth.kb >= thr.threshold THEN 1 ELSE 0 END
+        |    AS BIGINT) AS stopped
+        |FROM thr JOIN kth ON thr.d = kth.d
+        |ORDER BY d""".stripMargin,
     // DuckDB runs the NATIVE count(DISTINCT) OVER a moving RANGE frame
     // — the hash-match proves the banded self-join rewrite (the
     // window_count_distinct precedent applied to a sliding frame)

@@ -516,7 +516,11 @@ class PlanRegressionSpec extends SparkSuite {
       // documented offline-index step (base sample × base sample) and
       // its routing crosses constant entry/edge frames — fan-out k
       "profile_tv_drift", "agg_kmv_replayable", "ml_perceptron_step",
-      "ml_pca_power_iter", "simsearch_graph_greedy")
+      "ml_pca_power_iter", "simsearch_graph_greedy",
+      // topk_threshold_algorithm: the per-depth seen-set expansion is
+      // a ≤256-row candidate frame × an 8-row depth broadcast on a
+      // range predicate — fan-out ≤ 8, never data²
+      "topk_threshold_algorithm")
     val offenders = SparkEntry.queries.keys.filterNot(allowed)
       .filter(n => n != "source_csv_roundtrip" && plan(n).contains("BroadcastNestedLoopJoin"))
     assert(offenders.isEmpty, s"unexpected nested-loop joins: $offenders")
@@ -594,7 +598,12 @@ class PlanRegressionSpec extends SparkSuite {
       // PairDegreeCap — the same bound the pair machinery guarantees);
       // at extreme scale the election moves to a value-domain histogram
       // threshold (scaladoc note on the key)
-      "graph_kcore_peel" -> Set("shared"))
+      "graph_kcore_peel" -> Set("shared"),
+      // round-14: every ordered window runs AFTER an ORDER BY…LIMIT 128
+      // TakeOrderedAndProject (ranked prefixes) or over the ≤256-row
+      // seen-set × 8-depth frame — all bounded by the TA's k/depth
+      // constants, never by the table
+      "topk_threshold_algorithm" -> Set("a", "b", "s", "c_custkey"))
     // whole-frame (unordered, unpartitioned) windows: |langs|/|labels|
     // scale — corpus_mix_rebalance, corpus_token_budget,
     // sample_stratified_neyman, ml_class_balance_weights,

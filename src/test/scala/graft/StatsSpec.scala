@@ -281,6 +281,74 @@ class StatsSpec extends SparkSuite {
     }
   }
 
+  test("scd2_bitemporal_asof: knowledge is monotone and the late shard diverges at T=1") {
+    val rows = Timeseries.scd2BitemporalAsof(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byUser = rows.groupBy(_._2)
+    byUser.values.foreach { rs =>
+      val sorted = rs.sortBy(_._1)
+      sorted.sliding(2).foreach { w =>
+        val (p, c) = (w.head, w.last)
+        assert(c._3 >= p._3, s"user ${p._2}: knowledge must be monotone in tx time")
+      }
+    }
+    val atT = rows.groupBy(_._1).map { case (t, rs) => t -> rs.map(_._3).sum }
+    assert(atT(1L) < atT(2L),
+      "the late shard's batch-1 facts must be invisible at T=1 and visible at T=2")
+    assert(atT(2L) === atT(3L), "valid<=1 knowledge is complete by T=2")
+  }
+
+  test("topk_threshold_algorithm: the receipt is monotone and stops") {
+    val rows = graft.operators.Windows.topkThresholdAlgorithm(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    rows.sliding(2).foreach { case Array(p, c) =>
+      assert(c._2 <= p._2, "the threshold never rises with depth")
+      assert(c._3 >= p._3, "the seen set never shrinks")
+      if (p._4 >= 0) assert(c._4 >= p._4, "the k-th best never worsens")
+      if (p._5 == 1L) assert(c._5 === 1L, "once stopped, stays stopped")
+    }
+    assert(rows.last._5 === 1L, "TA must stop by depth 128 on 150 customers")
+  }
+
+  test("graph_boruvka_star: elections are the true per-node argmax (brute force)") {
+    val pairs = Behavioral.graphBoruvkaStar(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(pairs.nonEmpty)
+    // recompute the pair grid on the driver for the argmax check
+    val inc = Tables.lineitem(spark, sf0001)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val bo = inc.groupBy(_._1).values.toSeq.filter(_.size <= 256)
+      .flatMap(g => for { a <- g; b <- g; if a._2 < b._2 } yield (a._2, b._2))
+      .groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+      .filter(_._2 >= 3).toSeq
+      .flatMap { case ((a, b), n) => Seq((a, b, n), (b, a, n)) }
+    val best = bo.groupBy(_._1).map { case (u, es) =>
+      u -> es.minBy(e => (-e._3, e._2))
+    }
+    pairs.foreach { case (u, shared, p, rep) =>
+      val (_, bv, bs) = best(u)
+      assert(p === bv && shared === bs, s"node $u elected ($p, $shared), expected ($bv, $bs)")
+      assert(rep <= u, "the star contraction only moves toward minima")
+    }
+  }
+
+  test("agg_bitmap_words: union popcount equals the exact distinct union") {
+    val rows = Aggregations.aggBitmapWords(spark, sf0001).collect()
+    val orSum = rows.map(_.getLong(4)).sum
+    val andSum = rows.map(_.getLong(3)).sum
+    val exact = Tables.orders(spark, sf0001)
+      .where("o_orderstatus IN ('O', 'F')")
+      .select("o_custkey").distinct().count()
+    assert(orSum === exact, "bitmap OR must count exactly the union")
+    val both = Tables.orders(spark, sf0001).where("o_orderstatus = 'O'")
+      .select("o_custkey").distinct()
+      .intersect(Tables.orders(spark, sf0001).where("o_orderstatus = 'F'")
+        .select("o_custkey").distinct()).count()
+    assert(andSum === both, "bitmap AND must count exactly the intersection")
+  }
+
   test("graph_clustering_coeff: coefficient is a [0, 2^20] ratio consistent with the triangle census") {
     val lcc = Analytics.graphClusteringCoeff(spark, sf0001).collect()
     val tri = Analytics.graphTriangleCount(spark, sf0001)
