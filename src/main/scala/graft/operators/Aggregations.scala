@@ -109,6 +109,28 @@ object Aggregations {
         .agg(count(lit(1)).as("n_orders")))
   }
 
+  /** GROUPING_ID surface over the same cube — the SQL-standard bitmask
+    * (leftmost grouping column = most-significant bit, identical
+    * convention in Spark and DuckDB, probed before this key existed)
+    * that lets a report consumer tell a REAL NULL group from a margin
+    * row without sentinel conventions. Emitted next to the '(all)'
+    * sentinels so the frame carries both disambiguation schemes.
+    *
+    * Scale shape: identical to agg_cube — one Expand-based aggregate,
+    * margins are |dims| extra group streams, all map-side combinable. */
+  def sqlGroupingId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .cube($"c_mktsegment", $"o_orderpriority")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_orders"))
+      .select($"gid".cast("long").as("gid"),
+        coalesce($"c_mktsegment", lit("(all)")).as("c_mktsegment"),
+        coalesce($"o_orderpriority", lit("(all)")).as("o_orderpriority"),
+        $"n_orders")
+      .orderBy($"gid", $"c_mktsegment", $"o_orderpriority")
+  }
+
   /** Shared margin presentation for the Expand-based aggregates: '(all)'
     * sentinels for the NULL group labels + the total order (rationale in
     * aggRollup). */
@@ -838,6 +860,7 @@ object Aggregations {
     "agg_kmv_replayable" -> (aggKmvReplayable(_, _)),
     "agg_rank_hypothetical" -> (aggRankHypothetical(_, _)),
     "agg_bitmap_words" -> (aggBitmapWords(_, _)),
+    "sql_grouping_id" -> (sqlGroupingId(_, _)),
     "agg_countmin_replayable" -> (aggCountminReplayable(_, _)),
     "agg_percentile_sampled" -> (aggPercentileSampled(_, _)),
     "agg_weighted_median" -> (aggWeightedMedian(_, _)),
@@ -919,6 +942,16 @@ ORDER BY exact_cnt DESC, user_id LIMIT 20"""
     "agg_bloom_replayable" -> bloomSql("customer", "orders", "//"),
     "agg_kmv_replayable" -> kmvSql("events", "//"),
     "agg_bitmap_words" -> bitmapSql("orders", "//"),
+    // same standard bitmask convention (leftmost column = MSB)
+    "sql_grouping_id" ->
+      """SELECT CAST(grouping_id(c_mktsegment, o_orderpriority) AS BIGINT)
+        |    AS gid,
+        |  coalesce(c_mktsegment, '(all)') AS c_mktsegment,
+        |  coalesce(o_orderpriority, '(all)') AS o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE (c_mktsegment, o_orderpriority)
+        |ORDER BY gid, c_mktsegment, o_orderpriority""".stripMargin,
     // the same counting identity; countDistinct(CASE) ignores the
     // NULL arm on both engines
     "agg_rank_hypothetical" ->

@@ -1365,17 +1365,22 @@ object Multimodal {
     * joins the 4096-cell G against a broadcast 64-row vector. */
   def mlPcaPowerIter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // per-row d² outer product as ONE projection — no self-join, no
-    // fact-grain shuffle; the (i, j) cells partial-aggregate map-side
+    // per-row UPPER-TRIANGLE outer product as ONE projection (the Gram
+    // is symmetric — d(d+1)/2 products per row, not d²; mirrored AFTER
+    // the aggregation on the 4096-cell frame, the triangle-count
+    // mirror-after-agg pattern); no self-join, no fact-grain shuffle
     val cells = Tables.embeddings(spark, dir)
       .select(expr("transform(embedding, x -> CAST(floor(x * 65536) AS BIGINT))")
         .as("q"))
       .select(explode(expr(
-        "flatten(transform(q, (qi, i) -> transform(q, (qj, j) -> " +
-          "named_struct('i', i, 'j', j, 'p', qi * qj))))")).as("c"))
+        "flatten(transform(q, (qi, i) -> transform(slice(q, i + 1, size(q)), " +
+          "(qj, j0) -> named_struct('i', i, 'j', i + j0, 'p', qi * qj))))"))
+        .as("c"))
       .select($"c.i".as("i"), $"c.j".as("j"), $"c.p".as("p"))
+    val gU = cells.groupBy($"i", $"j").agg(sum($"p").as("g"))
     val g = graft.PlanOnly.mark(
-      cells.groupBy($"i", $"j").agg(sum($"p").as("g")))
+      gU.unionAll(gU.filter($"i" =!= $"j")
+        .select($"j".as("i"), $"i".as("j"), $"g")))
     // v0 = 1⃗ : first matvec is the row sum; max-norm renormalize
     val v1 = g.groupBy($"i").agg(sum($"g").as("v"))
     val m1 = v1.agg(max(abs($"v")).as("m"))

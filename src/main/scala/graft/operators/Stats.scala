@@ -191,10 +191,48 @@ object Stats {
       .orderBy($"week")
   }
 
+  /** SPEARMAN RANK CORRELATION between customer balance and order
+    * count — the monotone-association screen that survives the
+    * outliers Pearson (agg_corr_covar's shape) is dragged by, kept
+    * exact: both global ranks come from [[DistributedRank.rankCum]]
+    * (the 3-level prefix-sum decomposition — no single-partition sort
+    * at any scale), ties broken by custkey (the deterministic
+    * row_number variant of Spearman; documented, since average-rank
+    * ties would need a division per tie run), and
+    * ρ = 1 − 6Σd²/(n(n²−1)) renders as ONE truncating division of the
+    * cleared form ⌊2²⁰·(n(n²−1) − 6Σd²)/(n(n²−1))⌋ — negative-safe
+    * (both engines truncate toward zero). BIGINT holds to n ≈ 1.2M
+    * rows (n³·2²⁰ < 2⁶³); past that the render moves to the
+    * DECIMAL(38,0) tier.
+    *
+    * Scale shape: two DistributedRank passes over the |customers|
+    * frame + one global aggregate — every ordered window inside ranks
+    * a ≤Fan bucket frame. */
+  def evalSpearmanRho(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stats = Tables.customer(spark, dir)
+      .select($"c_custkey", (Tables.dec2($"c_acctbal") * 100).cast("long").as("a"))
+      .join(Tables.orders(spark, dir).groupBy($"o_custkey")
+        .agg(count(lit(1)).as("b")), $"c_custkey" === $"o_custkey", "left")
+      .select($"c_custkey", $"a", coalesce($"b", lit(0L)).as("b"))
+      .withColumn("one", lit(1L))
+    val ra = DistributedRank.rankCum(stats, "a", "c_custkey", "one")
+      .withColumnRenamed("rnk", "ra").drop("cum", "w_total")
+    val rb = DistributedRank.rankCum(ra, "b", "c_custkey", "one")
+      .withColumnRenamed("rnk", "rb").drop("cum", "w_total")
+    rb.agg(count(lit(1)).as("n"),
+        sum(($"ra" - $"rb") * ($"ra" - $"rb")).as("sum_d2"))
+      .select($"n", $"sum_d2",
+        expr("(1048576 * (n * (n * n - 1) - 6 * sum_d2)) " +
+          "div (n * (n * n - 1))").as("rho_fp"))
+      .orderBy($"n")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "profile_ks_distance" -> (profileKsDistance(_, _)),
     "profile_chi2_independence" -> (profileChi2Independence(_, _)),
     "profile_cramers_v" -> (profileCramersV(_, _)),
+    "eval_spearman_rho" -> (evalSpearmanRho(_, _)),
     "profile_tv_drift" -> (profileTvDrift(_, _))
   )
 
@@ -257,6 +295,25 @@ object Stats {
         |    // (CAST(n AS HUGEINT) * row_total * col_total) AS BIGINT)
         |    AS chi2_cell_fp
         |FROM m ORDER BY o_orderpriority, c_mktsegment""".stripMargin,
+    // the oracle ranks with plain global row_number (it may sort);
+    // same custkey tie-break and cleared-denominator render
+    "eval_spearman_rho" ->
+      """WITH st AS (SELECT c_custkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS a,
+        |    coalesce(o.b, 0) AS b
+        |  FROM customer LEFT JOIN (SELECT o_custkey,
+        |      CAST(count(*) AS BIGINT) AS b FROM orders GROUP BY 1) o
+        |    ON c_custkey = o.o_custkey),
+        |r AS (SELECT c_custkey,
+        |    CAST(row_number() OVER (ORDER BY a, c_custkey) AS BIGINT) AS ra,
+        |    CAST(row_number() OVER (ORDER BY b, c_custkey) AS BIGINT) AS rb
+        |  FROM st),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2 FROM r)
+        |SELECT n, sum_d2,
+        |  CAST((1048576 * (n * (n * n - 1) - 6 * sum_d2))
+        |    // (n * (n * n - 1)) AS BIGINT) AS rho_fp
+        |FROM s ORDER BY n""".stripMargin,
     // same cleared-denominator cells; the effect size is one exact
     // radicand + floor(sqrt) on both engines
     "profile_cramers_v" ->

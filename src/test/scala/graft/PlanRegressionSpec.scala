@@ -520,7 +520,10 @@ class PlanRegressionSpec extends SparkSuite {
       // topk_threshold_algorithm: the per-depth seen-set expansion is
       // a ≤256-row candidate frame × an 8-row depth broadcast on a
       // range predicate — fan-out ≤ 8, never data²
-      "topk_threshold_algorithm")
+      "topk_threshold_algorithm",
+      // eval_spearman_rho: two UNGROUPED DistributedRank passes — the
+      // same 1-row adaptive-bounds broadcast as report_abc (fan-out 1)
+      "eval_spearman_rho")
     val offenders = SparkEntry.queries.keys.filterNot(allowed)
       .filter(n => n != "source_csv_roundtrip" && plan(n).contains("BroadcastNestedLoopJoin"))
     assert(offenders.isEmpty, s"unexpected nested-loop joins: $offenders")
@@ -603,7 +606,10 @@ class PlanRegressionSpec extends SparkSuite {
       // TakeOrderedAndProject (ranked prefixes) or over the ≤256-row
       // seen-set × 8-depth frame — all bounded by the TA's k/depth
       // constants, never by the table
-      "topk_threshold_algorithm" -> Set("a", "b", "s", "c_custkey"))
+      "topk_threshold_algorithm" -> Set("a", "b", "s", "c_custkey"),
+      // two chained DistributedRank passes — the audited ≤Fan bucket
+      // frame, same as abc/rfm
+      "eval_spearman_rho" -> Set("drk_vb"))
     // whole-frame (unordered, unpartitioned) windows: |langs|/|labels|
     // scale — corpus_mix_rebalance, corpus_token_budget,
     // sample_stratified_neyman, ml_class_balance_weights,
