@@ -376,6 +376,54 @@ object Analytics {
       .orderBy($"node")
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999) over the bipartite
+    * customer→supplier purchase graph — the OTHER eigenvector ranking
+    * (PageRank scores a stochastic walk; HITS power-iterates AᵀA, so
+    * an authority is a supplier bought by broad BUYERS and a hub a
+    * customer buying from authoritative SUPPLIERS — the mutual
+    * reinforcement PageRank's single score can't express). Two full
+    * hub→authority rounds from h⁰ = 1, each half-step max-norm
+    * renormalized to 2²⁰ (the sqrt-free power-method scaling shared
+    * with ml_pca_power_iter); both authority iterates emitted so the
+    * hash certifies the alternation chain. ONE SQL text runs verbatim
+    * on both engines.
+    *
+    * Scale shape: each half-step is one co-partitioned edge⋈vector
+    * join + partial-aggregated sum — the pagerank per-round shape;
+    * max-norms are scalar subqueries (never a window). */
+  def graphHitsHubsAuth(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("hits_ord")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("hits_li")
+    spark.sql(hitsSql("hits_ord", "hits_li", "div"))
+  }
+
+  /** Shared HITS SQL — `idiv` is `div` (Spark) or `//` (DuckDB). */
+  private[graft] def hitsSql(ord: String, li: String, idiv: String): String =
+    s"""WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+       |  FROM $ord o JOIN $li l ON o.o_orderkey = l.l_orderkey),
+       |h1 AS (SELECT c, CAST(count(*) AS BIGINT) AS h FROM e GROUP BY c),
+       |h1n AS (SELECT c, (h * 1048576) $idiv (SELECT max(h) FROM h1)
+       |    AS hn FROM h1),
+       |a1 AS (SELECT s, CAST(sum(hn) AS BIGINT) AS a
+       |  FROM e JOIN h1n ON e.c = h1n.c GROUP BY s),
+       |a1n AS (SELECT s, (a * 1048576) $idiv (SELECT max(a) FROM a1)
+       |    AS an FROM a1),
+       |h2 AS (SELECT c, CAST(sum(an) AS BIGINT) AS h
+       |  FROM e JOIN a1n ON e.s = a1n.s GROUP BY c),
+       |h2n AS (SELECT c, (h * 1048576) $idiv (SELECT max(h) FROM h2)
+       |    AS hn FROM h2),
+       |a2 AS (SELECT s, CAST(sum(hn) AS BIGINT) AS a
+       |  FROM e JOIN h2n ON e.c = h2n.c GROUP BY s),
+       |a2n AS (SELECT s, (a * 1048576) $idiv (SELECT max(a) FROM a2)
+       |    AS an FROM a2),
+       |deg AS (SELECT s, CAST(count(*) AS BIGINT) AS indeg
+       |  FROM e GROUP BY s)
+       |SELECT deg.s AS supplier, deg.indeg,
+       |  CAST(a1n.an AS BIGINT) AS auth1_fp,
+       |  CAST(a2n.an AS BIGINT) AS auth2_fp
+       |FROM deg JOIN a1n ON deg.s = a1n.s JOIN a2n ON deg.s = a2n.s
+       |ORDER BY supplier""".stripMargin
+
   /** ASSOCIATION RULES over order baskets (Agrawal–Srikant market-
     * basket analysis) — the top-50 part pairs by LIFT with
     * support ≥ 2 baskets: support/confidence in exact ppm, lift in 2²⁰
@@ -839,6 +887,7 @@ object Analytics {
     "graph_triangle_count" -> (graphTriangleCount(_, _)),
     "graph_clustering_coeff" -> (graphClusteringCoeff(_, _)),
     "report_association_rules" -> (reportAssociationRules(_, _)),
+    "graph_hits_hubs_auth" -> (graphHitsHubsAuth(_, _)),
     "anomaly_mad_outliers" -> (anomalyMadOutliers(_, _)),
     "graph_pagerank" -> (graphPagerank(_, _)),
     "graph_ppr_seeded" -> (graphPprSeeded(_, _)),
@@ -1141,6 +1190,7 @@ object Analytics {
         |FROM bi JOIN uni u1 ON w1 = u1.w JOIN uni u2 ON w2 = u2.w
         |WHERE c_xy >= 5
         |ORDER BY lift_fp DESC, w1, w2 LIMIT 100""".stripMargin,
+    "graph_hits_hubs_auth" -> hitsSql("orders", "lineitem", "//"),
     // the oracle may self-join the distinct basket frame (bounded
     // fan-out); identical cleared-fraction arithmetic and cut order
     "report_association_rules" ->

@@ -43,6 +43,23 @@ object StreamingMirror {
       stageEvents(spark, d, graft.Tables.scratch(
         s"stream_exec_stage_${d.hashCode & Int.MaxValue}")))
 
+  private val dupStages =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A DOUBLED staged copy of `dir`'s event log (every row twice) —
+    * the duplicate-bearing feed the dropDuplicatesWithinWatermark key
+    * needs (the pristine sharedStage has unique event_ids, so exact
+    * streaming dedup would be vacuous there). Written once per
+    * (sfDir, JVM) like [[sharedStage]]. */
+  def dupStage(spark: SparkSession, dir: String): String =
+    dupStages.computeIfAbsent(dir, d => {
+      val t = graft.Tables.scratch(
+        s"stream_exec_dup_${d.hashCode & Int.MaxValue}")
+      val ev = Tables.events(spark, d)
+      ev.unionAll(ev).write.mode("overwrite").parquet(t)
+      t
+    })
+
   /** Streaming runtime posture for the graded executions: keyed state
     * on the ROCKSDB state store (disk-backed — the 100 TB posture:
     * streaming state must not live on the executor heap, which is the

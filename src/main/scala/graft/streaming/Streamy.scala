@@ -249,6 +249,54 @@ object Streamy {
     * rows stream out per micro-batch. Plan-only mode returns the
     * batch-equivalent frame (streams can't be explained unexecuted —
     * the sink/round-trip contract). */
+  /** TRUE streaming EXACT-DUPLICATE elimination via Spark's native
+    * `dropDuplicatesWithinWatermark` — the ingest-dedup surface every
+    * at-least-once feed needs (retries and replays deliver the SAME
+    * record twice; the state store remembers event_id within the
+    * watermark horizon and admits exactly one copy). The staged feed
+    * is the DOUBLED event log (every row twice — the pristine stage
+    * has unique ids, which would make this vacuous), run as a real
+    * Append-mode StreamingQuery (file source, 1-hour watermark,
+    * RocksDB state, AvailableNow, memory sink) and graded by the
+    * per-type census of the ADMITTED rows — which must equal the
+    * original log's census exactly: a single lost or double-admitted
+    * row moves the hash. Complements [[streamExecDedup]] (the keyed
+    * THROTTLE state machine — a time-window policy) with the exact
+    * at-least-once-to-exactly-once contract.
+    *
+    * Scale shape: one shuffle on the dedup key, O(1) state per
+    * outstanding id bounded by the watermark horizon (the reason
+    * dropDuplicatesWithinWatermark exists — plain dropDuplicates
+    * holds state forever); admitted rows stream out per micro-batch. */
+  def streamExecDropdup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val twin = Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        (sum(Tables.dec4($"value")) * 10000).cast("long").as("v_sum_4dp"))
+      .select($"event_type", $"n", coalesce($"v_sum_4dp", lit(0L)).as("v_sum_4dp"))
+      .orderBy($"event_type")
+    graft.PlanOnly.roundTrip(twin) {
+      val stage = StreamingMirror.dupStage(spark, dir)
+      Tables.configure(spark)
+      val schema = spark.read.parquet(stage).schema
+      val src = spark.readStream.schema(schema).parquet(stage)
+        .withColumn("ts_ts", Tables.tsFromNanos($"ts"))
+        .withWatermark("ts_ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select($"event_type", $"value")
+      val name = s"stream_exec_dropdup_${execSeq.incrementAndGet()}"
+      sealResult(spark, name,
+        StreamingMirror.runToCompletionAppend(spark, src, name)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            (sum(Tables.dec4($"value")) * 10000).cast("long").as("v_sum_4dp"))
+          .select($"event_type", $"n",
+            coalesce($"v_sum_4dp", lit(0L)).as("v_sum_4dp"))
+          .orderBy($"event_type"))
+    }
+  }
+
   def streamExecDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.PlanOnly.roundTrip(streamDedupWatermark(spark, dir)) {
@@ -530,6 +578,7 @@ object Streamy {
     "stream_exec_outer_join" -> (streamExecOuterJoin(_, _)),
     "stream_exec_tumbling" -> (streamExecTumbling(_, _)),
     "stream_exec_dedup" -> (streamExecDedup(_, _)),
+    "stream_exec_dropdup" -> (streamExecDropdup(_, _)),
     "stream_exec_sessionize" -> (streamExecSessionize(_, _)),
     "stream_exec_interval_join" -> (streamExecIntervalJoin(_, _)),
     "stream_exec_upsert" -> (streamExecUpsert(_, _)),
@@ -541,6 +590,14 @@ object Streamy {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the doubled feed deduped exactly-once must reproduce the
+    // ORIGINAL log's census — a lost or double-admitted row moves it
+    "stream_exec_dropdup" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(coalesce(sum(CAST(value AS DECIMAL(18,4))) * 10000, 0)
+        |    AS BIGINT) AS v_sum_4dp
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // the stream-static join emits each event exactly once, enriched
     // with the dim row — the oracle re-derives dim and join from raw
     "stream_exec_static_join" ->

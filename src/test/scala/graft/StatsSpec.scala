@@ -349,6 +349,31 @@ class StatsSpec extends SparkSuite {
     assert(andSum === both, "bitmap AND must count exactly the intersection")
   }
 
+  test("stream_exec_dropdup: the staged feed carries real duplicates and dedup recovers the census") {
+    val staged = spark.read.parquet(
+      graft.streaming.StreamingMirror.dupStage(spark, sf0001))
+    val orig = Tables.events(spark, sf0001)
+    assert(staged.count() === 2 * orig.count(),
+      "the dup stage must carry every row twice — otherwise the key is vacuous")
+    val got = graft.streaming.Streamy.streamExecDropdup(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = orig.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(Tables.dec4(col("value"))) * 10000).cast("long").as("v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === want, "exactly-once admission must reproduce the original census")
+  }
+
+  test("graph_hits_hubs_auth: both authority iterates attain the max-norm and stay bounded") {
+    val rows = graft.operators.Analytics.graphHitsHubsAuth(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val (a1, a2) = (rows.map(_.getLong(2)), rows.map(_.getLong(3)))
+    assert(a1.max === 1048576L && a2.max === 1048576L,
+      "max-norm renormalization lands one component exactly on 2^20")
+    assert(a1.forall(v => v >= 0 && v <= 1048576L))
+    assert(a2.forall(v => v >= 0 && v <= 1048576L))
+  }
+
   test("graph_clustering_coeff: coefficient is a [0, 2^20] ratio consistent with the triangle census") {
     val lcc = Analytics.graphClusteringCoeff(spark, sf0001).collect()
     val tri = Analytics.graphTriangleCount(spark, sf0001)
