@@ -40,8 +40,9 @@ object Stats {
     * through a ≤6-row broadcast pair map; per-pair per-value side
     * counts collapse map-side BEFORE the ECDF windows, so the window
     * input is |distinct values| rows per pair, never the fact table.
-    * Cross products stay under 2⁶³: n ≤ 10⁹ rows per side before
-    * num·2²⁰ would need the decimal tier. */
+    * Headroom: d_num = |c_A·n_B − c_B·n_A| ≤ n_A·n_B stays BIGINT to
+    * n_A·n_B < 2⁶³ (≈3×10⁹ per side); the ks_fp render multiplies by
+    * 2²⁰ so it rides DECIMAL(38,0) ⟷ HUGEINT unconditionally. */
   def profileKsDistance(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pairMap = Seq(
@@ -76,7 +77,8 @@ object Stats {
       .filter($"rn" === 1)
       .select($"pair_id", $"na".as("n_a"), $"nb".as("n_b"),
         $"dnum".as("d_num"),
-        expr(s"(dnum * $FpOne) div (na * nb)").as("ks_fp"),
+        expr(s"CAST((CAST(dnum AS DECIMAL(38,0)) * $FpOne) " +
+          "div (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)").as("ks_fp"),
         $"cents".as("at_cents"))
       .orderBy($"pair_id")
   }
@@ -200,10 +202,13 @@ object Stats {
     * row_number variant of Spearman; documented, since average-rank
     * ties would need a division per tie run), and
     * ρ = 1 − 6Σd²/(n(n²−1)) renders as ONE truncating division of the
-    * cleared form ⌊2²⁰·(n(n²−1) − 6Σd²)/(n(n²−1))⌋ — negative-safe
-    * (both engines truncate toward zero). BIGINT holds to n ≈ 1.2M
-    * rows (n³·2²⁰ < 2⁶³); past that the render moves to the
-    * DECIMAL(38,0) tier.
+    * cleared form, computed in DECIMAL(38,0) ⟷ HUGEINT (2²⁰·n³
+    * crosses 2⁶³ already at n ≈ 2×10⁴, so BIGINT is never trusted
+    * here) and SHIFTED non-negative before dividing: ρ ≥ −1 means
+    * 2D − 6Σd² ≥ 0 for D = n(n²−1), so
+    * rho_fp = ⌊2²⁰·(2D − 6Σd²)/D⌋ − 2²⁰ — truncating division of
+    * non-negative operands is engine-identical, with no dependence on
+    * negative-division semantics. DECIMAL(38,0) holds to n ≈ 3×10¹⁰.
     *
     * Scale shape: two DistributedRank passes over the |customers|
     * frame + one global aggregate — every ordered window inside ranks
@@ -223,8 +228,13 @@ object Stats {
     rb.agg(count(lit(1)).as("n"),
         sum(($"ra" - $"rb") * ($"ra" - $"rb")).as("sum_d2"))
       .select($"n", $"sum_d2",
-        expr("(1048576 * (n * (n * n - 1) - 6 * sum_d2)) " +
-          "div (n * (n * n - 1))").as("rho_fp"))
+        // D = n(n²−1) in DECIMAL(38,0); dividend shifted by +2²⁰·D so it
+        // is provably non-negative, then un-shifted after the division
+        expr("CAST((1048576 * (2 * (CAST(n AS DECIMAL(38,0)) " +
+          "* (CAST(n AS DECIMAL(38,0)) * n - 1)) " +
+          "- 6 * CAST(sum_d2 AS DECIMAL(38,0)))) " +
+          "div (CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * n - 1)) " +
+          "- 1048576 AS BIGINT)").as("rho_fp"))
       .orderBy($"n")
   }
 
@@ -270,7 +280,8 @@ object Stats {
         |SELECT CAST(pair_id AS BIGINT) AS pair_id,
         |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
         |  CAST(dnum AS BIGINT) AS d_num,
-        |  CAST((dnum * 1048576) // (na * nb) AS BIGINT) AS ks_fp,
+        |  CAST((CAST(dnum AS HUGEINT) * 1048576)
+        |    // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS ks_fp,
         |  cents AS at_cents
         |FROM d WHERE rn = 1 ORDER BY pair_id""".stripMargin,
     // denominators cleared: (O−E)²/E == (N·O−R·C)²/(N·R·C); squares in
@@ -311,8 +322,10 @@ object Stats {
         |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2 FROM r)
         |SELECT n, sum_d2,
-        |  CAST((1048576 * (n * (n * n - 1) - 6 * sum_d2))
-        |    // (n * (n * n - 1)) AS BIGINT) AS rho_fp
+        |  CAST((1048576 * (2 * (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1))
+        |      - 6 * CAST(sum_d2 AS HUGEINT)))
+        |    // (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1))
+        |    - 1048576 AS BIGINT) AS rho_fp
         |FROM s ORDER BY n""".stripMargin,
     // same cleared-denominator cells; the effect size is one exact
     // radicand + floor(sqrt) on both engines

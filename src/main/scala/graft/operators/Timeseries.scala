@@ -431,6 +431,10 @@ object Timeseries {
   def timeseriesTheilSen(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val daily = Tables.events(spark, dir)
+      // an all-NULL (type, day) cell would yield y = NULL and desync the
+      // median election (Spark NULLS FIRST vs DuckDB NULLS LAST) — filter
+      // NULL values before the aggregate, mirrored in the oracle
+      .filter($"value".isNotNull)
       .select($"event_type", Tables.nsToUs($"ts").as("t"),
         Tables.dec4($"value").as("v"))
       .withColumn("day", expr("t div 86400000000"))
@@ -966,7 +970,8 @@ object Timeseries {
     // lower-median election shares the (slope, d1, d2) total order
     "timeseries_theil_sen" ->
       """WITH e0 AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
-        |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events
+        |  WHERE value IS NOT NULL),
         |d AS (SELECT event_type, day, CAST(sum(v) * 10000 AS BIGINT) AS y
         |  FROM e0 GROUP BY 1, 2),
         |s AS (SELECT a.event_type, a.day AS d1, b.day AS d2,
