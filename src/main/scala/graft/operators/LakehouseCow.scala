@@ -72,13 +72,15 @@ object LakehouseCow {
     val s = df.sparkSession
     import s.implicits._
     val stats = df.groupBy($"bkt")
-      .agg(min(col(keyCol)).as("mn"), max(col(keyCol)).as("mx"))
+      .agg(min(col(keyCol)).as("mn"), max(col(keyCol)).as("mx"),
+        count(lit(1)).as("cnt"))
       .collect() // ≤ |buckets|: file-planning metadata, never data
     if (stats.isEmpty) Seq.empty
     else {
       df.write.mode("overwrite").partitionBy("bkt").parquet(dest)
       stats.toSeq.map(r => FileEntry(r.getLong(0),
-        s"$dest/bkt=${r.getLong(0)}", r.getLong(1), r.getLong(2)))
+        s"$dest/bkt=${r.getLong(0)}", r.getLong(1), r.getLong(2),
+        rowCount = r.getLong(3)))
     }
   }
 
@@ -91,14 +93,15 @@ object LakehouseCow {
     import s.implicits._
     val stats = df.groupBy($"bkt")
       .agg(min(col(k1)).as("mn1"), max(col(k1)).as("mx1"),
-        min(col(k2)).as("mn2"), max(col(k2)).as("mx2"))
+        min(col(k2)).as("mn2"), max(col(k2)).as("mx2"),
+        count(lit(1)).as("cnt"))
       .collect() // ≤ |buckets|: file-planning metadata, never data
     if (stats.isEmpty) Seq.empty
     else {
       df.write.mode("overwrite").partitionBy("bkt").parquet(dest)
       stats.toSeq.map(r => FileEntry(r.getLong(0),
         s"$dest/bkt=${r.getLong(0)}", r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4)))
+        r.getLong(3), r.getLong(4), rowCount = r.getLong(5)))
     }
   }
 
@@ -219,7 +222,11 @@ object LakehouseCow {
       }
       val rows = TxnTable.history(spark, table).map {
         case (v, files, _, isDelta, adds, removes) =>
-          (v.toLong, TxnTable.read(spark, table, Some(v)).count(),
+          // rows_visible comes from the MANIFEST rowCount stats (zero
+          // data I/O — the production DESCRIBE HISTORY path); countAt
+          // falls back to a real snapshot count only for stat-less or
+          // delete-carrying versions, which this table never commits
+          (v.toLong, TxnTable.countAt(spark, table, Some(v)),
             files.toLong, adds.toLong, removes.toLong,
             if (isDelta) 1L else 0L)
       }
@@ -649,13 +656,15 @@ object LakehouseCow {
         val q = ev.filter($"ts_us" >= loB && $"ts_us" < b)
         val path = s"$table/data/v$i/q"
         q.write.mode("overwrite").parquet(path)
-        val st = q.agg(min($"ts_us"), max($"ts_us")).collect().head
+        val st = q.agg(min($"ts_us"), max($"ts_us"), count(lit(1)))
+          .collect().head
         // append = prior entries carried + one add-action; O(1) rewrite.
         // Empty-batch stats: a [MaxValue, MinValue] sentinel range that
         // no predicate overlaps (skipping-correct for an empty file)
         val add = FileEntry(i.toLong, path,
           if (st.isNullAt(0)) Long.MaxValue else st.getLong(0),
-          if (st.isNullAt(1)) Long.MinValue else st.getLong(1))
+          if (st.isNullAt(1)) Long.MinValue else st.getLong(1),
+          rowCount = st.getLong(2))
         entries = entries :+ add
         // first commit anchors the chain (full); every later append is
         // an O(1)-byte delta manifest carrying only its add-action

@@ -69,10 +69,19 @@ object TxnTable {
     * multi-column skipping carry two zone maps per file); the defaults
     * are the "unknown/unbounded" range, which never prunes — a file
     * without dim-2 stats is always scanned by a dim-2 predicate,
-    * exactly the safe direction. */
+    * exactly the safe direction.
+    *
+    * `rowCount` is the file's exact row count (−1 = unknown), the
+    * Delta add-action `numRecords` / Iceberg `record_count` stat: with
+    * it, DESCRIBE HISTORY and count-only reads are answered from the
+    * LOG ([[countAt]]) — at 10⁶ files a per-version snapshot COUNT
+    * over the data is the difference between metadata-speed history
+    * and a full table scan per version. Unknown (−1) falls back to a
+    * real data count, the safe direction. */
   final case class FileEntry(bucket: Long, path: String,
     minKey: Long, maxKey: Long,
-    min2: Long = Long.MinValue, max2: Long = Long.MaxValue)
+    min2: Long = Long.MinValue, max2: Long = Long.MaxValue,
+    rowCount: Long = -1L)
 
   /** A merge-on-read DELETE FILE: a small parquet whose `keyCol`
     * column(s) list deleted rows. [[read]] anti-joins every live delete
@@ -289,14 +298,14 @@ object TxnTable {
 
   private val FileEntryRe =
     ("""\{"bucket":(-?\d+),"path":"([^"]+)","min":(-?\d+),"max":(-?\d+),""" +
-      """"min2":(-?\d+),"max2":(-?\d+)\}""").r
+      """"min2":(-?\d+),"max2":(-?\d+)(?:,"rows":(-?\d+))?\}""").r
   private val DeleteFileRe = """\{"dpath":"([^"]+)","key":"([^"]+)"\}""".r
   private val QuotedRe = "\"([^\"]+)\"".r
 
   private def entryJson(e: FileEntry): String =
     s"""{"bucket":${e.bucket},"path":"${e.path}",""" +
       s""""min":${e.minKey},"max":${e.maxKey},""" +
-      s""""min2":${e.min2},"max2":${e.max2}}"""
+      s""""min2":${e.min2},"max2":${e.max2},"rows":${e.rowCount}}"""
 
   private def delJson(d: DeleteFile): String =
     s"""{"dpath":"${d.path}","key":"${d.keyCol}"}"""
@@ -313,7 +322,9 @@ object TxnTable {
     FileEntryRe.findAllMatchIn(slice).map(m =>
       FileEntry(m.group(1).toLong, m.group(2),
         m.group(3).toLong, m.group(4).toLong,
-        m.group(5).toLong, m.group(6).toLong)).toSeq
+        m.group(5).toLong, m.group(6).toLong,
+        // pre-rowCount manifests lack the field — unknown, never a guess
+        Option(m.group(7)).map(_.toLong).getOrElse(-1L))).toSeq
 
   private def parseDeletes(slice: String): Seq[DeleteFile] =
     DeleteFileRe.findAllMatchIn(slice).map(m =>
@@ -389,6 +400,24 @@ object TxnTable {
         .select(cols.map(org.apache.spark.sql.functions.col): _*).distinct()
       df.join(keys, cols, "left_anti")
     }
+  }
+
+  /** Visible-row count of a version, served from MANIFEST STATS when
+    * the log can prove it: every entry carries a known `rowCount` and
+    * no merge-on-read delete file is live (a delete file hides rows
+    * the entry counts still include) → the count is Σ rowCount, zero
+    * data I/O and zero Spark jobs — the Delta `numRecords` / Iceberg
+    * `record_count` fast path a DESCRIBE HISTORY or `count(*)` user
+    * hits. Any unknown stat or live delete falls back to a real
+    * snapshot count: never a guessed number. */
+  def countAt(spark: SparkSession, table: String,
+      asOf: Option[Int] = None): Long = {
+    val pick = resolve(spark, table, asOf)
+    val snap = snapshotAt(spark, table, pick)
+    if (!snap.tableLevel && snap.deletes.isEmpty &&
+        snap.entries.forall(_.rowCount >= 0L))
+      snap.entries.map(_.rowCount).sum
+    else read(spark, table, Some(pick)).count()
   }
 
   /** Install a FULL FILE-LEVEL manifest: the version's content is the

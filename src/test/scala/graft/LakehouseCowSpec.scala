@@ -325,4 +325,27 @@ class LakehouseCowSpec extends SparkSuite {
       "fixture must exercise a real merge before the restore")
     assert(TxnTable.versions(spark, t) === Seq(0, 1, 2))
   }
+
+  test("manifest rowCount stats: countAt == data count for every version, and is served with ZERO data I/O (sf0.001)") {
+    operators.LakehouseCow.sinkTxnHistoryAudit(spark, sf0001).collect(): Unit
+    val t = Tables.scratch("txn_history_table")
+    val vs = TxnTable.versions(spark, t)
+    assert(vs.nonEmpty)
+    // stats-equal-data law: the manifest rowCount sum matches a real
+    // snapshot count at every version (no fallback fires — the table
+    // has no table-level versions, unknown stats, or live deletes)
+    val expected = vs.map(v =>
+      v -> TxnTable.read(spark, t, Some(v)).count()).toMap
+    vs.foreach { v =>
+      assert(TxnTable.countAt(spark, t, Some(v)) === expected(v), s"v$v")
+    }
+    // zero-data-I/O proof: with the DATA GONE the log still answers —
+    // a countAt that touched any parquet would throw, not match
+    assert(fs.delete(new Path(s"$t/data"), true))
+    vs.foreach { v =>
+      assert(TxnTable.countAt(spark, t, Some(v)) === expected(v),
+        s"v$v must be served from manifest stats alone")
+    }
+    TxnTable.drop(spark, t) // leave no half-table behind
+  }
 }
