@@ -341,12 +341,14 @@ object Behavioral {
     *
     * Scale shape: pair generation reuses the capped machinery
     * (Σdf² under PairDegreeCap, never corpus²); the backbone election
-    * is one rank over the capped pair frame — bounded by the cap, and
-    * at extreme scale it would move to a value-domain histogram
-    * threshold (rank the ≤|distinct shared-counts| histogram, then
-    * filter shared ≥ t*) so no single task ever orders the pair frame;
-    * each peel round is one semi-join + one count aggregate on the
-    * shrinking edge set — O(edges) per round, the peeling promise. */
+    * runs WITHOUT ordering the pair frame in any single task: a
+    * value-domain histogram of `shared` (≤ |distinct counts| rows —
+    * bounded by the co-occurrence domain, never by pair volume)
+    * admits whole values inside the 4n budget, and only the ONE
+    * boundary value refines by (s1, s2) through [[DistributedRank]]'s
+    * 3-level prefix-sum; each peel round is one semi-join + one count
+    * aggregate on the shrinking edge set — O(edges) per round, the
+    * peeling promise. */
   def graphKcorePeel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val K = 6
@@ -364,10 +366,28 @@ object Behavioral {
       .select($"l_partkey")
     val nSup = incidence.join(okParts, Seq("l_partkey"), "left_semi")
       .agg(countDistinct($"l_suppkey").as("n"))
-    val wRank = Window.partitionBy().orderBy($"shared".desc, $"s1", $"s2")
-    val top = pairs.withColumn("rk", row_number().over(wRank))
+    // top-4n under (shared DESC, s1, s2) with no single-partition pass
+    // over the pair frame: whole shared-values whose strictly-greater
+    // census already fits the budget admit by semi-join; the (at most
+    // one) boundary value ranks its pairs by (s1, s2) distributed
+    val histW = Window.orderBy($"shared".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hist = pairs.groupBy($"shared").agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(nSup))
-      .filter($"rk" <= lit(4L) * $"n").select($"s1", $"s2")
+      .withColumn("above", coalesce(sum($"cnt").over(histW), lit(0L)))
+      .withColumn("budget", lit(4L) * $"n")
+    val fullVals = hist.filter($"above" + $"cnt" <= $"budget")
+      .select($"shared")
+    val bnd = hist
+      .filter($"above" < $"budget" && $"above" + $"cnt" > $"budget")
+      .select($"shared", ($"budget" - $"above").as("need")) // ≤1 row
+    val bndTop = DistributedRank
+      .rankCum(pairs.join(broadcast(bnd), Seq("shared"))
+        .withColumn("one", lit(1L)), "s1", "s2", "one")
+      .filter($"rnk" <= $"need")
+    val top = pairs.join(broadcast(fullVals), Seq("shared"), "left_semi")
+      .select($"s1", $"s2")
+      .unionByName(bndTop.select($"s1", $"s2"))
     val edges = graft.PlanOnly.mark(
       top.unionByName(top.select($"s2".as("s1"), $"s1".as("s2"))))
     def degrees(alive: DataFrame): DataFrame = edges

@@ -737,4 +737,55 @@ class PlanRegressionSpec extends SparkSuite {
     assert(scanNodes(ra, "lineitem.parquet") === 1,
       "RA reads the incidence relation exactly once")
   }
+
+  test("registry-wide: unpartitioned windows only over provably bounded frames (allowlist)") {
+    // Every Window with an empty partition spec single-partitions its
+    // input — the one plan shape that cannot survive a 100× scale-up
+    // unless the consumed frame is bounded by something other than data
+    // volume. The allowlist pins every key that legitimately carries
+    // one (the bound is documented at each use site: a limit() cut, a
+    // value-domain histogram, a ≤Fan bucket-subtotal frame). A NEW
+    // unpartitioned window anywhere in the 339-key registry fails here
+    // until its bound is argued and the key is listed.
+    // key → the argued bound of every unpartitioned-window input frame
+    // in that key (counting node instances is meaningless — a shared
+    // subtree is expanded once per consumer in the analyzed tree)
+    val allow: Map[String, String] = Map(
+      "corpus_mix_rebalance" -> "|labels|-row mix frame",
+      "corpus_temperature_mix" -> "|labels|-row mix frame",
+      "corpus_token_budget" -> "per-bucket subtotals ≤65,536 rows (two-level cumsum)",
+      "dedup_minhash_replayable" -> "hot-bucket-capped candidate frame, limit(20) report cut",
+      "dedup_simhash_replayable" -> "4-block pigeonhole buckets, >20-doc buckets dropped",
+      "dedup_winnow_pairs" -> "fingerprint-bucketed candidates, limit(20) cut",
+      "dedup_winnow_verify" -> "verified candidate pairs after the limit(20) cut",
+      "graph_kcore_peel" -> "value-domain shared-count histogram (≤|distinct counts| rows)",
+      "ml_class_balance_weights" -> "|classes|-row weight frame",
+      "ml_decision_stump" -> "|candidate thresholds| ≤128 split frame",
+      "ml_gbdt_stump_boost" -> "|candidate thresholds| ≤128 split frame per round",
+      "ml_isotonic_calibration" -> "≤128-bin PAV frame",
+      "ml_triplet_mining" -> "limit-cut anchor report frame",
+      "profile_chi2_independence" -> "≤25-row contingency cells (N marginal)",
+      "profile_cramers_v" -> "≤25-row contingency cells (N marginal)",
+      "sample_stratified_neyman" -> "|strata|-row allocation frame",
+      "sample_systematic_weighted" -> "per-bucket subtotals ≤65,536 rows (stride scalar)",
+      "skyline_pareto" -> "shard-pruned survivor frame (global pass over survivors only)",
+      "text_bpe_merge_step" -> "top-20 merge report after TakeOrdered cut",
+      "text_winnow_fingerprints" -> "limit(20)-cut fingerprint report",
+      "topk_threshold_algorithm" -> "≤256-row seen frame × 8-depth broadcast")
+    spark.catalog.clearCache()
+    System.setProperty("graft.planOnly", "true")
+    val observed = try {
+      SparkEntry.queries.keys.toSeq.sorted.filter { k =>
+        val df = SparkEntry.queries(k)(spark, sf001)
+        df.queryExecution.analyzed.collectWithSubqueries {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+        }.nonEmpty
+      }
+    } finally System.clearProperty("graft.planOnly")
+    val beyond = observed.filterNot(allow.contains)
+    assert(beyond.isEmpty,
+      s"keys with a NEW unpartitioned window (argue the bound, then " +
+        s"allowlist): $beyond\nfull observed census: $observed")
+  }
 }
