@@ -467,6 +467,80 @@ object Aggregations {
        |  CAST(bit_count(wo | wf) AS BIGINT) AS n_or
        |FROM j ORDER BY w""".stripMargin
 
+  /** ROARING-STYLE BITMAP CONTAINERS (Chambi–Lemire–Kaser–Godin 2016)
+    * — the per-2¹⁶-key container decomposition that makes exact
+    * bitmaps affordable over SPARSE keyspaces, where the flat
+    * [[aggBitmapWords]] word array would materialize |keyspace|/32
+    * words: container id = key div 2¹⁶, and each (set, container)
+    * holds only its NON-EMPTY 32-bit words (≤2048 per container),
+    * so storage tracks membership, never the key domain — at 10¹²
+    * sparse ids the flat tier is 3×10¹⁰ words while containers cost
+    * O(members). Graded per container over the status-'O' and
+    * status-'F' ORDER-KEY sets (deliberately the sparse TPC-H domain
+    * — 1 in 4 keys exists): exact per-side cardinalities and word
+    * censuses, the roaring REPRESENTATION DECISION (cardinality ≤4096
+    * → 'array' container of sorted shorts; above → packed 'bitmap' —
+    * the format's core adaptive choice, decided per container from
+    * the same stats), and word-aligned AND/OR population counts. ONE
+    * SQL text runs verbatim on both engines. The member key is
+    * o_orderkey·5 — a fixed deterministic stride that disperses the
+    * fixture's near-dense order keys across a sparse id space (12
+    * containers at sf0.1, with per-side cardinalities straddling the
+    * 4096 threshold so BOTH representation outcomes are graded);
+    * stride dispersal is injective, so every popcount law holds
+    * against the undispersed exact sets.
+    *
+    * Scale shape: build = one map-side (set, container, word) bit_or
+    * over the distinct membership (associative, order-free — how
+    * roaring unions merge); per-container stats collapse to
+    * |containers| rows; set ops align on (container, word) — an
+    * equi-join whose key carries the container, so a hot container
+    * never skews a single task beyond its ≤2048 words. */
+  def aggBitmapContainers(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("bmc_ord")
+    spark.sql(bitmapContainerSql("bmc_ord", "div"))
+  }
+
+  /** Shared container-bitmap SQL — `idiv` is `div` (Spark) or `//`
+    * (DuckDB). */
+  private[graft] def bitmapContainerSql(ord: String, idiv: String): String =
+    s"""WITH mem AS (SELECT DISTINCT o_orderstatus AS st,
+       |    CAST(o_orderkey * 5 AS BIGINT) AS k FROM $ord
+       |  WHERE o_orderstatus IN ('O', 'F')),
+       |wd AS (SELECT st, k $idiv 65536 AS c, (k % 65536) $idiv 32 AS w,
+       |    bit_or(CAST(1 AS BIGINT) << CAST(k % 32 AS INT)) AS wv
+       |  FROM mem GROUP BY 1, 2, 3),
+       |ct AS (SELECT st, c, CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(bit_count(wv)) AS BIGINT) AS card
+       |  FROM wd GROUP BY 1, 2),
+       |o_ AS (SELECT c, w, wv FROM wd WHERE st = 'O'),
+       |f_ AS (SELECT c, w, wv FROM wd WHERE st = 'F'),
+       |j AS (SELECT coalesce(o_.c, f_.c) AS c,
+       |    coalesce(o_.wv, 0) AS wo, coalesce(f_.wv, 0) AS wf
+       |  FROM o_ FULL OUTER JOIN f_ ON o_.c = f_.c AND o_.w = f_.w),
+       |ops AS (SELECT c, CAST(sum(bit_count(wo & wf)) AS BIGINT) AS n_and,
+       |    CAST(sum(bit_count(wo | wf)) AS BIGINT) AS n_or
+       |  FROM j GROUP BY c),
+       |co AS (SELECT c, n_words AS words_o, card AS card_o
+       |  FROM ct WHERE st = 'O'),
+       |cf AS (SELECT c, n_words AS words_f, card AS card_f
+       |  FROM ct WHERE st = 'F')
+       |SELECT CAST(ops.c AS BIGINT) AS container,
+       |  CAST(coalesce(co.card_o, 0) AS BIGINT) AS card_o,
+       |  CAST(coalesce(cf.card_f, 0) AS BIGINT) AS card_f,
+       |  CAST(coalesce(co.words_o, 0) AS BIGINT) AS words_o,
+       |  CAST(coalesce(cf.words_f, 0) AS BIGINT) AS words_f,
+       |  CASE WHEN coalesce(co.card_o, 0) = 0 THEN 'empty'
+       |       WHEN co.card_o <= 4096 THEN 'array' ELSE 'bitmap'
+       |  END AS type_o,
+       |  CASE WHEN coalesce(cf.card_f, 0) = 0 THEN 'empty'
+       |       WHEN cf.card_f <= 4096 THEN 'array' ELSE 'bitmap'
+       |  END AS type_f,
+       |  ops.n_and, ops.n_or
+       |FROM ops LEFT JOIN co ON ops.c = co.c
+       |LEFT JOIN cf ON ops.c = cf.c
+       |ORDER BY container""".stripMargin
+
   /** HYPOTHETICAL-SET ranking (SQL:2003 `RANK(v) WITHIN GROUP` /
     * Oracle-Postgres hypothetical-set aggregates) — "where WOULD a
     * $1 500.00 order rank in each priority class?", answered WITHOUT
@@ -860,6 +934,7 @@ object Aggregations {
     "agg_kmv_replayable" -> (aggKmvReplayable(_, _)),
     "agg_rank_hypothetical" -> (aggRankHypothetical(_, _)),
     "agg_bitmap_words" -> (aggBitmapWords(_, _)),
+    "agg_bitmap_containers" -> (aggBitmapContainers(_, _)),
     "sql_grouping_id" -> (sqlGroupingId(_, _)),
     "agg_countmin_replayable" -> (aggCountminReplayable(_, _)),
     "agg_percentile_sampled" -> (aggPercentileSampled(_, _)),
@@ -942,6 +1017,7 @@ ORDER BY exact_cnt DESC, user_id LIMIT 20"""
     "agg_bloom_replayable" -> bloomSql("customer", "orders", "//"),
     "agg_kmv_replayable" -> kmvSql("events", "//"),
     "agg_bitmap_words" -> bitmapSql("orders", "//"),
+    "agg_bitmap_containers" -> bitmapContainerSql("orders", "//"),
     // same standard bitmask convention (leftmost column = MSB)
     "sql_grouping_id" ->
       """SELECT CAST(grouping_id(c_mktsegment, o_orderpriority) AS BIGINT)

@@ -349,6 +349,39 @@ class StatsSpec extends SparkSuite {
     assert(andSum === both, "bitmap AND must count exactly the intersection")
   }
 
+  test("agg_bitmap_containers: per-container popcounts are exact and the roaring type decision follows the 4096 threshold") {
+    import org.apache.spark.sql.functions._
+    val rows = Aggregations.aggBitmapContainers(spark, sf0001).collect()
+    val oKeys = Tables.orders(spark, sf0001).where("o_orderstatus = 'O'")
+      .select("o_orderkey").distinct()
+    val fKeys = Tables.orders(spark, sf0001).where("o_orderstatus = 'F'")
+      .select("o_orderkey").distinct()
+    // union/intersection popcounts sum to the exact set-op cardinalities
+    assert(rows.map(_.getLong(8)).sum ===
+      oKeys.union(fKeys).distinct().count(), "OR must count the union")
+    assert(rows.map(_.getLong(7)).sum === oKeys.intersect(fKeys).count(),
+      "AND must count the intersection")
+    // per-container cardinality: card_o equals the exact count of 'O'
+    // keys falling in that container (the container partition is lossless)
+    val perC = oKeys
+      .select(expr("CAST(o_orderkey * 5 AS BIGINT) div 65536").as("c"))
+      .groupBy("c").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) === perC.getOrElse(r.getLong(0), 0L),
+        s"container ${r.getLong(0)} card_o")
+      // the adaptive representation decision is the stats, not a guess
+      val want = if (r.getLong(1) == 0L) "empty"
+        else if (r.getLong(1) <= 4096L) "array" else "bitmap"
+      assert(r.getString(5) === want, s"container ${r.getLong(0)} type_o")
+      // a container never exceeds its 2048-word / 65536-member bound
+      assert(r.getLong(3) <= 2048L && r.getLong(1) <= 65536L)
+    }
+    // the sparse-domain point: at least 2 containers with differing types
+    // would need sf0.1; at sf0.001 assert the container split is real
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+  }
+
   test("stream_exec_dropdup: the staged feed carries real duplicates and dedup recovers the census") {
     val staged = spark.read.parquet(
       graft.streaming.StreamingMirror.dupStage(spark, sf0001))
