@@ -560,7 +560,7 @@ object Multimodal {
   private def pqAdcScores(spark: SparkSession, dir: String, k: Int)
       : DataFrame = {
     import spark.implicits._
-    val (_, codes, lut) = pqTrain(spark, dir, k)
+    val (_, codes, _, lut) = pqTrain(spark, dir, k)
     codes.join(broadcast(lut), Seq("m", "cid"))
       .filter($"vec_id" =!= $"q_id")
       .groupBy($"q_id", $"vec_id")
@@ -568,12 +568,14 @@ object Multimodal {
   }
 
   /** PQ codebook training at codebook size k, shared by the flat ADC
-    * scan ([[pqAdcScores]]) and the IVF-composed serving path
-    * ([[simsearchIvfPq]]): returns (subvectors, codes, per-query ADC
-    * LUT) — subs = (vec_id, m, sv), codes = (vec_id, m, cid), lut =
+    * scan ([[pqAdcScores]]), the IVF-composed serving path
+    * ([[simsearchIvfPq]]) and the stored-index build
+    * ([[simsearchIndexServe]]): returns (subvectors, codes,
+    * codebooks, per-query ADC LUT) — subs = (vec_id, m, sv), codes =
+    * (vec_id, m, cid), cents = (m, cid, cent), lut =
     * (q_id, m, cid, pd). */
   private def pqTrain(spark: SparkSession, dir: String, k: Int)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     val fp = Tables.embeddings(spark, dir)
       .select($"vec_id",
@@ -621,7 +623,7 @@ object Multimodal {
       .select($"q_id", $"m", $"cid",
         expr("aggregate(zip_with(qsv, cent, (x, y) -> x * y), 0L, " +
           "(acc, v) -> acc + v)").as("pd"))
-    (subs, codes, lut)
+    (subs, codes, cents, lut)
   }
 
   /** The COMPOSED ANN serving plan — IVF cell probe feeding PQ ADC
@@ -681,7 +683,7 @@ object Multimodal {
       .join(broadcast(ranked.filter($"cr" <= maxProbe)), $"label" === $"cell")
       .filter($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id", $"cr")
-    val (_, codes, lut) = pqTrain(spark, dir, 16)
+    val (_, codes, _, lut) = pqTrain(spark, dir, 16)
     val adc = members.join(codes, "vec_id")
       .join(broadcast(lut), Seq("q_id", "m", "cid"))
       .groupBy($"q_id", $"vec_id", $"cr")
@@ -710,6 +712,94 @@ object Multimodal {
       .select($"nprobe", $"q_id", $"n_cand", coalesce($"h", lit(0L)).as("hits"))
       .withColumn("recall_fp", expr("(hits * 1048576) div 10"))
       .orderBy($"nprobe", $"q_id")
+  }
+
+  /** STORED-INDEX ANN SERVING — the offline-build / online-serve split
+    * every production vector store runs, closing the gap the
+    * [[simsearchIvfPq]] scaladoc discloses (cells and codebooks
+    * recomputed per query there): the BUILD step materializes the IVF
+    * cell centroids, the PQ codebooks, and the per-vector PQ codes
+    * (with each vector's cell) as three versioned [[graft.sources.TxnTable]]s
+    * — the batch job that runs once per index version — and the SERVE
+    * step answers queries from the STORED index alone: probe the
+    * stored centroids (top-4 cells by exact fixed-point dot), build
+    * the per-query 8×16 ADC LUT against the stored codebook, score
+    * ONLY the probed cells' member codes, emit the top-10 per query
+    * by (adc DESC, vec_id). The only corpus touch in the serve plan
+    * is fetching the 5 query vectors (a pushed-down vec_id < 5 scan)
+    * — no Lloyd pass, no corpus-wide aggregate (LlmOpsSpec pins the
+    * single embeddings scan). The oracle re-derives the whole index
+    * from scratch, so the hash certifies stored-index serving ≡
+    * recompute — the index-freshness contract.
+    *
+    * Scale shape: the index tables are the scale story — codes are 8
+    * rows/vector of (m, cid) (4 bits each — the 64:1 PQ compression),
+    * centroids and codebooks constant-size; serving touches
+    * |probed cells' members| code rows and broadcasts only
+    * constant-size frames. Versioned through TxnTable, a rebuild is a
+    * new commit and readers keep snapshot isolation. */
+  def simsearchIndexServe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val NProbe = 4
+    def serve(cells: DataFrame, codesL: DataFrame, books: DataFrame)
+        : DataFrame = {
+      val fpq = Tables.embeddings(spark, dir).filter($"vec_id" < 5)
+        .select($"vec_id".as("q_id"),
+          expr("transform(embedding, x -> CAST(floor(x * 1048576) AS BIGINT))")
+            .as("qv"))
+      val wq = Window.partitionBy($"q_id").orderBy($"pd".desc, $"cell")
+      val probed = fpq.crossJoin(broadcast(cells))
+        .withColumn("pd", expr(
+          "aggregate(zip_with(qv, cfp, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+        .withColumn("cr", row_number().over(wq).cast("long"))
+        .filter($"cr" <= NProbe)
+      val qsubs = fpq
+        .select($"q_id", posexplode(expr(
+          "transform(sequence(0, 7), mm -> slice(qv, mm * 8 + 1, 8))"))
+          .as(Seq("m", "qsv")))
+        .select($"q_id", $"m".cast("long").as("m"), $"qsv")
+      val lut = qsubs.join(broadcast(books), "m")
+        .select($"q_id", $"m", $"cid",
+          expr("aggregate(zip_with(qsv, cent, (x, y) -> x * y), 0L, " +
+            "(acc, v) -> acc + v)").as("pd"))
+      val members = codesL
+        .join(broadcast(probed.select($"q_id", $"cell")), $"label" === $"cell")
+        .filter($"vec_id" =!= $"q_id")
+      val adc = members.join(broadcast(lut), Seq("q_id", "m", "cid"))
+        .groupBy($"q_id", $"vec_id").agg(sum($"pd").as("adc"))
+      val w = Window.partitionBy($"q_id").orderBy($"adc".desc, $"vec_id")
+      adc.withColumn("rn", row_number().over(w).cast("long"))
+        .filter($"rn" <= 10)
+        .select($"q_id", $"rn", $"vec_id", $"adc")
+        .orderBy($"q_id", $"rn")
+    }
+    val e = Tables.embeddings(spark, dir)
+    val fp = e.select($"vec_id", $"label",
+      expr("transform(embedding, x -> CAST(floor(x * 1048576) AS BIGINT))")
+        .as("qv"))
+    val cellsB = fp
+      .select($"label", posexplode($"qv").as(Seq("pos", "x")))
+      .groupBy($"label", $"pos")
+      .agg(floor(sum($"x").cast("double") / count(lit(1))).cast("long").as("c"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
+      .select($"label".as("cell"), expr("transform(pc, p -> p.c)").as("cfp"))
+    val (_, codesB, booksB, _) = pqTrain(spark, dir, 16)
+    val codesLB = codesB.join(e.select($"vec_id", $"label"), "vec_id")
+    graft.PlanOnly.roundTrip(serve(cellsB, codesLB, booksB)) {
+      val tCells = Tables.scratch("idx_ivf_cells")
+      val tCodes = Tables.scratch("idx_pq_codes")
+      val tBooks = Tables.scratch("idx_pq_codebook")
+      Seq(tCells, tCodes, tBooks)
+        .foreach(graft.sources.TxnTable.drop(spark, _))
+      graft.sources.TxnTable.commit(spark, tCells, 0, cellsB)
+      graft.sources.TxnTable.commit(spark, tCodes, 0, codesLB)
+      graft.sources.TxnTable.commit(spark, tBooks, 0, booksB)
+      serve(graft.sources.TxnTable.read(spark, tCells),
+        graft.sources.TxnTable.read(spark, tCodes),
+        graft.sources.TxnTable.read(spark, tBooks))
+    }
   }
 
   /** PQ-served top-10 retrieval — the ANN serving path the
@@ -1755,6 +1845,7 @@ object Multimodal {
     "embedding_pq_quantize" -> (embeddingPqQuantize(_, _)),
     "simsearch_pq_topk" -> (simsearchPqTopk(_, _)),
     "simsearch_ivf_pq" -> (simsearchIvfPq(_, _)),
+    "simsearch_index_serve" -> (simsearchIndexServe(_, _)),
     "ml_confusion_matrix" -> (mlConfusionMatrix(_, _)),
     "eval_ranking_metrics" -> (evalRankingMetrics(_, _)),
     "dedup_semantic_cluster" -> (dedupSemanticCluster(_, _)),
@@ -2502,6 +2593,72 @@ object Multimodal {
         |  CAST(coalesce(h.h, 0) * 1048576 // 10 AS BIGINT) AS recall_fp
         |FROM nc LEFT JOIN h ON nc.nprobe = h.nprobe AND nc.q_id = h.q_id
         |ORDER BY nc.nprobe, nc.q_id""".stripMargin,
+    // the oracle RE-DERIVES the stored index from scratch (same PQ
+    // train + cell centroids as simsearch_ivf_pq) and serves nprobe=4
+    // top-10 — hash-equality certifies stored-index serving ≡ recompute
+    "simsearch_index_serve" ->
+      """WITH fp AS (SELECT vec_id, label,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 1048576) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |ms AS (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS m),
+        |subs AS (SELECT vec_id, m,
+        |    list_slice(qv, m * 8 + 1, m * 8 + 8) AS sv FROM fp, ms),
+        |seeds AS (SELECT m, vec_id AS cid, sv AS cq FROM subs
+        |  WHERE vec_id < 16),
+        |d1 AS (SELECT s.vec_id, s.m, s.sv, c.cid,
+        |    CAST(list_sum(list_transform(list_zip(s.sv, c.cq),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS sqd
+        |  FROM subs s JOIN seeds c USING (m)),
+        |a1 AS (SELECT vec_id, m, sv, cid FROM
+        |    (SELECT vec_id, m, sv, cid, row_number() OVER
+        |      (PARTITION BY vec_id, m ORDER BY sqd, cid) AS rn FROM d1)
+        |  WHERE rn = 1),
+        |cx AS (SELECT m, cid, CAST(generate_subscripts(sv, 1) AS BIGINT)
+        |    AS pos, unnest(sv) AS x FROM a1),
+        |cm AS (SELECT m, cid, pos,
+        |    CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS c
+        |  FROM cx GROUP BY m, cid, pos),
+        |cents AS (SELECT m, cid, list(c ORDER BY pos) AS cent
+        |  FROM cm GROUP BY m, cid),
+        |d2 AS (SELECT s.vec_id, s.m, c.cid,
+        |    CAST(list_sum(list_transform(list_zip(s.sv, c.cent),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS sqd
+        |  FROM subs s JOIN cents c USING (m)),
+        |codes AS (SELECT vec_id, m, cid FROM
+        |    (SELECT vec_id, m, cid, row_number() OVER
+        |      (PARTITION BY vec_id, m ORDER BY sqd, cid) AS rn FROM d2)
+        |  WHERE rn = 1),
+        |lut AS (SELECT s.vec_id AS q_id, s.m, c.cid,
+        |    CAST(list_sum(list_transform(list_zip(s.sv, c.cent),
+        |      p -> p[1] * p[2])) AS BIGINT) AS pd
+        |  FROM subs s JOIN cents c USING (m) WHERE s.vec_id < 5),
+        |icx AS (SELECT label, CAST(generate_subscripts(qv, 1) AS BIGINT)
+        |    AS pos, unnest(qv) AS x FROM fp),
+        |icm AS (SELECT label, pos,
+        |    CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS c
+        |  FROM icx GROUP BY label, pos),
+        |cells AS (SELECT label AS cell, list(c ORDER BY pos) AS cfp
+        |  FROM icm GROUP BY label),
+        |qs AS (SELECT vec_id AS q_id, qv FROM fp WHERE vec_id < 5),
+        |pr AS (SELECT q_id, cell,
+        |    CAST(list_sum(list_transform(list_zip(qv, cfp),
+        |      p -> p[1] * p[2])) AS BIGINT) AS pd
+        |  FROM qs, cells),
+        |ranked AS (SELECT q_id, cell, CAST(row_number() OVER (PARTITION BY
+        |    q_id ORDER BY pd DESC, cell) AS BIGINT) AS cr FROM pr),
+        |mem AS (SELECT r.q_id, e.vec_id
+        |  FROM ranked r JOIN embeddings e ON e.label = r.cell
+        |  WHERE r.cr <= 4 AND e.vec_id <> r.q_id),
+        |adc AS (SELECT mb.q_id, mb.vec_id,
+        |    CAST(sum(l.pd) AS BIGINT) AS adc
+        |  FROM mem mb JOIN codes k ON k.vec_id = mb.vec_id
+        |  JOIN lut l ON l.q_id = mb.q_id AND l.m = k.m AND l.cid = k.cid
+        |  GROUP BY mb.q_id, mb.vec_id)
+        |SELECT q_id, rn, vec_id, adc FROM
+        |    (SELECT q_id, vec_id, adc, CAST(row_number() OVER (PARTITION BY
+        |      q_id ORDER BY adc DESC, vec_id) AS BIGINT) AS rn FROM adc)
+        |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
     // same subvector split / seed assign / floor-mean refine / code
     // assign / ADC-LUT scoring / exact fixed-point-dot baseline
     "embedding_pq_quantize" ->

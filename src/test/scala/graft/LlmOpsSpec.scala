@@ -656,4 +656,31 @@ class LlmOpsSpec extends SparkSuite {
       assert(r.getLong(3) === votes.head._2.toLong)
     }
   }
+
+  test("simsearch_index_serve: the serve plan reads the STORED index — every corpus scan is the pushed query fetch, no Lloyd pass") {
+    val df = operators.Multimodal.simsearchIndexServe(spark, sf0001)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // scan census by node blocks (the PlanRegressionSpec idiom): every
+    // corpus scan is a pushed-down vec_id < 5 QUERY FETCH (the probe
+    // and the LUT each fetch the 5 query vectors — never the corpus),
+    // and the index comes from the committed TxnTable parquet
+    val blocks = p.split("\\n(?=\\(\\d+\\) )")
+    def scans(file: String): Seq[String] = blocks.toSeq
+      .filter(b => b.matches("(?s)\\(\\d+\\) Scan parquet.*") && b.contains(file))
+    val corpus = scans("embeddings.parquet")
+    assert(corpus.nonEmpty && corpus.forall(_.contains("LessThan(vec_id,5)")),
+      "every corpus scan must be the pushed-down 5-query fetch — an " +
+        "unfiltered embeddings scan means the serve path recomputes the " +
+        s"index: ${corpus.map(_.take(300))}")
+    assert(scans("idx_ivf_cells").nonEmpty && scans("idx_pq_codes").nonEmpty &&
+      scans("idx_pq_codebook").nonEmpty,
+      "serve must read all three stored index tables: " + p.take(600))
+    // output shape: a full 1..10 rank prefix per query
+    val rows = df.collect()
+    assert(rows.length === 50)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq === (1L to 10L), s"query $q")
+    }
+  }
 }
