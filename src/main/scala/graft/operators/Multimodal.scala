@@ -1449,24 +1449,64 @@ object Multimodal {
     * the matvec chain; the second matvec's products ride
     * DECIMAL(38,0) ⟷ HUGEINT (g·v ≈ 10¹⁹ passes 2⁶³).
     *
-    * Scale shape: the Gram is the one data-touching pass — a per-row
-    * d² outer-product flatMap collapsing map-side to d² cells (the
-    * distributed-PCA shape; never an |n|×|n| anything); each matvec
-    * joins the 4096-cell G against a broadcast 64-row vector. */
+    * Scale shape: the Gram is the one data-touching pass, built by
+    * default as a per-partition mapPartitions FOLD (the MLlib
+    * RowMatrix-Gramian design): each task accumulates one local
+    * d(d+1)/2 BIGINT triangle and emits it ONCE, so the shuffle
+    * carries |partitions|·d²/2 rows instead of |rows|·d²/2 — the
+    * per-row explode alternative (`spark.graft.pca.gramFold = false`)
+    * fans out 2080 rows per vector before the map-side combine and
+    * measures ~2× slower at d = 64, sf0.1 (and d² worse at d = 512).
+    * Identical exact sums either way (BIGINT addition is associative;
+    * VectorOpsSpec pins bit-equality of the two paths), same oracle.
+    * Headroom: |q| ≤ 2¹⁶ ⇒ per-partition partials stay under 2⁶³ to
+    * ~2³⁰ rows/partition. Each matvec joins the 4096-cell G against a
+    * broadcast 64-row vector. */
   def mlPcaPowerIter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // per-row UPPER-TRIANGLE outer product as ONE projection (the Gram
     // is symmetric — d(d+1)/2 products per row, not d²; mirrored AFTER
     // the aggregation on the 4096-cell frame, the triangle-count
     // mirror-after-agg pattern); no self-join, no fact-grain shuffle
-    val cells = Tables.embeddings(spark, dir)
+    val quant = Tables.embeddings(spark, dir)
       .select(expr("transform(embedding, x -> CAST(floor(x * 65536) AS BIGINT))")
         .as("q"))
-      .select(explode(expr(
-        "flatten(transform(q, (qi, i) -> transform(slice(q, i + 1, size(q)), " +
-          "(qj, j0) -> named_struct('i', i, 'j', i + j0, 'p', qi * qj))))"))
-        .as("c"))
-      .select($"c.i".as("i"), $"c.j".as("j"), $"c.p".as("p"))
+    val gramFold = spark.conf.getOption("spark.graft.pca.gramFold")
+      .forall(_.toBoolean) // default ON — the MLlib-Gramian fold
+    val cells =
+      if (!gramFold)
+        quant.select(explode(expr(
+          "flatten(transform(q, (qi, i) -> transform(slice(q, i + 1, size(q)), " +
+            "(qj, j0) -> named_struct('i', i, 'j', i + j0, 'p', qi * qj))))"))
+          .as("c"))
+          .select($"c.i".as("i"), $"c.j".as("j"), $"c.p".as("p"))
+      else quant.as[Array[Long]].mapPartitions { it =>
+        // the documented large-d path: one local triangle per task,
+        // emitted once — rows × d² multiplies, |partitions| × d² rows
+        var acc: Array[Long] = null
+        var d = 0
+        it.foreach { q =>
+          if (acc == null) { d = q.length; acc = new Array[Long](d * (d + 1) / 2) }
+          var i = 0; var k = 0
+          while (i < d) {
+            val qi = q(i); var j = i
+            while (j < d) { acc(k) += qi * q(j); k += 1; j += 1 }
+            i += 1
+          }
+        }
+        if (acc == null) Iterator.empty
+        else {
+          var i = 0; var k0 = 0
+          val out = Array.newBuilder[(Int, Int, Long)]
+          out.sizeHint(acc.length)
+          while (i < d) {
+            var j = i
+            while (j < d) { out += ((i, j, acc(k0))); k0 += 1; j += 1 }
+            i += 1
+          }
+          out.result().iterator
+        }
+      }.toDF("i", "j", "p")
     val gU = cells.groupBy($"i", $"j").agg(sum($"p").as("g"))
     val g = graft.PlanOnly.mark(
       gU.unionAll(gU.filter($"i" =!= $"j")

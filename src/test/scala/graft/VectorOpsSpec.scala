@@ -32,4 +32,18 @@ class VectorOpsSpec extends SparkSuite {
     val self = e.select(expr("cosine_similarity(embedding, embedding)").as("c"))
     assert(self.filter(abs(col("c") - 1.0) > 1e-9).count() === 0L)
   }
+
+  test("ml_pca_power_iter: the default Gram FOLD path is bit-identical to the explode path") {
+    // BIGINT addition is associative/commutative, so the per-partition
+    // triangle fold (the default) must reproduce the per-row explode's
+    // Gram exactly — and with it both power iterates, at any partitioning
+    val folded = operators.Multimodal.mlPcaPowerIter(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.graft.pca.gramFold", "false")
+    try {
+      val exploded = operators.Multimodal.mlPcaPowerIter(spark, sf0001)
+        .collect().map(_.toSeq).toSeq
+      assert(folded === exploded, "the two Gram builds must be bit-identical")
+    } finally spark.conf.unset("spark.graft.pca.gramFold")
+  }
 }
