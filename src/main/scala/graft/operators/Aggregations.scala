@@ -541,6 +541,67 @@ object Aggregations {
        |LEFT JOIN cf ON ops.c = cf.c
        |ORDER BY container""".stripMargin
 
+  /** MERGEABLE QUANTILE SKETCH — the engine-replayable rung of the
+    * quantile family that completes the sketch algebra next to the
+    * KMV/HLL/CMS/bloom tiers (agg_percentile_sampled covers the
+    * sampled twin; t-digest/GK are the float-centroid cousins this
+    * fixed-grid form replaces to stay deterministic): a single-level
+    * dyadic histogram over order totals at 2¹⁶-cent bucket width.
+    * The sketch IS (bucket, count) — bounded by the VALUE DOMAIN
+    * (range/2¹⁶ buckets), mergeable by plain count addition
+    * (associative and order-free, the production property: per-shard
+    * sketches union + sum — StatsSpec pins merge-order invariance
+    * against an odd/even shard split), and every quantile answer is a
+    * deterministic receipt: for each pct, the target rank
+    * r = ⌈n·pct/100⌉, the bracketing bucket (cum_below < r ≤
+    * cum_below + in_bucket), and the bucket's [lo, hi] cent bounds —
+    * a guaranteed ±2¹⁶-cent value error, which is the honest contract
+    * a fixed-grid sketch can certify (StatsSpec pins that the exact
+    * percentile_disc falls inside every bracket).
+    *
+    * Scale shape: the build is ONE map-side-combinable groupBy over
+    * the scan (partial aggregation = the per-partition sketch, the
+    * shuffle = the merge — Spark's partial/final split IS the sketch
+    * algebra); the cumulative walk and quantile election run on the
+    * ≤|range/2¹⁶|-row bucket frame (domain-bounded, never data-
+    * bounded — the plan-guard allowlist argument). */
+  def aggQuantileMergeable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = Tables.orders(spark, dir)
+      .select((Tables.dec2($"o_totalprice") * 100).cast("long").as("v"))
+    dyadicQuantiles(spark, dyadicSketch(cents))
+  }
+
+  /** The sketch build: (bucket, count) at 2¹⁶-cent width over a `v`
+    * cents column. Partial aggregation is the per-partition sketch;
+    * the shuffle merge is count addition. */
+  private[graft] def dyadicSketch(cents: DataFrame): DataFrame =
+    cents.groupBy(expr("v div 65536").as("b"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Quantile receipts from a (b, c) sketch frame — shared by the
+    * graded key and StatsSpec's merge-order-invariance law. */
+  private[graft] def dyadicQuantiles(spark: SparkSession,
+      sketch: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nF = sketch.agg(sum($"c").as("n"))
+    val cum = sketch
+      .withColumn("cum_below", coalesce(sum($"c").over(w), lit(0L)))
+      .crossJoin(broadcast(nF))
+    val pcts = Seq(1L, 5L, 25L, 50L, 75L, 95L, 99L).toDF("pct")
+    cum.crossJoin(broadcast(pcts))
+      .withColumn("r", expr("(n * pct + 99) div 100"))
+      .filter($"cum_below" < $"r" && $"cum_below" + $"c" >= $"r")
+      .select($"pct", $"n", $"r", $"b".as("bucket"), $"cum_below",
+        $"c".as("in_bucket"),
+        ($"b" * 65536L).as("est_cents_lo"),
+        (($"b" + 1L) * 65536L - 1L).as("est_cents_hi"))
+      .orderBy($"pct")
+  }
+
   /** HYPOTHETICAL-SET ranking (SQL:2003 `RANK(v) WITHIN GROUP` /
     * Oracle-Postgres hypothetical-set aggregates) — "where WOULD a
     * $1 500.00 order rank in each priority class?", answered WITHOUT
@@ -935,6 +996,7 @@ object Aggregations {
     "agg_rank_hypothetical" -> (aggRankHypothetical(_, _)),
     "agg_bitmap_words" -> (aggBitmapWords(_, _)),
     "agg_bitmap_containers" -> (aggBitmapContainers(_, _)),
+    "agg_quantile_mergeable" -> (aggQuantileMergeable(_, _)),
     "sql_grouping_id" -> (sqlGroupingId(_, _)),
     "agg_countmin_replayable" -> (aggCountminReplayable(_, _)),
     "agg_percentile_sampled" -> (aggPercentileSampled(_, _)),
@@ -1018,6 +1080,30 @@ ORDER BY exact_cnt DESC, user_id LIMIT 20"""
     "agg_kmv_replayable" -> kmvSql("events", "//"),
     "agg_bitmap_words" -> bitmapSql("orders", "//"),
     "agg_bitmap_containers" -> bitmapContainerSql("orders", "//"),
+    // the same fixed-grid sketch walked in DuckDB: bucket counts,
+    // exclusive cumulative, ceil-rank election, [lo, hi] receipts
+    "agg_quantile_mergeable" ->
+      """WITH v AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT) AS v FROM orders),
+        |h AS (SELECT v // 65536 AS b, count(*) AS c FROM v GROUP BY 1),
+        |cum AS (SELECT b, c,
+        |    coalesce(sum(c) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0) AS cum_below,
+        |    sum(c) OVER () AS n
+        |  FROM h),
+        |p AS (SELECT CAST(unnest([1, 5, 25, 50, 75, 95, 99]) AS BIGINT)
+        |    AS pct)
+        |SELECT pct, CAST(n AS BIGINT) AS n,
+        |  CAST((n * pct + 99) // 100 AS BIGINT) AS r,
+        |  CAST(b AS BIGINT) AS bucket,
+        |  CAST(cum_below AS BIGINT) AS cum_below,
+        |  CAST(c AS BIGINT) AS in_bucket,
+        |  CAST(b * 65536 AS BIGINT) AS est_cents_lo,
+        |  CAST((b + 1) * 65536 - 1 AS BIGINT) AS est_cents_hi
+        |FROM cum, p
+        |WHERE cum_below < (n * pct + 99) // 100
+        |  AND cum_below + c >= (n * pct + 99) // 100
+        |ORDER BY pct""".stripMargin,
     // same standard bitmask convention (leftmost column = MSB)
     "sql_grouping_id" ->
       """SELECT CAST(grouping_id(c_mktsegment, o_orderpriority) AS BIGINT)

@@ -751,6 +751,7 @@ class PlanRegressionSpec extends SparkSuite {
     // in that key (counting node instances is meaningless — a shared
     // subtree is expanded once per consumer in the analyzed tree)
     val allow: Map[String, String] = Map(
+      "agg_quantile_mergeable" -> "≤|price range / 2¹⁶| bucket frame (domain-bounded)",
       "corpus_mix_rebalance" -> "|labels|-row mix frame",
       "corpus_temperature_mix" -> "|labels|-row mix frame",
       "corpus_token_budget" -> "per-bucket subtotals ≤65,536 rows (two-level cumsum)",

@@ -349,6 +349,35 @@ class StatsSpec extends SparkSuite {
     assert(andSum === both, "bitmap AND must count exactly the intersection")
   }
 
+  test("agg_quantile_mergeable: merge-order invariance and exact-percentile bracketing") {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sf0001)
+      .select($"o_orderkey",
+        (Tables.dec2($"o_totalprice") * 100).cast("long").as("v"))
+    // per-shard sketches (odd/even orderkeys) merged by count addition
+    // must answer EXACTLY like the one-shot sketch — the mergeability
+    // contract a production per-shard rollup relies on
+    val a = Aggregations.dyadicSketch(orders.filter($"o_orderkey" % 2 === 1))
+    val b = Aggregations.dyadicSketch(orders.filter($"o_orderkey" % 2 === 0))
+    val merged = a.unionAll(b).groupBy($"b").agg(sum($"c").as("c"))
+    val fromMerge = Aggregations.dyadicQuantiles(spark, merged)
+      .collect().map(_.toSeq).toSeq
+    val oneShot = Aggregations.aggQuantileMergeable(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(fromMerge === oneShot, "shard-merged sketch must answer identically")
+    // every bracket really contains the exact percentile_disc value
+    val n = orders.count()
+    val sortedV = orders.orderBy($"v").collect().map(_.getLong(1))
+    oneShot.foreach { row =>
+      val (pct, r) = (row(0).asInstanceOf[Long], row(2).asInstanceOf[Long])
+      assert(r === (n * pct + 99) / 100)
+      val exact = sortedV(r.toInt - 1)
+      val (lo, hi) = (row(6).asInstanceOf[Long], row(7).asInstanceOf[Long])
+      assert(exact >= lo && exact <= hi,
+        s"pct $pct: exact $exact outside bracket [$lo, $hi]")
+    }
+  }
+
   test("agg_bitmap_containers: per-container popcounts are exact and the roaring type decision follows the 4096 threshold") {
     import org.apache.spark.sql.functions._
     val rows = Aggregations.aggBitmapContainers(spark, sf0001).collect()
