@@ -235,6 +235,105 @@ object LakehouseCow {
     }
   }
 
+  /** ARBITRARY-COLUMN ZONE MAPS via a versioned STATS SIDECAR — the
+    * Parquet-footer-stats-in-the-manifest tier (Iceberg's column
+    * metrics / Delta's per-column minValues-maxValues) the FileEntry's
+    * clustering-key zone map can't give an ad-hoc query: the state
+    * table is clustered by VALUE RANGE but its manifest entries record
+    * user_id stats only (deliberately useless for a value predicate),
+    * and a sidecar TxnTable — committed in the same version cadence —
+    * carries per-file (column, min, max, rows) footer stats for EVERY
+    * column. The graded query filters on `v_sum_4dp` (not the manifest
+    * key): scan planning reads the SIDECAR, prunes to the overlapping
+    * files (driver-side O(files) metadata, like every commit planner
+    * here), scans only them with the residual filter, and emits the
+    * files_total/scanned/skipped census — every number re-derived from
+    * raw events by the oracle, so the hash certifies the pruning was
+    * exactly the stats-overlap set and lost no rows.
+    *
+    * Scale shape: the sidecar is |files|·|columns| rows of metadata —
+    * at 10⁶ files × 20 columns it is a 2×10⁷-row table read with a
+    * pushed column-name filter, never the data; pruning cost is
+    * O(files) independent of data volume, the zone-map promise. The
+    * sidecar rows' `rows` column must agree with the manifest
+    * rowCount tier (LakehouseCowSpec stats-honesty law). */
+  def sinkTxnColumnStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = evUsers(spark, dir)
+    def shape(df: DataFrame): DataFrame = df
+      .select($"user_id", $"n_events", $"last_us", $"v_sum_4dp",
+        $"files_total", $"files_scanned", $"files_skipped")
+      .orderBy($"user_id")
+    val equivalent = {
+      val st = state(ev)
+      val bF = st.agg(min($"v_sum_4dp").as("mn"), max($"v_sum_4dp").as("mx"))
+      val withB = st.crossJoin(broadcast(bF))
+        .withColumn("w", expr(s"((mx - mn) DIV $NBuckets) + 1"))
+        .withColumn("b", expr("(v_sum_4dp - mn) DIV w"))
+        .withColumn("lo", expr("mn + ((mx - mn) * 3) DIV 10"))
+        .withColumn("hi", expr("mn + ((mx - mn) * 9) DIV 20"))
+      val perB = withB.groupBy($"b", $"lo", $"hi")
+        .agg(min($"v_sum_4dp").as("bmn"), max($"v_sum_4dp").as("bmx"))
+      val census = perB.agg(count(lit(1)).as("files_total"),
+        count(when($"bmx" >= $"lo" && $"bmn" <= $"hi", 1))
+          .as("files_scanned"))
+      shape(withB.filter($"v_sum_4dp" >= $"lo" && $"v_sum_4dp" <= $"hi")
+        .crossJoin(broadcast(census.select($"files_total", $"files_scanned",
+          ($"files_total" - $"files_scanned").as("files_skipped")))))
+    }
+    graft.PlanOnly.roundTrip(equivalent) {
+      val table = Tables.scratch("txn_colstats")
+      val tStats = Tables.scratch("txn_colstats_sidecar")
+      TxnTable.drop(spark, table)
+      TxnTable.drop(spark, tStats)
+      val st = state(ev)
+      val bRow = st.agg(min($"v_sum_4dp"), max($"v_sum_4dp"))
+        .collect().head // table stats: planning scalars
+      if (bRow.isNullAt(0)) {
+        TxnTable.commit(spark, table, 0, st) // empty-but-readable
+        shape(TxnTable.read(spark, table, None)
+          .withColumn("files_total", lit(0L))
+          .withColumn("files_scanned", lit(0L))
+          .withColumn("files_skipped", lit(0L)))
+      } else {
+        val (mn, mx) = (bRow.getLong(0), bRow.getLong(1))
+        val w = (mx - mn) / NBuckets + 1
+        val lo = mn + (mx - mn) * 3 / 10
+        val hi = mn + (mx - mn) * 9 / 20
+        // layout clustered by VALUE range; the manifest's zone map
+        // deliberately records user_id — useless for this predicate
+        val clustered = st.withColumn("bkt",
+          expr(s"(v_sum_4dp - ${mn}L) DIV ${w}L"))
+        val e0 = writeBuckets(clustered, s"$table/data/v0", "user_id")
+        commitMaybeEmpty(spark, table, 0, e0, st)
+        // per-file per-column footer stats → the versioned sidecar
+        val statsDf = clustered.groupBy($"bkt").agg(
+            count(lit(1)).as("rows"),
+            min($"n_events").as("mn_ne"), max($"n_events").as("mx_ne"),
+            min($"last_us").as("mn_lu"), max($"last_us").as("mx_lu"),
+            min($"v_sum_4dp").as("mn_vs"), max($"v_sum_4dp").as("mx_vs"))
+          .withColumn("path", concat(lit(s"$table/data/v0/bkt="), $"bkt"))
+          .selectExpr("bkt", "path", "rows",
+            "stack(3, 'n_events', mn_ne, mx_ne, 'last_us', mn_lu, mx_lu, " +
+              "'v_sum_4dp', mn_vs, mx_vs) AS (col, mn, mx)")
+        TxnTable.commit(spark, tStats, 0, statsDf)
+        // scan planning: prune via the SIDECAR's v_sum_4dp zone maps —
+        // O(files) metadata, zero data I/O
+        val pruned = TxnTable.read(spark, tStats, None)
+          .filter($"col" === "v_sum_4dp" && $"mx" >= lo && $"mn" <= hi)
+          .select($"path").collect().map(_.getString(0)).sorted
+        val out =
+          if (pruned.isEmpty) TxnTable.read(spark, table, None).limit(0)
+          else spark.read.parquet(pruned.toIndexedSeq: _*)
+        shape(out
+          .filter($"v_sum_4dp".between(lo, hi)) // residual: stats admit a superset
+          .withColumn("files_total", lit(e0.size.toLong))
+          .withColumn("files_scanned", lit(pruned.length.toLong))
+          .withColumn("files_skipped", lit(e0.size.toLong - pruned.length)))
+      }
+    }
+  }
+
   // ---- file-level copy-on-write MERGE --------------------------------
 
   /** File-level COW MERGE, graded — the operation that makes a 100 TB
@@ -1541,6 +1640,7 @@ object LakehouseCow {
     "sink_txn_wap_publish" -> (sinkTxnWapPublish(_, _)),
     "sink_txn_clone_shallow" -> (sinkTxnCloneShallow(_, _)),
     "sink_txn_data_skipping" -> (sinkTxnDataSkipping(_, _)),
+    "sink_txn_column_stats" -> (sinkTxnColumnStats(_, _)),
     "sink_txn_compact_binpack" -> (sinkTxnCompactBinpack(_, _)),
     "sink_txn_zorder_skip" -> (sinkTxnZorderSkip(_, _)),
     "sink_txn_partition_evolution" -> (sinkTxnPartitionEvolution(_, _))
@@ -1836,6 +1936,37 @@ object LakehouseCow {
         |FROM e WHERE user_id % 64 NOT IN (7, 21)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the 30–45% key-range scan + the skip census from per-bucket stats
+    // arbitrary-column zone maps: bucket by VALUE range, census =
+    // overlap of per-bucket v_sum min/max with the fixed 30/45% band —
+    // all re-derived from raw events
+    "sink_txn_column_stats" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |st AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    max(ts_us) AS last_us,
+        |    CAST(sum(v) * 10000 AS BIGINT) AS v_sum_4dp
+        |  FROM e GROUP BY 1),
+        |b AS (SELECT min(v_sum_4dp) AS mn, max(v_sum_4dp) AS mx FROM st),
+        |pb AS (SELECT (v_sum_4dp - (SELECT mn FROM b)) //
+        |      (((SELECT mx FROM b) - (SELECT mn FROM b)) // 16 + 1) AS bk,
+        |    min(v_sum_4dp) AS bmn, max(v_sum_4dp) AS bmx
+        |  FROM st GROUP BY 1),
+        |lim AS (SELECT (SELECT mn FROM b)
+        |      + ((SELECT mx FROM b) - (SELECT mn FROM b)) * 3 // 10 AS lo,
+        |    (SELECT mn FROM b)
+        |      + ((SELECT mx FROM b) - (SELECT mn FROM b)) * 9 // 20 AS hi),
+        |cs AS (SELECT CAST(count(*) AS BIGINT) AS files_total,
+        |    CAST(count(*) FILTER (bmx >= (SELECT lo FROM lim)
+        |      AND bmn <= (SELECT hi FROM lim)) AS BIGINT) AS files_scanned
+        |  FROM pb)
+        |SELECT user_id, n_events, last_us, v_sum_4dp,
+        |  (SELECT files_total FROM cs) AS files_total,
+        |  (SELECT files_scanned FROM cs) AS files_scanned,
+        |  (SELECT files_total FROM cs) - (SELECT files_scanned FROM cs)
+        |    AS files_skipped
+        |FROM st
+        |WHERE v_sum_4dp BETWEEN (SELECT lo FROM lim) AND (SELECT hi FROM lim)
+        |ORDER BY user_id""".stripMargin,
     "sink_txn_data_skipping" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
         |    CAST(value AS DECIMAL(18,4)) AS v FROM events),

@@ -326,6 +326,44 @@ class LakehouseCowSpec extends SparkSuite {
     assert(TxnTable.versions(spark, t) === Seq(0, 1, 2))
   }
 
+  test("column_stats: the sidecar's zone maps are honest per file, agree with the manifest rowCount, and really prune (sf0.001)") {
+    import spark.implicits._
+    val out = operators.LakehouseCow.sinkTxnColumnStats(spark, sf0001).cache()
+    // the fixture must exercise real pruning (a vacuous census grades nothing)
+    val census = out.select($"files_total", $"files_scanned", $"files_skipped")
+      .distinct().collect().head
+    assert(census.getLong(2) > 0, "files_skipped must be > 0 at sf0.001")
+    assert(census.getLong(0) === census.getLong(1) + census.getLong(2))
+    // sidecar honesty: every (file, column) row's min/max/rows equals a
+    // direct scan of that file — the footer-stats contract
+    val sidecar = TxnTable.read(spark, Tables.scratch("txn_colstats_sidecar"))
+      .collect()
+    assert(sidecar.nonEmpty)
+    val byPath = sidecar.groupBy(_.getAs[String]("path"))
+    val manifestRows = TxnTable
+      .fileEntries(spark, Tables.scratch("txn_colstats"))
+      .map(e => e.path -> e.rowCount).toMap
+    byPath.foreach { case (path, rows) =>
+      val f = spark.read.parquet(path)
+      val direct = f.agg(count(lit(1)),
+        min($"n_events"), max($"n_events"), min($"last_us"), max($"last_us"),
+        min($"v_sum_4dp"), max($"v_sum_4dp")).collect().head
+      val expect = Map(
+        "n_events" -> (direct.getLong(1), direct.getLong(2)),
+        "last_us" -> (direct.getLong(3), direct.getLong(4)),
+        "v_sum_4dp" -> (direct.getLong(5), direct.getLong(6)))
+      rows.foreach { r =>
+        val c = r.getAs[String]("col")
+        assert((r.getAs[Long]("mn"), r.getAs[Long]("mx")) === expect(c),
+          s"$path/$c zone map dishonest")
+        assert(r.getAs[Long]("rows") === direct.getLong(0), s"$path rows")
+      }
+      // the sidecar and the manifest rowCount tier must agree
+      assert(manifestRows(path) === direct.getLong(0), s"$path manifest rows")
+    }
+    out.unpersist(): Unit
+  }
+
   test("manifest rowCount stats: countAt == data count for every version, and is served with ZERO data I/O (sf0.001)") {
     operators.LakehouseCow.sinkTxnHistoryAudit(spark, sf0001).collect(): Unit
     val t = Tables.scratch("txn_history_table")
