@@ -372,23 +372,41 @@ object Behavioral {
     // one) boundary value ranks its pairs by (s1, s2) distributed
     val histW = Window.orderBy($"shared".desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val hist = pairs.groupBy($"shared").agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(nSup))
-      .withColumn("above", coalesce(sum($"cnt").over(histW), lit(0L)))
-      .withColumn("budget", lit(4L) * $"n")
+    // marked: the ≤|distinct counts|-row histogram carries the nSup
+    // aggregate (a lineitem-scan chain) and feeds fullVals, the
+    // boundary row, AND DistributedRank's two internal passes —
+    // unmarked it recomputes that chain once per consumer
+    val hist = graft.PlanOnly.mark(
+      pairs.groupBy($"shared").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(nSup))
+        .withColumn("above", coalesce(sum($"cnt").over(histW), lit(0L)))
+        .withColumn("budget", lit(4L) * $"n"))
     val fullVals = hist.filter($"above" + $"cnt" <= $"budget")
       .select($"shared")
     val bnd = hist
       .filter($"above" < $"budget" && $"above" + $"cnt" > $"budget")
       .select($"shared", ($"budget" - $"above").as("need")) // ≤1 row
+    // marked: DistributedRank reads its input twice (bounds pass +
+    // bucketed-rows fill) — unmarked, each pass re-runs the 500k-row
+    // broadcast join against the pair cache
+    val bndPairs = graft.PlanOnly.mark(
+      pairs.join(broadcast(bnd), Seq("shared")).withColumn("one", lit(1L)))
     val bndTop = DistributedRank
-      .rankCum(pairs.join(broadcast(bnd), Seq("shared"))
-        .withColumn("one", lit(1L)), "s1", "s2", "one")
+      .rankCum(bndPairs, "s1", "s2", "one")
       .filter($"rnk" <= $"need")
-    val top = pairs.join(broadcast(fullVals), Seq("shared"), "left_semi")
-      .select($"s1", $"s2")
-      .unionByName(bndTop.select($"s1", $"s2"))
-    val edges = graft.PlanOnly.mark(
+    // marked: both orientations of the edge union read this frame
+    val top = graft.PlanOnly.mark(
+      pairs.join(broadcast(fullVals), Seq("shared"), "left_semi")
+        .select($"s1", $"s2")
+        .unionByName(bndTop.select($"s1", $"s2")))
+    // lineage CUT, not just a cache mark: the peel rounds nest this
+    // frame's logical plan ~6× (d0→a1→d1→a2→d2 + the 3-way final
+    // join), and the election subtree (histogram + DistributedRank)
+    // made each downstream action re-ANALYZE a tree that size — a
+    // driver-side planning blowup measured at ~2× the key's whole
+    // runtime. Checkpointing the 8·n-row edge frame truncates every
+    // downstream plan to the small peel shape.
+    val edges = graft.PlanOnly.cut(
       top.unionByName(top.select($"s2".as("s1"), $"s1".as("s2"))))
     def degrees(alive: DataFrame): DataFrame = edges
       .join(alive, Seq("s1"), "left_semi")

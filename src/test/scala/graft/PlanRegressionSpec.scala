@@ -745,7 +745,7 @@ class PlanRegressionSpec extends SparkSuite {
     // volume. The allowlist pins every key that legitimately carries
     // one (the bound is documented at each use site: a limit() cut, a
     // value-domain histogram, a ≤Fan bucket-subtotal frame). A NEW
-    // unpartitioned window anywhere in the 339-key registry fails here
+    // unpartitioned window anywhere in the registry fails here
     // until its bound is argued and the key is listed.
     // key → the argued bound of every unpartitioned-window input frame
     // in that key (counting node instances is meaningless — a shared
