@@ -523,7 +523,13 @@ class PlanRegressionSpec extends SparkSuite {
       "topk_threshold_algorithm",
       // eval_spearman_rho: two UNGROUPED DistributedRank passes — the
       // same 1-row adaptive-bounds broadcast as report_abc (fan-out 1)
-      "eval_spearman_rho")
+      "eval_spearman_rho",
+      // round-15: agg_quantile_mergeable attaches a 1-row n scalar and
+      // a 7-row pct frame to the domain-bounded bucket histogram;
+      // simsearch_index_serve probes the 10-row stored-centroid table
+      // per query and rides the same constant LUT broadcasts as
+      // simsearch_ivf_pq — fan-out |cells|, never data²
+      "agg_quantile_mergeable", "simsearch_index_serve")
     val offenders = SparkEntry.queries.keys.filterNot(allowed)
       .filter(n => n != "source_csv_roundtrip" && plan(n).contains("BroadcastNestedLoopJoin"))
     assert(offenders.isEmpty, s"unexpected nested-loop joins: $offenders")
@@ -597,11 +603,14 @@ class PlanRegressionSpec extends SparkSuite {
       "corpus_temperature_mix" -> Set("rem"),     // |langs| Hamilton rank
       "ml_gbdt_stump_boost" -> Set("v"),          // value-domain histogram
       "ml_isotonic_calibration" -> Set("bin"),    // 10-row decile frame
-      // the backbone election ranks the CAPPED pair frame (Σdf² under
-      // PairDegreeCap — the same bound the pair machinery guarantees);
-      // at extreme scale the election moves to a value-domain histogram
-      // threshold (scaladoc note on the key)
-      "graph_kcore_peel" -> Set("shared"),
+      // round-15: the backbone election moved onto the value-domain
+      // shared-count histogram (≤|distinct counts| rows) + a
+      // DistributedRank boundary refinement — the ordered window now
+      // consumes the histogram, never the pair frame
+      "graph_kcore_peel" -> Set("shared", "drk_vb"),
+      // round-15: the quantile walk orders the ≤|range/2¹⁶| value-
+      // domain bucket frame (the sketch itself, never the fact rows)
+      "agg_quantile_mergeable" -> Set("b"),
       // round-14: every ordered window runs AFTER an ORDER BY…LIMIT 128
       // TakeOrderedAndProject (ranked prefixes) or over the ≤256-row
       // seen-set × 8-depth frame — all bounded by the TA's k/depth
