@@ -1244,82 +1244,73 @@ object Multimodal {
     * decorated residual projection; the raw table is never shuffled.
     * Mirrored Spark SQL ⟷ DuckDB SQL (`div` ⟷ `//`). */
   def mlGbdtStumpBoost(spark: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(spark, dir).createOrReplaceTempView("gbdt_li")
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     // 1-row frames join in via broadcast CROSS JOIN (the house scalar-
     // injection pattern) — Spark 4 cannot codegen scalar-subquery refs
-    // in these window/CASE positions (INTERNAL_ERROR, measured r13)
-    spark.sql(
-      """WITH base AS (SELECT
-        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
-        |    CAST(l_quantity AS BIGINT) AS f1,
-        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS f2
-        |  FROM gbdt_li),
-        |g0 AS (SELECT sum(y) div count(*) AS p0 FROM base),
-        |b1 AS (SELECT /*+ BROADCAST(g0) */ f1, f2, y - p0 AS r1
-        |  FROM base CROSS JOIN g0),
-        |a1 AS (SELECT f1 AS v, CAST(count(*) AS BIGINT) AS nv,
-        |    CAST(sum(r1) AS BIGINT) AS sv FROM b1 GROUP BY f1),
-        |t1tot AS (SELECT sum(nv) AS nt, sum(sv) AS st FROM a1),
-        |q1 AS (SELECT v, sum(nv) OVER w AS nl, sum(sv) OVER w AS sl
-        |  FROM a1
-        |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
-        |    AND CURRENT ROW)),
-        |s1 AS (SELECT /*+ BROADCAST(t1tot) */ v, nl, sl,
-        |    nt - nl AS nr, st - sl AS sr,
-        |    (CAST(sl AS DECIMAL(38,0)) * CAST(sl AS DECIMAL(38,0))) div nl
-        |    + (CAST(st - sl AS DECIMAL(38,0)) * CAST(st - sl AS DECIMAL(38,0)))
-        |      div (nt - nl) AS score
-        |  FROM q1 CROSS JOIN t1tot WHERE nt - nl > 0),
-        |w1 AS (SELECT v AS t1, nl AS nl1, nr AS nr1,
-        |    sl div nl AS wl1, sr div nr AS wr1
-        |  FROM s1 ORDER BY score DESC, v LIMIT 1),
-        |b2 AS (SELECT /*+ BROADCAST(w1) */ f2, r1,
-        |    r1 - (CASE WHEN f1 <= t1 THEN wl1 ELSE wr1 END) AS r2
-        |  FROM b1 CROSS JOIN w1),
-        |a2 AS (SELECT f2 AS v, CAST(count(*) AS BIGINT) AS nv,
-        |    CAST(sum(r2) AS BIGINT) AS sv FROM b2 GROUP BY f2),
-        |t2tot AS (SELECT sum(nv) AS nt, sum(sv) AS st FROM a2),
-        |q2 AS (SELECT v, sum(nv) OVER w AS nl, sum(sv) OVER w AS sl
-        |  FROM a2
-        |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
-        |    AND CURRENT ROW)),
-        |s2 AS (SELECT /*+ BROADCAST(t2tot) */ v, nl, sl,
-        |    nt - nl AS nr, st - sl AS sr,
-        |    (CAST(sl AS DECIMAL(38,0)) * CAST(sl AS DECIMAL(38,0))) div nl
-        |    + (CAST(st - sl AS DECIMAL(38,0)) * CAST(st - sl AS DECIMAL(38,0)))
-        |      div (nt - nl) AS score
-        |  FROM q2 CROSS JOIN t2tot WHERE nt - nl > 0),
-        |w2 AS (SELECT v AS t2, nl AS nl2, nr AS nr2,
-        |    sl div nl AS wl2, sr div nr AS wr2
-        |  FROM s2 ORDER BY score DESC, v LIMIT 1),
-        |b3 AS (SELECT /*+ BROADCAST(w2) */ r2,
-        |    r2 - (CASE WHEN f2 <= t2 THEN wl2 ELSE wr2 END) AS r3
-        |  FROM b2 CROSS JOIN w2),
-        |sse AS (SELECT
-        |    sum(CAST(r1 AS DECIMAL(38,0)) * CAST(r1 AS DECIMAL(38,0)))
-        |      div 1000000 AS sse0,
-        |    sum(CAST(r2 AS DECIMAL(38,0)) * CAST(r2 AS DECIMAL(38,0)))
-        |      div 1000000 AS sse1
-        |  FROM b2),
-        |sse3 AS (SELECT
-        |    sum(CAST(r3 AS DECIMAL(38,0)) * CAST(r3 AS DECIMAL(38,0)))
-        |      div 1000000 AS sse2
-        |  FROM b3)
-        |SELECT * FROM (
-        |  SELECT /*+ BROADCAST(sse) */ CAST(1 AS BIGINT) AS round,
-        |    'l_quantity' AS feature,
-        |    t1 AS threshold, nl1 AS n_left, nr1 AS n_right,
-        |    wl1 AS w_left, wr1 AS w_right,
-        |    sse0 AS sse_before_m, sse1 AS sse_after_m
-        |  FROM w1 CROSS JOIN sse
-        |  UNION ALL
-        |  SELECT /*+ BROADCAST(sse, sse3) */ CAST(2 AS BIGINT) AS round,
-        |    'l_discount_pct' AS feature,
-        |    t2 AS threshold, nl2 AS n_left, nr2 AS n_right,
-        |    wl2 AS w_left, wr2 AS w_right,
-        |    sse1 AS sse_before_m, sse2 AS sse_after_m
-        |  FROM w2 CROSS JOIN sse CROSS JOIN sse3)
-        |ORDER BY round""".stripMargin)
+    // in these window/CASE positions (INTERNAL_ERROR, measured r13).
+    // r15: the residual frames b1/b2 are CACHE-MARKED — as inlined SQL
+    // CTEs each of their 2–3 consumers (histogram, next round, SSE
+    // audits) re-scanned the fact table and re-ran the residual chain;
+    // marked, the fact table is read once per boosting round, the
+    // data-parallel GBM shape a distributed trainer actually runs.
+    val base = Tables.lineitem(spark, dir).select(
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .as("y"),
+      expr("CAST(l_quantity AS BIGINT)").as("f1"),
+      expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .as("f2"))
+    val g0 = base.agg(expr("sum(y) div count(*)").as("p0"))
+    val b1 = graft.PlanOnly.mark(base.crossJoin(broadcast(g0))
+      .select($"f1", $"f2", ($"y" - $"p0").as("r1")))
+    // one histogram-split election: value-domain aggregate, prefix
+    // sums over the tiny value frame, cleared-denominator objective,
+    // (score DESC, v) top-1 via TakeOrdered
+    def stump(bx: DataFrame, f: String, r: String): DataFrame = {
+      val ax = bx.groupBy(col(f).as("v"))
+        .agg(count(lit(1)).as("nv"), sum(col(r)).cast("long").as("sv"))
+      val tot = ax.agg(sum($"nv").as("nt"), sum($"sv").as("st"))
+      val w = Window.orderBy($"v").rowsBetween(Window.unboundedPreceding, 0)
+      ax.select($"v", sum($"nv").over(w).as("nl"), sum($"sv").over(w).as("sl"))
+        .crossJoin(broadcast(tot))
+        .filter($"nt" - $"nl" > 0)
+        .select($"v", $"nl", $"sl",
+          ($"nt" - $"nl").as("nr"), ($"st" - $"sl").as("sr"),
+          expr("(CAST(sl AS DECIMAL(38,0)) * CAST(sl AS DECIMAL(38,0))) " +
+            "div nl + (CAST(st - sl AS DECIMAL(38,0)) " +
+            "* CAST(st - sl AS DECIMAL(38,0))) div (nt - nl)").as("score"))
+        .orderBy($"score".desc, $"v").limit(1)
+    }
+    val w1 = stump(b1, "f1", "r1")
+      .select($"v".as("t1"), $"nl".as("nl1"), $"nr".as("nr1"),
+        expr("sl div nl").as("wl1"), expr("sr div nr").as("wr1"))
+    val b2 = graft.PlanOnly.mark(b1.crossJoin(broadcast(w1))
+      .select($"f2", $"r1",
+        ($"r1" - when($"f1" <= $"t1", $"wl1").otherwise($"wr1")).as("r2")))
+    val w2 = stump(b2, "f2", "r2")
+      .select($"v".as("t2"), $"nl".as("nl2"), $"nr".as("nr2"),
+        expr("sl div nl").as("wl2"), expr("sr div nr").as("wr2"))
+    val sse = b2.agg(
+      expr("sum(CAST(r1 AS DECIMAL(38,0)) * CAST(r1 AS DECIMAL(38,0))) " +
+        "div 1000000").as("sse0"),
+      expr("sum(CAST(r2 AS DECIMAL(38,0)) * CAST(r2 AS DECIMAL(38,0))) " +
+        "div 1000000").as("sse1"))
+    val sse3 = b2.crossJoin(broadcast(w2))
+      .select(($"r2" - when($"f2" <= $"t2", $"wl2").otherwise($"wr2"))
+        .as("r3"))
+      .agg(expr("sum(CAST(r3 AS DECIMAL(38,0)) * CAST(r3 AS DECIMAL(38,0))) " +
+        "div 1000000").as("sse2"))
+    val row1 = w1.crossJoin(broadcast(sse)).select(
+      lit(1L).as("round"), lit("l_quantity").as("feature"),
+      $"t1".as("threshold"), $"nl1".as("n_left"), $"nr1".as("n_right"),
+      $"wl1".as("w_left"), $"wr1".as("w_right"),
+      $"sse0".as("sse_before_m"), $"sse1".as("sse_after_m"))
+    val row2 = w2.crossJoin(broadcast(sse)).crossJoin(broadcast(sse3)).select(
+      lit(2L).as("round"), lit("l_discount_pct").as("feature"),
+      $"t2".as("threshold"), $"nl2".as("n_left"), $"nr2".as("n_right"),
+      $"wl2".as("w_left"), $"wr2".as("w_right"),
+      $"sse1".as("sse_before_m"), $"sse2".as("sse_after_m"))
+    row1.unionByName(row2).orderBy($"round")
   }
 
   def mlLinregSufficient(spark: SparkSession, dir: String): DataFrame = {
