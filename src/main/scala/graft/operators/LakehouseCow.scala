@@ -307,16 +307,8 @@ object LakehouseCow {
         val e0 = writeBuckets(clustered, s"$table/data/v0", "user_id")
         commitMaybeEmpty(spark, table, 0, e0, st)
         // per-file per-column footer stats → the versioned sidecar
-        val statsDf = clustered.groupBy($"bkt").agg(
-            count(lit(1)).as("rows"),
-            min($"n_events").as("mn_ne"), max($"n_events").as("mx_ne"),
-            min($"last_us").as("mn_lu"), max($"last_us").as("mx_lu"),
-            min($"v_sum_4dp").as("mn_vs"), max($"v_sum_4dp").as("mx_vs"))
-          .withColumn("path", concat(lit(s"$table/data/v0/bkt="), $"bkt"))
-          .selectExpr("bkt", "path", "rows",
-            "stack(3, 'n_events', mn_ne, mx_ne, 'last_us', mn_lu, mx_lu, " +
-              "'v_sum_4dp', mn_vs, mx_vs) AS (col, mn, mx)")
-        TxnTable.commit(spark, tStats, 0, statsDf)
+        TxnTable.commit(spark, tStats, 0,
+          fileColumnStats(clustered, s"$table/data/v0"))
         // scan planning: prune via the SIDECAR's v_sum_4dp zone maps —
         // O(files) metadata, zero data I/O
         val pruned = TxnTable.read(spark, tStats, None)
@@ -331,6 +323,113 @@ object LakehouseCow {
           .withColumn("files_scanned", lit(pruned.length.toLong))
           .withColumn("files_skipped", lit(e0.size.toLong - pruned.length)))
       }
+    }
+  }
+
+  /** Per-file (column, min, max, rows) footer stats of a
+    * bucket-clustered state frame — the sidecar row grain shared by
+    * [[sinkTxnColumnStats]] (build + prune) and
+    * [[sinkTxnStatsMaintain]] (incremental maintenance under COW). */
+  private def fileColumnStats(clustered: DataFrame, destPrefix: String)
+      : DataFrame = {
+    val s = clustered.sparkSession
+    import s.implicits._
+    clustered.groupBy($"bkt").agg(
+        count(lit(1)).as("rows"),
+        min($"n_events").as("mn_ne"), max($"n_events").as("mx_ne"),
+        min($"last_us").as("mn_lu"), max($"last_us").as("mx_lu"),
+        min($"v_sum_4dp").as("mn_vs"), max($"v_sum_4dp").as("mx_vs"))
+      .withColumn("path", concat(lit(s"$destPrefix/bkt="), $"bkt"))
+      .selectExpr("bkt", "path", "rows",
+        "stack(3, 'n_events', mn_ne, mx_ne, 'last_us', mn_lu, mx_lu, " +
+          "'v_sum_4dp', mn_vs, mx_vs) AS (col, mn, mx)")
+  }
+
+  /** INCREMENTAL SIDECAR MAINTENANCE under file-level COW churn — the
+    * question an ad-hoc-query user asks right after
+    * [[sinkTxnColumnStats]] exists: do the column zone maps SURVIVE a
+    * merge without a full recompute? v0 commits the hash-clustered
+    * per-user state plus its per-file (column, min, max, rows)
+    * sidecar; v1 is the merge_cow-shaped targeted backfill (post-split
+    * events of `user_id % 64 = 3` — one bucket's footprint), and the
+    * sidecar maintenance is O(changed-files): FRESH stats are computed
+    * only for the rewritten files, while carried files keep their v0
+    * sidecar rows BY REFERENCE (read back from the committed sidecar,
+    * never recomputed from data). The graded frame is the v1 sidecar
+    * read back, with each row's `rewritten` flag derived from the
+    * FILE PATH (lives under v1) — the oracle re-derives every stat
+    * from raw events and the flag from the delta's bucket footprint,
+    * so hash-equality certifies BOTH that the maintained stats equal a
+    * from-scratch recompute AND that the rewrite set was exactly the
+    * delta's footprint.
+    *
+    * Scale shape: maintenance cost = |rewritten files|·|columns|
+    * metadata rows + one aggregate over the rewritten buckets' rows;
+    * carried stats are a metadata filter. At 10⁶ files a one-shard
+    * backfill updates a handful of sidecar rows — the zone-map tier
+    * stays fresh for free. */
+  def sinkTxnStatsMaintain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = evUsers(spark, dir)
+    val pre = ev.filter($"ts_us" < SplitUs)
+    val delta = ev.filter($"ts_us" >= SplitUs && $"user_id" % 64 === 3)
+    def shape(df: DataFrame): DataFrame = df
+      .select($"bucket", $"col", $"mn", $"mx", $"n_rows", $"rewritten")
+      .orderBy($"bucket", $"col")
+    val equivalent = {
+      val merged = state(pre.filter($"user_id" % 64 =!= 3)
+        .unionByName(ev.filter($"user_id" % 64 === 3)))
+      val touchedB = delta.select(($"user_id" % NBuckets).as("bucket"))
+        .distinct().withColumn("rw", lit(1L))
+      val byB = merged.withColumn("bucket", $"user_id" % NBuckets)
+        .groupBy($"bucket").agg(count(lit(1)).as("n_rows"),
+          min($"n_events").as("mn_ne"), max($"n_events").as("mx_ne"),
+          min($"last_us").as("mn_lu"), max($"last_us").as("mx_lu"),
+          min($"v_sum_4dp").as("mn_vs"), max($"v_sum_4dp").as("mx_vs"))
+      shape(byB.join(broadcast(touchedB), Seq("bucket"), "left")
+        .withColumn("rewritten", coalesce($"rw", lit(0L)))
+        .selectExpr("bucket", "n_rows", "rewritten",
+          "stack(3, 'n_events', mn_ne, mx_ne, 'last_us', mn_lu, mx_lu, " +
+            "'v_sum_4dp', mn_vs, mx_vs) AS (col, mn, mx)"))
+    }
+    graft.PlanOnly.roundTrip(equivalent) {
+      val table = Tables.scratch("txn_statsmaint")
+      val tStats = Tables.scratch("txn_statsmaint_sidecar")
+      TxnTable.drop(spark, table)
+      TxnTable.drop(spark, tStats)
+      val st0 = state(pre)
+      val c0 = st0.withColumn("bkt", $"user_id" % NBuckets)
+      val e0 = writeBuckets(c0, s"$table/data/v0", "user_id")
+      commitMaybeEmpty(spark, table, 0, e0, st0)
+      TxnTable.commit(spark, tStats, 0,
+        fileColumnStats(c0, s"$table/data/v0"))
+      // the COW merge (the merge_cow shape: only the delta's bucket
+      // footprint rewrites; the rest carries by reference)
+      val deltaSt = state(delta)
+      val touched = deltaSt.select(($"user_id" % NBuckets).as("b"))
+        .distinct.collect().map(_.getLong(0)).toSet // ≤16: file planning
+      val prevTouched = TxnTable.read(spark, table, Some(0))
+        .filter(($"user_id" % NBuckets).isin(touched.toSeq: _*))
+      val merged = prevTouched.unionByName(deltaSt).groupBy($"user_id")
+        .agg(sum($"n_events").as("n_events"), max($"last_us").as("last_us"),
+          sum($"v_sum_4dp").as("v_sum_4dp"))
+      val c1 = merged.withColumn("bkt", $"user_id" % NBuckets)
+      val e1 = writeBuckets(c1, s"$table/data/v1", "user_id")
+      val carried = e0.filterNot(e => touched.contains(e.bucket))
+      commitCowDelta(spark, table, 1, e0, e1,
+        e0.filter(e => touched.contains(e.bucket)).map(_.path),
+        e1 ++ carried, merged)
+      // O(changed-files) sidecar maintenance: fresh stats ONLY for the
+      // rewritten files; carried rows pass through from the v0 sidecar
+      val carriedStats = TxnTable.read(spark, tStats, Some(0))
+        .filter(!$"bkt".isin(touched.toSeq: _*))
+      TxnTable.commit(spark, tStats, 1,
+        carriedStats.unionByName(fileColumnStats(c1, s"$table/data/v1")))
+      shape(TxnTable.read(spark, tStats, None)
+        .select($"bkt".as("bucket"), $"col", $"mn", $"mx",
+          $"rows".as("n_rows"),
+          when($"path".contains("/data/v1/"), 1L).otherwise(0L)
+            .as("rewritten")))
     }
   }
 
@@ -1641,6 +1740,7 @@ object LakehouseCow {
     "sink_txn_clone_shallow" -> (sinkTxnCloneShallow(_, _)),
     "sink_txn_data_skipping" -> (sinkTxnDataSkipping(_, _)),
     "sink_txn_column_stats" -> (sinkTxnColumnStats(_, _)),
+    "sink_txn_stats_maintain" -> (sinkTxnStatsMaintain(_, _)),
     "sink_txn_compact_binpack" -> (sinkTxnCompactBinpack(_, _)),
     "sink_txn_zorder_skip" -> (sinkTxnZorderSkip(_, _)),
     "sink_txn_partition_evolution" -> (sinkTxnPartitionEvolution(_, _))
@@ -1936,6 +2036,40 @@ object LakehouseCow {
         |FROM e WHERE user_id % 64 NOT IN (7, 21)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the 30–45% key-range scan + the skip census from per-bucket stats
+    // maintained sidecar ≡ from-scratch recompute: merged state per
+    // bucket (full history for the delta users, pre-split for the
+    // rest), per-column min/max/rows unpivoted, rewritten = the
+    // delta's bucket footprint — all from raw events
+    "sink_txn_stats_maintain" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |m AS (SELECT * FROM e WHERE user_id % 64 = 3
+        |  UNION ALL
+        |  SELECT * FROM e WHERE user_id % 64 <> 3
+        |    AND ts_us < CAST(19740 AS BIGINT) * 86400000000),
+        |st AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    max(ts_us) AS last_us,
+        |    CAST(sum(v) * 10000 AS BIGINT) AS v_sum_4dp
+        |  FROM m GROUP BY 1),
+        |tb AS (SELECT user_id % 16 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    min(n_events) AS mn_ne, max(n_events) AS mx_ne,
+        |    min(last_us) AS mn_lu, max(last_us) AS mx_lu,
+        |    min(v_sum_4dp) AS mn_vs, max(v_sum_4dp) AS mx_vs
+        |  FROM st GROUP BY 1),
+        |tc AS (SELECT DISTINCT user_id % 16 AS bucket FROM e
+        |  WHERE ts_us >= CAST(19740 AS BIGINT) * 86400000000
+        |    AND user_id % 64 = 3),
+        |u AS (SELECT bucket, 'n_events' AS col, mn_ne AS mn, mx_ne AS mx,
+        |    n_rows FROM tb
+        |  UNION ALL SELECT bucket, 'last_us', mn_lu, mx_lu, n_rows FROM tb
+        |  UNION ALL SELECT bucket, 'v_sum_4dp', mn_vs, mx_vs, n_rows
+        |    FROM tb)
+        |SELECT u.bucket, u.col, u.mn, u.mx, u.n_rows,
+        |  CAST(CASE WHEN tc.bucket IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        |    AS rewritten
+        |FROM u LEFT JOIN tc ON u.bucket = tc.bucket
+        |ORDER BY u.bucket, u.col""".stripMargin,
     // arbitrary-column zone maps: bucket by VALUE range, census =
     // overlap of per-bucket v_sum min/max with the fixed 30/45% band —
     // all re-derived from raw events

@@ -364,6 +364,42 @@ class LakehouseCowSpec extends SparkSuite {
     out.unpersist(): Unit
   }
 
+  test("stats_maintain: carried sidecar rows are the v0 rows verbatim; only the delta footprint gets fresh stats (sf0.001)") {
+    import spark.implicits._
+    operators.LakehouseCow.sinkTxnStatsMaintain(spark, sf0001).collect(): Unit
+    val tStats = Tables.scratch("txn_statsmaint_sidecar")
+    val v0 = TxnTable.read(spark, tStats, Some(0)).collect()
+      .map(_.toSeq).toSet
+    val v1 = TxnTable.read(spark, tStats, Some(1)).collect()
+    assert(v1.nonEmpty)
+    val (fresh, carriedRows) = v1.partition(
+      _.getAs[String]("path").contains("/data/v1/"))
+    // maintenance is O(changed-files): exactly one bucket rewrote
+    // (users ≡ 3 mod 64 land in hash bucket 3 alone), everything else
+    // passed through from the v0 sidecar UNCHANGED — same rows verbatim
+    assert(fresh.map(_.getAs[Long]("bkt")).toSet === Set(3L))
+    carriedRows.foreach(r => assert(v0.contains(r.toSeq),
+      s"carried row not verbatim from v0: $r"))
+    assert(carriedRows.length === v0.size - 3, // v0's bucket-3 rows replaced
+      "every non-rewritten v0 row must carry")
+    // fresh stats honesty: the rewritten file's stats match a direct scan
+    fresh.groupBy(_.getAs[String]("path")).foreach { case (path, rows) =>
+      val d = spark.read.parquet(path).agg(count(lit(1)),
+        min($"n_events"), max($"n_events"), min($"last_us"),
+        max($"last_us"), min($"v_sum_4dp"), max($"v_sum_4dp"))
+        .collect().head
+      val expect = Map(
+        "n_events" -> (d.getLong(1), d.getLong(2)),
+        "last_us" -> (d.getLong(3), d.getLong(4)),
+        "v_sum_4dp" -> (d.getLong(5), d.getLong(6)))
+      rows.foreach { r =>
+        assert((r.getAs[Long]("mn"), r.getAs[Long]("mx")) ===
+          expect(r.getAs[String]("col")), s"$path zone map")
+        assert(r.getAs[Long]("rows") === d.getLong(0))
+      }
+    }
+  }
+
   test("manifest rowCount stats: countAt == data count for every version, and is served with ZERO data I/O (sf0.001)") {
     operators.LakehouseCow.sinkTxnHistoryAudit(spark, sf0001).collect(): Unit
     val t = Tables.scratch("txn_history_table")
