@@ -45,6 +45,35 @@ object Stats {
     * 2²⁰ so it rides DECIMAL(38,0) ⟷ HUGEINT unconditionally. */
   def profileKsDistance(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val ecdf = segPairEcdf(spark, dir)
+      .withColumn("dnum", abs($"cuma" * $"nb" - $"cumb" * $"na"))
+    ecdf
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"pair_id").orderBy($"dnum".desc, $"cents")))
+      .filter($"rn" === 1)
+      .select($"pair_id", $"na".as("n_a"), $"nb".as("n_b"),
+        $"dnum".as("d_num"),
+        expr(s"CAST((CAST(dnum AS DECIMAL(38,0)) * $FpOne) " +
+          "div (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)").as("ks_fp"),
+        $"cents".as("at_cents"))
+      .orderBy($"pair_id")
+  }
+
+  /** The pooled-support ECDF frame every two-sample screen here reads:
+    * per fixed segment pair and distinct order-total cent value, the
+    * side counts (ca, cb), inclusive cumulative counts (cuma, cumb)
+    * along the value order, and side totals (na, nb). Shared by
+    * [[profileKsDistance]] (max deviation), [[profileMannwhitneyU]]
+    * (rank-sum), and [[profileCvmDistance]] (integrated squared
+    * deviation) — the three classic nonparametric comparisons are one
+    * decorated frame apart.
+    *
+    * Scale shape: one orders scan (customer side broadcast) fans out
+    * through a ≤6-row broadcast pair map; per-pair per-value side
+    * counts collapse map-side BEFORE the ECDF windows, so the window
+    * input is |distinct values| rows per pair, never the fact table. */
+  private def segPairEcdf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val pairMap = Seq(
       (1L, "BUILDING", "MACHINERY"),
       (2L, "FURNITURE", "HOUSEHOLD"),
@@ -65,21 +94,76 @@ object Stats {
       .agg(sum(when($"side" === "a", 1L).otherwise(0L)).as("ca"),
         sum(when($"side" === "b", 1L).otherwise(0L)).as("cb"))
     val w = Window.partitionBy($"pair_id").orderBy($"cents")
-    val ecdf = byV
+    byV
       .withColumn("cuma", sum($"ca").over(w))
       .withColumn("cumb", sum($"cb").over(w))
       .withColumn("na", sum($"ca").over(Window.partitionBy($"pair_id")))
       .withColumn("nb", sum($"cb").over(Window.partitionBy($"pair_id")))
-      .withColumn("dnum", abs($"cuma" * $"nb" - $"cumb" * $"na"))
-    ecdf
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"pair_id").orderBy($"dnum".desc, $"cents")))
-      .filter($"rn" === 1)
-      .select($"pair_id", $"na".as("n_a"), $"nb".as("n_b"),
-        $"dnum".as("d_num"),
-        expr(s"CAST((CAST(dnum AS DECIMAL(38,0)) * $FpOne) " +
-          "div (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)").as("ks_fp"),
-        $"cents".as("at_cents"))
+  }
+
+  /** Exact MANN–WHITNEY U / Wilcoxon rank-sum (Wilcoxon 1945; Mann &
+    * Whitney 1947) between the same segment pairs the KS screen
+    * compares — the LOCATION-shift test next to KS's shape test, and
+    * the one with the ROC identity: U_A/(n_A·n_B) IS the probability a
+    * random A-value exceeds a random B-value, i.e. the AUC. Kept exact
+    * with ties and with no rank pass at all: from the per-value side
+    * counts, each value v contributes ca(v)·(2·cumb_excl(v) + cb(v))
+    * to the DOUBLED statistic u2_a = 2·U_A (wins count 2, ties 1 — the
+    * ½-tie convention with the halving deferred so everything stays
+    * integral). u2_b rides along via the complement identity
+    * u2_a + u2_b = 2·n_A·n_B (a StatsSpec law), and auc_fp =
+    * ⌊2²⁰·u2_a/(2·n_A·n_B)⌋ renders the effect size.
+    *
+    * Scale shape: rides [[segPairEcdf]] — map-side collapse to the
+    * value domain, windows over |distinct values| rows per pair, one
+    * final aggregate. No global rank is ever materialized (the
+    * count-based form replaces the rank-sum), so nothing here sorts
+    * the fact table. Headroom: terms and sums accumulate in
+    * DECIMAL(38,0) ⟷ HUGEINT — u2 ≤ 2·n_A·n_B crosses 2⁶³ only past
+    * ~2×10⁹ rows per side, but the render multiplies by 2²⁰, so the
+    * decimal tier is unconditional. */
+  def profileMannwhitneyU(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    segPairEcdf(spark, dir)
+      .withColumn("term",
+        ($"ca" * (($"cumb" - $"cb") * 2L + $"cb")).cast("decimal(38,0)"))
+      .groupBy($"pair_id")
+      .agg(max($"na").as("n_a"), max($"nb").as("n_b"),
+        sum($"term").as("u2"))
+      .select($"pair_id", $"n_a", $"n_b",
+        $"u2".cast("long").as("u2_a"),
+        expr("CAST(2 * CAST(n_a AS DECIMAL(38,0)) * n_b - u2 AS BIGINT)")
+          .as("u2_b"),
+        expr(s"CAST((u2 * $FpOne) div " +
+          "(2 * CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("auc_fp"))
+      .orderBy($"pair_id")
+  }
+
+  /** Exact two-sample CRAMÉR–VON MISES statistic (Cramér 1928; von
+    * Mises 1931; two-sample form Anderson 1962) over the same segment
+    * pairs — the INTEGRATED squared ECDF deviation that sees
+    * distributed small differences KS's single max misses. The
+    * statistic T₂ = n_A·n_B/(n_A+n_B)² · Σ_v (F_A−F_B)²·(c_v/(n_A+n_B))
+    * is cleared to one integer numerator Σ_v (ca+cb)·(cuma·n_B −
+    * cumb·n_A)² and ONE truncating division: cvm_fp =
+    * ⌊2²⁰·num/(n_A·n_B·(n_A+n_B)²)⌋. The squared deviations cross 2⁶³
+    * at fixture scale already, so the accumulation is DECIMAL(38,0) ⟷
+    * HUGEINT throughout (holds to ~10⁷ rows per side; past that the
+    * same clearing runs at a coarser value grid).
+    *
+    * Scale shape: rides [[segPairEcdf]] — the quadratic term is
+    * per-value-domain-row arithmetic, one final aggregate per pair. */
+  def profileCvmDistance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    segPairEcdf(spark, dir)
+      .withColumn("d", ($"cuma" * $"nb" - $"cumb" * $"na").cast("decimal(38,0)"))
+      .withColumn("term", ($"ca" + $"cb").cast("decimal(38,0)") * $"d" * $"d")
+      .groupBy($"pair_id")
+      .agg(max($"na").as("n_a"), max($"nb").as("n_b"),
+        count(lit(1)).as("n_support"), sum($"term").as("num"))
+      .select($"pair_id", $"n_a", $"n_b", $"n_support",
+        expr(s"CAST((num * $FpOne) div (CAST(n_a AS DECIMAL(38,0)) * n_b " +
+          "* (n_a + n_b) * (n_a + n_b)) AS BIGINT)").as("cvm_fp"))
       .orderBy($"pair_id")
   }
 
@@ -240,13 +324,70 @@ object Stats {
 
   val queries: Map[String, QueryFn] = Map(
     "profile_ks_distance" -> (profileKsDistance(_, _)),
+    "profile_mannwhitney_u" -> (profileMannwhitneyU(_, _)),
+    "profile_cvm_distance" -> (profileCvmDistance(_, _)),
     "profile_chi2_independence" -> (profileChi2Independence(_, _)),
     "profile_cramers_v" -> (profileCramersV(_, _)),
     "eval_spearman_rho" -> (evalSpearmanRho(_, _)),
     "profile_tv_drift" -> (profileTvDrift(_, _))
   )
 
+  /** The DuckDB replay of [[segPairEcdf]] — the CTE prefix the
+    * two-sample oracles share (ends with the decorated `e` frame). */
+  private val ecdfCte: String =
+    """WITH pm AS (SELECT * FROM (VALUES
+      |    (1, 'BUILDING', 'MACHINERY'),
+      |    (2, 'FURNITURE', 'HOUSEHOLD'),
+      |    (3, 'AUTOMOBILE', 'BUILDING')) AS t(pair_id, seg_a, seg_b)),
+      |sides AS (SELECT pair_id, 'a' AS side, seg_a AS seg FROM pm
+      |  UNION ALL SELECT pair_id, 'b' AS side, seg_b AS seg FROM pm),
+      |v AS (SELECT s.pair_id, s.side,
+      |    CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN sides s ON c.c_mktsegment = s.seg),
+      |byv AS (SELECT pair_id, cents,
+      |    sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS ca,
+      |    sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS cb
+      |  FROM v GROUP BY 1, 2),
+      |e AS (SELECT pair_id, cents, ca, cb,
+      |    sum(ca) OVER (PARTITION BY pair_id ORDER BY cents) AS cuma,
+      |    sum(cb) OVER (PARTITION BY pair_id ORDER BY cents) AS cumb,
+      |    sum(ca) OVER (PARTITION BY pair_id) AS na,
+      |    sum(cb) OVER (PARTITION BY pair_id) AS nb
+      |  FROM byv)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    // same doubled-U term per pooled value; complement identity and the
+    // single AUC render truncate identically in HUGEINT
+    "profile_mannwhitney_u" -> (ecdfCte +
+      """,
+        |u AS (SELECT pair_id, max(na) AS n_a, max(nb) AS n_b,
+        |    sum(CAST(ca * ((cumb - cb) * 2 + cb) AS HUGEINT)) AS u2
+        |  FROM e GROUP BY pair_id)
+        |SELECT CAST(pair_id AS BIGINT) AS pair_id,
+        |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(u2 AS BIGINT) AS u2_a,
+        |  CAST(2 * CAST(n_a AS HUGEINT) * n_b - u2 AS BIGINT) AS u2_b,
+        |  CAST((u2 * 1048576) // (2 * CAST(n_a AS HUGEINT) * n_b)
+        |    AS BIGINT) AS auc_fp
+        |FROM u ORDER BY pair_id""".stripMargin),
+    // same cleared quadratic numerator accumulated in HUGEINT; one
+    // truncating division renders the statistic
+    "profile_cvm_distance" -> (ecdfCte +
+      """,
+        |q AS (SELECT pair_id, max(na) AS n_a, max(nb) AS n_b,
+        |    CAST(count(*) AS BIGINT) AS n_support,
+        |    sum(CAST(ca + cb AS HUGEINT)
+        |      * CAST(cuma * nb - cumb * na AS HUGEINT)
+        |      * CAST(cuma * nb - cumb * na AS HUGEINT)) AS num
+        |  FROM e GROUP BY pair_id)
+        |SELECT CAST(pair_id AS BIGINT) AS pair_id,
+        |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  n_support,
+        |  CAST((num * 1048576) // (CAST(n_a AS HUGEINT) * n_b
+        |    * (n_a + n_b) * (n_a + n_b)) AS BIGINT) AS cvm_fp
+        |FROM q ORDER BY pair_id""".stripMargin),
     // the division is deferred: the argmax runs on the exact integer
     // |cumA·nB − cumB·nA| and the single ks_fp render truncates the
     // same way on both engines

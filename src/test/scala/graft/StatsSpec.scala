@@ -51,6 +51,65 @@ class StatsSpec extends SparkSuite {
       }
   }
 
+  /** Per-pair segment value lists at sf0.001 — the brute-force input
+    * for the two-sample screen replays. */
+  private def segPairValues(): Map[Long, (Seq[Long], Seq[Long])] = {
+    val pairs = Seq((1L, "BUILDING", "MACHINERY"),
+      (2L, "FURNITURE", "HOUSEHOLD"), (3L, "AUTOMOBILE", "BUILDING"))
+    val rows = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        (Tables.dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    pairs.map { case (id, a, b) =>
+      id -> (rows.filter(_._1 == a).map(_._2).toSeq,
+        rows.filter(_._1 == b).map(_._2).toSeq)
+    }.toMap
+  }
+
+  test("profile_mannwhitney_u: brute-force doubled-U replay and complement identity") {
+    val vals = segPairValues()
+    val out = Stats.profileMannwhitneyU(spark, sf0001).collect()
+    assert(out.length === 3)
+    out.foreach { r =>
+      val (id, na, nb, u2a, u2b, auc) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val (as, bs) = vals(id)
+      assert(na === as.length.toLong && nb === bs.length.toLong)
+      // every (a, b) pair scored 2/1/0 — the doubled ½-tie convention
+      val brute = (for (a <- as; b <- bs)
+        yield if (a > b) 2L else if (a == b) 1L else 0L).sum
+      assert(u2a === brute, s"pair $id doubled U")
+      assert(u2a + u2b === 2L * na * nb, s"pair $id complement identity")
+      assert(auc >= 0L && auc <= 1048576L)
+      assert(auc === (BigInt(u2a) * 1048576 / (BigInt(2) * na * nb)).toLong)
+    }
+  }
+
+  test("profile_cvm_distance: brute-force cleared-numerator replay at sf0.001") {
+    val vals = segPairValues()
+    val out = Stats.profileCvmDistance(spark, sf0001).collect()
+    assert(out.length === 3)
+    out.foreach { r =>
+      val (id, na, nb, nSup, fp) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      val (as, bs) = vals(id)
+      val support = (as ++ bs).distinct.sorted
+      assert(nSup === support.length.toLong)
+      var num = BigInt(0)
+      support.foreach { v =>
+        val (ca, cb) = (as.count(_ == v), bs.count(_ == v))
+        val d = BigInt(as.count(_ <= v)) * nb - BigInt(bs.count(_ <= v)) * na
+        num += BigInt(ca + cb) * d * d
+      }
+      val expect = num * 1048576 /
+        (BigInt(na) * nb * (na + nb) * (na + nb))
+      assert(fp === expect.toLong, s"pair $id cvm_fp")
+      assert(fp >= 0L)
+    }
+  }
+
   test("profile_ks_distance: D is a normalized max over the pooled support") {
     Stats.profileKsDistance(spark, sf0001).collect().foreach { r =>
       val (na, nb, dnum, ks) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
