@@ -1335,6 +1335,78 @@ object Multimodal {
         |ORDER BY event_type, user_id""".stripMargin)
   }
 
+  /** CLOSED-FORM RIDGE REGRESSION via the normal equations — the
+    * distributed linear-model training that needs exactly ONE
+    * aggregation pass at any data size: per return flag, fit
+    * y = β₁·quantity + β₂·(discount %) + β₀ on lineitem price cents by
+    * solving (XᵀX + λI)β = Xᵀy with λ = 2¹⁶ (ridge on all three
+    * coefficients, intercept included — the symmetric variant, which
+    * keeps the system a pure function of the sufficient statistics).
+    * The d(d+3)/2 = 9 sufficient sums are map-side combinable BIGINTs;
+    * the 3×3 solve is Cramer's rule in DECIMAL(38,0) ⟷ HUGEINT —
+    * λ > 0 makes XᵀX + λI positive definite, so det > 0 always and
+    * each βᵢ = detᵢ/det renders through the repo's non-negative-shift
+    * idiom: ⌊2²⁰·(detᵢ + 2²⁴·det)/det⌋ − 2⁴⁴ (βᵢ is provably inside
+    * ±2²⁴ cents here; truncating division of non-negative operands is
+    * engine-identical). ONE SQL text runs on both engines (`div` ⟷
+    * `//`, DECIMAL(38,0) ⟷ HUGEINT).
+    *
+    * Scale shape: the fact table never shuffles more than the 9-sum
+    * partial aggregate (the combiner IS the training step); the solve
+    * is O(1) per group. Headroom: detᵢ·2²⁰ stays inside 38 digits to
+    * n ≈ 10⁷ rows per group at these feature magnitudes; past that the
+    * sums pre-scale (divide y by 100) before the solve. */
+  def mlRidgeNormalEq(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("ridge_li")
+    spark.sql(ridgeSql("ridge_li", "div", "DECIMAL(38,0)"))
+  }
+
+  /** Shared ridge SQL — `idiv` is `div` (Spark) or `//` (DuckDB),
+    * `big` is DECIMAL(38,0) (Spark) or HUGEINT (DuckDB). */
+  private[graft] def ridgeSql(tbl: String, idiv: String, big: String): String = {
+    // β render: shift by 2²⁴·det so the dividend is non-negative
+    // (det > 0 by positive definiteness), then un-shift 2²⁰·2²⁴ = 2⁴⁴
+    def beta(deti: String, name: String) =
+      s"CAST((1048576 * ($deti + 16777216 * det)) $idiv det " +
+        s"- 17592186044416 AS BIGINT) AS $name"
+    s"""WITH r AS (SELECT l_returnflag AS flag,
+       |    CAST(l_quantity AS BIGINT) AS x1,
+       |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS x2,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      AS y
+       |  FROM $tbl),
+       |s AS (SELECT flag, count(*) AS n,
+       |    CAST(sum(x1) AS $big) AS s1, CAST(sum(x2) AS $big) AS s2,
+       |    CAST(sum(x1 * x1) AS $big) AS s11,
+       |    CAST(sum(x2 * x2) AS $big) AS s22,
+       |    CAST(sum(x1 * x2) AS $big) AS s12,
+       |    CAST(sum(y) AS $big) AS b3,
+       |    CAST(sum(x1 * y) AS $big) AS b1,
+       |    CAST(sum(x2 * y) AS $big) AS b2
+       |  FROM r GROUP BY flag),
+       |a AS (SELECT flag, n,
+       |    s11 + 65536 AS a11, s12 AS a12, s1 AS a13,
+       |    s22 + 65536 AS a22, s2 AS a23,
+       |    CAST(n AS $big) + 65536 AS a33, b1, b2, b3
+       |  FROM s),
+       |d AS (SELECT flag, n, b3,
+       |    a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13)
+       |      + a13 * (a12 * a23 - a22 * a13) AS det,
+       |    b1 * (a22 * a33 - a23 * a23) - a12 * (b2 * a33 - a23 * b3)
+       |      + a13 * (b2 * a23 - a22 * b3) AS det1,
+       |    a11 * (b2 * a33 - a23 * b3) - b1 * (a12 * a33 - a23 * a13)
+       |      + a13 * (a12 * b3 - b2 * a13) AS det2,
+       |    a11 * (a22 * b3 - b2 * a23) - a12 * (a12 * b3 - b2 * a13)
+       |      + b1 * (a12 * a23 - a22 * a13) AS det3
+       |  FROM a)
+       |SELECT flag, CAST(n AS BIGINT) AS n,
+       |  CAST(b3 AS BIGINT) AS sum_y_cents,
+       |  ${beta("det1", "beta_qty_fp")},
+       |  ${beta("det2", "beta_disc_fp")},
+       |  ${beta("det3", "beta0_fp")}
+       |FROM d ORDER BY flag""".stripMargin
+  }
+
   /** Exact best-split election for a single-feature decision stump —
     * the inner loop of every distributed tree learner (XGBoost/LightGBM
     * histogram mode): label = "is this document English?", feature =
@@ -1866,6 +1938,7 @@ object Multimodal {
     "ml_pca_power_iter" -> (mlPcaPowerIter(_, _)),
     "simsearch_graph_greedy" -> (simsearchGraphGreedy(_, _)),
     "ml_linreg_sufficient" -> (mlLinregSufficient(_, _)),
+    "ml_ridge_normal_eq" -> (mlRidgeNormalEq(_, _)),
     "ml_als_1d_step" -> (mlAls1dStep(_, _)),
     "ml_gbdt_stump_boost" -> (mlGbdtStumpBoost(_, _)),
     "ml_bradley_terry_step" -> (mlBradleyTerryStep(_, _)),
@@ -2247,6 +2320,8 @@ object Multimodal {
         |    ELSE (u2 * 1048576) // (2 * n_pos * n_neg) END AS BIGINT)
         |    AS auc_fp
         |FROM a ORDER BY source""".stripMargin,
+    // the same SQL text as the Spark side (idiv/big substituted)
+    "ml_ridge_normal_eq" -> ridgeSql("lineitem", "//", "HUGEINT"),
     // every aggregate CAST to BIGINT: DuckDB sums BIGINT into HUGEINT,
     // which pandas would widen to float64 and fail the dtype match
     "ml_linreg_sufficient" ->

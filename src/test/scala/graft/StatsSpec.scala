@@ -110,6 +110,47 @@ class StatsSpec extends SparkSuite {
     }
   }
 
+  test("ml_ridge_normal_eq: BigInt Cramer replay at sf0.001 and a positive quantity slope") {
+    val rows = Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag"), col("l_quantity").cast("long"),
+        (Tables.dec2(col("l_discount")) * 100).cast("long"),
+        (Tables.dec2(col("l_extendedprice")) * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val out = Multimodal.mlRidgeNormalEq(spark, sf0001).collect()
+    assert(out.length === 3)
+    out.foreach { r =>
+      val flag = r.getString(0)
+      val g = rows.filter(_._1 == flag)
+      assert(r.getLong(1) === g.length.toLong)
+      val lam = BigInt(65536)
+      def S(f: ((String, Long, Long, Long)) => BigInt) = g.map(f).sum
+      val (s1, s2) = (S(t => BigInt(t._2)), S(t => BigInt(t._3)))
+      val (s11, s22, s12) = (S(t => BigInt(t._2) * t._2),
+        S(t => BigInt(t._3) * t._3), S(t => BigInt(t._2) * t._3))
+      val (b1, b2, b3) = (S(t => BigInt(t._2) * t._4),
+        S(t => BigInt(t._3) * t._4), S(t => BigInt(t._4)))
+      val (a11, a12, a13, a22, a23, a33) =
+        (s11 + lam, s12, s1, s22 + lam, s2, BigInt(g.length) + lam)
+      val det = a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13) +
+        a13 * (a12 * a23 - a22 * a13)
+      assert(det > 0, "ridge system is positive definite")
+      val det1 = b1 * (a22 * a33 - a23 * a23) - a12 * (b2 * a33 - a23 * b3) +
+        a13 * (b2 * a23 - a22 * b3)
+      val det2 = a11 * (b2 * a33 - a23 * b3) - b1 * (a12 * a33 - a23 * a13) +
+        a13 * (a12 * b3 - b2 * a13)
+      val det3 = a11 * (a22 * b3 - b2 * a23) - a12 * (a12 * b3 - b2 * a13) +
+        b1 * (a12 * a23 - a22 * a13)
+      def fp(di: BigInt): Long =
+        ((BigInt(1048576) * (di + BigInt(16777216) * det)) / det -
+          BigInt("17592186044416")).toLong
+      assert(r.getLong(2) === b3.toLong)
+      assert(r.getLong(3) === fp(det1), s"$flag beta_qty")
+      assert(r.getLong(4) === fp(det2), s"$flag beta_disc")
+      assert(r.getLong(5) === fp(det3), s"$flag beta0")
+      assert(r.getLong(3) > 0L, s"$flag price must grow with quantity")
+    }
+  }
+
   test("profile_ks_distance: D is a normalized max over the pooled support") {
     Stats.profileKsDistance(spark, sf0001).collect().foreach { r =>
       val (na, nb, dnum, ks) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
