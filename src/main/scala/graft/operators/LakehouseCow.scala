@@ -433,6 +433,231 @@ object LakehouseCow {
     }
   }
 
+  /** METADATA-ONLY AGGREGATE SERVING — the query class the stats
+    * sidecar exists FOR beyond pruning: `SELECT count(*), min(x),
+    * max(x) FROM t` answered WITHOUT reading a data byte (Iceberg
+    * serves these from manifest column metrics; Delta from
+    * minValues/maxValues/numRecords). v0 commits the hash-clustered
+    * per-user state plus its per-file (column, min, max, rows)
+    * sidecar; the graded frame is one row per column — file count,
+    * exact row count (Σ sidecar rows), and the global min/max folded
+    * over the per-file bounds — aggregated from the SIDECAR TxnTable
+    * alone. The oracle re-derives every number from raw events, so the
+    * hash certifies metadata-served ≡ data-derived (count and min/max
+    * fold exactly; no approximation enters).
+    *
+    * Scale shape: the serve aggregates |files|·|columns| metadata rows
+    * — at 10⁶ files a count(*)/min/max over 100 TB touches ~3×10⁶
+    * sidecar rows and zero data. The build cost is the same one-pass
+    * clustered write the other COW keys pay. */
+  def sinkTxnStatsServe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = evUsers(spark, dir)
+    def shape(df: DataFrame): DataFrame = df
+      .select($"col", $"n_files", $"n_rows", $"mn", $"mx")
+      .orderBy($"col")
+    val equivalent = {
+      val st = state(ev).withColumn("bkt", $"user_id" % NBuckets)
+      shape(st.selectExpr("bkt",
+          "stack(3, 'n_events', n_events, 'last_us', last_us, " +
+            "'v_sum_4dp', v_sum_4dp) AS (col, v)")
+        .groupBy($"col")
+        .agg(countDistinct($"bkt").as("n_files"), count(lit(1)).as("n_rows"),
+          min($"v").as("mn"), max($"v").as("mx")))
+    }
+    graft.PlanOnly.roundTrip(equivalent) {
+      val table = Tables.scratch("txn_statsserve")
+      val tStats = Tables.scratch("txn_statsserve_sidecar")
+      TxnTable.drop(spark, table)
+      TxnTable.drop(spark, tStats)
+      val st = state(ev)
+      val c0 = st.withColumn("bkt", $"user_id" % NBuckets)
+      val e0 = writeBuckets(c0, s"$table/data/v0", "user_id")
+      commitMaybeEmpty(spark, table, 0, e0, st)
+      TxnTable.commit(spark, tStats, 0,
+        fileColumnStats(c0, s"$table/data/v0"))
+      // the serve: every output number comes from the sidecar alone
+      shape(TxnTable.read(spark, tStats, None)
+        .groupBy($"col")
+        .agg(count(lit(1)).as("n_files"), sum($"rows").as("n_rows"),
+          min($"mn").as("mn"), max($"mx").as("mx")))
+    }
+  }
+
+  /** Probe keys for [[sinkTxnBloomSkip]]: six ids present at every SF
+    * (the events user_id domain is 0..15·SF·1000) and two absent ones
+    * — the false-positive path must be exercised, not just asserted. */
+  private val BloomProbes = Seq(2L, 3L, 5L, 7L, 11L, 13L, 100000L, 100001L)
+
+  /** The replayable 3-hash bloom slot for key column `k` and hash
+    * index column `i` — the multiplicative family agg_bloom_replayable
+    * pinned (mod 1048573, m = 4096 bits). */
+  private def bloomSlot(k: String, i: String): String =
+    s"(CASE $i WHEN 1 THEN (($k + 1) * 2654435761) % 1048573 " +
+      s"WHEN 2 THEN (($k + 1) * 2246822519) % 1048573 " +
+      s"ELSE (($k + 1) * 3266489917) % 1048573 END) % 4096"
+
+  /** FILE-LEVEL BLOOM-FILTER SKIPPING — the point-lookup pruning tier
+    * min/max zone maps cannot provide: the table is clustered by VALUE
+    * range (deliberately — every file's user_id span covers nearly the
+    * whole id domain, so [[sinkTxnColumnStats]]-style zone maps admit
+    * every file for a `user_id = k` probe), and a per-file BLOOM
+    * sidecar (m = 4096 bits as ≤128 non-empty BIGINT words, k = 3
+    * replayable multiplicative hashes — the Parquet footer-bloom /
+    * Delta bloom-index shape) is what prunes. Eight fixed point probes
+    * (six present at every SF, two absent) are served: each file
+    * passes iff all 3 probe bits are set in its words, only PASSING
+    * files are scanned with the residual `user_id = k` filter, and the
+    * row census rides along — files_total/passed, the false-pass
+    * count, and the fetched row's columns (−1 sentinels when absent).
+    * The oracle re-derives the clustering, every bloom word, the pass
+    * set, and the fetched values from raw events, so the hash
+    * certifies the stored sidecar bits AND the skip decisions.
+    *
+    * Scale shape: the sidecar is ≤128 words/file metadata; a point
+    * lookup at 10⁶ files tests 3 bits per file (O(files) metadata,
+    * zero data) and reads only the expected-O(1) passing files. The
+    * false-positive rate is the classic (1−e^{−3n/m})³ — files sized
+    * so n/m keeps it ~1e-3, which the fp_files column makes
+    * observable. */
+  def sinkTxnBloomSkip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = evUsers(spark, dir)
+    val probesDf = BloomProbes.toDF("probe_k")
+    def shape(df: DataFrame): DataFrame = df
+      .select($"probe_k", $"files_total", $"files_passed", $"fp_files",
+        $"row_found", $"n_events", $"last_us", $"v_sum_4dp")
+      .orderBy($"probe_k")
+    // probe → its 3 slots (24 rows, constant)
+    val pslots = probesDf
+      .withColumn("i", explode(array(lit(1), lit(2), lit(3))))
+      .selectExpr("probe_k", s"${bloomSlot("probe_k", "i")} AS slot")
+    // serve against a words frame + the value-clustered state (shared
+    // by the plan-only equivalent and, for the census, the real path)
+    def serve(words: DataFrame, clustered: DataFrame): DataFrame = {
+      val files = clustered.select($"bkt").distinct()
+      val cand = pslots.crossJoin(broadcast(files))
+        .join(words, pslots("slot").divide(lit(32)).cast("long") === words("w")
+          && files("bkt") === words("wb"), "left")
+        .select($"probe_k", $"bkt",
+          when($"wv".isNotNull &&
+            expr("(wv >> CAST(slot % 32 AS INT)) & 1") === 1L,
+            1L).otherwise(0L).as("hit"))
+        .groupBy($"probe_k", $"bkt").agg(min($"hit").as("pass"))
+      val census = cand.groupBy($"probe_k")
+        .agg(count(lit(1)).as("files_total"), sum($"pass").as("files_passed"))
+      val found = clustered
+        .join(cand.filter($"pass" === 1L).select($"probe_k", $"bkt"),
+          Seq("bkt"))
+        .filter($"user_id" === $"probe_k")
+        .select($"probe_k", $"n_events", $"last_us", $"v_sum_4dp")
+      probesDf
+        .join(census, Seq("probe_k"), "left")
+        .join(found, Seq("probe_k"), "left")
+        .select($"probe_k",
+          coalesce($"files_total", lit(0L)).as("files_total"),
+          coalesce($"files_passed", lit(0L)).as("files_passed"),
+          (coalesce($"files_passed", lit(0L)) -
+            when($"n_events".isNotNull, 1L).otherwise(0L)).as("fp_files"),
+          when($"n_events".isNotNull, 1L).otherwise(0L).as("row_found"),
+          coalesce($"n_events", lit(-1L)).as("n_events"),
+          coalesce($"last_us", lit(-1L)).as("last_us"),
+          coalesce($"v_sum_4dp", lit(-1L)).as("v_sum_4dp"))
+    }
+    def wordsOf(clustered: DataFrame): DataFrame = clustered
+      .select($"bkt", $"user_id")
+      .withColumn("i", explode(array(lit(1), lit(2), lit(3))))
+      .selectExpr("bkt AS wb", s"${bloomSlot("user_id", "i")} AS slot")
+      .groupBy($"wb", expr("slot div 32").as("w"))
+      .agg(expr("bit_or(CAST(1 AS BIGINT) << CAST(slot % 32 AS INT))")
+        .as("wv"))
+    val equivalent = {
+      val st = state(ev)
+      val bF = st.agg(min($"v_sum_4dp").as("mn"), max($"v_sum_4dp").as("mx"))
+      val cl = st.crossJoin(broadcast(bF))
+        .withColumn("w0", expr(s"((mx - mn) DIV $NBuckets) + 1"))
+        .withColumn("bkt", expr("(v_sum_4dp - mn) DIV w0"))
+        .drop("mn", "mx", "w0")
+      shape(serve(wordsOf(cl), cl))
+    }
+    graft.PlanOnly.roundTrip(equivalent) {
+      val table = Tables.scratch("txn_bloomskip")
+      val tBloom = Tables.scratch("txn_bloomskip_sidecar")
+      TxnTable.drop(spark, table)
+      TxnTable.drop(spark, tBloom)
+      val st = state(ev)
+      val bRow = st.agg(min($"v_sum_4dp"), max($"v_sum_4dp"))
+        .collect().head // table stats: planning scalars
+      if (bRow.isNullAt(0)) {
+        TxnTable.commit(spark, table, 0, st) // empty-but-readable
+        shape(probesDf
+          .withColumn("files_total", lit(0L))
+          .withColumn("files_passed", lit(0L))
+          .withColumn("fp_files", lit(0L))
+          .withColumn("row_found", lit(0L))
+          .withColumn("n_events", lit(-1L))
+          .withColumn("last_us", lit(-1L))
+          .withColumn("v_sum_4dp", lit(-1L)))
+      } else {
+        val (mn, mx) = (bRow.getLong(0), bRow.getLong(1))
+        val w = (mx - mn) / NBuckets + 1
+        // VALUE-clustered layout: user_id zone maps can't prune a
+        // point probe here — that is the premise
+        val clustered = st.withColumn("bkt",
+          expr(s"(v_sum_4dp - ${mn}L) DIV ${w}L"))
+        val e0 = writeBuckets(clustered, s"$table/data/v0", "user_id")
+        commitMaybeEmpty(spark, table, 0, e0, st)
+        TxnTable.commit(spark, tBloom,
+          0, wordsOf(clustered).withColumn("path",
+            concat(lit(s"$table/data/v0/bkt="), $"wb")))
+        // probe planning from the SIDECAR alone: which files pass?
+        val words = TxnTable.read(spark, tBloom, None)
+        val filesB = e0.map(_.bucket).sorted.toDF("bkt")
+        val cand = pslots.crossJoin(broadcast(filesB))
+          .join(words, pslots("slot").divide(lit(32)).cast("long") === words("w")
+            && filesB("bkt") === words("wb"), "left")
+          .select($"probe_k", $"bkt",
+            when($"wv".isNotNull &&
+              expr("(wv >> CAST(slot % 32 AS INT)) & 1") === 1L,
+              1L).otherwise(0L).as("hit"))
+          .groupBy($"probe_k", $"bkt").agg(min($"hit").as("pass"))
+        val passing = cand.filter($"pass" === 1L)
+          .collect().map(r => (r.getLong(0), r.getLong(1))) // ≤ 8·16: planning
+        val census = cand.groupBy($"probe_k")
+          .agg(count(lit(1)).as("files_total"),
+            sum($"pass").as("files_passed"))
+        val paths = passing.map(_._2).distinct.sorted
+          .map(b => s"$table/data/v0/bkt=$b")
+        val found =
+          if (paths.isEmpty)
+            probesDf.limit(0).select($"probe_k",
+              lit(0L).as("n_events"), lit(0L).as("last_us"),
+              lit(0L).as("v_sum_4dp"))
+          else {
+            // the data fetch: ONLY passing files, residual point filter
+            val passDf = passing.toSeq.toDF("probe_k", "pbkt")
+            spark.read.parquet(paths.toIndexedSeq: _*)
+              .withColumn("bkt", expr(s"(v_sum_4dp - ${mn}L) DIV ${w}L"))
+              .join(broadcast(passDf), $"bkt" === $"pbkt"
+                && $"user_id" === $"probe_k")
+              .select($"probe_k", $"n_events", $"last_us", $"v_sum_4dp")
+          }
+        shape(probesDf
+          .join(census, Seq("probe_k"), "left")
+          .join(found, Seq("probe_k"), "left")
+          .select($"probe_k",
+            coalesce($"files_total", lit(0L)).as("files_total"),
+            coalesce($"files_passed", lit(0L)).as("files_passed"),
+            (coalesce($"files_passed", lit(0L)) -
+              when($"n_events".isNotNull, 1L).otherwise(0L)).as("fp_files"),
+            when($"n_events".isNotNull, 1L).otherwise(0L).as("row_found"),
+            coalesce($"n_events", lit(-1L)).as("n_events"),
+            coalesce($"last_us", lit(-1L)).as("last_us"),
+            coalesce($"v_sum_4dp", lit(-1L)).as("v_sum_4dp")))
+      }
+    }
+  }
+
   // ---- file-level copy-on-write MERGE --------------------------------
 
   /** File-level COW MERGE, graded — the operation that makes a 100 TB
@@ -1741,6 +1966,8 @@ object LakehouseCow {
     "sink_txn_data_skipping" -> (sinkTxnDataSkipping(_, _)),
     "sink_txn_column_stats" -> (sinkTxnColumnStats(_, _)),
     "sink_txn_stats_maintain" -> (sinkTxnStatsMaintain(_, _)),
+    "sink_txn_stats_serve" -> (sinkTxnStatsServe(_, _)),
+    "sink_txn_bloom_skip" -> (sinkTxnBloomSkip(_, _)),
     "sink_txn_compact_binpack" -> (sinkTxnCompactBinpack(_, _)),
     "sink_txn_zorder_skip" -> (sinkTxnZorderSkip(_, _)),
     "sink_txn_partition_evolution" -> (sinkTxnPartitionEvolution(_, _))
@@ -2073,6 +2300,79 @@ object LakehouseCow {
     // arbitrary-column zone maps: bucket by VALUE range, census =
     // overlap of per-bucket v_sum min/max with the fixed 30/45% band —
     // all re-derived from raw events
+    // metadata-served count/min/max re-derived from raw events: the
+    // hash certifies sidecar aggregation ≡ data aggregation
+    "sink_txn_stats_serve" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |st AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    max(ts_us) AS last_us,
+        |    CAST(sum(v) * 10000 AS BIGINT) AS v_sum_4dp
+        |  FROM e GROUP BY 1),
+        |s AS (SELECT user_id % 16 AS bkt, 'n_events' AS col,
+        |    n_events AS v FROM st
+        |  UNION ALL SELECT user_id % 16, 'last_us', last_us FROM st
+        |  UNION ALL SELECT user_id % 16, 'v_sum_4dp', v_sum_4dp FROM st)
+        |SELECT col, CAST(count(DISTINCT bkt) AS BIGINT) AS n_files,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(v) AS mn, max(v) AS mx
+        |FROM s GROUP BY col ORDER BY col""".stripMargin,
+    // the full bloom replay: value clustering, per-file words, probe
+    // pass sets, and the fetched rows — all from raw events
+    "sink_txn_bloom_skip" -> {
+      def slot(k: String) =
+        s"(CASE i WHEN 1 THEN (($k + 1) * 2654435761) % 1048573 " +
+          s"WHEN 2 THEN (($k + 1) * 2246822519) % 1048573 " +
+          s"ELSE (($k + 1) * 3266489917) % 1048573 END) % 4096"
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+         |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
+         |st AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         |    max(ts_us) AS last_us,
+         |    CAST(sum(v) * 10000 AS BIGINT) AS v_sum_4dp
+         |  FROM e GROUP BY 1),
+         |b AS (SELECT min(v_sum_4dp) AS mn, max(v_sum_4dp) AS mx FROM st),
+         |cl AS (SELECT st.*, (v_sum_4dp - (SELECT mn FROM b)) //
+         |    (((SELECT mx FROM b) - (SELECT mn FROM b)) // 16 + 1) AS bkt
+         |  FROM st),
+         |hs AS (SELECT bkt, ${slot("user_id")} AS slot
+         |  FROM cl CROSS JOIN (VALUES (1), (2), (3)) t(i)),
+         |words AS (SELECT bkt AS wb, slot // 32 AS w,
+         |    bit_or(CAST(1 AS BIGINT) << CAST(slot % 32 AS INT)) AS wv
+         |  FROM hs GROUP BY 1, 2),
+         |pr AS (SELECT CAST(probe_k AS BIGINT) AS probe_k FROM (VALUES
+         |    (2), (3), (5), (7), (11), (13), (100000), (100001))
+         |  t(probe_k)),
+         |ps AS (SELECT probe_k, ${slot("probe_k")} AS slot
+         |  FROM pr CROSS JOIN (VALUES (1), (2), (3)) t(i)),
+         |files AS (SELECT DISTINCT bkt FROM cl),
+         |cand AS (SELECT ps.probe_k, f.bkt,
+         |    min(CASE WHEN w.wv IS NOT NULL
+         |      AND ((w.wv >> CAST(ps.slot % 32 AS INT)) & 1) = 1
+         |      THEN 1 ELSE 0 END) AS pass
+         |  FROM ps CROSS JOIN files f LEFT JOIN words w
+         |    ON f.bkt = w.wb AND ps.slot // 32 = w.w
+         |  GROUP BY 1, 2),
+         |cen AS (SELECT probe_k, CAST(count(*) AS BIGINT) AS files_total,
+         |    CAST(sum(pass) AS BIGINT) AS files_passed
+         |  FROM cand GROUP BY 1),
+         |found AS (SELECT c.probe_k, cl.n_events, cl.last_us, cl.v_sum_4dp
+         |  FROM cand c JOIN cl ON c.bkt = cl.bkt AND cl.user_id = c.probe_k
+         |  WHERE c.pass = 1)
+         |SELECT pr.probe_k,
+         |  coalesce(cen.files_total, 0) AS files_total,
+         |  coalesce(cen.files_passed, 0) AS files_passed,
+         |  coalesce(cen.files_passed, 0) -
+         |    (CASE WHEN found.n_events IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS fp_files,
+         |  CAST(CASE WHEN found.n_events IS NOT NULL THEN 1 ELSE 0 END
+         |    AS BIGINT) AS row_found,
+         |  coalesce(found.n_events, -1) AS n_events,
+         |  coalesce(found.last_us, -1) AS last_us,
+         |  coalesce(found.v_sum_4dp, -1) AS v_sum_4dp
+         |FROM pr LEFT JOIN cen ON pr.probe_k = cen.probe_k
+         |LEFT JOIN found ON pr.probe_k = found.probe_k
+         |ORDER BY pr.probe_k""".stripMargin
+    },
     "sink_txn_column_stats" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
         |    CAST(value AS DECIMAL(18,4)) AS v FROM events),

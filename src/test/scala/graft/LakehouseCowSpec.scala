@@ -422,4 +422,64 @@ class LakehouseCowSpec extends SparkSuite {
     }
     TxnTable.drop(spark, t) // leave no half-table behind
   }
+
+  test("stats_serve: metadata aggregates equal a direct data scan, and survive the data's deletion (sf0.001)") {
+    import spark.implicits._
+    val out = operators.LakehouseCow.sinkTxnStatsServe(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.keySet === Set("n_events", "last_us", "v_sum_4dp"))
+    // direct data-derived aggregates
+    val t = Tables.scratch("txn_statsserve")
+    val data = TxnTable.read(spark, t, None).cache()
+    val nFiles = data.select((col("user_id") % 16).as("b")).distinct().count()
+    val nRows = data.count()
+    Seq("n_events", "last_us", "v_sum_4dp").foreach { c =>
+      val d = data.agg(min(col(c)), max(col(c))).collect().head
+      assert(out(c) === ((nFiles, nRows, d.getLong(0), d.getLong(1))), c)
+    }
+    data.unpersist()
+    // zero-data-I/O proof: delete the data files; the sidecar still
+    // serves the same numbers (any data read would now throw)
+    assert(fs.delete(new Path(s"$t/data"), true))
+    val served = TxnTable
+      .read(spark, Tables.scratch("txn_statsserve_sidecar"), None)
+      .groupBy(col("col"))
+      .agg(count(lit(1)), sum(col("rows")), min(col("mn")), max(col("mx")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(served === out, "sidecar-served aggregates must survive data deletion")
+    TxnTable.drop(spark, t)
+  }
+
+  test("bloom_skip: present probes fetch their true state row, absent probes prune everywhere, fp accounting holds (sf0.001)") {
+    import spark.implicits._
+    val out = operators.LakehouseCow.sinkTxnBloomSkip(spark, sf0001).collect()
+    assert(out.length === 8)
+    // the true per-user state from raw events
+    val st = Tables.events(spark, sf0001)
+      .groupBy($"user_id").agg(count(lit(1)).as("n"),
+        max(Tables.nsToUs($"ts")).as("l"),
+        (sum(Tables.dec4($"value")) * 10000).cast("long").as("v"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    out.foreach { r =>
+      val (k, total, passed, fp, found) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(total > 0 && passed >= 0 && passed <= total, s"probe $k census")
+      assert(fp === passed - found, s"probe $k fp accounting")
+      if (st.contains(k)) {
+        assert(found === 1L, s"present probe $k must be found (no false negatives)")
+        assert((r.getLong(5), r.getLong(6), r.getLong(7)) === st(k), s"probe $k row")
+      } else {
+        assert(found === 0L, s"absent probe $k")
+        assert((r.getLong(5), r.getLong(6), r.getLong(7)) === ((-1L, -1L, -1L)))
+        assert(passed < total, s"absent probe $k must be bloom-pruned somewhere")
+      }
+    }
+    // genuine skipping: across the 8 probes most (probe, file) tests fail
+    val sumPassed = out.map(_.getLong(2)).sum
+    val sumTotal = out.map(_.getLong(1)).sum
+    assert(sumPassed * 2 < sumTotal, s"bloom must prune: $sumPassed/$sumTotal passed")
+  }
 }

@@ -529,7 +529,12 @@ class PlanRegressionSpec extends SparkSuite {
       // simsearch_index_serve probes the 10-row stored-centroid table
       // per query and rides the same constant LUT broadcasts as
       // simsearch_ivf_pq — fan-out |cells|, never data²
-      "agg_quantile_mergeable", "simsearch_index_serve")
+      "agg_quantile_mergeable", "simsearch_index_serve",
+      // round-15 continuation: sink_txn_bloom_skip crosses the
+      // CONSTANT 24-row probe-slot frame with the ≤16-row file list
+      // (both broadcast planning metadata) and attaches the 1-row
+      // min/max bounds scalar — fan-out |files| per probe, never data²
+      "sink_txn_bloom_skip")
     val offenders = SparkEntry.queries.keys.filterNot(allowed)
       .filter(n => n != "source_csv_roundtrip" && plan(n).contains("BroadcastNestedLoopJoin"))
     assert(offenders.isEmpty, s"unexpected nested-loop joins: $offenders")
