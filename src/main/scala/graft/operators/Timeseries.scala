@@ -939,7 +939,76 @@ object Timeseries {
         |FROM e WHERE rn = 1 ORDER BY event_type""".stripMargin)
   }
 
+  /** Sentinel for unreachable DP cells in [[timeseriesDtwBand]]: 2⁵⁰ —
+    * far above any reachable cost (≤ 24·max|Δavg| ≈ 1.4×10⁸), far
+    * below BIGINT overflow even after 24 additive steps. */
+  private val DtwInf = 1125899906842624L
+
+  /** Banded DYNAMIC TIME WARPING distance between hour-of-day activity
+    * profiles — the elastic similarity measure (Sakoe & Chiba 1978;
+    * Itakura 1975) behind shape-based series clustering, in the
+    * slope-constrained step pattern whose every move advances the
+    * query axis: dp[i][j] = |A_i − B_j| + min(dp[i−1][j], dp[i−1][j−1],
+    * dp[i−1][j−2]) inside the |i−j| ≤ 3 Sakoe–Chiba band (cells
+    * outside pin to the 2⁵⁰ sentinel), dtw = dp[24][24]. Profiles are
+    * the 24 truncating-mean 4-dp-fixed hourly values per event type
+    * (absent hours 0); all 10 unordered type pairs are graded. The
+    * row-to-row recurrence is the wavefront form both engines replay
+    * exactly: Spark folds 23 `transform` steps over the previous row
+    * via `aggregate`, DuckDB runs the identical recurrence as a
+    * 24-step recursive CTE carrying the row as a LIST — integer
+    * arithmetic end to end, so the hash certifies every DP cell on the
+    * final row.
+    *
+    * Scale shape: the log collapses map-side to the |types|·24 profile
+    * grid; the DP runs per PAIR on constant 24-length arrays (one
+    * projection over a ≤|types|²-row broadcast-joined frame — at scale
+    * the pair frame is the metadata-sized model table, never the event
+    * log). Band + slope constraint keep the per-pair cost O(24·r)
+    * regardless of series count. */
+  def timeseriesDtwBand(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Tables.events(spark, dir)
+      .filter($"value".isNotNull)
+      .select($"event_type",
+        (Tables.nsToUs($"ts").divide(lit(3600000000L)).cast("long") % 24)
+          .as("h"),
+        Tables.dec4($"value").as("v"))
+      .groupBy($"event_type", $"h")
+      .agg((sum($"v") * 10000).cast("long").as("s"),
+        count(lit(1)).as("c"))
+      .withColumn("avg_fp", expr("s div c"))
+    val prof = cells.groupBy($"event_type")
+      .agg(map_from_entries(collect_list(struct($"h", $"avg_fp"))).as("m"))
+      .select($"event_type",
+        expr("transform(sequence(0, 23), h -> coalesce(element_at(m, h), 0L))")
+          .as("p"))
+    val pairs = prof.select($"event_type".as("type_a"), $"p".as("pa"))
+      .join(broadcast(prof.select($"event_type".as("type_b"), $"p".as("pb"))),
+        $"type_a" < $"type_b")
+    pairs.select($"type_a", $"type_b",
+        expr("abs(element_at(pa, 1) - element_at(pb, 1))").as("d11"),
+        expr(s"""aggregate(
+          sequence(2, 24),
+          transform(sequence(1, 24), j ->
+            IF(j = 1, abs(element_at(pa, 1) - element_at(pb, 1)),
+               ${DtwInf}L)),
+          (row, i) -> transform(sequence(1, 24), j ->
+            IF(abs(i - j) > 3, ${DtwInf}L,
+               least(${DtwInf}L,
+                 abs(element_at(pa, CAST(i AS INT))
+                   - element_at(pb, CAST(j AS INT)))
+                 + least(element_at(row, CAST(j AS INT)),
+                     IF(j >= 2, element_at(row, CAST(j AS INT) - 1),
+                        ${DtwInf}L),
+                     IF(j >= 3, element_at(row, CAST(j AS INT) - 2),
+                        ${DtwInf}L))))),
+          row -> element_at(row, 24))""").as("dtw_cost"))
+      .orderBy($"type_a", $"type_b")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "timeseries_dtw_band" -> (timeseriesDtwBand(_, _)),
     "timeseries_theil_sen" -> (timeseriesTheilSen(_, _)),
     "timeseries_kalman_alpha_beta" -> (timeseriesKalmanAlphaBeta(_, _)),
     "timeseries_motif_l1" -> (timeseriesMotifL1(_, _)),
@@ -965,6 +1034,51 @@ object Timeseries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the identical wavefront recurrence as a 24-step recursive CTE
+    // carrying the DP row as a LIST — every final-row cell replayed
+    "timeseries_dtw_band" ->
+      """WITH RECURSIVE
+        |cell AS (SELECT event_type,
+        |    (epoch_us(ts) // 3600000000) % 24 AS h,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4)) * 10000) AS BIGINT)
+        |      AS s,
+        |    count(*) AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |hours AS (SELECT unnest(range(0, 24)) AS h),
+        |types AS (SELECT DISTINCT event_type FROM events
+        |  WHERE value IS NOT NULL),
+        |prof AS (SELECT t.event_type,
+        |    list(coalesce(cell.s // cell.c, CAST(0 AS BIGINT))
+        |      ORDER BY hours.h) AS p
+        |  FROM types t CROSS JOIN hours LEFT JOIN cell
+        |    ON cell.event_type = t.event_type AND cell.h = hours.h
+        |  GROUP BY t.event_type),
+        |pairs AS (SELECT a.event_type AS type_a, a.p AS pa,
+        |    b.event_type AS type_b, b.p AS pb
+        |  FROM prof a JOIN prof b ON a.event_type < b.event_type),
+        |dp AS (
+        |  SELECT type_a, type_b, pa, pb, 1 AS i,
+        |    list_transform(range(1, 25), j -> CASE WHEN j = 1
+        |      THEN abs(pa[1] - pb[1])
+        |      ELSE CAST(1125899906842624 AS BIGINT) END) AS r
+        |  FROM pairs
+        |  UNION ALL
+        |  SELECT type_a, type_b, pa, pb, i + 1,
+        |    list_transform(range(1, 25), j ->
+        |      CASE WHEN abs(i + 1 - j) > 3
+        |        THEN CAST(1125899906842624 AS BIGINT)
+        |        ELSE least(CAST(1125899906842624 AS BIGINT),
+        |          abs(pa[i + 1] - pb[j])
+        |          + least(r[j],
+        |              CASE WHEN j >= 2 THEN r[j - 1]
+        |                ELSE CAST(1125899906842624 AS BIGINT) END,
+        |              CASE WHEN j >= 3 THEN r[j - 2]
+        |                ELSE CAST(1125899906842624 AS BIGINT) END))
+        |      END)
+        |  FROM dp WHERE i < 24)
+        |SELECT type_a, type_b, abs(pa[1] - pb[1]) AS d11,
+        |  r[24] AS dtw_cost
+        |FROM dp WHERE i = 24 ORDER BY type_a, type_b""".stripMargin,
     // the same tiny day-grain pair grid; slope div ⟷ // truncate
     // toward zero on both signs (the holt-linear measurement), and the
     // lower-median election shares the (slope, d1, d2) total order

@@ -533,8 +533,10 @@ class PlanRegressionSpec extends SparkSuite {
       // round-15 continuation: sink_txn_bloom_skip crosses the
       // CONSTANT 24-row probe-slot frame with the ≤16-row file list
       // (both broadcast planning metadata) and attaches the 1-row
-      // min/max bounds scalar — fan-out |files| per probe, never data²
-      "sink_txn_bloom_skip")
+      // min/max bounds scalar — fan-out |files| per probe, never data²;
+      // timeseries_dtw_band's type_a < type_b pair join is |types|²
+      // over the 5-row profile frame — the metadata-sized model table
+      "sink_txn_bloom_skip", "timeseries_dtw_band")
     val offenders = SparkEntry.queries.keys.filterNot(allowed)
       .filter(n => n != "source_csv_roundtrip" && plan(n).contains("BroadcastNestedLoopJoin"))
     assert(offenders.isEmpty, s"unexpected nested-loop joins: $offenders")

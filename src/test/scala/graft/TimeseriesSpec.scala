@@ -9,6 +9,51 @@ import graft.operators.{LlmOps, Timeseries}
   */
 class TimeseriesSpec extends SparkSuite {
 
+  test("timeseries_dtw_band: driver brute-force DP replay at sf0.001") {
+    val inf = 1125899906842624L
+    // profiles re-derived independently: truncating-mean 4dp per hour
+    val cells = Tables.events(spark, sf0001)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        (Tables.nsToUs(col("ts")).divide(lit(3600000000L)).cast("long") % 24)
+          .as("h"))
+      .agg(((sum(Tables.dec4(col("value"))) * 10000).cast("long"))
+        .as("s"), count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1).toInt,
+        r.getLong(2) / r.getLong(3)))
+    val prof = cells.groupBy(_._1).map { case (t, rs) =>
+      val m = rs.map(r => r._2 -> r._3).toMap
+      t -> (0 until 24).map(h => m.getOrElse(h, 0L)).toArray
+    }
+    def dtw(a: Array[Long], b: Array[Long]): Long = {
+      // dp[i][j] (1-based), rows swept i = 1..24
+      var row = Array.tabulate(24)(j =>
+        if (j == 0) math.abs(a(0) - b(0)) else inf)
+      for (i <- 2 to 24) {
+        row = Array.tabulate(24) { j0 =>
+          val j = j0 + 1
+          if (math.abs(i - j) > 3) inf
+          else {
+            val prev = math.min(row(j0),
+              math.min(if (j >= 2) row(j0 - 1) else inf,
+                if (j >= 3) row(j0 - 2) else inf))
+            math.min(inf, math.abs(a(i - 1) - b(j0)) + prev)
+          }
+        }
+      }
+      row(23)
+    }
+    val out = Timeseries.timeseriesDtwBand(spark, sf0001).collect()
+    assert(out.length === prof.size * (prof.size - 1) / 2)
+    out.foreach { r =>
+      val (ta, tb) = (r.getString(0), r.getString(1))
+      val expect = dtw(prof(ta), prof(tb))
+      assert(r.getLong(3) === expect, s"($ta, $tb) dtw")
+      assert(r.getLong(3) < inf, s"($ta, $tb) must be reachable")
+      assert(r.getLong(2) === math.abs(prof(ta)(0) - prof(tb)(0)))
+    }
+  }
+
   test("timeseries_ohlc_bars: candles are internally consistent and lossless") {
     val bars = Timeseries.timeseriesOhlcBars(spark, sf0001).collect()
     assert(bars.nonEmpty)
