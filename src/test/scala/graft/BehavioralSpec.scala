@@ -554,4 +554,38 @@ class BehavioralSpec extends SparkSuite {
     assert(rows.exists(r => r.getLong(2) == -1L || r.getLong(3) == -1L)
       || rows.forall(_.getLong(4) == 1L))
   }
+
+  test("graph_scc_pivot: driver brute-force FW/BW BFS replay at sf0.001") {
+    val li = Tables.lineitem(spark, sf0001)
+      .join(Tables.orders(spark, sf0001), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"), col("o_custkey"), col("l_returnflag"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val edges = (li.map { case (s, c, _) => (1000000L + s, c) } ++
+      li.collect { case (s, c, "R") => (c, 1000000L + s) }).distinct
+    val pivot = edges.map(_._1).min
+    def bfs(adj: Map[Long, Array[Long]]): Map[Long, Long] = {
+      var dist = Map(pivot -> 0L)
+      var frontier = Seq(pivot)
+      for (h <- 1 to 4) {
+        val next = frontier.flatMap(adj.getOrElse(_, Array.empty[Long]))
+          .distinct.filterNot(dist.contains)
+        next.foreach(n => dist += n -> h.toLong)
+        frontier = next
+      }
+      dist
+    }
+    val fwd = bfs(edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) })
+    val bwd = bfs(edges.groupBy(_._2).map { case (k, v) => k -> v.map(_._1) })
+    val expect = fwd.keySet.intersect(bwd.keySet)
+    val out = Behavioral.graphSccPivot(spark, sf0001).collect()
+    assert(out.map(_.getLong(0)).toSet === expect, "mutual 4-hop reach set")
+    out.foreach { r =>
+      assert(r.getLong(1) === fwd(r.getLong(0)), s"fwd dist of ${r.getLong(0)}")
+      assert(r.getLong(2) === bwd(r.getLong(0)), s"bwd dist of ${r.getLong(0)}")
+      assert(r.getLong(3) === expect.size.toLong)
+    }
+    // the pivot itself anchors the set at (0, 0)
+    assert(out.exists(r => r.getLong(0) == pivot && r.getLong(1) == 0L
+      && r.getLong(2) == 0L))
+  }
 }
