@@ -889,6 +889,90 @@ object Multimodal {
       .orderBy($"q_id")
   }
 
+  /** MULTI-LAYER greedy routing — the HNSW hierarchy (Malkov & Yashunin
+    * 2016) over [[simsearchGraphGreedy]]'s single-layer NSW: three
+    * NESTED layer samples (vec_id % 64 / % 16 / % 4 — the deterministic
+    * stand-in for HNSW's geometric level draw, nesting guaranteed by
+    * construction), each with its own exact 4-NN out-edge graph; a
+    * query enters at the top layer's global entry point, takes two
+    * greedy hops per layer, and the layer endpoint SEEDS the next layer
+    * down — the skip-list descent that makes graph ANN logarithmic.
+    * Every layer endpoint + score is emitted, the exact base-layer
+    * argmax rides along, so each row is a self-grading recall receipt
+    * AND a per-layer routing trace (where the descent converged vs
+    * where it started). Scores are round-6 cosines packed to
+    * micro-units — all-BIGINT rows.
+    *
+    * Scale shape: upper layers are geometrically smaller (|L0|/16,
+    * |L0|/4 here), so the added index cost over the single-layer graph
+    * is a vanishing fraction; routing touches 2·k candidates per layer
+    * — O(layers·k) per query, against broadcast edge frames. The
+    * per-layer kNN builds are the documented offline-index step (at
+    * 100 TB candidate generation swaps to the IVF/LSH tiers; the
+    * descent is unchanged). */
+  def simsearchHnswLayers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorOps.registerAll(spark)
+    def pack(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(round(c, 6) * 1e6 + 0.5).cast("long")
+    val e = Tables.embeddings(spark, dir)
+    def members(m: Int) = e.filter($"vec_id" % m === 0)
+      .select($"vec_id".as("b_id"), $"embedding".as("be"))
+    val q = e.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("qe"))
+    // per-layer exact 4-NN out-edges with the target vector attached
+    // (the offline index build, one per layer)
+    def layerEdges(m: Int): DataFrame = {
+      val base = members(m)
+      val pairs = base.crossJoin(broadcast(
+          base.select($"b_id".as("c_id"), $"be".as("ce"))))
+        .filter($"b_id" =!= $"c_id")
+        .select($"b_id", $"c_id",
+          pack(expr("cosine_similarity(be, ce)")).as("s"))
+      graft.PlanOnly.mark(pairs
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"b_id").orderBy($"s".desc, $"c_id")))
+        .filter($"rn" <= 4).select($"b_id".as("src"), $"c_id".as("dst"))
+        .join(base.select($"b_id".as("dst"), $"be".as("de")), Seq("dst")))
+    }
+    def hop(h: DataFrame, withVec: DataFrame): DataFrame = {
+      val cand = h
+        .join(broadcast(withVec).withColumnRenamed("src", "cur"), Seq("cur"))
+        .select($"q_id", $"qe", $"dst".as("cur"),
+          pack(expr("cosine_similarity(qe, de)")).as("cs"))
+        .unionAll(h.select($"q_id", $"qe", $"cur", $"cs"))
+      cand.withColumn("rn", row_number().over(
+          Window.partitionBy($"q_id").orderBy($"cs".desc, $"cur")))
+        .filter($"rn" === 1).drop("rn")
+    }
+    val entry = members(64).orderBy($"b_id").limit(1)
+      .select($"b_id".as("e_id"), $"be".as("ee"))
+    val h0 = q.crossJoin(broadcast(entry))
+      .select($"q_id", $"qe", $"e_id".as("cur"),
+        pack(expr("cosine_similarity(qe, ee)")).as("cs"))
+    val (e2, e1, e0) = (layerEdges(64), layerEdges(16), layerEdges(4))
+    val l2 = hop(hop(h0, e2), e2)
+    val l1 = hop(hop(l2, e1), e1)
+    val l0 = hop(hop(l1, e0), e0)
+    val exact = q.crossJoin(broadcast(members(4)))
+      .select($"q_id", $"b_id",
+        pack(expr("cosine_similarity(qe, be)")).as("bs"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"bs".desc, $"b_id")))
+      .filter($"rn" === 1)
+      .select($"q_id", $"b_id".as("best_id"), $"bs".as("best_s"))
+    h0.select($"q_id", $"cur".as("entry_id"), $"cs".as("s_entry"))
+      .join(l2.select($"q_id", $"cur".as("end_l2"), $"cs".as("s_l2")), Seq("q_id"))
+      .join(l1.select($"q_id", $"cur".as("end_l1"), $"cs".as("s_l1")), Seq("q_id"))
+      .join(l0.select($"q_id", $"cur".as("end_l0"), $"cs".as("s_l0")), Seq("q_id"))
+      .join(exact, Seq("q_id"))
+      .select($"q_id", $"entry_id", $"s_entry", $"end_l2", $"s_l2",
+        $"end_l1", $"s_l1", $"end_l0", $"s_l0", $"best_id", $"best_s",
+        when($"end_l0" === $"best_id", 1L).otherwise(0L).as("found"))
+      .orderBy($"q_id")
+  }
+
   def simsearchPqTopk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -1937,6 +2021,7 @@ object Multimodal {
     "ml_perceptron_step" -> (mlPerceptronStep(_, _)),
     "ml_pca_power_iter" -> (mlPcaPowerIter(_, _)),
     "simsearch_graph_greedy" -> (simsearchGraphGreedy(_, _)),
+    "simsearch_hnsw_layers" -> (simsearchHnswLayers(_, _)),
     "ml_linreg_sufficient" -> (mlLinregSufficient(_, _)),
     "ml_ridge_normal_eq" -> (mlRidgeNormalEq(_, _)),
     "ml_als_1d_step" -> (mlAls1dStep(_, _)),
@@ -1962,6 +2047,68 @@ object Multimodal {
     "simsearch_lsh_bucket" -> (simsearchLshBucket(_, _)),
     "simsearch_lsh_replayable" -> (simsearchLshReplayable(_, _))
   )
+
+  /** DuckDB replay of [[simsearchHnswLayers]] — layer blocks generated
+    * from ONE Scala source so the mods/k/hops can't drift. */
+  private def hnswOracle: String = {
+    val cos = (a: String, b: String) =>
+      s"CAST(floor(round(list_dot_product($a, $b) / " +
+        s"(sqrt(list_dot_product($a, $a)) * " +
+        s"sqrt(list_dot_product($b, $b))), 6) * 1000000 + 0.5) AS BIGINT)"
+    def layerBuild(m: Int): String =
+      s"""base_$m AS (SELECT vec_id AS b_id,
+         |    CAST(embedding AS DOUBLE[]) AS be
+         |  FROM embeddings WHERE vec_id % $m = 0),
+         |edges_$m AS (SELECT b_id AS src, c_id AS dst FROM (
+         |    SELECT a.b_id, b.b_id AS c_id,
+         |      row_number() OVER (PARTITION BY a.b_id
+         |        ORDER BY ${cos("a.be", "b.be")} DESC, b.b_id) AS rn
+         |    FROM base_$m a, base_$m b WHERE a.b_id <> b.b_id)
+         |  WHERE rn <= 4)""".stripMargin
+    def twoHops(m: Int, seed: String): String =
+      Seq(("a", seed), ("b", s"h${m}a")).map { case (tag, s) =>
+        s"""c$m$tag AS (SELECT q_id, node FROM $s
+           |  UNION ALL SELECT s.q_id, e.dst FROM $s s
+           |  JOIN edges_$m e ON e.src = s.node),
+           |h$m$tag AS (SELECT q_id, b_id AS node, s FROM (
+           |    SELECT qsc.q_id, qsc.b_id, qsc.s,
+           |      row_number() OVER (PARTITION BY qsc.q_id
+           |        ORDER BY qsc.s DESC, qsc.b_id) AS rn
+           |    FROM qscore qsc JOIN c$m$tag c ON qsc.q_id = c.q_id
+           |      AND qsc.b_id = c.node) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+    s"""WITH ${layerBuild(64)},
+       |${layerBuild(16)},
+       |${layerBuild(4)},
+       |qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+       |  FROM embeddings WHERE vec_id % 50 = 0),
+       |qscore AS (SELECT q.q_id, b.b_id, ${cos("q.qe", "b.be")} AS s
+       |  FROM qs q, base_4 b),
+       |entry AS (SELECT min(b_id) AS e_id FROM base_64),
+       |seed0 AS (SELECT q_id, (SELECT e_id FROM entry) AS node FROM qs),
+       |entry_sc AS (SELECT q_id, b_id AS entry_id, s AS s_entry
+       |  FROM qscore WHERE b_id = (SELECT e_id FROM entry)),
+       |${twoHops(64, "seed0")},
+       |${twoHops(16, "h64b")},
+       |${twoHops(4, "h16b")},
+       |ex AS (SELECT q_id, b_id AS best_id, s AS best_s FROM (
+       |    SELECT q_id, b_id, s, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY s DESC, b_id) AS rn FROM qscore)
+       |  WHERE rn = 1)
+       |SELECT e0.q_id, e0.entry_id, e0.s_entry,
+       |  h64b.node AS end_l2, h64b.s AS s_l2,
+       |  h16b.node AS end_l1, h16b.s AS s_l1,
+       |  h4b.node AS end_l0, h4b.s AS s_l0,
+       |  ex.best_id, ex.best_s,
+       |  CAST(CASE WHEN h4b.node = ex.best_id THEN 1 ELSE 0 END
+       |    AS BIGINT) AS found
+       |FROM entry_sc e0
+       |JOIN h64b ON e0.q_id = h64b.q_id
+       |JOIN h16b ON e0.q_id = h16b.q_id
+       |JOIN h4b ON e0.q_id = h4b.q_id
+       |JOIN ex ON e0.q_id = ex.q_id
+       |ORDER BY e0.q_id""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     // the calibration-bin CTE + the divisionless |acc − conf| fold
@@ -2161,6 +2308,9 @@ object Multimodal {
     // the routing chain replayed against a precomputed query×base
     // score table (the oracle may materialize what the engine scores
     // on demand); same round-6 micro-unit packing everywhere
+    // the full three-layer descent replayed: per-layer 4-NN edges,
+    // two hops per layer, the seed handed down, exact argmax receipt
+    "simsearch_hnsw_layers" -> hnswOracle,
     "simsearch_graph_greedy" ->
       """WITH base AS (SELECT vec_id AS b_id,
         |    CAST(embedding AS DOUBLE[]) AS be

@@ -536,7 +536,12 @@ class PlanRegressionSpec extends SparkSuite {
       // min/max bounds scalar — fan-out |files| per probe, never data²;
       // timeseries_dtw_band's type_a < type_b pair join is |types|²
       // over the 5-row profile frame — the metadata-sized model table
-      "sink_txn_bloom_skip", "timeseries_dtw_band")
+      "sink_txn_bloom_skip", "timeseries_dtw_band",
+      // simsearch_hnsw_layers: per-layer kNN builds are the documented
+      // offline-index step (sample × sample, the graph_greedy contract)
+      // and routing crosses constant entry/edge frames — fan-out k;
+      // graph_scc_pivot attaches the 1-row scc_size scalar (fan-out 1)
+      "simsearch_hnsw_layers", "graph_scc_pivot")
     val offenders = SparkEntry.queries.keys.filterNot(allowed)
       .filter(n => n != "source_csv_roundtrip" && plan(n).contains("BroadcastNestedLoopJoin"))
     assert(offenders.isEmpty, s"unexpected nested-loop joins: $offenders")

@@ -110,6 +110,25 @@ class StatsSpec extends SparkSuite {
     }
   }
 
+  test("simsearch_hnsw_layers: the descent is score-monotone and bounded by the exact best") {
+    val rows = Multimodal.simsearchHnswLayers(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sEntry, sL2, sL1, sL0, bestS) =
+        (r.getLong(2), r.getLong(4), r.getLong(6), r.getLong(8), r.getLong(10))
+      // each hop keeps the current node as a candidate → monotone up
+      assert(sEntry <= sL2 && sL2 <= sL1 && sL1 <= sL0,
+        s"q ${r.getLong(0)} descent must be monotone")
+      assert(sL0 <= bestS, s"q ${r.getLong(0)} routed score beats the exact best")
+      assert(r.getLong(11) === (if (r.getLong(7) == r.getLong(9)) 1L else 0L))
+    }
+    // the layers genuinely nest: every endpoint id is a member of its layer
+    rows.foreach { r =>
+      assert(r.getLong(3) % 64 === 0L); assert(r.getLong(5) % 16 === 0L)
+      assert(r.getLong(7) % 4 === 0L)
+    }
+  }
+
   test("ml_ridge_normal_eq: BigInt Cramer replay at sf0.001 and a positive quantity slope") {
     val rows = Tables.lineitem(spark, sf0001)
       .select(col("l_returnflag"), col("l_quantity").cast("long"),
