@@ -167,6 +167,58 @@ object Stats {
       .orderBy($"pair_id")
   }
 
+  /** Distributed MULTIPLIER BOOTSTRAP confidence bounds (Efron 1979;
+    * the weight-multiplier/Poisson-bootstrap variant is the form that
+    * runs at data scale — Kleiner et al.'s BLB and production A/B
+    * systems resample by per-row WEIGHTS, never by shuffling rows):
+    * per event type, B = 64 replicates give each row a deterministic
+    * hash-drawn weight w ∈ {0, 1, 2} with ~(¼, ½, ¼) mass (mean 1 —
+    * the multiplier-CLT condition), each replicate's mean is one
+    * truncating division of its weighted sums, and the p5/p95
+    * percentile bounds are exact disc elections (ceil rank, b
+    * tie-break) over the 64 replicate means. The point mean and n ride
+    * along, so the row reads as estimate ± replayable uncertainty.
+    *
+    * Scale shape: the 64× fan-out happens MAP-SIDE and collapses to
+    * |types|·B partial sums in the same pass (the combiner absorbs
+    * it); the shuffle carries |types|·64 rows, the election windows
+    * run on 64-row frames. No row is ever resampled across the
+    * cluster — that is the entire point of the multiplier form. */
+  def evalBootstrapMultiplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val reps = Tables.events(spark, dir)
+      .filter($"value".isNotNull)
+      .select($"event_type", $"event_id",
+        (Tables.dec4($"value") * 10000).cast("long").as("v_fp"))
+      .withColumn("b", explode(expr("sequence(0, 63)")))
+      // replayable multiplier: h uniform on [0, 1048573); cut at ¼/¾.
+      // The inner mod keeps every product under 2⁶³ to id ≈ 7×10¹⁶
+      .withColumn("h",
+        expr("(((event_id + 1) * (b * 2 + 1)) % 1048573 " +
+          "* 2654435761) % 1048573"))
+      .withColumn("w", when($"h" < 262143L, 0L)
+        .when($"h" < 786430L, 1L).otherwise(2L))
+    val byRep = reps.groupBy($"event_type", $"b")
+      .agg(sum($"w").as("wsum"), sum($"w" * $"v_fp").as("vsum"),
+        sum(lit(1L)).as("n"), sum($"v_fp").as("vtot"))
+      .filter($"wsum" > 0)
+      .withColumn("m_b", expr("vsum div wsum"))
+    val wRank = Window.partitionBy($"event_type").orderBy($"m_b", $"b")
+    byRep
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n_reps",
+        count(lit(1)).over(Window.partitionBy($"event_type")))
+      .groupBy($"event_type")
+      .agg(max($"n").as("n"), max(expr("vtot div n")).as("mean_fp"),
+        max($"n_reps").as("n_replicates"),
+        // ceil-rank disc elections over the replicate means
+        min(when($"rn" === expr("(n_reps * 5 + 99) div 100"), $"m_b"))
+          .as("boot_lo_fp"),
+        min(when($"rn" === expr("(n_reps * 95 + 99) div 100"), $"m_b"))
+          .as("boot_hi_fp"))
+      .orderBy($"event_type")
+  }
+
   /** CHI-SQUARE independence screen over the (order priority ×
     * customer market segment) contingency grid — Pearson's classic
     * (1900), the first question about any pair of categoricals. Kept
@@ -326,6 +378,7 @@ object Stats {
     "profile_ks_distance" -> (profileKsDistance(_, _)),
     "profile_mannwhitney_u" -> (profileMannwhitneyU(_, _)),
     "profile_cvm_distance" -> (profileCvmDistance(_, _)),
+    "eval_bootstrap_multiplier" -> (evalBootstrapMultiplier(_, _)),
     "profile_chi2_independence" -> (profileChi2Independence(_, _)),
     "profile_cramers_v" -> (profileCramersV(_, _)),
     "eval_spearman_rho" -> (evalSpearmanRho(_, _)),
@@ -358,6 +411,39 @@ object Stats {
       |  FROM byv)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // the same hash multipliers, weighted sums, truncating replicate
+    // means, and ceil-rank elections — engine-identical end to end
+    "eval_bootstrap_multiplier" ->
+      """WITH base AS (SELECT event_type, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v_fp
+        |  FROM events WHERE value IS NOT NULL),
+        |reps AS (SELECT event_type, v_fp, t.b,
+        |    (((event_id + 1) * (t.b * 2 + 1)) % 1048573
+        |      * 2654435761) % 1048573 AS h
+        |  FROM base CROSS JOIN (SELECT unnest(range(0, 64)) AS b) t),
+        |w AS (SELECT event_type, b, v_fp,
+        |    CASE WHEN h < 262143 THEN 0
+        |         WHEN h < 786430 THEN 1 ELSE 2 END AS w
+        |  FROM reps),
+        |byrep AS (SELECT event_type, b,
+        |    CAST(sum(w) AS BIGINT) AS wsum,
+        |    CAST(sum(w * v_fp) AS BIGINT) AS vsum,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v_fp) AS BIGINT) AS vtot
+        |  FROM w GROUP BY 1, 2 HAVING sum(w) > 0),
+        |m AS (SELECT event_type, b, n, vtot, vsum // wsum AS m_b,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY vsum // wsum, b) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n_reps
+        |  FROM byrep)
+        |SELECT event_type, max(n) AS n,
+        |  CAST(max(vtot // n) AS BIGINT) AS mean_fp,
+        |  CAST(max(n_reps) AS BIGINT) AS n_replicates,
+        |  min(CASE WHEN rn = (n_reps * 5 + 99) // 100 THEN m_b END)
+        |    AS boot_lo_fp,
+        |  min(CASE WHEN rn = (n_reps * 95 + 99) // 100 THEN m_b END)
+        |    AS boot_hi_fp
+        |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
     // same doubled-U term per pooled value; complement identity and the
     // single AUC render truncate identically in HUGEINT
     "profile_mannwhitney_u" -> (ecdfCte +

@@ -129,6 +129,38 @@ class StatsSpec extends SparkSuite {
     }
   }
 
+  test("eval_bootstrap_multiplier: brute-force replicate replay at sf0.001") {
+    val rows = Tables.events(spark, sf0001)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        (Tables.dec4(col("value")) * 10000).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val out = Stats.evalBootstrapMultiplier(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val t = r.getString(0)
+      val g = rows.filter(_._1 == t)
+      assert(r.getLong(1) === g.length.toLong)
+      assert(r.getLong(2) === g.map(_._3).sum / g.length)
+      // replay all 64 replicates
+      val means = (0 until 64).flatMap { b =>
+        var (ws, vs) = (0L, 0L)
+        g.foreach { case (_, id, v) =>
+          val h = ((id + 1) * (b * 2 + 1)) % 1048573 * 2654435761L % 1048573
+          val w = if (h < 262143L) 0L else if (h < 786430L) 1L else 2L
+          ws += w; vs += w * v
+        }
+        if (ws > 0) Some((vs / ws, b)) else None
+      }.sorted
+      assert(r.getLong(3) === means.length.toLong, s"$t n_replicates")
+      val lo = means((means.length * 5 + 99) / 100 - 1)._1
+      val hi = means((means.length * 95 + 99) / 100 - 1)._1
+      assert(r.getLong(4) === lo, s"$t boot_lo")
+      assert(r.getLong(5) === hi, s"$t boot_hi")
+      assert(lo <= hi)
+    }
+  }
+
   test("ml_ridge_normal_eq: BigInt Cramer replay at sf0.001 and a positive quantity slope") {
     val rows = Tables.lineitem(spark, sf0001)
       .select(col("l_returnflag"), col("l_quantity").cast("long"),
