@@ -781,16 +781,24 @@ object Behavioral {
       .select($"l_suppkey", $"l_orderkey", $"l_returnflag")
       .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
         $"l_orderkey" === $"o_orderkey")
-    val edges = graft.PlanOnly.mark(
+    def buildEdges(): DataFrame =
       li.select(($"l_suppkey" + 1000000L).as("a"), $"o_custkey".as("b"))
         .unionAll(li.filter($"l_returnflag" === "R")
           .select($"o_custkey".as("a"), ($"l_suppkey" + 1000000L).as("b")))
-        .distinct())
-    val rev = edges.select($"b".as("a"), $"a".as("b"))
-    val pivot = edges.agg(min($"a").as("pv"))
-    def reach(ed: DataFrame): DataFrame = {
-      var r = graft.PlanOnly.cut(
-        pivot.select($"pv".as("id"), lit(0L).as("dist")))
+        .distinct()
+    // graded: ONE persisted edge frame shared by all 8 rounds (the
+    // per-round cut() isolates attributes). Plan-only: cuts are
+    // identity, so each consumer builds its OWN dag — same plan shape,
+    // fresh exprIds, no ambiguous-self-join trip.
+    val sharedEdges =
+      if (graft.PlanOnly.enabled) null else graft.PlanOnly.mark(buildEdges())
+    def edgesF(): DataFrame =
+      if (graft.PlanOnly.enabled) buildEdges() else sharedEdges
+    def reach(reverse: Boolean): DataFrame = {
+      val ed0 = edgesF()
+      val ed = if (reverse) ed0.select($"b".as("a"), $"a".as("b")) else ed0
+      var r = graft.PlanOnly.cut(edgesF().agg(min($"a").as("pv"))
+        .select($"pv".as("id"), lit(0L).as("dist")))
       // plan-only: ONE unexecuted round (the iterative-key contract —
       // graded runs always run all 4 hops)
       val hops = if (graft.PlanOnly.enabled) 1 else 4
@@ -803,8 +811,8 @@ object Behavioral {
       }
       r
     }
-    val fwd = reach(edges).withColumnRenamed("dist", "fwd_dist")
-    val bwd = reach(rev).withColumnRenamed("dist", "bwd_dist")
+    val fwd = reach(reverse = false).withColumnRenamed("dist", "fwd_dist")
+    val bwd = reach(reverse = true).withColumnRenamed("dist", "bwd_dist")
     val scc = fwd.join(bwd, Seq("id"))
     scc.crossJoin(broadcast(scc.agg(count(lit(1)).as("scc_size"))))
       .select($"id".as("node_id"), $"fwd_dist", $"bwd_dist", $"scc_size")
