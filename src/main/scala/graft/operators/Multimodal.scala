@@ -948,20 +948,25 @@ object Multimodal {
     }
     val entry = members(64).orderBy($"b_id").limit(1)
       .select($"b_id".as("e_id"), $"be".as("ee"))
-    val h0 = q.crossJoin(broadcast(entry))
+    // each descent stage is reused by the next layer AND the final
+    // join — mark (persist) the tiny per-query endpoint frames so the
+    // 6-hop chain evaluates once, not once per downstream consumer
+    val h0 = graft.PlanOnly.mark(q.crossJoin(broadcast(entry))
       .select($"q_id", $"qe", $"e_id".as("cur"),
-        pack(expr("cosine_similarity(qe, ee)")).as("cs"))
+        pack(expr("cosine_similarity(qe, ee)")).as("cs")))
     val (e2, e1, e0) = (layerEdges(64), layerEdges(16), layerEdges(4))
-    val l2 = hop(hop(h0, e2), e2)
-    val l1 = hop(hop(l2, e1), e1)
+    val l2 = graft.PlanOnly.mark(hop(hop(h0, e2), e2))
+    val l1 = graft.PlanOnly.mark(hop(hop(l2, e1), e1))
     val l0 = hop(hop(l1, e0), e0)
     val exact = q.crossJoin(broadcast(members(4)))
       .select($"q_id", $"b_id",
         pack(expr("cosine_similarity(qe, be)")).as("bs"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"q_id").orderBy($"bs".desc, $"b_id")))
-      .filter($"rn" === 1)
-      .select($"q_id", $"b_id".as("best_id"), $"bs".as("best_s"))
+      .groupBy($"q_id")
+      .agg(min(struct(($"bs" * -1L).as("neg"), $"b_id".as("b"))).as("m"))
+      .select($"q_id", $"m.b".as("best_id"), ($"m.neg" * -1L).as("best_s"))
+    // (the exact argmax stays a hash aggregate — no array rides in its
+    // struct, so the election is map-side combinable over the 20k-row
+    // score frame; the hop elections keep the tiny per-query window)
     h0.select($"q_id", $"cur".as("entry_id"), $"cs".as("s_entry"))
       .join(l2.select($"q_id", $"cur".as("end_l2"), $"cs".as("s_l2")), Seq("q_id"))
       .join(l1.select($"q_id", $"cur".as("end_l1"), $"cs".as("s_l1")), Seq("q_id"))
