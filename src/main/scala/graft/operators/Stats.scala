@@ -167,6 +167,53 @@ object Stats {
       .orderBy($"pair_id")
   }
 
+  /** WALD–WOLFOWITZ RUNS TEST (1940) on each event type's daily-total
+    * sequence — the serial-randomness screen behind "is this metric
+    * trending or just noisy": classify each day above/below the type's
+    * lower-median daily total, count the RUNS (maximal same-sign
+    * stretches) along the day order, and emit the exact cleared
+    * deviation from the null expectation E[R] = 1 + 2n₁n₂/(n₁+n₂):
+    * dev = R·n − n − 2n₁n₂ (n = n₁+n₂; dev < 0 = fewer runs than
+    * chance → clustering/trend, dev > 0 = more → oscillation). No
+    * division at all — the caller normalizes against the variance
+    * lookup.
+    *
+    * Scale shape: the log collapses map-side to the (type, day) grain
+    * (calendar-bounded); the median election, sign, and lag all run on
+    * that bounded frame partitioned by type. */
+  def profileRunsTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .filter($"value".isNotNull)
+      .select($"event_type", Tables.nsToUs($"ts").as("t"),
+        Tables.dec4($"value").as("v"))
+      .select($"event_type", expr("t div 86400000000").as("day"), $"v")
+      .groupBy($"event_type", $"day")
+      .agg((sum($"v") * 10000).cast("long").as("dv"))
+    val wN = Window.partitionBy($"event_type")
+    val wV = Window.partitionBy($"event_type").orderBy($"dv", $"day")
+    val wD = Window.partitionBy($"event_type").orderBy($"day")
+    val med = daily
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("rn", row_number().over(wV))
+      .withColumn("med_v",
+        min(when($"rn" === expr("(n + 1) div 2"), $"dv")).over(wN))
+    med
+      .withColumn("s", when($"dv" > $"med_v", 1L).otherwise(0L))
+      .withColumn("prev", lag($"s", 1).over(wD))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"s").as("n1"),
+        sum(lit(1L) - $"s").as("n2"),
+        max($"med_v").as("med_v"),
+        (sum(when($"prev".isNull || $"prev" =!= $"s", 1L).otherwise(0L)))
+          .as("runs_obs"))
+      .select($"event_type", $"n_days", $"n1", $"n2", $"med_v", $"runs_obs",
+        ($"runs_obs" * $"n_days" - $"n_days" - $"n1" * $"n2" * 2L)
+          .as("dev"))
+      .orderBy($"event_type")
+  }
+
   /** Distributed MULTIPLIER BOOTSTRAP confidence bounds (Efron 1979;
     * the weight-multiplier/Poisson-bootstrap variant is the form that
     * runs at data scale — Kleiner et al.'s BLB and production A/B
@@ -379,6 +426,7 @@ object Stats {
     "profile_mannwhitney_u" -> (profileMannwhitneyU(_, _)),
     "profile_cvm_distance" -> (profileCvmDistance(_, _)),
     "eval_bootstrap_multiplier" -> (evalBootstrapMultiplier(_, _)),
+    "profile_runs_test" -> (profileRunsTest(_, _)),
     "profile_chi2_independence" -> (profileChi2Independence(_, _)),
     "profile_cramers_v" -> (profileCramersV(_, _)),
     "eval_spearman_rho" -> (evalSpearmanRho(_, _)),
@@ -411,6 +459,39 @@ object Stats {
       |  FROM byv)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same lower-median election, sign sequence, and lag-based run
+    // count — the cleared deviation is pure integer arithmetic
+    "profile_runs_test" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4)) * 10000) AS BIGINT)
+        |      AS dv
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT event_type, day, dv,
+        |    count(*) OVER (PARTITION BY event_type) AS n,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY dv, day) AS rn
+        |  FROM daily),
+        |md AS (SELECT event_type, day, dv, n,
+        |    min(CASE WHEN rn = (n + 1) // 2 THEN dv END)
+        |      OVER (PARTITION BY event_type) AS med_v
+        |  FROM m),
+        |s AS (SELECT event_type, day, med_v,
+        |    CASE WHEN dv > med_v THEN 1 ELSE 0 END AS sg
+        |  FROM md),
+        |r AS (SELECT event_type, med_v, sg,
+        |    lag(sg) OVER (PARTITION BY event_type ORDER BY day) AS prev
+        |  FROM s)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(sg) AS BIGINT) AS n1,
+        |  CAST(sum(1 - sg) AS BIGINT) AS n2,
+        |  max(med_v) AS med_v,
+        |  CAST(sum(CASE WHEN prev IS NULL OR prev <> sg THEN 1 ELSE 0
+        |    END) AS BIGINT) AS runs_obs,
+        |  CAST(sum(CASE WHEN prev IS NULL OR prev <> sg THEN 1 ELSE 0
+        |      END) * count(*) - count(*)
+        |    - 2 * sum(sg) * sum(1 - sg) AS BIGINT) AS dev
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the same hash multipliers, weighted sums, truncating replicate
     // means, and ceil-rank elections — engine-identical end to end
     "eval_bootstrap_multiplier" ->

@@ -129,6 +129,34 @@ class StatsSpec extends SparkSuite {
     }
   }
 
+  test("profile_runs_test: brute-force run-count replay at sf0.001") {
+    val daily = Tables.events(spark, sf0001)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (Tables.nsToUs(col("ts"))).as("t"), Tables.dec4(col("value")).as("v"))
+      .groupBy(col("event_type"), expr("t div 86400000000").as("day"))
+      .agg((sum(col("v")) * 10000).cast("long").as("dv"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val out = Stats.profileRunsTest(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val t = r.getString(0)
+      val seq = daily.filter(_._1 == t).sortBy(_._2)
+      val n = seq.length
+      val med = seq.map(_._3).sorted.apply((n + 1) / 2 - 1)
+      val signs = seq.map(x => if (x._3 > med) 1L else 0L)
+      val runs = 1L + signs.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+      val (n1, n2) = (signs.count(_ == 1L).toLong, signs.count(_ == 0L).toLong)
+      assert(r.getLong(1) === n.toLong, s"$t n_days")
+      assert((r.getLong(2), r.getLong(3)) === ((n1, n2)), s"$t side counts")
+      assert(r.getLong(4) === med, s"$t median")
+      assert(r.getLong(5) === runs, s"$t runs")
+      assert(r.getLong(6) === runs * n - n - 2L * n1 * n2, s"$t dev")
+      // a run count is always within [1, n]
+      assert(runs >= 1L && runs <= n.toLong)
+    }
+  }
+
   test("eval_bootstrap_multiplier: brute-force replicate replay at sf0.001") {
     val rows = Tables.events(spark, sf0001)
       .filter(col("value").isNotNull)
