@@ -309,6 +309,55 @@ object Multimodal {
       .orderBy($"cid")
   }
 
+  /** FARTHEST-FIRST k-center seeding (Gonzalez 1985) — the
+    * deterministic replayable stand-in for k-means++ initialization
+    * (k-means++ samples ∝ D²; farthest-first is its argmax limit and
+    * the classic 2-approximation for k-center), completing the
+    * clustering story next to ml_kmeans_step (one Lloyd iteration from
+    * given seeds — THIS key explains where seeds come from): seed 1 is
+    * the minimum vec_id; each of the next 3 rounds elects the vector
+    * MAXIMIZING its min squared distance to the chosen set (ties to
+    * the smallest id). Distances are exact BIGINT on 2²⁰-packed
+    * coordinates (the ml_kmeans_step fixed-point convention); each
+    * pick's D² receipt is emitted (monotone non-increasing — the
+    * StatsSpec law), so the row sequence is the coverage-radius curve.
+    *
+    * Scale shape: each round is one broadcast fan-out of the ≤k chosen
+    * frame against the corpus (map-side k·dim work per row), a min
+    * per vector, and a GLOBAL 1-row argmax via a combinable
+    * struct-min aggregate — no window, no sort, no quadratic pair
+    * frame. k rounds of O(n·k·d) total, the textbook distributed
+    * seeding cost. */
+  def mlKmeansPpSeed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        expr("transform(embedding, x -> CAST(floor(x * 1048576) AS BIGINT))")
+          .as("qv"))
+    def sq(a: String, b: String) =
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+        "0L, (acc, v) -> acc + v)")
+    var chosen = graft.PlanOnly.cut(q.orderBy($"vec_id").limit(1)
+      .select($"vec_id".as("cid"), $"qv".as("cq"), lit(1L).as("step"),
+        lit(-1L).as("d2_at_pick")))
+    // plan-only: ONE unexecuted round (the iterative-key contract)
+    val rounds = if (graft.PlanOnly.enabled) 1 else 3
+    for (t <- 2 to rounds + 1) {
+      val dmin = q.crossJoin(broadcast(chosen.select($"cid", $"cq")))
+        .select($"vec_id", sq("qv", "cq").as("d2"))
+        .groupBy($"vec_id").agg(min($"d2").as("dm"))
+      val pick = dmin
+        .agg(min(struct(($"dm" * -1L).as("neg"), $"vec_id".as("v"))).as("m"))
+        .select($"m.v".as("pid"), ($"m.neg" * -1L).as("d2pick"))
+      chosen = graft.PlanOnly.cut(chosen.unionByName(
+        q.join(broadcast(pick), $"vec_id" === $"pid")
+          .select($"vec_id".as("cid"), $"qv".as("cq"),
+            lit(t.toLong).as("step"), $"d2pick".as("d2_at_pick"))))
+    }
+    chosen.select($"step", $"cid".as("vec_id"), $"d2_at_pick")
+      .orderBy($"step")
+  }
+
   /** SemDeDup-shape semantic dedup — the scale-correct composition that
     * retires the quarantined quadratic (dedup_embedding_cosine) as the
     * only embedding-dedup story: assign every vector to its nearest
@@ -2027,6 +2076,7 @@ object Multimodal {
     "ml_pca_power_iter" -> (mlPcaPowerIter(_, _)),
     "simsearch_graph_greedy" -> (simsearchGraphGreedy(_, _)),
     "simsearch_hnsw_layers" -> (simsearchHnswLayers(_, _)),
+    "ml_kmeans_pp_seed" -> (mlKmeansPpSeed(_, _)),
     "ml_linreg_sufficient" -> (mlLinregSufficient(_, _)),
     "ml_ridge_normal_eq" -> (mlRidgeNormalEq(_, _)),
     "ml_als_1d_step" -> (mlAls1dStep(_, _)),
@@ -2052,6 +2102,44 @@ object Multimodal {
     "simsearch_lsh_bucket" -> (simsearchLshBucket(_, _)),
     "simsearch_lsh_replayable" -> (simsearchLshReplayable(_, _))
   )
+
+  /** DuckDB replay of [[mlKmeansPpSeed]] — the 3 election rounds
+    * unrolled from one generator. Distances run as double
+    * dot-products over the 2²⁰-packed coordinates: every term stays
+    * under 2⁵³, so the doubles are EXACT and the BIGINT cast equals
+    * Spark's integer zip_with fold. */
+  private def kmeansPpOracle: String = {
+    def dist(qc: String, cc: String) =
+      s"(list_dot_product($qc, $qc) + list_dot_product($cc, $cc) " +
+        s"- 2 * list_dot_product($qc, $cc))"
+    def round(t: Int): String = {
+      val prev = if (t == 2) "ch1" else s"ch${t - 1}"
+      s"""pk$t AS (SELECT vec_id, CAST(dm AS BIGINT) AS dm FROM (
+         |    SELECT q.vec_id, min(${dist("q.qd", "c.cv")}) AS dm
+         |    FROM qd q CROSS JOIN $prev c GROUP BY q.vec_id)
+         |  ORDER BY dm DESC, vec_id LIMIT 1),
+         |ch$t AS (SELECT cid, cv FROM $prev
+         |  UNION ALL SELECT q.vec_id, q.qd FROM qd q
+         |  WHERE q.vec_id = (SELECT vec_id FROM pk$t))""".stripMargin
+    }
+    s"""WITH qd AS (SELECT vec_id,
+       |    CAST(list_transform(embedding,
+       |      x -> CAST(floor(x * 1048576) AS BIGINT)) AS DOUBLE[]) AS qd
+       |  FROM embeddings),
+       |ch1 AS (SELECT vec_id AS cid, qd AS cv FROM qd
+       |  WHERE vec_id = (SELECT min(vec_id) FROM qd)),
+       |${round(2)},
+       |${round(3)},
+       |${round(4)}
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS step,
+       |    (SELECT cid FROM ch1) AS vec_id,
+       |    CAST(-1 AS BIGINT) AS d2_at_pick
+       |  UNION ALL SELECT 2, vec_id, dm FROM pk2
+       |  UNION ALL SELECT 3, vec_id, dm FROM pk3
+       |  UNION ALL SELECT 4, vec_id, dm FROM pk4)
+       |ORDER BY step""".stripMargin
+  }
 
   /** DuckDB replay of [[simsearchHnswLayers]] — layer blocks generated
     * from ONE Scala source so the mods/k/hops can't drift. */
@@ -2316,6 +2404,8 @@ object Multimodal {
     // the full three-layer descent replayed: per-layer 4-NN edges,
     // two hops per layer, the seed handed down, exact argmax receipt
     "simsearch_hnsw_layers" -> hnswOracle,
+    // the 3 farthest-first rounds unrolled; exact-double dot products
+    "ml_kmeans_pp_seed" -> kmeansPpOracle,
     "simsearch_graph_greedy" ->
       """WITH base AS (SELECT vec_id AS b_id,
         |    CAST(embedding AS DOUBLE[]) AS be

@@ -540,8 +540,10 @@ class PlanRegressionSpec extends SparkSuite {
       // simsearch_hnsw_layers: per-layer kNN builds are the documented
       // offline-index step (sample × sample, the graph_greedy contract)
       // and routing crosses constant entry/edge frames — fan-out k;
-      // graph_scc_pivot attaches the 1-row scc_size scalar (fan-out 1)
-      "simsearch_hnsw_layers", "graph_scc_pivot")
+      // graph_scc_pivot attaches the 1-row scc_size scalar (fan-out 1);
+      // ml_kmeans_pp_seed crosses the ≤k-row chosen frame (fan-out k,
+      // the ml_kmeans_step seeds shape)
+      "simsearch_hnsw_layers", "graph_scc_pivot", "ml_kmeans_pp_seed")
     val offenders = SparkEntry.queries.keys.filterNot(allowed)
       .filter(n => n != "source_csv_roundtrip" && plan(n).contains("BroadcastNestedLoopJoin"))
     assert(offenders.isEmpty, s"unexpected nested-loop joins: $offenders")

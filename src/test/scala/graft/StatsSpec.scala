@@ -129,6 +129,30 @@ class StatsSpec extends SparkSuite {
     }
   }
 
+  test("ml_kmeans_pp_seed: brute-force farthest-first replay and monotone radius") {
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(x * 1048576) AS BIGINT))"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var chosen = Seq(vecs.keys.min)
+    var picks = Seq((1L, vecs.keys.min, -1L))
+    for (t <- 2 to 4) {
+      val (pid, dm) = vecs.keys.toSeq.sorted
+        .map(v => (v, chosen.map(c => d2(vecs(v), vecs(c))).min))
+        .maxBy { case (v, dm) => (dm, -v) }
+      chosen :+= pid
+      picks :+= ((t.toLong, pid, dm))
+    }
+    val out = Multimodal.mlKmeansPpSeed(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === picks)
+    // the coverage radius is non-increasing across rounds 2..4
+    val ds = picks.drop(1).map(_._3)
+    assert(ds === ds.sorted.reverse, s"radius must be monotone: $ds")
+  }
+
   test("profile_runs_test: brute-force run-count replay at sf0.001") {
     val daily = Tables.events(spark, sf0001)
       .filter(col("value").isNotNull)
