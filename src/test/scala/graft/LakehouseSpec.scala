@@ -326,4 +326,44 @@ class LakehouseSpec extends SparkSuite {
     assert(got === Map(1L -> 11L, 2L -> 20L),
       s"version-scoped positional delete mis-addressed: $got")
   }
+  test("sink_txn_multi_table: the orphaned member version is invisible until a recovery marker lands (sf0.001)") {
+    import spark.implicits._
+    val out = operators.Lakehouse.sinkTxnMultiTable(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val (tA, tB) = (Tables.scratch("txn_multi_a"), Tables.scratch("txn_multi_b"))
+    // the crash left A one version ahead of B and of the marker log
+    assert(TxnTable.versions(spark, tA) === Seq(0, 1, 2))
+    assert(TxnTable.versions(spark, tB) === Seq(0, 1))
+    // the orphan really differs from the resolved version (slice 9 landed)
+    val a1 = TxnTable.read(spark, tA, Some(1)).agg(sum(col("n_events"))).collect().head.getLong(0)
+    val a2 = TxnTable.read(spark, tA, Some(2)).agg(sum(col("n_events"))).collect().head.getLong(0)
+    assert(a2 > a1, "txn2's A member commit must contain extra rows")
+    // every graded row resolved txn1 for BOTH tables
+    out.foreach { r =>
+      assert(r.getLong(6) === 1L && r.getLong(7) === 1L && r.getLong(8) === 1L)
+      assert(r.getLong(9) === 3L && r.getLong(10) === 2L)
+    }
+    // RECOVERY: finish the B member commit and land the txn2 marker —
+    // the reader flips to txn2 for both tables atomically
+    val evB = Tables.events(spark, sf0001)
+      .select(col("event_type"), Tables.nsToUs(col("ts")).as("ts_us"),
+        col("user_id"), Tables.dec4(col("value")).as("v"))
+      .filter(col("ts_us") < lit(19740L * 86400000000L)
+        || (col("user_id") % 64 === 7) || (col("user_id") % 64 === 9))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("b_n_events"), max(col("ts_us")).as("b_last_us"),
+        (sum(col("v")) * 10000).cast("long").as("b_v_sum_4dp"))
+    TxnTable.commit(spark, tB, 2, evB)
+    val txnLog = new java.io.File(Tables.scratch("txn_multi_log"))
+    java.nio.file.Files.writeString(
+      new java.io.File(txnLog, "txn-00002").toPath, "2,2")
+    val last = txnLog.listFiles().map(_.getName).filter(_.startsWith("txn-")).sorted.last
+    assert(last === "txn-00002")
+    val Array(av, bv) = java.nio.file.Files
+      .readString(new java.io.File(txnLog, last).toPath).split(",").map(_.toInt)
+    assert((av, bv) === ((2, 2)))
+    val aRec = TxnTable.read(spark, tA, Some(av)).agg(sum(col("n_events"))).collect().head.getLong(0)
+    assert(aRec === a2, "recovery must surface the previously-orphaned A@v2")
+    TxnTable.drop(spark, tA); TxnTable.drop(spark, tB)
+  }
 }
