@@ -970,20 +970,41 @@ object Multimodal {
       .select($"vec_id".as("b_id"), $"embedding".as("be"))
     val q = e.filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("q_id"), $"embedding".as("qe"))
-    // per-layer exact 4-NN out-edges with the target vector attached
-    // (the offline index build, one per layer)
-    def layerEdges(m: Int): DataFrame = {
-      val base = members(m)
-      val pairs = base.crossJoin(broadcast(
-          base.select($"b_id".as("c_id"), $"be".as("ce"))))
+    // ONE scoring pass builds all three layer graphs: the layers NEST
+    // (L2 ⊂ L1 ⊂ L0), so every upper-layer pair is an L0 pair — flag
+    // it, and a flag-first window order makes rn ≤ 4 ∧ flag the exact
+    // top-4 among that layer's members. Saves two crossJoin scoring
+    // passes over the per-layer builds (and is the better offline-build
+    // shape at scale: score the base once, derive every level).
+    val base0 = members(4)
+    val ranked = graft.PlanOnly.mark {
+      val pairs = base0.crossJoin(broadcast(
+          base0.select($"b_id".as("c_id"), $"be".as("ce"))))
         .filter($"b_id" =!= $"c_id")
         .select($"b_id", $"c_id",
-          pack(expr("cosine_similarity(be, ce)")).as("s"))
-      graft.PlanOnly.mark(pairs
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"b_id").orderBy($"s".desc, $"c_id")))
-        .filter($"rn" <= 4).select($"b_id".as("src"), $"c_id".as("dst"))
-        .join(base.select($"b_id".as("dst"), $"be".as("de")), Seq("dst")))
+          pack(expr("cosine_similarity(be, ce)")).as("s"),
+          ($"b_id" % 16 === 0 && $"c_id" % 16 === 0).as("l1"),
+          ($"b_id" % 64 === 0 && $"c_id" % 64 === 0).as("l2"))
+      def rn(flagFirst: Option[String]) = row_number().over(
+        Window.partitionBy($"b_id").orderBy(
+          (flagFirst.map(f => Seq(col(f).desc)).getOrElse(Seq.empty) ++
+            Seq($"s".desc, $"c_id".asc)): _*))
+      pairs
+        .withColumn("rn0", rn(None))
+        .withColumn("rn1", rn(Some("l1")))
+        .withColumn("rn2", rn(Some("l2")))
+        .filter($"rn0" <= 4 || ($"l1" && $"rn1" <= 4) ||
+          ($"l2" && $"rn2" <= 4))
+    }
+    def layerEdges(m: Int): DataFrame = {
+      val sel = m match {
+        case 64 => ranked.filter($"l2" && $"rn2" <= 4)
+        case 16 => ranked.filter($"l1" && $"rn1" <= 4)
+        case _  => ranked.filter($"rn0" <= 4)
+      }
+      sel.select($"b_id".as("src"), $"c_id".as("dst"))
+        .join(broadcast(base0.select($"b_id".as("dst"), $"be".as("de"))),
+          Seq("dst"))
     }
     def hop(h: DataFrame, withVec: DataFrame): DataFrame = {
       val cand = h

@@ -543,7 +543,9 @@ class PlanRegressionSpec extends SparkSuite {
       // graph_scc_pivot attaches the 1-row scc_size scalar (fan-out 1);
       // ml_kmeans_pp_seed crosses the ≤k-row chosen frame (fan-out k,
       // the ml_kmeans_step seeds shape)
-      "simsearch_hnsw_layers", "graph_scc_pivot", "ml_kmeans_pp_seed")
+      // sink_txn_multi_table attaches the 1-row A-side totals scalar
+      "simsearch_hnsw_layers", "graph_scc_pivot", "ml_kmeans_pp_seed",
+      "sink_txn_multi_table")
     val offenders = SparkEntry.queries.keys.filterNot(allowed)
       .filter(n => n != "source_csv_roundtrip" && plan(n).contains("BroadcastNestedLoopJoin"))
     assert(offenders.isEmpty, s"unexpected nested-loop joins: $offenders")
