@@ -443,6 +443,87 @@ object Streamy {
     * 100 TB the swap becomes MERGE INTO on a transactional format (the
     * documented north-star gap) — the micro-batch merge DISCIPLINE is
     * what this key certifies. */
+  /** RESTART-FROM-CHECKPOINT resume, graded — the fault-tolerance
+    * property Structured Streaming's checkpoint exists for: a
+    * checkpointed foreachBatch upsert processes the feed's FIRST HALF
+    * to completion and STOPS; new files land in the source directory;
+    * a brand-new query started on the SAME checkpoint processes ONLY
+    * the unseen files (the file-source commit log is the exactly-once
+    * ledger) and the state converges to the batch latest-per-user
+    * answer. The receipt that makes the grade sharp: every micro-batch
+    * also appends its row count to an audit table, and the summed
+    * rows_processed across BOTH runs must equal count(*) of the raw
+    * feed EXACTLY — a restart that reprocessed (duplicates) or skipped
+    * (loss) any file breaks the hash. The merge itself is
+    * batch-split-associative (latest per key under (ts, event_id)), so
+    * the content certifies convergence and the census certifies
+    * exactly-once delivery.
+    *
+    * Scale shape: restart cost is reading the checkpoint's file log —
+    * O(files seen), no data replay; the upsert stays O(batch) per
+    * micro-batch. This is the nightly-restart / crash-recovery posture
+    * of every production ingest job. */
+  def streamExecRestartResume(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val splitUs = 19740L * 86400000000L
+    def ev5 = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        Tables.nsToUs($"ts").as("ts_us"), $"value")
+    val equivalent = {
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts_us".desc, $"event_id".desc)
+      ev5.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .drop("rn")
+        .crossJoin(broadcast(ev5.agg(count(lit(1)).as("rows_processed"))))
+        .withColumn("n_restarts", lit(2L))
+        .orderBy($"user_id")
+    }
+    graft.PlanOnly.roundTrip(equivalent) {
+      val base = Tables.scratch("stream_exec_restart")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // fresh everything per invocation — the restart sequence IS the key
+      Seq("stage", "state", "ckpt", "audit").foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(s"$base/$d")
+        if (fs.exists(p)) fs.delete(p, true): Unit
+      }
+      val schema = ev5.schema
+      ev5.filter($"ts_us" < splitUs).repartition(2)
+        .write.mode("overwrite").parquet(s"$base/stage")
+      def run(): Unit = StreamingMirror.withStreamRuntimeConfs(spark) {
+        val q = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$base/stage")
+          .writeStream.option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            StreamingMirror.upsertBatch(batch, s"$base/state")
+            batch.groupBy().count().withColumnRenamed("count", "n")
+              .write.mode("append").parquet(s"$base/audit")
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      run() // first half to completion; checkpoint records the files
+      ev5.filter($"ts_us" >= splitUs).repartition(2)
+        .write.mode("append").parquet(s"$base/stage")
+      run() // RESTART on the same checkpoint: only the new files
+      val statePath = new org.apache.hadoop.fs.Path(s"$base/state")
+      val state = if (fs.exists(statePath))
+        spark.read.parquet(s"$base/state") else ev5.limit(0)
+      val auditPath = new org.apache.hadoop.fs.Path(s"$base/audit")
+      val processed = if (fs.exists(auditPath))
+        spark.read.parquet(s"$base/audit")
+          .agg(coalesce(sum($"n"), lit(0L)).as("rows_processed"))
+      else Seq(0L).toDF("rows_processed")
+      state.select($"user_id", $"event_id", $"event_type", $"ts_us", $"value")
+        .crossJoin(broadcast(processed))
+        .withColumn("n_restarts", lit(2L))
+        .orderBy($"user_id")
+    }
+  }
+
   def streamExecUpsert(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.PlanOnly.roundTrip(
@@ -582,6 +663,7 @@ object Streamy {
     "stream_exec_sessionize" -> (streamExecSessionize(_, _)),
     "stream_exec_interval_join" -> (streamExecIntervalJoin(_, _)),
     "stream_exec_upsert" -> (streamExecUpsert(_, _)),
+    "stream_exec_restart_resume" -> (streamExecRestartResume(_, _)),
     "stream_tumbling_window" -> (streamTumblingWindow(_, _)),
     "stream_sliding_window" -> (streamSlidingWindow(_, _)),
     "stream_sessionize" -> (streamSessionize(_, _)),
@@ -640,6 +722,19 @@ object Streamy {
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
     // the multi-batch foreachBatch merge must converge to the batch
     // latest-state compaction — same oracle as compact_latest_state
+    // the restart-resume state is the same latest-per-user answer;
+    // rows_processed == count(*) IS the exactly-once certificate
+    "stream_exec_restart_resume" ->
+      """WITH r AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS ts_us, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |FROM events),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS rows_processed FROM events)
+        |SELECT user_id, event_id, event_type, ts_us, value,
+        |  (SELECT rows_processed FROM c) AS rows_processed,
+        |  CAST(2 AS BIGINT) AS n_restarts
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "stream_exec_upsert" ->
       """WITH r AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us, value,
         |  row_number() OVER (PARTITION BY user_id

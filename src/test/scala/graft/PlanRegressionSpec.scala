@@ -543,9 +543,10 @@ class PlanRegressionSpec extends SparkSuite {
       // graph_scc_pivot attaches the 1-row scc_size scalar (fan-out 1);
       // ml_kmeans_pp_seed crosses the ≤k-row chosen frame (fan-out k,
       // the ml_kmeans_step seeds shape)
-      // sink_txn_multi_table attaches the 1-row A-side totals scalar
+      // sink_txn_multi_table attaches the 1-row A-side totals scalar;
+      // stream_exec_restart_resume the 1-row rows_processed ledger
       "simsearch_hnsw_layers", "graph_scc_pivot", "ml_kmeans_pp_seed",
-      "sink_txn_multi_table")
+      "sink_txn_multi_table", "stream_exec_restart_resume")
     val offenders = SparkEntry.queries.keys.filterNot(allowed)
       .filter(n => n != "source_csv_roundtrip" && plan(n).contains("BroadcastNestedLoopJoin"))
     assert(offenders.isEmpty, s"unexpected nested-loop joins: $offenders")

@@ -155,4 +155,28 @@ class StatefulStreamingSpec extends SparkSuite {
     assert(got.count() === want.count())
     assert(got.except(want).count() === 0L && want.except(got).count() === 0L)
   }
+
+  test("stream_exec_restart_resume: the restart processes only the unseen files, exactly once (sf0.001)") {
+    import org.apache.spark.sql.functions._
+    val out = streaming.Streamy.streamExecRestartResume(spark, sf0001)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val nEvents = Tables.events(spark, sf0001).count()
+    // exactly-once ledger: rows processed across BOTH runs == the feed
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rows_processed") === nEvents)
+      assert(r.getAs[Long]("n_restarts") === 2L)
+    }
+    // the audit shows real incremental batches on both sides of the
+    // restart (maxFilesPerTrigger=1 over 2+2 staged files)
+    val audit = spark.read
+      .parquet(s"${Tables.scratch("stream_exec_restart")}/audit")
+      .agg(count(lit(1)), sum(col("n"))).collect().head
+    assert(audit.getLong(0) >= 3L, "expected multiple micro-batches")
+    assert(audit.getLong(1) === nEvents)
+    // state content equals the batch latest-per-user recompute
+    val want = operators.Pipelines.compactLatestState(spark, sf0001)
+    val got = out.select("user_id", "event_id", "event_type", "ts_us", "value")
+    assert(got.except(want).count() === 0L && want.except(got).count() === 0L)
+  }
 }
