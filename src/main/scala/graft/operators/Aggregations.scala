@@ -602,6 +602,71 @@ object Aggregations {
       .orderBy($"pct")
   }
 
+  /** RELATIVE-ERROR QUANTILE SKETCH — the heavy-tail rung next to the
+    * fixed-grid [[aggQuantileMergeable]] (whose ±2¹⁶-cent ABSOLUTE
+    * bracket is useless at the small end of a long-tailed domain): a
+    * LOG-SCALE histogram in the KLL/req spirit kept fully
+    * engine-replayable — bucket = (bit-length of the cent value,
+    * top-4-bits-after-the-leading-bit), i.e. 16 subdivisions per
+    * octave, so every bracket guarantees (hi−lo)/lo ≤ 2⁻⁴ = 6.25%
+    * RELATIVE error at ANY magnitude. The bucket id bits·16+minor is
+    * monotone in the value, the sketch is (bucket, count) — mergeable
+    * by plain count addition (StatsSpec pins merge-order invariance
+    * against an odd/even shard split) — and each pct row emits the
+    * target rank, the bracketing bucket, and the reconstructed
+    * [lo, hi] cent bounds (StatsSpec pins that the exact
+    * percentile_disc falls inside every bracket — the rank-error
+    * receipt).
+    *
+    * Scale shape: ONE map-side-combinable groupBy over the scan
+    * (partial aggregation = the per-partition sketch, the shuffle =
+    * the merge); the cumulative walk runs on the ≤ 16·64-row bucket
+    * frame — bounded by the VALUE DOMAIN's bit width, never by the
+    * data (strictly smaller than the dyadic sketch's frame). */
+  def aggQuantileRelerr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = Tables.lineitem(spark, dir)
+      .select((Tables.dec2($"l_extendedprice") * 100).cast("long").as("v"))
+    logQuantiles(spark, logSketch(cents))
+  }
+
+  /** The log-scale sketch build: bucket = bits·16 + minor over a `v`
+    * cents column (v ≥ 1); shared with StatsSpec's merge law. */
+  private[graft] def logSketch(cents: DataFrame): DataFrame =
+    cents
+      .withColumn("bits", expr("length(bin(v))"))
+      .withColumn("sh", expr("CAST(greatest(bits - 5, 0) AS INT)"))
+      .groupBy(expr("bits * 16 + (shiftright(v, sh) & 15)").as("b"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Quantile receipts from a log-scale (b, c) sketch frame. */
+  private[graft] def logQuantiles(spark: SparkSession,
+      sketch: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nF = sketch.agg(sum($"c").as("n"))
+    val cum = sketch
+      .withColumn("cum_below", coalesce(sum($"c").over(w), lit(0L)))
+      .crossJoin(broadcast(nF))
+    val pcts = Seq(1L, 5L, 25L, 50L, 75L, 95L, 99L).toDF("pct")
+    cum.crossJoin(broadcast(pcts))
+      .withColumn("r", expr("(n * pct + 99) div 100"))
+      .filter($"cum_below" < $"r" && $"cum_below" + $"c" >= $"r")
+      .withColumn("bits", expr("b div 16"))
+      .withColumn("minor", expr("b % 16"))
+      .withColumn("sh", expr("CAST(greatest(bits - 5, 0) AS INT)"))
+      .select($"pct", $"n", $"r", $"b".as("bucket"), $"bits", $"minor",
+        $"cum_below", $"c".as("in_bucket"),
+        expr("CASE WHEN bits < 5 THEN minor " +
+          "ELSE shiftleft(16 + minor, sh) END").as("est_cents_lo"),
+        expr("CASE WHEN bits < 5 THEN minor " +
+          "ELSE shiftleft(16 + minor, sh) + shiftleft(1, sh) - 1 END")
+          .as("est_cents_hi"))
+      .orderBy($"pct")
+  }
+
   /** HYPOTHETICAL-SET ranking (SQL:2003 `RANK(v) WITHIN GROUP` /
     * Oracle-Postgres hypothetical-set aggregates) — "where WOULD a
     * $1 500.00 order rank in each priority class?", answered WITHOUT
@@ -997,6 +1062,7 @@ object Aggregations {
     "agg_bitmap_words" -> (aggBitmapWords(_, _)),
     "agg_bitmap_containers" -> (aggBitmapContainers(_, _)),
     "agg_quantile_mergeable" -> (aggQuantileMergeable(_, _)),
+    "agg_quantile_relerr" -> (aggQuantileRelerr(_, _)),
     "sql_grouping_id" -> (sqlGroupingId(_, _)),
     "agg_countmin_replayable" -> (aggCountminReplayable(_, _)),
     "agg_percentile_sampled" -> (aggPercentileSampled(_, _)),
@@ -1100,6 +1166,41 @@ ORDER BY exact_cnt DESC, user_id LIMIT 20"""
         |  CAST(c AS BIGINT) AS in_bucket,
         |  CAST(b * 65536 AS BIGINT) AS est_cents_lo,
         |  CAST((b + 1) * 65536 - 1 AS BIGINT) AS est_cents_hi
+        |FROM cum, p
+        |WHERE cum_below < (n * pct + 99) // 100
+        |  AND cum_below + c >= (n * pct + 99) // 100
+        |ORDER BY pct""".stripMargin,
+    // the log-scale sketch walked in DuckDB: bit-length + top-4-bit
+    // bucket, exclusive cumulative, ceil-rank election, CASE-guarded
+    // [lo, hi] reconstruction
+    "agg_quantile_relerr" ->
+      """WITH v AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * 100 AS BIGINT) AS v FROM lineitem),
+        |h AS (SELECT length(bin(v)) * 16 +
+        |    ((v >> greatest(length(bin(v)) - 5, 0)) & 15) AS b,
+        |    count(*) AS c
+        |  FROM v GROUP BY 1),
+        |cum AS (SELECT b, c,
+        |    coalesce(sum(c) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0) AS cum_below,
+        |    sum(c) OVER () AS n
+        |  FROM h),
+        |p AS (SELECT CAST(unnest([1, 5, 25, 50, 75, 95, 99]) AS BIGINT)
+        |    AS pct)
+        |SELECT pct, CAST(n AS BIGINT) AS n,
+        |  CAST((n * pct + 99) // 100 AS BIGINT) AS r,
+        |  CAST(b AS BIGINT) AS bucket,
+        |  CAST(b // 16 AS BIGINT) AS bits,
+        |  CAST(b % 16 AS BIGINT) AS minor,
+        |  CAST(cum_below AS BIGINT) AS cum_below,
+        |  CAST(c AS BIGINT) AS in_bucket,
+        |  CAST(CASE WHEN b // 16 < 5 THEN b % 16
+        |    ELSE (16 + b % 16) << greatest(b // 16 - 5, 0) END AS BIGINT)
+        |    AS est_cents_lo,
+        |  CAST(CASE WHEN b // 16 < 5 THEN b % 16
+        |    ELSE ((16 + b % 16) << greatest(b // 16 - 5, 0))
+        |      + (1 << greatest(b // 16 - 5, 0)) - 1 END AS BIGINT)
+        |    AS est_cents_hi
         |FROM cum, p
         |WHERE cum_below < (n * pct + 99) // 100
         |  AND cum_below + c >= (n * pct + 99) // 100

@@ -772,8 +772,9 @@ object Behavioral {
     * the 8 rounds is one frontier equi-join + min-aggregate with a
     * per-round lineage cut — round cost tracks the frontier, and the
     * FW/BW intersection is an equi-join on node id. The supplier-id
-    * offset (10⁶) is a fixture-domain namespace split, not a packing
-    * trick — at production scale the two id spaces union under a
+    * offset (2⁴⁰) is a fixture-domain namespace split, not a packing
+    * trick — custkey stays below it to SF ≈ 7×10⁹, far past any
+    * fixture; at production scale the two id spaces union under a
     * typed node key. */
   def graphSccPivot(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -782,9 +783,9 @@ object Behavioral {
       .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
         $"l_orderkey" === $"o_orderkey")
     def buildEdges(): DataFrame =
-      li.select(($"l_suppkey" + 1000000L).as("a"), $"o_custkey".as("b"))
+      li.select(($"l_suppkey" + 1099511627776L).as("a"), $"o_custkey".as("b"))
         .unionAll(li.filter($"l_returnflag" === "R")
-          .select($"o_custkey".as("a"), ($"l_suppkey" + 1000000L).as("b")))
+          .select($"o_custkey".as("a"), ($"l_suppkey" + 1099511627776L).as("b")))
         .distinct()
     // graded: ONE persisted edge frame shared by all 8 rounds (the
     // per-round cut() isolates attributes). Plan-only: cuts are
@@ -819,7 +820,106 @@ object Behavioral {
       .orderBy($"node_id")
   }
 
+  /** FULL SCC DECOMPOSITION by iterated FORWARD–BACKWARD with trimming
+    * (Fleischer–Hendrickson–Pinar 2000; trim from Hong–Rodia–Olukotun
+    * 2013) — the loop [[graphSccPivot]] is the single round of, run on
+    * the same directed trade graph (supplier → customer per lineitem,
+    * customer → supplier per RETURNED one, 2⁴⁰ supplier-id namespace).
+    * Three rounds; each round (1) TRIMS in one pass — residual nodes
+    * without both an incoming and an outgoing induced edge are trivial
+    * SCCs and leave the graph, (2) elects the pivot (min kept node),
+    * (3) runs the 4-hop FW and BW reachabilities over the trimmed
+    * induced graph (the same hop-bounded certificate contract as
+    * graph_bfs_reach), (4) removes FW ∩ BW as that round's SCC. The
+    * output is the per-round RECEIPT table — residual size, trimmed
+    * count, pivot, FW/BW/SCC sizes, remainder — so a user audits the
+    * decomposition's convergence round by round; the oracle replays
+    * all three rounds as depth-bounded recursive CTEs.
+    *
+    * Scale shape: trimming is two semi-joins + two distinct projections
+    * per round; each BFS hop is one frontier equi-join + min-aggregate
+    * with a lineage cut — round cost tracks frontier and residual
+    * sizes, and both shrink monotonically (trim removes the acyclic
+    * fringe that dominates real graphs before any BFS runs). Rounds
+    * and hops are bounded constants, so the whole decomposition is a
+    * fixed number of shuffles regardless of graph size. */
+  def graphSccDecompose(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_suppkey", $"l_orderkey", $"l_returnflag")
+      .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+    def buildEdges(): DataFrame =
+      li.select(($"l_suppkey" + 1099511627776L).as("a"), $"o_custkey".as("b"))
+        .unionAll(li.filter($"l_returnflag" === "R")
+          .select($"o_custkey".as("a"), ($"l_suppkey" + 1099511627776L).as("b")))
+        .distinct()
+    val sharedEdges =
+      if (graft.PlanOnly.enabled) null else graft.PlanOnly.mark(buildEdges())
+    def edgesF(): DataFrame =
+      if (graft.PlanOnly.enabled) buildEdges() else sharedEdges
+    def cnt(df: DataFrame, as: String): DataFrame =
+      df.agg(count(lit(1)).cast("long").as(as))
+    var residual = graft.PlanOnly.cut(
+      edgesF().select($"a".as("id"))
+        .unionAll(edgesF().select($"b".as("id"))).distinct())
+    val rounds = if (graft.PlanOnly.enabled) 1 else 3
+    var stats: DataFrame = null
+    for (r <- 1 to rounds) {
+      // one-pass trim: induced edges on the residual, keep nodes with
+      // >= 1 outgoing AND >= 1 incoming induced edge
+      val er = graft.PlanOnly.cut(edgesF()
+        .join(residual.select($"id".as("a")), Seq("a"), "left_semi")
+        .join(residual.select($"id".as("b")), Seq("b"), "left_semi"))
+      val kept = graft.PlanOnly.cut(residual
+        .join(er.select($"a".as("id")).distinct(), Seq("id"), "left_semi")
+        .join(er.select($"b".as("id")).distinct(), Seq("id"), "left_semi"))
+      def buildE2(): DataFrame = er
+        .join(kept.select($"id".as("a")), Seq("a"), "left_semi")
+        .join(kept.select($"id".as("b")), Seq("b"), "left_semi")
+      val sharedE2 =
+        if (graft.PlanOnly.enabled) null else graft.PlanOnly.mark(buildE2())
+      def e2F(): DataFrame =
+        if (graft.PlanOnly.enabled) buildE2() else sharedE2
+      def reach(reverse: Boolean): DataFrame = {
+        val ed0 = e2F()
+        val ed = if (reverse) ed0.select($"b".as("a"), $"a".as("b")) else ed0
+        var rf = graft.PlanOnly.cut(kept.agg(min($"id").as("pv"))
+          .filter($"pv".isNotNull)
+          .select($"pv".as("id"), lit(0L).as("dist")))
+        val hops = if (graft.PlanOnly.enabled) 1 else 4
+        for (h <- 1 to hops) {
+          val next = rf.filter($"dist" === (h - 1).toLong)
+            .select($"id".as("a"))
+            .join(ed, Seq("a"))
+            .select($"b".as("id"), lit(h.toLong).as("dist"))
+          rf = graft.PlanOnly.cut(
+            rf.unionAll(next).groupBy($"id").agg(min($"dist").as("dist")))
+        }
+        rf
+      }
+      val fw = reach(reverse = false)
+      val bw = reach(reverse = true)
+      val scc = graft.PlanOnly.cut(fw.select($"id")
+        .join(bw.select($"id"), Seq("id"), "left_semi"))
+      val stat = cnt(residual, "n_residual")
+        .crossJoin(cnt(kept, "n_kept"))
+        .crossJoin(kept.agg(coalesce(min($"id"), lit(-1L)).as("pivot_id")))
+        .crossJoin(cnt(fw, "fw_size"))
+        .crossJoin(cnt(bw, "bw_size"))
+        .crossJoin(cnt(scc, "scc_size"))
+        .select(lit(r.toLong).as("round"), $"n_residual",
+          ($"n_residual" - $"n_kept").as("n_trimmed"), $"pivot_id",
+          $"fw_size", $"bw_size", $"scc_size",
+          ($"n_kept" - $"scc_size").as("n_remaining"))
+      stats = if (stats == null) stat else stats.unionAll(stat)
+      residual = graft.PlanOnly.cut(kept.join(scc, Seq("id"), "left_anti"))
+    }
+    stats.orderBy($"round")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "graph_scc_decompose" -> (graphSccDecompose(_, _)),
     "graph_scc_pivot" -> (graphSccPivot(_, _)),
     "behavior_sequence_match" -> (behaviorSequenceMatch(_, _)),
     "funnel_conversion" -> (funnelConversion(_, _)),
@@ -840,7 +940,76 @@ object Behavioral {
     "feature_pit_snapshot" -> (featurePitSnapshot(_, _))
   )
 
+  /** The three FW–BW + trim rounds unrolled: per round, the one-pass
+    * trim as IN-subqueries over the induced edge set, both 4-hop
+    * reachabilities as depth-bounded recursive CTEs, and the residual
+    * handed to the next round by NOT IN over the elected SCC. */
+  private def sccDecomposeOracle: String = {
+    def round(r: Int): String = {
+      val n = r + 1
+      s"""er_$r AS MATERIALIZED (SELECT src, dst FROM edges
+         |  WHERE src IN (SELECT id FROM res_$r)
+         |    AND dst IN (SELECT id FROM res_$r)),
+         |kept_$r AS MATERIALIZED (SELECT id FROM res_$r
+         |  WHERE id IN (SELECT src FROM er_$r)
+         |    AND id IN (SELECT dst FROM er_$r)),
+         |e2_$r AS MATERIALIZED (SELECT src, dst FROM er_$r
+         |  WHERE src IN (SELECT id FROM kept_$r)
+         |    AND dst IN (SELECT id FROM kept_$r)),
+         |p_$r AS (SELECT min(id) AS pv FROM kept_$r),
+         |fwd_$r AS (SELECT pv AS id, 0 AS d FROM p_$r WHERE pv IS NOT NULL
+         |  UNION SELECT e.dst, fwd_$r.d + 1 FROM fwd_$r
+         |    JOIN e2_$r e ON fwd_$r.id = e.src WHERE fwd_$r.d < 4),
+         |bwd_$r AS (SELECT pv AS id, 0 AS d FROM p_$r WHERE pv IS NOT NULL
+         |  UNION SELECT e.src, bwd_$r.d + 1 FROM bwd_$r
+         |    JOIN e2_$r e ON bwd_$r.id = e.dst WHERE bwd_$r.d < 4),
+         |f2_$r AS (SELECT id FROM fwd_$r GROUP BY id),
+         |b2_$r AS (SELECT id FROM bwd_$r GROUP BY id),
+         |scc_$r AS (SELECT f2_$r.id FROM f2_$r
+         |  JOIN b2_$r ON f2_$r.id = b2_$r.id),
+         |st_$r AS (SELECT $r AS round,
+         |  (SELECT count(*) FROM res_$r) AS n_residual,
+         |  (SELECT count(*) FROM res_$r)
+         |    - (SELECT count(*) FROM kept_$r) AS n_trimmed,
+         |  (SELECT coalesce(min(id), -1) FROM kept_$r) AS pivot_id,
+         |  (SELECT count(*) FROM f2_$r) AS fw_size,
+         |  (SELECT count(*) FROM b2_$r) AS bw_size,
+         |  (SELECT count(*) FROM scc_$r) AS scc_size,
+         |  (SELECT count(*) FROM kept_$r)
+         |    - (SELECT count(*) FROM scc_$r) AS n_remaining),
+         |res_$n AS MATERIALIZED (SELECT id FROM kept_$r
+         |  WHERE id NOT IN (SELECT id FROM scc_$r))""".stripMargin
+    }
+    s"""WITH RECURSIVE
+       |li AS MATERIALIZED (SELECT l_suppkey AS s, o_custkey AS c,
+       |    l_returnflag
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT 1099511627776 + s AS src, c AS dst FROM li
+       |  UNION ALL
+       |  SELECT c AS src, 1099511627776 + s AS dst FROM li
+       |  WHERE l_returnflag = 'R')),
+       |res_1 AS MATERIALIZED (SELECT DISTINCT id FROM (
+       |  SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT CAST(round AS BIGINT) AS round,
+       |  CAST(n_residual AS BIGINT) AS n_residual,
+       |  CAST(n_trimmed AS BIGINT) AS n_trimmed,
+       |  CAST(pivot_id AS BIGINT) AS pivot_id,
+       |  CAST(fw_size AS BIGINT) AS fw_size,
+       |  CAST(bw_size AS BIGINT) AS bw_size,
+       |  CAST(scc_size AS BIGINT) AS scc_size,
+       |  CAST(n_remaining AS BIGINT) AS n_remaining
+       |FROM (SELECT * FROM st_1 UNION ALL SELECT * FROM st_2
+       |  UNION ALL SELECT * FROM st_3)
+       |ORDER BY round""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // the iterated FW–BW rounds unrolled (see sccDecomposeOracle)
+    "graph_scc_decompose" -> sccDecomposeOracle,
     // both reachabilities replayed as depth-bounded recursive CTEs;
     // UNION-dedup + the min-distance fold match the frontier rounds
     "graph_scc_pivot" ->
@@ -848,9 +1017,9 @@ object Behavioral {
         |li AS (SELECT l_suppkey AS s, o_custkey AS c, l_returnflag
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
         |edges AS (SELECT DISTINCT src, dst FROM (
-        |  SELECT 1000000 + s AS src, c AS dst FROM li
+        |  SELECT 1099511627776 + s AS src, c AS dst FROM li
         |  UNION ALL
-        |  SELECT c AS src, 1000000 + s AS dst FROM li
+        |  SELECT c AS src, 1099511627776 + s AS dst FROM li
         |  WHERE l_returnflag = 'R')),
         |p AS (SELECT min(src) AS pv FROM edges),
         |fwd AS (

@@ -326,6 +326,76 @@ object LakehouseCow {
     }
   }
 
+  /** NDV SIDECAR STATS — the distinct-count tier the zone-map sidecar
+    * ([[sinkTxnColumnStats]]) lacks and join planning / CBO needs (the
+    * r15 verdict's missing item 4): per (file, column), a k = 16 KMV
+    * sample — the 16 smallest replayable hashes of the column's
+    * DISTINCT values (the agg_kmv_replayable machinery at file grain)
+    * — committed as a versioned sidecar TxnTable next to the
+    * hash-clustered state table. Serving is METADATA-ONLY (the
+    * sink_txn_stats_serve posture): per file the sample count + θ fold
+    * to ndv_est = ⌊(k−1)·M/θ⌋ with the exact-count fallback below k,
+    * and — the property the sketch exists for — the per-file samples
+    * MERGE LOSSLESSLY: the k smallest of the union of per-file
+    * k-samples IS the k smallest of the whole table (any global
+    * top-k hash is necessarily in its own file's top-k), so the
+    * bkt = −1 merged row is the TRUE table-level KMV with no data
+    * read. Columns chosen to exercise both regimes: user_id (unique
+    * per row — the estimator regime) and n_events (tiny domain — the
+    * exact-fallback regime).
+    *
+    * Scale shape: the sidecar is |files|·|columns|·k metadata rows; a
+    * table-NDV question at 10⁶ files reads 3.2×10⁷ sidecar rows and
+    * zero data bytes; the merge is ORDER BY h LIMIT k over samples —
+    * never a distinct over the corpus. */
+  def sinkTxnNdvStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = evUsers(spark, dir)
+    def serve(sidecar: DataFrame): DataFrame = {
+      val perFile = sidecar.groupBy($"bkt", $"col")
+        .agg(count(lit(1)).as("n_sample"), max($"h").as("theta"))
+      val merged = sidecar.select($"col", $"h").distinct()
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"col").orderBy($"h")))
+        .filter($"rn" <= 16)
+        .groupBy($"col")
+        .agg(count(lit(1)).as("n_sample"), max($"h").as("theta"))
+        .select(lit(-1L).as("bkt"), $"col", $"n_sample", $"theta")
+      perFile.select($"bkt", $"col", $"n_sample", $"theta")
+        .unionAll(merged)
+        .select($"bkt", $"col", $"n_sample", $"theta",
+          when($"n_sample" < 16, $"n_sample")
+            .otherwise(expr("32212254705 div theta")).as("ndv_est"))
+        .orderBy($"col", $"bkt")
+    }
+    def sampleF(): DataFrame = {
+      val st = state(ev).withColumn("bkt", expr("user_id % 8"))
+      st.select($"bkt", explode(array(
+          struct(lit("n_events").as("col"), $"n_events".as("v")),
+          struct(lit("user_id").as("col"), $"user_id".as("v")))).as("kv"))
+        .select($"bkt", $"kv.col".as("col"), $"kv.v".as("v")).distinct()
+        .select($"bkt", $"col",
+          expr("((v + 1) * 2654435761) % 2147483647").as("h"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"bkt", $"col").orderBy($"h")))
+        .filter($"rn" <= 16)
+        .select($"bkt", $"col", $"h")
+    }
+    graft.PlanOnly.roundTrip(serve(sampleF())) {
+      val table = Tables.scratch("txn_ndv")
+      val tSide = Tables.scratch("txn_ndv_sidecar")
+      Seq(table, tSide).foreach(TxnTable.drop(spark, _))
+      val st = state(ev).withColumn("bkt", expr("user_id % 8"))
+      val e0 = writeBuckets(st, s"$table/data/v0", "user_id")
+      commitMaybeEmpty(spark, table, 0, e0, st)
+      val side = sampleF().withColumn("path",
+        concat(lit(s"$table/data/v0/bkt="), $"bkt"))
+      TxnTable.commit(spark, tSide, 0, side)
+      serve(TxnTable.read(spark, tSide).select($"bkt", $"col", $"h"))
+    }
+  }
+
   /** Per-file (column, min, max, rows) footer stats of a
     * bucket-clustered state frame — the sidecar row grain shared by
     * [[sinkTxnColumnStats]] (build + prune) and
@@ -1953,6 +2023,7 @@ object LakehouseCow {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "sink_txn_ndv_stats" -> (sinkTxnNdvStats(_, _)),
     "sink_txn_restore" -> (sinkTxnRestore(_, _)),
     "sink_txn_merge_mor" -> (sinkTxnMergeMor(_, _)),
     "sink_txn_row_lineage" -> (sinkTxnRowLineage(_, _)),
@@ -1974,6 +2045,39 @@ object LakehouseCow {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the whole NDV pipeline re-derived from raw events: per-user
+    // state, per-bucket distinct values, replayable KMV hashes, the
+    // per-file top-16 samples, and the lossless top-16-of-samples merge
+    "sink_txn_ndv_stats" ->
+      """WITH e AS (SELECT user_id FROM events),
+        |st AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM e GROUP BY 1),
+        |vals AS (
+        |  SELECT user_id % 8 AS bkt, 'n_events' AS col, n_events AS v
+        |    FROM st
+        |  UNION ALL
+        |  SELECT user_id % 8 AS bkt, 'user_id' AS col, user_id AS v
+        |    FROM st),
+        |dv AS (SELECT DISTINCT bkt, col, v FROM vals),
+        |hs AS (SELECT bkt, col,
+        |    ((v + 1) * 2654435761) % 2147483647 AS h FROM dv),
+        |samp AS (SELECT bkt, col, h FROM (SELECT bkt, col, h,
+        |    row_number() OVER (PARTITION BY bkt, col ORDER BY h) AS rn
+        |  FROM hs) WHERE rn <= 16),
+        |perfile AS (SELECT bkt, col, CAST(count(*) AS BIGINT) AS n_sample,
+        |    CAST(max(h) AS BIGINT) AS theta FROM samp GROUP BY 1, 2),
+        |mh AS (SELECT DISTINCT col, h FROM samp),
+        |mg AS (SELECT col, h FROM (SELECT col, h,
+        |    row_number() OVER (PARTITION BY col ORDER BY h) AS rn
+        |  FROM mh) WHERE rn <= 16),
+        |merged AS (SELECT CAST(-1 AS BIGINT) AS bkt, col,
+        |    CAST(count(*) AS BIGINT) AS n_sample,
+        |    CAST(max(h) AS BIGINT) AS theta FROM mg GROUP BY col),
+        |allr AS (SELECT * FROM perfile UNION ALL SELECT * FROM merged)
+        |SELECT CAST(bkt AS BIGINT) AS bkt, col, n_sample, theta,
+        |  CAST(CASE WHEN n_sample < 16 THEN n_sample
+        |    ELSE 32212254705 // theta END AS BIGINT) AS ndv_est
+        |FROM allr ORDER BY col, bkt""".stripMargin,
     // every history number re-derived from raw events: visible rows =
     // distinct users under the bound, live/added/removed files from
     // the bucket closure vs the quartile slices

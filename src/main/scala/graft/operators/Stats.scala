@@ -118,15 +118,16 @@ object Stats {
     * value domain, windows over |distinct values| rows per pair, one
     * final aggregate. No global rank is ever materialized (the
     * count-based form replaces the rank-sum), so nothing here sorts
-    * the fact table. Headroom: terms and sums accumulate in
-    * DECIMAL(38,0) ⟷ HUGEINT — u2 ≤ 2·n_A·n_B crosses 2⁶³ only past
-    * ~2×10⁹ rows per side, but the render multiplies by 2²⁰, so the
-    * decimal tier is unconditional. */
+    * the fact table. Headroom: ca and cumb are cast to DECIMAL(38,0) ⟷
+    * HUGEINT BEFORE the per-value multiply (not just the sum), so no
+    * intermediate ever sits in 64 bits — the decimal tier is
+    * unconditional on both engines even under heavy ties. */
   def profileMannwhitneyU(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     segPairEcdf(spark, dir)
       .withColumn("term",
-        ($"ca" * (($"cumb" - $"cb") * 2L + $"cb")).cast("decimal(38,0)"))
+        $"ca".cast("decimal(38,0)") *
+          (($"cumb".cast("decimal(38,0)") - $"cb") * 2L + $"cb"))
       .groupBy($"pair_id")
       .agg(max($"na").as("n_a"), max($"nb").as("n_b"),
         sum($"term").as("u2"))
@@ -530,7 +531,8 @@ object Stats {
     "profile_mannwhitney_u" -> (ecdfCte +
       """,
         |u AS (SELECT pair_id, max(na) AS n_a, max(nb) AS n_b,
-        |    sum(CAST(ca * ((cumb - cb) * 2 + cb) AS HUGEINT)) AS u2
+        |    sum(CAST(ca AS HUGEINT)
+        |      * ((CAST(cumb AS HUGEINT) - cb) * 2 + cb)) AS u2
         |  FROM e GROUP BY pair_id)
         |SELECT CAST(pair_id AS BIGINT) AS pair_id,
         |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,

@@ -970,10 +970,10 @@ object Timeseries {
     import spark.implicits._
     val cells = Tables.events(spark, dir)
       .filter($"value".isNotNull)
-      .select($"event_type",
-        (Tables.nsToUs($"ts").divide(lit(3600000000L)).cast("long") % 24)
-          .as("h"),
+      .select($"event_type", Tables.nsToUs($"ts").as("us"),
         Tables.dec4($"value").as("v"))
+      .select($"event_type",
+        (expr("us div 3600000000") % 24).as("h"), $"v")
       .groupBy($"event_type", $"h")
       .agg((sum($"v") * 10000).cast("long").as("s"),
         count(lit(1)).as("c"))

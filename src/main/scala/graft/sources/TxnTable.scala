@@ -595,6 +595,59 @@ object TxnTable {
     (removed, expired.size)
   }
 
+  /** True iff `w`'s snapshot resolution is guaranteed to STOP at a
+    * version strictly above `bound` — a checkpoint sidecar or a
+    * self-contained manifest ends the walk; a delta steps to its
+    * predecessor. Used to prove an arbitrary-version removal cannot
+    * break any surviving version's delta chain. */
+  private def resolutionStopsAbove(spark: SparkSession, table: String,
+      w: Int, bound: Int): Boolean = {
+    val fs = fsOf(spark, new Path(table))
+    var cur = w
+    while (cur > bound) {
+      if (fs.exists(checkpointPath(table, cur))) return true
+      if (!manifestBody(spark, table, cur).contains("\"delta\":true"))
+        return true
+      val below = versions(spark, table).filter(_ < cur)
+      if (below.isEmpty) return false
+      cur = below.last
+    }
+    false
+  }
+
+  /** Physically remove ONE committed version — manifest, checkpoint
+    * sidecar, and every data path it references that no OTHER
+    * surviving version still references (file-level COW shares files
+    * across versions; a shared path survives). Where [[vacuum]]
+    * removes a retention PREFIX, this removes an arbitrary version —
+    * the primitive a catalog-level (marker-log) GC needs to reclaim a
+    * crashed transaction's orphaned member commit. Refuses loudly if
+    * any surviving later version's delta chain would resolve through
+    * the removed version (its content would silently change). */
+  def removeVersion(spark: SparkSession, table: String,
+      version: Int): Unit = {
+    val vs = versions(spark, table)
+    require(vs.contains(version), s"v$version not committed under $table")
+    vs.filter(_ > version).foreach(w =>
+      require(resolutionStopsAbove(spark, table, w, version),
+        s"cannot remove v$version of $table: v$w resolves through it"))
+    val fs = fsOf(spark, new Path(table))
+    val mine = referencedPaths(spark, table, version)
+      .map(new Path(_).toUri.getPath).toSet
+    val others = vs.filter(_ != version)
+      .flatMap(v => referencedPaths(spark, table, v))
+      .map(new Path(_).toUri.getPath).toSet
+    require(fs.delete(manifestPath(table, version), false),
+      s"failed to remove manifest v$version of $table")
+    val ckpt = checkpointPath(table, version)
+    if (fs.exists(ckpt)) { fs.delete(ckpt, false): Unit }
+    (mine -- others).foreach { p =>
+      val pp = new Path(p)
+      if (fs.exists(pp)) require(fs.delete(pp, true),
+        s"failed to remove data path $p of $table v$version")
+    }
+  }
+
   /** Remove a table directory entirely (test/bench reset). */
   def drop(spark: SparkSession, table: String): Unit = {
     val p = new Path(table)

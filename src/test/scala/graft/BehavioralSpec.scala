@@ -560,8 +560,8 @@ class BehavioralSpec extends SparkSuite {
       .join(Tables.orders(spark, sf0001), col("l_orderkey") === col("o_orderkey"))
       .select(col("l_suppkey"), col("o_custkey"), col("l_returnflag"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
-    val edges = (li.map { case (s, c, _) => (1000000L + s, c) } ++
-      li.collect { case (s, c, "R") => (c, 1000000L + s) }).distinct
+    val edges = (li.map { case (s, c, _) => ((1L << 40) + s, c) } ++
+      li.collect { case (s, c, "R") => (c, (1L << 40) + s) }).distinct
     val pivot = edges.map(_._1).min
     def bfs(adj: Map[Long, Array[Long]]): Map[Long, Long] = {
       var dist = Map(pivot -> 0L)
@@ -587,5 +587,52 @@ class BehavioralSpec extends SparkSuite {
     // the pivot itself anchors the set at (0, 0)
     assert(out.exists(r => r.getLong(0) == pivot && r.getLong(1) == 0L
       && r.getLong(2) == 0L))
+  }
+
+  test("graph_scc_decompose: driver brute-force 3-round trim+FW/BW replay at sf0.001") {
+    val li = Tables.lineitem(spark, sf0001)
+      .join(Tables.orders(spark, sf0001), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"), col("o_custkey"), col("l_returnflag"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val edges = (li.map { case (s, c, _) => ((1L << 40) + s, c) } ++
+      li.collect { case (s, c, "R") => (c, (1L << 40) + s) }).distinct
+    def bfs(adj: Map[Long, Seq[Long]], pivot: Long): Set[Long] = {
+      var seen = Set(pivot)
+      var frontier = Seq(pivot)
+      for (_ <- 1 to 4) {
+        val next = frontier.flatMap(adj.getOrElse(_, Seq.empty))
+          .distinct.filterNot(seen.contains)
+        seen ++= next
+        frontier = next
+      }
+      seen
+    }
+    var residual = (edges.map(_._1) ++ edges.map(_._2)).toSet
+    val expect = (1 to 3).map { r =>
+      val er = edges.filter(e => residual(e._1) && residual(e._2))
+      val kept = residual.intersect(er.map(_._1).toSet)
+        .intersect(er.map(_._2).toSet)
+      val e2 = er.filter(e => kept(e._1) && kept(e._2))
+      val nTrimmed = residual.size - kept.size
+      val pivot = if (kept.isEmpty) -1L else kept.min
+      val (fw, bw) = if (kept.isEmpty) (Set.empty[Long], Set.empty[Long])
+        else (bfs(e2.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }, pivot),
+          bfs(e2.groupBy(_._2).map { case (k, v) => k -> v.map(_._1).toSeq }, pivot))
+      val scc = fw.intersect(bw)
+      val row = (r.toLong, residual.size.toLong, nTrimmed.toLong, pivot,
+        fw.size.toLong, bw.size.toLong, scc.size.toLong,
+        (kept.size - scc.size).toLong)
+      residual = kept -- scc
+      row
+    }
+    val out = Behavioral.graphSccDecompose(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(out.toSeq === expect, "3-round receipt table")
+    // the decomposition genuinely progresses: residual shrinks and the
+    // first round finds a non-trivial SCC on the returns subgraph
+    assert(out(0)._7 >= 1L, "round 1 SCC nonempty at sf0.001")
+    assert(out(1)._2 === out(0)._8, "round 2 residual = round 1 remainder")
+    assert(out(2)._2 === out(1)._8, "round 3 residual = round 2 remainder")
   }
 }

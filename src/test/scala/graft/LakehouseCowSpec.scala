@@ -482,4 +482,47 @@ class LakehouseCowSpec extends SparkSuite {
     val sumTotal = out.map(_.getLong(1)).sum
     assert(sumPassed * 2 < sumTotal, s"bloom must prune: $sumPassed/$sumTotal passed")
   }
+
+  test("sink_txn_ndv_stats: per-file KMV samples replay exactly, the merge is lossless, and small domains serve the exact count") {
+    import spark.implicits._
+    val rows = operators.LakehouseCow.sinkTxnNdvStats(spark, sf0001).collect()
+      .map(r => ((r.getLong(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val M = 2147483647L
+    def h(v: Long) = ((v + 1L) * 2654435761L) % M
+    // brute-force per-user state
+    val st = Tables.events(spark, sf0001).groupBy($"user_id")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def bucketDistinct(bkt: Long, v: ((Long, Long)) => Long): Long =
+      st.filter(_._1 % 8 == bkt).map(v).distinct.length.toLong
+    for (colName <- Seq("n_events", "user_id")) {
+      def v(t: (Long, Long)): Long = if (colName == "user_id") t._1 else t._2
+      val samples = st.groupBy(_._1 % 8).map { case (bkt, ts) =>
+        bkt -> ts.map(v).distinct.map(h).sorted.take(16).toSeq
+      }
+      samples.foreach { case (bkt, hs) =>
+        val (nS, theta, est) = rows((bkt, colName))
+        assert(nS === hs.length.toLong, s"$colName/$bkt n_sample")
+        assert(theta === hs.max, s"$colName/$bkt theta")
+        // the exact-NDV-at-fixture contract: below k the sidecar
+        // SERVES the exact distinct count
+        val expEst =
+          if (hs.length < 16) hs.length.toLong else 15L * M / hs.max
+        assert(est === expEst, s"$colName/$bkt ndv_est")
+        if (hs.length < 16)
+          assert(est === bucketDistinct(bkt, v), s"$colName/$bkt exact")
+      }
+      // losslessness: the k smallest of the union of per-file samples
+      // IS the k smallest over the global distinct set
+      val mergedSample =
+        samples.values.flatten.toSeq.distinct.sorted.take(16)
+      val globalSample =
+        st.map(v).distinct.map(h).sorted.take(16).toSeq
+      assert(mergedSample === globalSample, s"$colName merge losslessness")
+      val (nM, thetaM, _) = rows((-1L, colName))
+      assert(nM === globalSample.length.toLong &&
+        thetaM === globalSample.max, s"$colName merged row")
+    }
+  }
 }

@@ -366,4 +366,41 @@ class LakehouseSpec extends SparkSuite {
     assert(aRec === a2, "recovery must surface the previously-orphaned A@v2")
     TxnTable.drop(spark, tA); TxnTable.drop(spark, tB)
   }
+
+  test("vacuumMarkers: the orphaned member commit is reclaimed; marked histories and the resolved read are untouched") {
+    import spark.implicits._
+    // rebuild the crashed-txn2 state: A@{0,1,2}, B@{0,1}, markers 0..1
+    operators.Lakehouse.sinkTxnMultiTable(spark, sf0001).collect()
+    val (tA, tB) = (Tables.scratch("txn_multi_a"), Tables.scratch("txn_multi_b"))
+    val txnLog = new java.io.File(Tables.scratch("txn_multi_log"))
+    val before = Seq((tA, 0), (tA, 1), (tB, 0), (tB, 1)).map { case (t, v) =>
+      (t, v) -> TxnTable.read(spark, t, Some(v)).collect().map(_.toSeq).toSet
+    }.toMap
+    // keep both markers: the ONLY reclaimable version is the orphan A@2
+    val (expired, removed) =
+      operators.Lakehouse.vacuumMarkers(spark, txnLog, Seq(tA, tB), 2)
+    assert((expired, removed) === ((0, 1)), "exactly the orphan is removed")
+    assert(TxnTable.versions(spark, tA) === Seq(0, 1))
+    assert(TxnTable.versions(spark, tB) === Seq(0, 1))
+    assert(!new java.io.File(s"$tA/data/v2").exists(),
+      "the orphan's data dir must be physically gone")
+    assert(txnLog.listFiles().map(_.getName).count(_.startsWith("txn-")) === 2)
+    // marked histories byte-identical, resolved read unchanged
+    before.foreach { case ((t, v), rows) =>
+      assert(TxnTable.read(spark, t, Some(v)).collect().map(_.toSeq).toSet
+        === rows, s"$t@v$v disturbed by the GC")
+    }
+    // retention: keep only the latest marker — txn0's member versions go
+    val (expired2, removed2) =
+      operators.Lakehouse.vacuumMarkers(spark, txnLog, Seq(tA, tB), 1)
+    assert((expired2, removed2) === ((1, 2)), "marker 0 + both v0 members")
+    assert(TxnTable.versions(spark, tA) === Seq(1))
+    assert(TxnTable.versions(spark, tB) === Seq(1))
+    intercept[IllegalArgumentException] {
+      TxnTable.read(spark, tA, Some(0)).collect()
+    }
+    assert(TxnTable.read(spark, tA, Some(1)).collect().map(_.toSeq).toSet
+      === before((tA, 1)), "the latest marked version survives intact")
+    TxnTable.drop(spark, tA); TxnTable.drop(spark, tB)
+  }
 }

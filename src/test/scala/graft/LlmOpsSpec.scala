@@ -683,4 +683,50 @@ class LlmOpsSpec extends SparkSuite {
       assert(rs.map(_.getLong(1)).sorted.toSeq === (1L to 10L), s"query $q")
     }
   }
+
+  test("simsearch_index_maintain: v0 carried by reference, the append writes only the new slice, maintained = recompute") {
+    val receipt = operators.Multimodal.simsearchIndexMaintain(spark, sf0001)
+      .collect()
+    val tAssign = Tables.scratch("idx_maint_assign")
+    // the delta manifest carries v0's file by reference: both physical
+    // files exist, f1 holds ONLY src=1 rows, and v1 = v0 ∪ f1 exactly
+    val f0 = spark.read.parquet(s"$tAssign/data/f0").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val f1 = spark.read.parquet(s"$tAssign/data/f1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(f0.nonEmpty && f0.forall(_._3 == 0L), "f0 is the v0 build slice")
+    assert(f1.nonEmpty && f1.forall(_._3 == 1L),
+      "the append file holds ONLY newly assigned vectors")
+    assert(f1.forall(t => t._1 % 8 == 7L), "appended rows are the new slice")
+    val v0 = graft.sources.TxnTable.read(spark, tAssign, Some(0)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val v1 = graft.sources.TxnTable.read(spark, tAssign).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(v0.toSet === f0.toSet, "v0 reads exactly the build file")
+    assert(v1.toSet === f0.toSet ++ f1.toSet,
+      "v1 = carried v0 file + appended file, nothing rewritten")
+    // maintained ≡ recompute: brute-force centroids on the old slice,
+    // argmin-assign everyone, compare to the maintained table
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label").cast("long"),
+        expr("transform(embedding, x -> CAST(floor(x * 1048576) AS BIGINT))"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Long](2).toArray))
+    val cents = vecs.filter(_._1 % 8 != 7L).groupBy(_._2).map { case (l, vs) =>
+      l -> (0 until 64).map(d =>
+        math.floor(vs.map(_._3(d)).sum.toDouble / vs.length).toLong).toArray
+    }
+    def argmin(qv: Array[Long]): Long =
+      cents.toSeq.map { case (c, cq) =>
+        ((0 until 64).map(d => { val z = qv(d) - cq(d); z * z }).sum, c)
+      }.min._2
+    val expect = vecs.map(t =>
+      (t._1, argmin(t._3), if (t._1 % 8 == 7L) 1L else 0L)).toSet
+    assert(v1.toSet === expect, "maintained assignments = recompute")
+    // receipt consistency: counts partition the corpus; drift is priced
+    assert(receipt.map(r => r.getLong(1) + r.getLong(2)).sum ===
+      vecs.length.toLong)
+    assert(receipt.forall(_.getLong(3) >= 0L), "drift priced on every cell")
+  }
 }

@@ -512,9 +512,12 @@ class PlanRegressionSpec extends SparkSuite {
       // dims (weeks × types — the report_dense_grid shape);
       // agg_kmv_replayable / ml_perceptron_step / ml_pca_power_iter
       // ride 1-row scalar broadcasts (sketch summaries, the previous
-      // w, the max-norm); simsearch_graph_greedy's builds are the
-      // documented offline-index step (base sample × base sample) and
-      // its routing crosses constant entry/edge frames — fan-out k
+      // w, the max-norm); simsearch_graph_greedy (round-16 bucketed
+      // build) rides constant broadcasts only: the 32-row seed cells
+      // (one per asg dag), the 1-row entry, the ≤40-row query panel,
+      // the ≤50-row audit panel, and the 1-row edge-recall receipt —
+      // the edge build itself is a cid equi-join, never base × base
+      // (pinned by the dedicated bucketed-build test below)
       "profile_tv_drift", "agg_kmv_replayable", "ml_perceptron_step",
       "ml_pca_power_iter", "simsearch_graph_greedy",
       // topk_threshold_algorithm: the per-depth seen-set expansion is
@@ -524,12 +527,14 @@ class PlanRegressionSpec extends SparkSuite {
       // eval_spearman_rho: two UNGROUPED DistributedRank passes — the
       // same 1-row adaptive-bounds broadcast as report_abc (fan-out 1)
       "eval_spearman_rho",
-      // round-15: agg_quantile_mergeable attaches a 1-row n scalar and
+      // round-15: agg_quantile_mergeable (and the round-16 log-scale
+      // twin agg_quantile_relerr) attaches a 1-row n scalar and
       // a 7-row pct frame to the domain-bounded bucket histogram;
       // simsearch_index_serve probes the 10-row stored-centroid table
       // per query and rides the same constant LUT broadcasts as
       // simsearch_ivf_pq — fan-out |cells|, never data²
-      "agg_quantile_mergeable", "simsearch_index_serve",
+      "agg_quantile_mergeable", "agg_quantile_relerr",
+      "simsearch_index_serve",
       // round-15 continuation: sink_txn_bloom_skip crosses the
       // CONSTANT 24-row probe-slot frame with the ≤16-row file list
       // (both broadcast planning metadata) and attaches the 1-row
@@ -537,19 +542,40 @@ class PlanRegressionSpec extends SparkSuite {
       // timeseries_dtw_band's type_a < type_b pair join is |types|²
       // over the 5-row profile frame — the metadata-sized model table
       "sink_txn_bloom_skip", "timeseries_dtw_band",
-      // simsearch_hnsw_layers: per-layer kNN builds are the documented
-      // offline-index step (sample × sample, the graph_greedy contract)
-      // and routing crosses constant entry/edge frames — fan-out k;
+      // simsearch_hnsw_layers (round-16 bucketed build): per-layer
+      // edge builds are cid equi-joins over IVF candidates — the only
+      // nested loops are the per-layer 32-row seed broadcasts, the
+      // 1-row entry, the ≤40-row query panel, the ≤50-row audit
+      // panel, and the 1-row edge-recall receipt (pinned by the
+      // dedicated bucketed-build test below);
       // graph_scc_pivot attaches the 1-row scc_size scalar (fan-out 1);
       // ml_kmeans_pp_seed crosses the ≤k-row chosen frame (fan-out k,
       // the ml_kmeans_step seeds shape)
       // sink_txn_multi_table attaches the 1-row A-side totals scalar;
       // stream_exec_restart_resume the 1-row rows_processed ledger
       "simsearch_hnsw_layers", "graph_scc_pivot", "ml_kmeans_pp_seed",
-      "sink_txn_multi_table", "stream_exec_restart_resume")
+      "sink_txn_multi_table", "stream_exec_restart_resume",
+      // round-16: graph_scc_decompose attaches per-round 1-row count
+      // scalars (residual/kept/pivot/fw/bw/scc) — fan-out 1 each;
+      // simsearch_index_maintain rides the ≤|cells| (10-row) stored
+      // centroid broadcast for the argmin assign — the ml_kmeans_step
+      // seeds shape
+      "graph_scc_decompose", "simsearch_index_maintain")
     val offenders = SparkEntry.queries.keys.filterNot(allowed)
       .filter(n => n != "source_csv_roundtrip" && plan(n).contains("BroadcastNestedLoopJoin"))
     assert(offenders.isEmpty, s"unexpected nested-loop joins: $offenders")
+  }
+
+  test("round-16 bucketed kNN-graph builds: candidates equi-join on the cell id, never base x base") {
+    for (k <- Seq("simsearch_graph_greedy", "simsearch_hnsw_layers")) {
+      val p = plan(k)
+      assert(!p.contains("CartesianProduct"), s"$k grew a cartesian product")
+      // the IVF candidate generation's cell equi-join must survive as a
+      // hash/sort-merge join keyed on cid — the plan-level witness that
+      // the offline edge build is bucketed (r15 verdict item 1); a
+      // reintroduced base × base crossJoin build has no cid key at all
+      assert(p.contains("[cid#"), s"$k: no cid-keyed candidate join in plan")
+    }
   }
 
   test("ml_linreg_sufficient is one partial+final aggregate pair plus the centering subquery") {
@@ -628,6 +654,10 @@ class PlanRegressionSpec extends SparkSuite {
       // round-15: the quantile walk orders the ≤|range/2¹⁶| value-
       // domain bucket frame (the sketch itself, never the fact rows)
       "agg_quantile_mergeable" -> Set("b"),
+      // round-16: the log-scale quantile walk orders the ≤16·64-row
+      // bit-width × minor bucket frame — bounded by the value domain's
+      // bit width, never by the data
+      "agg_quantile_relerr" -> Set("b"),
       // round-14: every ordered window runs AFTER an ORDER BY…LIMIT 128
       // TakeOrderedAndProject (ranked prefixes) or over the ≤256-row
       // seen-set × 8-depth frame — all bounded by the TA's k/depth
@@ -778,6 +808,7 @@ class PlanRegressionSpec extends SparkSuite {
     // subtree is expanded once per consumer in the analyzed tree)
     val allow: Map[String, String] = Map(
       "agg_quantile_mergeable" -> "≤|price range / 2¹⁶| bucket frame (domain-bounded)",
+      "agg_quantile_relerr" -> "≤16·64-row bit-width × minor bucket frame (domain-bounded)",
       "corpus_mix_rebalance" -> "|labels|-row mix frame",
       "corpus_temperature_mix" -> "|labels|-row mix frame",
       "corpus_token_budget" -> "per-bucket subtotals ≤65,536 rows (two-level cumsum)",

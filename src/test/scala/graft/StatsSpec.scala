@@ -127,6 +127,12 @@ class StatsSpec extends SparkSuite {
       assert(r.getLong(3) % 64 === 0L); assert(r.getLong(5) % 16 === 0L)
       assert(r.getLong(7) % 4 === 0L)
     }
+    // the L0 edge-recall receipt: one constant pair, 13 audit nodes
+    // (b_id % 40, < 2000) × 4 exact edges, bucketing recovers > 0
+    val (hits, tot) = (rows.head.getLong(12), rows.head.getLong(13))
+    assert(rows.forall(r => r.getLong(12) == hits && r.getLong(13) == tot))
+    assert(tot === 52L, "13 audit nodes x 4 exact edges at sf0.001")
+    assert(hits > 0L && hits <= tot, "edge recall must be priced in (0, 1]")
   }
 
   test("ml_kmeans_pp_seed: brute-force farthest-first replay and monotone radius") {
@@ -384,6 +390,12 @@ class StatsSpec extends SparkSuite {
     }
     // routing finds the exact best for a non-trivial share even at 2 hops
     assert(rows.count(_.getLong(9) == 1L) > 0, "zero recall at sf0.001")
+    // the edge-recall receipt: one constant pair, 13 audit nodes
+    // (b_id % 40, < 2000) × 4 exact edges, bucketing recovers > 0
+    val (hits, tot) = (rows.head.getLong(10), rows.head.getLong(11))
+    assert(rows.forall(r => r.getLong(10) == hits && r.getLong(11) == tot))
+    assert(tot === 52L, "13 audit nodes x 4 exact edges at sf0.001")
+    assert(hits > 0L && hits <= tot, "edge recall must be priced in (0, 1]")
   }
 
   test("sink_txn_history_audit: the log census is self-consistent across versions") {
@@ -578,6 +590,34 @@ class StatsSpec extends SparkSuite {
       val (lo, hi) = (row(6).asInstanceOf[Long], row(7).asInstanceOf[Long])
       assert(exact >= lo && exact <= hi,
         s"pct $pct: exact $exact outside bracket [$lo, $hi]")
+    }
+  }
+
+  test("agg_quantile_relerr: merge-order invariance, exact bracketing, and the 1/16 relative-error bound") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf0001)
+      .select($"l_orderkey",
+        (Tables.dec2($"l_extendedprice") * 100).cast("long").as("v"))
+    val a = Aggregations.logSketch(li.filter($"l_orderkey" % 2 === 1).select($"v"))
+    val b = Aggregations.logSketch(li.filter($"l_orderkey" % 2 === 0).select($"v"))
+    val merged = a.unionAll(b).groupBy($"b").agg(sum($"c").as("c"))
+    val fromMerge = Aggregations.logQuantiles(spark, merged)
+      .collect().map(_.toSeq).toSeq
+    val oneShot = Aggregations.aggQuantileRelerr(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(fromMerge === oneShot, "shard-merged sketch must answer identically")
+    val n = li.count()
+    val sortedV = li.orderBy($"v").collect().map(_.getLong(1))
+    oneShot.foreach { row =>
+      val (pct, r) = (row(0).asInstanceOf[Long], row(2).asInstanceOf[Long])
+      assert(r === (n * pct + 99) / 100)
+      val exact = sortedV(r.toInt - 1)
+      val (lo, hi) = (row(8).asInstanceOf[Long], row(9).asInstanceOf[Long])
+      assert(exact >= lo && exact <= hi,
+        s"pct $pct: exact $exact outside bracket [$lo, $hi]")
+      // THE key's contract: bracket width is relative, (hi−lo) ≤ lo/16
+      assert(hi - lo <= lo / 16,
+        s"pct $pct: bracket [$lo, $hi] wider than the 2^-4 relative bound")
     }
   }
 
