@@ -989,7 +989,7 @@ object Multimodal {
       .select($"vec_id".as("b_id"),
         expr("transform(embedding, x -> CAST(floor(x * 1048576) AS BIGINT))")
           .as("qv"))
-    def asgF(idCol: String): DataFrame = {
+    def asgBuild(): DataFrame = {
       val seeds = fpF().orderBy($"b_id").limit(k)
         .select($"b_id".as("cid"), $"qv".as("cq"))
       fpF().crossJoin(broadcast(seeds))
@@ -999,8 +999,16 @@ object Multimodal {
         .withColumn("rn", row_number().over(
           Window.partitionBy($"b_id").orderBy($"sqdist".asc, $"cid")))
         .filter($"rn" <= probe)
-        .select(col("b_id").as(idCol), $"cid")
+        .select($"b_id", $"cid")
     }
+    // graded: ONE persisted assignment self-joined (DeduplicateRelations
+    // re-aliases the right side); plan-only: cuts are identity, so each
+    // side builds its own dag (the planonly-self-join contract)
+    val shared =
+      if (graft.PlanOnly.enabled) null else graft.PlanOnly.mark(asgBuild())
+    def asgF(idCol: String): DataFrame =
+      (if (graft.PlanOnly.enabled) asgBuild() else shared)
+        .select(col("b_id").as(idCol), $"cid")
     asgF("b_id").join(asgF("c_id"), Seq("cid"))
       .filter($"b_id" =!= $"c_id")
       .select($"b_id", $"c_id").distinct()
@@ -1141,21 +1149,40 @@ object Multimodal {
       .select($"vec_id".as(id), $"embedding".as(v))
     val q = e.filter($"vec_id" % 50 === 0 && $"vec_id" < 2000)
       .select($"vec_id".as("q_id"), $"embedding".as("qe"))
-    // per-layer IVF-bucketed candidate generation + top-4 election;
-    // upper layers are geometrically smaller, so their candidate
-    // joins cost a vanishing fraction of the base layer's
-    def layerEdges(m: Int): DataFrame = {
-      val pairs = ivfCandidates(spark, dir, m, 32, 3)
-        .join(memF(m, "b_id", "be"), Seq("b_id"))
-        .join(memF(m, "c_id", "ce"), Seq("c_id"))
+    // ONE IVF-bucketed candidate pass serves all three layer graphs:
+    // the layers NEST (L2 ⊂ L1 ⊂ L0), so the hierarchy shares the base
+    // layer's cell assignment — every upper-layer candidate pair is an
+    // L0 candidate pair with both endpoints in the layer; flag it, and
+    // a flag-first window order makes rn ≤ 4 ∧ flag the top-4 among
+    // that layer's cell-mates (the r15 one-pass build applied to the
+    // bucketed candidates — score once, derive every level)
+    val ranked = graft.PlanOnly.mark {
+      val pairs = ivfCandidates(spark, dir, 4, 32, 3)
+        .join(memF(4, "b_id", "be"), Seq("b_id"))
+        .join(memF(4, "c_id", "ce"), Seq("c_id"))
         .select($"b_id", $"c_id",
-          pack(expr("cosine_similarity(be, ce)")).as("s"))
-      graft.PlanOnly.mark(pairs
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"b_id").orderBy($"s".desc, $"c_id")))
-        .filter($"rn" <= 4)
-        .select($"b_id".as("src"), $"c_id".as("dst")))
-        .join(memF(m, "dst", "de"), Seq("dst"))
+          pack(expr("cosine_similarity(be, ce)")).as("s"),
+          ($"b_id" % 16 === 0 && $"c_id" % 16 === 0).as("l1"),
+          ($"b_id" % 64 === 0 && $"c_id" % 64 === 0).as("l2"))
+      def rn(flagFirst: Option[String]) = row_number().over(
+        Window.partitionBy($"b_id").orderBy(
+          (flagFirst.map(f => Seq(col(f).desc)).getOrElse(Seq.empty) ++
+            Seq($"s".desc, $"c_id".asc)): _*))
+      pairs
+        .withColumn("rn0", rn(None))
+        .withColumn("rn1", rn(Some("l1")))
+        .withColumn("rn2", rn(Some("l2")))
+        .filter($"rn0" <= 4 || ($"l1" && $"rn1" <= 4) ||
+          ($"l2" && $"rn2" <= 4))
+    }
+    def layerEdges(m: Int): DataFrame = {
+      val sel = m match {
+        case 64 => ranked.filter($"l2" && $"rn2" <= 4)
+        case 16 => ranked.filter($"l1" && $"rn1" <= 4)
+        case _  => ranked.filter($"rn0" <= 4)
+      }
+      sel.select($"b_id".as("src"), $"c_id".as("dst"))
+        .join(memF(4, "dst", "de"), Seq("dst"))
     }
     def hop(h: DataFrame, withVec: DataFrame): DataFrame = {
       val cand = h
@@ -2341,30 +2368,38 @@ object Multimodal {
       s"CAST(floor(round(list_dot_product($a, $b) / " +
         s"(sqrt(list_dot_product($a, $a)) * " +
         s"sqrt(list_dot_product($b, $b))), 6) * 1000000 + 0.5) AS BIGINT)"
-    def layerBuild(m: Int): String =
-      s"""base_$m AS (SELECT vec_id AS b_id,
+    // ONE candidate block over the base layer; per-layer edges elect
+    // among the cell-mate pairs whose BOTH endpoints are layer members
+    // (the nested-layer shared-assignment build)
+    val candBlock =
+      s"""base_4 AS (SELECT vec_id AS b_id,
          |    CAST(embedding AS DOUBLE[]) AS be
-         |  FROM embeddings WHERE vec_id % $m = 0),
-         |fp_$m AS (SELECT vec_id AS b_id,
+         |  FROM embeddings WHERE vec_id % 4 = 0),
+         |base_64 AS (SELECT vec_id AS b_id,
+         |    CAST(embedding AS DOUBLE[]) AS be
+         |  FROM embeddings WHERE vec_id % 64 = 0),
+         |fp_4 AS (SELECT vec_id AS b_id,
          |    list_transform(CAST(embedding AS DOUBLE[]),
          |      x -> CAST(floor(x * 1048576) AS BIGINT)) AS qv
-         |  FROM embeddings WHERE vec_id % $m = 0),
-         |seeds_$m AS (SELECT b_id AS cid, qv AS cq FROM fp_$m
+         |  FROM embeddings WHERE vec_id % 4 = 0),
+         |seeds_4 AS (SELECT b_id AS cid, qv AS cq FROM fp_4
          |  ORDER BY b_id LIMIT 32),
-         |asg_$m AS (SELECT b_id, cid FROM (
+         |asg_4 AS (SELECT b_id, cid FROM (
          |    SELECT f.b_id, s.cid, row_number() OVER (PARTITION BY f.b_id
          |        ORDER BY list_sum(list_transform(list_zip(f.qv, s.cq),
          |          t -> (t[1] - t[2]) * (t[1] - t[2]))) ASC, s.cid) AS rn
-         |    FROM fp_$m f, seeds_$m s) WHERE rn <= 3),
-         |cand_$m AS (SELECT DISTINCT a.b_id, b.b_id AS c_id
-         |  FROM asg_$m a JOIN asg_$m b ON a.cid = b.cid
-         |    AND a.b_id <> b.b_id),
-         |edges_$m AS (SELECT b_id AS src, c_id AS dst FROM (
+         |    FROM fp_4 f, seeds_4 s) WHERE rn <= 3),
+         |cand_4 AS (SELECT DISTINCT a.b_id, b.b_id AS c_id
+         |  FROM asg_4 a JOIN asg_4 b ON a.cid = b.cid
+         |    AND a.b_id <> b.b_id)""".stripMargin
+    def layerBuild(m: Int): String =
+      s"""edges_$m AS (SELECT b_id AS src, c_id AS dst FROM (
          |    SELECT c.b_id, c.c_id,
          |      row_number() OVER (PARTITION BY c.b_id
          |        ORDER BY ${cos("x.be", "y.be")} DESC, c.c_id) AS rn
-         |    FROM cand_$m c JOIN base_$m x ON c.b_id = x.b_id
-         |      JOIN base_$m y ON c.c_id = y.b_id)
+         |    FROM cand_4 c JOIN base_4 x ON c.b_id = x.b_id
+         |      JOIN base_4 y ON c.c_id = y.b_id
+         |    WHERE c.b_id % $m = 0 AND c.c_id % $m = 0)
          |  WHERE rn <= 4)""".stripMargin
     def twoHops(m: Int, seed: String): String =
       Seq(("a", seed), ("b", s"h${m}a")).map { case (tag, s) =>
@@ -2378,7 +2413,8 @@ object Multimodal {
            |    FROM qscore qsc JOIN c$m$tag c ON qsc.q_id = c.q_id
            |      AND qsc.b_id = c.node) WHERE rn = 1)""".stripMargin
       }.mkString(",\n")
-    s"""WITH ${layerBuild(64)},
+    s"""WITH $candBlock,
+       |${layerBuild(64)},
        |${layerBuild(16)},
        |${layerBuild(4)},
        |qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
