@@ -376,6 +376,79 @@ object Analytics {
       .orderBy($"node")
   }
 
+  /** K-TRUSS PEELING (Cohen 2008) — the cohesion decomposition one
+    * rung above [[graphKcorePeel]]'s degree criterion: every edge of
+    * the 3-truss must sit in ≥ 1 triangle OF THE TRUSS (k-truss with
+    * k = 3, support bound k − 2), so peeling
+    * alternates triangle-support counting with edge removal —
+    * hop-bounded at 3 rounds (the bounded-round certificate contract
+    * shared with graph_scc_decompose). Graph = the co-purchase
+    * top-5-kNN sparsified supplier graph shared with
+    * graph_triangle_count / graph_clustering_coeff (canonical a < b
+    * edges). Output = the per-round receipt table (edges in, oriented
+    * triangles, edges dropped, edges out) auditing convergence —
+    * round 1 peels the triangle-free fringe, the later rounds CERTIFY
+    * the fixpoint (n_dropped = 0 once the truss is stable); the
+    * oracle unrolls all three rounds.
+    *
+    * Scale shape: per round ONE oriented 3-way edge self-join (the
+    * graph_triangle_count wedge shape over a degree-capped frame —
+    * wedge work bounded by cap², never raw degree), one support
+    * aggregate, one semi-filter; rounds are a constant → a fixed
+    * shuffle count at any graph size, and the edge set only shrinks. */
+  def graphKtrussPeel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def buildE0(): DataFrame = {
+      val und = Tables.lineitem(spark, dir)
+        .select($"l_partkey", $"l_suppkey").distinct()
+        .groupBy($"l_partkey")
+        .agg(sort_array(collect_set($"l_suppkey")).as("ss"))
+        .select($"ss", posexplode($"ss").as(Seq("i", "s1")))
+        .select($"s1", explode(expr("slice(ss, i + 2, size(ss))")).as("s2"))
+        .groupBy($"s1", $"s2").agg(count(lit(1)).as("sp"))
+      val inc = und.select(explode(array(
+          struct($"s1".as("u"), $"s2".as("v"), $"sp"),
+          struct($"s2".as("u"), $"s1".as("v"), $"sp"))).as("x"))
+        .select($"x.u".as("u"), $"x.v".as("v"), $"x.sp".as("sp"))
+      val w = Window.partitionBy($"u").orderBy($"sp".desc, $"v")
+      inc.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+        .select(least($"u", $"v").as("a"), greatest($"u", $"v").as("b"))
+        .distinct()
+    }
+    def cnt(df: DataFrame, as: String): DataFrame =
+      df.agg(count(lit(1)).cast("long").as(as))
+    var edges = graft.PlanOnly.cut(buildE0())
+    val rounds = if (graft.PlanOnly.enabled) 1 else 3
+    var stats: DataFrame = null
+    for (r <- 1 to rounds) {
+      val t = edges.as("e1")
+        .join(edges.as("e2"), col("e2.a") === col("e1.b"))
+        .join(edges.as("e3"),
+          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"),
+          col("e2.b").as("z"))
+      val sup = graft.PlanOnly.cut(t
+        .select(explode(array(
+          struct($"x".as("a"), $"y".as("b")),
+          struct($"x".as("a"), $"z".as("b")),
+          struct($"y".as("a"), $"z".as("b")))).as("k"))
+        .select($"k.a".as("a"), $"k.b".as("b"))
+        .groupBy($"a", $"b").agg(count(lit(1)).as("support")))
+      val kept = graft.PlanOnly.cut(edges
+        .join(sup.filter($"support" >= 1L).select($"a", $"b"),
+          Seq("a", "b"), "left_semi"))
+      val stat = cnt(edges, "n_edges_in")
+        .crossJoin(sup.agg(coalesce(sum($"support"), lit(0L)).as("s3"))
+          .select(expr("s3 div 3").as("n_triangles")))
+        .crossJoin(cnt(kept, "n_edges_out"))
+        .select(lit(r.toLong).as("round"), $"n_edges_in", $"n_triangles",
+          ($"n_edges_in" - $"n_edges_out").as("n_dropped"), $"n_edges_out")
+      stats = if (stats == null) stat else stats.unionAll(stat)
+      edges = kept
+    }
+    stats.orderBy($"round")
+  }
+
   /** HITS hubs-and-authorities (Kleinberg 1999) over the bipartite
     * customer→supplier purchase graph — the OTHER eigenvector ranking
     * (PageRank scores a stochastic walk; HITS power-iterates AᵀA, so
@@ -885,6 +958,7 @@ object Analytics {
     "anomaly_zscore_exact" -> (anomalyZscoreExact(_, _)),
     "text_collocation_lift" -> (textCollocationLift(_, _)),
     "graph_triangle_count" -> (graphTriangleCount(_, _)),
+    "graph_ktruss_peel" -> (graphKtrussPeel(_, _)),
     "graph_clustering_coeff" -> (graphClusteringCoeff(_, _)),
     "report_association_rules" -> (reportAssociationRules(_, _)),
     "graph_hits_hubs_auth" -> (graphHitsHubsAuth(_, _)),
@@ -1019,6 +1093,53 @@ object Analytics {
        |${iter(2)},
        |${iter(3)}
        |SELECT id AS node_id, deg, r AS rank_fp FROM r3 ORDER BY node_id""".stripMargin
+  }
+
+  /** The three truss-peel rounds unrolled: per round the oriented
+    * 3-way triangle join, the per-edge support count, and the kept
+    * set handed down; counts as scalar subqueries per receipt row. */
+  private def ktrussOracle: String = {
+    def round(r: Int): String = {
+      val n = r + 1
+      s"""t_$r AS (SELECT e1.a, e1.b, e2.b AS c
+         |  FROM e_$r e1 JOIN e_$r e2 ON e2.a = e1.b
+         |  JOIN e_$r e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |sup_$r AS (SELECT a, b, count(*) AS s FROM (
+         |    SELECT a, b FROM t_$r
+         |    UNION ALL SELECT a AS a, c AS b FROM t_$r
+         |    UNION ALL SELECT b AS a, c AS b FROM t_$r) roles
+         |  GROUP BY 1, 2),
+         |e_$n AS MATERIALIZED (SELECT e.a, e.b FROM e_$r e
+         |  JOIN sup_$r s ON e.a = s.a AND e.b = s.b AND s.s >= 1),
+         |st_$r AS (SELECT $r AS round,
+         |  (SELECT count(*) FROM e_$r) AS n_edges_in,
+         |  (SELECT coalesce(sum(s), 0) // 3 FROM sup_$r) AS n_triangles,
+         |  (SELECT count(*) FROM e_$r)
+         |    - (SELECT count(*) FROM e_$n) AS n_dropped,
+         |  (SELECT count(*) FROM e_$n) AS n_edges_out)""".stripMargin
+    }
+    s"""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+       |inc AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS sp
+       |        FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+       |          AND a.l_suppkey <> b.l_suppkey
+       |        GROUP BY 1, 2),
+       |nbr AS (SELECT u, v FROM (
+       |          SELECT u, v, row_number() OVER (
+       |            PARTITION BY u ORDER BY sp DESC, v) AS rn
+       |          FROM inc) WHERE rn <= 5),
+       |e_1 AS MATERIALIZED (SELECT DISTINCT least(u, v) AS a,
+       |  greatest(u, v) AS b FROM nbr),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT CAST(round AS BIGINT) AS round,
+       |  CAST(n_edges_in AS BIGINT) AS n_edges_in,
+       |  CAST(n_triangles AS BIGINT) AS n_triangles,
+       |  CAST(n_dropped AS BIGINT) AS n_dropped,
+       |  CAST(n_edges_out AS BIGINT) AS n_edges_out
+       |FROM (SELECT * FROM st_1 UNION ALL SELECT * FROM st_2
+       |  UNION ALL SELECT * FROM st_3)
+       |ORDER BY round""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -1246,6 +1367,9 @@ object Analytics {
         |      // (deg.deg * (deg.deg - 1)) END AS BIGINT) AS lcc_fp
         |FROM deg LEFT JOIN tri ON deg.node = tri.node
         |ORDER BY deg.node""".stripMargin,
+    // the three peel rounds unrolled; MATERIALIZED edge sets bound the
+    // reader fan-out of the recursive-looking chain
+    "graph_ktruss_peel" -> ktrussOracle,
     "graph_triangle_count" ->
       """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
         |inc AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS sp

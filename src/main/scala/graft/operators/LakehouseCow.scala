@@ -396,6 +396,127 @@ object LakehouseCow {
     }
   }
 
+  /** STATS-DRIVEN JOIN-CARDINALITY ESTIMATION — the CBO loop the NDV
+    * tier ([[sinkTxnNdvStats]]) exists FOR, closed end to end: three
+    * join scenarios are planned METADATA-ONLY from committed stats
+    * (row counts from the manifest rowCount tier via countAt; join-key
+    * NDVs from a committed KMV sidecar — never a data scan), estimated
+    * with the textbook equi-join formula |A ⋈ B| ≈ r_A·r_B /
+    * max(ndv_A, ndv_B), and then CONFRONTED with the exact join count
+    * — every row is a self-auditing estimation receipt (ratio_fp =
+    * ⌊2²⁰·est/true⌋). The scenarios exercise the formula's regimes:
+    * unique-key joins land within sketch error (ratio ≈ 2²⁰), while
+    * the SELECTIVE dim (active users only) overestimates — the
+    * containment-assumption failure every CBO textbook warns about,
+    * made visible in the receipt.
+    *
+    * Scale shape: planning reads O(1) manifest scalars + a ≤64-row
+    * sketch per table — zero data bytes; only the truth column (the
+    * receipt's subject) runs real semi-joins. KMV samples are ORDER BY
+    * h LIMIT k (TakeOrderedAndProject — per-partition top-k, never a
+    * global sort). */
+  def sinkTxnCboEstimate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val M = 2147483647L
+    val ev = evUsers(spark, dir)
+    def usersAll() = state(ev).select($"user_id")
+    // the selective dim: users above 1.1x the mean event count — a
+    // scale-free cut (~20% of users at every SF), so the containment
+    // failure shows at all graded fixtures
+    def usersActive() = {
+      val tot = state(ev).agg(count(lit(1)).as("u"),
+        sum($"n_events").as("tot"))
+      state(ev).crossJoin(broadcast(tot))
+        .filter($"n_events" * $"u" * 10L > $"tot" * 11L)
+        .select($"user_id")
+    }
+    def sliceB(t: String) = ev.filter($"event_type" === t)
+      .select($"user_id", $"event_id")
+    def kmvH(keys: DataFrame): DataFrame = keys.distinct()
+      .select(expr(s"((user_id + 1) * 2654435761) % $M").as("h"))
+      .orderBy($"h").limit(64)
+    // (name, planned row-count frame [1 row: r], key sample, table for
+    // the truth join) per side — planning inputs stay frames so the
+    // plan-only equivalent and the stats-served graded path share the
+    // same assembly
+    def scenario(name: String, ra: DataFrame, a: DataFrame, aH: DataFrame,
+        rb: DataFrame, b: DataFrame, bH: DataFrame): DataFrame = {
+      val na = aH.agg(count(lit(1)).as("nsa"),
+        coalesce(max($"h"), lit(-1L)).as("tha"))
+      val nb = bH.agg(count(lit(1)).as("nsb"),
+        coalesce(max($"h"), lit(-1L)).as("thb"))
+      val tr = b.join(a, Seq("user_id"), "left_semi")
+        .agg(count(lit(1)).as("true_rows"))
+      ra.select($"r".as("r_a")).crossJoin(rb.select($"r".as("r_b")))
+        .crossJoin(na).crossJoin(nb).crossJoin(tr)
+        .select(lit(name).as("scenario"), $"r_a", $"r_b",
+          expr(s"CASE WHEN nsa < 64 THEN nsa " +
+            s"ELSE ${63L * M} div tha END").as("ndv_a"),
+          expr(s"CASE WHEN nsb < 64 THEN nsb " +
+            s"ELSE ${63L * M} div thb END").as("ndv_b"),
+          $"true_rows")
+        .withColumn("est_rows",
+          when(greatest($"ndv_a", $"ndv_b") > 0L,
+            expr("(r_a * r_b) div greatest(ndv_a, ndv_b)")).otherwise(0L))
+        .withColumn("ratio_fp",
+          when($"true_rows" > 0L,
+            expr("(est_rows * 1048576) div true_rows")).otherwise(-1L))
+        .select($"scenario", $"r_a", $"r_b", $"ndv_a", $"ndv_b",
+          $"est_rows", $"true_rows", $"ratio_fp")
+    }
+    def cntF(df: DataFrame): DataFrame = df.agg(count(lit(1)).as("r"))
+    def assemble(uAll: DataFrame, rAll: DataFrame, uAct: DataFrame,
+        rAct: DataFrame, bP: DataFrame, rP: DataFrame, bC: DataFrame,
+        rC: DataFrame, hAll: DataFrame, hAct: DataFrame, hP: DataFrame,
+        hC: DataFrame): DataFrame =
+      scenario("active_x_purchase", rAct, uAct, hAct, rP, bP, hP)
+        .unionAll(scenario("all_x_click", rAll, uAll, hAll, rC, bC, hC))
+        .unionAll(scenario("all_x_purchase", rAll, uAll, hAll, rP, bP, hP))
+        .orderBy($"scenario")
+    graft.PlanOnly.roundTrip(assemble(
+      usersAll(), cntF(usersAll()), usersActive(), cntF(usersActive()),
+      sliceB("purchase"), cntF(sliceB("purchase")),
+      sliceB("click"), cntF(sliceB("click")),
+      kmvH(usersAll()), kmvH(usersActive()),
+      kmvH(sliceB("purchase").select($"user_id")),
+      kmvH(sliceB("click").select($"user_id")))) {
+      val tables = Seq("cbo_a_all" -> usersAll(), "cbo_a_act" -> usersActive(),
+        "cbo_b_pur" -> sliceB("purchase"), "cbo_b_clk" -> sliceB("click"))
+      val tS = Tables.scratch("cbo_ndv_sidecar")
+      TxnTable.drop(spark, tS)
+      val stored = tables.map { case (nm, df) =>
+        val t = Tables.scratch(nm)
+        TxnTable.drop(spark, t)
+        val n = df.count()
+        if (n == 0L) TxnTable.commit(spark, t, 0, df)
+        else {
+          val p = s"$t/data/f0"
+          df.write.mode("overwrite").parquet(p)
+          TxnTable.commitEntries(spark, t, 0, Seq(TxnTable.FileEntry(0L, p,
+            Long.MinValue, Long.MaxValue, rowCount = n)))
+        }
+        nm -> t
+      }.toMap
+      // the committed KMV sidecar: one ≤64-row key sample per table
+      TxnTable.commit(spark, tS, 0, tables.map { case (nm, df) =>
+        kmvH(df.select($"user_id")).withColumn("tbl", lit(nm))
+      }.reduce(_.unionAll(_)))
+      val sc = TxnTable.read(spark, tS)
+      def sideH(nm: String) = sc.filter($"tbl" === nm).select($"h")
+      // row counts from MANIFEST stats (countAt — zero data I/O),
+      // attached as planning literals like every commit planner here
+      def mCount(nm: String) = spark.range(1)
+        .select(lit(TxnTable.countAt(spark, stored(nm))).as("r"))
+      def asTable(nm: String) = TxnTable.read(spark, stored(nm))
+      assemble(asTable("cbo_a_all"), mCount("cbo_a_all"),
+        asTable("cbo_a_act"), mCount("cbo_a_act"),
+        asTable("cbo_b_pur"), mCount("cbo_b_pur"),
+        asTable("cbo_b_clk"), mCount("cbo_b_clk"),
+        sideH("cbo_a_all"), sideH("cbo_a_act"), sideH("cbo_b_pur"),
+        sideH("cbo_b_clk"))
+    }
+  }
+
   /** Per-file (column, min, max, rows) footer stats of a
     * bucket-clustered state frame — the sidecar row grain shared by
     * [[sinkTxnColumnStats]] (build + prune) and
@@ -2024,6 +2145,7 @@ object LakehouseCow {
 
   val queries: Map[String, QueryFn] = Map(
     "sink_txn_ndv_stats" -> (sinkTxnNdvStats(_, _)),
+    "sink_txn_cbo_estimate" -> (sinkTxnCboEstimate(_, _)),
     "sink_txn_restore" -> (sinkTxnRestore(_, _)),
     "sink_txn_merge_mor" -> (sinkTxnMergeMor(_, _)),
     "sink_txn_row_lineage" -> (sinkTxnRowLineage(_, _)),
@@ -2078,6 +2200,67 @@ object LakehouseCow {
         |  CAST(CASE WHEN n_sample < 16 THEN n_sample
         |    ELSE 32212254705 // theta END AS BIGINT) AS ndv_est
         |FROM allr ORDER BY col, bkt""".stripMargin,
+    // the whole estimation pipeline re-derived: user sets, the four
+    // ≤64-hash KMV samples, the textbook r_a·r_b/max(ndv) estimate,
+    // and the exact semi-join truths
+    "sink_txn_cbo_estimate" ->
+      """WITH e AS (SELECT user_id, event_type FROM events),
+        |ua AS (SELECT DISTINCT user_id FROM e),
+        |st AS (SELECT user_id, count(*) AS n FROM e GROUP BY 1),
+        |m AS (SELECT count(*) AS u, sum(n) AS tot FROM st),
+        |uact AS (SELECT user_id FROM st, m WHERE n * u * 10 > tot * 11),
+        |bpr AS (SELECT user_id FROM e WHERE event_type = 'purchase'),
+        |bcl AS (SELECT user_id FROM e WHERE event_type = 'click'),
+        |hall AS (SELECT ((user_id + 1) * 2654435761) % 2147483647 AS h
+        |  FROM ua ORDER BY h LIMIT 64),
+        |hact AS (SELECT ((user_id + 1) * 2654435761) % 2147483647 AS h
+        |  FROM uact ORDER BY h LIMIT 64),
+        |hpur AS (SELECT ((user_id + 1) * 2654435761) % 2147483647 AS h
+        |  FROM (SELECT DISTINCT user_id FROM bpr) ORDER BY h LIMIT 64),
+        |hclk AS (SELECT ((user_id + 1) * 2654435761) % 2147483647 AS h
+        |  FROM (SELECT DISTINCT user_id FROM bcl) ORDER BY h LIMIT 64),
+        |sc AS (
+        |  SELECT 'active_x_purchase' AS scenario,
+        |    (SELECT count(*) FROM uact) AS r_a,
+        |    (SELECT count(*) FROM bpr) AS r_b,
+        |    (SELECT CASE WHEN count(*) < 64 THEN count(*)
+        |      ELSE 135291469761 // max(h) END FROM hact) AS ndv_a,
+        |    (SELECT CASE WHEN count(*) < 64 THEN count(*)
+        |      ELSE 135291469761 // max(h) END FROM hpur) AS ndv_b,
+        |    (SELECT count(*) FROM bpr
+        |      WHERE user_id IN (SELECT user_id FROM uact)) AS true_rows
+        |  UNION ALL
+        |  SELECT 'all_x_click',
+        |    (SELECT count(*) FROM ua), (SELECT count(*) FROM bcl),
+        |    (SELECT CASE WHEN count(*) < 64 THEN count(*)
+        |      ELSE 135291469761 // max(h) END FROM hall),
+        |    (SELECT CASE WHEN count(*) < 64 THEN count(*)
+        |      ELSE 135291469761 // max(h) END FROM hclk),
+        |    (SELECT count(*) FROM bcl
+        |      WHERE user_id IN (SELECT user_id FROM ua))
+        |  UNION ALL
+        |  SELECT 'all_x_purchase',
+        |    (SELECT count(*) FROM ua), (SELECT count(*) FROM bpr),
+        |    (SELECT CASE WHEN count(*) < 64 THEN count(*)
+        |      ELSE 135291469761 // max(h) END FROM hall),
+        |    (SELECT CASE WHEN count(*) < 64 THEN count(*)
+        |      ELSE 135291469761 // max(h) END FROM hpur),
+        |    (SELECT count(*) FROM bpr
+        |      WHERE user_id IN (SELECT user_id FROM ua))),
+        |est AS (SELECT scenario, r_a, r_b, ndv_a, ndv_b, true_rows,
+        |    CASE WHEN greatest(ndv_a, ndv_b) > 0
+        |      THEN (r_a * r_b) // greatest(ndv_a, ndv_b) ELSE 0 END
+        |      AS est_rows
+        |  FROM sc)
+        |SELECT scenario, CAST(r_a AS BIGINT) AS r_a,
+        |  CAST(r_b AS BIGINT) AS r_b, CAST(ndv_a AS BIGINT) AS ndv_a,
+        |  CAST(ndv_b AS BIGINT) AS ndv_b,
+        |  CAST(est_rows AS BIGINT) AS est_rows,
+        |  CAST(true_rows AS BIGINT) AS true_rows,
+        |  CAST(CASE WHEN true_rows > 0
+        |    THEN (est_rows * 1048576) // true_rows ELSE -1 END AS BIGINT)
+        |    AS ratio_fp
+        |FROM est ORDER BY scenario""".stripMargin,
     // every history number re-derived from raw events: visible rows =
     // distinct users under the bound, live/added/removed files from
     // the bucket closure vs the quartile slices

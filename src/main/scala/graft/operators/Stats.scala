@@ -154,6 +154,43 @@ object Stats {
     *
     * Scale shape: rides [[segPairEcdf]] — the quadratic term is
     * per-value-domain-row arithmetic, one final aggregate per pair. */
+  /** Exact two-sample ANDERSON–DARLING statistic (Anderson & Darling
+    * 1952; two-sample form Pettitt 1976; the right-continuous tie
+    * handling of Scholz & Stephens 1987) over the same segment pairs —
+    * the TAIL-WEIGHTED third screen completing the two-sample family:
+    * KS sees the max ECDF deviation, CvM the integrated square, AD
+    * re-weights each value's squared deviation by 1/(H·(1−H)) so tail
+    * differences count. With d_v = cuma·n_B − cumb·n_A (the same
+    * cleared deviation CvM squares) and B_v the pooled cumulative:
+    * A² = (1/(n_A·n_B)) · Σ_{B_v < n} c_v·d_v² / (B_v·(n−B_v)).
+    * Each value's term is ONE truncating 2²⁰-scaled division
+    * (replayable on both engines — positive operands, so Spark `div`
+    * ≡ DuckDB `//`); the accumulation and the final normalization
+    * ride DECIMAL(38,0) ⟷ HUGEINT (the squared deviations cross 2⁶³).
+    *
+    * Scale shape: rides [[segPairEcdf]] — per-value-domain-row
+    * arithmetic, one final aggregate per pair; no rank pass ever
+    * touches the fact rows. */
+  def profileAndersonDarling(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    segPairEcdf(spark, dir)
+      .withColumn("n", $"na" + $"nb")
+      .withColumn("bu", $"cuma" + $"cumb")
+      .filter($"bu" < $"n")
+      .withColumn("d", $"cuma".cast("decimal(38,0)") * $"nb" -
+        $"cumb".cast("decimal(38,0)") * $"na")
+      .withColumn("t", expr(s"($FpOne * (ca + cb) * d * d) div " +
+        "(CAST(bu AS DECIMAL(38,0)) * (n - bu))"))
+      .groupBy($"pair_id")
+      .agg(max($"na").as("n_a"), max($"nb").as("n_b"),
+        count(lit(1)).as("n_support"),
+        sum($"t".cast("decimal(38,0)")).as("ts"))
+      .select($"pair_id", $"n_a", $"n_b", $"n_support",
+        expr("CAST(ts div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
+          .as("ad_fp"))
+      .orderBy($"pair_id")
+  }
+
   def profileCvmDistance(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     segPairEcdf(spark, dir)
@@ -426,6 +463,7 @@ object Stats {
     "profile_ks_distance" -> (profileKsDistance(_, _)),
     "profile_mannwhitney_u" -> (profileMannwhitneyU(_, _)),
     "profile_cvm_distance" -> (profileCvmDistance(_, _)),
+    "profile_anderson_darling" -> (profileAndersonDarling(_, _)),
     "eval_bootstrap_multiplier" -> (evalBootstrapMultiplier(_, _)),
     "profile_runs_test" -> (profileRunsTest(_, _)),
     "profile_chi2_independence" -> (profileChi2Independence(_, _)),
@@ -541,6 +579,24 @@ object Stats {
         |  CAST((u2 * 1048576) // (2 * CAST(n_a AS HUGEINT) * n_b)
         |    AS BIGINT) AS auc_fp
         |FROM u ORDER BY pair_id""".stripMargin),
+    // same per-value cleared deviation, squared and re-weighted by the
+    // pooled-ECDF denominator — one truncating fixed-point division per
+    // value, HUGEINT accumulation, one normalizing division
+    "profile_anderson_darling" -> (ecdfCte +
+      """,
+        |a2 AS (SELECT pair_id, max(na) AS n_a, max(nb) AS n_b,
+        |    CAST(count(*) AS BIGINT) AS n_support,
+        |    sum((1048576 * CAST(ca + cb AS HUGEINT)
+        |      * CAST(cuma * nb - cumb * na AS HUGEINT)
+        |      * CAST(cuma * nb - cumb * na AS HUGEINT))
+        |      // (CAST(cuma + cumb AS HUGEINT)
+        |        * (na + nb - cuma - cumb))) AS ts
+        |  FROM e WHERE cuma + cumb < na + nb GROUP BY pair_id)
+        |SELECT CAST(pair_id AS BIGINT) AS pair_id,
+        |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  n_support,
+        |  CAST(ts // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS ad_fp
+        |FROM a2 ORDER BY pair_id""".stripMargin),
     // same cleared quadratic numerator accumulated in HUGEINT; one
     // truncating division renders the statistic
     "profile_cvm_distance" -> (ecdfCte +

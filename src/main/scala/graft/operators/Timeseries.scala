@@ -1007,7 +1007,55 @@ object Timeseries {
       .orderBy($"type_a", $"type_b")
   }
 
+  /** SEASONAL–TREND DECOMPOSITION by moving averages (the classical
+    * additive decomposition underlying STL, Cleveland et al. 1990 —
+    * here the replayable MA form: LOESS is float-iterative and no
+    * other engine replays it): per event type, the daily total series
+    * splits into TREND (centered 7-day moving average, full windows
+    * only), SEASONAL (per-weekday mean of the detrended series), and
+    * the REMAINDER whose per-weekday absolute mass rides along as the
+    * decomposition-quality receipt. Detrended values can be negative,
+    * so every mean is the NON-NEGATIVE-SHIFT division (the ml_ridge
+    * idiom): ⌊(Σx + n·2⁴⁰)/n⌋ − 2⁴⁰ is exact because n·2⁴⁰/n is
+    * integral — Spark `div` and DuckDB `//` then agree on every
+    * operand. All 4-dp fixed-point BIGINTs.
+    *
+    * Scale shape: the log collapses map-side to the calendar-bounded
+    * (type, day) grain; the MA window and the weekday aggregate run on
+    * that bounded frame partitioned by type — never on event rows. */
+  def timeseriesStlProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val S = 1099511627776L // 2^40 — the non-negative shift
+    val daily = Tables.events(spark, dir)
+      .filter($"value".isNotNull)
+      .select($"event_type", Tables.nsToUs($"ts").as("t"),
+        Tables.dec4($"value").as("v"))
+      .select($"event_type", expr("t div 86400000000").as("day"), $"v")
+      .groupBy($"event_type", $"day")
+      .agg((sum($"v") * 10000).cast("long").as("dv"))
+    val wMa = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(-3, 3)
+    val det = daily
+      .withColumn("n_win", count(lit(1)).over(wMa))
+      .withColumn("trend",
+        expr(s"(sum(dv + ${S}L) OVER (PARTITION BY event_type ORDER BY day " +
+          s"ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) div 7 - ${S}L"))
+      .filter($"n_win" === 7L)
+      .select($"event_type", ($"day" % 7).as("weekday"),
+        ($"dv" - $"trend").as("det"))
+    det.groupBy($"event_type", $"weekday")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"det").as("sum_det_4dp"),
+        sum(abs($"det")).as("abs_det_4dp"))
+      .select($"event_type", $"weekday", $"n_days",
+        expr(s"((sum_det_4dp + n_days * ${S}L) div n_days) - ${S}L")
+          .as("seasonal_4dp"),
+        $"sum_det_4dp", $"abs_det_4dp")
+      .orderBy($"event_type", $"weekday")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "timeseries_stl_profile" -> (timeseriesStlProfile(_, _)),
     "timeseries_dtw_band" -> (timeseriesDtwBand(_, _)),
     "timeseries_theil_sen" -> (timeseriesTheilSen(_, _)),
     "timeseries_kalman_alpha_beta" -> (timeseriesKalmanAlphaBeta(_, _)),
@@ -1034,6 +1082,31 @@ object Timeseries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same day-grain collapse, 7-row centered MA with the 2^40 shift,
+    // full-window filter, and per-weekday shifted means
+    "timeseries_stl_profile" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |d AS (SELECT event_type, day,
+        |    CAST(sum(v) * 10000 AS BIGINT) AS dv FROM e GROUP BY 1, 2),
+        |m AS (SELECT event_type, day, dv,
+        |    count(*) OVER w AS n_win,
+        |    (sum(dv + 1099511627776) OVER w) // 7
+        |      - 1099511627776 AS trend
+        |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |det AS (SELECT event_type, day % 7 AS weekday, dv - trend AS det
+        |  FROM m WHERE n_win = 7)
+        |SELECT event_type, CAST(weekday AS BIGINT) AS weekday,
+        |  CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(((sum(det) + count(*) * 1099511627776) // count(*))
+        |    - 1099511627776 AS BIGINT) AS seasonal_4dp,
+        |  CAST(sum(det) AS BIGINT) AS sum_det_4dp,
+        |  CAST(sum(abs(det)) AS BIGINT) AS abs_det_4dp
+        |FROM det GROUP BY event_type, weekday
+        |ORDER BY event_type, weekday""".stripMargin,
     // the identical wavefront recurrence as a 24-step recursive CTE
     // carrying the DP row as a LIST — every final-row cell replayed
     "timeseries_dtw_band" ->

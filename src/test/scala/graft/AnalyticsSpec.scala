@@ -505,6 +505,49 @@ class AnalyticsSpec extends SparkSuite {
       s"fit escapes the data range: iso=${iso.toSeq} raw=${raw.toSeq}")
   }
 
+  test("graph_ktruss_peel: brute-force 3-round truss replay at sf0.001") {
+    import graft.operators.Analytics
+    // rebuild the sparsified co-purchase graph exactly (top-5 by shared
+    // parts, canonical a < b), then peel with support >= 1 three times
+    val ps = Tables.lineitem(spark, sf0001)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byPart = ps.groupBy(_._1).values.map(_.map(_._2).toSet)
+    val sp = scala.collection.mutable.Map[(Long, Long), Long]()
+    byPart.foreach { ss =>
+      for (u <- ss; v <- ss if u != v) sp((u, v)) = sp.getOrElse((u, v), 0L) + 1L
+    }
+    val top5 = sp.keys.toSeq.groupBy(_._1).toSeq.flatMap { case (u, pairs) =>
+      pairs.map { case (_, v) => (v, sp((u, v))) }
+        .sortBy { case (v, s) => (-s, v) }.take(5)
+        .map { case (v, _) => (math.min(u, v), math.max(u, v)) }
+    }.toSet
+    var edges = top5
+    val expect = (1 to 3).map { r =>
+      val tri = for {
+        (a, b) <- edges.toSeq
+        (a2, c) <- edges if a2 == b
+        if edges.contains((a, c))
+      } yield (a, b, c)
+      val sup = scala.collection.mutable.Map[(Long, Long), Long]()
+      tri.foreach { case (x, y, z) =>
+        Seq((x, y), (x, z), (y, z)).foreach(e =>
+          sup(e) = sup.getOrElse(e, 0L) + 1L)
+      }
+      val kept = edges.filter(e => sup.getOrElse(e, 0L) >= 1L)
+      val row = (r.toLong, edges.size.toLong, tri.size.toLong,
+        (edges.size - kept.size).toLong, kept.size.toLong)
+      edges = kept
+      row
+    }
+    val out = Analytics.graphKtrussPeel(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq === expect, "3-round truss receipt")
+    // the receipt chains: each round's output is the next round's input
+    assert(out(1)._2 === out(0)._5 && out(2)._2 === out(1)._5)
+  }
+
   test("ml_als_1d_step: sf0.001 factors are positive and obs counts tie to ratings") {
     import graft.operators.Multimodal
     val rows = Multimodal.mlAls1dStep(spark, sf0001).collect()

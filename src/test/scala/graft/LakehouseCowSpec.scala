@@ -525,4 +525,44 @@ class LakehouseCowSpec extends SparkSuite {
         thetaM === globalSample.max, s"$colName merged row")
     }
   }
+
+  test("sink_txn_cbo_estimate: planning inputs replay from raw data and the estimate formula is exact") {
+    val out = operators.LakehouseCow.sinkTxnCboEstimate(spark, sf0001)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))).toMap
+    val M = 2147483647L
+    def h(v: Long) = ((v + 1L) * 2654435761L) % M
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byUser = ev.groupBy(_._1).map { case (u, xs) => (u, xs.length.toLong) }
+    val uAll = byUser.keySet
+    val (uCount, tot) = (uAll.size.toLong, ev.length.toLong)
+    val uAct = byUser.collect {
+      case (u, n) if n * uCount * 10L > tot * 11L => u
+    }.toSet
+    def ndv(keys: Set[Long]): Long = {
+      val hs = keys.toSeq.map(h).sorted.take(64)
+      if (hs.length < 64) hs.length.toLong else 63L * M / hs.max
+    }
+    def scen(a: Set[Long], bType: String) = {
+      val b = ev.filter(_._2 == bType)
+      val (ra, rb) = (a.size.toLong, b.length.toLong)
+      val (na, nb) = (ndv(a), ndv(b.map(_._1).toSet))
+      val truth = b.count(e => a.contains(e._1)).toLong
+      val est = if (math.max(na, nb) > 0) ra * rb / math.max(na, nb) else 0L
+      val ratio = if (truth > 0) est * 1048576L / truth else -1L
+      (ra, rb, na, nb, est, truth, ratio)
+    }
+    assert(out("all_x_purchase") === scen(uAll, "purchase"))
+    assert(out("all_x_click") === scen(uAll, "click"))
+    assert(out("active_x_purchase") === scen(uAct, "purchase"))
+    // unique-key scenarios: containment holds, truth IS r_b
+    assert(out("all_x_purchase")._6 === out("all_x_purchase")._2)
+    assert(out("all_x_click")._6 === out("all_x_click")._2)
+    // the selective dim genuinely subsets (the scale-free 1.1x-mean cut)
+    assert(uAct.nonEmpty && uAct.size < uAll.size)
+  }
 }

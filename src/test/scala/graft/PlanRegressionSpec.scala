@@ -555,12 +555,18 @@ class PlanRegressionSpec extends SparkSuite {
       // stream_exec_restart_resume the 1-row rows_processed ledger
       "simsearch_hnsw_layers", "graph_scc_pivot", "ml_kmeans_pp_seed",
       "sink_txn_multi_table", "stream_exec_restart_resume",
-      // round-16: graph_scc_decompose attaches per-round 1-row count
-      // scalars (residual/kept/pivot/fw/bw/scc) — fan-out 1 each;
+      // round-16: graph_scc_decompose / graph_ktruss_peel attach
+      // per-round 1-row count scalars (residual/kept/pivot/fw/bw/scc;
+      // edges/triangles/kept) — fan-out 1 each;
       // simsearch_index_maintain rides the ≤|cells| (10-row) stored
       // centroid broadcast for the argmin assign — the ml_kmeans_step
       // seeds shape
-      "graph_scc_decompose", "simsearch_index_maintain")
+      "graph_scc_decompose", "simsearch_index_maintain",
+      "graph_ktruss_peel",
+      // sink_txn_cbo_estimate: per-scenario 1-row planning scalars
+      // (row counts, sketch folds, truth counts) and the 1-row
+      // mean-threshold frame — fan-out 1 each, the receipt assembly
+      "sink_txn_cbo_estimate")
     val offenders = SparkEntry.queries.keys.filterNot(allowed)
       .filter(n => n != "source_csv_roundtrip" && plan(n).contains("BroadcastNestedLoopJoin"))
     assert(offenders.isEmpty, s"unexpected nested-loop joins: $offenders")

@@ -110,6 +110,43 @@ class StatsSpec extends SparkSuite {
     }
   }
 
+  test("profile_anderson_darling: brute-force tail-weighted replay at sf0.001") {
+    val vals = segPairValues()
+    val out = Stats.profileAndersonDarling(spark, sf0001).collect()
+    assert(out.length === 3)
+    out.foreach { r =>
+      val (id, na, nb, nSup, fp) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      val (as, bs) = vals(id)
+      val n = na + nb
+      // support excludes the top value (B_v = n has a zero denominator)
+      val support = (as ++ bs).distinct.sorted.dropRight(1)
+      assert(nSup === support.length.toLong)
+      var ts = BigInt(0)
+      support.foreach { v =>
+        val (ca, cb) = (as.count(_ == v), bs.count(_ == v))
+        val (cua, cub) = (as.count(_ <= v), bs.count(_ <= v))
+        val d = BigInt(cua) * nb - BigInt(cub) * na
+        val bu = BigInt(cua + cub)
+        // the per-value truncating fixed-point division, replayed
+        ts += (BigInt(1048576) * (ca + cb) * d * d) / (bu * (n - bu))
+      }
+      val expect = ts / (BigInt(na) * nb)
+      assert(fp === expect.toLong, s"pair $id ad_fp")
+      assert(fp >= 0L)
+      // swapping the samples leaves A² invariant (d flips sign only) —
+      // the symmetry the tail weighting must not break
+      var ts2 = BigInt(0)
+      support.foreach { v =>
+        val (ca, cb) = (as.count(_ == v), bs.count(_ == v))
+        val d = BigInt(bs.count(_ <= v)) * na - BigInt(as.count(_ <= v)) * nb
+        val bu = BigInt(as.count(_ <= v) + bs.count(_ <= v))
+        ts2 += (BigInt(1048576) * (ca + cb) * d * d) / (bu * (n - bu))
+      }
+      assert(ts2 / (BigInt(nb) * na) === expect, s"pair $id symmetry")
+    }
+  }
+
   test("simsearch_hnsw_layers: the descent is score-monotone and bounded by the exact best") {
     val rows = Multimodal.simsearchHnswLayers(spark, sf0001).collect()
     assert(rows.nonEmpty)

@@ -320,4 +320,45 @@ class TimeseriesSpec extends SparkSuite {
     assert(applied.except(rebuilt).count() === 0L)
     assert(rebuilt.except(applied).count() === 0L)
   }
+
+  test("timeseries_stl_profile: brute-force MA-decomposition replay at sf0.001") {
+    import spark.implicits._
+    val S = 1099511627776L
+    val daily = Tables.events(spark, sf0001)
+      .filter($"value".isNotNull)
+      .select($"event_type", Tables.nsToUs($"ts").as("t"),
+        Tables.dec4($"value").as("v"))
+      .select($"event_type", expr("t div 86400000000").as("day"), $"v")
+      .groupBy($"event_type", $"day")
+      .agg((sum($"v") * 10000).cast("long").as("dv"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = daily.groupBy(_._1).flatMap { case (tp, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.indices.flatMap { i =>
+        val win = sorted.slice(math.max(0, i - 3), math.min(sorted.length, i + 4))
+        if (win.length != 7) None
+        else {
+          val trend = win.map(_._3 + S).sum / 7L - S
+          Some((tp, sorted(i)._2 % 7, sorted(i)._3 - trend))
+        }
+      }
+    }.toSeq.groupBy(t => (t._1, t._2)).map { case ((tp, wd), ds) =>
+      val dets = ds.map(_._3)
+      val n = dets.length.toLong
+      (tp, wd, n, (dets.map(_ + S).sum) / n - S, dets.sum,
+        dets.map(math.abs).sum)
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val out = operators.Timeseries.timeseriesStlProfile(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(out === expect, "per-weekday seasonal profile replay")
+    // the decomposition partitions the detrended mass: per type, the
+    // weekday sums add to the total detrended sum (additivity receipt)
+    out.groupBy(_._1).foreach { case (tp, rows) =>
+      assert(rows.map(_._5).sum ===
+        expect.filter(_._1 == tp).map(_._5).sum, s"$tp additivity")
+      // |seasonal| is bounded by the mean absolute remainder's scale
+      rows.foreach(r => assert(math.abs(r._4) <= r._6, s"$tp bound"))
+    }
+  }
 }
