@@ -55,6 +55,37 @@ object Lakehouse {
   private val txnSinkStages =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Stage the event log as FOUR single-file time quartiles with
+    * strictly increasing mtimes (the deterministic FileStreamSource
+    * order) under `base` — shared by [[streamExecTxnSink]] and
+    * [[streamExecCdcFeed]]; written once per (sfDir, JVM). */
+  private def stagedQuartiles(spark: SparkSession, dir: String,
+      base: String): String = {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    txnSinkStages.computeIfAbsent(s"$base|$dir", _ => {
+      val ev = evUsers(spark, dir)
+      val stg = s"$base/stage_${dir.hashCode & Int.MaxValue}"
+      fs.mkdirs(new Path(stg))
+      SinkBoundsUs.zipWithIndex.foreach { case (b, i) =>
+        val lo = if (i == 0) Long.MinValue else SinkBoundsUs(i - 1)
+        val tmp = s"$base/stage_tmp_$i"
+        ev.filter($"ts_us" >= lo && $"ts_us" < b)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+          .filter(_.getName.startsWith("part-")).head
+        val staged = new Path(stg, s"b$i.parquet")
+        require(fs.rename(part, staged), s"staging of quartile $i failed")
+        // strictly increasing mtimes pin the FileStreamSource order
+        fs.setTimes(staged, 1600000000000L + i * 60000L, -1)
+        fs.delete(new Path(tmp), true): Unit
+      }
+      stg
+    })
+  }
+
   // ---- schema enforcement / evolution ---------------------------------
 
   /** Schema enforcement + additive evolution on the transactional
@@ -338,24 +369,7 @@ object Lakehouse {
       Seq(s"$base/table", s"$base/ckpt").foreach { d =>
         fs.delete(new Path(d), true): Unit
       }
-      val stage = txnSinkStages.computeIfAbsent(dir, d => {
-        val stg = s"$base/stage_${d.hashCode & Int.MaxValue}"
-        fs.mkdirs(new Path(stg))
-        SinkBoundsUs.zipWithIndex.foreach { case (b, i) =>
-          val lo = if (i == 0) Long.MinValue else SinkBoundsUs(i - 1)
-          val tmp = s"$base/stage_tmp_$i"
-          ev.filter($"ts_us" >= lo && $"ts_us" < b)
-            .coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = fs.listStatus(new Path(tmp)).map(_.getPath)
-            .filter(_.getName.startsWith("part-")).head
-          val staged = new Path(stg, s"b$i.parquet")
-          require(fs.rename(part, staged), s"staging of quartile $i failed")
-          // strictly increasing mtimes pin the FileStreamSource order
-          fs.setTimes(staged, 1600000000000L + i * 60000L, -1)
-          fs.delete(new Path(tmp), true): Unit
-        }
-        stg
-      })
+      val stage = stagedQuartiles(spark, dir, base)
       val table = s"$base/table"
       val schema = spark.read.parquet(stage).schema
       graft.streaming.StreamingMirror.withStreamRuntimeConfs(spark) {
@@ -384,6 +398,102 @@ object Lakehouse {
       shape(TxnTable.versions(spark, table).map { v =>
         TxnTable.read(spark, table, Some(v)).withColumn("version", lit(v.toLong))
       }.reduce(_.unionByName(_)))
+    }
+  }
+
+  /** STREAMING CHANGE-DATA-FEED SINK — the change feed the batch
+    * [[sinkTxnChangeFeed]] derives between committed snapshots,
+    * emitted INCREMENTALLY at micro-batch cadence (the Delta CDF /
+    * Debezium op-row shape a downstream incremental consumer applies):
+    * the staged event-time quartiles run through a checkpointed
+    * foreachBatch that, per batch, (1) elects the batch's
+    * latest-per-user candidates, (2) diffs them against the CURRENT
+    * state — a row is emitted only when its user is NEW (op_insert =
+    * 1) or the candidate WINS the (ts_us, event_id) order against the
+    * stored row (op_insert = 0, an update); a losing candidate emits
+    * nothing — and (3) overwrites the batch's feed partition
+    * (replay-idempotent: a checkpoint replay rewrites the same
+    * partition, never duplicates) before merging the state. The graded
+    * frame is the FEED read back — exactly the state-transition log;
+    * the oracle replays every batch as consecutive event-time-prefix
+    * diffs, so the hash certifies feed ≡ transitions.
+    *
+    * Scale shape: per batch the diff joins ≤|batch users| candidates
+    * against the state on the key (co-partitioned at scale); the feed
+    * append is O(changed rows) — the point of a CDF vs re-diffing
+    * snapshots; the state merge is the upsert shape. Batch boundaries
+    * are deterministic (mtime-pinned single-file quartiles +
+    * maxFilesPerTrigger = 1). */
+  def streamExecCdcFeed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = evUsers(spark, dir)
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts_us".desc, $"event_id".desc)
+    def shape(df: DataFrame): DataFrame = df
+      .select($"batch_id", $"op_insert", $"user_id", $"event_id", $"ts_us")
+      .orderBy($"batch_id", $"user_id")
+    val equivalent = shape(SinkBoundsUs.zipWithIndex.map { case (b, i) =>
+      val lo = if (i == 0) Long.MinValue else SinkBoundsUs(i - 1)
+      val cur = ev.filter($"ts_us" < b)
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"user_id", $"event_id", $"ts_us")
+      val prev = ev.filter($"ts_us" < lo)
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"user_id".as("pu"), $"event_id".as("pe"))
+      cur.join(prev, $"user_id" === $"pu", "left")
+        .filter($"pe".isNull || $"pe" =!= $"event_id")
+        .select(lit(i.toLong).as("batch_id"),
+          when($"pe".isNull, 1L).otherwise(0L).as("op_insert"),
+          $"user_id", $"event_id", $"ts_us")
+    }.reduce(_.unionByName(_)))
+    graft.PlanOnly.roundTrip(equivalent) {
+      import org.apache.hadoop.fs.Path
+      val base = Tables.scratch("stream_exec_cdc")
+      val fs = new Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // reset state + feed + checkpoint (the staged quartiles are
+      // input, not state — reused across iterations)
+      Seq(s"$base/state", s"$base/feed", s"$base/ckpt").foreach { d =>
+        fs.delete(new Path(d), true): Unit
+      }
+      val stage = stagedQuartiles(spark, dir, base)
+      val schema = spark.read.parquet(stage).schema
+      val stateDir = s"$base/state"
+      val feedDir = s"$base/feed"
+      graft.streaming.StreamingMirror.withStreamRuntimeConfs(spark) {
+        val q = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage)
+          .writeStream.option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val s = batch.sparkSession
+            import s.implicits._
+            val wb = Window.partitionBy($"user_id")
+              .orderBy($"ts_us".desc, $"event_id".desc)
+            val p = new Path(stateDir)
+            val pfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+            val prev = if (pfs.exists(p)) s.read.parquet(stateDir)
+              else batch.limit(0)
+            val cand = batch.withColumn("rn", row_number().over(wb))
+              .filter($"rn" === 1).drop("rn")
+            val pv = prev.select($"user_id".as("pu"),
+              $"event_id".as("pe"), $"ts_us".as("pt"))
+            val ops = cand.join(pv, $"user_id" === $"pu", "left")
+              .filter($"pe".isNull || $"ts_us" > $"pt" ||
+                ($"ts_us" === $"pt" && $"event_id" > $"pe"))
+              .select(lit(batchId).as("batch_id"),
+                when($"pe".isNull, 1L).otherwise(0L).as("op_insert"),
+                $"user_id", $"event_id", $"ts_us")
+            // feed partition per batch BEFORE the state merge; replay
+            // overwrites the same partition — exactly-once by layout
+            ops.write.mode("overwrite").parquet(s"$feedDir/batch=$batchId")
+            graft.streaming.StreamingMirror.upsertBatch(batch, stateDir)
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      shape(spark.read.parquet(feedDir)
+        .select($"batch_id", $"op_insert", $"user_id", $"event_id",
+          $"ts_us"))
     }
   }
 
@@ -696,7 +806,45 @@ object Lakehouse {
     (expired.size, removed)
   }
 
+  /** The four prefix-diff batches unrolled: cur_k = latest-per-user
+    * over the event-time prefix, ops_k = the rows whose latest CHANGED
+    * from cur_{k-1} (absent user → insert). */
+  private def cdcFeedOracle: String = {
+    val bounds = Seq(1704758400000000L, 1705449600000000L,
+      1706140800000000L)
+    def cur(k: Int): String = {
+      val filt = if (k < 3) s"WHERE t < ${bounds(k)}" else ""
+      s"""cur_$k AS (SELECT user_id, event_id, t FROM (
+         |    SELECT user_id, event_id, t, row_number() OVER (
+         |      PARTITION BY user_id ORDER BY t DESC, event_id DESC) AS rn
+         |    FROM e $filt) WHERE rn = 1)""".stripMargin
+    }
+    def ops(k: Int): String =
+      if (k == 0)
+        """ops_0 AS (SELECT 0 AS batch_id, 1 AS op_insert, user_id,
+          |  event_id, t FROM cur_0)""".stripMargin
+      else
+        s"""ops_$k AS (SELECT $k AS batch_id,
+           |  CASE WHEN p.user_id IS NULL THEN 1 ELSE 0 END AS op_insert,
+           |  c.user_id, c.event_id, c.t
+           |  FROM cur_$k c LEFT JOIN cur_${k - 1} p
+           |    ON c.user_id = p.user_id
+           |  WHERE p.user_id IS NULL OR p.event_id <> c.event_id)"""
+          .stripMargin
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t
+       |  FROM events),
+       |${(0 to 3).map(cur).mkString(",\n")},
+       |${(0 to 3).map(ops).mkString(",\n")}
+       |SELECT CAST(batch_id AS BIGINT) AS batch_id,
+       |  CAST(op_insert AS BIGINT) AS op_insert,
+       |  user_id, event_id, CAST(t AS BIGINT) AS ts_us
+       |FROM (SELECT * FROM ops_0 UNION ALL SELECT * FROM ops_1
+       |  UNION ALL SELECT * FROM ops_2 UNION ALL SELECT * FROM ops_3)
+       |ORDER BY batch_id, user_id""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "stream_exec_cdc_feed" -> (streamExecCdcFeed(_, _)),
     "sink_txn_multi_table" -> (sinkTxnMultiTable(_, _)),
     "sink_txn_constraint_check" -> (sinkTxnConstraintCheck(_, _)),
     "sink_txn_schema_evolution" -> (sinkTxnSchemaEvolution(_, _)),
@@ -708,6 +856,8 @@ object Lakehouse {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the prefix-diff batches unrolled (see cdcFeedOracle)
+    "stream_exec_cdc_feed" -> cdcFeedOracle,
     // the marker-resolved state re-derived from raw events WITHOUT the
     // aborted transaction's slice — invisibility of the orphaned A@v2
     // is exactly what the hash certifies

@@ -179,4 +179,30 @@ class StatefulStreamingSpec extends SparkSuite {
     val got = out.select("user_id", "event_id", "event_type", "ts_us", "value")
     assert(got.except(want).count() === 0L && want.except(got).count() === 0L)
   }
+
+  test("stream_exec_cdc_feed: folding the feed rebuilds the state; inserts are exactly first appearances (sf0.001)") {
+    import org.apache.spark.sql.functions._
+    val feed = operators.Lakehouse.streamExecCdcFeed(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(feed.nonEmpty)
+    assert(feed.map(_._1).distinct.sorted.toSeq === Seq(0L, 1L, 2L, 3L),
+      "four genuine micro-batches emit feed rows")
+    // a downstream consumer applying the ops in batch order must land
+    // on the batch latest-per-user state
+    var applied = Map.empty[Long, Long] // user -> event_id
+    feed.sortBy(t => (t._1, t._3)).foreach { case (_, op, u, eid, _) =>
+      if (op == 1L) assert(!applied.contains(u), s"insert of known user $u")
+      else assert(applied.contains(u), s"update of unknown user $u")
+      applied += u -> eid
+    }
+    val want = operators.Pipelines.compactLatestState(spark, sf0001)
+      .select(col("user_id"), col("event_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(applied === want, "feed fold must rebuild the final state")
+    // every user appears as an insert exactly once across the feed
+    val inserts = feed.filter(_._2 == 1L).map(_._3)
+    assert(inserts.length === inserts.distinct.length)
+    assert(inserts.toSet === want.keySet)
+  }
 }
