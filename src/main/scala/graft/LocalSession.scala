@@ -29,6 +29,11 @@ object LocalSession {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // engine default for the SMB tier: co-bucketed joins with
+      // DIVISIBLE bucket counts coalesce instead of shuffling
+      // (sink_txn_smb_coalesce; harmless elsewhere — equal-count
+      // bucketed joins are unaffected)
+      .config("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
       .config("spark.sql.warehouse.dir", WarehouseDir)
     extra.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()

@@ -321,7 +321,7 @@ object Indexing {
     * base: key = h·2²⁰ + pos encodes the (h, pos) lexicographic order
     * into one BIGINT so a window min() IS the winnowing election —
     * replayable in any engine without struct-min support. */
-  private val WinnowM = 1048573L
+  private[operators] val WinnowM = 1048573L
   private val PosBase = 1048576L
 
   /** The shared winnowing chain: 4-token grams hashed with an
@@ -344,9 +344,17 @@ object Indexing {
     * global rank exactly — the two-level prefix sum with a
     * ≤|charset|²-row totally-ordered frame. Shared by the gram-hash
     * chain and the replayable SimHash twin. */
-  private def rankedTokens(spark: SparkSession, dir: String): DataFrame = {
+  private def rankedTokens(spark: SparkSession, dir: String): DataFrame =
+    rankedTokensOf(Tables.documents(spark, dir))
+
+  /** [[rankedTokens]] over an arbitrary (doc_id, text) frame — the
+    * vocabulary is the FRAME's own (a pipeline stage owns its input);
+    * shared with the dedup-cascade cost receipt, whose MinHash tier
+    * runs over the exact-dedup survivors. */
+  private[operators] def rankedTokensOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val toks = Tables.documents(spark, dir)
+    val toks = docs
       .select($"doc_id",
         posexplode(expr("filter(split(text, ' '), w -> w <> '')"))
           .as(Seq("pos", "tok")))
@@ -366,10 +374,16 @@ object Indexing {
       .select($"doc_id", $"pos", $"r")
   }
 
-  private def gramFrame(spark: SparkSession, dir: String): DataFrame = {
+  private def gramFrame(spark: SparkSession, dir: String): DataFrame =
+    gramFrameOf(rankedTokens(spark, dir))
+
+  /** The 4-token polynomial gram hash over an arbitrary ranked-token
+    * frame (from [[rankedTokensOf]]). */
+  private[operators] def gramFrameOf(ranked: DataFrame): DataFrame = {
+    val spark = ranked.sparkSession
     import spark.implicits._
     val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
-    rankedTokens(spark, dir)
+    ranked
       .withColumn("h",
         (($"r" * 29791 + lead($"r", 1).over(wDoc) * 961 +
           lead($"r", 2).over(wDoc) * 31 + lead($"r", 3).over(wDoc))
@@ -481,8 +495,8 @@ object Indexing {
     * gram-hash field). Seeds are FIXED constants shared verbatim with
     * the DuckDB oracle: aᵢ = (2654435761·(i+1)) mod P (never 0 — P is
     * prime and the base is a non-multiple), bᵢ = (40503·(2i+1)) mod P. */
-  private val MinhashRepK = 16
-  private val MinhashRepBands = 4
+  private[operators] val MinhashRepK = 16
+  private[operators] val MinhashRepBands = 4
   private[graft] val MinhashRepSeeds: Seq[(Long, Long)] =
     (0 until MinhashRepK).map { i =>
       ((2654435761L * (i + 1)) % WinnowM, (40503L * (2 * i + 1)) % WinnowM)
@@ -560,6 +574,264 @@ object Indexing {
       .select($"doc_a", $"doc_b", $"n_shared_bands", $"n_shared",
         $"na", $"nb", $"jaccard_fp")
       .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** NEAR-DUP SIGNATURE INDEX MAINTAINED UNDER APPEND — the r16
+    * verdict's top item: [[dedupMinhashReplayable]]'s band buckets
+    * promoted from a per-run recomputation to a COMMITTED, VERSIONED
+    * index probed by each ingest batch (the simsearch_index_maintain
+    * pattern applied to the near-dup tier, closing the ingest loop
+    * that previously deduplicated incrementally only at the exact
+    * tier). Lifecycle: the OLD corpus slice (doc_id % 8 ≠ 7) sketches
+    * once — K = 16 affine MinHash minima, 4 base-31 band keys — and
+    * its band rows commit as a FILE-LEVEL TxnTable v0; the new batch
+    * (doc_id % 8 = 7) sketches ONLY ITSELF (O(new) — at 100 TB this
+    * is the difference between re-sketching the corpus per batch and
+    * sketching the batch), probes the STORED v0 buckets by equi-join
+    * on (band, bh) — hot stored buckets (> 20 docs) dropped, the
+    * standing boilerplate cap — and verifies each candidate against
+    * the indexed doc with the exact shingle-set Jaccard in 2²⁰ fixed
+    * point. The index itself is MAINTAINED by committing the batch's
+    * band rows as a DELTA manifest that carries v0's file BY
+    * REFERENCE (zero rewritten rows); maintained ≡ rebuilt and
+    * carried-by-reference are law-pinned in IndexingSpec. Graded =
+    * the verified new-vs-indexed pairs plus the index census (v0
+    * entries, appended entries), all re-derived from scratch by the
+    * oracle — the hash certifies probe-the-stored-index ≡ recompute.
+    *
+    * The shingle hash family (vocabulary-rank polynomial) is the
+    * fixture's engine-replayable stand-in for a FIXED hash (xxhash64
+    * in production, where new batches hash independently); the probe
+    * and verify tiers touch only batch grams + candidate index docs.
+    *
+    * Scale shape: the probe is |new bands| ⋈ stored buckets on the
+    * band key — never corpus × corpus, never a corpus re-sketch; the
+    * verify join fans out only over candidates; index maintenance is
+    * one O(batch) file write + an O(changed-files) delta manifest. */
+  /** The shared (doc_id, h) shingle frame of the index keys — cut: it
+    * feeds both slices' signature aggregates AND both sides of the
+    * verify intersection join. */
+  private def mhSh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.PlanOnly.cut(
+      gramFrame(spark, dir).select($"doc_id", $"h").distinct())
+  }
+
+  /** Per-slice MinHash signatures (+ shingle count n) over the shared
+    * shingle frame: the index build reads OLD grams, the probe reads
+    * NEW grams — a batch never re-aggregates the corpus. */
+  private def mhSigsOf(sh: DataFrame, isNew: Boolean): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val sigCols = MinhashRepSeeds.zipWithIndex.map { case ((a, b), i) =>
+      min(($"h" * a + b) % WinnowM).as(s"s$i")
+    } :+ count(lit(1)).as("n")
+    sh.filter(if (isNew) $"doc_id" % 8 === 7 else $"doc_id" % 8 =!= 7)
+      .groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** Base-31 band keys of a signature frame — (doc_id, band, bh). */
+  private def mhBandsOf(sigs: DataFrame): DataFrame = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    val r = MinhashRepK / MinhashRepBands
+    val bandCols = (0 until MinhashRepBands).map { b =>
+      struct(lit(b.toLong).as("band"),
+        (col(s"s${r * b}") * 29791L + col(s"s${r * b + 1}") * 961L +
+          col(s"s${r * b + 2}") * 31L + col(s"s${r * b + 3}")).as("bh"))
+    }
+    sigs.select($"doc_id", explode(array(bandCols: _*)).as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.bh".as("bh"))
+  }
+
+  def dedupIndexMaintain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = mhSh(spark, dir)
+    def sigsOf(isNew: Boolean): DataFrame = mhSigsOf(sh, isNew)
+    def bandsOf(sigs: DataFrame): DataFrame = mhBandsOf(sigs)
+    val sizes = graft.PlanOnly.cut(
+      sigsOf(isNew = false).select($"doc_id", $"n")
+        .unionAll(sigsOf(isNew = true).select($"doc_id", $"n")))
+    def serve(idx: DataFrame, probe: DataFrame): DataFrame = {
+      val bsz = idx.groupBy($"band", $"bh").agg(count(lit(1)).as("c"))
+      val cold = idx.join(bsz.filter($"c" <= 20), Seq("band", "bh"))
+        .select($"band", $"bh", $"doc_id".as("doc_old"))
+      val cand = probe.select($"band", $"bh", $"doc_id".as("doc_new"))
+        .join(cold, Seq("band", "bh"))
+        .groupBy($"doc_new", $"doc_old")
+        .agg(count(lit(1)).as("n_shared_bands"))
+      val census = idx.agg(count(lit(1)).as("idx_entries"))
+        .crossJoin(broadcast(probe.agg(count(lit(1)).as("new_entries"))))
+      cand
+        .join(sh.as("sa"), $"doc_new" === $"sa.doc_id")
+        .join(sh.as("sb"), $"doc_old" === $"sb.doc_id" && $"sa.h" === $"sb.h")
+        .groupBy($"doc_new", $"doc_old", $"n_shared_bands")
+        .agg(count(lit(1)).as("n_shared"))
+        .join(sizes.select($"doc_id".as("doc_new"), $"n".as("na")),
+          "doc_new")
+        .join(sizes.select($"doc_id".as("doc_old"), $"n".as("nb")),
+          "doc_old")
+        .withColumn("jaccard_fp",
+          expr("(n_shared * 1048576) div (na + nb - n_shared)"))
+        .crossJoin(broadcast(census))
+        .select($"doc_new", $"doc_old", $"n_shared_bands", $"n_shared",
+          $"na", $"nb", $"jaccard_fp", $"idx_entries", $"new_entries")
+        .orderBy($"doc_new", $"doc_old")
+    }
+    graft.PlanOnly.roundTrip(
+      serve(bandsOf(sigsOf(isNew = false)), bandsOf(sigsOf(isNew = true)))) {
+      val tIdx = Tables.scratch("dedup_band_index")
+      graft.sources.TxnTable.drop(spark, tIdx)
+      val b0 = graft.PlanOnly.cut(bandsOf(sigsOf(isNew = false)))
+      val b1 = bandsOf(sigsOf(isNew = true))
+      val (n0, n1) = (b0.count(), b1.count())
+      if (n0 == 0L || n1 == 0L) {
+        // degenerate fixture: no file to carry by reference — commit
+        // readable table-level snapshots (the commitMaybeEmpty contract)
+        graft.sources.TxnTable.commit(spark, tIdx, 0, b0)
+        graft.sources.TxnTable.commit(spark, tIdx, 1, b0.unionAll(b1))
+      } else {
+        val p0 = s"$tIdx/data/f0"
+        b0.write.mode("overwrite").parquet(p0)
+        graft.sources.TxnTable.commitEntries(spark, tIdx, 0,
+          Seq(graft.sources.TxnTable.FileEntry(0L, p0, Long.MinValue,
+            Long.MaxValue, rowCount = n0)))
+        // the append: ONLY the batch's band rows are written; v0's
+        // file rides in the delta manifest by reference
+        val p1 = s"$tIdx/data/f1"
+        b1.write.mode("overwrite").parquet(p1)
+        graft.sources.TxnTable.commitDelta(spark, tIdx, 1,
+          adds = Seq(graft.sources.TxnTable.FileEntry(1L, p1,
+            Long.MinValue, Long.MaxValue, rowCount = n1)))
+      }
+      // the probe reads the STORED v0 buckets — a fresh batch joins
+      // the committed index, never a recomputed sketch of the corpus
+      serve(graft.sources.TxnTable.read(spark, tIdx, Some(0))
+        .select($"doc_id", $"band", $"bh"), bandsOf(sigsOf(isNew = true)))
+    }
+  }
+
+  /** SIGNATURE-INDEX OPTIMIZE — the maintenance rung ABOVE
+    * [[dedupIndexMaintain]]: after appends the band index accumulates
+    * small files AND hot buckets (boilerplate band keys matching > 20
+    * indexed docs — the entries every probe pays to read and then
+    * drops at the cap). The OPTIMIZE pass makes the cap PHYSICAL: hot
+    * buckets (old-slice membership > 20, the probe's own criterion)
+    * are QUARANTINED into a committed sidecar table (the persisted
+    * stopword tier — auditable, revivable, never silently gone), the
+    * surviving entries binpack into ONE file, and the index commits a
+    * delta manifest that REMOVES f0/f1 and ADDS the compacted file —
+    * the Delta OPTIMIZE / Iceberg rewrite-data-files shape on the
+    * dedup index. Serving equivalence is the graded statement: the
+    * probe of the COMPACTED index needs NO runtime hot-cap (the cap
+    * is in the layout now) and must yield exactly the pairs the
+    * capped probe of the raw index yields — pinned row-for-row
+    * against [[dedupIndexMaintain]] in IndexingSpec, and re-derived
+    * from scratch by the oracle together with the quarantine census.
+    *
+    * Scale shape: OPTIMIZE reads the index (entries, not documents),
+    * writes it once; every later probe skips the hot entries by
+    * LAYOUT instead of scanning-then-dropping them — at 10¹² docs the
+    * boilerplate buckets are the index's heavy tail, and this is the
+    * standing stopword-cap posture made durable. */
+  def dedupIndexCompact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = mhSh(spark, dir)
+    def b0F() = mhBandsOf(mhSigsOf(sh, isNew = false))
+    def b1F() = mhBandsOf(mhSigsOf(sh, isNew = true))
+    def serve(idx: DataFrame, probe: DataFrame): DataFrame = {
+      // hot criterion = the probe cap's own: old-slice membership > 20
+      val hot = idx.filter($"doc_id" % 8 =!= 7)
+        .groupBy($"band", $"bh").agg(count(lit(1)).as("c"))
+        .filter($"c" > 20).select($"band", $"bh")
+      val quarantined = idx.join(hot, Seq("band", "bh"), "left_semi")
+      val compacted = idx.join(hot, Seq("band", "bh"), "left_anti")
+      val census = idx.agg(count(lit(1)).as("entries_before"))
+        .crossJoin(broadcast(
+          quarantined.agg(count(lit(1)).as("entries_quarantined"))))
+        .crossJoin(broadcast(
+          hot.agg(count(lit(1)).as("buckets_quarantined"))))
+      // NO runtime cap here — the compacted layout IS the cap
+      probe.select($"band", $"bh", $"doc_id".as("doc_new"))
+        .join(compacted.filter($"doc_id" % 8 =!= 7)
+          .select($"band", $"bh", $"doc_id".as("doc_old")),
+          Seq("band", "bh"))
+        .groupBy($"doc_new", $"doc_old")
+        .agg(count(lit(1)).as("n_shared_bands"))
+        .crossJoin(broadcast(census))
+        .select($"doc_new", $"doc_old", $"n_shared_bands",
+          $"entries_before", $"entries_quarantined",
+          ($"entries_before" - $"entries_quarantined")
+            .as("entries_after"),
+          $"buckets_quarantined")
+        .orderBy($"doc_new", $"doc_old")
+    }
+    graft.PlanOnly.roundTrip(serve(b0F().unionAll(b1F()), b1F())) {
+      val tIdx = Tables.scratch("dedup_band_index2")
+      val tQuar = Tables.scratch("dedup_band_quarantine")
+      Seq(tIdx, tQuar).foreach(graft.sources.TxnTable.drop(spark, _))
+      val b0 = graft.PlanOnly.cut(b0F())
+      val b1 = graft.PlanOnly.cut(b1F())
+      val (n0, n1) = (b0.count(), b1.count())
+      val fileLevel = n0 > 0L && n1 > 0L
+      if (!fileLevel) {
+        graft.sources.TxnTable.commit(spark, tIdx, 0, b0)
+        graft.sources.TxnTable.commit(spark, tIdx, 1, b0.unionAll(b1))
+      } else {
+        val p0 = s"$tIdx/data/f0"
+        b0.write.mode("overwrite").parquet(p0)
+        graft.sources.TxnTable.commitEntries(spark, tIdx, 0,
+          Seq(graft.sources.TxnTable.FileEntry(0L, p0, Long.MinValue,
+            Long.MaxValue, rowCount = n0)))
+        val p1 = s"$tIdx/data/f1"
+        b1.write.mode("overwrite").parquet(p1)
+        graft.sources.TxnTable.commitDelta(spark, tIdx, 1,
+          adds = Seq(graft.sources.TxnTable.FileEntry(1L, p1,
+            Long.MinValue, Long.MaxValue, rowCount = n1)))
+      }
+      // ---- OPTIMIZE: quarantine hot buckets, binpack the rest -------
+      val idx = graft.PlanOnly.cut(
+        graft.sources.TxnTable.read(spark, tIdx, Some(1))
+          .select($"doc_id", $"band", $"bh"))
+      val hot = idx.filter($"doc_id" % 8 =!= 7)
+        .groupBy($"band", $"bh").agg(count(lit(1)).as("c"))
+        .filter($"c" > 20).select($"band", $"bh")
+      graft.sources.TxnTable.commit(spark, tQuar, 0,
+        idx.join(hot, Seq("band", "bh"), "left_semi"))
+      val compacted = idx.join(hot, Seq("band", "bh"), "left_anti")
+      val nc = compacted.count()
+      if (fileLevel && nc > 0L) {
+        val pc = s"$tIdx/data/c0"
+        compacted.write.mode("overwrite").parquet(pc)
+        graft.sources.TxnTable.commitDelta(spark, tIdx, 2,
+          adds = Seq(graft.sources.TxnTable.FileEntry(0L, pc,
+            Long.MinValue, Long.MaxValue, rowCount = nc)),
+          removes = Seq(s"$tIdx/data/f0", s"$tIdx/data/f1"))
+      } else {
+        graft.sources.TxnTable.commit(spark, tIdx, 2, compacted)
+      }
+      // probe the COMMITTED compacted snapshot — v2 serves capless
+      val v2 = graft.sources.TxnTable.read(spark, tIdx, Some(2))
+        .select($"doc_id", $"band", $"bh")
+      val census = idx.agg(count(lit(1)).as("entries_before"))
+        .crossJoin(broadcast(idx.join(hot, Seq("band", "bh"), "left_semi")
+          .agg(count(lit(1)).as("entries_quarantined"))))
+        .crossJoin(broadcast(
+          hot.agg(count(lit(1)).as("buckets_quarantined"))))
+      b1F().select($"band", $"bh", $"doc_id".as("doc_new"))
+        .join(v2.filter($"doc_id" % 8 =!= 7)
+          .select($"band", $"bh", $"doc_id".as("doc_old")),
+          Seq("band", "bh"))
+        .groupBy($"doc_new", $"doc_old")
+        .agg(count(lit(1)).as("n_shared_bands"))
+        .crossJoin(broadcast(census))
+        .select($"doc_new", $"doc_old", $"n_shared_bands",
+          $"entries_before", $"entries_quarantined",
+          ($"entries_before" - $"entries_quarantined")
+            .as("entries_after"),
+          $"buckets_quarantined")
+        .orderBy($"doc_new", $"doc_old")
+    }
   }
 
   /** The four 16-bit SimHash block scramblers — fixed odd multipliers
@@ -815,6 +1087,8 @@ object Indexing {
     "dedup_winnow_verify" -> (dedupWinnowVerify(_, _)),
     "dedup_winnow_pairs" -> (dedupWinnowPairs(_, _)),
     "dedup_minhash_replayable" -> (dedupMinhashReplayable(_, _)),
+    "dedup_index_maintain" -> (dedupIndexMaintain(_, _)),
+    "dedup_index_compact" -> (dedupIndexCompact(_, _)),
     "dedup_simhash_replayable" -> (dedupSimhashReplayable(_, _)),
     "text_inverted_index" -> (textInvertedIndex(_, _)),
     "text_bpe_merge_step" -> (textBpeMergeStep(_, _)),
@@ -887,10 +1161,15 @@ object Indexing {
     * same vocabulary ranks, polynomial gram hash, packed (h, pos) key,
     * and w-window min election. Both winnow oracles append their own
     * final SELECT after the `fp` CTE. */
-  private val winnowChainSql: String =
-    """WITH toks0 AS (SELECT doc_id,
+  private val winnowChainSql: String = "WITH " + winnowChainCtes("documents")
+
+  /** The same chain as a CTE LIST over an arbitrary doc source (a table
+    * name or a prior CTE), so composite oracles can prepend their own
+    * CTEs — shared with the dedup-cascade cost receipt. */
+  private[operators] def winnowChainCtes(docSrc: String): String =
+    s"""toks0 AS (SELECT doc_id,
       |    list_filter(string_split(text, ' '), w -> w <> '') AS t
-      |  FROM documents),
+      |  FROM $docSrc),
       |toks AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
       |  FROM toks0 WHERE len(t) >= 1),
       |tok AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok FROM toks),
@@ -1040,6 +1319,92 @@ WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
         |FROM cold a JOIN cold b ON a.h = b.h AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 8
         |ORDER BY doc_a, doc_b""".stripMargin),
+    // the OPTIMIZE lifecycle re-derived: hot buckets (old membership
+    // > 20) quarantined, the capless probe of the compacted remainder,
+    // and the quarantine census — compacted serving ≡ capped serving
+    "dedup_index_compact" -> (winnowChainSql + s""",
+        |shg AS (SELECT DISTINCT doc_id, h FROM g WHERE h IS NOT NULL),
+        |seeds AS (SELECT * FROM (VALUES ${MinhashRepSeeds.zipWithIndex
+          .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")})
+        |  AS s(i, a, b)),
+        |sig AS (SELECT doc_id, i, min((h * a + b) % 1048573) AS s
+        |  FROM shg, seeds GROUP BY doc_id, i),
+        |band AS (SELECT doc_id, i // 4 AS band,
+        |    CAST(sum(s * CASE i % 4 WHEN 0 THEN 29791 WHEN 1 THEN 961
+        |      WHEN 2 THEN 31 ELSE 1 END) AS BIGINT) AS bh
+        |  FROM sig GROUP BY doc_id, i // 4),
+        |old_b AS (SELECT * FROM band WHERE doc_id % 8 <> 7),
+        |new_b AS (SELECT * FROM band WHERE doc_id % 8 = 7),
+        |hotq AS (SELECT band, bh FROM old_b GROUP BY band, bh
+        |  HAVING count(*) > 20),
+        |comp_old AS (SELECT o.* FROM old_b o
+        |  WHERE NOT EXISTS (SELECT 1 FROM hotq q
+        |    WHERE q.band = o.band AND q.bh = o.bh)),
+        |census AS (SELECT
+        |    (SELECT CAST(count(*) AS BIGINT) FROM band)
+        |      AS entries_before,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM band b
+        |      WHERE EXISTS (SELECT 1 FROM hotq q
+        |        WHERE q.band = b.band AND q.bh = b.bh))
+        |      AS entries_quarantined,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM hotq)
+        |      AS buckets_quarantined)
+        |SELECT n.doc_id AS doc_new, o.doc_id AS doc_old,
+        |  CAST(count(*) AS BIGINT) AS n_shared_bands,
+        |  census.entries_before, census.entries_quarantined,
+        |  census.entries_before - census.entries_quarantined
+        |    AS entries_after,
+        |  census.buckets_quarantined
+        |FROM new_b n JOIN comp_old o
+        |  ON n.band = o.band AND n.bh = o.bh, census
+        |GROUP BY 1, 2, census.entries_before,
+        |  census.entries_quarantined, census.buckets_quarantined
+        |ORDER BY doc_new, doc_old""".stripMargin),
+    // the index lifecycle re-derived from scratch: the same signature
+    // chain as dedup_minhash_replayable, band rows split into the
+    // committed old slice vs the probing batch, hot-bucket cap on the
+    // STORED buckets, new⋈old candidate join, fixed-point verify, and
+    // the index-entry census — probe-the-stored-index ≡ this recompute
+    "dedup_index_maintain" -> (winnowChainSql + s""",
+        |shg AS (SELECT DISTINCT doc_id, h FROM g WHERE h IS NOT NULL),
+        |seeds AS (SELECT * FROM (VALUES ${MinhashRepSeeds.zipWithIndex
+          .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")})
+        |  AS s(i, a, b)),
+        |sig AS (SELECT doc_id, i, min((h * a + b) % 1048573) AS s
+        |  FROM shg, seeds GROUP BY doc_id, i),
+        |band AS (SELECT doc_id, i // 4 AS band,
+        |    CAST(sum(s * CASE i % 4 WHEN 0 THEN 29791 WHEN 1 THEN 961
+        |      WHEN 2 THEN 31 ELSE 1 END) AS BIGINT) AS bh
+        |  FROM sig GROUP BY doc_id, i // 4),
+        |old_b AS (SELECT * FROM band WHERE doc_id % 8 <> 7),
+        |new_b AS (SELECT * FROM band WHERE doc_id % 8 = 7),
+        |bsz AS (SELECT band, bh, count(*) AS c FROM old_b
+        |  GROUP BY band, bh),
+        |coldb AS (SELECT b.band, b.bh, b.doc_id FROM old_b b
+        |  JOIN bsz USING (band, bh) WHERE bsz.c <= 20),
+        |cnd AS (SELECT n.doc_id AS doc_new, o.doc_id AS doc_old,
+        |    CAST(count(*) AS BIGINT) AS n_shared_bands
+        |  FROM new_b n JOIN coldb o
+        |    ON n.band = o.band AND n.bh = o.bh
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shg
+        |  GROUP BY doc_id),
+        |iv AS (SELECT c.doc_new, c.doc_old, c.n_shared_bands,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM cnd c JOIN shg a ON a.doc_id = c.doc_new
+        |  JOIN shg b ON b.doc_id = c.doc_old AND b.h = a.h
+        |  GROUP BY 1, 2, 3),
+        |census AS (SELECT
+        |    (SELECT CAST(count(*) AS BIGINT) FROM old_b) AS idx_entries,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM new_b) AS new_entries)
+        |SELECT iv.doc_new, iv.doc_old, iv.n_shared_bands, iv.n_shared,
+        |  na.n AS na, nb.n AS nb,
+        |  CAST((iv.n_shared * 1048576) // (na.n + nb.n - iv.n_shared)
+        |    AS BIGINT) AS jaccard_fp,
+        |  census.idx_entries, census.new_entries
+        |FROM iv JOIN sz na ON na.doc_id = iv.doc_new
+        |JOIN sz nb ON nb.doc_id = iv.doc_old, census
+        |ORDER BY doc_new, doc_old""".stripMargin),
     // same gram shingles (CTE g), the SAME seed constants (generated
     // from MinhashRepSeeds — one source of truth), affine min-hash,
     // base-31 band packing, hot-bucket cap, and fixed-point verify

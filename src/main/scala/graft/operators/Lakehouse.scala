@@ -411,9 +411,12 @@ object Lakehouse {
     * state — a row is emitted only when its user is NEW (op_insert =
     * 1) or the candidate WINS the (ts_us, event_id) order against the
     * stored row (op_insert = 0, an update); a losing candidate emits
-    * nothing — and (3) overwrites the batch's feed partition
-    * (replay-idempotent: a checkpoint replay rewrites the same
-    * partition, never duplicates) before merging the state. The graded
+    * nothing — and (3) writes the batch's feed partition, skipped
+    * when it already exists (replay-idempotent in EITHER crash order:
+    * a replay after the feed write re-merges the idempotent state; a
+    * replay after the state merge keeps the pre-merge feed rows
+    * instead of re-diffing against merged state) before merging the
+    * state. The graded
     * frame is the FEED read back — exactly the state-transition log;
     * the oracle replays every batch as consecutive event-time-prefix
     * diffs, so the hash certifies feed ≡ transitions.
@@ -471,21 +474,33 @@ object Lakehouse {
               .orderBy($"ts_us".desc, $"event_id".desc)
             val p = new Path(stateDir)
             val pfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-            val prev = if (pfs.exists(p)) s.read.parquet(stateDir)
-              else batch.limit(0)
-            val cand = batch.withColumn("rn", row_number().over(wb))
-              .filter($"rn" === 1).drop("rn")
-            val pv = prev.select($"user_id".as("pu"),
-              $"event_id".as("pe"), $"ts_us".as("pt"))
-            val ops = cand.join(pv, $"user_id" === $"pu", "left")
-              .filter($"pe".isNull || $"ts_us" > $"pt" ||
-                ($"ts_us" === $"pt" && $"event_id" > $"pe"))
-              .select(lit(batchId).as("batch_id"),
-                when($"pe".isNull, 1L).otherwise(0L).as("op_insert"),
-                $"user_id", $"event_id", $"ts_us")
-            // feed partition per batch BEFORE the state merge; replay
-            // overwrites the same partition — exactly-once by layout
-            ops.write.mode("overwrite").parquet(s"$feedDir/batch=$batchId")
+            // replay guard: if this batch's feed partition already
+            // exists, the ops were derived (against the PRE-merge
+            // state) and persisted before the crash — re-deriving them
+            // now, possibly after the state merge landed, would diff
+            // against already-merged state and overwrite the partition
+            // with an empty frame, LOSING feed rows. Skip straight to
+            // the state merge, which is idempotent (latest-per-user
+            // election absorbs a replayed batch).
+            val feedPart = s"$feedDir/batch=$batchId"
+            if (!pfs.exists(new Path(feedPart))) {
+              val prev = if (pfs.exists(p)) s.read.parquet(stateDir)
+                else batch.limit(0)
+              val cand = batch.withColumn("rn", row_number().over(wb))
+                .filter($"rn" === 1).drop("rn")
+              val pv = prev.select($"user_id".as("pu"),
+                $"event_id".as("pe"), $"ts_us".as("pt"))
+              val ops = cand.join(pv, $"user_id" === $"pu", "left")
+                .filter($"pe".isNull || $"ts_us" > $"pt" ||
+                  ($"ts_us" === $"pt" && $"event_id" > $"pe"))
+                .select(lit(batchId).as("batch_id"),
+                  when($"pe".isNull, 1L).otherwise(0L).as("op_insert"),
+                  $"user_id", $"event_id", $"ts_us")
+              // feed partition per batch BEFORE the state merge — the
+              // skip-if-exists above makes the write+merge pair
+              // replay-idempotent in either crash order
+              ops.write.mode("overwrite").parquet(feedPart)
+            }
             graft.streaming.StreamingMirror.upsertBatch(batch, stateDir)
           }
           .trigger(Trigger.AvailableNow()).start()
@@ -701,18 +716,32 @@ object Lakehouse {
     * member commits are ordinary table commits; read-path resolution
     * is one marker lookup + two as-of reads — the catalog-transaction
     * design, not a lock. */
+  /** The two member-table grains of the marker-log transaction keys
+    * ([[sinkTxnMultiTable]], [[sinkTxnVacuumMarkers]]): A = per-user
+    * state, B = per-type summary. */
+  private def mtStateA(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), max($"ts_us").as("last_us"),
+        (sum($"v") * 10000).cast("long").as("v_sum_4dp"))
+  }
+  private def mtSumB(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.groupBy($"event_type")
+      .agg(count(lit(1)).as("b_n_events"), max($"ts_us").as("b_last_us"),
+        (sum($"v") * 10000).cast("long").as("b_v_sum_4dp"))
+  }
+
   def sinkTxnMultiTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = evUsers(spark, dir).withColumn("v", Tables.dec4($"value"))
     val pre = ev.filter($"ts_us" < SplitUs)
     val s1 = ev.filter($"ts_us" >= SplitUs && $"user_id" % 64 === 7)
     val s2 = ev.filter($"ts_us" >= SplitUs && $"user_id" % 64 === 9)
-    def stateA(df: DataFrame): DataFrame = df.groupBy($"user_id")
-      .agg(count(lit(1)).as("n_events"), max($"ts_us").as("last_us"),
-        (sum($"v") * 10000).cast("long").as("v_sum_4dp"))
-    def sumB(df: DataFrame): DataFrame = df.groupBy($"event_type")
-      .agg(count(lit(1)).as("b_n_events"), max($"ts_us").as("b_last_us"),
-        (sum($"v") * 10000).cast("long").as("b_v_sum_4dp"))
+    def stateA(df: DataFrame): DataFrame = mtStateA(df)
+    def sumB(df: DataFrame): DataFrame = mtSumB(df)
     def shape(b: DataFrame, a: DataFrame, lastTxn: Long, aV: Long, bV: Long,
         aDisk: Long, bDisk: Long): DataFrame = b
       .crossJoin(broadcast(a.agg(count(lit(1)).as("a_users"),
@@ -790,11 +819,20 @@ object Lakehouse {
     require(markers.nonEmpty, s"no committed markers under $txnLog")
     val keep = markers.takeRight(keepMarkers)
     val expired = markers.dropRight(keepMarkers)
+    // parse the ENTIRE live set BEFORE any destructive step: a short or
+    // corrupt surviving marker must fail the GC while the log is still
+    // intact, never mid-delete with markers already expired
+    val live: Seq[Seq[Int]] = keep.map { m =>
+      val versions = java.nio.file.Files
+        .readString(new java.io.File(txnLog, m).toPath)
+        .split(",").map(_.toInt).toSeq
+      require(versions.length == members.length,
+        s"marker $m lists ${versions.length} member versions for " +
+          s"${members.length} member tables — corrupt marker, aborting GC")
+      versions
+    }
     expired.foreach(m => require(new java.io.File(txnLog, m).delete(),
       s"failed to expire marker $m"))
-    val live: Seq[Seq[Int]] = keep.map(m => java.nio.file.Files
-      .readString(new java.io.File(txnLog, m).toPath)
-      .split(",").map(_.toInt).toSeq)
     var removed = 0
     members.zipWithIndex.foreach { case (t, i) =>
       val liveVs = live.map(_(i)).toSet
@@ -804,6 +842,213 @@ object Lakehouse {
       }
     }
     (expired.size, removed)
+  }
+
+  /** MARKER-LOG GC, GRADED — [[vacuumMarkers]] promoted from library
+    * surface + spec law (r15 item 7 / r16 verdict item 4) to a graded
+    * reclaim census: the [[sinkTxnMultiTable]] lifecycle is staged
+    * verbatim (txn0 + txn1 fully committed with markers; txn2 CRASHES
+    * after member A's v2 commit — an orphan only the marker log can
+    * see), then the catalog GC expires all but the latest marker and
+    * physically removes every member version no surviving marker
+    * references: A's v0 (expired) and v2 (the orphan) and B's v0 — 3
+    * member versions behind 1 expired marker. The graded frame is the
+    * marker-resolved read AFTER the GC (per-type summary ⋈ A-side
+    * totals — byte-identical to txn1's content, which is the
+    * "surviving histories intact" half of the law) decorated with the
+    * reclaim census (markers expired, member versions removed, and
+    * both members' versions-on-disk AFTER, proving the orphan is
+    * gone). The oracle re-derives the content from raw events without
+    * txn2's slice; the census matches the staged lifecycle's arithmetic.
+    *
+    * Scale shape: the GC is O(markers) log listing + O(versions)
+    * manifest parses per member — metadata-only planning; data
+    * deletion touches exactly the unreferenced snapshot dirs. The
+    * read-back is the usual marker resolution + two as-of reads. */
+  def sinkTxnVacuumMarkers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = evUsers(spark, dir).withColumn("v", Tables.dec4($"value"))
+    val pre = ev.filter($"ts_us" < SplitUs)
+    val s1 = ev.filter($"ts_us" >= SplitUs && $"user_id" % 64 === 7)
+    val s2 = ev.filter($"ts_us" >= SplitUs && $"user_id" % 64 === 9)
+    def shape(b: DataFrame, a: DataFrame, mExp: Long, vRem: Long,
+        aDisk: Long, bDisk: Long): DataFrame = b
+      .crossJoin(broadcast(a.agg(count(lit(1)).as("a_users"),
+        coalesce(sum($"n_events"), lit(0L)).as("a_n_events"))))
+      .select($"event_type", $"b_n_events", $"b_last_us", $"b_v_sum_4dp",
+        $"a_users", $"a_n_events", lit(mExp).as("markers_expired"),
+        lit(vRem).as("member_versions_removed"),
+        lit(aDisk).as("a_versions_after"),
+        lit(bDisk).as("b_versions_after"))
+      .orderBy($"event_type")
+    val equivalent = {
+      val committed = pre.unionByName(s1)
+      shape(mtSumB(committed), mtStateA(committed), 1L, 3L, 1L, 1L)
+    }
+    graft.PlanOnly.roundTrip(equivalent) {
+      val tA = Tables.scratch("txn_gc_a")
+      val tB = Tables.scratch("txn_gc_b")
+      val txnLog = new java.io.File(Tables.scratch("txn_gc_log"))
+      TxnTable.drop(spark, tA)
+      TxnTable.drop(spark, tB)
+      if (txnLog.exists()) txnLog.listFiles().foreach(_.delete())
+      txnLog.mkdirs()
+      def marker(id: Int, aV: Int, bV: Int): Unit =
+        java.nio.file.Files.writeString(
+          new java.io.File(txnLog, f"txn-$id%05d").toPath, s"$aV,$bV")
+      TxnTable.commit(spark, tA, 0, mtStateA(pre))
+      TxnTable.commit(spark, tB, 0, mtSumB(pre))
+      marker(0, 0, 0)
+      val c1 = pre.unionByName(s1)
+      TxnTable.commit(spark, tA, 1, mtStateA(c1))
+      TxnTable.commit(spark, tB, 1, mtSumB(c1))
+      marker(1, 1, 1)
+      // txn2 crashes AFTER A's member commit: orphaned version, no marker
+      TxnTable.commit(spark, tA, 2, mtStateA(c1.unionByName(s2)))
+      // the catalog GC: keep the latest marker, reclaim everything no
+      // surviving marker references (A v0 + A v2-orphan + B v0)
+      val (mExp, vRem) = vacuumMarkers(spark, txnLog, Seq(tA, tB), 1)
+      // marker-resolved read AFTER the GC — surviving history intact
+      val last = txnLog.listFiles().map(_.getName)
+        .filter(_.startsWith("txn-")).sorted.last
+      val Array(aV, bV) = java.nio.file.Files
+        .readString(new java.io.File(txnLog, last).toPath)
+        .split(",").map(_.toInt)
+      shape(TxnTable.read(spark, tB, Some(bV)),
+        TxnTable.read(spark, tA, Some(aV)),
+        mExp.toLong, vRem.toLong,
+        TxnTable.versions(spark, tA).size.toLong,
+        TxnTable.versions(spark, tB).size.toLong)
+    }
+  }
+
+  /** SPEND THE CDF: INCREMENTAL VIEW MAINTENANCE FROM OP ROWS — the
+    * consumer [[streamExecCdcFeed]]'s feed existed for (r16 verdict
+    * item 2; the CDC loop closed): the same checkpointed foreachBatch
+    * stream emits per-batch op rows, here EXTENDED with the update
+    * PREIMAGE (`prev_event_type`, the Delta CDF `update_preimage` /
+    * Debezium `before` field — exactly what lets an aggregate consumer
+    * retract the old contribution without touching the base table),
+    * and a downstream batch consumer FOLDS the feed alone — never the
+    * state, never the base events — into a maintained per-type
+    * count of current users: per batch, +1 on each op's new type,
+    * −1 on each update's preimage type. The graded frame stacks, per
+    * (batch, type), the MAINTAINED count against the DIRECT
+    * latest-per-user recompute at the same event-time prefix — the
+    * oracle derives both columns from raw prefixes, so the hash
+    * certifies fold(feed) ≡ recompute at every step (the IVM-from-CDF
+    * correctness statement; the retraction branch is exercised by
+    * every real update in the feed).
+    *
+    * Scale shape: the per-batch fold reads O(changed rows) — the
+    * entire point of consuming a CDF vs re-diffing snapshots; the
+    * maintained view is |types| rows and each fold step is a
+    * broadcast-size full-outer merge. Feed emission cost matches
+    * streamExecCdcFeed (keyed diff against the co-partitioned state);
+    * the preimage columns ride the join that already resolved them. */
+  def streamExecCdfApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = evUsers(spark, dir)
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts_us".desc, $"event_id".desc)
+    def directAt(i: Int, b: Long): DataFrame = ev.filter($"ts_us" < b)
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("direct_n_users"))
+      .withColumn("version", lit(i.toLong))
+    def shape(df: DataFrame): DataFrame = df
+      .select($"version", $"event_type", $"maint_n_users",
+        $"direct_n_users")
+      .orderBy($"version", $"event_type")
+    val equivalent = shape(SinkBoundsUs.zipWithIndex.map { case (b, i) =>
+      directAt(i, b).withColumn("maint_n_users", $"direct_n_users")
+    }.reduce(_.unionByName(_)))
+    graft.PlanOnly.roundTrip(equivalent) {
+      import org.apache.hadoop.fs.Path
+      // share the staged quartiles with streamExecCdcFeed (same base,
+      // own state/feed/ckpt namespaces)
+      val base = Tables.scratch("stream_exec_cdc")
+      val fs = new Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq(s"$base/state_apply", s"$base/feed_apply", s"$base/ckpt_apply")
+        .foreach { d => fs.delete(new Path(d), true): Unit }
+      val stage = stagedQuartiles(spark, dir, base)
+      val schema = spark.read.parquet(stage).schema
+      val stateDir = s"$base/state_apply"
+      val feedDir = s"$base/feed_apply"
+      graft.streaming.StreamingMirror.withStreamRuntimeConfs(spark) {
+        val q = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage)
+          .writeStream.option("checkpointLocation", s"$base/ckpt_apply")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val s = batch.sparkSession
+            import s.implicits._
+            val wb = Window.partitionBy($"user_id")
+              .orderBy($"ts_us".desc, $"event_id".desc)
+            val p = new Path(stateDir)
+            val pfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+            // the streamExecCdcFeed replay guard: pre-merge ops persist
+            val feedPart = s"$feedDir/batch=$batchId"
+            if (!pfs.exists(new Path(feedPart))) {
+              val prev = if (pfs.exists(p)) s.read.parquet(stateDir)
+                else batch.limit(0)
+              val cand = batch.withColumn("rn", row_number().over(wb))
+                .filter($"rn" === 1).drop("rn")
+              val pv = prev.select($"user_id".as("pu"),
+                $"event_id".as("pe"), $"ts_us".as("pt"),
+                $"event_type".as("ptype"))
+              val ops = cand.join(pv, $"user_id" === $"pu", "left")
+                .filter($"pe".isNull || $"ts_us" > $"pt" ||
+                  ($"ts_us" === $"pt" && $"event_id" > $"pe"))
+                .select(lit(batchId).as("batch_id"),
+                  when($"pe".isNull, 1L).otherwise(0L).as("op_insert"),
+                  $"user_id", $"event_id", $"ts_us", $"event_type",
+                  // the update PREIMAGE — sentinel for inserts
+                  coalesce($"ptype", lit("(none)")).as("prev_event_type"))
+              ops.write.mode("overwrite").parquet(feedPart)
+            }
+            graft.streaming.StreamingMirror.upsertBatch(batch, stateDir)
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      // ---- the consumer: fold op rows alone into the maintained view
+      val feed = graft.PlanOnly.cut(spark.read.parquet(feedDir)
+        .select($"batch_id", $"op_insert", $"event_type",
+          $"prev_event_type"))
+      def deltaOf(k: Int): DataFrame = {
+        val fk = feed.filter($"batch_id" === k.toLong)
+        val plus = fk.groupBy($"event_type").agg(count(lit(1)).as("pl"))
+        val minus = fk.filter($"op_insert" === 0L)
+          .groupBy($"prev_event_type".as("event_type"))
+          .agg(count(lit(1)).as("mi"))
+        plus.join(minus, Seq("event_type"), "full_outer")
+          .select($"event_type",
+            (coalesce($"pl", lit(0L)) - coalesce($"mi", lit(0L))).as("d"))
+      }
+      val view0 = graft.PlanOnly.cut(deltaOf(0)
+        .select($"event_type", $"d".as("m")).withColumn("version", lit(0L)))
+      val views = (1 to 3).foldLeft(Seq(view0)) { (acc, i) =>
+        val next = graft.PlanOnly.cut(acc.last.drop("version")
+          .join(deltaOf(i), Seq("event_type"), "full_outer")
+          .select($"event_type",
+            (coalesce($"m", lit(0L)) + coalesce($"d", lit(0L))).as("m"))
+          .withColumn("version", lit(i.toLong)))
+        acc :+ next
+      }
+      val maintained = views.reduce(_.unionByName(_))
+        // a type folded to zero users is "absent", matching the direct
+        // recompute's row set; a NON-zero row missing from direct (or
+        // vice versa) surfaces as a sentinel row and fails the hash
+        .filter($"m" =!= 0L)
+      val direct = SinkBoundsUs.zipWithIndex
+        .map { case (b, i) => directAt(i, b) }.reduce(_.unionByName(_))
+      shape(maintained.join(direct, Seq("version", "event_type"),
+          "full_outer")
+        .select($"version", $"event_type",
+          coalesce($"m", lit(-1L)).as("maint_n_users"),
+          coalesce($"direct_n_users", lit(-1L)).as("direct_n_users")))
+    }
   }
 
   /** The four prefix-diff batches unrolled: cur_k = latest-per-user
@@ -843,7 +1088,35 @@ object Lakehouse {
        |ORDER BY batch_id, user_id""".stripMargin
   }
 
+  /** Per prefix k: latest-per-user election with the type kept, per-type
+    * user counts — maintained and direct are the SAME number when the
+    * fold is right, which is what the hash certifies. */
+  private def cdfApplyOracle: String = {
+    val bounds = Seq(1704758400000000L, 1705449600000000L,
+      1706140800000000L)
+    def cur(k: Int): String = {
+      val filt = if (k < 3) s"WHERE t < ${bounds(k)}" else ""
+      s"""cur_$k AS (SELECT user_id, event_type FROM (
+         |    SELECT user_id, event_type, row_number() OVER (
+         |      PARTITION BY user_id ORDER BY t DESC, event_id DESC) AS rn
+         |    FROM e $filt) WHERE rn = 1)""".stripMargin
+    }
+    def agg(k: Int): String =
+      s"""SELECT CAST($k AS BIGINT) AS version, event_type,
+         |  CAST(count(*) AS BIGINT) AS n FROM cur_$k GROUP BY 2"""
+        .stripMargin
+    s"""WITH e AS (SELECT user_id, event_id, event_type,
+       |    epoch_us(ts) AS t FROM events),
+       |${(0 to 3).map(cur).mkString(",\n")}
+       |SELECT version, event_type, n AS maint_n_users,
+       |  n AS direct_n_users
+       |FROM (${(0 to 3).map(agg).mkString("\nUNION ALL\n")})
+       |ORDER BY version, event_type""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "sink_txn_vacuum_markers" -> (sinkTxnVacuumMarkers(_, _)),
+    "stream_exec_cdf_apply" -> (streamExecCdfApply(_, _)),
     "stream_exec_cdc_feed" -> (streamExecCdcFeed(_, _)),
     "sink_txn_multi_table" -> (sinkTxnMultiTable(_, _)),
     "sink_txn_constraint_check" -> (sinkTxnConstraintCheck(_, _)),
@@ -858,6 +1131,33 @@ object Lakehouse {
   val oracleSql: Map[String, String] = Map(
     // the prefix-diff batches unrolled (see cdcFeedOracle)
     "stream_exec_cdc_feed" -> cdcFeedOracle,
+    // fold(feed) ≡ recompute at every prefix (see cdfApplyOracle)
+    "stream_exec_cdf_apply" -> cdfApplyOracle,
+    // content = the multi-table marker-resolved read (txn1, without the
+    // aborted slice) — UNCHANGED by the GC, which is half the law; the
+    // census constants are the staged lifecycle's arithmetic: 1 expired
+    // marker (txn-0), 3 member versions reclaimed (A v0 + A v2-orphan +
+    // B v0), 1 version left on disk per member (the marked v1)
+    "sink_txn_vacuum_markers" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |c AS (SELECT * FROM e WHERE ts_us < 1705536000000000
+        |  UNION ALL SELECT * FROM e
+        |  WHERE ts_us >= 1705536000000000 AND user_id % 64 = 7),
+        |a AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS a_users,
+        |    CAST(count(*) AS BIGINT) AS a_n_events FROM c),
+        |b AS (SELECT event_type, CAST(count(*) AS BIGINT) AS b_n_events,
+        |    max(ts_us) AS b_last_us,
+        |    CAST(sum(v) * 10000 AS BIGINT) AS b_v_sum_4dp
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, b_n_events, b_last_us, b_v_sum_4dp,
+        |  (SELECT a_users FROM a) AS a_users,
+        |  (SELECT a_n_events FROM a) AS a_n_events,
+        |  CAST(1 AS BIGINT) AS markers_expired,
+        |  CAST(3 AS BIGINT) AS member_versions_removed,
+        |  CAST(1 AS BIGINT) AS a_versions_after,
+        |  CAST(1 AS BIGINT) AS b_versions_after
+        |FROM b ORDER BY event_type""".stripMargin,
     // the marker-resolved state re-derived from raw events WITHOUT the
     // aborted transaction's slice — invisibility of the orphaned A@v2
     // is exactly what the hash certifies

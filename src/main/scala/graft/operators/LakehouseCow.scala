@@ -517,6 +517,477 @@ object LakehouseCow {
     }
   }
 
+  /** STATS-DRIVEN PLAN CHOICE — the decision rung [[sinkTxnCboEstimate]]
+    * stops short of (r16 verdict item 3): the committed stats don't
+    * just PRICE a join, they PICK ITS STRATEGY. Three star-join
+    * scenarios (dim ⋉ fact intermediate, probed against the click
+    * fact) are planned METADATA-ONLY — row counts from the manifest
+    * rowCount tier (countAt), join-key NDVs from the committed KMV
+    * sidecar — the intermediate's cardinality estimated with the
+    * semi-join containment formula |F ⋉ D| ≈ r_F · min(ndv_D, ndv_F) /
+    * ndv_F, and the BROADCAST-VS-SHUFFLE decision taken from the
+    * estimate alone (broadcast when est·8 ≤ r_probe — the
+    * autoBroadcastJoinThreshold gesture as a scale-free row-ratio);
+    * the probe join then EXECUTES under the chosen hint. The graded
+    * row is the planner-regression receipt every CBO needs: estimate
+    * vs truth, the decision taken, the decision truth would have
+    * taken, and whether truth would have FLIPPED it — with the final
+    * join count proving the answer is strategy-independent. Scenarios
+    * exercise the regimes: the full dim (estimate exact up to sketch
+    * error), the SELECTIVE dim (the skew/containment failure mode —
+    * active users are heavy users, so their fact share exceeds their
+    * key share), and a sparse 1%-of-keys dim (clear broadcast).
+    * The plan shape under each decision is pinned in LakehouseSpec
+    * (broadcast choice ⇒ BroadcastHashJoin, shuffle choice ⇒ no
+    * broadcast on the intermediate) with AQE off.
+    *
+    * Scale shape: planning reads O(1) manifest scalars + a ≤64-row
+    * sketch per table and the decision is driver arithmetic — zero
+    * data bytes before the strategy is fixed, which is the entire
+    * point: at 100 TB the wrong choice here is a 10⁴-executor
+    * shuffle of a table that fit in RAM. */
+  def sinkTxnCboChoose(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val M = 2147483647L
+    val ev = evUsers(spark, dir)
+    def usersAll() = state(ev).select($"user_id")
+    def usersActive() = {
+      val tot = state(ev).agg(count(lit(1)).as("u"),
+        sum($"n_events").as("tot"))
+      state(ev).crossJoin(broadcast(tot))
+        .filter($"n_events" * $"u" * 10L > $"tot" * 11L)
+        .select($"user_id")
+    }
+    def usersSparse() = state(ev).filter($"user_id" % 97 === 0)
+      .select($"user_id")
+    def factF() = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id")
+    def probeF() = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id")
+    def kmvH(keys: DataFrame): DataFrame = keys.distinct()
+      .select(expr(s"((user_id + 1) * 2654435761) % $M").as("h"))
+      .orderBy($"h").limit(64)
+    def ndvCol(h: DataFrame, as: String): DataFrame = h
+      .agg(count(lit(1)).as("ns"), coalesce(max($"h"), lit(-1L)).as("th"))
+      .select(expr(s"CASE WHEN ns < 64 THEN ns " +
+        s"ELSE ${63L * M} div th END").as(as))
+    // decision receipt from frames — shared shape of both branches;
+    // `joined` is the EXECUTED probe join (hinted in the real branch)
+    def receipt(name: String, rd: DataFrame, rf: DataFrame, rp: DataFrame,
+        nd: DataFrame, nf: DataFrame, inter: DataFrame,
+        joined: DataFrame): DataFrame =
+      rd.crossJoin(rf).crossJoin(rp).crossJoin(nd).crossJoin(nf)
+        .crossJoin(inter.agg(count(lit(1)).as("true_inter")))
+        .crossJoin(joined.agg(count(lit(1)).as("join_rows")))
+        .select(lit(name).as("scenario"), $"r_dim", $"r_fact", $"r_probe",
+          $"ndv_dim", $"ndv_fact",
+          expr("CASE WHEN ndv_fact > 0 THEN (r_fact * " +
+            "least(ndv_dim, ndv_fact)) div ndv_fact ELSE 0 END")
+            .as("est_inter"),
+          $"true_inter", $"join_rows")
+        .withColumn("est_bcast",
+          when($"est_inter" * 8L <= $"r_probe", 1L).otherwise(0L))
+        .withColumn("true_bcast",
+          when($"true_inter" * 8L <= $"r_probe", 1L).otherwise(0L))
+        .withColumn("flipped",
+          when($"est_bcast" =!= $"true_bcast", 1L).otherwise(0L))
+        .select($"scenario", $"r_dim", $"r_fact", $"r_probe", $"ndv_dim",
+          $"ndv_fact", $"est_inter", $"true_inter", $"est_bcast",
+          $"true_bcast", $"flipped", $"join_rows")
+    def cnt(df: DataFrame, as: String) = df.agg(count(lit(1)).as(as))
+    def scenarioEq(name: String, dim: DataFrame): DataFrame = {
+      val inter = factF().join(dim, Seq("user_id"), "left_semi")
+      receipt(name, cnt(dim, "r_dim"), cnt(factF(), "r_fact"),
+        cnt(probeF(), "r_probe"), ndvCol(kmvH(dim), "ndv_dim"),
+        ndvCol(kmvH(factF().select($"user_id")), "ndv_fact"),
+        inter, probeF().join(inter, Seq("user_id")))
+    }
+    val equivalent = Seq("active_dim" -> usersActive _,
+        "all_dim" -> usersAll _, "sparse_dim" -> usersSparse _)
+      .map { case (n, d) => scenarioEq(n, d()) }
+      .reduce(_.unionAll(_)).orderBy($"scenario")
+    graft.PlanOnly.roundTrip(equivalent) {
+      val tS = Tables.scratch("cbo2_ndv_sidecar")
+      TxnTable.drop(spark, tS)
+      val defs = Seq("cbo2_all" -> usersAll(), "cbo2_act" -> usersActive(),
+        "cbo2_sparse" -> usersSparse(), "cbo2_fact" -> factF(),
+        "cbo2_probe" -> probeF())
+      val stored = defs.map { case (nm, df) =>
+        val t = Tables.scratch(nm)
+        TxnTable.drop(spark, t)
+        val n = df.count()
+        if (n == 0L) TxnTable.commit(spark, t, 0, df)
+        else {
+          val p = s"$t/data/f0"
+          df.write.mode("overwrite").parquet(p)
+          TxnTable.commitEntries(spark, t, 0, Seq(FileEntry(0L, p,
+            Long.MinValue, Long.MaxValue, rowCount = n)))
+        }
+        nm -> t
+      }.toMap
+      TxnTable.commit(spark, tS, 0, defs.map { case (nm, df) =>
+        kmvH(df.select($"user_id")).withColumn("tbl", lit(nm))
+      }.reduce(_.unionAll(_)))
+      val sc = graft.PlanOnly.cut(TxnTable.read(spark, tS))
+      // planning scalars: manifest counts + ≤64-row sketch folds — the
+      // O(1)-per-table metadata a real planner reads before any data
+      def rOf(nm: String) = TxnTable.countAt(spark, stored(nm))
+      def ndvOf(nm: String): Long = {
+        val r = sc.filter($"tbl" === nm)
+          .agg(count(lit(1)).as("ns"), coalesce(max($"h"), lit(-1L)).as("th"))
+          .collect()(0) // 1 row: planning metadata, never data
+        val (ns, th) = (r.getLong(0), r.getLong(1))
+        if (ns < 64) ns else 63L * M / th
+      }
+      val (rFact, rProbe) = (rOf("cbo2_fact"), rOf("cbo2_probe"))
+      val ndvFact = ndvOf("cbo2_fact")
+      def lick(v: Long, as: String) = spark.range(1).select(lit(v).as(as))
+      def scenarioReal(name: String, dimNm: String): DataFrame = {
+        val rDim = rOf(dimNm)
+        val ndvDim = ndvOf(dimNm)
+        val est = if (ndvFact > 0) rFact * math.min(ndvDim, ndvFact) / ndvFact
+          else 0L
+        val chosenBcast = est * 8L <= rProbe
+        val dim = TxnTable.read(spark, stored(dimNm))
+        val fact = TxnTable.read(spark, stored("cbo2_fact"))
+        val probe = TxnTable.read(spark, stored("cbo2_probe"))
+        val inter = fact.join(dim, Seq("user_id"), "left_semi")
+        // THE decision: the estimate alone picks the physical strategy
+        val joined =
+          if (chosenBcast) probe.join(broadcast(inter), Seq("user_id"))
+          else probe.hint("merge").join(inter, Seq("user_id"))
+        receipt(name, lick(rDim, "r_dim"), lick(rFact, "r_fact"),
+          lick(rProbe, "r_probe"), lick(ndvDim, "ndv_dim"),
+          lick(ndvFact, "ndv_fact"), inter, joined)
+      }
+      Seq("active_dim" -> "cbo2_act", "all_dim" -> "cbo2_all",
+          "sparse_dim" -> "cbo2_sparse")
+        .map { case (n, t) => scenarioReal(n, t) }
+        .reduce(_.unionAll(_)).orderBy($"scenario")
+    }
+  }
+
+  /** The SMB state-merge algebra: full-outer on the bucket key, counts
+    * and sums fold, last_us takes the max — shared by the graded key
+    * and BucketingSpec's no-Exchange plan pin. */
+  private[graft] def smbMerge(a: DataFrame, b: DataFrame): DataFrame = {
+    val s = a.sparkSession
+    import s.implicits._
+    val l = a.select($"user_id", $"n_events".as("an"),
+      $"last_us".as("al"), $"v_sum_4dp".as("av"))
+    val r = b.select($"user_id", $"n_events".as("bn"),
+      $"last_us".as("bl"), $"v_sum_4dp".as("bv"))
+    l.join(r, Seq("user_id"), "full_outer")
+      .select($"user_id",
+        (coalesce($"an", lit(0L)) + coalesce($"bn", lit(0L))).as("n_events"),
+        greatest(coalesce($"al", $"bl"), coalesce($"bl", $"al"))
+          .as("last_us"),
+        (coalesce($"av", lit(0L)) + coalesce($"bv", lit(0L)))
+          .as("v_sum_4dp"))
+  }
+
+  /** SORT-MERGE-BUCKET RUNG ON THE TRANSACTIONAL TIER — the
+    * [[Relational.sinkBucketedJoin]] proof applied to the TxnTable log
+    * (r16 verdict item 6): the manifest RECORDS the snapshot's physical
+    * layout ([[TxnTable.commitAt]] — bucket key, bucket count, catalog
+    * table), and the MERGE path plans from the LOG — it reads both
+    * sides' layout strings, verifies they agree on (key, buckets), and
+    * only then serves the merge as a co-bucketed sort-merge join over
+    * the two Hive-bucketed snapshots: NO exchange and NO sort on
+    * either side (pinned with AQE/broadcast off in BucketingSpec; a
+    * layout mismatch would fall back to the ordinary shuffle merge —
+    * the safe direction None layouts also take). The merge OUTPUT is
+    * written bucketed again and committed as v1 WITH its layout — the
+    * invariant that keeps every later merge exchange-free too (the
+    * property that makes SMB compound: at 100 TB the state table
+    * shuffles ZERO times across its entire maintenance lifetime). The
+    * graded frame is v1 read back, decorated with the layout receipt;
+    * the oracle recomputes the merged per-user state from raw events,
+    * so the hash certifies the exchange-free fold ≡ recompute.
+    *
+    * Scale shape: both sides pre-hashed and pre-sorted on user_id —
+    * the merge is a zip of co-located buckets (map-side at 1000
+    * executors); the only data movement is the v1 write itself. */
+  def sinkTxnSmbMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = evUsers(spark, dir)
+    val pre = ev.filter($"ts_us" < SplitUs)
+    val post = ev.filter($"ts_us" >= SplitUs)
+    def shape(df: DataFrame): DataFrame = df
+      .select($"user_id", $"n_events", $"last_us", $"v_sum_4dp",
+        $"bucket_count", $"layout_match")
+      .orderBy($"user_id")
+    val equivalent = shape(state(ev)
+      .withColumn("bucket_count", lit(8L))
+      .withColumn("layout_match", lit(1L)))
+    graft.PlanOnly.roundTrip(equivalent) {
+      val tbl = Tables.scratch("txn_smb_state")
+      val dTbl = Tables.scratch("txn_smb_delta")
+      Seq(tbl, dTbl).foreach(TxnTable.drop(spark, _))
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      def loc(n: String) = new org.apache.hadoop.fs.Path(wh,
+        n.toLowerCase).toString
+      graft.sources.Sinks.writeBucketed(state(pre), "smb_state_v0", 8,
+        "user_id")
+      TxnTable.commitAt(spark, tbl, 0, loc("smb_state_v0"),
+        "user_id:8:smb_state_v0")
+      graft.sources.Sinks.writeBucketed(state(post), "smb_delta_b0", 8,
+        "user_id")
+      TxnTable.commitAt(spark, dTbl, 0, loc("smb_delta_b0"),
+        "user_id:8:smb_delta_b0")
+      // plan from the LOG: both layouts must agree on (key, buckets)
+      def lay(t: String): (String, Long, String) = {
+        val l = TxnTable.layoutOf(spark, t, Some(0))
+          .getOrElse(sys.error(s"no layout recorded for $t"))
+        val Array(k, n, cat) = l.split(":", 3)
+        (k, n.toLong, cat)
+      }
+      val (ka, na, ca) = lay(tbl)
+      val (kb, nb, cb) = lay(dTbl)
+      val matches = ka == kb && na == nb
+      val merged =
+        if (matches) smbMerge(spark.table(ca), spark.table(cb))
+        else smbMerge(TxnTable.read(spark, tbl, Some(0)),
+          TxnTable.read(spark, dTbl, Some(0))) // unknown layout: shuffle
+      // the merge write PRESERVES the layout — v1 is bucketed too
+      graft.sources.Sinks.writeBucketed(merged, "smb_state_v1",
+        na.toInt, ka)
+      TxnTable.commitAt(spark, tbl, 1, loc("smb_state_v1"),
+        s"$ka:$na:smb_state_v1")
+      shape(spark.table("smb_state_v1")
+        .withColumn("bucket_count", lit(na))
+        .withColumn("layout_match", lit(if (matches) 1L else 0L)))
+    }
+  }
+
+  /** STATS-DRIVEN JOIN ORDER — the second planner decision the stats
+    * tier feeds (broadcast-vs-shuffle is [[sinkTxnCboChoose]]; this is
+    * WHICH JOIN RUNS FIRST): a fact is reduced by TWO dims, and the
+    * planner must apply the more selective one first — at 100 TB the
+    * difference between the second join probing 1% of the fact or 50%
+    * of it. Each scenario estimates BOTH one-dim intermediates from
+    * committed stats alone (manifest countAt rows + KMV NDVs, the
+    * semi-join containment formula), orders the dims by estimate
+    * (ties → dim A, the deterministic tiebreak), EXECUTES the chosen
+    * order, and emits the receipt: both estimates, both truths, the
+    * chosen order, the order truth would pick, whether truth would
+    * FLIP it, and the order-independent final count. The three
+    * scenarios exercise clear-cut (1% vs 20%), dominated (100% vs
+    * 20%) and skew-threatened (20% of users holding >20% of events vs
+    * a 50% hash slice) regimes.
+    *
+    * Scale shape: the decision costs O(1) manifest scalars + two
+    * ≤64-row sketch folds — zero data bytes; both semi-joins are
+    * key-partitioned; the receipt's truth columns are the only real
+    * joins and exist to GRADE the estimator. */
+  def sinkTxnCboJoinOrder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val M = 2147483647L
+    val ev = evUsers(spark, dir)
+    def usersAll() = state(ev).select($"user_id")
+    def usersActive() = {
+      val tot = state(ev).agg(count(lit(1)).as("u"),
+        sum($"n_events").as("tot"))
+      state(ev).crossJoin(broadcast(tot))
+        .filter($"n_events" * $"u" * 10L > $"tot" * 11L)
+        .select($"user_id")
+    }
+    def usersSparse() = state(ev).filter($"user_id" % 97 === 0)
+      .select($"user_id")
+    def usersHalf() = state(ev).filter($"user_id" % 2 === 0)
+      .select($"user_id")
+    def factF() = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id")
+    def kmvH(keys: DataFrame): DataFrame = keys.distinct()
+      .select(expr(s"((user_id + 1) * 2654435761) % $M").as("h"))
+      .orderBy($"h").limit(64)
+    def ndvCol(h: DataFrame, as: String): DataFrame = h
+      .agg(count(lit(1)).as("ns"), coalesce(max($"h"), lit(-1L)).as("th"))
+      .select(expr(s"CASE WHEN ns < 64 THEN ns " +
+        s"ELSE ${63L * M} div th END").as(as))
+    def receipt(name: String, rf: DataFrame, nf: DataFrame,
+        nda: DataFrame, ndb: DataFrame, ta: DataFrame, tb: DataFrame,
+        fin: DataFrame): DataFrame =
+      rf.crossJoin(nf).crossJoin(nda).crossJoin(ndb)
+        .crossJoin(ta).crossJoin(tb).crossJoin(fin)
+        .select(lit(name).as("scenario"), $"r_fact", $"ndv_fact",
+          $"ndv_a", $"ndv_b",
+          expr("CASE WHEN ndv_fact > 0 THEN (r_fact * " +
+            "least(ndv_a, ndv_fact)) div ndv_fact ELSE 0 END")
+            .as("est_inter_a"),
+          expr("CASE WHEN ndv_fact > 0 THEN (r_fact * " +
+            "least(ndv_b, ndv_fact)) div ndv_fact ELSE 0 END")
+            .as("est_inter_b"),
+          $"true_inter_a", $"true_inter_b", $"final_rows")
+        .withColumn("chose_a_first",
+          when($"est_inter_a" <= $"est_inter_b", 1L).otherwise(0L))
+        .withColumn("truth_a_first",
+          when($"true_inter_a" <= $"true_inter_b", 1L).otherwise(0L))
+        .withColumn("flipped",
+          when($"chose_a_first" =!= $"truth_a_first", 1L).otherwise(0L))
+        .select($"scenario", $"r_fact", $"ndv_fact", $"ndv_a", $"ndv_b",
+          $"est_inter_a", $"est_inter_b", $"true_inter_a",
+          $"true_inter_b", $"chose_a_first", $"truth_a_first",
+          $"flipped", $"final_rows")
+    def cnt(df: DataFrame, as: String) = df.agg(count(lit(1)).as(as))
+    def scenarioEq(name: String, da: DataFrame, db: DataFrame)
+        : DataFrame = {
+      val ia = factF().join(da, Seq("user_id"), "left_semi")
+      val ib = factF().join(db, Seq("user_id"), "left_semi")
+      receipt(name, cnt(factF(), "r_fact"),
+        ndvCol(kmvH(factF().select($"user_id")), "ndv_fact"),
+        ndvCol(kmvH(da), "ndv_a"), ndvCol(kmvH(db), "ndv_b"),
+        cnt(ia, "true_inter_a"), cnt(ib, "true_inter_b"),
+        cnt(ia.join(db, Seq("user_id"), "left_semi"), "final_rows"))
+    }
+    val equivalent = Seq(
+        ("active_vs_half", usersActive _, usersHalf _),
+        ("active_vs_sparse", usersActive _, usersSparse _),
+        ("all_vs_active", usersAll _, usersActive _))
+      .map { case (n, a, b) => scenarioEq(n, a(), b()) }
+      .reduce(_.unionAll(_)).orderBy($"scenario")
+    graft.PlanOnly.roundTrip(equivalent) {
+      val tS = Tables.scratch("cbo3_ndv_sidecar")
+      TxnTable.drop(spark, tS)
+      val defs = Seq("cbo3_all" -> usersAll(), "cbo3_act" -> usersActive(),
+        "cbo3_sparse" -> usersSparse(), "cbo3_half" -> usersHalf(),
+        "cbo3_fact" -> factF())
+      val stored = defs.map { case (nm, df) =>
+        val t = Tables.scratch(nm)
+        TxnTable.drop(spark, t)
+        val n = df.count()
+        if (n == 0L) TxnTable.commit(spark, t, 0, df)
+        else {
+          val p = s"$t/data/f0"
+          df.write.mode("overwrite").parquet(p)
+          TxnTable.commitEntries(spark, t, 0, Seq(FileEntry(0L, p,
+            Long.MinValue, Long.MaxValue, rowCount = n)))
+        }
+        nm -> t
+      }.toMap
+      TxnTable.commit(spark, tS, 0, defs.map { case (nm, df) =>
+        kmvH(df.select($"user_id")).withColumn("tbl", lit(nm))
+      }.reduce(_.unionAll(_)))
+      val sc = graft.PlanOnly.cut(TxnTable.read(spark, tS))
+      def rOf(nm: String) = TxnTable.countAt(spark, stored(nm))
+      def ndvOf(nm: String): Long = {
+        val r = sc.filter($"tbl" === nm)
+          .agg(count(lit(1)).as("ns"),
+            coalesce(max($"h"), lit(-1L)).as("th"))
+          .collect()(0) // 1 row: planning metadata, never data
+        val (ns, th) = (r.getLong(0), r.getLong(1))
+        if (ns < 64) ns else 63L * M / th
+      }
+      val (rFact, ndvFact) = (rOf("cbo3_fact"), ndvOf("cbo3_fact"))
+      def lick(v: Long, as: String) = spark.range(1).select(lit(v).as(as))
+      def scenarioReal(name: String, aNm: String, bNm: String)
+          : DataFrame = {
+        val (ndvA, ndvB) = (ndvOf(aNm), ndvOf(bNm))
+        def est(nd: Long) = if (ndvFact > 0)
+          rFact * math.min(nd, ndvFact) / ndvFact else 0L
+        val aFirst = est(ndvA) <= est(ndvB)
+        val fact = TxnTable.read(spark, stored("cbo3_fact"))
+        val dA = TxnTable.read(spark, stored(aNm))
+        val dB = TxnTable.read(spark, stored(bNm))
+        val ia = fact.join(dA, Seq("user_id"), "left_semi")
+        val ib = fact.join(dB, Seq("user_id"), "left_semi")
+        // THE decision: the estimated-smaller intermediate runs first
+        val fin =
+          if (aFirst) ia.join(dB, Seq("user_id"), "left_semi")
+          else ib.join(dA, Seq("user_id"), "left_semi")
+        receipt(name, lick(rFact, "r_fact"), lick(ndvFact, "ndv_fact"),
+          lick(ndvA, "ndv_a"), lick(ndvB, "ndv_b"),
+          cnt(ia, "true_inter_a"), cnt(ib, "true_inter_b"),
+          cnt(fin, "final_rows"))
+      }
+      Seq(("active_vs_half", "cbo3_act", "cbo3_half"),
+          ("active_vs_sparse", "cbo3_act", "cbo3_sparse"),
+          ("all_vs_active", "cbo3_all", "cbo3_act"))
+        .map { case (n, a, b) => scenarioReal(n, a, b) }
+        .reduce(_.unionAll(_)).orderBy($"scenario")
+    }
+  }
+
+  /** BUCKET-COUNT EVOLUTION ON THE SMB TIER — the mismatch case
+    * [[sinkTxnSmbMerge]]'s layout check would otherwise send to the
+    * shuffle fallback: the base snapshot is bucketed 8 ways, the delta
+    * arrives bucketed 4 ways (a writer with different parallelism —
+    * bucket counts evolve in every long-lived table). The layouts
+    * DISAGREE on count but the counts are DIVISIBLE, so the merge path
+    * COALESCES the 8-bucket side to 4 (each coarse bucket reads 2 fine
+    * buckets — pure locality arithmetic, Spark's
+    * coalesceBucketsInJoin; an engine default in LocalSession) and
+    * still joins with ZERO exchange — the graceful-degradation rung
+    * between perfect layout agreement and a full shuffle (pinned in
+    * BucketingSpec). Graded = the merged v1 read back with the
+    * coalescing receipt (bucket_a, bucket_b, coalesced_to,
+    * layout_compat); oracle recomputes the merged state from raw
+    * events.
+    *
+    * Scale shape: coalescing keeps the merge map-side (the coarse
+    * side's tasks read 2 co-located files each); the alternative —
+    * rewriting the delta to 8 buckets first — costs a full shuffle of
+    * the delta, exactly what the divisibility rule avoids. */
+  def sinkTxnSmbCoalesce(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = evUsers(spark, dir)
+    val pre = ev.filter($"ts_us" < SplitUs)
+    val post = ev.filter($"ts_us" >= SplitUs)
+    def shape(df: DataFrame): DataFrame = df
+      .select($"user_id", $"n_events", $"last_us", $"v_sum_4dp",
+        $"bucket_a", $"bucket_b", $"coalesced_to", $"layout_compat")
+      .orderBy($"user_id")
+    val equivalent = shape(state(ev)
+      .withColumn("bucket_a", lit(8L))
+      .withColumn("bucket_b", lit(4L))
+      .withColumn("coalesced_to", lit(4L))
+      .withColumn("layout_compat", lit(1L)))
+    graft.PlanOnly.roundTrip(equivalent) {
+      val tbl = Tables.scratch("txn_smbc_state")
+      val dTbl = Tables.scratch("txn_smbc_delta")
+      Seq(tbl, dTbl).foreach(TxnTable.drop(spark, _))
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      def loc(n: String) = new org.apache.hadoop.fs.Path(wh,
+        n.toLowerCase).toString
+      graft.sources.Sinks.writeBucketed(state(pre), "smbc_state_v0", 8,
+        "user_id")
+      TxnTable.commitAt(spark, tbl, 0, loc("smbc_state_v0"),
+        "user_id:8:smbc_state_v0")
+      graft.sources.Sinks.writeBucketed(state(post), "smbc_delta_b0", 4,
+        "user_id")
+      TxnTable.commitAt(spark, dTbl, 0, loc("smbc_delta_b0"),
+        "user_id:4:smbc_delta_b0")
+      def lay(t: String): (String, Long, String) = {
+        val l = TxnTable.layoutOf(spark, t, Some(0))
+          .getOrElse(sys.error(s"no layout recorded for $t"))
+        val Array(k, n, cat) = l.split(":", 3)
+        (k, n.toLong, cat)
+      }
+      val (ka, na, ca) = lay(tbl)
+      val (kb, nb, cb) = lay(dTbl)
+      // the divisibility rule: same key and one count divides the
+      // other → coalesce-and-join (no exchange); else shuffle fallback
+      val compat = ka == kb &&
+        (na % nb == 0L || nb % na == 0L)
+      val merged =
+        if (compat) smbMerge(spark.table(ca), spark.table(cb))
+        else smbMerge(TxnTable.read(spark, tbl, Some(0)),
+          TxnTable.read(spark, dTbl, Some(0)))
+      val coarse = math.min(na, nb)
+      // the merge output adopts the COARSE layout (the count both
+      // sides can serve exchange-free from now on)
+      graft.sources.Sinks.writeBucketed(merged, "smbc_state_v1",
+        coarse.toInt, ka)
+      TxnTable.commitAt(spark, tbl, 1, loc("smbc_state_v1"),
+        s"$ka:$coarse:smbc_state_v1")
+      shape(spark.table("smbc_state_v1")
+        .withColumn("bucket_a", lit(na))
+        .withColumn("bucket_b", lit(nb))
+        .withColumn("coalesced_to", lit(coarse))
+        .withColumn("layout_compat", lit(if (compat) 1L else 0L)))
+    }
+  }
+
   /** Per-file (column, min, max, rows) footer stats of a
     * bucket-clustered state frame — the sidecar row grain shared by
     * [[sinkTxnColumnStats]] (build + prune) and
@@ -2146,6 +2617,10 @@ object LakehouseCow {
   val queries: Map[String, QueryFn] = Map(
     "sink_txn_ndv_stats" -> (sinkTxnNdvStats(_, _)),
     "sink_txn_cbo_estimate" -> (sinkTxnCboEstimate(_, _)),
+    "sink_txn_cbo_choose" -> (sinkTxnCboChoose(_, _)),
+    "sink_txn_cbo_join_order" -> (sinkTxnCboJoinOrder(_, _)),
+    "sink_txn_smb_merge" -> (sinkTxnSmbMerge(_, _)),
+    "sink_txn_smb_coalesce" -> (sinkTxnSmbCoalesce(_, _)),
     "sink_txn_restore" -> (sinkTxnRestore(_, _)),
     "sink_txn_merge_mor" -> (sinkTxnMergeMor(_, _)),
     "sink_txn_row_lineage" -> (sinkTxnRowLineage(_, _)),
@@ -2260,6 +2735,202 @@ object LakehouseCow {
         |  CAST(CASE WHEN true_rows > 0
         |    THEN (est_rows * 1048576) // true_rows ELSE -1 END AS BIGINT)
         |    AS ratio_fp
+        |FROM est ORDER BY scenario""".stripMargin,
+    // merged v1 ≡ the per-user state over ALL events (pre-fold ⊕
+    // post-fold telescopes); the layout receipt is the staged spec
+    "sink_txn_smb_merge" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  max(ts_us) AS last_us,
+        |  CAST(sum(v) * 10000 AS BIGINT) AS v_sum_4dp,
+        |  CAST(8 AS BIGINT) AS bucket_count,
+        |  CAST(1 AS BIGINT) AS layout_match
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // merged v1 under bucket-count evolution ≡ the same per-user state;
+    // the coalescing receipt is the staged 8-vs-4 divisible lifecycle
+    "sink_txn_smb_coalesce" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  max(ts_us) AS last_us,
+        |  CAST(sum(v) * 10000 AS BIGINT) AS v_sum_4dp,
+        |  CAST(8 AS BIGINT) AS bucket_a,
+        |  CAST(4 AS BIGINT) AS bucket_b,
+        |  CAST(4 AS BIGINT) AS coalesced_to,
+        |  CAST(1 AS BIGINT) AS layout_compat
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // both one-dim intermediates estimated and measured, the order
+    // decision (smaller estimate first, tie → A), and the
+    // order-independent final count
+    "sink_txn_cbo_join_order" ->
+      """WITH e AS (SELECT user_id, event_id, event_type FROM events),
+        |st AS (SELECT user_id, count(*) AS n FROM e GROUP BY 1),
+        |m AS (SELECT count(*) AS u, sum(n) AS tot FROM st),
+        |d_all AS (SELECT user_id FROM st),
+        |d_act AS (SELECT user_id FROM st, m WHERE n * u * 10 > tot * 11),
+        |d_sparse AS (SELECT user_id FROM st WHERE user_id % 97 = 0),
+        |d_half AS (SELECT user_id FROM st WHERE user_id % 2 = 0),
+        |fact AS (SELECT user_id, event_id FROM e
+        |  WHERE event_type = 'purchase'),
+        |h_all AS (SELECT ((user_id + 1) * 2654435761) % 2147483647 AS h
+        |  FROM d_all ORDER BY h LIMIT 64),
+        |h_act AS (SELECT ((user_id + 1) * 2654435761) % 2147483647 AS h
+        |  FROM d_act ORDER BY h LIMIT 64),
+        |h_sparse AS (SELECT ((user_id + 1) * 2654435761) % 2147483647 AS h
+        |  FROM d_sparse ORDER BY h LIMIT 64),
+        |h_half AS (SELECT ((user_id + 1) * 2654435761) % 2147483647 AS h
+        |  FROM d_half ORDER BY h LIMIT 64),
+        |h_fact AS (SELECT ((user_id + 1) * 2654435761) % 2147483647 AS h
+        |  FROM (SELECT DISTINCT user_id FROM fact) ORDER BY h LIMIT 64),
+        |nf AS (SELECT CASE WHEN count(*) < 64 THEN count(*)
+        |  ELSE 135291469761 // max(h) END AS ndv_fact FROM h_fact),
+        |rf AS (SELECT count(*) AS r_fact FROM fact),
+        |sc AS (
+        |  SELECT 'active_vs_half' AS scenario,
+        |    (SELECT CASE WHEN count(*) < 64 THEN count(*)
+        |      ELSE 135291469761 // max(h) END FROM h_act) AS ndv_a,
+        |    (SELECT CASE WHEN count(*) < 64 THEN count(*)
+        |      ELSE 135291469761 // max(h) END FROM h_half) AS ndv_b,
+        |    (SELECT count(*) FROM fact
+        |      WHERE user_id IN (SELECT user_id FROM d_act))
+        |      AS true_inter_a,
+        |    (SELECT count(*) FROM fact
+        |      WHERE user_id IN (SELECT user_id FROM d_half))
+        |      AS true_inter_b,
+        |    (SELECT count(*) FROM fact
+        |      WHERE user_id IN (SELECT user_id FROM d_act)
+        |        AND user_id IN (SELECT user_id FROM d_half))
+        |      AS final_rows
+        |  UNION ALL
+        |  SELECT 'active_vs_sparse',
+        |    (SELECT CASE WHEN count(*) < 64 THEN count(*)
+        |      ELSE 135291469761 // max(h) END FROM h_act),
+        |    (SELECT CASE WHEN count(*) < 64 THEN count(*)
+        |      ELSE 135291469761 // max(h) END FROM h_sparse),
+        |    (SELECT count(*) FROM fact
+        |      WHERE user_id IN (SELECT user_id FROM d_act)),
+        |    (SELECT count(*) FROM fact
+        |      WHERE user_id IN (SELECT user_id FROM d_sparse)),
+        |    (SELECT count(*) FROM fact
+        |      WHERE user_id IN (SELECT user_id FROM d_act)
+        |        AND user_id IN (SELECT user_id FROM d_sparse))
+        |  UNION ALL
+        |  SELECT 'all_vs_active',
+        |    (SELECT CASE WHEN count(*) < 64 THEN count(*)
+        |      ELSE 135291469761 // max(h) END FROM h_all),
+        |    (SELECT CASE WHEN count(*) < 64 THEN count(*)
+        |      ELSE 135291469761 // max(h) END FROM h_act),
+        |    (SELECT count(*) FROM fact
+        |      WHERE user_id IN (SELECT user_id FROM d_all)),
+        |    (SELECT count(*) FROM fact
+        |      WHERE user_id IN (SELECT user_id FROM d_act)),
+        |    (SELECT count(*) FROM fact
+        |      WHERE user_id IN (SELECT user_id FROM d_all)
+        |        AND user_id IN (SELECT user_id FROM d_act))),
+        |est AS (SELECT scenario, r_fact, ndv_fact, ndv_a, ndv_b,
+        |    true_inter_a, true_inter_b, final_rows,
+        |    CASE WHEN ndv_fact > 0
+        |      THEN (r_fact * least(ndv_a, ndv_fact)) // ndv_fact
+        |      ELSE 0 END AS est_inter_a,
+        |    CASE WHEN ndv_fact > 0
+        |      THEN (r_fact * least(ndv_b, ndv_fact)) // ndv_fact
+        |      ELSE 0 END AS est_inter_b
+        |  FROM sc, rf, nf)
+        |SELECT scenario, CAST(r_fact AS BIGINT) AS r_fact,
+        |  CAST(ndv_fact AS BIGINT) AS ndv_fact,
+        |  CAST(ndv_a AS BIGINT) AS ndv_a,
+        |  CAST(ndv_b AS BIGINT) AS ndv_b,
+        |  CAST(est_inter_a AS BIGINT) AS est_inter_a,
+        |  CAST(est_inter_b AS BIGINT) AS est_inter_b,
+        |  CAST(true_inter_a AS BIGINT) AS true_inter_a,
+        |  CAST(true_inter_b AS BIGINT) AS true_inter_b,
+        |  CAST(CASE WHEN est_inter_a <= est_inter_b THEN 1 ELSE 0 END
+        |    AS BIGINT) AS chose_a_first,
+        |  CAST(CASE WHEN true_inter_a <= true_inter_b THEN 1 ELSE 0 END
+        |    AS BIGINT) AS truth_a_first,
+        |  CAST(CASE WHEN (est_inter_a <= est_inter_b)
+        |    <> (true_inter_a <= true_inter_b) THEN 1 ELSE 0 END
+        |    AS BIGINT) AS flipped,
+        |  CAST(final_rows AS BIGINT) AS final_rows
+        |FROM est ORDER BY scenario""".stripMargin,
+    // the decision pipeline re-derived: KMV NDVs, the semi-join
+    // containment estimate, the ×8 row-ratio broadcast rule applied to
+    // estimate AND truth, and the strategy-independent join count
+    "sink_txn_cbo_choose" ->
+      """WITH e AS (SELECT user_id, event_id, event_type FROM events),
+        |st AS (SELECT user_id, count(*) AS n FROM e GROUP BY 1),
+        |m AS (SELECT count(*) AS u, sum(n) AS tot FROM st),
+        |d_all AS (SELECT user_id FROM st),
+        |d_act AS (SELECT user_id FROM st, m WHERE n * u * 10 > tot * 11),
+        |d_sparse AS (SELECT user_id FROM st WHERE user_id % 97 = 0),
+        |fact AS (SELECT user_id, event_id FROM e
+        |  WHERE event_type = 'purchase'),
+        |probe AS (SELECT user_id, event_id FROM e
+        |  WHERE event_type = 'click'),
+        |h_all AS (SELECT ((user_id + 1) * 2654435761) % 2147483647 AS h
+        |  FROM d_all ORDER BY h LIMIT 64),
+        |h_act AS (SELECT ((user_id + 1) * 2654435761) % 2147483647 AS h
+        |  FROM d_act ORDER BY h LIMIT 64),
+        |h_sparse AS (SELECT ((user_id + 1) * 2654435761) % 2147483647 AS h
+        |  FROM d_sparse ORDER BY h LIMIT 64),
+        |h_fact AS (SELECT ((user_id + 1) * 2654435761) % 2147483647 AS h
+        |  FROM (SELECT DISTINCT user_id FROM fact) ORDER BY h LIMIT 64),
+        |nf AS (SELECT CASE WHEN count(*) < 64 THEN count(*)
+        |  ELSE 135291469761 // max(h) END AS ndv_fact FROM h_fact),
+        |rfp AS (SELECT (SELECT count(*) FROM fact) AS r_fact,
+        |  (SELECT count(*) FROM probe) AS r_probe),
+        |sc AS (
+        |  SELECT 'active_dim' AS scenario,
+        |    (SELECT count(*) FROM d_act) AS r_dim,
+        |    (SELECT CASE WHEN count(*) < 64 THEN count(*)
+        |      ELSE 135291469761 // max(h) END FROM h_act) AS ndv_dim,
+        |    (SELECT count(*) FROM fact
+        |      WHERE user_id IN (SELECT user_id FROM d_act)) AS true_inter,
+        |    (SELECT count(*) FROM probe p JOIN fact f
+        |      ON p.user_id = f.user_id
+        |      WHERE f.user_id IN (SELECT user_id FROM d_act)) AS join_rows
+        |  UNION ALL
+        |  SELECT 'all_dim',
+        |    (SELECT count(*) FROM d_all),
+        |    (SELECT CASE WHEN count(*) < 64 THEN count(*)
+        |      ELSE 135291469761 // max(h) END FROM h_all),
+        |    (SELECT count(*) FROM fact
+        |      WHERE user_id IN (SELECT user_id FROM d_all)),
+        |    (SELECT count(*) FROM probe p JOIN fact f
+        |      ON p.user_id = f.user_id
+        |      WHERE f.user_id IN (SELECT user_id FROM d_all))
+        |  UNION ALL
+        |  SELECT 'sparse_dim',
+        |    (SELECT count(*) FROM d_sparse),
+        |    (SELECT CASE WHEN count(*) < 64 THEN count(*)
+        |      ELSE 135291469761 // max(h) END FROM h_sparse),
+        |    (SELECT count(*) FROM fact
+        |      WHERE user_id IN (SELECT user_id FROM d_sparse)),
+        |    (SELECT count(*) FROM probe p JOIN fact f
+        |      ON p.user_id = f.user_id
+        |      WHERE f.user_id IN (SELECT user_id FROM d_sparse))),
+        |est AS (SELECT scenario, r_dim, ndv_dim, true_inter, join_rows,
+        |    r_fact, r_probe, ndv_fact,
+        |    CASE WHEN ndv_fact > 0
+        |      THEN (r_fact * least(ndv_dim, ndv_fact)) // ndv_fact
+        |      ELSE 0 END AS est_inter
+        |  FROM sc, rfp, nf)
+        |SELECT scenario, CAST(r_dim AS BIGINT) AS r_dim,
+        |  CAST(r_fact AS BIGINT) AS r_fact,
+        |  CAST(r_probe AS BIGINT) AS r_probe,
+        |  CAST(ndv_dim AS BIGINT) AS ndv_dim,
+        |  CAST(ndv_fact AS BIGINT) AS ndv_fact,
+        |  CAST(est_inter AS BIGINT) AS est_inter,
+        |  CAST(true_inter AS BIGINT) AS true_inter,
+        |  CAST(CASE WHEN est_inter * 8 <= r_probe THEN 1 ELSE 0 END
+        |    AS BIGINT) AS est_bcast,
+        |  CAST(CASE WHEN true_inter * 8 <= r_probe THEN 1 ELSE 0 END
+        |    AS BIGINT) AS true_bcast,
+        |  CAST(CASE WHEN (est_inter * 8 <= r_probe)
+        |    <> (true_inter * 8 <= r_probe) THEN 1 ELSE 0 END
+        |    AS BIGINT) AS flipped,
+        |  CAST(join_rows AS BIGINT) AS join_rows
         |FROM est ORDER BY scenario""".stripMargin,
     // every history number re-derived from raw events: visible rows =
     // distinct users under the bound, live/added/removed files from

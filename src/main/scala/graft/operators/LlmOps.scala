@@ -909,6 +909,137 @@ object LlmOps {
       .orderBy($"stage")
   }
 
+  /** DEDUP-CASCADE COST/YIELD RECEIPT — the [[corpusDedupPipeline]]
+    * census upgraded to the numbers a 100 TB operator actually tunes
+    * by (r16 verdict item 7; the profile_join_explosion discipline
+    * applied to the dedup funnel): per tier, how many CANDIDATE pairs
+    * the blocking generated, how many verified as TRUE duplicates,
+    * how many bytes (chars) the tier had to READ, and the telescoping
+    * doc counts. The cascade here includes the near-dup tier the
+    * graded pipeline composition had to leave out — the
+    * engine-replayable MinHash band chain (dedup_minhash_replayable's
+    * machinery over the exact-dedup SURVIVORS, vocabulary owned by
+    * the stage input), verified with exact shingle Jaccard at the
+    * ≥ 0.5 fixed-point cut, survivor = smaller doc_id. The chars_read
+    * column is the funnel's point made visible: the early gates read
+    * the whole corpus ONCE each (cheap, linear), while the verify
+    * tiers read only candidate-pair text — if that number approaches
+    * the corpus size, the blocking is too loose and THIS receipt is
+    * where it shows. Telescoping (n_out(i) = n_in(i+1)) is law-pinned
+    * in LlmOpsSpec.
+    *
+    * Scale shape: each census is a 1-row broadcast off frames the
+    * cascade already materializes; the only pair generators are the
+    * capped band buckets and the 5-token block key — never all-pairs;
+    * chars_read sums ride the candidate joins, not the corpus. */
+  def corpusDedupCosts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val s1 = graft.PlanOnly.mark(docs
+      .filter($"n_chars".between(100, 400)
+        && $"lang".isin("en", "fr", "es")
+        && size(split($"text", " ")) >= 20)
+      .select($"doc_id", $"text", $"n_chars"))
+    val s2 = graft.PlanOnly.mark(s1
+      .groupBy(sha2(lower(trim($"text")), 256).as("h"))
+      .agg(min(struct($"doc_id", $"n_chars", $"text")).as("m"))
+      .select($"m.doc_id".as("doc_id"), $"m.n_chars".as("n_chars"),
+        $"m.text".as("text"),
+        array_join(slice(split($"m.text", " "), 1, 5), " ").as("k5")))
+    // ---- tier 3: banded MinHash over the exact-dedup survivors ------
+    val sh = graft.PlanOnly.cut(Indexing.gramFrameOf(
+        Indexing.rankedTokensOf(s2.select($"doc_id", $"text")))
+      .select($"doc_id", $"h").distinct())
+    val sigCols = Indexing.MinhashRepSeeds.zipWithIndex
+      .map { case ((a, b), i) =>
+        min(($"h" * a + b) % Indexing.WinnowM).as(s"s$i")
+      } :+ count(lit(1)).as("n")
+    val sigs = graft.PlanOnly.mark(
+      sh.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*))
+    val r = Indexing.MinhashRepK / Indexing.MinhashRepBands
+    val bandCols = (0 until Indexing.MinhashRepBands).map { b =>
+      struct(lit(b.toLong).as("band"),
+        (col(s"s${r * b}") * 29791L + col(s"s${r * b + 1}") * 961L +
+          col(s"s${r * b + 2}") * 31L + col(s"s${r * b + 3}")).as("bh"))
+    }
+    val banded = sigs
+      .select($"doc_id", explode(array(bandCols: _*)).as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.bh".as("bh"))
+    val bsz = banded.groupBy($"band", $"bh").agg(count(lit(1)).as("c"))
+    val cold = banded.join(bsz.filter($"c" <= 20), Seq("band", "bh"))
+      .select($"band", $"bh", $"doc_id")
+    val cand = graft.PlanOnly.mark(
+      cold.select($"band", $"bh", $"doc_id".as("doc_a"))
+        .join(cold.select($"band", $"bh", $"doc_id".as("doc_b")),
+          Seq("band", "bh"))
+        .filter($"doc_a" < $"doc_b")
+        .groupBy($"doc_a", $"doc_b")
+        .agg(count(lit(1)).as("n_shared_bands")))
+    val sizes = sigs.select($"doc_id", $"n")
+    val verified = graft.PlanOnly.mark(cand
+      .join(sh.as("sa"), $"doc_a" === $"sa.doc_id")
+      .join(sh.as("sb"), $"doc_b" === $"sb.doc_id" && $"sa.h" === $"sb.h")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+      .withColumn("jaccard_fp",
+        expr("(n_shared * 1048576) div (na + nb - n_shared)")))
+    val mhDropped = verified.filter($"jaccard_fp" >= 524288)
+      .select($"doc_b".as("doc_id")).distinct()
+    val s3 = graft.PlanOnly.mark(
+      s2.join(mhDropped, Seq("doc_id"), "left_anti"))
+    // ---- tier 4: prefix containment over the near-dup survivors -----
+    val contCand = graft.PlanOnly.mark(s3.as("a").join(s3.as("b"),
+        $"a.k5" === $"b.k5" && $"a.n_chars" < $"b.n_chars")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        $"a.n_chars".as("ch_a"), $"b.n_chars".as("ch_b"),
+        $"b.text".startsWith(concat($"a.text", lit(" "))).as("hit")))
+    val contDropped = contCand.filter($"hit")
+      .select($"doc_a".as("doc_id")).distinct()
+    val s4 = s3.join(contDropped, Seq("doc_id"), "left_anti")
+    // ---- censuses (each a 1-row broadcast) ---------------------------
+    def n(df: DataFrame, as: String): DataFrame =
+      df.agg(count(lit(1)).as(as))
+    def chSum(df: DataFrame, c: Column, as: String): DataFrame =
+      df.agg(coalesce(sum(c), lit(0L)).cast("long").as(as))
+    val candChars = cand
+      .join(s2.select($"doc_id".as("doc_a"), $"n_chars".as("ch_a")),
+        "doc_a")
+      .join(s2.select($"doc_id".as("doc_b"), $"n_chars".as("ch_b")),
+        "doc_b")
+    def row(stage: Long, nm: String, in: Column, cnd: Column,
+        conf: Column, chars: Column, out: Column) =
+      struct(lit(stage).as("stage"), lit(nm).as("stage_name"),
+        in.as("n_in"), cnd.as("n_candidates"), conf.as("n_confirmed"),
+        chars.as("chars_read"), (in - out).as("n_removed"),
+        out.as("n_out"))
+    n(docs, "n0")
+      .crossJoin(broadcast(n(s1, "n1")))
+      .crossJoin(broadcast(n(s2, "n2")))
+      .crossJoin(broadcast(n(s3, "n3")))
+      .crossJoin(broadcast(n(s4, "n4")))
+      .crossJoin(broadcast(chSum(docs, $"n_chars", "ch0")))
+      .crossJoin(broadcast(chSum(s1, $"n_chars", "ch1")))
+      .crossJoin(broadcast(n(cand, "c3")))
+      .crossJoin(broadcast(
+        n(verified.filter($"jaccard_fp" >= 524288), "v3")))
+      .crossJoin(broadcast(chSum(candChars, $"ch_a" + $"ch_b", "ch3")))
+      .crossJoin(broadcast(n(contCand, "c4")))
+      .crossJoin(broadcast(n(contCand.filter($"hit"), "v4")))
+      .crossJoin(broadcast(chSum(contCand, $"ch_a" + $"ch_b", "ch4")))
+      .select(explode(array(
+        row(1L, "quality_filter", $"n0", lit(0L), lit(0L), $"ch0", $"n1"),
+        row(2L, "exact_dedup", $"n1", $"n1" - $"n2", $"n1" - $"n2",
+          $"ch1", $"n2"),
+        row(3L, "minhash_near_dup", $"n2", $"c3", $"v3", $"ch3", $"n3"),
+        row(4L, "prefix_containment", $"n3", $"c4", $"v4", $"ch4",
+          $"n4"))).as("r"))
+      .select($"r.stage", $"r.stage_name", $"r.n_in", $"r.n_candidates",
+        $"r.n_confirmed", $"r.chars_read", $"r.n_removed", $"r.n_out")
+      .orderBy($"stage")
+  }
+
   /** Confusion matrix of the in-repo language-ID classifier
     * ([[textLangid]]) against the labeled `lang` column — grading one
     * graft operator WITH another, the closed eval loop a real corpus
@@ -1262,6 +1393,7 @@ object LlmOps {
     "ml_naive_bayes_counts" -> (mlNaiveBayesCounts(_, _)),
     "text_ngram_coverage" -> (textNgramCoverage(_, _)),
     "corpus_dedup_pipeline" -> (corpusDedupPipeline(_, _)),
+    "corpus_dedup_costs" -> (corpusDedupCosts(_, _)),
     "text_ngram_novelty" -> (textNgramNovelty(_, _)),
     "dedup_prefer_source" -> (dedupPreferSource(_, _)),
     "dedup_edit_distance" -> (dedupEditDistance(_, _)),
@@ -1530,6 +1662,100 @@ object LlmOps {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
         |FROM documents GROUP BY lower(trim(text)) ORDER BY doc_id""".stripMargin,
+    // the whole 4-tier funnel re-derived: quality gate, exact-dup
+    // election, the survivor-scoped MinHash band chain (vocabulary
+    // owned by the stage input — winnowChainCtes("s2")), fixed-point
+    // Jaccard verify with the smaller-id survivorship, prefix
+    // containment, and every candidate/confirmed/chars census
+    "corpus_dedup_costs" -> ("""WITH s1 AS MATERIALIZED (
+        |  SELECT doc_id, text, n_chars FROM documents
+        |  WHERE n_chars BETWEEN 100 AND 400 AND lang IN ('en', 'fr', 'es')
+        |    AND len(string_split(text, ' ')) >= 20),
+        |s2 AS MATERIALIZED (SELECT doc_id, n_chars, text,
+        |    array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')
+        |      AS k5
+        |  FROM (SELECT doc_id, n_chars, text, row_number() OVER (
+        |      PARTITION BY lower(trim(text)) ORDER BY doc_id) AS rn FROM s1)
+        |  WHERE rn = 1),
+        |""".stripMargin +
+      Indexing.winnowChainCtes("s2") + s""",
+        |shg AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM g
+        |  WHERE h IS NOT NULL),
+        |seeds AS (SELECT * FROM (VALUES ${Indexing.MinhashRepSeeds
+          .zipWithIndex.map { case ((a, b), i) => s"($i, $a, $b)" }
+          .mkString(", ")}) AS s(i, a, b)),
+        |msig AS (SELECT doc_id, i, min((h * a + b) % 1048573) AS s
+        |  FROM shg, seeds GROUP BY doc_id, i),
+        |mband AS (SELECT doc_id, i // 4 AS band,
+        |    CAST(sum(s * CASE i % 4 WHEN 0 THEN 29791 WHEN 1 THEN 961
+        |      WHEN 2 THEN 31 ELSE 1 END) AS BIGINT) AS bh
+        |  FROM msig GROUP BY doc_id, i // 4),
+        |mbsz AS (SELECT band, bh, count(*) AS c FROM mband
+        |  GROUP BY band, bh),
+        |mcold AS (SELECT b.band, b.bh, b.doc_id FROM mband b
+        |  JOIN mbsz USING (band, bh) WHERE mbsz.c <= 20),
+        |mcand AS MATERIALIZED (SELECT a.doc_id AS doc_a,
+        |    b.doc_id AS doc_b
+        |  FROM mcold a JOIN mcold b
+        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |msz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shg
+        |  GROUP BY doc_id),
+        |miv AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT)
+        |    AS n_shared
+        |  FROM mcand c JOIN shg x ON x.doc_id = c.doc_a
+        |  JOIN shg y ON y.doc_id = c.doc_b AND y.h = x.h
+        |  GROUP BY 1, 2),
+        |mver AS MATERIALIZED (SELECT miv.doc_a, miv.doc_b,
+        |    (miv.n_shared * 1048576) // (na.n + nb.n - miv.n_shared)
+        |      AS jfp
+        |  FROM miv JOIN msz na ON na.doc_id = miv.doc_a
+        |  JOIN msz nb ON nb.doc_id = miv.doc_b),
+        |mdrop AS (SELECT DISTINCT doc_b AS doc_id FROM mver
+        |  WHERE jfp >= 524288),
+        |s3 AS MATERIALIZED (SELECT * FROM s2
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM mdrop)),
+        |ccand AS MATERIALIZED (SELECT a.doc_id AS doc_a,
+        |    b.doc_id AS doc_b, a.n_chars AS ch_a, b.n_chars AS ch_b,
+        |    starts_with(b.text, a.text || ' ') AS hit
+        |  FROM s3 a JOIN s3 b
+        |    ON a.k5 = b.k5 AND a.n_chars < b.n_chars),
+        |cdrop AS (SELECT DISTINCT doc_a AS doc_id FROM ccand WHERE hit),
+        |s4 AS (SELECT * FROM s3
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM cdrop)),
+        |n0 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS ch FROM documents),
+        |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS ch FROM s1),
+        |n2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s2),
+        |n3 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s3),
+        |n4 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s4),
+        |c3 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM mcand),
+        |v3 AS (SELECT CAST(count(*) AS BIGINT) AS v FROM mver
+        |  WHERE jfp >= 524288),
+        |ch3 AS (SELECT CAST(coalesce(sum(x.n_chars + y.n_chars), 0)
+        |    AS BIGINT) AS ch
+        |  FROM mcand JOIN s2 x ON x.doc_id = mcand.doc_a
+        |  JOIN s2 y ON y.doc_id = mcand.doc_b),
+        |c4 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM ccand),
+        |v4 AS (SELECT CAST(count(*) AS BIGINT) AS v FROM ccand
+        |  WHERE hit),
+        |ch4 AS (SELECT CAST(coalesce(sum(ch_a + ch_b), 0) AS BIGINT)
+        |    AS ch FROM ccand)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'quality_filter' AS stage_name,
+        |  n0.n AS n_in, CAST(0 AS BIGINT) AS n_candidates,
+        |  CAST(0 AS BIGINT) AS n_confirmed, n0.ch AS chars_read,
+        |  n0.n - n1.n AS n_removed, n1.n AS n_out FROM n0, n1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'exact_dedup', n1.n, n1.n - n2.n,
+        |  n1.n - n2.n, n1.ch, n1.n - n2.n, n2.n FROM n1, n2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'minhash_near_dup', n2.n, c3.c, v3.v,
+        |  ch3.ch, n2.n - n3.n, n3.n FROM n2, n3, c3, v3, ch3
+        |UNION ALL
+        |SELECT CAST(4 AS BIGINT), 'prefix_containment', n3.n, c4.c,
+        |  v4.v, ch4.ch, n3.n - n4.n, n4.n FROM n3, n4, c4, v4, ch4
+        |ORDER BY stage""".stripMargin),
     "corpus_dedup_pipeline" ->
       """WITH s1 AS (SELECT doc_id, text, n_chars FROM documents
         |  WHERE n_chars BETWEEN 100 AND 400 AND lang IN ('en', 'fr', 'es')

@@ -167,6 +167,12 @@ object Stats {
     * (replayable on both engines — positive operands, so Spark `div`
     * ≡ DuckDB `//`); the accumulation and the final normalization
     * ride DECIMAL(38,0) ⟷ HUGEINT (the squared deviations cross 2⁶³).
+    * Headroom bound (the Mann–Whitney discipline): the per-value
+    * numerator 2²⁰·(ca+cb)·d² with |d| ≤ n_A·n_B stays under 10³⁸ to
+    * ~n_A·n_B ≈ 10⁸·5 per pair — roughly sf1-scale segments; past
+    * that Spark's DECIMAL(38,0) overflows (null / ANSI error) before
+    * DuckDB's HUGEINT cap (~1.7×10³⁸), and the same clearing must run
+    * on a coarser value grid first (the CvM caveat applies here too).
     *
     * Scale shape: rides [[segPairEcdf]] — per-value-domain-row
     * arithmetic, one final aggregate per pair; no rank pass ever

@@ -165,6 +165,33 @@ object TxnTable {
       s"""{"version":$version,"path":"$dataPath"}""")
   }
 
+  /** Install a TABLE-LEVEL manifest that points at ALREADY-WRITTEN data
+    * (`dataPath`) and records the snapshot's physical LAYOUT — the
+    * bucket/sort metadata (Hive bucket spec / Iceberg bucket-transform
+    * partition spec / Delta clustering info) a planner needs to serve
+    * an EXCHANGE-FREE co-bucketed join or merge: two snapshots whose
+    * layout strings agree are hash-distributed and sorted identically,
+    * so a sort-merge join between them needs neither a shuffle nor a
+    * sort. The layout string is opaque to the log
+    * (`<key>:<buckets>:<catalogTable>` by convention of the SMB keys);
+    * [[layoutOf]] reads it back, and manifests without the field
+    * (every other commit form) report None — the safe "unknown layout,
+    * assume shuffle" direction. */
+  def commitAt(spark: SparkSession, table: String, version: Int,
+      dataPath: String, layout: String): Unit =
+    installByRename(spark, new Path(s"$table/_log"), s".tmp_v$version.json",
+      new Path(s"$table/_log", f"v$version%05d.json"),
+      s"""{"version":$version,"path":"$dataPath","layout":"$layout"}""")
+
+  /** The recorded layout of a committed version, or None when the
+    * manifest carries no layout field (pre-layout commits, file-level
+    * manifests) — never a guess. */
+  def layoutOf(spark: SparkSession, table: String,
+      asOf: Option[Int] = None): Option[String] = {
+    val body = manifestBody(spark, table, resolve(spark, table, asOf))
+    "\"layout\":\"([^\"]+)\"".r.findFirstMatchIn(body).map(_.group(1))
+  }
+
   /** Optimistic-concurrency commit: stage `df`'s data under an
     * attempt-unique dir (`data/v<N>-<tag>` — two writers racing on the
     * same version NEVER touch the same data path; only the manifest is

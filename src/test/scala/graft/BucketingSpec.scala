@@ -73,4 +73,84 @@ class BucketingSpec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("sink_txn_smb_merge: layout recorded in the manifest, co-bucketed merge plans with no Exchange and no Sort") {
+    import graft.sources.TxnTable
+    // run the key: stages both bucketed snapshots + layout manifests
+    val out = operators.LakehouseCow.sinkTxnSmbMerge(spark, sf0001)
+    assert(out.count() > 0L)
+    // the log records the layout on every version, including the
+    // merge's OUTPUT (the invariant that compounds across merges)
+    val tbl = Tables.scratch("txn_smb_state")
+    val dTbl = Tables.scratch("txn_smb_delta")
+    assert(TxnTable.layoutOf(spark, tbl, Some(0))
+      === Some("user_id:8:smb_state_v0"))
+    assert(TxnTable.layoutOf(spark, dTbl, Some(0))
+      === Some("user_id:8:smb_delta_b0"))
+    assert(TxnTable.layoutOf(spark, tbl, Some(1))
+      === Some("user_id:8:smb_state_v1"))
+    // the co-bucketed MoR merge is exchange-free AND sort-free: both
+    // sides are pre-hashed (bucketBy) and pre-sorted (sortBy, one file
+    // per bucket) on user_id
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // Spark ignores bucket SORT metadata by default since 3.0
+    // (SPARK-28595: multi-file buckets would need a merge-read); with
+    // one file per bucket (writeBucketed repartitions) the legacy conf
+    // restores the sorted scan — the full SMB: no exchange AND no sort
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering",
+      "true")
+    try {
+      val merged = operators.LakehouseCow.smbMerge(
+        spark.table("smb_state_v0"), spark.table("smb_delta_b0"))
+      val plan = merged.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"),
+        s"expected a sort-merge join, got:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"expected exchange-free co-bucketed merge, got:\n$plan")
+      assert(!plan.contains("Sort "),
+        s"expected sort-free merge over sorted buckets, got:\n$plan")
+      // merged ≡ recompute over all events
+      val direct = Tables.events(spark, sf0001)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      assert(merged.select(col("user_id"), col("n_events"))
+        .exceptAll(direct).count() === 0L)
+      assert(merged.count() === direct.count())
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf
+        .unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+    }
+  }
+
+  test("sink_txn_smb_coalesce: divisible bucket counts coalesce and merge with no Exchange; the coarse layout is committed") {
+    import graft.sources.TxnTable
+    val out = operators.LakehouseCow.sinkTxnSmbCoalesce(spark, sf0001)
+    assert(out.count() > 0L)
+    val tbl = Tables.scratch("txn_smbc_state")
+    assert(TxnTable.layoutOf(spark, tbl, Some(0))
+      === Some("user_id:8:smbc_state_v0"))
+    // the merge output adopted the COARSE side's count
+    assert(TxnTable.layoutOf(spark, tbl, Some(1))
+      === Some("user_id:4:smbc_state_v1"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // 8-bucket side coalesces onto the 4-bucket side: SMJ, zero
+      // exchange (the coalesceBucketsInJoin engine default)
+      val merged = operators.LakehouseCow.smbMerge(
+        spark.table("smbc_state_v0"), spark.table("smbc_delta_b0"))
+      val plan = merged.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"),
+        s"expected a sort-merge join, got:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"expected coalesced exchange-free merge, got:\n$plan")
+      assert(plan.contains("SelectedBucketsCount: 8 out of 8 (Coalesced to 4)"),
+        s"expected the 8→4 coalesce marker in the scan, got:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }

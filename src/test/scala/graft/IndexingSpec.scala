@@ -239,4 +239,107 @@ class IndexingSpec extends SparkSuite {
     assert(shared >= c0.size - 3,
       s"only $shared of ${c0.size} chunks survived a 1-token prefix insert")
   }
+
+  test("dedup_index_maintain: v0 carried by reference, maintained index = brute-force rebuild, probe = replayed pairs (sf0.001)") {
+    import graft.sources.TxnTable
+    val out = Indexing.dedupIndexMaintain(spark, sf0001).collect()
+    val tIdx = Tables.scratch("dedup_band_index")
+    // ---- brute-force replay of the whole signature chain -------------
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val toks = docs.map { case (id, t) =>
+      id -> t.split(" ", -1).filter(_.nonEmpty).toSeq
+    }
+    val vocab = toks.flatMap(_._2).distinct.sorted.zipWithIndex
+      .map { case (t, i) => t -> (i + 1L) }.toMap
+    val M = 1048573L
+    val shg: Map[Long, Set[Long]] = toks.map { case (id, ts) =>
+      val rs = ts.map(vocab)
+      id -> rs.indices.dropRight(3).map(i =>
+        (rs(i) * 29791L + rs(i + 1) * 961L + rs(i + 2) * 31L + rs(i + 3))
+          % M).toSet
+    }.filter(_._2.nonEmpty).toMap
+    val bands: Map[Long, Seq[(Long, Long)]] = shg.map { case (id, hs) =>
+      val sig = Indexing.MinhashRepSeeds.map { case (a, b) =>
+        hs.map(h => (h * a + b) % M).min
+      }
+      id -> (0 until 4).map(bd => (bd.toLong,
+        sig(4 * bd) * 29791L + sig(4 * bd + 1) * 961L +
+          sig(4 * bd + 2) * 31L + sig(4 * bd + 3)))
+    }
+    val oldB = bands.filter(_._1 % 8 != 7L)
+      .flatMap { case (id, bs) => bs.map(b => (id, b._1, b._2)) }.toSet
+    val newB = bands.filter(_._1 % 8 == 7L)
+      .flatMap { case (id, bs) => bs.map(b => (id, b._1, b._2)) }.toSet
+    // ---- maintained ≡ rebuilt + carried by reference ------------------
+    val v0 = TxnTable.read(spark, tIdx, Some(0)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val v1 = TxnTable.read(spark, tIdx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(v0 === oldB, "stored v0 index = brute-force old-slice bands")
+    assert(v1 === oldB ++ newB, "maintained v1 = v0 ∪ the appended batch")
+    if (oldB.nonEmpty && newB.nonEmpty) {
+      val entries = TxnTable.fileEntries(spark, tIdx, Some(1))
+      assert(entries.map(_.path).toSet ===
+        Set(s"$tIdx/data/f0", s"$tIdx/data/f1"),
+        "the delta manifest carries v0's file by reference")
+      val f1 = spark.read.parquet(s"$tIdx/data/f1").collect()
+      assert(f1.forall(_.getLong(0) % 8 == 7L),
+        "the append file holds ONLY the new batch's band rows")
+    }
+    // ---- probe ≡ replayed pairs ---------------------------------------
+    val hot = oldB.groupBy(t => (t._2, t._3)).filter(_._2.size > 20).keySet
+    val coldOld = oldB.filterNot(t => hot((t._2, t._3)))
+    // Seq, not Set: each shared (band, bh) bucket must COUNT toward
+    // n_shared_bands, not collapse
+    val expPairs = (for {
+      (nid, b, bh) <- newB.toSeq
+      (oid, ob, obh) <- coldOld.toSeq if ob == b && obh == bh
+    } yield (nid, oid)).groupBy(identity).map { case ((n, o), v) =>
+      (n, o, v.size.toLong)
+    }.toSet
+    val gotPairs = out.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotPairs === expPairs,
+      "graded pairs = brute-force probe of the stored buckets")
+    // verify columns: exact shingle intersection + fixed-point jaccard
+    out.foreach { r =>
+      val (nid, oid) = (r.getLong(0), r.getLong(1))
+      val ni = (shg(nid) & shg(oid)).size.toLong
+      assert(r.getLong(3) === ni, s"n_shared for ($nid, $oid)")
+      assert(r.getLong(4) === shg(nid).size.toLong)
+      assert(r.getLong(5) === shg(oid).size.toLong)
+      assert(r.getLong(6) ===
+        ni * 1048576L / (shg(nid).size + shg(oid).size - ni))
+    }
+  }
+
+  test("dedup_index_compact: capless probe of the compacted index = capped probe of the raw index; quarantine + binpack are physical (sf0.001)") {
+    import graft.sources.TxnTable
+    val maintain = Indexing.dedupIndexMaintain(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val out = Indexing.dedupIndexCompact(spark, sf0001).collect()
+    // SERVING EQUIVALENCE — the graded statement: compaction moved the
+    // hot-bucket cap into the layout without changing a single pair
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      === maintain, "compacted serving diverged from capped serving")
+    val tIdx = Tables.scratch("dedup_band_index2")
+    val tQuar = Tables.scratch("dedup_band_quarantine")
+    // census: quarantined + after = before; quarantine sidecar holds
+    // exactly the quarantined entries
+    val quarN = TxnTable.read(spark, tQuar).count()
+    out.headOption.foreach { r =>
+      assert(r.getLong(4) === quarN, "sidecar ≠ quarantined census")
+      assert(r.getLong(3) - r.getLong(4) === r.getLong(5))
+    }
+    // physical layout: v2 is ONE compacted file; f0/f1 are out of the
+    // manifest (their bytes await vacuum, the standing GC split)
+    val v2 = TxnTable.fileEntries(spark, tIdx, Some(2))
+    assert(v2.map(_.path) === Seq(s"$tIdx/data/c0"))
+    out.headOption.foreach { r =>
+      assert(TxnTable.read(spark, tIdx, Some(2)).count() === r.getLong(5),
+        "v2 content ≠ entries_after census")
+    }
+  }
 }

@@ -403,4 +403,126 @@ class LakehouseSpec extends SparkSuite {
       === before((tA, 1)), "the latest marked version survives intact")
     TxnTable.drop(spark, tA); TxnTable.drop(spark, tB)
   }
+
+  test("sink_txn_vacuum_markers: orphan physically gone, GC idempotent, corrupt marker aborts BEFORE any delete (sf0.001)") {
+    import org.apache.hadoop.fs.Path
+    val out = operators.Lakehouse.sinkTxnVacuumMarkers(spark, sf0001)
+      .collect()
+    assert(out.nonEmpty)
+    // census columns carried on every row
+    assert(out.forall(r => r.getLong(6) == 1L && r.getLong(7) == 3L
+      && r.getLong(8) == 1L && r.getLong(9) == 1L))
+    val tA = Tables.scratch("txn_gc_a")
+    val tB = Tables.scratch("txn_gc_b")
+    val log = new java.io.File(Tables.scratch("txn_gc_log"))
+    // only the marked v1 survives on either member; the orphan's data
+    // dir is physically gone
+    assert(TxnTable.versions(spark, tA) === Seq(1))
+    assert(TxnTable.versions(spark, tB) === Seq(1))
+    val fs = new Path(tA).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$tA/data/v2")), "orphan data survives")
+    assert(!fs.exists(new Path(s"$tA/data/v0")), "expired data survives")
+    // idempotent: a second GC with the same retention reclaims nothing
+    assert(operators.Lakehouse.vacuumMarkers(spark, log, Seq(tA, tB), 1)
+      === ((0, 0)))
+    // corrupt-marker guard: a short surviving marker aborts the GC
+    // BEFORE any marker expires or any version is removed
+    val badLog = new java.io.File(Tables.scratch("txn_gc_badlog"))
+    if (badLog.exists()) badLog.listFiles().foreach(_.delete())
+    badLog.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(badLog, "txn-00000").toPath, "0,0")
+    java.nio.file.Files.writeString(
+      new java.io.File(badLog, "txn-00001").toPath, "1") // short!
+    intercept[IllegalArgumentException] {
+      operators.Lakehouse.vacuumMarkers(spark, badLog, Seq(tA, tB), 1)
+    }
+    assert(badLog.listFiles().length === 2,
+      "corrupt-marker abort must leave the log intact")
+    assert(TxnTable.versions(spark, tA) === Seq(1),
+      "corrupt-marker abort must not remove member versions")
+  }
+
+  test("sink_txn_cbo_choose: receipt internally consistent; the chosen strategy materializes in the plan (sf0.001)") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.LakehouseCow.sinkTxnCboChoose(spark, sf0001)
+      .collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      val (rFact, rProbe) = (r.getLong(2), r.getLong(3))
+      val (ndvDim, ndvFact) = (r.getLong(4), r.getLong(5))
+      val (est, tru) = (r.getLong(6), r.getLong(7))
+      val (eb, tb, fl) = (r.getLong(8), r.getLong(9), r.getLong(10))
+      // the estimate is the containment formula over the receipt's own
+      // planning inputs; the decisions are the ×8 rule; flipped is XOR
+      assert(est === (if (ndvFact > 0)
+        rFact * math.min(ndvDim, ndvFact) / ndvFact else 0L),
+        s"${r.getString(0)}: est_inter breaks the formula")
+      assert(eb === (if (est * 8 <= rProbe) 1L else 0L))
+      assert(tb === (if (tru * 8 <= rProbe) 1L else 0L))
+      assert(fl === (if (eb != tb) 1L else 0L))
+    }
+    // plan law: the decision the estimate takes is the plan that runs —
+    // rebuild each scenario's join AS THE KEY DOES from the committed
+    // tables, under the key's own decision, with AQE off
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val dims = Map("active_dim" -> "cbo2_act", "all_dim" -> "cbo2_all",
+        "sparse_dim" -> "cbo2_sparse")
+      rows.foreach { r =>
+        val dim = TxnTable.read(spark, Tables.scratch(dims(r.getString(0))))
+        val fact = TxnTable.read(spark, Tables.scratch("cbo2_fact"))
+        val probe = TxnTable.read(spark, Tables.scratch("cbo2_probe"))
+        val inter = fact.join(dim, Seq("user_id"), "left_semi")
+        val joined =
+          if (r.getLong(8) == 1L)
+            probe.join(broadcast(inter), Seq("user_id"))
+          else probe.hint("merge").join(inter, Seq("user_id"))
+        val plan = joined.queryExecution.executedPlan.toString
+        if (r.getLong(8) == 1L)
+          assert(plan.contains("BroadcastHashJoin"),
+            s"${r.getString(0)}: broadcast decision not in plan:\n$plan")
+        else
+          assert(plan.contains("SortMergeJoin"),
+            s"${r.getString(0)}: shuffle decision not in plan:\n$plan")
+        assert(joined.count() === r.getLong(11),
+          s"${r.getString(0)}: join count is strategy-independent")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("sink_txn_cbo_join_order: decisions follow the estimates, truths follow the data, the final count is order-independent (sf0.001)") {
+    val rows = operators.LakehouseCow.sinkTxnCboJoinOrder(spark, sf0001)
+      .collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      val (rFact, ndvFact) = (r.getLong(1), r.getLong(2))
+      val (ndvA, ndvB) = (r.getLong(3), r.getLong(4))
+      val (estA, estB) = (r.getLong(5), r.getLong(6))
+      val (truA, truB) = (r.getLong(7), r.getLong(8))
+      val (cA, tA2, fl) = (r.getLong(9), r.getLong(10), r.getLong(11))
+      def est(nd: Long) = if (ndvFact > 0)
+        rFact * math.min(nd, ndvFact) / ndvFact else 0L
+      assert(estA === est(ndvA) && estB === est(ndvB),
+        s"${r.getString(0)}: estimate breaks the containment formula")
+      assert(cA === (if (estA <= estB) 1L else 0L))
+      assert(tA2 === (if (truA <= truB) 1L else 0L))
+      assert(fl === (if (cA != tA2) 1L else 0L))
+      // the final count can never exceed either intermediate
+      assert(r.getLong(12) <= math.min(truA, truB))
+    }
+    // the executed order is data-verifiable: re-run both orders from
+    // the committed tables and confirm the count is order-independent
+    val fact = TxnTable.read(spark, Tables.scratch("cbo3_fact"))
+    val dA = TxnTable.read(spark, Tables.scratch("cbo3_act"))
+    val dB = TxnTable.read(spark, Tables.scratch("cbo3_half"))
+    val ab = fact.join(dA, Seq("user_id"), "left_semi")
+      .join(dB, Seq("user_id"), "left_semi").count()
+    val ba = fact.join(dB, Seq("user_id"), "left_semi")
+      .join(dA, Seq("user_id"), "left_semi").count()
+    assert(ab === ba)
+    assert(ab === rows.find(_.getString(0) == "active_vs_half")
+      .get.getLong(12))
+  }
 }

@@ -251,6 +251,42 @@ class LlmOpsSpec extends SparkSuite {
     assert(byStage("prefix_containment").getAs[Long]("n_removed") > 0L)
   }
 
+  test("corpus_dedup_costs: censuses telescope, confirmed ≤ candidates, chars accounting reconciles (sf0.1)") {
+    val rows = LlmOps.corpusDedupCosts(spark, sf01).collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_in") - r.getAs[Long]("n_removed")
+        === r.getAs[Long]("n_out"))
+      assert(r.getAs[Long]("n_confirmed") <= r.getAs[Long]("n_candidates")
+        || r.getAs[Long]("n_candidates") == 0L)
+      assert(r.getAs[Long]("chars_read") >= 0L)
+    }
+    rows.sliding(2).foreach { case Array(x, y) =>
+      assert(x.getAs[Long]("n_out") === y.getAs[Long]("n_in"),
+        s"${x.getAs[String]("stage_name")} does not telescope")
+    }
+    val byStage = rows.map(r => r.getAs[String]("stage_name") -> r).toMap
+    // the full-scan tiers read the whole frame they gate; the verify
+    // tiers read ONLY candidate-pair text — the funnel's point
+    assert(byStage("quality_filter").getAs[Long]("chars_read") ===
+      Tables.documents(spark, sf01)
+        .agg(org.apache.spark.sql.functions.sum("n_chars"))
+        .head().getLong(0))
+    assert(byStage("minhash_near_dup").getAs[Long]("chars_read") <
+      byStage("quality_filter").getAs[Long]("chars_read"),
+      "near-dup verify reads less than a corpus scan (blocking works)")
+    // stage 1/2 agree with the graded pipeline's censuses
+    val pipe = LlmOps.corpusDedupPipeline(spark, sf01).collect()
+      .map(r => r.getAs[String]("stage_name") -> r).toMap
+    assert(byStage("quality_filter").getAs[Long]("n_out") ===
+      pipe("quality_filter").getAs[Long]("n_out"))
+    assert(byStage("exact_dedup").getAs[Long]("n_out") ===
+      pipe("exact_dedup").getAs[Long]("n_out"))
+    // exact tier: every hash-collapse is a confirmed duplicate
+    assert(byStage("exact_dedup").getAs[Long]("n_confirmed") ===
+      byStage("exact_dedup").getAs[Long]("n_removed"))
+  }
+
   test("text_bpe_tokenize: pieces reconcile with words and with the trainer's final pair mass") {
     import graft.operators.Indexing
     val tok = Indexing.textBpeTokenize(spark, sf0001).collect()

@@ -566,7 +566,20 @@ class PlanRegressionSpec extends SparkSuite {
       // sink_txn_cbo_estimate: per-scenario 1-row planning scalars
       // (row counts, sketch folds, truth counts) and the 1-row
       // mean-threshold frame — fan-out 1 each, the receipt assembly
-      "sink_txn_cbo_estimate")
+      "sink_txn_cbo_estimate",
+      // round-17: sink_txn_cbo_choose assembles its decision receipt
+      // from per-scenario 1-row planning scalars (manifest counts,
+      // sketch folds, truth/join counts) — the cbo_estimate shape;
+      // sink_txn_vacuum_markers attaches the 1-row A-side totals
+      // scalar (the sink_txn_multi_table shape); dedup_index_maintain
+      // and corpus_dedup_costs attach 1-row index/funnel censuses —
+      // fan-out 1 each, never data²
+      "sink_txn_cbo_choose", "sink_txn_vacuum_markers",
+      "dedup_index_maintain", "corpus_dedup_costs",
+      // sink_txn_cbo_join_order: the same 1-row planning-scalar
+      // receipt assembly as cbo_choose; dedup_index_compact attaches
+      // the 1-row quarantine census — fan-out 1 each
+      "sink_txn_cbo_join_order", "dedup_index_compact")
     val offenders = SparkEntry.queries.keys.filterNot(allowed)
       .filter(n => n != "source_csv_roundtrip" && plan(n).contains("BroadcastNestedLoopJoin"))
     assert(offenders.isEmpty, s"unexpected nested-loop joins: $offenders")
@@ -819,6 +832,9 @@ class PlanRegressionSpec extends SparkSuite {
       "corpus_temperature_mix" -> "|labels|-row mix frame",
       "corpus_token_budget" -> "per-bucket subtotals ≤65,536 rows (two-level cumsum)",
       "dedup_minhash_replayable" -> "hot-bucket-capped candidate frame, limit(20) report cut",
+      "dedup_index_maintain" -> "rankedTokens prefix-offset frame (≤|charset|² rows, the two-level vocabulary rank)",
+      "dedup_index_compact" -> "rankedTokens prefix-offset frame (≤|charset|² rows, the two-level vocabulary rank)",
+      "corpus_dedup_costs" -> "rankedTokens prefix-offset frame (≤|charset|² rows) over the exact-dedup survivors",
       "dedup_simhash_replayable" -> "4-block pigeonhole buckets, >20-doc buckets dropped",
       "dedup_winnow_pairs" -> "fingerprint-bucketed candidates, limit(20) cut",
       "dedup_winnow_verify" -> "verified candidate pairs after the limit(20) cut",

@@ -22,6 +22,8 @@ object SparkSuite {
       .config("spark.ui.enabled", "false")
       // static conf: needed by BucketingSpec's saveAsTable
       .config("spark.sql.warehouse.dir", LocalSession.WarehouseDir)
+      // mirror the LocalSession engine default (SMB bucket coalescing)
+      .config("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     Tables.configure(s)

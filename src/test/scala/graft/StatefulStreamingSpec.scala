@@ -205,4 +205,35 @@ class StatefulStreamingSpec extends SparkSuite {
     assert(inserts.length === inserts.distinct.length)
     assert(inserts.toSet === want.keySet)
   }
+
+  test("stream_exec_cdf_apply: fold(feed) = recompute at every batch; the preimage retraction branch is exercised (sf0.001)") {
+    import org.apache.spark.sql.functions._
+    val out = operators.Lakehouse.streamExecCdfApply(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    // the graded frame's own contract: maintained ≡ direct per row —
+    // sentinels (-1) would mark a type present on only one side
+    out.foreach { r =>
+      assert(r.getLong(2) === r.getLong(3),
+        s"fold diverged from recompute at version ${r.getLong(0)}, " +
+          s"type ${r.getString(1)}: ${r.getLong(2)} vs ${r.getLong(3)}")
+      assert(r.getLong(2) >= 0L, "sentinel leaked into the graded frame")
+    }
+    // the feed itself: updates exist and carry a REAL preimage — the
+    // retraction branch (−1 on prev type) is not vacuous at sf0.001
+    val base = Tables.scratch("stream_exec_cdc")
+    val feed = spark.read.parquet(s"$base/feed_apply").collect()
+    val updates = feed.filter(_.getAs[Long]("op_insert") == 0L)
+    assert(updates.nonEmpty, "fixture produced no updates — the " +
+      "retraction branch is untested")
+    assert(updates.forall(_.getAs[String]("prev_event_type") != "(none)"),
+      "an update op must carry its preimage type")
+    assert(feed.filter(_.getAs[Long]("op_insert") == 1L)
+      .forall(_.getAs[String]("prev_event_type") == "(none)"),
+      "an insert op has no preimage")
+    // and some update actually MOVED a user across types, so at least
+    // one per-type count was retracted somewhere in the fold
+    assert(updates.exists(r => r.getAs[String]("prev_event_type")
+      != r.getAs[String]("event_type")),
+      "no update changed a user's latest type — retraction vacuous")
+  }
 }
