@@ -834,6 +834,141 @@ object Indexing {
     }
   }
 
+  /** INCREMENTAL INGEST GATE AT THE NEAR-DUP TIER — the capstone the
+    * index keys build toward: [[dedupIndexMaintain]] proves a batch
+    * can PROBE the stored index; this key closes the loop into the
+    * admission policy a 100 TB corpus ingest actually runs. The seed
+    * slice (doc_id % 4 = 0) commits as the index v0; then THREE
+    * ingest waves (doc_id % 4 = 1, 2, 3) arrive in order, and each
+    * wave (1) sketches only itself, (2) probes the CURRENT stored
+    * index (hot buckets > 20 members dropped — the standing cap, now
+    * on the growing index), (3) verifies candidates with exact
+    * shingle Jaccard, (4) ADMITS exactly the docs with zero verified
+    * dup hits (≥ 0.5 fixed point), and (5) appends ONLY the admitted
+    * docs' band rows as a delta commit — so wave 3 is gated by wave
+    * 1's and 2's admissions, the sequential dependence that makes
+    * this a GATE rather than a report. Graded = the per-doc admission
+    * log (wave, doc, candidates, dup hits, admitted); the oracle
+    * unrolls all three waves from scratch, certifying the stored-
+    * index fold ≡ the recompute of the whole admission history.
+    *
+    * Scale shape: per wave the work is O(batch sketch) + a band-key
+    * equi-join against stored buckets + candidate-only verify — the
+    * corpus is never re-read; the index grows by O(admitted) rows per
+    * wave behind O(changed-files) delta manifests. Rejected docs cost
+    * ZERO index bytes — the gate's point: at 10⁹ docs/day the index
+    * only ever holds the deduplicated corpus. */
+  def dedupIngestGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // per-consumer dag builders (the planonly-self-join contract):
+    // graded mode shares ONE cut chain; plan-only rebuilds per use
+    def shF() = gramFrame(spark, dir).select($"doc_id", $"h").distinct()
+    val shShared =
+      if (graft.PlanOnly.enabled) null else graft.PlanOnly.cut(shF())
+    def sh() = if (graft.PlanOnly.enabled) shF() else shShared
+    def sigsAllF() = {
+      val sigCols = MinhashRepSeeds.zipWithIndex.map { case ((a, b), i) =>
+        min(($"h" * a + b) % WinnowM).as(s"s$i")
+      } :+ count(lit(1)).as("n")
+      sh().groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+    }
+    val sigsShared =
+      if (graft.PlanOnly.enabled) null
+      else graft.PlanOnly.mark(sigsAllF())
+    def sigsAll() = if (graft.PlanOnly.enabled) sigsAllF() else sigsShared
+    def bandsAll() = mhBandsOf(sigsAll())
+    def sizes() = sigsAll().select($"doc_id", $"n")
+    val docIds = Tables.documents(spark, dir).select($"doc_id")
+    def waveRows(k: Int, idx: DataFrame): DataFrame = {
+      val bsz = idx.groupBy($"band", $"bh").agg(count(lit(1)).as("c"))
+      val cold = idx.join(bsz.filter($"c" <= 20), Seq("band", "bh"))
+        .select($"band", $"bh", $"doc_id".as("doc_old"))
+      val cand = bandsAll().filter($"doc_id" % 4 === k)
+        .select($"band", $"bh", $"doc_id".as("doc_new"))
+        .join(cold, Seq("band", "bh"))
+        .select($"doc_new", $"doc_old").distinct()
+      val nc = cand.groupBy($"doc_new")
+        .agg(count(lit(1)).as("n_candidates"))
+      val nd = cand
+        .join(sh().as("sa"), $"doc_new" === $"sa.doc_id")
+        .join(sh().as("sb"),
+          $"doc_old" === $"sb.doc_id" && $"sa.h" === $"sb.h")
+        .groupBy($"doc_new", $"doc_old").agg(count(lit(1)).as("ni"))
+        .join(sizes().select($"doc_id".as("doc_new"), $"n".as("na")),
+          "doc_new")
+        .join(sizes().select($"doc_id".as("doc_old"), $"n".as("nb")),
+          "doc_old")
+        .filter(expr("(ni * 1048576) div (na + nb - ni)") >= 524288L)
+        .groupBy($"doc_new").agg(count(lit(1)).as("n_dup_hits"))
+      docIds.filter($"doc_id" % 4 === k)
+        .join(nc.withColumnRenamed("doc_new", "doc_id"),
+          Seq("doc_id"), "left")
+        .join(nd.withColumnRenamed("doc_new", "doc_id"),
+          Seq("doc_id"), "left")
+        .select(lit(k.toLong).as("wave"), $"doc_id",
+          coalesce($"n_candidates", lit(0L)).as("n_candidates"),
+          coalesce($"n_dup_hits", lit(0L)).as("n_dup_hits"))
+        .withColumn("admitted",
+          when($"n_dup_hits" === 0L, 1L).otherwise(0L))
+    }
+    def admBands(k: Int, rows: DataFrame): DataFrame =
+      bandsAll().filter($"doc_id" % 4 === k)
+        .join(rows.filter($"admitted" === 1L).select($"doc_id"),
+          Seq("doc_id"), "left_semi")
+    def shape(df: DataFrame): DataFrame = df
+      .select($"wave", $"doc_id", $"n_candidates", $"n_dup_hits",
+        $"admitted")
+      .orderBy($"wave", $"doc_id")
+    val equivalent = {
+      var idx = graft.PlanOnly.cut(bandsAll().filter($"doc_id" % 4 === 0))
+      val waves = (1 to 3).map { k =>
+        val rows = graft.PlanOnly.cut(waveRows(k, idx))
+        idx = graft.PlanOnly.cut(idx.unionAll(admBands(k, rows)))
+        rows
+      }
+      shape(waves.reduce(_.unionByName(_)))
+    }
+    graft.PlanOnly.roundTrip(equivalent) {
+      val tIdx = Tables.scratch("dedup_ingest_index")
+      graft.sources.TxnTable.drop(spark, tIdx)
+      val seed = graft.PlanOnly.cut(bandsAll().filter($"doc_id" % 4 === 0))
+      val nSeed = seed.count()
+      var chainFileLevel = nSeed > 0L
+      if (chainFileLevel) {
+        val p0 = s"$tIdx/data/f0"
+        seed.write.mode("overwrite").parquet(p0)
+        graft.sources.TxnTable.commitEntries(spark, tIdx, 0,
+          Seq(graft.sources.TxnTable.FileEntry(0L, p0, Long.MinValue,
+            Long.MaxValue, rowCount = nSeed)))
+      } else graft.sources.TxnTable.commit(spark, tIdx, 0, seed)
+      val waves = (1 to 3).map { k =>
+        // the wave probes the STORED index at its current version —
+        // gated by every earlier wave's admissions
+        val idx = graft.PlanOnly.cut(
+          graft.sources.TxnTable.read(spark, tIdx, Some(k - 1))
+            .select($"doc_id", $"band", $"bh"))
+        val rows = graft.PlanOnly.cut(waveRows(k, idx))
+        val ab = admBands(k, rows)
+        val nab = ab.count()
+        if (chainFileLevel && nab > 0L) {
+          val pk = s"$tIdx/data/f$k"
+          ab.write.mode("overwrite").parquet(pk)
+          graft.sources.TxnTable.commitDelta(spark, tIdx, k,
+            adds = Seq(graft.sources.TxnTable.FileEntry(k.toLong, pk,
+              Long.MinValue, Long.MaxValue, rowCount = nab)))
+        } else {
+          // degenerate wave: fall back to a self-contained snapshot
+          // (a delta cannot chain past a table-level base)
+          chainFileLevel = false
+          graft.sources.TxnTable.commit(spark, tIdx, k,
+            idx.unionAll(ab))
+        }
+        rows
+      }
+      shape(waves.reduce(_.unionByName(_)))
+    }
+  }
+
   /** The four 16-bit SimHash block scramblers — fixed odd multipliers
     * (Knuth/xxhash-family primes) shared verbatim with the oracle:
     * block j's per-token hash is bits 8..23 of r·K_j, i.e.
@@ -1089,6 +1224,7 @@ object Indexing {
     "dedup_minhash_replayable" -> (dedupMinhashReplayable(_, _)),
     "dedup_index_maintain" -> (dedupIndexMaintain(_, _)),
     "dedup_index_compact" -> (dedupIndexCompact(_, _)),
+    "dedup_ingest_gate" -> (dedupIngestGate(_, _)),
     "dedup_simhash_replayable" -> (dedupSimhashReplayable(_, _)),
     "text_inverted_index" -> (textInvertedIndex(_, _)),
     "text_bpe_merge_step" -> (textBpeMergeStep(_, _)),
@@ -1236,7 +1372,71 @@ SELECT doc_a, doc_b, hamming FROM ham
 WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
   }
 
+  /** The three ingest waves unrolled: idx₁ = seed bands; per wave k —
+    * hot-cap on the CURRENT index, candidate join, Jaccard-verified
+    * dup hits, admission, and idx_{k+1} = idx_k ∪ admitted bands. */
+  private def ingestGateOracle: String = {
+    def wave(k: Int): String =
+      s"""bsz$k AS (SELECT band, bh, count(*) AS c FROM idx$k
+         |  GROUP BY band, bh),
+         |cold$k AS (SELECT i.band, i.bh, i.doc_id FROM idx$k i
+         |  JOIN bsz$k USING (band, bh) WHERE bsz$k.c <= 20),
+         |cand$k AS (SELECT DISTINCT n.doc_id AS dn, o.doc_id AS dd
+         |  FROM band n JOIN cold$k o
+         |    ON n.band = o.band AND n.bh = o.bh
+         |  WHERE n.doc_id % 4 = $k),
+         |nc$k AS (SELECT dn, CAST(count(*) AS BIGINT) AS nc
+         |  FROM cand$k GROUP BY dn),
+         |dup$k AS (SELECT c.dn, c.dd
+         |  FROM cand$k c JOIN shg a ON a.doc_id = c.dn
+         |  JOIN shg b2 ON b2.doc_id = c.dd AND b2.h = a.h
+         |  JOIN szd na ON na.doc_id = c.dn
+         |  JOIN szd nb ON nb.doc_id = c.dd
+         |  GROUP BY c.dn, c.dd, na.n, nb.n
+         |  HAVING (count(*) * 1048576) // (na.n + nb.n - count(*))
+         |    >= 524288),
+         |nd$k AS (SELECT dn, CAST(count(*) AS BIGINT) AS nd
+         |  FROM dup$k GROUP BY dn),
+         |w$k AS (SELECT d.doc_id,
+         |    coalesce(nc$k.nc, 0) AS n_candidates,
+         |    coalesce(nd$k.nd, 0) AS n_dup_hits
+         |  FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = $k) d
+         |  LEFT JOIN nc$k ON d.doc_id = nc$k.dn
+         |  LEFT JOIN nd$k ON d.doc_id = nd$k.dn),
+         |idx${k + 1} AS MATERIALIZED (SELECT * FROM idx$k
+         |  UNION ALL SELECT doc_id, band, bh FROM band
+         |  WHERE doc_id % 4 = $k AND doc_id IN
+         |    (SELECT doc_id FROM w$k WHERE n_dup_hits = 0))"""
+        .stripMargin
+    winnowChainSql + s""",
+      |shg AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM g
+      |  WHERE h IS NOT NULL),
+      |seeds AS (SELECT * FROM (VALUES ${MinhashRepSeeds.zipWithIndex
+        .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")})
+      |  AS s(i, a, b)),
+      |sig AS (SELECT doc_id, i, min((h * a + b) % 1048573) AS s
+      |  FROM shg, seeds GROUP BY doc_id, i),
+      |band AS MATERIALIZED (SELECT doc_id, i // 4 AS band,
+      |    CAST(sum(s * CASE i % 4 WHEN 0 THEN 29791 WHEN 1 THEN 961
+      |      WHEN 2 THEN 31 ELSE 1 END) AS BIGINT) AS bh
+      |  FROM sig GROUP BY doc_id, i // 4),
+      |szd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shg
+      |  GROUP BY doc_id),
+      |idx1 AS MATERIALIZED (SELECT doc_id, band, bh FROM band
+      |  WHERE doc_id % 4 = 0),
+      |${(1 to 3).map(wave).mkString(",\n")}
+      |SELECT wave, doc_id, n_candidates, n_dup_hits,
+      |  CAST(CASE WHEN n_dup_hits = 0 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS admitted
+      |FROM (${(1 to 3).map(k =>
+        s"SELECT CAST($k AS BIGINT) AS wave, * FROM w$k")
+        .mkString("\nUNION ALL\n")})
+      |ORDER BY wave, doc_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // the admission history unrolled (see ingestGateOracle)
+    "dedup_ingest_gate" -> ingestGateOracle,
     // the same CDC SQL verbatim over the exploded-token CTE
     "text_cdc_chunking" -> {
       val tok =

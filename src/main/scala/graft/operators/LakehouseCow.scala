@@ -760,6 +760,94 @@ object LakehouseCow {
     }
   }
 
+  /** HISTOGRAM SIDECAR + RANGE-SELECTIVITY ESTIMATION — the third
+    * stats rung (zone maps prune files, [[sinkTxnNdvStats]] prices
+    * joins; THIS prices range predicates INSIDE a file, where a
+    * min/max zone map is worthless under skew): per file of the
+    * value-clustered state table, a 16-bucket EQUI-WIDTH histogram of
+    * v_sum_4dp commits as a versioned sidecar; a range predicate (the
+    * 30–45% band of the domain — sinkTxnColumnStats' band) is then
+    * estimated METADATA-ONLY — full interior buckets count whole,
+    * edge buckets interpolate linearly with one truncating integer
+    * division per (file, bucket) — and CONFRONTED with the exact
+    * count: one receipt row per file plus the bkt = −1 table rollup,
+    * ratio_fp = ⌊2²⁰·est/true⌋ making the interpolation error
+    * self-auditing (uniform-within-bucket is the assumption every
+    * histogram CBO rides; the receipt shows where it bends).
+    *
+    * Scale shape: the sidecar is |files|·16 metadata rows; estimation
+    * reads zero data bytes at any table size; only the truth column
+    * (the receipt's subject) scans, and it prunes to the band's files
+    * first. */
+  def sinkTxnHistSelectivity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = evUsers(spark, dir)
+    def shape(df: DataFrame): DataFrame = df
+      .select($"bkt", $"est_rows", $"true_rows", $"ratio_fp")
+      .orderBy($"bkt")
+    def receiptOf(st: DataFrame, side: DataFrame): DataFrame = {
+      // planning scalars as a 1-row frame: domain bounds, bucket
+      // width, predicate band — shared by both branches
+      val bounds = st.agg(
+          coalesce(min($"v_sum_4dp"), lit(0L)).as("mn"),
+          coalesce(max($"v_sum_4dp"), lit(0L)).as("mx"))
+        .select($"mn", $"mx",
+          expr("((mx - mn) DIV 16) + 1").as("w"),
+          expr("mn + ((mx - mn) * 3) DIV 10").as("lo"),
+          expr("mn + ((mx - mn) * 9) DIV 20").as("hi"))
+      val est = side.crossJoin(broadcast(bounds))
+        .withColumn("blo", $"mn" + $"hb" * $"w")
+        .withColumn("bhi", $"mn" + ($"hb" + 1L) * $"w" - 1L)
+        .withColumn("ov",
+          greatest(lit(0L),
+            least($"hi", $"bhi") - greatest($"lo", $"blo") + 1L))
+        .groupBy($"bkt")
+        .agg(sum(expr("(cnt * ov) div w")).as("est_rows"))
+      val tru = st.crossJoin(broadcast(bounds))
+        .filter($"v_sum_4dp".between($"lo", $"hi"))
+        .groupBy($"bkt").agg(count(lit(1)).as("true_rows"))
+      val perFile = est.join(tru, Seq("bkt"), "full_outer")
+        .select($"bkt", coalesce($"est_rows", lit(0L)).as("est_rows"),
+          coalesce($"true_rows", lit(0L)).as("true_rows"))
+      val table = perFile.agg(
+          coalesce(sum($"est_rows"), lit(0L)).as("est_rows"),
+          coalesce(sum($"true_rows"), lit(0L)).as("true_rows"))
+        .select(lit(-1L).as("bkt"), $"est_rows", $"true_rows")
+      perFile.unionAll(table)
+        .withColumn("ratio_fp",
+          when($"true_rows" > 0L,
+            expr("(est_rows * 1048576) div true_rows")).otherwise(-1L))
+    }
+    def stF() = state(ev).withColumn("bkt", expr("user_id % 8"))
+    def sideF(st: DataFrame): DataFrame = {
+      val bounds = st.agg(
+          coalesce(min($"v_sum_4dp"), lit(0L)).as("mn"),
+          coalesce(max($"v_sum_4dp"), lit(0L)).as("mx"))
+        .select($"mn", expr("((mx - mn) DIV 16) + 1").as("w"))
+      st.crossJoin(broadcast(bounds))
+        .select($"bkt", expr("(v_sum_4dp - mn) DIV w").as("hb"))
+        .groupBy($"bkt", $"hb").agg(count(lit(1)).as("cnt"))
+    }
+    graft.PlanOnly.roundTrip(shape(receiptOf(stF(), sideF(stF())))) {
+      val table = Tables.scratch("txn_hist_state")
+      val tSide = Tables.scratch("txn_hist_sidecar")
+      Seq(table, tSide).foreach(TxnTable.drop(spark, _))
+      val st = graft.PlanOnly.cut(stF())
+      val e0 = writeBuckets(st, s"$table/data/v0", "user_id")
+      commitMaybeEmpty(spark, table, 0, e0, st)
+      // per-file 16-bucket equi-width histograms → the sidecar commit
+      TxnTable.commit(spark, tSide, 0, sideF(st))
+      // estimation reads ONLY the sidecar; truth reads the table (the
+      // hive-style layout strips bkt from the files — re-derive it
+      // from the clustering expression, exactly what a reader with
+      // the manifest's bucket column would attach)
+      shape(receiptOf(TxnTable.read(spark, table, None)
+          .withColumn("bkt", expr("user_id % 8")),
+        TxnTable.read(spark, tSide, None)
+          .select($"bkt", $"hb", $"cnt")))
+    }
+  }
+
   /** STATS-DRIVEN JOIN ORDER — the second planner decision the stats
     * tier feeds (broadcast-vs-shuffle is [[sinkTxnCboChoose]]; this is
     * WHICH JOIN RUNS FIRST): a fact is reduced by TWO dims, and the
@@ -2619,6 +2707,7 @@ object LakehouseCow {
     "sink_txn_cbo_estimate" -> (sinkTxnCboEstimate(_, _)),
     "sink_txn_cbo_choose" -> (sinkTxnCboChoose(_, _)),
     "sink_txn_cbo_join_order" -> (sinkTxnCboJoinOrder(_, _)),
+    "sink_txn_hist_selectivity" -> (sinkTxnHistSelectivity(_, _)),
     "sink_txn_smb_merge" -> (sinkTxnSmbMerge(_, _)),
     "sink_txn_smb_coalesce" -> (sinkTxnSmbCoalesce(_, _)),
     "sink_txn_restore" -> (sinkTxnRestore(_, _)),
@@ -2747,6 +2836,46 @@ object LakehouseCow {
         |  CAST(8 AS BIGINT) AS bucket_count,
         |  CAST(1 AS BIGINT) AS layout_match
         |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the histogram pipeline re-derived: per-file equi-width buckets,
+    // whole interior buckets + linearly interpolated edges (one
+    // truncating division per (file, bucket)), exact truths, and the
+    // bkt = -1 rollup
+    "sink_txn_hist_selectivity" ->
+      """WITH e AS (SELECT user_id, CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM events),
+        |st AS (SELECT user_id, user_id % 8 AS bkt,
+        |    CAST(sum(v) * 10000 AS BIGINT) AS vs
+        |  FROM e GROUP BY user_id),
+        |b AS (SELECT coalesce(min(vs), 0) AS mn,
+        |    coalesce(max(vs), 0) AS mx FROM st),
+        |p AS (SELECT mn, mx, ((mx - mn) // 16) + 1 AS w,
+        |    mn + ((mx - mn) * 3) // 10 AS lo,
+        |    mn + ((mx - mn) * 9) // 20 AS hi FROM b),
+        |side AS (SELECT bkt, (vs - mn) // w AS hb, count(*) AS cnt
+        |  FROM st, p GROUP BY 1, 2),
+        |ovs AS (SELECT s.bkt, s.cnt, p.w,
+        |    greatest(0, least(p.hi, p.mn + (s.hb + 1) * p.w - 1)
+        |      - greatest(p.lo, p.mn + s.hb * p.w) + 1) AS ov
+        |  FROM side s, p),
+        |est AS (SELECT bkt, CAST(sum((cnt * ov) // w) AS BIGINT)
+        |    AS est_rows FROM ovs GROUP BY bkt),
+        |tru AS (SELECT bkt, CAST(count(*) AS BIGINT) AS true_rows
+        |  FROM st, p WHERE vs BETWEEN lo AND hi GROUP BY bkt),
+        |pf AS (SELECT coalesce(est.bkt, tru.bkt) AS bkt,
+        |    coalesce(est_rows, 0) AS est_rows,
+        |    coalesce(true_rows, 0) AS true_rows
+        |  FROM est FULL JOIN tru ON est.bkt = tru.bkt),
+        |allr AS (SELECT * FROM pf
+        |  UNION ALL SELECT -1,
+        |    coalesce((SELECT sum(est_rows) FROM pf), 0),
+        |    coalesce((SELECT sum(true_rows) FROM pf), 0))
+        |SELECT CAST(bkt AS BIGINT) AS bkt,
+        |  CAST(est_rows AS BIGINT) AS est_rows,
+        |  CAST(true_rows AS BIGINT) AS true_rows,
+        |  CAST(CASE WHEN true_rows > 0
+        |    THEN (est_rows * 1048576) // true_rows ELSE -1 END
+        |    AS BIGINT) AS ratio_fp
+        |FROM allr ORDER BY bkt""".stripMargin,
     // merged v1 under bucket-count evolution ≡ the same per-user state;
     // the coalescing receipt is the staged 8-vs-4 divisible lifecycle
     "sink_txn_smb_coalesce" ->

@@ -240,11 +240,11 @@ class IndexingSpec extends SparkSuite {
       s"only $shared of ${c0.size} chunks survived a 1-token prefix insert")
   }
 
-  test("dedup_index_maintain: v0 carried by reference, maintained index = brute-force rebuild, probe = replayed pairs (sf0.001)") {
-    import graft.sources.TxnTable
-    val out = Indexing.dedupIndexMaintain(spark, sf0001).collect()
-    val tIdx = Tables.scratch("dedup_band_index")
-    // ---- brute-force replay of the whole signature chain -------------
+  /** Brute-force replay of the shared MinHash chain at sf0.001: the
+    * per-doc shingle sets and the per-doc band rows — ground truth for
+    * every index-lifecycle law below. */
+  private lazy val mhReplay: (Map[Long, Set[Long]],
+      Map[Long, Seq[(Long, Long)]]) = {
     val docs = Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1)))
@@ -268,6 +268,14 @@ class IndexingSpec extends SparkSuite {
         sig(4 * bd) * 29791L + sig(4 * bd + 1) * 961L +
           sig(4 * bd + 2) * 31L + sig(4 * bd + 3)))
     }
+    (shg, bands)
+  }
+
+  test("dedup_index_maintain: v0 carried by reference, maintained index = brute-force rebuild, probe = replayed pairs (sf0.001)") {
+    import graft.sources.TxnTable
+    val out = Indexing.dedupIndexMaintain(spark, sf0001).collect()
+    val tIdx = Tables.scratch("dedup_band_index")
+    val (shg, bands) = mhReplay
     val oldB = bands.filter(_._1 % 8 != 7L)
       .flatMap { case (id, bs) => bs.map(b => (id, b._1, b._2)) }.toSet
     val newB = bands.filter(_._1 % 8 == 7L)
@@ -341,5 +349,64 @@ class IndexingSpec extends SparkSuite {
       assert(TxnTable.read(spark, tIdx, Some(2)).count() === r.getLong(5),
         "v2 content ≠ entries_after census")
     }
+  }
+
+  test("dedup_ingest_gate: admission log = brute-force 3-wave replay; the gate is sequential; the index holds exactly seed + admitted (sf0.001)") {
+    import graft.sources.TxnTable
+    val out = Indexing.dedupIngestGate(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val (shg, bands) = mhReplay
+    val allDocs = Tables.documents(spark, sf0001)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    var idx: Set[(Long, Long, Long)] = bands.filter(_._1 % 4 == 0L)
+      .flatMap { case (id, bs) => bs.map(b => (id, b._1, b._2)) }.toSet
+    var expect = Vector.empty[(Long, Long, Long, Long, Long)]
+    var admittedAll = Set.empty[Long]
+    var crossWaveReject = false
+    for (k <- 1 to 3) {
+      val hot = idx.groupBy(t => (t._2, t._3)).filter(_._2.size > 20)
+        .keySet
+      val cold = idx.filterNot(t => hot((t._2, t._3))).toSeq
+      val waveB = bands.filter(_._1 % 4 == k)
+        .flatMap { case (id, bs) => bs.map(b => (id, b._1, b._2)) }.toSeq
+      val cand = (for {
+        (nid, b, bh) <- waveB
+        (oid, ob, obh) <- cold if ob == b && obh == bh
+      } yield (nid, oid)).distinct
+      val dup = cand.filter { case (n, o) =>
+        val ni = (shg(n) & shg(o)).size.toLong
+        ni * 1048576L / (shg(n).size + shg(o).size - ni) >= 524288L
+      }
+      if (dup.exists { case (_, o) => admittedAll.contains(o) })
+        crossWaveReject = true
+      val ncM = cand.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val ndM = dup.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val rows = allDocs.filter(_ % 4 == k).map { d =>
+        val nd = ndM.getOrElse(d, 0L)
+        (k.toLong, d, ncM.getOrElse(d, 0L), nd,
+          if (nd == 0L) 1L else 0L)
+      }
+      expect ++= rows
+      val adm = rows.filter(_._5 == 1L).map(_._2).toSet
+      admittedAll ++= adm
+      idx ++= bands.filter(kv => adm(kv._1))
+        .flatMap { case (id, bs) => bs.map(b => (id, b._1, b._2)) }
+    }
+    assert(out.toSet === expect.toSet,
+      "admission log diverged from the brute-force replay")
+    // the gate is a real filter and a real pass at this fixture
+    assert(out.exists(_._5 == 0L), "no doc was ever rejected")
+    assert(out.exists(_._5 == 1L), "no doc was ever admitted")
+    // the index's final version holds exactly seed + admitted bands
+    val stored = TxnTable.read(spark,
+        Tables.scratch("dedup_ingest_index")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stored === idx, "final index ≠ seed ∪ admitted bands")
+    // at least one rejection is caused by an ADMITTED earlier doc (not
+    // only by the seed) — the sequential dependence the gate exists for
+    assert(crossWaveReject,
+      "no dup hit ever referenced an earlier wave's admission — the " +
+        "sequential gate is vacuous at this fixture")
   }
 }

@@ -565,4 +565,46 @@ class LakehouseCowSpec extends SparkSuite {
     // the selective dim genuinely subsets (the scale-free 1.1x-mean cut)
     assert(uAct.nonEmpty && uAct.size < uAll.size)
   }
+
+  test("sink_txn_hist_selectivity: estimate = brute-force interpolation replay, rollup telescopes, truths exact (sf0.001)") {
+    import org.apache.spark.sql.functions._
+    val out = operators.LakehouseCow.sinkTxnHistSelectivity(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // brute-force replay from raw events
+    val st = Tables.events(spark, sf0001)
+      .select(col("user_id"), Tables.dec4(col("value")).as("v"))
+      .groupBy(col("user_id"))
+      .agg((sum(col("v")) * lit(10000)).cast("long").as("vs"))
+      .collect().map(r => (r.getLong(0) % 8, r.getLong(1)))
+    val (mn, mx) = (st.map(_._2).min, st.map(_._2).max)
+    val w = (mx - mn) / 16 + 1
+    val lo = mn + (mx - mn) * 3 / 10
+    val hi = mn + (mx - mn) * 9 / 20
+    val side = st.groupBy { case (b, vs) => (b, (vs - mn) / w) }
+      .view.mapValues(_.size.toLong).toMap
+    val est = side.toSeq.map { case ((b, hb), cnt) =>
+      val (blo, bhi) = (mn + hb * w, mn + (hb + 1) * w - 1)
+      val ov = math.max(0L, math.min(hi, bhi) - math.max(lo, blo) + 1)
+      b -> cnt * ov / w
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val tru = st.filter(t => t._2 >= lo && t._2 <= hi)
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val perFile = (est.keySet ++ tru.keySet).toSeq.map { b =>
+      val (e, t) = (est.getOrElse(b, 0L), tru.getOrElse(b, 0L))
+      (b, e, t, if (t > 0) e * 1048576L / t else -1L)
+    }
+    val table = (-1L, perFile.map(_._2).sum, perFile.map(_._3).sum,
+      if (perFile.map(_._3).sum > 0)
+        perFile.map(_._2).sum * 1048576L / perFile.map(_._3).sum
+      else -1L)
+    assert(out.toSet === (perFile :+ table).toSet,
+      "receipt diverged from the brute-force interpolation replay")
+    // truths positive and estimates within a loose band of truth at
+    // the rollup (interpolation error, not divergence)
+    val roll = out.find(_._1 == -1L).get
+    assert(roll._3 > 0L)
+    assert(roll._4 > 524288L && roll._4 < 2097152L,
+      s"table-level est/true ratio ${roll._4} outside [0.5, 2]x")
+  }
 }

@@ -579,7 +579,11 @@ class PlanRegressionSpec extends SparkSuite {
       // sink_txn_cbo_join_order: the same 1-row planning-scalar
       // receipt assembly as cbo_choose; dedup_index_compact attaches
       // the 1-row quarantine census — fan-out 1 each
-      "sink_txn_cbo_join_order", "dedup_index_compact")
+      "sink_txn_cbo_join_order", "dedup_index_compact",
+      // sink_txn_hist_selectivity: the 1-row domain-bounds/predicate
+      // frame broadcast over the histogram and the truth scan —
+      // fan-out 1
+      "sink_txn_hist_selectivity")
     val offenders = SparkEntry.queries.keys.filterNot(allowed)
       .filter(n => n != "source_csv_roundtrip" && plan(n).contains("BroadcastNestedLoopJoin"))
     assert(offenders.isEmpty, s"unexpected nested-loop joins: $offenders")
@@ -834,6 +838,7 @@ class PlanRegressionSpec extends SparkSuite {
       "dedup_minhash_replayable" -> "hot-bucket-capped candidate frame, limit(20) report cut",
       "dedup_index_maintain" -> "rankedTokens prefix-offset frame (≤|charset|² rows, the two-level vocabulary rank)",
       "dedup_index_compact" -> "rankedTokens prefix-offset frame (≤|charset|² rows, the two-level vocabulary rank)",
+      "dedup_ingest_gate" -> "rankedTokens prefix-offset frame (≤|charset|² rows, the two-level vocabulary rank)",
       "corpus_dedup_costs" -> "rankedTokens prefix-offset frame (≤|charset|² rows) over the exact-dedup survivors",
       "dedup_simhash_replayable" -> "4-block pigeonhole buckets, >20-doc buckets dropped",
       "dedup_winnow_pairs" -> "fingerprint-bucketed candidates, limit(20) cut",
