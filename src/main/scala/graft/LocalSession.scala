@@ -34,6 +34,13 @@ object LocalSession {
       // (sink_txn_smb_coalesce; harmless elsewhere — equal-count
       // bucketed joins are unaffected)
       .config("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
+      // bucketed tables always scan bucketed: autoBucketedScan would
+      // silently drop the bucketed read (and with it BUCKET PRUNING)
+      // for scan-only queries like sink_txn_bucket_prune's point
+      // lookup; the cost is scan granularity = bucket count on
+      // bucketed tables, which every bucketed consumer here wants
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        "false")
       .config("spark.sql.warehouse.dir", WarehouseDir)
     extra.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()

@@ -760,6 +760,60 @@ object LakehouseCow {
     }
   }
 
+  /** BUCKET PRUNING ON THE SMB LAYOUT — the scan-path payoff that
+    * makes the layout tier worth its write cost beyond joins: a point
+    * lookup (user_id IN (...)) against the bucketed state table scans
+    * ONLY the buckets the probe keys hash to — at 8 buckets that is
+    * ≤ |probes| of 8 files; at a production table's 4096 buckets it is
+    * the difference between reading 100 TB and reading 25 GB per
+    * lookup batch. The probe panel is the 5 smallest user_ids
+    * (data-derived, deterministic); the literal IN-list is what lets
+    * Spark's bucket pruning fire (a dynamic frame wouldn't — the same
+    * reason DPP exists for partitions), and the pruned scan is pinned
+    * in BucketingSpec (`SelectedBucketsCount: k out of 8`, k ≤ 5).
+    * Graded = the probed rows + the layout receipt; the oracle
+    * re-derives the panel and rows from raw events.
+    *
+    * Scale shape: the probe-key collect is ≤5 rows of planning
+    * metadata (the literal the pruner needs); the lookup reads
+    * O(probes) buckets and zero others — no shuffle anywhere. */
+  def sinkTxnBucketPrune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = evUsers(spark, dir)
+    def shape(df: DataFrame): DataFrame = df
+      .select($"user_id", $"n_events", $"last_us", $"v_sum_4dp",
+        $"buckets_total", $"n_probes")
+      .orderBy($"user_id")
+    def panelF() = state(ev).select($"user_id")
+      .orderBy($"user_id").limit(5)
+    val equivalent = {
+      val nP = panelF().agg(count(lit(1)).as("n_probes"))
+      shape(state(ev)
+        .join(panelF(), Seq("user_id"), "left_semi")
+        .withColumn("buckets_total", lit(8L))
+        .crossJoin(broadcast(nP)))
+    }
+    graft.PlanOnly.roundTrip(equivalent) {
+      val tbl = Tables.scratch("txn_bprune_state")
+      TxnTable.drop(spark, tbl)
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      graft.sources.Sinks.writeBucketed(state(ev), "bprune_state", 8,
+        "user_id")
+      TxnTable.commitAt(spark, tbl, 0,
+        new org.apache.hadoop.fs.Path(wh, "bprune_state").toString,
+        "user_id:8:bprune_state")
+      // ≤5 probe keys: the literal IN-list bucket pruning needs —
+      // planning metadata, never data
+      val keys = panelF().collect().map(_.getLong(0)).toSeq
+      val looked =
+        if (keys.isEmpty) spark.table("bprune_state").limit(0)
+        else spark.table("bprune_state").filter($"user_id".isin(keys: _*))
+      shape(looked
+        .withColumn("buckets_total", lit(8L))
+        .withColumn("n_probes", lit(keys.size.toLong)))
+    }
+  }
+
   /** HISTOGRAM SIDECAR + RANGE-SELECTIVITY ESTIMATION — the third
     * stats rung (zone maps prune files, [[sinkTxnNdvStats]] prices
     * joins; THIS prices range predicates INSIDE a file, where a
@@ -2708,6 +2762,7 @@ object LakehouseCow {
     "sink_txn_cbo_choose" -> (sinkTxnCboChoose(_, _)),
     "sink_txn_cbo_join_order" -> (sinkTxnCboJoinOrder(_, _)),
     "sink_txn_hist_selectivity" -> (sinkTxnHistSelectivity(_, _)),
+    "sink_txn_bucket_prune" -> (sinkTxnBucketPrune(_, _)),
     "sink_txn_smb_merge" -> (sinkTxnSmbMerge(_, _)),
     "sink_txn_smb_coalesce" -> (sinkTxnSmbCoalesce(_, _)),
     "sink_txn_restore" -> (sinkTxnRestore(_, _)),
@@ -2836,6 +2891,22 @@ object LakehouseCow {
         |  CAST(8 AS BIGINT) AS bucket_count,
         |  CAST(1 AS BIGINT) AS layout_match
         |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the probed rows re-derived: the 5-smallest-user panel and their
+    // per-user state; the receipt constants are the staged layout
+    "sink_txn_bucket_prune" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |st AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    max(ts_us) AS last_us,
+        |    CAST(sum(v) * 10000 AS BIGINT) AS v_sum_4dp
+        |  FROM e GROUP BY user_id),
+        |panel AS (SELECT user_id FROM st ORDER BY user_id LIMIT 5),
+        |np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM panel)
+        |SELECT st.user_id, st.n_events, st.last_us, st.v_sum_4dp,
+        |  CAST(8 AS BIGINT) AS buckets_total,
+        |  (SELECT n_probes FROM np) AS n_probes
+        |FROM st JOIN panel ON st.user_id = panel.user_id
+        |ORDER BY st.user_id""".stripMargin,
     // the histogram pipeline re-derived: per-file equi-width buckets,
     // whole interior buckets + linearly interpolated edges (one
     // truncating division per (file, bucket)), exact truths, and the

@@ -153,4 +153,29 @@ class BucketingSpec extends SparkSuite {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("sink_txn_bucket_prune: the literal IN-list scans ≤|probes| of 8 buckets and returns exactly the probed rows") {
+    import graft.sources.TxnTable
+    val out = operators.LakehouseCow.sinkTxnBucketPrune(spark, sf0001)
+      .collect()
+    assert(out.nonEmpty && out.length <= 5)
+    assert(TxnTable.layoutOf(spark, Tables.scratch("txn_bprune_state"),
+      Some(0)) === Some("user_id:8:bprune_state"))
+    // re-derive the panel and pin the pruned scan
+    val keys = out.map(_.getLong(0)).toSeq
+    val looked = spark.table("bprune_state")
+      .filter(col("user_id").isin(keys: _*))
+    val plan = looked.queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of 8".r
+      .findFirstMatchIn(plan)
+    assert(m.nonEmpty, s"no bucket pruning in the scan:\n$plan")
+    assert(m.get.group(1).toInt <= keys.size,
+      s"scan read ${m.get.group(1)} buckets for ${keys.size} probes")
+    // content law: the probed rows are the 5 smallest users' states
+    val expect = Tables.events(spark, sf0001)
+      .select(col("user_id")).distinct()
+      .orderBy(col("user_id")).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(keys.sorted === expect.sorted)
+  }
 }

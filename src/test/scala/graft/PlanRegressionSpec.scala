@@ -582,8 +582,9 @@ class PlanRegressionSpec extends SparkSuite {
       "sink_txn_cbo_join_order", "dedup_index_compact",
       // sink_txn_hist_selectivity: the 1-row domain-bounds/predicate
       // frame broadcast over the histogram and the truth scan —
-      // fan-out 1
-      "sink_txn_hist_selectivity")
+      // fan-out 1; sink_txn_bucket_prune: the 1-row probe-count
+      // receipt scalar — fan-out 1
+      "sink_txn_hist_selectivity", "sink_txn_bucket_prune")
     val offenders = SparkEntry.queries.keys.filterNot(allowed)
       .filter(n => n != "source_csv_roundtrip" && plan(n).contains("BroadcastNestedLoopJoin"))
     assert(offenders.isEmpty, s"unexpected nested-loop joins: $offenders")

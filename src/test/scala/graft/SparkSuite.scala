@@ -22,8 +22,12 @@ object SparkSuite {
       .config("spark.ui.enabled", "false")
       // static conf: needed by BucketingSpec's saveAsTable
       .config("spark.sql.warehouse.dir", LocalSession.WarehouseDir)
-      // mirror the LocalSession engine default (SMB bucket coalescing)
+      // mirror the LocalSession engine defaults (SMB bucket
+      // coalescing; bucketed tables always scan bucketed so point
+      // lookups keep bucket pruning)
       .config("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     Tables.configure(s)
