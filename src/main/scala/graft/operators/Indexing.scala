@@ -843,21 +843,38 @@ object Indexing {
     * wave (1) sketches only itself, (2) probes the CURRENT stored
     * index (hot buckets > 20 members dropped — the standing cap, now
     * on the growing index), (3) verifies candidates with exact
-    * shingle Jaccard, (4) ADMITS exactly the docs with zero verified
-    * dup hits (≥ 0.5 fixed point), and (5) appends ONLY the admitted
-    * docs' band rows as a delta commit — so wave 3 is gated by wave
-    * 1's and 2's admissions, the sequential dependence that makes
-    * this a GATE rather than a report. Graded = the per-doc admission
-    * log (wave, doc, candidates, dup hits, admitted); the oracle
-    * unrolls all three waves from scratch, certifying the stored-
-    * index fold ≡ the recompute of the whole admission history.
+    * shingle Jaccard, (4) runs the INTRA-WAVE self-check the r17
+    * verdict named as the gate's blind spot — the wave's OWN band
+    * keys self-join under the same hot-cap discipline (wave-internal
+    * bucket membership > 20 dropped), verified pairs with the same
+    * fixed-point Jaccard, and a doc is intra-dominated iff it has ANY
+    * verified same-wave near-dup with a SMALLER doc_id (first-id-wins
+    * — at 10⁹ docs/day with bursty crawls, same-batch dups are the
+    * COMMON case, and neither copy is indexed when the wave probes,
+    * so the stored-index probe alone would admit both) — then (5)
+    * ADMITS exactly the docs with zero stored-index dup hits AND zero
+    * intra-wave hits (both tiers at ≥ 0.5 fixed point), and (6)
+    * appends ONLY the admitted docs' band rows as a delta commit — so
+    * wave 3 is gated by wave 1's and 2's admissions, the sequential
+    * dependence that makes this a GATE rather than a report. A
+    * zero-admission wave commits an EMPTY delta (the index is
+    * unchanged; every prior file carries by reference), so one quiet
+    * wave never downgrades later waves to O(index) snapshot rewrites.
+    * Graded = the per-doc admission log (wave, doc, candidates, dup
+    * hits, intra-wave hits, admitted); the oracle unrolls all three
+    * waves from scratch, certifying the stored-index fold ≡ the
+    * recompute of the whole admission history.
     *
     * Scale shape: per wave the work is O(batch sketch) + a band-key
-    * equi-join against stored buckets + candidate-only verify — the
-    * corpus is never re-read; the index grows by O(admitted) rows per
-    * wave behind O(changed-files) delta manifests. Rejected docs cost
-    * ZERO index bytes — the gate's point: at 10⁹ docs/day the index
-    * only ever holds the deduplicated corpus. */
+    * equi-join against stored buckets + candidate-only verify, plus
+    * the intra-wave band self-join — batch × batch ONLY through
+    * hot-capped shared buckets (Σ capped-bucket², never |batch|²),
+    * the same bound every band tier carries — the corpus is never
+    * re-read; the index grows by O(admitted) rows per wave behind
+    * O(changed-files) delta manifests (an empty delta when a wave
+    * admits nothing). Rejected docs cost ZERO index bytes — the
+    * gate's point: at 10⁹ docs/day the index only ever holds the
+    * deduplicated corpus. */
   def dedupIngestGate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // per-consumer dag builders (the planonly-self-join contract):
@@ -900,16 +917,43 @@ object Indexing {
           "doc_old")
         .filter(expr("(ni * 1048576) div (na + nb - ni)") >= 524288L)
         .groupBy($"doc_new").agg(count(lit(1)).as("n_dup_hits"))
+      // intra-wave self-check: the wave's own band keys, same hot-cap
+      // discipline, same verify tier; a doc counts a hit per verified
+      // same-wave near-dup with a SMALLER doc_id (first-id-wins)
+      val wb = bandsAll().filter($"doc_id" % 4 === k)
+      val wbsz = wb.groupBy($"band", $"bh").agg(count(lit(1)).as("c"))
+      val wcold = wb.join(wbsz.filter($"c" <= 20), Seq("band", "bh"))
+        .select($"band", $"bh", $"doc_id")
+      val wcand = wcold.select($"band", $"bh", $"doc_id".as("doc_new"))
+        .join(wcold.select($"band", $"bh", $"doc_id".as("doc_old")),
+          Seq("band", "bh"))
+        .filter($"doc_old" < $"doc_new")
+        .select($"doc_new", $"doc_old").distinct()
+      val wi = wcand
+        .join(sh().as("wa"), $"doc_new" === $"wa.doc_id")
+        .join(sh().as("wz"),
+          $"doc_old" === $"wz.doc_id" && $"wa.h" === $"wz.h")
+        .groupBy($"doc_new", $"doc_old").agg(count(lit(1)).as("ni"))
+        .join(sizes().select($"doc_id".as("doc_new"), $"n".as("na")),
+          "doc_new")
+        .join(sizes().select($"doc_id".as("doc_old"), $"n".as("nb")),
+          "doc_old")
+        .filter(expr("(ni * 1048576) div (na + nb - ni)") >= 524288L)
+        .groupBy($"doc_new").agg(count(lit(1)).as("intra_wave_hits"))
       docIds.filter($"doc_id" % 4 === k)
         .join(nc.withColumnRenamed("doc_new", "doc_id"),
           Seq("doc_id"), "left")
         .join(nd.withColumnRenamed("doc_new", "doc_id"),
           Seq("doc_id"), "left")
+        .join(wi.withColumnRenamed("doc_new", "doc_id"),
+          Seq("doc_id"), "left")
         .select(lit(k.toLong).as("wave"), $"doc_id",
           coalesce($"n_candidates", lit(0L)).as("n_candidates"),
-          coalesce($"n_dup_hits", lit(0L)).as("n_dup_hits"))
+          coalesce($"n_dup_hits", lit(0L)).as("n_dup_hits"),
+          coalesce($"intra_wave_hits", lit(0L)).as("intra_wave_hits"))
         .withColumn("admitted",
-          when($"n_dup_hits" === 0L, 1L).otherwise(0L))
+          when($"n_dup_hits" === 0L && $"intra_wave_hits" === 0L, 1L)
+            .otherwise(0L))
     }
     def admBands(k: Int, rows: DataFrame): DataFrame =
       bandsAll().filter($"doc_id" % 4 === k)
@@ -917,7 +961,7 @@ object Indexing {
           Seq("doc_id"), "left_semi")
     def shape(df: DataFrame): DataFrame = df
       .select($"wave", $"doc_id", $"n_candidates", $"n_dup_hits",
-        $"admitted")
+        $"intra_wave_hits", $"admitted")
       .orderBy($"wave", $"doc_id")
     val equivalent = {
       var idx = graft.PlanOnly.cut(bandsAll().filter($"doc_id" % 4 === 0))
@@ -956,12 +1000,29 @@ object Indexing {
           graft.sources.TxnTable.commitDelta(spark, tIdx, k,
             adds = Seq(graft.sources.TxnTable.FileEntry(k.toLong, pk,
               Long.MinValue, Long.MaxValue, rowCount = nab)))
+        } else if (chainFileLevel) {
+          // zero-admission wave: the index is UNCHANGED — an EMPTY
+          // delta keeps every prior file by reference and keeps the
+          // chain file-level, so the NEXT admitting wave commits an
+          // O(batch) delta (r17 verdict: one quiet wave must never
+          // downgrade later waves to O(index) snapshot rewrites)
+          graft.sources.TxnTable.commitDelta(spark, tIdx, k)
+        } else if (nab > 0L) {
+          // table-level base (empty seed): RE-ENTER the delta chain by
+          // committing the union ONCE as a self-contained file-level
+          // snapshot; later waves chain deltas on top of it
+          val union = graft.PlanOnly.cut(idx.unionAll(ab))
+          val nu = union.count()
+          val pk = s"$tIdx/data/s$k"
+          union.write.mode("overwrite").parquet(pk)
+          graft.sources.TxnTable.commitEntries(spark, tIdx, k,
+            Seq(graft.sources.TxnTable.FileEntry(k.toLong, pk,
+              Long.MinValue, Long.MaxValue, rowCount = nu)))
+          chainFileLevel = true
         } else {
-          // degenerate wave: fall back to a self-contained snapshot
-          // (a delta cannot chain past a table-level base)
-          chainFileLevel = false
-          graft.sources.TxnTable.commit(spark, tIdx, k,
-            idx.unionAll(ab))
+          // empty index AND empty wave: stay table-level (nothing to
+          // reference; the commitMaybeEmpty contract)
+          graft.sources.TxnTable.commit(spark, tIdx, k, idx.unionAll(ab))
         }
         rows
       }
@@ -1397,16 +1458,38 @@ WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
          |    >= 524288),
          |nd$k AS (SELECT dn, CAST(count(*) AS BIGINT) AS nd
          |  FROM dup$k GROUP BY dn),
+         |wb$k AS (SELECT doc_id, band, bh FROM band
+         |  WHERE doc_id % 4 = $k),
+         |wbsz$k AS (SELECT band, bh, count(*) AS c FROM wb$k
+         |  GROUP BY band, bh),
+         |wcold$k AS (SELECT w.doc_id, w.band, w.bh FROM wb$k w
+         |  JOIN wbsz$k USING (band, bh) WHERE wbsz$k.c <= 20),
+         |wcand$k AS (SELECT DISTINCT x.doc_id AS dn, y.doc_id AS dd
+         |  FROM wcold$k x JOIN wcold$k y
+         |    ON x.band = y.band AND x.bh = y.bh AND y.doc_id < x.doc_id),
+         |wdup$k AS (SELECT c.dn, c.dd
+         |  FROM wcand$k c JOIN shg a ON a.doc_id = c.dn
+         |  JOIN shg b2 ON b2.doc_id = c.dd AND b2.h = a.h
+         |  JOIN szd na ON na.doc_id = c.dn
+         |  JOIN szd nb ON nb.doc_id = c.dd
+         |  GROUP BY c.dn, c.dd, na.n, nb.n
+         |  HAVING (count(*) * 1048576) // (na.n + nb.n - count(*))
+         |    >= 524288),
+         |wnd$k AS (SELECT dn, CAST(count(*) AS BIGINT) AS wn
+         |  FROM wdup$k GROUP BY dn),
          |w$k AS (SELECT d.doc_id,
          |    coalesce(nc$k.nc, 0) AS n_candidates,
-         |    coalesce(nd$k.nd, 0) AS n_dup_hits
+         |    coalesce(nd$k.nd, 0) AS n_dup_hits,
+         |    coalesce(wnd$k.wn, 0) AS intra_wave_hits
          |  FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = $k) d
          |  LEFT JOIN nc$k ON d.doc_id = nc$k.dn
-         |  LEFT JOIN nd$k ON d.doc_id = nd$k.dn),
+         |  LEFT JOIN nd$k ON d.doc_id = nd$k.dn
+         |  LEFT JOIN wnd$k ON d.doc_id = wnd$k.dn),
          |idx${k + 1} AS MATERIALIZED (SELECT * FROM idx$k
          |  UNION ALL SELECT doc_id, band, bh FROM band
          |  WHERE doc_id % 4 = $k AND doc_id IN
-         |    (SELECT doc_id FROM w$k WHERE n_dup_hits = 0))"""
+         |    (SELECT doc_id FROM w$k
+         |     WHERE n_dup_hits = 0 AND intra_wave_hits = 0))"""
         .stripMargin
     winnowChainSql + s""",
       |shg AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM g
@@ -1425,9 +1508,9 @@ WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
       |idx1 AS MATERIALIZED (SELECT doc_id, band, bh FROM band
       |  WHERE doc_id % 4 = 0),
       |${(1 to 3).map(wave).mkString(",\n")}
-      |SELECT wave, doc_id, n_candidates, n_dup_hits,
-      |  CAST(CASE WHEN n_dup_hits = 0 THEN 1 ELSE 0 END AS BIGINT)
-      |    AS admitted
+      |SELECT wave, doc_id, n_candidates, n_dup_hits, intra_wave_hits,
+      |  CAST(CASE WHEN n_dup_hits = 0 AND intra_wave_hits = 0
+      |    THEN 1 ELSE 0 END AS BIGINT) AS admitted
       |FROM (${(1 to 3).map(k =>
         s"SELECT CAST($k AS BIGINT) AS wave, * FROM w$k")
         .mkString("\nUNION ALL\n")})

@@ -474,16 +474,21 @@ object Lakehouse {
               .orderBy($"ts_us".desc, $"event_id".desc)
             val p = new Path(stateDir)
             val pfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-            // replay guard: if this batch's feed partition already
-            // exists, the ops were derived (against the PRE-merge
+            // replay guard: if this batch's feed partition is already
+            // COMMITTED, the ops were derived (against the PRE-merge
             // state) and persisted before the crash — re-deriving them
             // now, possibly after the state merge landed, would diff
             // against already-merged state and overwrite the partition
             // with an empty frame, LOSING feed rows. Skip straight to
             // the state merge, which is idempotent (latest-per-user
-            // election absorbs a replayed batch).
+            // election absorbs a replayed batch). "Committed" is the
+            // write job's _SUCCESS marker, NOT bare dir existence:
+            // Spark creates the output dir at job start, so a crash
+            // mid-feed-write leaves a partial dir that a dir-existence
+            // guard would permanently skip, silently losing the batch
+            // (r17 ADVICE); mode("overwrite") below heals the partial.
             val feedPart = s"$feedDir/batch=$batchId"
-            if (!pfs.exists(new Path(feedPart))) {
+            if (!pfs.exists(new Path(feedPart, "_SUCCESS"))) {
               val prev = if (pfs.exists(p)) s.read.parquet(stateDir)
                 else batch.limit(0)
               val cand = batch.withColumn("rn", row_number().over(wb))
@@ -987,9 +992,11 @@ object Lakehouse {
               .orderBy($"ts_us".desc, $"event_id".desc)
             val p = new Path(stateDir)
             val pfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-            // the streamExecCdcFeed replay guard: pre-merge ops persist
+            // the streamExecCdcFeed replay guard: pre-merge ops persist,
+            // gated on the _SUCCESS commit marker (a partial dir from a
+            // mid-write crash is rewritten, never skipped — r17 ADVICE)
             val feedPart = s"$feedDir/batch=$batchId"
-            if (!pfs.exists(new Path(feedPart))) {
+            if (!pfs.exists(new Path(feedPart, "_SUCCESS"))) {
               val prev = if (pfs.exists(p)) s.read.parquet(stateDir)
                 else batch.limit(0)
               val cand = batch.withColumn("rn", row_number().over(wb))
@@ -1048,6 +1055,161 @@ object Lakehouse {
         .select($"version", $"event_type",
           coalesce($"m", lit(-1L)).as("maint_n_users"),
           coalesce($"direct_n_users", lit(-1L)).as("direct_n_users")))
+    }
+  }
+
+  /** CDF CHECKPOINT + RETENTION — the rung [[streamExecCdfApply]]'s
+    * scaladoc leaves open (r17 verdict item 6): the feed's
+    * `feed/batch=N` partitions grow WITHOUT BOUND, and a consumer that
+    * must fold from batch 0 forever is O(history) — so the manifest
+    * tier's checkpoint discipline ([[graft.sources.TxnTable]]'s
+    * `v%05d.full.json` sidecars) is applied to the CDF itself: the
+    * same checkpointed stream emits four op-row batches (with update
+    * preimages), the fold of batches ≤ K (K = 1) COMMITS as a
+    * versioned snapshot table (the maintained per-type view AT K),
+    * the feed partitions ≤ K are GC'd (reclaim census: exactly the
+    * folded prefix, never a suffix partition — and idempotent, a
+    * second sweep reclaims nothing), and every later version is
+    * served as CHECKPOINT ⊕ SUFFIX-FOLD — the feed read starts at
+    * batch K+1, the physically-deleted prefix is never needed again.
+    * The graded frame stacks versions 1..3: v1 read from the
+    * committed checkpoint alone, v2/v3 as checkpoint + suffix folds,
+    * each confronted with the DIRECT latest-per-user recompute at the
+    * same event-time prefix (the oracle derives both columns from raw
+    * prefixes), plus the GC census riding every row — the hash
+    * certifies checkpoint + suffix ≡ full fold ≡ recompute.
+    *
+    * Scale shape: the checkpoint is |types| rows; retention caps the
+    * feed at O(batches-since-checkpoint) partitions (the Delta
+    * checkpoint / Kafka compacted-topic discipline — without it a
+    * year-old CDF is a year of partitions every consumer re-reads);
+    * the GC is O(expired partitions) directory deletes; each serve
+    * folds only the suffix. */
+  def streamExecCdfCheckpoint(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val ev = evUsers(spark, dir)
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts_us".desc, $"event_id".desc)
+    def directAt(i: Int, b: Long): DataFrame = ev.filter($"ts_us" < b)
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("direct_n_users"))
+      .withColumn("version", lit(i.toLong))
+    def shape(df: DataFrame): DataFrame = df
+      .select($"version", $"event_type", $"maint_n_users",
+        $"direct_n_users", $"parts_removed", $"parts_kept")
+      .orderBy($"version", $"event_type")
+    val equivalent = shape(SinkBoundsUs.zipWithIndex.drop(1)
+      .map { case (b, i) =>
+        directAt(i, b).withColumn("maint_n_users", $"direct_n_users")
+          .withColumn("parts_removed", lit(2L))
+          .withColumn("parts_kept", lit(2L))
+      }.reduce(_.unionByName(_)))
+    graft.PlanOnly.roundTrip(equivalent) {
+      import org.apache.hadoop.fs.Path
+      val base = Tables.scratch("stream_exec_cdc")
+      val fs = new Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq(s"$base/state_ckpt", s"$base/feed_ckpt", s"$base/ckpt_ckpt")
+        .foreach { d => fs.delete(new Path(d), true): Unit }
+      val tCk = Tables.scratch("cdf_checkpoint_view")
+      graft.sources.TxnTable.drop(spark, tCk)
+      val stage = stagedQuartiles(spark, dir, base)
+      val schema = spark.read.parquet(stage).schema
+      val stateDir = s"$base/state_ckpt"
+      val feedDir = s"$base/feed_ckpt"
+      graft.streaming.StreamingMirror.withStreamRuntimeConfs(spark) {
+        val q = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage)
+          .writeStream.option("checkpointLocation", s"$base/ckpt_ckpt")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val s = batch.sparkSession
+            import s.implicits._
+            val wb = Window.partitionBy($"user_id")
+              .orderBy($"ts_us".desc, $"event_id".desc)
+            val p = new Path(stateDir)
+            val pfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+            // the streamExecCdcFeed replay guard (_SUCCESS-gated)
+            val feedPart = s"$feedDir/batch=$batchId"
+            if (!pfs.exists(new Path(feedPart, "_SUCCESS"))) {
+              val prev = if (pfs.exists(p)) s.read.parquet(stateDir)
+                else batch.limit(0)
+              val cand = batch.withColumn("rn", row_number().over(wb))
+                .filter($"rn" === 1).drop("rn")
+              val pv = prev.select($"user_id".as("pu"),
+                $"event_id".as("pe"), $"ts_us".as("pt"),
+                $"event_type".as("ptype"))
+              val ops = cand.join(pv, $"user_id" === $"pu", "left")
+                .filter($"pe".isNull || $"ts_us" > $"pt" ||
+                  ($"ts_us" === $"pt" && $"event_id" > $"pe"))
+                .select(lit(batchId).as("batch_id"),
+                  when($"pe".isNull, 1L).otherwise(0L).as("op_insert"),
+                  $"user_id", $"event_id", $"ts_us", $"event_type",
+                  coalesce($"ptype", lit("(none)")).as("prev_event_type"))
+              ops.write.mode("overwrite").parquet(feedPart)
+            }
+            graft.streaming.StreamingMirror.upsertBatch(batch, stateDir)
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      def deltaOf(feed: DataFrame, k: Int): DataFrame = {
+        val fk = feed.filter($"batch_id" === k.toLong)
+        val plus = fk.groupBy($"event_type").agg(count(lit(1)).as("pl"))
+        val minus = fk.filter($"op_insert" === 0L)
+          .groupBy($"prev_event_type".as("event_type"))
+          .agg(count(lit(1)).as("mi"))
+        plus.join(minus, Seq("event_type"), "full_outer")
+          .select($"event_type",
+            (coalesce($"pl", lit(0L)) - coalesce($"mi", lit(0L))).as("d"))
+      }
+      def fold(acc: DataFrame, d: DataFrame): DataFrame = acc
+        .join(d, Seq("event_type"), "full_outer")
+        .select($"event_type",
+          (coalesce($"m", lit(0L)) + coalesce($"d", lit(0L))).as("m"))
+      // ---- CHECKPOINT: fold batches 0..1 and COMMIT the view at K=1
+      val feedAll = graft.PlanOnly.cut(spark.read.parquet(feedDir)
+        .select($"batch_id", $"op_insert", $"event_type",
+          $"prev_event_type"))
+      val ck = graft.PlanOnly.cut(fold(
+        deltaOf(feedAll, 0).select($"event_type", $"d".as("m")),
+        deltaOf(feedAll, 1)))
+      graft.sources.TxnTable.commit(spark, tCk, 0, ck)
+      // ---- RETENTION: GC the folded prefix (batch <= K), idempotent
+      def sweep(): Long = (0 to 1).map { k =>
+        val p = new Path(s"$feedDir/batch=$k")
+        if (fs.exists(p)) { require(fs.delete(p, true)); 1L } else 0L
+      }.sum
+      val removed = sweep()
+      require(sweep() == 0L, "CDF retention sweep must be idempotent")
+      val kept = fs.listStatus(new Path(feedDir)).toSeq
+        .count(s => s.isDirectory &&
+          s.getPath.getName.startsWith("batch=")).toLong
+      // ---- SERVE: checkpoint + suffix folds (feed read starts at K+1)
+      val feedSuffix = graft.PlanOnly.cut(
+        spark.read.parquet(feedDir)
+          .select($"batch_id", $"op_insert", $"event_type",
+            $"prev_event_type"))
+      val v1 = graft.PlanOnly.cut(
+        graft.sources.TxnTable.read(spark, tCk)
+          .withColumn("version", lit(1L)))
+      val v2 = graft.PlanOnly.cut(
+        fold(v1.drop("version"), deltaOf(feedSuffix, 2))
+          .withColumn("version", lit(2L)))
+      val v3 = fold(v2.drop("version"), deltaOf(feedSuffix, 3))
+        .withColumn("version", lit(3L))
+      val maintained = v1.unionByName(v2).unionByName(v3)
+        .filter($"m" =!= 0L)
+      val direct = SinkBoundsUs.zipWithIndex.drop(1)
+        .map { case (b, i) => directAt(i, b) }.reduce(_.unionByName(_))
+      shape(maintained.join(direct, Seq("version", "event_type"),
+          "full_outer")
+        .select($"version", $"event_type",
+          coalesce($"m", lit(-1L)).as("maint_n_users"),
+          coalesce($"direct_n_users", lit(-1L)).as("direct_n_users"))
+        .withColumn("parts_removed", lit(removed))
+        .withColumn("parts_kept", lit(kept)))
     }
   }
 
@@ -1114,9 +1276,40 @@ object Lakehouse {
        |ORDER BY version, event_type""".stripMargin
   }
 
+  /** Versions 1..3 only (0 is folded into the committed checkpoint):
+    * per prefix the latest-per-user election with the type kept,
+    * per-type user counts — checkpoint + suffix-fold and direct are
+    * the SAME number when the retention rung is right; the GC census
+    * is structural (4 staged batches, prefix ≤ K = 1 reclaimed). */
+  private def cdfCheckpointOracle: String = {
+    val bounds = Seq(1704758400000000L, 1705449600000000L,
+      1706140800000000L)
+    def cur(k: Int): String = {
+      val filt = if (k < 3) s"WHERE t < ${bounds(k)}" else ""
+      s"""cur_$k AS (SELECT user_id, event_type FROM (
+         |    SELECT user_id, event_type, row_number() OVER (
+         |      PARTITION BY user_id ORDER BY t DESC, event_id DESC) AS rn
+         |    FROM e $filt) WHERE rn = 1)""".stripMargin
+    }
+    def agg(k: Int): String =
+      s"""SELECT CAST($k AS BIGINT) AS version, event_type,
+         |  CAST(count(*) AS BIGINT) AS n FROM cur_$k GROUP BY 2"""
+        .stripMargin
+    s"""WITH e AS (SELECT user_id, event_id, event_type,
+       |    epoch_us(ts) AS t FROM events),
+       |${(1 to 3).map(cur).mkString(",\n")}
+       |SELECT version, event_type, n AS maint_n_users,
+       |  n AS direct_n_users,
+       |  CAST(2 AS BIGINT) AS parts_removed,
+       |  CAST(2 AS BIGINT) AS parts_kept
+       |FROM (${(1 to 3).map(agg).mkString("\nUNION ALL\n")})
+       |ORDER BY version, event_type""".stripMargin
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "sink_txn_vacuum_markers" -> (sinkTxnVacuumMarkers(_, _)),
     "stream_exec_cdf_apply" -> (streamExecCdfApply(_, _)),
+    "stream_exec_cdf_checkpoint" -> (streamExecCdfCheckpoint(_, _)),
     "stream_exec_cdc_feed" -> (streamExecCdcFeed(_, _)),
     "sink_txn_multi_table" -> (sinkTxnMultiTable(_, _)),
     "sink_txn_constraint_check" -> (sinkTxnConstraintCheck(_, _)),
@@ -1133,6 +1326,7 @@ object Lakehouse {
     "stream_exec_cdc_feed" -> cdcFeedOracle,
     // fold(feed) ≡ recompute at every prefix (see cdfApplyOracle)
     "stream_exec_cdf_apply" -> cdfApplyOracle,
+    "stream_exec_cdf_checkpoint" -> cdfCheckpointOracle,
     // content = the multi-table marker-resolved read (txn1, without the
     // aborted slice) — UNCHANGED by the GC, which is half the law; the
     // census constants are the staged lifecycle's arithmetic: 1 expired

@@ -177,11 +177,23 @@ object TxnTable {
     * [[layoutOf]] reads it back, and manifests without the field
     * (every other commit form) report None — the safe "unknown layout,
     * assume shuffle" direction. */
+  /** The layout strings [[commitAt]] admits: `<key>:<buckets>:<table>`
+    * with a bare-word key, a positive bucket count, and a table name
+    * free of quotes/colons/control chars — the shape [[layoutOf]]'s
+    * regex and the SMB keys' `split(":", 3)` parse back losslessly. A
+    * layout outside this shape would corrupt the manifest JSON or
+    * misparse silently (r17 ADVICE), so it is rejected loudly here. */
+  private val LayoutRe = "[A-Za-z_][A-Za-z0-9_]*:[1-9][0-9]*:[^\":\\p{Cntrl}]+".r
+
   def commitAt(spark: SparkSession, table: String, version: Int,
-      dataPath: String, layout: String): Unit =
+      dataPath: String, layout: String): Unit = {
+    require(LayoutRe.pattern.matcher(layout).matches(),
+      s"layout '$layout' is not <key>:<buckets>:<table> " +
+        "(bare-word key, positive count, no quotes/colons/control chars)")
     installByRename(spark, new Path(s"$table/_log"), s".tmp_v$version.json",
       new Path(s"$table/_log", f"v$version%05d.json"),
       s"""{"version":$version,"path":"$dataPath","layout":"$layout"}""")
+  }
 
   /** The recorded layout of a committed version, or None when the
     * manifest carries no layout field (pre-layout commits, file-level

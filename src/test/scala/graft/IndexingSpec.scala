@@ -351,19 +351,23 @@ class IndexingSpec extends SparkSuite {
     }
   }
 
-  test("dedup_ingest_gate: admission log = brute-force 3-wave replay; the gate is sequential; the index holds exactly seed + admitted (sf0.001)") {
+  test("dedup_ingest_gate: admission log = brute-force 3-wave replay with the intra-wave tier; the gate is sequential; the index holds exactly seed + admitted (sf0.001)") {
     import graft.sources.TxnTable
     val out = Indexing.dedupIngestGate(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4)))
+        r.getLong(4), r.getLong(5)))
     val (shg, bands) = mhReplay
     val allDocs = Tables.documents(spark, sf0001)
       .select(col("doc_id")).collect().map(_.getLong(0))
     var idx: Set[(Long, Long, Long)] = bands.filter(_._1 % 4 == 0L)
       .flatMap { case (id, bs) => bs.map(b => (id, b._1, b._2)) }.toSet
-    var expect = Vector.empty[(Long, Long, Long, Long, Long)]
+    var expect = Vector.empty[(Long, Long, Long, Long, Long, Long)]
     var admittedAll = Set.empty[Long]
     var crossWaveReject = false
+    def jacOk(n: Long, o: Long): Boolean = {
+      val ni = (shg(n) & shg(o)).size.toLong
+      ni * 1048576L / (shg(n).size + shg(o).size - ni) >= 524288L
+    }
     for (k <- 1 to 3) {
       val hot = idx.groupBy(t => (t._2, t._3)).filter(_._2.size > 20)
         .keySet
@@ -374,21 +378,28 @@ class IndexingSpec extends SparkSuite {
         (nid, b, bh) <- waveB
         (oid, ob, obh) <- cold if ob == b && obh == bh
       } yield (nid, oid)).distinct
-      val dup = cand.filter { case (n, o) =>
-        val ni = (shg(n) & shg(o)).size.toLong
-        ni * 1048576L / (shg(n).size + shg(o).size - ni) >= 524288L
-      }
+      val dup = cand.filter { case (n, o) => jacOk(n, o) }
       if (dup.exists { case (_, o) => admittedAll.contains(o) })
         crossWaveReject = true
+      // intra-wave tier: wave-internal hot-cap, smaller-id partners
+      val whot = waveB.groupBy(t => (t._2, t._3))
+        .filter(_._2.size > 20).keySet
+      val wcold = waveB.filterNot(t => whot((t._2, t._3)))
+      val wdup = (for {
+        (nid, b, bh) <- wcold
+        (oid, ob, obh) <- wcold if ob == b && obh == bh && oid < nid
+      } yield (nid, oid)).distinct.filter { case (n, o) => jacOk(n, o) }
       val ncM = cand.groupBy(_._1).view.mapValues(_.size.toLong).toMap
       val ndM = dup.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val wiM = wdup.groupBy(_._1).view.mapValues(_.size.toLong).toMap
       val rows = allDocs.filter(_ % 4 == k).map { d =>
         val nd = ndM.getOrElse(d, 0L)
-        (k.toLong, d, ncM.getOrElse(d, 0L), nd,
-          if (nd == 0L) 1L else 0L)
+        val wi = wiM.getOrElse(d, 0L)
+        (k.toLong, d, ncM.getOrElse(d, 0L), nd, wi,
+          if (nd == 0L && wi == 0L) 1L else 0L)
       }
       expect ++= rows
-      val adm = rows.filter(_._5 == 1L).map(_._2).toSet
+      val adm = rows.filter(_._6 == 1L).map(_._2).toSet
       admittedAll ++= adm
       idx ++= bands.filter(kv => adm(kv._1))
         .flatMap { case (id, bs) => bs.map(b => (id, b._1, b._2)) }
@@ -396,8 +407,8 @@ class IndexingSpec extends SparkSuite {
     assert(out.toSet === expect.toSet,
       "admission log diverged from the brute-force replay")
     // the gate is a real filter and a real pass at this fixture
-    assert(out.exists(_._5 == 0L), "no doc was ever rejected")
-    assert(out.exists(_._5 == 1L), "no doc was ever admitted")
+    assert(out.exists(_._6 == 0L), "no doc was ever rejected")
+    assert(out.exists(_._6 == 1L), "no doc was ever admitted")
     // the index's final version holds exactly seed + admitted bands
     val stored = TxnTable.read(spark,
         Tables.scratch("dedup_ingest_index")).collect()
@@ -408,5 +419,45 @@ class IndexingSpec extends SparkSuite {
     assert(crossWaveReject,
       "no dup hit ever referenced an earlier wave's admission — the " +
         "sequential gate is vacuous at this fixture")
+  }
+
+  test("dedup_ingest_gate: injected same-wave dup pair — exactly the smaller doc_id is admitted; a later wave is rejected by the stored admission; quiet wave commits an empty DELTA") {
+    import spark.implicits._
+    import graft.sources.TxnTable
+    val dir = Tables.scratch("ingestgatedocs")
+    def txt(p: String) = (0 until 30).map(i => s"$p$i").mkString(" ")
+    // wave layout (doc_id % 4): 0 = seed, 1 = {1, 5} IDENTICAL texts
+    // (the intra-wave pair the r17 verdict injected this law for),
+    // 2 = distinct doc, 3 = a copy of the wave-1 text (rejected by
+    // the STORED index only if doc 1 was admitted and indexed)
+    Seq((0L, txt("s")), (1L, txt("b")), (5L, txt("b")),
+        (2L, txt("c")), (3L, txt("b")))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Indexing.dedupIngestGate(spark, dir).collect()
+      .map(r => r.getLong(1) -> (r.getLong(0), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // exactly ONE of the identical same-wave pair is admitted — the
+    // smaller id; the larger carries the intra_wave_hits evidence
+    assert(rows(1L) === ((1L, 0L, 0L, 1L)),
+      s"doc 1 must be admitted clean: ${rows(1L)}")
+    assert(rows(5L)._3 >= 1L && rows(5L)._4 === 0L,
+      s"doc 5 must be intra-rejected: ${rows(5L)}")
+    // wave 2: unrelated doc admits with zero hits on every tier
+    assert(rows(2L) === ((2L, 0L, 0L, 1L)), s"doc 2: ${rows(2L)}")
+    // wave 3: the copy is caught by the STORED index (doc 1's bands
+    // were appended), not by the intra tier — the sequential gate
+    assert(rows(3L)._2 >= 1L && rows(3L)._3 === 0L &&
+      rows(3L)._4 === 0L, s"doc 3 must be index-rejected: ${rows(3L)}")
+    // the zero-admission wave 3 committed an EMPTY DELTA: version 3
+    // exists, is a delta (history flags it), and its snapshot equals
+    // version 2's — the degenerate-wave fallback never downgrades the
+    // chain to table-level snapshots
+    val tIdx = Tables.scratch("dedup_ingest_index")
+    val h = TxnTable.history(spark, tIdx).map(t => t._1 -> t).toMap
+    assert(h(3)._4 && h(3)._5 === 0, s"v3 must be an empty delta: ${h(3)}")
+    assert(TxnTable.fileEntries(spark, tIdx, Some(3)).map(_.path).toSet ===
+      TxnTable.fileEntries(spark, tIdx, Some(2)).map(_.path).toSet,
+      "an empty delta must carry v2's files by reference")
   }
 }

@@ -607,4 +607,130 @@ class LakehouseCowSpec extends SparkSuite {
     assert(roll._4 > 524288L && roll._4 < 2097152L,
       s"table-level est/true ratio ${roll._4} outside [0.5, 2]x")
   }
+
+  /** Brute-force per-file write-time grids + band fold shared by the
+    * two round-18 histogram laws: (bkt → (mn, mx, w)), and per-file
+    * est/true for a band [lo, hi]. */
+  private def histReplay(st: Seq[(Long, Long)])
+      : (Map[Long, (Long, Long, Long)], (Long, Long)) = {
+    val grids = st.groupBy(_._1).view.mapValues { rows =>
+      val vs = rows.map(_._2)
+      val (mn, mx) = (vs.min, vs.max)
+      (mn, mx, (mx - mn) / 16 + 1)
+    }.toMap
+    val gmn = if (grids.isEmpty) 0L else grids.values.map(_._1).min
+    val gmx = if (grids.isEmpty) 0L else grids.values.map(_._2).max
+    (grids, (gmn, gmx))
+  }
+
+  private def histEst(st: Seq[(Long, Long)],
+      grids: Map[Long, (Long, Long, Long)], lo: Long, hi: Long)
+      : (Map[Long, Long], Map[Long, Long]) = {
+    val side = st.groupBy { case (b, vs) =>
+      (b, (vs - grids(b)._1) / grids(b)._3)
+    }.view.mapValues(_.size.toLong).toMap
+    val est = side.toSeq.map { case ((b, hb), cnt) =>
+      val (mn, _, w) = grids(b)
+      val (blo, bhi) = (mn + hb * w, mn + (hb + 1) * w - 1)
+      val ov = math.max(0L, math.min(hi, bhi) - math.max(lo, blo) + 1)
+      b -> cnt * ov / w
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val tru = st.filter(t => t._2 >= lo && t._2 <= hi)
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    (est, tru)
+  }
+
+  test("sink_txn_hist_maintain: receipt = brute-force heterogeneous-grid replay; carried sidecar rows are v0's BY VALUE; rewritten = the delta footprint (sf0.001)") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.TxnTable
+    val splitUs = 19740L * 86400000000L
+    val out = operators.LakehouseCow.sinkTxnHistMaintain(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), Tables.nsToUs(col("ts")).as("ts_us"),
+        Tables.dec4(col("value")).as("v"))
+    val merged = ev.filter(col("user_id") % 64 === 3)
+      .unionByName(ev.filter(col("user_id") % 64 =!= 3 &&
+        col("ts_us") < splitUs))
+    val st = merged.groupBy(col("user_id"))
+      .agg((sum(col("v")) * lit(10000)).cast("long").as("vs"))
+      .collect().map(r => (r.getLong(0) % 8, r.getLong(1))).toSeq
+    val (grids, (gmn, gmx)) = histReplay(st)
+    val lo = gmn + (gmx - gmn) * 3 / 10
+    val hi = gmn + (gmx - gmn) * 9 / 20
+    val (est, tru) = histEst(st, grids, lo, hi)
+    val touched = ev
+      .filter(col("ts_us") >= splitUs && col("user_id") % 64 === 3)
+      .select((col("user_id") % 8).as("b")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val perFile = grids.toSeq.map { case (b, (mn, mx, w)) =>
+      val (e, t) = (est.getOrElse(b, 0L), tru.getOrElse(b, 0L))
+      (b, mn, mx, w, e, t, if (t > 0) e * 1048576L / t else -1L,
+        if (touched(b)) 1L else 0L)
+    }
+    val eSum = perFile.map(_._5).sum
+    val tSum = perFile.map(_._6).sum
+    val roll = (-1L, gmn, gmx, -1L, eSum, tSum,
+      if (tSum > 0) eSum * 1048576L / tSum else -1L, -1L)
+    assert(out.toSet === (perFile :+ roll).toSet,
+      "maintained receipt diverged from the heterogeneous-grid replay")
+    // the delta's one-bucket footprint IS the rewritten set (%64 ⊂ %8)
+    assert(touched.subsetOf(Set(3L)), s"unexpected footprint $touched")
+    assert(out.filter(_._1 >= 0).count(_._8 == 1L) === touched.size)
+    // physical carry: v1 sidecar rows for untouched files equal v0's
+    val tSide = Tables.scratch("txn_histmaint_sidecar")
+    def rows(v: Int) = TxnTable.read(spark, tSide, Some(v)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val (v0, v1) = (rows(0), rows(1))
+    assert(v1.filter(t => !touched(t._1)) ===
+      v0.filter(t => !touched(t._1)),
+      "carried sidecar rows must pass through from v0 unchanged")
+    // genuinely heterogeneous grids: at least two files disagree on w
+    assert(grids.values.map(_._3).toSet.size > 1,
+      "fixture degenerate: all write-time grids agree — no merge to test")
+  }
+
+  test("sink_txn_hist_decide: decisions = brute-force replay; found+missed = band truth; the histogram genuinely skips files on a tail band (sf0.001)") {
+    import org.apache.spark.sql.functions._
+    val out = operators.LakehouseCow.sinkTxnHistDecide(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8)))
+    val st = Tables.events(spark, sf0001)
+      .select(col("user_id"), Tables.dec4(col("value")).as("v"))
+      .groupBy(col("user_id"))
+      .agg((sum(col("v")) * lit(10000)).cast("long").as("vs"))
+      .collect().map(r => (r.getLong(0) % 8, r.getLong(1))).toSeq
+    val (grids, (gmn, gmx)) = histReplay(st)
+    val bands = Seq(
+      (0L, gmn, gmn + (gmx - gmn) / 50),
+      (1L, gmn + (gmx - gmn) * 3 / 10, gmn + (gmx - gmn) * 9 / 20),
+      (2L, gmn + (gmx - gmn) * 9 / 10, gmx))
+    val expect = bands.map { case (bid, lo, hi) =>
+      val (est, tru) = histEst(st, grids, lo, hi)
+      val files = grids.keySet
+      val scanned = files.filter(b => est.getOrElse(b, 0L) > 0L)
+      (bid, lo, hi, files.size.toLong, scanned.size.toLong,
+        est.values.sum,
+        scanned.toSeq.map(b => tru.getOrElse(b, 0L)).sum,
+        (files -- scanned).toSeq.map(b => tru.getOrElse(b, 0L)).sum,
+        files.count(b =>
+          (est.getOrElse(b, 0L) > 0L) != (tru.getOrElse(b, 0L) > 0L))
+          .toLong)
+    }
+    assert(out.toSet === expect.toSet,
+      "decision receipt diverged from the brute-force replay")
+    // accounting: found + missed = the band's exact row count
+    bands.zip(out.sortBy(_._1)).foreach { case ((_, lo, hi), o) =>
+      val bandTruth = st.count(t => t._2 >= lo && t._2 <= hi).toLong
+      assert(o._7 + o._8 === bandTruth,
+        s"band ${o._1}: found ${o._7} + missed ${o._8} != $bandTruth")
+    }
+    // the tier earns its keep: some tail band skips at least one file
+    assert(out.exists(o => o._5 < o._4),
+      "no band ever skipped a file — the decision is vacuous here")
+  }
 }

@@ -525,4 +525,45 @@ class LakehouseSpec extends SparkSuite {
     assert(ab === rows.find(_.getString(0) == "active_vs_half")
       .get.getLong(12))
   }
+
+  test("sink_txn_cbo_skew_salt: the two regimes decide differently; the decisions follow the 1/8 budget; salting is result-invariant and materializes in the plan (sf0.001)") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.LakehouseCow.sinkTxnCboSkewSalt(spark, sf0001)
+      .collect()
+    assert(rows.length === 2)
+    val byScen = rows.map(r => r.getString(0) -> r).toMap
+    rows.foreach { r =>
+      val (rFact, estMax, estTot) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (truMax, salted, truthSalted, flipped) =
+        (r.getLong(5), r.getLong(7), r.getLong(8), r.getLong(9))
+      assert(salted ===
+        (if (estTot > 0 && estMax * 8 > estTot) 1L else 0L),
+        s"${r.getString(0)}: decision breaks the 1/8 budget rule")
+      assert(truthSalted === (if (truMax * 8 > rFact) 1L else 0L))
+      assert(flipped === (if (salted != truthSalted) 1L else 0L))
+      // dim = the fact's own key domain, so the join is total
+      assert(r.getLong(10) === rFact,
+        s"${r.getString(0)}: join_rows must equal r_fact")
+    }
+    // the fixture exercises BOTH regimes: the 5-value type key salts,
+    // the uniform user key stays plain
+    assert(byScen("type_key").getLong(7) === 1L, "type_key must salt")
+    assert(byScen("user_key").getLong(7) === 0L, "user_key must not")
+    // salting invariance + plan shape: same rows either way, and the
+    // salted plan genuinely joins on the widened (k, salt) key
+    import spark.implicits._
+    val fact = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 4L))
+      .toDF("k", "event_id")
+    val dim = fact.select($"k").distinct()
+    val plain = operators.LakehouseCow.skewJoin(fact, dim, salted = false)
+    val saltedDf = operators.LakehouseCow.skewJoin(fact, dim, salted = true)
+    assert(plain.collect().map(_.toSeq).toSet ===
+      saltedDf.collect().map(_.toSeq).toSet,
+      "salting must be result-invariant")
+    val plan = saltedDf.queryExecution.executedPlan.toString
+    assert(plan.contains("salt"),
+      s"salted plan must join on the widened key:\n$plan")
+    assert(!plain.queryExecution.executedPlan.toString.contains("salt"))
+  }
 }

@@ -584,13 +584,31 @@ class PlanRegressionSpec extends SparkSuite {
       // frame broadcast over the histogram and the truth scan —
       // fan-out 1; sink_txn_bucket_prune: the 1-row probe-count
       // receipt scalar — fan-out 1
-      "sink_txn_hist_selectivity", "sink_txn_bucket_prune")
+      "sink_txn_hist_selectivity", "sink_txn_bucket_prune",
+      // round-18: sink_txn_hist_maintain / sink_txn_hist_decide attach
+      // the 1-row sidecar-folded bounds frame and the ≤3-row band
+      // frame to the |files|·16 sidecar and the truth scan — fan-out
+      // ≤ 3, never data²; sink_txn_cbo_skew_salt assembles its
+      // receipt from per-scenario 1-row planning scalars (the
+      // cbo_choose shape — the joins themselves are equi-joins on k
+      // or (k, salt))
+      "sink_txn_hist_maintain", "sink_txn_hist_decide",
+      "sink_txn_cbo_skew_salt",
+      // simsearch_hnsw_serve: the same constant broadcasts as
+      // simsearch_hnsw_layers (1-row stored entry, ≤40-row query
+      // panel, 1-row edge census) — the routing itself probes the
+      // stored edge table per layer; the build is the shared bucketed
+      // cid equi-join pinned by the dedicated test below
+      "simsearch_hnsw_serve")
     val offenders = SparkEntry.queries.keys.filterNot(allowed)
       .filter(n => n != "source_csv_roundtrip" && plan(n).contains("BroadcastNestedLoopJoin"))
     assert(offenders.isEmpty, s"unexpected nested-loop joins: $offenders")
   }
 
   test("round-16 bucketed kNN-graph builds: candidates equi-join on the cell id, never base x base") {
+    // (simsearch_hnsw_serve shares this builder but its FINAL plan is
+    // the post-commit stored-index read — the cid join runs in the
+    // build jobs, so the pin on the shared builder covers it here)
     for (k <- Seq("simsearch_graph_greedy", "simsearch_hnsw_layers")) {
       val p = plan(k)
       assert(!p.contains("CartesianProduct"), s"$k grew a cartesian product")

@@ -236,4 +236,41 @@ class StatefulStreamingSpec extends SparkSuite {
       != r.getAs[String]("event_type")),
       "no update changed a user's latest type — retraction vacuous")
   }
+
+  test("stream_exec_cdf_checkpoint: checkpoint + suffix = full fold = recompute; the folded prefix is physically GONE; the census is exact (sf0.001)") {
+    import org.apache.hadoop.fs.Path
+    val out = operators.Lakehouse.streamExecCdfCheckpoint(spark, sf0001)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) === r.getLong(3),
+        s"checkpoint+suffix diverged from recompute at version " +
+          s"${r.getLong(0)}, type ${r.getString(1)}")
+      assert(r.getLong(2) >= 0L, "sentinel leaked into the graded frame")
+      // the census: exactly the folded prefix (batches 0..1) reclaimed,
+      // exactly the suffix (2..3) kept
+      assert(r.getLong(4) === 2L && r.getLong(5) === 2L)
+    }
+    // versions 1..3 all present (v1 served from the checkpoint ALONE)
+    assert(out.map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    // retention is physical: the folded feed partitions no longer exist,
+    // the suffix partitions do
+    val base = Tables.scratch("stream_exec_cdc")
+    val fs = new Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0 to 1).foreach(k => assert(
+      !fs.exists(new Path(s"$base/feed_ckpt/batch=$k")),
+      s"GC left the folded batch=$k partition behind"))
+    (2 to 3).foreach(k => assert(
+      fs.exists(new Path(s"$base/feed_ckpt/batch=$k")),
+      s"GC must never touch the suffix partition batch=$k"))
+    // the committed checkpoint equals the direct recompute at K = 1
+    val ck = graft.sources.TxnTable.read(spark,
+        Tables.scratch("cdf_checkpoint_view"))
+      .filter(org.apache.spark.sql.functions.col("m") =!= 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val v1 = out.filter(_.getLong(0) == 1L)
+      .map(r => r.getString(1) -> r.getLong(3)).toMap
+    assert(ck === v1, "committed checkpoint != direct recompute at K")
+  }
 }
