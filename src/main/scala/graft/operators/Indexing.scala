@@ -834,6 +834,123 @@ object Indexing {
     }
   }
 
+  /** RIGHT-TO-BE-FORGOTTEN AT THE INDEX TIER — the deletion lifecycle
+    * the dedup index was missing ([[dedupIndexMaintain]] appends,
+    * [[dedupIndexCompact]] optimizes; production corpora also DELETE —
+    * takedowns, opt-outs, licensing expiry — and a forgotten document
+    * must stop matching FUTURE ingest immediately without an O(index)
+    * rewrite): the old-slice band index commits file-level as v0; the
+    * forget request (every indexed doc with doc_id % 5 = 0) commits as
+    * a MERGE-ON-READ DELETE FILE keyed on doc_id — O(forgotten-keys)
+    * bytes, zero index rows rewritten, the Iceberg v2 equality-delete
+    * shape on the index table — and the new batch's probe of v1 sees
+    * the forgotten entries anti-joined out transparently, so no
+    * forgotten doc can ever appear as a match candidate. An OPTIMIZE
+    * fold then rewrites the surviving entries into one compacted file
+    * and retires the delete file (v2); serving equivalence (v1 MoR
+    * probe ≡ v2 folded probe) is law-pinned in IndexingSpec. Graded =
+    * the post-forget verified pairs plus the census (v0 entries,
+    * forgotten keys, live entries) — the oracle re-derives the pair
+    * set with the forgotten docs excluded from the index side, so the
+    * hash certifies that deletion-by-delete-file ≡ deletion-by-
+    * recompute.
+    *
+    * Scale shape: the forget commit writes O(forgotten keys); every
+    * probe pays one anti-join against the (broadcast-sized) delete
+    * keys until OPTIMIZE folds them; the fold reads index entries,
+    * never documents. At 10¹² index rows a takedown of 10³ docs is a
+    * kilobyte commit, not a table rewrite. */
+  def dedupIndexForget(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = mhSh(spark, dir)
+    def b0F() = mhBandsOf(mhSigsOf(sh, isNew = false))
+    def b1F() = mhBandsOf(mhSigsOf(sh, isNew = true))
+    val sizes = graft.PlanOnly.cut(
+      mhSigsOf(sh, isNew = false).select($"doc_id", $"n")
+        .unionAll(mhSigsOf(sh, isNew = true).select($"doc_id", $"n")))
+    def serve(idx: DataFrame, probe: DataFrame,
+        census: DataFrame): DataFrame = {
+      val bsz = idx.groupBy($"band", $"bh").agg(count(lit(1)).as("c"))
+      val cold = idx.join(bsz.filter($"c" <= 20), Seq("band", "bh"))
+        .select($"band", $"bh", $"doc_id".as("doc_old"))
+      val cand = probe.select($"band", $"bh", $"doc_id".as("doc_new"))
+        .join(cold, Seq("band", "bh"))
+        .groupBy($"doc_new", $"doc_old")
+        .agg(count(lit(1)).as("n_shared_bands"))
+      cand
+        .join(sh.as("sa"), $"doc_new" === $"sa.doc_id")
+        .join(sh.as("sb"),
+          $"doc_old" === $"sb.doc_id" && $"sa.h" === $"sb.h")
+        .groupBy($"doc_new", $"doc_old", $"n_shared_bands")
+        .agg(count(lit(1)).as("n_shared"))
+        .join(sizes.select($"doc_id".as("doc_new"), $"n".as("na")),
+          "doc_new")
+        .join(sizes.select($"doc_id".as("doc_old"), $"n".as("nb")),
+          "doc_old")
+        .withColumn("jaccard_fp",
+          expr("(n_shared * 1048576) div (na + nb - n_shared)"))
+        .crossJoin(broadcast(census))
+        .select($"doc_new", $"doc_old", $"n_shared_bands", $"n_shared",
+          $"na", $"nb", $"jaccard_fp", $"entries_v0", $"forgotten_keys",
+          $"entries_live")
+        .orderBy($"doc_new", $"doc_old")
+    }
+    def forgetKeysF() = b0F().select($"doc_id").distinct()
+      .filter($"doc_id" % 5 === 0)
+    def liveF() = b0F().join(forgetKeysF(), Seq("doc_id"), "left_anti")
+    def censusF(idx0: DataFrame, live: DataFrame): DataFrame =
+      idx0.agg(count(lit(1)).as("entries_v0"))
+        .crossJoin(broadcast(
+          forgetKeysF().agg(count(lit(1)).as("forgotten_keys"))))
+        .crossJoin(broadcast(
+          live.agg(count(lit(1)).as("entries_live"))))
+    graft.PlanOnly.roundTrip(
+      serve(liveF(), b1F(), censusF(b0F(), liveF()))) {
+      val tIdx = Tables.scratch("dedup_forget_index")
+      graft.sources.TxnTable.drop(spark, tIdx)
+      val b0 = graft.PlanOnly.cut(b0F())
+      val n0 = b0.count()
+      if (n0 == 0L) {
+        // degenerate fixture: table-level snapshots, no delete files
+        graft.sources.TxnTable.commit(spark, tIdx, 0, b0)
+        graft.sources.TxnTable.commit(spark, tIdx, 1, b0)
+        serve(graft.sources.TxnTable.read(spark, tIdx, Some(1))
+            .select($"doc_id", $"band", $"bh"),
+          b1F(), censusF(b0, liveF()))
+      } else {
+        val p0 = s"$tIdx/data/f0"
+        b0.write.mode("overwrite").parquet(p0)
+        graft.sources.TxnTable.commitEntries(spark, tIdx, 0,
+          Seq(graft.sources.TxnTable.FileEntry(0L, p0, Long.MinValue,
+            Long.MaxValue, rowCount = n0)))
+        // the FORGET: an O(keys) delete-file commit, zero rows rewritten
+        val pd = s"$tIdx/data/forget0"
+        forgetKeysF().write.mode("overwrite").parquet(pd)
+        graft.sources.TxnTable.commitDelta(spark, tIdx, 1,
+          delAdds = Seq(graft.sources.TxnTable.DeleteFile(pd, "doc_id")))
+        // OPTIMIZE: fold the delete into a compacted rewrite (v2) —
+        // IndexingSpec pins v1-serve ≡ v2-serve
+        val live = graft.PlanOnly.cut(
+          graft.sources.TxnTable.read(spark, tIdx, Some(1))
+            .select($"doc_id", $"band", $"bh"))
+        val nl = live.count()
+        if (nl > 0L) {
+          val pc = s"$tIdx/data/c0"
+          live.write.mode("overwrite").parquet(pc)
+          graft.sources.TxnTable.commitDelta(spark, tIdx, 2,
+            adds = Seq(graft.sources.TxnTable.FileEntry(0L, pc,
+              Long.MinValue, Long.MaxValue, rowCount = nl)),
+            removes = Seq(p0), delRemoves = Seq(pd))
+        } else graft.sources.TxnTable.commit(spark, tIdx, 2, live)
+        // graded serve reads the MoR v1 (delete file still live) —
+        // the transparently-anti-joined path
+        serve(graft.sources.TxnTable.read(spark, tIdx, Some(1))
+            .select($"doc_id", $"band", $"bh"),
+          b1F(), censusF(b0, live))
+      }
+    }
+  }
+
   /** INCREMENTAL INGEST GATE AT THE NEAR-DUP TIER — the capstone the
     * index keys build toward: [[dedupIndexMaintain]] proves a batch
     * can PROBE the stored index; this key closes the loop into the
@@ -1284,6 +1401,7 @@ object Indexing {
     "dedup_winnow_pairs" -> (dedupWinnowPairs(_, _)),
     "dedup_minhash_replayable" -> (dedupMinhashReplayable(_, _)),
     "dedup_index_maintain" -> (dedupIndexMaintain(_, _)),
+    "dedup_index_forget" -> (dedupIndexForget(_, _)),
     "dedup_index_compact" -> (dedupIndexCompact(_, _)),
     "dedup_ingest_gate" -> (dedupIngestGate(_, _)),
     "dedup_simhash_replayable" -> (dedupSimhashReplayable(_, _)),
@@ -1685,6 +1803,53 @@ WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
         |  CAST((iv.n_shared * 1048576) // (na.n + nb.n - iv.n_shared)
         |    AS BIGINT) AS jaccard_fp,
         |  census.idx_entries, census.new_entries
+        |FROM iv JOIN sz na ON na.doc_id = iv.doc_new
+        |JOIN sz nb ON nb.doc_id = iv.doc_old, census
+        |ORDER BY doc_new, doc_old""".stripMargin),
+    // the forget re-derived: the live index = old slice minus the
+    // %5-forgotten docs; hot-cap + probe + verify over the LIVE
+    // entries only — deletion-by-delete-file ≡ deletion-by-recompute
+    "dedup_index_forget" -> (winnowChainSql + s""",
+        |shg AS (SELECT DISTINCT doc_id, h FROM g WHERE h IS NOT NULL),
+        |seeds AS (SELECT * FROM (VALUES ${MinhashRepSeeds.zipWithIndex
+          .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")})
+        |  AS s(i, a, b)),
+        |sig AS (SELECT doc_id, i, min((h * a + b) % 1048573) AS s
+        |  FROM shg, seeds GROUP BY doc_id, i),
+        |band AS (SELECT doc_id, i // 4 AS band,
+        |    CAST(sum(s * CASE i % 4 WHEN 0 THEN 29791 WHEN 1 THEN 961
+        |      WHEN 2 THEN 31 ELSE 1 END) AS BIGINT) AS bh
+        |  FROM sig GROUP BY doc_id, i // 4),
+        |old_b AS (SELECT * FROM band WHERE doc_id % 8 <> 7),
+        |live_b AS (SELECT * FROM old_b WHERE doc_id % 5 <> 0),
+        |new_b AS (SELECT * FROM band WHERE doc_id % 8 = 7),
+        |bsz AS (SELECT band, bh, count(*) AS c FROM live_b
+        |  GROUP BY band, bh),
+        |coldb AS (SELECT b.band, b.bh, b.doc_id FROM live_b b
+        |  JOIN bsz USING (band, bh) WHERE bsz.c <= 20),
+        |cnd AS (SELECT n.doc_id AS doc_new, o.doc_id AS doc_old,
+        |    CAST(count(*) AS BIGINT) AS n_shared_bands
+        |  FROM new_b n JOIN coldb o
+        |    ON n.band = o.band AND n.bh = o.bh
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shg
+        |  GROUP BY doc_id),
+        |iv AS (SELECT c.doc_new, c.doc_old, c.n_shared_bands,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM cnd c JOIN shg a ON a.doc_id = c.doc_new
+        |  JOIN shg b ON b.doc_id = c.doc_old AND b.h = a.h
+        |  GROUP BY 1, 2, 3),
+        |census AS (SELECT
+        |    (SELECT CAST(count(*) AS BIGINT) FROM old_b) AS entries_v0,
+        |    (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM old_b
+        |      WHERE doc_id % 5 = 0) AS forgotten_keys,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM live_b)
+        |      AS entries_live)
+        |SELECT iv.doc_new, iv.doc_old, iv.n_shared_bands, iv.n_shared,
+        |  na.n AS na, nb.n AS nb,
+        |  CAST((iv.n_shared * 1048576) // (na.n + nb.n - iv.n_shared)
+        |    AS BIGINT) AS jaccard_fp,
+        |  census.entries_v0, census.forgotten_keys, census.entries_live
         |FROM iv JOIN sz na ON na.doc_id = iv.doc_new
         |JOIN sz nb ON nb.doc_id = iv.doc_old, census
         |ORDER BY doc_new, doc_old""".stripMargin),

@@ -1467,6 +1467,126 @@ object LakehouseCow {
     }
   }
 
+  /** HEAVY-HITTER SIDECAR MAINTENANCE UNDER APPEND — the skew tier's
+    * maintenance rung ([[sinkTxnCboSkewSalt]] builds and spends the
+    * sidecar; this key keeps it fresh), and like the histogram tier it
+    * is honest about a NON-MERGEABLE summary: a capped top-k list does
+    * not merge losslessly — folding top-8(pre) ⊕ top-8(delta) by
+    * summing shared keys and re-ranking UNDERCOUNTS any key that fell
+    * outside either half's list (the Misra–Gries/SpaceSaving error
+    * bound made concrete), and can mis-rank or even miss a true top-8
+    * key that was mid-tier in both halves. v0 commits the pre-split
+    * top-8 (by user_id over purchase events) + total; the append's
+    * top-8 folds in WITHOUT re-reading the pre-split fact (O(delta)
+    * maintenance); the graded frame confronts the maintained list with
+    * the exact full-fact rebuild rank by rank — est vs true user and
+    * count, match flags, the guaranteed under-count direction — and
+    * carries the decision consequence: the salt-vs-plain call made
+    * from the maintained list vs from truth, and whether maintenance
+    * error would flip it. The oracle replays the same fold from raw
+    * events, so the hash certifies maintained ≡ the declared merge
+    * algebra (not ≡ truth — the receipt's whole point is measuring
+    * that gap).
+    *
+    * Scale shape: maintenance reads the delta once and folds two
+    * ≤9-row lists — the pre-split fact is never re-read (at 100 TB the
+    * difference between a daily O(delta) sketch fold and a full-table
+    * re-count); the truth columns exist to GRADE the fold, like every
+    * receipt in the CBO tier. */
+  def sinkTxnHhMaintain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = evUsers(spark, dir)
+    def factOf(f: DataFrame) = f.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id")
+    val pre = factOf(ev.filter($"ts_us" < SplitUs))
+    val delta = factOf(ev.filter($"ts_us" >= SplitUs))
+    val all = factOf(ev)
+    // cap FIRST via TakeOrderedAndProject (scale-safe at any key
+    // cardinality), THEN rank the ≤8 surviving rows with a window over
+    // the capped frame — the unpartitioned window never sees more than
+    // the cap
+    def rank8(capped: DataFrame): DataFrame = capped
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"cnt".desc, $"user_id")).cast("long"))
+    def topK(f: DataFrame): DataFrame = rank8(
+      f.groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"user_id").limit(8))
+    def totOf(f: DataFrame): DataFrame = f.agg(count(lit(1)).as("t"))
+    // the maintenance fold: union the two capped lists, sum per key,
+    // re-rank, re-cap — the declared (lossy) merge algebra over ≤16 rows
+    def foldTop(a: DataFrame, b: DataFrame): DataFrame = rank8(
+      a.select($"user_id", $"cnt")
+        .unionAll(b.select($"user_id", $"cnt"))
+        .groupBy($"user_id").agg(sum($"cnt").as("cnt"))
+        .orderBy($"cnt".desc, $"user_id").limit(8))
+    def shape(df: DataFrame): DataFrame = df
+      .select($"rank", $"est_user_id", $"est_cnt", $"true_user_id",
+        $"true_cnt", $"user_match", $"undercount", $"est_total",
+        $"true_total", $"salted_est", $"salted_true", $"flipped")
+      .orderBy($"rank")
+    def receipt(maint: DataFrame, maintTot: DataFrame): DataFrame = {
+      val rebuilt = topK(all)
+      val decide = maintTot.select($"t".as("est_total"))
+        .crossJoin(totOf(all).select($"t".as("true_total")))
+        .crossJoin(broadcast(maint.filter($"rank" === 1L)
+          .select($"cnt".as("est_max"))))
+        .crossJoin(broadcast(rebuilt.filter($"rank" === 1L)
+          .select($"cnt".as("true_max"))))
+        .select($"est_total", $"true_total",
+          when($"est_total" > 0L && $"est_max" * 8L > $"est_total", 1L)
+            .otherwise(0L).as("salted_est"),
+          when($"true_max" * 8L > $"true_total", 1L).otherwise(0L)
+            .as("salted_true"))
+        .withColumn("flipped",
+          when($"salted_est" =!= $"salted_true", 1L).otherwise(0L))
+      maint.select($"rank", $"user_id".as("est_user_id"),
+          $"cnt".as("est_cnt"))
+        .join(rebuilt.select($"rank", $"user_id".as("true_user_id"),
+          $"cnt".as("true_cnt")), Seq("rank"), "full_outer")
+        .select($"rank",
+          coalesce($"est_user_id", lit(-1L)).as("est_user_id"),
+          coalesce($"est_cnt", lit(-1L)).as("est_cnt"),
+          coalesce($"true_user_id", lit(-1L)).as("true_user_id"),
+          coalesce($"true_cnt", lit(-1L)).as("true_cnt"))
+        .withColumn("user_match",
+          when($"est_user_id" === $"true_user_id", 1L).otherwise(0L))
+        .withColumn("undercount",
+          when($"user_match" === 1L, $"true_cnt" - $"est_cnt")
+            .otherwise(-1L))
+        .crossJoin(broadcast(decide))
+    }
+    val equivalent = shape(receipt(foldTop(topK(pre), topK(delta)),
+      totOf(pre).select(($"t" + lit(0L)).as("c")).crossJoin(totOf(delta))
+        .select(($"c" + $"t").as("t"))))
+    graft.PlanOnly.roundTrip(equivalent) {
+      val tHH = Tables.scratch("hh_maint_sidecar")
+      TxnTable.drop(spark, tHH)
+      // v0: the pre-split capped list + total — the committed sketch
+      TxnTable.commit(spark, tHH, 0,
+        topK(pre).select($"rank", $"user_id", $"cnt")
+          .unionAll(totOf(pre).select(lit(-1L).as("rank"),
+            lit(-1L).as("user_id"), $"t".as("cnt"))))
+      // O(delta) maintenance: fold the delta's list into the STORED v0
+      // list — the pre-split fact is never re-read
+      val v0 = graft.PlanOnly.cut(TxnTable.read(spark, tHH, Some(0)))
+      val v0top = v0.filter($"rank" >= 0L).select($"user_id", $"cnt")
+      val v0tot = v0.filter($"rank" === -1L).select($"cnt")
+      val maint = foldTop(v0top, topK(delta))
+      val maintTot = v0tot.select($"cnt".as("c"))
+        .crossJoin(totOf(delta)).select(($"c" + $"t").as("t"))
+      TxnTable.commit(spark, tHH, 1,
+        maint.select($"rank", $"user_id", $"cnt")
+          .unionAll(maintTot.select(lit(-1L).as("rank"),
+            lit(-1L).as("user_id"), $"t".as("cnt"))))
+      // serve the receipt from the COMMITTED v1
+      val v1 = graft.PlanOnly.cut(TxnTable.read(spark, tHH, Some(1)))
+      shape(receipt(v1.filter($"rank" >= 0L)
+          .select($"rank", $"user_id", $"cnt"),
+        v1.filter($"rank" === -1L).select($"cnt".as("t"))))
+    }
+  }
+
   /** BUCKET-COUNT EVOLUTION ON THE SMB TIER — the mismatch case
     * [[sinkTxnSmbMerge]]'s layout check would otherwise send to the
     * shuffle fallback: the base snapshot is bucketed 8 ways, the delta
@@ -3182,6 +3302,7 @@ object LakehouseCow {
     "sink_txn_hist_maintain" -> (sinkTxnHistMaintain(_, _)),
     "sink_txn_hist_decide" -> (sinkTxnHistDecide(_, _)),
     "sink_txn_cbo_skew_salt" -> (sinkTxnCboSkewSalt(_, _)),
+    "sink_txn_hh_maintain" -> (sinkTxnHhMaintain(_, _)),
     "sink_txn_bucket_prune" -> (sinkTxnBucketPrune(_, _)),
     "sink_txn_smb_merge" -> (sinkTxnSmbMerge(_, _)),
     "sink_txn_smb_coalesce" -> (sinkTxnSmbCoalesce(_, _)),
@@ -3425,6 +3546,65 @@ object LakehouseCow {
         |    AS BIGINT) AS ratio_fp,
         |  CAST(rewritten AS BIGINT) AS rewritten
         |FROM allr ORDER BY bkt""".stripMargin,
+    // the lossy top-8 fold replayed: pre/delta capped lists, the
+    // sum-shared-keys + re-rank + re-cap merge, the exact rebuild, and
+    // the decision consequence from both
+    "sink_txn_hh_maintain" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t
+        |  FROM events WHERE event_type = 'purchase'),
+        |pre AS (SELECT * FROM e
+        |  WHERE t < CAST(19740 AS BIGINT) * 86400000000),
+        |del AS (SELECT * FROM e
+        |  WHERE t >= CAST(19740 AS BIGINT) * 86400000000),
+        |ptop AS (SELECT user_id, cnt FROM (
+        |    SELECT user_id, count(*) AS cnt, row_number() OVER (
+        |      ORDER BY count(*) DESC, user_id) AS rn
+        |    FROM pre GROUP BY user_id) WHERE rn <= 8),
+        |dtop AS (SELECT user_id, cnt FROM (
+        |    SELECT user_id, count(*) AS cnt, row_number() OVER (
+        |      ORDER BY count(*) DESC, user_id) AS rn
+        |    FROM del GROUP BY user_id) WHERE rn <= 8),
+        |maint AS (SELECT user_id, cnt, CAST(rn AS BIGINT) AS rank FROM (
+        |    SELECT user_id, CAST(sum(cnt) AS BIGINT) AS cnt,
+        |      row_number() OVER (
+        |        ORDER BY sum(cnt) DESC, user_id) AS rn
+        |    FROM (SELECT * FROM ptop UNION ALL SELECT * FROM dtop)
+        |    GROUP BY user_id) WHERE rn <= 8),
+        |true8 AS (SELECT user_id, cnt, CAST(rn AS BIGINT) AS rank FROM (
+        |    SELECT user_id, count(*) AS cnt, row_number() OVER (
+        |      ORDER BY count(*) DESC, user_id) AS rn
+        |    FROM e GROUP BY user_id) WHERE rn <= 8),
+        |dec AS (SELECT
+        |    (SELECT count(*) FROM pre) + (SELECT count(*) FROM del)
+        |      AS est_total,
+        |    (SELECT count(*) FROM e) AS true_total,
+        |    coalesce((SELECT cnt FROM maint WHERE rank = 1), 0)
+        |      AS est_max,
+        |    coalesce((SELECT cnt FROM true8 WHERE rank = 1), 0)
+        |      AS true_max)
+        |SELECT coalesce(ma.rank, t8.rank) AS rank,
+        |  coalesce(ma.user_id, -1) AS est_user_id,
+        |  coalesce(ma.cnt, -1) AS est_cnt,
+        |  coalesce(t8.user_id, -1) AS true_user_id,
+        |  coalesce(t8.cnt, -1) AS true_cnt,
+        |  CAST(CASE WHEN coalesce(ma.user_id, -1)
+        |    = coalesce(t8.user_id, -2) THEN 1 ELSE 0 END AS BIGINT)
+        |    AS user_match,
+        |  CAST(CASE WHEN coalesce(ma.user_id, -1)
+        |    = coalesce(t8.user_id, -2)
+        |    THEN t8.cnt - ma.cnt ELSE -1 END AS BIGINT) AS undercount,
+        |  CAST(est_total AS BIGINT) AS est_total,
+        |  CAST(true_total AS BIGINT) AS true_total,
+        |  CAST(CASE WHEN est_total > 0 AND est_max * 8 > est_total
+        |    THEN 1 ELSE 0 END AS BIGINT) AS salted_est,
+        |  CAST(CASE WHEN true_max * 8 > true_total
+        |    THEN 1 ELSE 0 END AS BIGINT) AS salted_true,
+        |  CAST(CASE WHEN (CASE WHEN est_total > 0
+        |      AND est_max * 8 > est_total THEN 1 ELSE 0 END)
+        |    <> (CASE WHEN true_max * 8 > true_total THEN 1 ELSE 0 END)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS flipped
+        |FROM maint ma FULL JOIN true8 t8 ON ma.rank = t8.rank, dec
+        |ORDER BY rank""".stripMargin,
     // the skew decision re-derived: pre-split heavy-hitter max/total
     // (= the committed top-8 sidecar's content), the 1/8-budget
     // decision, full-fact truths, and the strategy-independent join

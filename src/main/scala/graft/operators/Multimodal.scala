@@ -1375,6 +1375,212 @@ object Multimodal {
     }
   }
 
+  /** HNSW STORED-INDEX MAINTENANCE UNDER APPEND — the rung above
+    * [[simsearchHnswServe]] (whole-rebuild commits) and the layer-graph
+    * twin of [[simsearchIndexMaintain]]: v0 builds the three nested
+    * layer graphs over the OLD slice (base layer = vec_id % 8 = 0;
+    * upper layers % 16 / % 64 are subsets of it BY CONSTRUCTION, so an
+    * append of new base vectors — vec_id % 8 = 4 — can never add an
+    * upper-layer member, and the whole hierarchy maintains through
+    * LAYER-0 edge additions alone, exactly HNSW's insert-at-level-0
+    * common case). The index commits FOUR stored pieces: the layer
+    * edges, the entry point, and the candidate STRUCTURE itself — the
+    * 32 seed cells and the old members' (cell, vector) assignments —
+    * which is what makes maintenance O(new): each new vector probes
+    * its 3 nearest STORED seed cells (broadcast argmin), scores only
+    * the STORED cell-mates, takes its top-4 out-edges, and adds the
+    * BACKLINKS (old → new) that keep new nodes reachable (the
+    * no-backlink variant silently loses every query whose true best
+    * is a new vector — the honest repair every real HNSW insert
+    * does). The append commits as a DELTA carrying every v0 edge file
+    * by reference; the graded frame is the fresh-session descent over
+    * the MAINTAINED stored index with the exact argmax over the FULL
+    * (old ∪ new) membership + the v0/added edge censuses — the oracle
+    * re-derives build, assignment, insertion and descent from
+    * scratch, so the hash certifies maintained-index ≡ the declared
+    * insert algebra.
+    *
+    * Scale shape: maintenance reads |new| vectors + their stored
+    * cell-mates — the old corpus is NEVER re-read (the stored
+    * assignments carry the vectors); the delta writes O(new · 8) edge
+    * rows; upper layers carry untouched by construction. */
+  def simsearchHnswMaintain(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorOps.registerAll(spark)
+    def pack(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(round(c, 6) * 1e6 + 0.5).cast("long")
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter($"vec_id" % 50 === 0 && $"vec_id" < 2000)
+      .select($"vec_id".as("q_id"), $"embedding".as("qe"))
+    def fpOf(df: DataFrame) = df.select($"vec_id",
+      expr("transform(embedding, x -> CAST(floor(x * 1048576) AS BIGINT))")
+        .as("qv"), $"embedding")
+    def oldE() = e.filter($"vec_id" % 8 === 0)
+    def newE() = e.filter($"vec_id" % 8 === 4)
+    // the stored candidate structure: 32 seed cells + old assignments
+    def seedsF() = fpOf(oldE()).orderBy($"vec_id").limit(32)
+      .select($"vec_id".as("cid"), $"qv".as("cq"))
+    def asgOf(vecs: DataFrame, seeds: DataFrame): DataFrame =
+      vecs.crossJoin(broadcast(seeds))
+        .select($"vec_id", $"cid", $"embedding",
+          expr("aggregate(zip_with(qv, cq, (x, y) -> (x - y) * (x - y)), " +
+            "0L, (acc, v) -> acc + v)").as("sqdist"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"vec_id").orderBy($"sqdist".asc, $"cid")))
+        .filter($"rn" <= 3).select($"vec_id", $"cid", $"embedding")
+    // v0 layer edges over the OLD membership (base = 8; upper flags
+    // % 16 / % 64 — the hnswRanked build at the old base). Takes a
+    // BUILDER so each join side gets its own dag in plan-only mode
+    // (the planonly-self-join contract; graded callers pass a cut or
+    // a TxnTable read, both self-join-safe)
+    def edgesOldF(asgOldB: () => DataFrame): DataFrame = {
+      def side(id: String, v: String) = asgOldB()
+        .select($"vec_id".as(id), $"cid", $"embedding".as(v))
+      val pairs = side("b_id", "be").join(side("c_id", "ce"), Seq("cid"))
+        .filter($"b_id" =!= $"c_id")
+        .select($"b_id", $"c_id", $"be", $"ce").distinct()
+        .select($"b_id", $"c_id",
+          pack(expr("cosine_similarity(be, ce)")).as("s"), $"ce",
+          ($"b_id" % 16 === 0 && $"c_id" % 16 === 0).as("l1"),
+          ($"b_id" % 64 === 0 && $"c_id" % 64 === 0).as("l2"))
+      def rn(flagFirst: Option[String]) = row_number().over(
+        Window.partitionBy($"b_id").orderBy(
+          (flagFirst.map(f => Seq(col(f).desc)).getOrElse(Seq.empty) ++
+            Seq($"s".desc, $"c_id".asc)): _*))
+      val ranked = pairs
+        .withColumn("rn0", rn(None))
+        .withColumn("rn1", rn(Some("l1")))
+        .withColumn("rn2", rn(Some("l2")))
+      Seq((64, "l2", "rn2"), (16, "l1", "rn1")).map { case (m, fl, r) =>
+        ranked.filter(col(fl) && col(r) <= 4)
+          .select(lit(m.toLong).as("layer"), $"b_id".as("src"),
+            $"c_id".as("dst"), $"ce".as("de"))
+      }.reduce(_.unionAll(_))
+        .unionAll(ranked.filter($"rn0" <= 4)
+          .select(lit(4L).as("layer"), $"b_id".as("src"),
+            $"c_id".as("dst"), $"ce".as("de")))
+    }
+    // the O(new) insert: probe stored seeds, score stored cell-mates,
+    // top-4 out-edges + backlinks
+    def insertEdgesF(asgOld: DataFrame, seeds: DataFrame): DataFrame = {
+      val asgNew = asgOf(fpOf(newE()), seeds)
+        .select($"vec_id".as("n_id"), $"cid", $"embedding".as("ne"))
+      val scored = asgNew
+        .join(asgOld.select($"vec_id".as("o_id"), $"cid",
+          $"embedding".as("oe")), Seq("cid"))
+        .select($"n_id", $"o_id", $"ne", $"oe").distinct()
+        .select($"n_id", $"o_id", $"ne", $"oe",
+          pack(expr("cosine_similarity(ne, oe)")).as("s"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"n_id").orderBy($"s".desc, $"o_id")))
+        .filter($"rn" <= 4)
+      scored.select(lit(4L).as("layer"), $"n_id".as("src"),
+          $"o_id".as("dst"), $"oe".as("de"))
+        .unionAll(scored.select(lit(4L).as("layer"), $"o_id".as("src"),
+          $"n_id".as("dst"), $"ne".as("de")))
+    }
+    def entryF(): DataFrame = e.filter($"vec_id" % 64 === 0)
+      .select($"vec_id".as("e_id"), $"embedding".as("ee"))
+      .orderBy($"e_id").limit(1)
+    def serve(edges: DataFrame, entry: DataFrame,
+        census: DataFrame): DataFrame = {
+      def hop(h: DataFrame, m: Int): DataFrame = {
+        val withVec = edges.filter($"layer" === m.toLong)
+          .select($"src".as("cur"), $"dst", $"de")
+        val cand = h
+          .join(broadcast(withVec), Seq("cur"))
+          .select($"q_id", $"qe", $"dst".as("cur"),
+            pack(expr("cosine_similarity(qe, de)")).as("cs"))
+          .unionAll(h.select($"q_id", $"qe", $"cur", $"cs"))
+        cand.withColumn("rn", row_number().over(
+            Window.partitionBy($"q_id").orderBy($"cs".desc, $"cur")))
+          .filter($"rn" === 1).drop("rn")
+      }
+      val h0 = graft.PlanOnly.mark(q.crossJoin(broadcast(entry))
+        .select($"q_id", $"qe", $"e_id".as("cur"),
+          pack(expr("cosine_similarity(qe, ee)")).as("cs")))
+      val l2 = graft.PlanOnly.mark(hop(hop(h0, 64), 64))
+      val l1 = graft.PlanOnly.mark(hop(hop(l2, 16), 16))
+      val l0 = hop(hop(l1, 4), 4)
+      // exact receipt over the FULL maintained membership (old ∪ new)
+      val full = e.filter($"vec_id" % 8 === 0 || $"vec_id" % 8 === 4)
+        .select($"vec_id".as("b_id"), $"embedding".as("be"))
+      val exact = full.crossJoin(broadcast(q))
+        .select($"q_id", $"b_id",
+          pack(expr("cosine_similarity(qe, be)")).as("bs"))
+        .groupBy($"q_id")
+        .agg(min(struct(($"bs" * -1L).as("neg"), $"b_id".as("b"))).as("m"))
+        .select($"q_id", $"m.b".as("best_id"), ($"m.neg" * -1L).as("best_s"))
+      h0.select($"q_id", $"cur".as("entry_id"), $"cs".as("s_entry"))
+        .join(l2.select($"q_id", $"cur".as("end_l2"), $"cs".as("s_l2")),
+          Seq("q_id"))
+        .join(l1.select($"q_id", $"cur".as("end_l1"), $"cs".as("s_l1")),
+          Seq("q_id"))
+        .join(l0.select($"q_id", $"cur".as("end_l0"), $"cs".as("s_l0")),
+          Seq("q_id"))
+        .join(exact, Seq("q_id"))
+        .crossJoin(broadcast(census))
+        .select($"q_id", $"entry_id", $"s_entry", $"end_l2", $"s_l2",
+          $"end_l1", $"s_l1", $"end_l0", $"s_l0", $"best_id", $"best_s",
+          when($"end_l0" === $"best_id", 1L).otherwise(0L).as("found"),
+          $"n_edges_v0", $"n_edges_added")
+        .orderBy($"q_id")
+    }
+    def censusOf(v0: DataFrame, added: DataFrame): DataFrame =
+      v0.agg(count(lit(1)).as("n_edges_v0"))
+        .crossJoin(broadcast(added.agg(count(lit(1)).as("n_edges_added"))))
+    val equivalent = {
+      def asgOldB() = asgOf(fpOf(oldE()), seedsF())
+      val v0 = edgesOldF(asgOldB _)
+      val add = insertEdgesF(asgOldB(), seedsF())
+      serve(v0.unionAll(add), entryF(), censusOf(v0, add))
+    }
+    graft.PlanOnly.roundTrip(equivalent) {
+      val tEdges = Tables.scratch("idx_hnswm_edges")
+      val tAsg = Tables.scratch("idx_hnswm_asg")
+      val tSeeds = Tables.scratch("idx_hnswm_seeds")
+      val tEntry = Tables.scratch("idx_hnswm_entry")
+      Seq(tEdges, tAsg, tSeeds, tEntry)
+        .foreach(graft.sources.TxnTable.drop(spark, _))
+      // ---- v0 build: edges + the stored candidate structure ---------
+      val asgOld = graft.PlanOnly.cut(asgOf(fpOf(oldE()), seedsF()))
+      graft.sources.TxnTable.commit(spark, tSeeds, 0, seedsF())
+      graft.sources.TxnTable.commit(spark, tAsg, 0, asgOld)
+      graft.sources.TxnTable.commit(spark, tEntry, 0, entryF())
+      val v0 = graft.PlanOnly.cut(edgesOldF(
+        () => graft.sources.TxnTable.read(spark, tAsg)))
+      val n0 = v0.count()
+      // ---- the O(new) insert against the STORED structure -----------
+      val add = graft.PlanOnly.cut(insertEdgesF(
+        graft.sources.TxnTable.read(spark, tAsg),
+        graft.sources.TxnTable.read(spark, tSeeds)))
+      val na = add.count()
+      if (n0 > 0L && na > 0L) {
+        val p0 = s"$tEdges/data/f0"
+        v0.write.mode("overwrite").parquet(p0)
+        graft.sources.TxnTable.commitEntries(spark, tEdges, 0,
+          Seq(graft.sources.TxnTable.FileEntry(0L, p0, Long.MinValue,
+            Long.MaxValue, rowCount = n0)))
+        val p1 = s"$tEdges/data/f1"
+        add.write.mode("overwrite").parquet(p1)
+        // the append: v0's edge file rides the delta BY REFERENCE
+        graft.sources.TxnTable.commitDelta(spark, tEdges, 1,
+          adds = Seq(graft.sources.TxnTable.FileEntry(1L, p1,
+            Long.MinValue, Long.MaxValue, rowCount = na)))
+      } else {
+        graft.sources.TxnTable.commit(spark, tEdges, 0, v0)
+        graft.sources.TxnTable.commit(spark, tEdges, 1, v0.unionAll(add))
+      }
+      // fresh-session descent over the MAINTAINED stored index
+      serve(graft.sources.TxnTable.read(spark, tEdges, Some(1))
+          .select($"layer", $"src", $"dst", $"de"),
+        graft.sources.TxnTable.read(spark, tEntry),
+        censusOf(v0, add))
+    }
+  }
+
   def simsearchPqTopk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -2425,6 +2631,7 @@ object Multimodal {
     "simsearch_graph_greedy" -> (simsearchGraphGreedy(_, _)),
     "simsearch_hnsw_layers" -> (simsearchHnswLayers(_, _)),
     "simsearch_hnsw_serve" -> (simsearchHnswServe(_, _)),
+    "simsearch_hnsw_maintain" -> (simsearchHnswMaintain(_, _)),
     "ml_kmeans_pp_seed" -> (mlKmeansPpSeed(_, _)),
     "ml_linreg_sufficient" -> (mlLinregSufficient(_, _)),
     "ml_ridge_normal_eq" -> (mlRidgeNormalEq(_, _)),
@@ -2626,6 +2833,115 @@ object Multimodal {
        |JOIN h4b ON e0.q_id = h4b.q_id
        |JOIN ex ON e0.q_id = ex.q_id, cens
        |ORDER BY e0.q_id""".stripMargin
+
+  /** The maintain twin: old-base (%8) build + stored-structure insert
+    * (3-probe seed assignment, top-4 + backlinks) + descent over the
+    * maintained edge set, all re-derived from scratch. */
+  private def hnswMaintainOracle: String = {
+    val cos = (a: String, b: String) =>
+      s"CAST(floor(round(list_dot_product($a, $b) / " +
+        s"(sqrt(list_dot_product($a, $a)) * " +
+        s"sqrt(list_dot_product($b, $b))), 6) * 1000000 + 0.5) AS BIGINT)"
+    def asg(name: String, fp: String): String =
+      s"""$name AS (SELECT b_id, cid FROM (
+         |    SELECT f.b_id, s.cid, row_number() OVER (PARTITION BY f.b_id
+         |        ORDER BY list_sum(list_transform(list_zip(f.qv, s.cq),
+         |          t -> (t[1] - t[2]) * (t[1] - t[2]))) ASC, s.cid) AS rn
+         |    FROM $fp f, seeds s) WHERE rn <= 3)""".stripMargin
+    def layer(name: String, filt: String): String =
+      s"""$name AS (SELECT b_id AS src, c_id AS dst FROM (
+         |    SELECT b_id, c_id, row_number() OVER (PARTITION BY b_id
+         |      ORDER BY s DESC, c_id) AS rn FROM sc_old $filt)
+         |  WHERE rn <= 4)""".stripMargin
+    def twoHops(m: Int, edges: String, seed: String): String =
+      Seq(("a", seed), ("b", s"h${m}a")).map { case (tag, s) =>
+        s"""c$m$tag AS (SELECT q_id, node FROM $s
+           |  UNION ALL SELECT s.q_id, e.dst FROM $s s
+           |  JOIN $edges e ON e.src = s.node),
+           |h$m$tag AS (SELECT q_id, b_id AS node, s FROM (
+           |    SELECT qsc.q_id, qsc.b_id, qsc.s,
+           |      row_number() OVER (PARTITION BY qsc.q_id
+           |        ORDER BY qsc.s DESC, qsc.b_id) AS rn
+           |    FROM qscore qsc JOIN c$m$tag c ON qsc.q_id = c.q_id
+           |      AND qsc.b_id = c.node) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+    s"""WITH base_old AS (SELECT vec_id AS b_id,
+       |    CAST(embedding AS DOUBLE[]) AS be
+       |  FROM embeddings WHERE vec_id % 8 = 0),
+       |base_new AS (SELECT vec_id AS b_id,
+       |    CAST(embedding AS DOUBLE[]) AS be
+       |  FROM embeddings WHERE vec_id % 8 = 4),
+       |base_full AS (SELECT * FROM base_old
+       |  UNION ALL SELECT * FROM base_new),
+       |fp_old AS (SELECT vec_id AS b_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(floor(x * 1048576) AS BIGINT)) AS qv
+       |  FROM embeddings WHERE vec_id % 8 = 0),
+       |fp_new AS (SELECT vec_id AS b_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(floor(x * 1048576) AS BIGINT)) AS qv
+       |  FROM embeddings WHERE vec_id % 8 = 4),
+       |seeds AS (SELECT b_id AS cid, qv AS cq FROM fp_old
+       |  ORDER BY b_id LIMIT 32),
+       |${asg("asg_old", "fp_old")},
+       |${asg("asg_new", "fp_new")},
+       |cand_old AS (SELECT DISTINCT a.b_id, b.b_id AS c_id
+       |  FROM asg_old a JOIN asg_old b ON a.cid = b.cid
+       |    AND a.b_id <> b.b_id),
+       |sc_old AS (SELECT c.b_id, c.c_id, ${cos("x.be", "y.be")} AS s
+       |  FROM cand_old c JOIN base_old x ON c.b_id = x.b_id
+       |  JOIN base_old y ON c.c_id = y.b_id),
+       |${layer("edges_l2", "WHERE b_id % 64 = 0 AND c_id % 64 = 0")},
+       |${layer("edges_l1", "WHERE b_id % 16 = 0 AND c_id % 16 = 0")},
+       |${layer("edges_l0v0", "")},
+       |cand_new AS (SELECT DISTINCT n.b_id AS n_id, o.b_id AS o_id
+       |  FROM asg_new n JOIN asg_old o ON n.cid = o.cid),
+       |new_edges AS (SELECT n_id, o_id FROM (
+       |    SELECT c.n_id, c.o_id, row_number() OVER (PARTITION BY c.n_id
+       |      ORDER BY ${cos("nb.be", "ob.be")} DESC, c.o_id) AS rn
+       |    FROM cand_new c JOIN base_new nb ON nb.b_id = c.n_id
+       |    JOIN base_old ob ON ob.b_id = c.o_id) WHERE rn <= 4),
+       |edges_l0 AS (SELECT * FROM edges_l0v0
+       |  UNION ALL SELECT n_id AS src, o_id AS dst FROM new_edges
+       |  UNION ALL SELECT o_id AS src, n_id AS dst FROM new_edges),
+       |qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+       |  FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2000),
+       |qscore AS (SELECT q.q_id, b.b_id, ${cos("q.qe", "b.be")} AS s
+       |  FROM qs q, base_full b),
+       |entry AS (SELECT min(b_id) AS e_id FROM base_old
+       |  WHERE b_id % 64 = 0),
+       |seed0 AS (SELECT q_id, (SELECT e_id FROM entry) AS node FROM qs),
+       |entry_sc AS (SELECT q_id, b_id AS entry_id, s AS s_entry
+       |  FROM qscore WHERE b_id = (SELECT e_id FROM entry)),
+       |${twoHops(64, "edges_l2", "seed0")},
+       |${twoHops(16, "edges_l1", "h64b")},
+       |${twoHops(4, "edges_l0", "h16b")},
+       |ex AS (SELECT q_id, b_id AS best_id, s AS best_s FROM (
+       |    SELECT q_id, b_id, s, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY s DESC, b_id) AS rn FROM qscore)
+       |  WHERE rn = 1),
+       |census AS (SELECT
+       |    CAST((SELECT count(*) FROM edges_l2)
+       |      + (SELECT count(*) FROM edges_l1)
+       |      + (SELECT count(*) FROM edges_l0v0) AS BIGINT)
+       |      AS n_edges_v0,
+       |    CAST(2 * (SELECT count(*) FROM new_edges) AS BIGINT)
+       |      AS n_edges_added)
+       |SELECT e0.q_id, e0.entry_id, e0.s_entry,
+       |  h64b.node AS end_l2, h64b.s AS s_l2,
+       |  h16b.node AS end_l1, h16b.s AS s_l1,
+       |  h4b.node AS end_l0, h4b.s AS s_l0,
+       |  ex.best_id, ex.best_s,
+       |  CAST(CASE WHEN h4b.node = ex.best_id THEN 1 ELSE 0 END
+       |    AS BIGINT) AS found,
+       |  census.n_edges_v0, census.n_edges_added
+       |FROM entry_sc e0
+       |JOIN h64b ON e0.q_id = h64b.q_id
+       |JOIN h16b ON e0.q_id = h16b.q_id
+       |JOIN h4b ON e0.q_id = h4b.q_id
+       |JOIN ex ON e0.q_id = ex.q_id, census
+       |ORDER BY e0.q_id""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     // the calibration-bin CTE + the divisionless |acc − conf| fold
@@ -2829,6 +3145,7 @@ object Multimodal {
     // two hops per layer, the seed handed down, exact argmax receipt
     "simsearch_hnsw_layers" -> hnswOracle,
     "simsearch_hnsw_serve" -> hnswServeOracle,
+    "simsearch_hnsw_maintain" -> hnswMaintainOracle,
     // the 3 farthest-first rounds unrolled; exact-double dot products
     "ml_kmeans_pp_seed" -> kmeansPpOracle,
     "simsearch_graph_greedy" ->

@@ -421,6 +421,38 @@ class IndexingSpec extends SparkSuite {
         "sequential gate is vacuous at this fixture")
   }
 
+  test("dedup_index_forget: MoR serve = folded serve; forgotten docs never pair; the delete file is live at v1 and retired at v2 (sf0.001)") {
+    import graft.sources.TxnTable
+    val out = Indexing.dedupIndexForget(spark, sf0001).collect()
+    // no forgotten doc ever appears on the index side of a pair
+    assert(out.forall(_.getLong(1) % 5 != 0L),
+      "a forgotten doc surfaced as a match candidate")
+    val tIdx = Tables.scratch("dedup_forget_index")
+    // v1 carries exactly one live delete file; the OPTIMIZE at v2
+    // retires it
+    assert(TxnTable.deleteFiles(spark, tIdx, Some(1)).size === 1)
+    assert(TxnTable.deleteFiles(spark, tIdx, Some(2)).isEmpty)
+    // the MoR read really anti-joins: v1's visible rows = v0 minus the
+    // forgotten docs, and v2's folded content is identical
+    def rows(v: Int) = TxnTable.read(spark, tIdx, Some(v)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val (v0, v1, v2) = (rows(0), rows(1), rows(2))
+    assert(v1 === v0.filterNot(_._1 % 5 == 0L),
+      "v1 MoR read must hide exactly the forgotten docs")
+    assert(v2 === v1, "OPTIMIZE fold must preserve the served content")
+    // the census columns are exact (ride every output row)
+    out.headOption.foreach { r =>
+      assert(r.getLong(7) === v0.size.toLong)
+      assert(r.getLong(9) === v1.size.toLong)
+      assert(r.getLong(8) ===
+        v0.map(_._1).count(_ % 5 == 0L).toLong)
+    }
+    // the forget is not vacuous at this fixture: something was
+    // actually forgotten, and the index still serves pairs
+    assert(v0.size > v1.size, "no index entries were forgotten")
+    assert(out.nonEmpty, "the post-forget index must still serve")
+  }
+
   test("dedup_ingest_gate: injected same-wave dup pair — exactly the smaller doc_id is admitted; a later wave is rejected by the stored admission; quiet wave commits an empty DELTA") {
     import spark.implicits._
     import graft.sources.TxnTable

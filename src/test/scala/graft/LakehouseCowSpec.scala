@@ -733,4 +733,43 @@ class LakehouseCowSpec extends SparkSuite {
     assert(out.exists(o => o._5 < o._4),
       "no band ever skipped a file — the decision is vacuous here")
   }
+
+  test("sink_txn_hh_maintain: maintained list = the declared lossy fold; matched keys only ever UNDERCOUNT; totals merge exactly (sf0.001)") {
+    import org.apache.spark.sql.functions._
+    val splitUs = 19740L * 86400000000L
+    val out = operators.LakehouseCow.sinkTxnHhMaintain(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8)))
+    val ev = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), Tables.nsToUs(col("ts")).as("ts_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def top8(rows: Seq[Long]): Seq[(Long, Long)] = rows
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (u, c) => (-c, u) }.take(8)
+    val pre = top8(ev.filter(_._2 < splitUs).map(_._1).toSeq)
+    val del = top8(ev.filter(_._2 >= splitUs).map(_._1).toSeq)
+    val maint = (pre ++ del).groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case (u, c) => (-c, u) }.take(8)
+    val truth = top8(ev.map(_._1).toSeq)
+    assert(out.map(r => (r._1, r._2, r._3)).toSet ===
+      maint.zipWithIndex.map { case ((u, c), i) =>
+        (i + 1L, u, c) }.toSet,
+      "maintained list diverged from the declared fold")
+    assert(out.map(r => (r._1, r._4, r._5)).toSet ===
+      truth.zipWithIndex.map { case ((u, c), i) =>
+        (i + 1L, u, c) }.toSet,
+      "rebuilt list diverged from the exact top-8")
+    // the Misra-Gries direction: a matched key's maintained count can
+    // only be missing contributions, never inventing them
+    out.filter(_._6 == 1L).foreach { r =>
+      assert(r._7 >= 0L, s"rank ${r._1}: est overcounts truth")
+      assert(r._3 + r._7 === r._5)
+    }
+    // totals ARE mergeable — the contrast the receipt documents
+    assert(out.forall(r => r._8 === r._9),
+      "count totals must merge exactly")
+  }
 }

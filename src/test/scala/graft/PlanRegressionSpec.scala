@@ -599,7 +599,14 @@ class PlanRegressionSpec extends SparkSuite {
       // panel, 1-row edge census) — the routing itself probes the
       // stored edge table per layer; the build is the shared bucketed
       // cid equi-join pinned by the dedicated test below
-      "simsearch_hnsw_serve")
+      "simsearch_hnsw_serve",
+      // simsearch_hnsw_maintain: the 32-row stored seed broadcast (the
+      // ml_kmeans_step seeds shape, for the old build AND the O(new)
+      // insert), the 1-row entry/census frames, the ≤40-row query
+      // panel; sink_txn_hh_maintain / dedup_index_forget attach 1-row
+      // decision/census scalars — fan-out 1 each, never data²
+      "simsearch_hnsw_maintain", "sink_txn_hh_maintain",
+      "dedup_index_forget")
     val offenders = SparkEntry.queries.keys.filterNot(allowed)
       .filter(n => n != "source_csv_roundtrip" && plan(n).contains("BroadcastNestedLoopJoin"))
     assert(offenders.isEmpty, s"unexpected nested-loop joins: $offenders")
@@ -707,7 +714,11 @@ class PlanRegressionSpec extends SparkSuite {
       "topk_threshold_algorithm" -> Set("a", "b", "s", "c_custkey"),
       // two chained DistributedRank passes — the audited ≤Fan bucket
       // frame, same as abc/rfm
-      "eval_spearman_rho" -> Set("drk_vb"))
+      "eval_spearman_rho" -> Set("drk_vb"),
+      // round-18: every ranked window runs AFTER an ORDER BY…LIMIT 8
+      // TakeOrderedAndProject — the ≤8/≤16-row capped top-k lists,
+      // never the key domain
+      "sink_txn_hh_maintain" -> Set("cnt"))
     // whole-frame (unordered, unpartitioned) windows: |langs|/|labels|
     // scale — corpus_mix_rebalance, corpus_token_budget,
     // sample_stratified_neyman, ml_class_balance_weights,
@@ -858,6 +869,8 @@ class PlanRegressionSpec extends SparkSuite {
       "dedup_index_maintain" -> "rankedTokens prefix-offset frame (≤|charset|² rows, the two-level vocabulary rank)",
       "dedup_index_compact" -> "rankedTokens prefix-offset frame (≤|charset|² rows, the two-level vocabulary rank)",
       "dedup_ingest_gate" -> "rankedTokens prefix-offset frame (≤|charset|² rows, the two-level vocabulary rank)",
+      "dedup_index_forget" -> "rankedTokens prefix-offset frame (≤|charset|² rows, the two-level vocabulary rank)",
+      "sink_txn_hh_maintain" -> "rank windows AFTER ORDER BY…LIMIT 8 cuts (≤8/≤16-row capped top-k lists)",
       "corpus_dedup_costs" -> "rankedTokens prefix-offset frame (≤|charset|² rows) over the exact-dedup survivors",
       "dedup_simhash_replayable" -> "4-block pigeonhole buckets, >20-doc buckets dropped",
       "dedup_winnow_pairs" -> "fingerprint-bucketed candidates, limit(20) cut",

@@ -172,6 +172,66 @@ class StatsSpec extends SparkSuite {
     assert(hits > 0L && hits <= tot, "edge recall must be priced in (0, 1]")
   }
 
+  test("simsearch_hnsw_serve: the stored-index descent equals simsearch_hnsw_layers' per-run descent; the censuses equal the committed edge counts") {
+    import graft.sources.TxnTable
+    val served = Multimodal.simsearchHnswServe(spark, sf0001).collect()
+    val built = Multimodal.simsearchHnswLayers(spark, sf0001).collect()
+    assert(served.nonEmpty)
+    // same membership, same build, same entry → the descent trace and
+    // recall receipt must agree row for row (columns 0..11 shared)
+    assert(served.map(r => (0 to 11).map(r.getLong).toVector).toSeq ===
+      built.map(r => (0 to 11).map(r.getLong).toVector).toSeq,
+      "stored-index serving diverged from the per-run build's descent")
+    // the census columns really count the COMMITTED index
+    val edges = TxnTable.read(spark, Tables.scratch("idx_hnsw_edges"))
+      .collect().map(_.getLong(0))
+    assert(served.head.getLong(12) === edges.count(_ == 64L).toLong)
+    assert(served.head.getLong(13) === edges.count(_ == 16L).toLong)
+    assert(served.head.getLong(14) === edges.count(_ == 4L).toLong)
+  }
+
+  test("simsearch_hnsw_maintain: descent monotone over the maintained index; the append is a by-reference delta of backlinked L0 edges; upper layers carry untouched") {
+    import graft.sources.TxnTable
+    val rows = Multimodal.simsearchHnswMaintain(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sEntry, sL2, sL1, sL0, bestS) =
+        (r.getLong(2), r.getLong(4), r.getLong(6), r.getLong(8),
+          r.getLong(10))
+      assert(sEntry <= sL2 && sL2 <= sL1 && sL1 <= sL0,
+        s"q ${r.getLong(0)} descent must be monotone")
+      assert(sL0 <= bestS)
+      assert(r.getLong(11) === (if (r.getLong(7) == r.getLong(9)) 1L
+        else 0L))
+    }
+    val tEdges = Tables.scratch("idx_hnswm_edges")
+    // the append commit is a DELTA carrying v0's file by reference
+    val v0e = TxnTable.fileEntries(spark, tEdges, Some(0)).map(_.path)
+    val v1e = TxnTable.fileEntries(spark, tEdges, Some(1)).map(_.path)
+    assert(v0e.toSet.subsetOf(v1e.toSet),
+      "v1 must carry v0's edge file by reference")
+    assert(v1e.size === v0e.size + 1, "the append adds exactly one file")
+    val edges = TxnTable.read(spark, tEdges, Some(1)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // upper layers untouched: every L1/L2 endpoint is an OLD member
+    edges.filter(e => e._1 == 16L || e._1 == 64L).foreach { e =>
+      assert(e._2 % 8 == 0L && e._3 % 8 == 0L,
+        s"upper-layer edge touches a new node: $e")
+    }
+    // the inserted L0 edges are backlinked: every new->old edge has
+    // its old->new mirror, and new nodes appear on BOTH sides
+    val l0 = edges.filter(_._1 == 4L)
+    val newSrc = l0.filter(e => e._2 % 8 == 4L).map(e => (e._2, e._3)).toSet
+    val newDst = l0.filter(e => e._3 % 8 == 4L).map(e => (e._3, e._2)).toSet
+    assert(newSrc.nonEmpty, "no new node was inserted at this fixture")
+    assert(newSrc === newDst, "backlinks must mirror the new out-edges")
+    // census columns agree with the committed content
+    val nv0 = rows.head.getLong(12)
+    val nAdd = rows.head.getLong(13)
+    assert(nAdd === 2L * newSrc.size)
+    assert(edges.length.toLong === nv0 + nAdd)
+  }
+
   test("ml_kmeans_pp_seed: brute-force farthest-first replay and monotone radius") {
     val vecs = Tables.embeddings(spark, sf0001)
       .select(col("vec_id"),
