@@ -1118,6 +1118,129 @@ object LakehouseCow {
     }
   }
 
+  /** THE STALE-STATS HAZARD, PRICED — the receipt that justifies
+    * [[sinkTxnHistMaintain]]'s existence: what happens when an append
+    * lands and the histogram sidecar is NOT maintained? v0 commits the
+    * pre-split state + per-file sidecar; the COW backfill rewrites one
+    * file; BOTH sidecars are then asked to estimate the standing
+    * 30–45% band over the POST-append table — the STALE v0 sidecar
+    * (whose rewritten-file rows still describe the pre-append data,
+    * with a grid pinned to the pre-append domain) against the
+    * MAINTAINED v1 sidecar — and both estimates are confronted with
+    * the exact count. Carried files agree by construction (their data
+    * did not change — the same fact that makes carry-by-reference
+    * sound); the rewritten file is where the stale estimate breaks:
+    * rows whose new values fall OUTSIDE the old grid's domain are
+    * invisible to it entirely (an equi-width grid cannot even
+    * represent them — the non-mergeable-bounds problem from the
+    * maintain key, now shown as an estimation error instead of a
+    * design note). ratio columns per file + the bkt = −1 rollup make
+    * the divergence exact. The oracle re-derives both sidecars and
+    * the truth from raw events.
+    *
+    * Scale shape: both estimate paths read |files|·16 metadata rows,
+    * zero data; only the truth column scans. The receipt is what an
+    * operator shows to justify the maintenance job's budget: at 10⁶
+    * files one unmaintained shard per day compounds into a planner
+    * that silently under-estimates every hot range. */
+  def sinkTxnHistStale(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = evUsers(spark, dir)
+    val pre = ev.filter($"ts_us" < SplitUs)
+    val delta = ev.filter($"ts_us" >= SplitUs && $"user_id" % 64 === 3)
+    def shape(df: DataFrame): DataFrame = df
+      .select($"bkt", $"est_stale", $"est_maint", $"true_rows",
+        $"ratio_stale_fp", $"ratio_maint_fp", $"rewritten")
+      .orderBy($"bkt")
+    def mergedF() = state(pre.filter($"user_id" % 64 =!= 3)
+        .unionByName(ev.filter($"user_id" % 64 === 3)))
+      .withColumn("bkt", $"user_id" % 8)
+    def preF() = state(pre).withColumn("bkt", $"user_id" % 8)
+    def touchedF() = delta.select(($"user_id" % 8).as("bkt")).distinct()
+    def receiptOf(st: DataFrame, sideStale: DataFrame,
+        sideMaint: DataFrame, touched: DataFrame): DataFrame = {
+      // the band folds from the MAINTAINED sidecar (the query is
+      // against the current table; the stale sidecar just answers it
+      // with its old grids)
+      val g = sideMaint.agg(coalesce(min($"mn"), lit(0L)).as("gmn"),
+          coalesce(max($"mx"), lit(0L)).as("gmx"))
+        .select($"gmn", $"gmx",
+          expr("gmn + ((gmx - gmn) * 3) DIV 10").as("lo"),
+          expr("gmn + ((gmx - gmn) * 9) DIV 20").as("hi"))
+      def estOf(side: DataFrame, as: String): DataFrame =
+        side.crossJoin(broadcast(g))
+          .withColumn("blo", $"mn" + $"hb" * $"w")
+          .withColumn("bhi", $"mn" + ($"hb" + 1L) * $"w" - 1L)
+          .withColumn("ov",
+            greatest(lit(0L),
+              least($"hi", $"bhi") - greatest($"lo", $"blo") + 1L))
+          .groupBy($"bkt")
+          .agg(sum(expr("(cnt * ov) div w")).as(as))
+      val tru = st.crossJoin(broadcast(g.select($"lo", $"hi")))
+        .filter($"v_sum_4dp".between($"lo", $"hi"))
+        .groupBy($"bkt").agg(count(lit(1)).as("true_rows"))
+      val perFile = estOf(sideMaint, "est_maint")
+        .join(estOf(sideStale, "est_stale"), Seq("bkt"), "left")
+        .join(tru, Seq("bkt"), "left")
+        .join(broadcast(touched.withColumn("rw", lit(1L))),
+          Seq("bkt"), "left")
+        .select($"bkt", coalesce($"est_stale", lit(0L)).as("est_stale"),
+          $"est_maint", coalesce($"true_rows", lit(0L)).as("true_rows"),
+          coalesce($"rw", lit(0L)).as("rewritten"))
+      val rollup = perFile.agg(
+          coalesce(sum($"est_stale"), lit(0L)).as("est_stale"),
+          coalesce(sum($"est_maint"), lit(0L)).as("est_maint"),
+          coalesce(sum($"true_rows"), lit(0L)).as("true_rows"))
+        .select(lit(-1L).as("bkt"), $"est_stale", $"est_maint",
+          $"true_rows", lit(-1L).as("rewritten"))
+      perFile.unionAll(rollup)
+        .withColumn("ratio_stale_fp",
+          when($"true_rows" > 0L,
+            expr("(est_stale * 1048576) div true_rows")).otherwise(-1L))
+        .withColumn("ratio_maint_fp",
+          when($"true_rows" > 0L,
+            expr("(est_maint * 1048576) div true_rows")).otherwise(-1L))
+    }
+    val equivalent = shape(receiptOf(mergedF(), fileHist(preF()),
+      fileHist(mergedF()), touchedF()))
+    graft.PlanOnly.roundTrip(equivalent) {
+      val table = Tables.scratch("txn_histstale_state")
+      val tSide = Tables.scratch("txn_histstale_sidecar")
+      Seq(table, tSide).foreach(TxnTable.drop(spark, _))
+      val c0 = preF()
+      val e0 = writeBuckets(c0, s"$table/data/v0", "user_id")
+      commitMaybeEmpty(spark, table, 0, e0, state(pre))
+      TxnTable.commit(spark, tSide, 0, fileHist(c0))
+      val deltaSt = state(delta)
+      val touched = deltaSt.select(($"user_id" % 8).as("b"))
+        .distinct.collect().map(_.getLong(0)).toSet // ≤8: file planning
+      val prevTouched = TxnTable.read(spark, table, Some(0))
+        .filter(($"user_id" % 8).isin(touched.toSeq: _*))
+      val merged = prevTouched.unionByName(deltaSt).groupBy($"user_id")
+        .agg(sum($"n_events").as("n_events"),
+          max($"last_us").as("last_us"),
+          sum($"v_sum_4dp").as("v_sum_4dp"))
+      val c1 = merged.withColumn("bkt", $"user_id" % 8)
+      val e1 = writeBuckets(c1, s"$table/data/v1", "user_id")
+      val carried = e0.filterNot(e => touched.contains(e.bucket))
+      commitCowDelta(spark, table, 1, e0, e1,
+        e0.filter(e => touched.contains(e.bucket)).map(_.path),
+        e1 ++ carried, merged)
+      // MAINTAINED sidecar v1 (the hist_maintain discipline); the
+      // STALE path simply keeps reading v0
+      val carriedHist = TxnTable.read(spark, tSide, Some(0))
+        .filter(!$"bkt".isin(touched.toSeq: _*))
+      TxnTable.commit(spark, tSide, 1,
+        carriedHist.unionByName(fileHist(c1)))
+      def sideAt(v: Int) = TxnTable.read(spark, tSide, Some(v))
+        .select($"bkt", $"hb", $"cnt", $"mn", $"mx", $"w")
+      shape(receiptOf(
+        TxnTable.read(spark, table, None)
+          .withColumn("bkt", $"user_id" % 8),
+        sideAt(0), sideAt(1), touched.toSeq.toDF("bkt")))
+    }
+  }
+
   /** SPEND THE HISTOGRAM IN A DECISION — the r17 verdict's rung above
     * [[sinkTxnHistSelectivity]] (estimation alone is a dashboard; a
     * planner ACTS): three range bands (a 2% low tail, the standing
@@ -3301,6 +3424,7 @@ object LakehouseCow {
     "sink_txn_hist_selectivity" -> (sinkTxnHistSelectivity(_, _)),
     "sink_txn_hist_maintain" -> (sinkTxnHistMaintain(_, _)),
     "sink_txn_hist_decide" -> (sinkTxnHistDecide(_, _)),
+    "sink_txn_hist_stale" -> (sinkTxnHistStale(_, _)),
     "sink_txn_cbo_skew_salt" -> (sinkTxnCboSkewSalt(_, _)),
     "sink_txn_hh_maintain" -> (sinkTxnHhMaintain(_, _)),
     "sink_txn_bucket_prune" -> (sinkTxnBucketPrune(_, _)),
@@ -3544,6 +3668,75 @@ object LakehouseCow {
         |  CAST(CASE WHEN true_rows > 0
         |    THEN (est_rows * 1048576) // true_rows ELSE -1 END
         |    AS BIGINT) AS ratio_fp,
+        |  CAST(rewritten AS BIGINT) AS rewritten
+        |FROM allr ORDER BY bkt""".stripMargin,
+    // the stale-vs-maintained confrontation re-derived: both sidecars'
+    // grids and counts, the maintained-fold band, both interpolated
+    // estimates, the exact truth, and the rewritten footprint
+    "sink_txn_hist_stale" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CAST(value AS DECIMAL(18,4)) AS v FROM events),
+        |m AS (SELECT * FROM e WHERE user_id % 64 = 3
+        |  UNION ALL
+        |  SELECT * FROM e WHERE user_id % 64 <> 3
+        |    AND ts_us < CAST(19740 AS BIGINT) * 86400000000),
+        |st1 AS (SELECT user_id % 8 AS bkt,
+        |    CAST(sum(v) * 10000 AS BIGINT) AS vs
+        |  FROM m GROUP BY user_id),
+        |st0 AS (SELECT user_id % 8 AS bkt,
+        |    CAST(sum(v) * 10000 AS BIGINT) AS vs
+        |  FROM e WHERE ts_us < CAST(19740 AS BIGINT) * 86400000000
+        |  GROUP BY user_id),
+        |pb1 AS (SELECT bkt, min(vs) AS mn, max(vs) AS mx,
+        |    ((max(vs) - min(vs)) // 16) + 1 AS w FROM st1 GROUP BY bkt),
+        |pb0 AS (SELECT bkt, min(vs) AS mn, max(vs) AS mx,
+        |    ((max(vs) - min(vs)) // 16) + 1 AS w FROM st0 GROUP BY bkt),
+        |g AS (SELECT coalesce(min(mn), 0) AS gmn,
+        |    coalesce(max(mx), 0) AS gmx FROM pb1),
+        |p AS (SELECT gmn + ((gmx - gmn) * 3) // 10 AS lo,
+        |    gmn + ((gmx - gmn) * 9) // 20 AS hi FROM g),
+        |side1 AS (SELECT st1.bkt, (vs - mn) // w AS hb,
+        |    count(*) AS cnt, mn, w
+        |  FROM st1 JOIN pb1 USING (bkt) GROUP BY 1, 2, 4, 5),
+        |side0 AS (SELECT st0.bkt, (vs - mn) // w AS hb,
+        |    count(*) AS cnt, mn, w
+        |  FROM st0 JOIN pb0 USING (bkt) GROUP BY 1, 2, 4, 5),
+        |est1 AS (SELECT bkt, CAST(sum((cnt * greatest(0,
+        |      least(p.hi, mn + (hb + 1) * w - 1)
+        |      - greatest(p.lo, mn + hb * w) + 1)) // w) AS BIGINT)
+        |    AS est_maint FROM side1, p GROUP BY bkt),
+        |est0 AS (SELECT bkt, CAST(sum((cnt * greatest(0,
+        |      least(p.hi, mn + (hb + 1) * w - 1)
+        |      - greatest(p.lo, mn + hb * w) + 1)) // w) AS BIGINT)
+        |    AS est_stale FROM side0, p GROUP BY bkt),
+        |tru AS (SELECT bkt, CAST(count(*) AS BIGINT) AS true_rows
+        |  FROM st1, p WHERE vs BETWEEN lo AND hi GROUP BY bkt),
+        |tc AS (SELECT DISTINCT user_id % 8 AS bkt FROM e
+        |  WHERE ts_us >= CAST(19740 AS BIGINT) * 86400000000
+        |    AND user_id % 64 = 3),
+        |pf AS (SELECT e1.bkt,
+        |    coalesce(e0.est_stale, 0) AS est_stale, e1.est_maint,
+        |    coalesce(tru.true_rows, 0) AS true_rows,
+        |    CAST(CASE WHEN tc.bkt IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        |      AS rewritten
+        |  FROM est1 e1 LEFT JOIN est0 e0 ON e1.bkt = e0.bkt
+        |  LEFT JOIN tru ON e1.bkt = tru.bkt
+        |  LEFT JOIN tc ON e1.bkt = tc.bkt),
+        |allr AS (SELECT * FROM pf
+        |  UNION ALL SELECT -1,
+        |    coalesce((SELECT sum(est_stale) FROM pf), 0),
+        |    coalesce((SELECT sum(est_maint) FROM pf), 0),
+        |    coalesce((SELECT sum(true_rows) FROM pf), 0), -1)
+        |SELECT CAST(bkt AS BIGINT) AS bkt,
+        |  CAST(est_stale AS BIGINT) AS est_stale,
+        |  CAST(est_maint AS BIGINT) AS est_maint,
+        |  CAST(true_rows AS BIGINT) AS true_rows,
+        |  CAST(CASE WHEN true_rows > 0
+        |    THEN (est_stale * 1048576) // true_rows ELSE -1 END
+        |    AS BIGINT) AS ratio_stale_fp,
+        |  CAST(CASE WHEN true_rows > 0
+        |    THEN (est_maint * 1048576) // true_rows ELSE -1 END
+        |    AS BIGINT) AS ratio_maint_fp,
         |  CAST(rewritten AS BIGINT) AS rewritten
         |FROM allr ORDER BY bkt""".stripMargin,
     // the lossy top-8 fold replayed: pre/delta capped lists, the

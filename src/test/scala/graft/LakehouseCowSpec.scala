@@ -734,6 +734,46 @@ class LakehouseCowSpec extends SparkSuite {
       "no band ever skipped a file — the decision is vacuous here")
   }
 
+  test("sink_txn_hist_stale: carried files agree stale = maintained; the rewritten file genuinely diverges; both replay from raw data (sf0.001)") {
+    import org.apache.spark.sql.functions._
+    val splitUs = 19740L * 86400000000L
+    val out = operators.LakehouseCow.sinkTxnHistStale(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), Tables.nsToUs(col("ts")).as("ts_us"),
+        Tables.dec4(col("value")).as("v"))
+    def stOf(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("user_id"))
+      .agg((sum(col("v")) * lit(10000)).cast("long").as("vs"))
+      .collect().map(r => (r.getLong(0) % 8, r.getLong(1))).toSeq
+    val st1 = stOf(ev.filter(col("user_id") % 64 === 3)
+      .unionByName(ev.filter(col("user_id") % 64 =!= 3 &&
+        col("ts_us") < splitUs)))
+    val st0 = stOf(ev.filter(col("ts_us") < splitUs))
+    val (g1, (gmn, gmx)) = histReplay(st1)
+    val (g0, _) = histReplay(st0)
+    val lo = gmn + (gmx - gmn) * 3 / 10
+    val hi = gmn + (gmx - gmn) * 9 / 20
+    val (estM, tru) = histEst(st1, g1, lo, hi)
+    val (estS, _) = histEst(st0, g0, lo, hi)
+    out.filter(_._1 >= 0).foreach { r =>
+      assert(r._2 === estS.getOrElse(r._1, 0L),
+        s"bkt ${r._1}: stale estimate diverged from replay")
+      assert(r._3 === estM.getOrElse(r._1, 0L))
+      assert(r._4 === tru.getOrElse(r._1, 0L))
+      // carried files: data unchanged → the two estimates agree
+      if (r._7 == 0L) assert(r._2 === r._3,
+        s"carried bkt ${r._1}: stale must equal maintained")
+    }
+    // the receipt is non-vacuous: the rewritten file's stale estimate
+    // genuinely diverges from the maintained one at this fixture
+    val rw = out.filter(r => r._1 >= 0 && r._7 == 1L)
+    assert(rw.nonEmpty, "no file was rewritten")
+    assert(rw.exists(r => r._2 != r._3),
+      "staleness changed nothing — the receipt is vacuous here")
+  }
+
   test("sink_txn_hh_maintain: maintained list = the declared lossy fold; matched keys only ever UNDERCOUNT; totals merge exactly (sf0.001)") {
     import org.apache.spark.sql.functions._
     val splitUs = 19740L * 86400000000L

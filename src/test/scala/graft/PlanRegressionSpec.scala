@@ -606,7 +606,10 @@ class PlanRegressionSpec extends SparkSuite {
       // panel; sink_txn_hh_maintain / dedup_index_forget attach 1-row
       // decision/census scalars — fan-out 1 each, never data²
       "simsearch_hnsw_maintain", "sink_txn_hh_maintain",
-      "dedup_index_forget")
+      "dedup_index_forget",
+      // sink_txn_hist_stale: the same 1-row band frame as the other
+      // hist keys, broadcast over both sidecars and the truth scan
+      "sink_txn_hist_stale")
     val offenders = SparkEntry.queries.keys.filterNot(allowed)
       .filter(n => n != "source_csv_roundtrip" && plan(n).contains("BroadcastNestedLoopJoin"))
     assert(offenders.isEmpty, s"unexpected nested-loop joins: $offenders")
