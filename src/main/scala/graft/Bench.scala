@@ -19,9 +19,13 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      // label the key's jobs in the UI/event log (guide §1.5); timing
+      // semantics unchanged
+      spark.sparkContext.setJobDescription(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.setJobDescription(null)
       // drop intermediates a query persisted for its own lifetime —
       // keeps later keys from timing against another key's leftover
       // cache and bounds block-manager growth over the 98-key suite

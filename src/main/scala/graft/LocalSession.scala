@@ -41,6 +41,20 @@ object LocalSession {
       // bucketed tables, which every bucketed consumer here wants
       .config("spark.sql.sources.bucketing.autoBucketedScan.enabled",
         "false")
+      // r18 optimization: Spark 4 flipped AQE coalescing to
+      // advisory-size-first (parallelismFirst=false), so every
+      // small-bytes shuffle coalesces toward 64 MB partitions — and a
+      // CPU-heavy consumer (window rank, pair explosion, verify join)
+      // of a few-MB frame then runs 1–2 tasks (measured 3–4 s
+      // single-task stages on the graph_* keys). parallelismFirst=true
+      // restores the Spark 3.x behavior: AQE targets
+      // totalBytes/defaultParallelism (floored at minPartitionSize
+      // 1 MB), i.e. parallelism scales with the cluster, not with a
+      // byte constant — the scale-adaptive direction for compute-bound
+      // stages; IO-bound writes that need few large files already
+      // coalesce/repartition explicitly in this repo.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "true")
       .config("spark.sql.warehouse.dir", WarehouseDir)
     extra.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()

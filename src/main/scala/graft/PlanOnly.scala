@@ -20,7 +20,13 @@ object PlanOnly {
     * still constructed and auditable. The layout-specific scan
     * properties this hides (PartitionFilters pruning, bucket-side
     * exchange elimination) are pinned in SinksSpec/BucketingSpec, which
-    * run the real writes. */
+    * run the real writes.
+    *
+    * `equivalent` is BY-NAME and callers must keep it lazy (`def
+    * equivalent = ...`, never `val`): DataFrame construction runs the
+    * analyzer eagerly, so a pre-built val pays full analysis of the
+    * discarded composite plan on every GRADED run — measured at ~13 s
+    * of driver time on simsearch_hnsw_maintain alone (r18 opt). */
   def roundTrip(equivalent: => DataFrame)(exec: => DataFrame): DataFrame =
     if (enabled) equivalent else exec
 

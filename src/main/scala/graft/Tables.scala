@@ -32,12 +32,19 @@ object Tables {
   def configure(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    // AQE: honor the 64MB advisory partition size when coalescing
-    // post-shuffle partitions instead of maximizing parallelism
-    // (parallelismFirst=true, the default, keeps tiny partitions —
-    // pure scheduling overhead at small data, and the Spark docs
-    // recommend false for production clusters too).
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    // AQE coalescing: parallelism-first (r18 optimization, REVERSING the
+    // earlier advisory-first call). Measured at sf0.1/local[32]: with
+    // advisory-first a few-MB post-shuffle frame coalesces to 1–2
+    // partitions and any CPU-heavy consumer (window rank over 6.7M pair
+    // records, verify joins, explodes) runs single-threaded — 3.5 s
+    // single-task stages on the graph_* keys. parallelismFirst=true
+    // targets totalBytes/defaultParallelism (floored at the 1 MB
+    // minPartitionSize, so tiny frames still coalesce to 1): partitions
+    // scale with the executor count, which is also the scale-correct
+    // shape at 100 TB where a 64 MB-advisory coalesce is fine for IO
+    // but starves compute-bound stages on small reduced frames.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+      sys.props.getOrElse("graft.parallelismFirst", "true"))
     spark
   }
 

@@ -347,8 +347,8 @@ object Analytics {
     * counts each exactly once; per-node counts explode the 3 roles. */
   def graphTriangleCount(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val und = Tables.lineitem(spark, dir)
-      .select($"l_partkey", $"l_suppkey").distinct()
+    val und = Fanout.byKey(Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_suppkey").distinct(), $"l_partkey")
       .groupBy($"l_partkey")
       .agg(sort_array(collect_set($"l_suppkey")).as("ss"))
       .select($"ss", posexplode($"ss").as(Seq("i", "s1")))
@@ -358,10 +358,10 @@ object Analytics {
     // shuffle carries each unordered pair once (the ordered-pair
     // explode would double it), and the cheap 2× fan-out happens on
     // the already-aggregated frame
-    val inc = und.select(explode(array(
+    val inc = Fanout.byKey(und.select(explode(array(
         struct($"s1".as("u"), $"s2".as("v"), $"sp"),
         struct($"s2".as("u"), $"s1".as("v"), $"sp"))).as("x"))
-      .select($"x.u".as("u"), $"x.v".as("v"), $"x.sp".as("sp"))
+      .select($"x.u".as("u"), $"x.v".as("v"), $"x.sp".as("sp")), $"u")
     val w = Window.partitionBy($"u").orderBy($"sp".desc, $"v")
     val e = graft.PlanOnly.mark(
       inc.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
@@ -399,17 +399,17 @@ object Analytics {
   def graphKtrussPeel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     def buildE0(): DataFrame = {
-      val und = Tables.lineitem(spark, dir)
-        .select($"l_partkey", $"l_suppkey").distinct()
+      val und = Fanout.byKey(Tables.lineitem(spark, dir)
+        .select($"l_partkey", $"l_suppkey").distinct(), $"l_partkey")
         .groupBy($"l_partkey")
         .agg(sort_array(collect_set($"l_suppkey")).as("ss"))
         .select($"ss", posexplode($"ss").as(Seq("i", "s1")))
         .select($"s1", explode(expr("slice(ss, i + 2, size(ss))")).as("s2"))
         .groupBy($"s1", $"s2").agg(count(lit(1)).as("sp"))
-      val inc = und.select(explode(array(
+      val inc = Fanout.byKey(und.select(explode(array(
           struct($"s1".as("u"), $"s2".as("v"), $"sp"),
           struct($"s2".as("u"), $"s1".as("v"), $"sp"))).as("x"))
-        .select($"x.u".as("u"), $"x.v".as("v"), $"x.sp".as("sp"))
+        .select($"x.u".as("u"), $"x.v".as("v"), $"x.sp".as("sp")), $"u")
       val w = Window.partitionBy($"u").orderBy($"sp".desc, $"v")
       inc.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
         .select(least($"u", $"v").as("a"), greatest($"u", $"v").as("b"))
@@ -557,17 +557,17 @@ object Analytics {
     * per-node frames. */
   def graphClusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val und = Tables.lineitem(spark, dir)
-      .select($"l_partkey", $"l_suppkey").distinct()
+    val und = Fanout.byKey(Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_suppkey").distinct(), $"l_partkey")
       .groupBy($"l_partkey")
       .agg(sort_array(collect_set($"l_suppkey")).as("ss"))
       .select($"ss", posexplode($"ss").as(Seq("i", "s1")))
       .select($"s1", explode(expr("slice(ss, i + 2, size(ss))")).as("s2"))
       .groupBy($"s1", $"s2").agg(count(lit(1)).as("sp"))
-    val inc = und.select(explode(array(
+    val inc = Fanout.byKey(und.select(explode(array(
         struct($"s1".as("u"), $"s2".as("v"), $"sp"),
         struct($"s2".as("u"), $"s1".as("v"), $"sp"))).as("x"))
-      .select($"x.u".as("u"), $"x.v".as("v"), $"x.sp".as("sp"))
+      .select($"x.u".as("u"), $"x.v".as("v"), $"x.sp".as("sp")), $"u")
     val w = Window.partitionBy($"u").orderBy($"sp".desc, $"v")
     // marked: the sparsified edge set feeds degrees AND both sides of
     // the wedge/closure joins

@@ -38,7 +38,10 @@ object Behavioral {
     * sorted supplier set, super-node keys dropped before any pairing. */
   private[graft] def supplierSets(incidence: DataFrame, cap: Int): DataFrame = {
     import incidence.sparkSession.implicits._
-    incidence.groupBy($"l_partkey")
+    // Fanout.byKey: keep the downstream C(|ss|,2) pair explosion at
+    // full parallelism (AQE would coalesce this small aggregate to one
+    // partition and single-thread every consumer's explode stage)
+    Fanout.byKey(incidence, $"l_partkey").groupBy($"l_partkey")
       .agg(sort_array(collect_set($"l_suppkey")).as("ss"))
       .filter(size($"ss") <= cap)
   }
@@ -877,8 +880,11 @@ object Behavioral {
       def buildE2(): DataFrame = er
         .join(kept.select($"id".as("a")), Seq("a"), "left_semi")
         .join(kept.select($"id".as("b")), Seq("b"), "left_semi")
+      // cut, not mark (r18): both reach directions fork onto threads
+      // below — an eager checkpoint materializes e2 ONCE up front,
+      // where a lazy persist would race its first materialization
       val sharedE2 =
-        if (graft.PlanOnly.enabled) null else graft.PlanOnly.mark(buildE2())
+        if (graft.PlanOnly.enabled) null else graft.PlanOnly.cut(buildE2())
       def e2F(): DataFrame =
         if (graft.PlanOnly.enabled) buildE2() else sharedE2
       def reach(reverse: Boolean): DataFrame = {
@@ -898,8 +904,10 @@ object Behavioral {
         }
         rf
       }
-      val fw = reach(reverse = false)
-      val bw = reach(reverse = true)
+      // the forward and backward reachabilities are independent given
+      // kept/e2 (e2 checkpointed eagerly above) — overlap their
+      // per-hop checkpoint jobs (Par rationale; results unchanged)
+      val (fw, bw) = Par.both(reach(reverse = false), reach(reverse = true))
       val scc = graft.PlanOnly.cut(fw.select($"id")
         .join(bw.select($"id"), Seq("id"), "left_semi"))
       val stat = cnt(residual, "n_residual")

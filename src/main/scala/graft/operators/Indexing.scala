@@ -682,8 +682,13 @@ object Indexing {
       serve(bandsOf(sigsOf(isNew = false)), bandsOf(sigsOf(isNew = true)))) {
       val tIdx = Tables.scratch("dedup_band_index")
       graft.sources.TxnTable.drop(spark, tIdx)
-      val b0 = graft.PlanOnly.cut(bandsOf(sigsOf(isNew = false)))
-      val b1 = bandsOf(sigsOf(isNew = true))
+      // both slices cut in parallel (independent sketch aggregates over
+      // the shared cut gram frame — Par rationale); cutting b1 also
+      // stops its double recompute (count + write + the probe below
+      // each re-aggregated the batch sketch before r18)
+      val (b0, b1) = Par.both(
+        graft.PlanOnly.cut(bandsOf(sigsOf(isNew = false))),
+        graft.PlanOnly.cut(bandsOf(sigsOf(isNew = true))))
       val (n0, n1) = (b0.count(), b1.count())
       if (n0 == 0L || n1 == 0L) {
         // degenerate fixture: no file to carry by reference — commit
@@ -692,14 +697,17 @@ object Indexing {
         graft.sources.TxnTable.commit(spark, tIdx, 1, b0.unionAll(b1))
       } else {
         val p0 = s"$tIdx/data/f0"
-        b0.write.mode("overwrite").parquet(p0)
+        val p1 = s"$tIdx/data/f1"
+        // distinct destinations — overlap the data writes; manifest
+        // installs stay sequential (the delta chains on v0)
+        Par.both(
+          b0.write.mode("overwrite").parquet(p0),
+          b1.write.mode("overwrite").parquet(p1))
         graft.sources.TxnTable.commitEntries(spark, tIdx, 0,
           Seq(graft.sources.TxnTable.FileEntry(0L, p0, Long.MinValue,
             Long.MaxValue, rowCount = n0)))
         // the append: ONLY the batch's band rows are written; v0's
         // file rides in the delta manifest by reference
-        val p1 = s"$tIdx/data/f1"
-        b1.write.mode("overwrite").parquet(p1)
         graft.sources.TxnTable.commitDelta(spark, tIdx, 1,
           adds = Seq(graft.sources.TxnTable.FileEntry(1L, p1,
             Long.MinValue, Long.MaxValue, rowCount = n1)))
@@ -707,7 +715,7 @@ object Indexing {
       // the probe reads the STORED v0 buckets — a fresh batch joins
       // the committed index, never a recomputed sketch of the corpus
       serve(graft.sources.TxnTable.read(spark, tIdx, Some(0))
-        .select($"doc_id", $"band", $"bh"), bandsOf(sigsOf(isNew = true)))
+        .select($"doc_id", $"band", $"bh"), b1)
     }
   }
 
@@ -770,8 +778,10 @@ object Indexing {
       val tIdx = Tables.scratch("dedup_band_index2")
       val tQuar = Tables.scratch("dedup_band_quarantine")
       Seq(tIdx, tQuar).foreach(graft.sources.TxnTable.drop(spark, _))
-      val b0 = graft.PlanOnly.cut(b0F())
-      val b1 = graft.PlanOnly.cut(b1F())
+      // both slice sketches cut in parallel; data writes overlap;
+      // manifest installs stay sequential (Par rationale, r18)
+      val (b0, b1) = Par.both(
+        graft.PlanOnly.cut(b0F()), graft.PlanOnly.cut(b1F()))
       val (n0, n1) = (b0.count(), b1.count())
       val fileLevel = n0 > 0L && n1 > 0L
       if (!fileLevel) {
@@ -779,12 +789,13 @@ object Indexing {
         graft.sources.TxnTable.commit(spark, tIdx, 1, b0.unionAll(b1))
       } else {
         val p0 = s"$tIdx/data/f0"
-        b0.write.mode("overwrite").parquet(p0)
+        val p1 = s"$tIdx/data/f1"
+        Par.both(
+          b0.write.mode("overwrite").parquet(p0),
+          b1.write.mode("overwrite").parquet(p1))
         graft.sources.TxnTable.commitEntries(spark, tIdx, 0,
           Seq(graft.sources.TxnTable.FileEntry(0L, p0, Long.MinValue,
             Long.MaxValue, rowCount = n0)))
-        val p1 = s"$tIdx/data/f1"
-        b1.write.mode("overwrite").parquet(p1)
         graft.sources.TxnTable.commitDelta(spark, tIdx, 1,
           adds = Seq(graft.sources.TxnTable.FileEntry(1L, p1,
             Long.MinValue, Long.MaxValue, rowCount = n1)))
@@ -818,7 +829,7 @@ object Indexing {
           .agg(count(lit(1)).as("entries_quarantined"))))
         .crossJoin(broadcast(
           hot.agg(count(lit(1)).as("buckets_quarantined"))))
-      b1F().select($"band", $"bh", $"doc_id".as("doc_new"))
+      b1.select($"band", $"bh", $"doc_id".as("doc_new"))
         .join(v2.filter($"doc_id" % 8 =!= 7)
           .select($"band", $"bh", $"doc_id".as("doc_old")),
           Seq("band", "bh"))
@@ -1080,7 +1091,7 @@ object Indexing {
       .select($"wave", $"doc_id", $"n_candidates", $"n_dup_hits",
         $"intra_wave_hits", $"admitted")
       .orderBy($"wave", $"doc_id")
-    val equivalent = {
+    def equivalent = {
       var idx = graft.PlanOnly.cut(bandsAll().filter($"doc_id" % 4 === 0))
       val waves = (1 to 3).map { k =>
         val rows = graft.PlanOnly.cut(waveRows(k, idx))

@@ -243,7 +243,7 @@ object Lakehouse {
     def shape(df: DataFrame): DataFrame = df
       .select($"version", $"user_id", $"n_events", $"last_us")
       .orderBy($"version", $"user_id")
-    val equivalent = shape(
+    def equivalent = shape(
       summarize(ev.filter($"ts_us" < SplitUs)).withColumn("version", lit(0L))
         .unionByName(summarize(ev.filter($"ts_us" < Split2Us))
           .withColumn("version", lit(1L)))
@@ -352,7 +352,7 @@ object Lakehouse {
       .select($"version", $"user_id", $"event_id", $"event_type", $"ts_us",
         $"value")
       .orderBy($"version", $"user_id")
-    val equivalent = shape(SinkBoundsUs.zipWithIndex.map { case (b, i) =>
+    def equivalent = shape(SinkBoundsUs.zipWithIndex.map { case (b, i) =>
       ev.filter($"ts_us" < b)
         .withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
         .withColumn("version", lit(i.toLong))
@@ -435,7 +435,7 @@ object Lakehouse {
     def shape(df: DataFrame): DataFrame = df
       .select($"batch_id", $"op_insert", $"user_id", $"event_id", $"ts_us")
       .orderBy($"batch_id", $"user_id")
-    val equivalent = shape(SinkBoundsUs.zipWithIndex.map { case (b, i) =>
+    def equivalent = shape(SinkBoundsUs.zipWithIndex.map { case (b, i) =>
       val lo = if (i == 0) Long.MinValue else SinkBoundsUs(i - 1)
       val cur = ev.filter($"ts_us" < b)
         .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
@@ -568,7 +568,7 @@ object Lakehouse {
       .select($"version", $"event_type", $"view_n_events",
         $"direct_n_events")
       .orderBy($"version", $"event_type")
-    val equivalent = shape(SinkBoundsUs.zipWithIndex.map { case (b, i) =>
+    def equivalent = shape(SinkBoundsUs.zipWithIndex.map { case (b, i) =>
       ev.filter($"ts_us" < b).groupBy($"event_type")
         .agg(count(lit(1)).as("view_n_events"))
         .withColumn("direct_n_events", $"view_n_events")
@@ -655,7 +655,7 @@ object Lakehouse {
         $"versions")
       .orderBy($"event_type")
     val clean = pre.unionByName(post.filter(!quarantine))
-    val equivalent = {
+    def equivalent = {
       val census = Seq(1).toDF("one")
         .crossJoin(broadcast(bad.filter($"v".isNull)
           .agg(count(lit(1)).as("null_violations"))))
@@ -757,7 +757,7 @@ object Lakehouse {
         lit(aDisk).as("a_versions_on_disk"),
         lit(bDisk).as("b_versions_on_disk"))
       .orderBy($"event_type")
-    val equivalent = {
+    def equivalent = {
       val committed = pre.unionByName(s1)
       shape(sumB(committed), stateA(committed), 1L, 1L, 1L, 3L, 2L)
     }
@@ -886,7 +886,7 @@ object Lakehouse {
         lit(aDisk).as("a_versions_after"),
         lit(bDisk).as("b_versions_after"))
       .orderBy($"event_type")
-    val equivalent = {
+    def equivalent = {
       val committed = pre.unionByName(s1)
       shape(mtSumB(committed), mtStateA(committed), 1L, 3L, 1L, 1L)
     }
@@ -965,7 +965,7 @@ object Lakehouse {
       .select($"version", $"event_type", $"maint_n_users",
         $"direct_n_users")
       .orderBy($"version", $"event_type")
-    val equivalent = shape(SinkBoundsUs.zipWithIndex.map { case (b, i) =>
+    def equivalent = shape(SinkBoundsUs.zipWithIndex.map { case (b, i) =>
       directAt(i, b).withColumn("maint_n_users", $"direct_n_users")
     }.reduce(_.unionByName(_)))
     graft.PlanOnly.roundTrip(equivalent) {
@@ -1100,7 +1100,7 @@ object Lakehouse {
       .select($"version", $"event_type", $"maint_n_users",
         $"direct_n_users", $"parts_removed", $"parts_kept")
       .orderBy($"version", $"event_type")
-    val equivalent = shape(SinkBoundsUs.zipWithIndex.drop(1)
+    def equivalent = shape(SinkBoundsUs.zipWithIndex.drop(1)
       .map { case (b, i) =>
         directAt(i, b).withColumn("maint_n_users", $"direct_n_users")
           .withColumn("parts_removed", lit(2L))

@@ -264,7 +264,7 @@ object LakehouseCow {
       .select($"user_id", $"n_events", $"last_us", $"v_sum_4dp",
         $"files_total", $"files_scanned", $"files_skipped")
       .orderBy($"user_id")
-    val equivalent = {
+    def equivalent = {
       val st = state(ev)
       val bF = st.agg(min($"v_sum_4dp").as("mn"), max($"v_sum_4dp").as("mx"))
       val withB = st.crossJoin(broadcast(bF))
@@ -672,7 +672,7 @@ object LakehouseCow {
         cboNdvCol(cboKmvH(factF().select($"user_id")), "ndv_fact"),
         inter, probeF().join(inter, Seq("user_id")))
     }
-    val equivalent = Seq("active_dim" -> usersActive _,
+    def equivalent = Seq("active_dim" -> usersActive _,
         "all_dim" -> usersAll _, "sparse_dim" -> usersSparse _)
       .map { case (n, d) => scenarioEq(n, d()) }
       .reduce(_.unionAll(_)).orderBy($"scenario")
@@ -771,7 +771,7 @@ object LakehouseCow {
       .select($"user_id", $"n_events", $"last_us", $"v_sum_4dp",
         $"bucket_count", $"layout_match")
       .orderBy($"user_id")
-    val equivalent = shape(state(ev)
+    def equivalent = shape(state(ev)
       .withColumn("bucket_count", lit(8L))
       .withColumn("layout_match", lit(1L)))
     graft.PlanOnly.roundTrip(equivalent) {
@@ -851,7 +851,7 @@ object LakehouseCow {
       .orderBy($"user_id")
     def panelF() = state(ev).select($"user_id")
       .orderBy($"user_id").limit(5)
-    val equivalent = {
+    def equivalent = {
       val nP = panelF().agg(count(lit(1)).as("n_probes"))
       shape(state(ev)
         .join(panelF(), Seq("user_id"), "left_semi")
@@ -1201,7 +1201,7 @@ object LakehouseCow {
           when($"true_rows" > 0L,
             expr("(est_maint * 1048576) div true_rows")).otherwise(-1L))
     }
-    val equivalent = shape(receiptOf(mergedF(), fileHist(preF()),
+    def equivalent = shape(receiptOf(mergedF(), fileHist(preF()),
       fileHist(mergedF()), touchedF()))
     graft.PlanOnly.roundTrip(equivalent) {
       val table = Tables.scratch("txn_histstale_state")
@@ -1402,7 +1402,7 @@ object LakehouseCow {
         cnt(ia, "true_inter_a"), cnt(ib, "true_inter_b"),
         cnt(ia.join(db, Seq("user_id"), "left_semi"), "final_rows"))
     }
-    val equivalent = Seq(
+    def equivalent = Seq(
         ("active_vs_half", usersActive _, usersHalf _),
         ("active_vs_sparse", usersActive _, usersSparse _),
         ("all_vs_active", usersAll _, usersActive _))
@@ -1555,7 +1555,7 @@ object LakehouseCow {
       factPre.groupBy($"k").agg(count(lit(1)).as("c"))
         .agg(coalesce(max($"c"), lit(0L)).as("est_max_cnt"))
         .crossJoin(factPre.agg(count(lit(1)).as("est_total")))
-    val equivalent = shape(
+    def equivalent = shape(
       receipt("type_key", factType(), estF(factTypePre()), None)
         .unionByName(
           receipt("user_key", factUser(), estF(factUserPre()), None)))
@@ -1679,7 +1679,7 @@ object LakehouseCow {
             .otherwise(-1L))
         .crossJoin(broadcast(decide))
     }
-    val equivalent = shape(receipt(foldTop(topK(pre), topK(delta)),
+    def equivalent = shape(receipt(foldTop(topK(pre), topK(delta)),
       totOf(pre).select(($"t" + lit(0L)).as("c")).crossJoin(totOf(delta))
         .select(($"c" + $"t").as("t"))))
     graft.PlanOnly.roundTrip(equivalent) {
@@ -1739,7 +1739,7 @@ object LakehouseCow {
       .select($"user_id", $"n_events", $"last_us", $"v_sum_4dp",
         $"bucket_a", $"bucket_b", $"coalesced_to", $"layout_compat")
       .orderBy($"user_id")
-    val equivalent = shape(state(ev)
+    def equivalent = shape(state(ev)
       .withColumn("bucket_a", lit(8L))
       .withColumn("bucket_b", lit(4L))
       .withColumn("coalesced_to", lit(4L))
@@ -1840,7 +1840,7 @@ object LakehouseCow {
     def shape(df: DataFrame): DataFrame = df
       .select($"bucket", $"col", $"mn", $"mx", $"n_rows", $"rewritten")
       .orderBy($"bucket", $"col")
-    val equivalent = {
+    def equivalent = {
       val merged = state(pre.filter($"user_id" % 64 =!= 3)
         .unionByName(ev.filter($"user_id" % 64 === 3)))
       val touchedB = delta.select(($"user_id" % NBuckets).as("bucket"))
@@ -1920,7 +1920,7 @@ object LakehouseCow {
     def shape(df: DataFrame): DataFrame = df
       .select($"col", $"n_files", $"n_rows", $"mn", $"mx")
       .orderBy($"col")
-    val equivalent = {
+    def equivalent = {
       val st = state(ev).withColumn("bkt", $"user_id" % NBuckets)
       shape(st.selectExpr("bkt",
           "stack(3, 'n_events', n_events, 'last_us', last_us, " +
@@ -2035,7 +2035,7 @@ object LakehouseCow {
       .groupBy($"wb", expr("slot div 32").as("w"))
       .agg(expr("bit_or(CAST(1 AS BIGINT) << CAST(slot % 32 AS INT))")
         .as("wv"))
-    val equivalent = {
+    def equivalent = {
       val st = state(ev)
       val bF = st.agg(min($"v_sum_4dp").as("mn"), max($"v_sum_4dp").as("mx"))
       val cl = st.crossJoin(broadcast(bF))
@@ -2154,7 +2154,7 @@ object LakehouseCow {
       .select($"user_id", $"n_events", $"last_us", $"v_sum_4dp",
         $"files_written", $"files_carried")
       .orderBy($"user_id")
-    val equivalent = {
+    def equivalent = {
       val touchedB = delta.select(($"user_id" % NBuckets).as("b")).distinct
       val census = Seq(1).toDF("one")
         .crossJoin(broadcast(touchedB.agg(count(lit(1)).as("files_written"))))
@@ -2233,7 +2233,7 @@ object LakehouseCow {
         $"users_erased", $"paths_purged", $"manifests_expired",
         $"expired_travel_fails")
       .orderBy($"user_id")
-    val equivalent = {
+    def equivalent = {
       val allB = ev.select(($"user_id" % NBuckets).as("b")).distinct
       val touchedB = ev.filter(erased)
         .select(($"user_id" % NBuckets).as("b")).distinct
@@ -2333,7 +2333,7 @@ object LakehouseCow {
         $"files_rewritten", $"files_dropped", $"files_carried",
         $"paths_purged", $"manifests_expired", $"expired_travel_fails")
       .orderBy($"user_id")
-    val equivalent = {
+    def equivalent = {
       val allB = ev.select(($"user_id" % NBuckets).as("b")).distinct
       val touchedB = ev.filter(erased)
         .select(($"user_id" % NBuckets).as("b")).distinct
@@ -2441,7 +2441,7 @@ object LakehouseCow {
     // replayable range arithmetic: W = mx div 16 + 1, bounds at 30/45%
     def boundsOf(mx: Long): (Long, Long, Long) =
       (mx / NBuckets + 1, mx * 3 / 10, mx * 9 / 20)
-    val equivalent = {
+    def equivalent = {
       val mxF = ev.agg(max($"user_id").as("mx"))
       val bkts = ev.crossJoin(broadcast(mxF))
         .select(expr(s"user_id DIV (mx DIV $NBuckets + 1)").as("b"),
@@ -2527,7 +2527,7 @@ object LakehouseCow {
         $"max_ts_us", $"n_users", $"files_before", $"files_after",
         $"paths_purged")
       .orderBy($"event_type")
-    val equivalent = {
+    def equivalent = {
       val census = ev.select(($"user_id" % NBuckets).as("b")).distinct
         .agg(count(lit(1)).as("files_after"))
       shape(summary(ev).crossJoin(broadcast(census
@@ -2613,7 +2613,7 @@ object LakehouseCow {
       .select($"user_id", $"day", $"n_events", $"v_sum_4dp",
         $"files_total", $"files_scanned", $"files_skipped")
       .orderBy($"user_id", $"day")
-    val equivalent = {
+    def equivalent = {
       val bounds = grid.agg(max($"user_id").as("mxu"),
         min($"day").as("dmn"), max($"day").as("dmx"))
       val zc = grid.crossJoin(broadcast(bounds))
@@ -2715,7 +2715,7 @@ object LakehouseCow {
         $"files_carried", $"paths_purged", $"manifests_expired",
         $"expired_travel_fails")
       .orderBy($"user_id")
-    val equivalent = {
+    def equivalent = {
       val allB = ev.select(($"user_id" % NBuckets).as("b")).distinct
       val touchedB = ev.filter(bad)
         .select(($"user_id" % NBuckets).as("b")).distinct
@@ -2832,7 +2832,7 @@ object LakehouseCow {
         $"cloned_files", $"clone_rewritten", $"clone_carried",
         $"source_versions")
       .orderBy($"side", $"user_id")
-    val equivalent = {
+    def equivalent = {
       val allB = pre.select(($"user_id" % NBuckets).as("b")).distinct
       val touchedB = delta.select(($"user_id" % NBuckets).as("b")).distinct
       val census = Seq(1).toDF("one")
@@ -2933,7 +2933,7 @@ object LakehouseCow {
         $"main_versions_before_publish", $"published_files",
         $"candidate_paths_purged")
       .orderBy($"user_id", $"period")
-    val equivalent = {
+    def equivalent = {
       val census = Seq(1).toDF("one")
         .crossJoin(broadcast(post.filter(bad)
           .agg(count(lit(1)).as("audit1_violations"))))
@@ -3029,7 +3029,7 @@ object LakehouseCow {
         $"files_total", $"files_scanned", $"files_skipped",
         $"spec_a_files", $"spec_b_files")
       .orderBy($"user_id", $"day")
-    val equivalent = {
+    def equivalent = {
       val mxF = grid.filter($"day" < SplitDay).agg(max($"user_id").as("mxu"))
       val specA = grid.filter($"day" < SplitDay).crossJoin(broadcast(mxF))
         .select(expr(s"user_id DIV (mxu DIV $NBuckets + 1)").as("b"))
@@ -3127,7 +3127,7 @@ object LakehouseCow {
         $"files_carried", $"paths_purged", $"manifests_expired",
         $"expired_travel_fails")
       .orderBy($"user_id")
-    val equivalent = {
+    def equivalent = {
       val batchU = deltaEv.select($"user_id").distinct
       val preU = pre.select($"user_id").distinct
       val tb = batchU.select(($"user_id" % NBuckets).as("b")).distinct
@@ -3258,7 +3258,7 @@ object LakehouseCow {
         $"rows_created", $"rows_updated", $"files_rewritten",
         $"files_carried")
       .orderBy($"user_id")
-    val equivalent = {
+    def equivalent = {
       val batchU = delta.select($"user_id").distinct
       val preU = pre.select($"user_id").distinct
       val tb = batchU.select(($"user_id" % NBuckets).as("b")).distinct
@@ -3362,7 +3362,7 @@ object LakehouseCow {
         $"versions", $"files_readded", $"files_removed",
         $"restore_files_written", $"rows_v1")
       .orderBy($"user_id")
-    val equivalent = {
+    def equivalent = {
       val touchedB = delta.select(($"user_id" % NBuckets).as("b")).distinct
       val preB = pre.select(($"user_id" % NBuckets).as("b")).distinct
       val census = Seq(1).toDF("one")

@@ -1170,7 +1170,7 @@ object Relational {
       .select($"user_id", Tables.nsToUs($"ts").as("ts_us"))
     def summarize(df: DataFrame): DataFrame = df.groupBy($"user_id")
       .agg(count(lit(1)).as("n_events"), max($"ts_us").as("last_us"))
-    val equivalent = summarize(ev.filter($"ts_us" < splitUs))
+    def equivalent = summarize(ev.filter($"ts_us" < splitUs))
       .withColumn("version", lit(0L))
       .unionByName(summarize(ev).withColumn("version", lit(1L)))
       .select($"version", $"user_id", $"n_events", $"last_us")

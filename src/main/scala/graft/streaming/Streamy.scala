@@ -470,7 +470,7 @@ object Streamy {
     def ev5 = Tables.events(spark, dir)
       .select($"user_id", $"event_id", $"event_type",
         Tables.nsToUs($"ts").as("ts_us"), $"value")
-    val equivalent = {
+    def equivalent = {
       val w = Window.partitionBy($"user_id")
         .orderBy($"ts_us".desc, $"event_id".desc)
       ev5.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
@@ -637,7 +637,7 @@ object Streamy {
     * be explained unexecuted — the sink/round-trip contract). */
   def streamExecStaticJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val equivalent = {
+    def equivalent = {
       val e = Tables.events(spark, dir)
         .select($"user_id", $"event_id", $"event_type")
       val dim = e.groupBy($"user_id").agg(count(lit(1)).as("user_events"))

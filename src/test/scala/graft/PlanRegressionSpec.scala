@@ -127,7 +127,7 @@ class PlanRegressionSpec extends SparkSuite {
       // three re-planned pipelines
       "funnel_conversion" -> 2,
       "retention_cohort" -> 3,      // user window + cell agg + sort
-      "graph_copurchase_pairs" -> 3, // part agg + pair agg + sort (no self-join!)
+      "graph_copurchase_pairs" -> 4, // + r18 Fanout repartition (deliberate: parallelizes the C(deg,2) explode) + part agg + pair agg + sort (no self-join!)
       "q6_forecast_revenue" -> 2,   // partial/final agg + sort
       "q21_sole_supplier_returns" -> 6, // 2 distincts + 2 order aggs + supplier agg + sort
       "eval_holdout_split" -> 2)    // cell agg + sort
@@ -435,7 +435,7 @@ class PlanRegressionSpec extends SparkSuite {
   test("round-7 continuation plans stay within their exchange budgets") {
     val budgets = Map(
       "join_lateral_topk" -> 2,      // group-limit window + sort
-      "graph_node_jaccard" -> 7,     // incidence distinct ×2 uses + deg agg + pair agg + sort
+      "graph_node_jaccard" -> 8,     // + r18 Fanout repartition (deliberate) + incidence distinct ×2 uses + deg agg + pair agg + sort
       "text_collocation_lift" -> 5,  // uni agg + bi agg + scalar re-agg + join + sort
       "join_asof_nearest" -> 2,      // ONE user_id window (both frames merged) + sort
       "anomaly_zscore_exact" -> 3,   // stats agg pair + census agg (broadcast join back)
@@ -794,7 +794,7 @@ class PlanRegressionSpec extends SparkSuite {
       "sample_stratified_neyman" -> 2,  // lang stats p/f + tiny-frame windows
       "text_bigram_lm_counts" -> 5,     // doc window + type agg + 3 ctx windows share sorts
       "text_phrase_search" -> 4,        // doc window + election + match agg + sort
-      "graph_resource_allocation" -> 3, // incidence distinct + pair agg + sort
+      "graph_resource_allocation" -> 4, // + r18 Fanout repartition (deliberate) + incidence distinct + pair agg + sort
       "ml_knn_classify" -> 2,           // per-query windows + final sort
       "text_ngram_coverage" -> 3,       // gram join + doc agg + sort
       "timeseries_forecast_backtest" -> 4, // daily agg + join + user agg + sort
