@@ -12,16 +12,27 @@ def main():
     files += glob.glob(os.path.join(d, "eventlog_v2_*", "events_*"))
     if not files:
         print("no event logs in", d); return
-    path = max(files, key=os.path.getmtime)
+    # rolling logs split into events_1..events_N of one app: read all,
+    # in index order
+    dirs = {os.path.dirname(p) for p in files if "eventlog_v2_" in p}
+    if dirs:
+        dd = max(dirs, key=os.path.getmtime)
+        paths = sorted(glob.glob(os.path.join(dd, "events_*")),
+                       key=lambda p: int(os.path.basename(p).split("_")[1]))
+    else:
+        paths = [max(files, key=os.path.getmtime)]
+    path = paths[-1]
     jobs = {}
     stages = {}
     app_start = app_end = None
-    if path.endswith(".zstd"):
-        import subprocess
-        raw = subprocess.run(["zstd", "-dc", path], capture_output=True).stdout
-        lines = raw.decode("utf-8", "replace").splitlines()
-    else:
-        lines = open(path).read().splitlines()
+    lines = []
+    for p in paths:
+        if p.endswith(".zstd"):
+            import subprocess
+            raw = subprocess.run(["zstd", "-dc", p], capture_output=True).stdout
+            lines += raw.decode("utf-8", "replace").splitlines()
+        else:
+            lines += open(p).read().splitlines()
     if True:
         for line in lines:
             try:

@@ -1017,9 +1017,13 @@ object Indexing {
       } :+ count(lit(1)).as("n")
       sh().groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
     }
+    // cut, not mark (r18): every wave's probe/verify plan nests this
+    // frame ~6× (bands ×3, sizes ×2, verify sides) — an eager
+    // checkpoint truncates the analyzed tree once instead of paying
+    // analyzer time on the nested signature subtree per wave
     val sigsShared =
       if (graft.PlanOnly.enabled) null
-      else graft.PlanOnly.mark(sigsAllF())
+      else graft.PlanOnly.cut(sigsAllF())
     def sigsAll() = if (graft.PlanOnly.enabled) sigsAllF() else sigsShared
     def bandsAll() = mhBandsOf(sigsAll())
     def sizes() = sigsAll().select($"doc_id", $"n")

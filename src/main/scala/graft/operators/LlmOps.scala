@@ -935,12 +935,21 @@ object LlmOps {
   def corpusDedupCosts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    val s1 = graft.PlanOnly.mark(docs
+    // Fanout: the survivor text frame is cached straight off the scan
+    // (1-2 file splits), so every downstream text pass — sha2 grouping,
+    // gram hashing, token ranking — would map over 1-2 partitions; the
+    // explicit repartition parallelizes ALL of them for one tiny
+    // exchange of the filtered text (r18 opt)
+    // tiers CUT, not just persisted (r18): the 13-census final frame
+    // re-nests every tier's logical plan per crossJoin, and analysis of
+    // that accumulated tree was ~2 s of driver time per run; each cut
+    // truncates the tree to a LogicalRDD (identity in plan-only mode)
+    val s1 = graft.PlanOnly.cut(Fanout.byKey(docs
       .filter($"n_chars".between(100, 400)
         && $"lang".isin("en", "fr", "es")
         && size(split($"text", " ")) >= 20)
-      .select($"doc_id", $"text", $"n_chars"))
-    val s2 = graft.PlanOnly.mark(s1
+      .select($"doc_id", $"text", $"n_chars"), $"doc_id"))
+    val s2 = graft.PlanOnly.cut(s1
       .groupBy(sha2(lower(trim($"text")), 256).as("h"))
       .agg(min(struct($"doc_id", $"n_chars", $"text")).as("m"))
       .select($"m.doc_id".as("doc_id"), $"m.n_chars".as("n_chars"),
@@ -968,7 +977,7 @@ object LlmOps {
     val bsz = banded.groupBy($"band", $"bh").agg(count(lit(1)).as("c"))
     val cold = banded.join(bsz.filter($"c" <= 20), Seq("band", "bh"))
       .select($"band", $"bh", $"doc_id")
-    val cand = graft.PlanOnly.mark(
+    val cand = graft.PlanOnly.cut(
       cold.select($"band", $"bh", $"doc_id".as("doc_a"))
         .join(cold.select($"band", $"bh", $"doc_id".as("doc_b")),
           Seq("band", "bh"))
@@ -976,7 +985,7 @@ object LlmOps {
         .groupBy($"doc_a", $"doc_b")
         .agg(count(lit(1)).as("n_shared_bands")))
     val sizes = sigs.select($"doc_id", $"n")
-    val verified = graft.PlanOnly.mark(cand
+    val verified = graft.PlanOnly.cut(cand
       .join(sh.as("sa"), $"doc_a" === $"sa.doc_id")
       .join(sh.as("sb"), $"doc_b" === $"sb.doc_id" && $"sa.h" === $"sb.h")
       .groupBy($"doc_a", $"doc_b")
@@ -987,10 +996,10 @@ object LlmOps {
         expr("(n_shared * 1048576) div (na + nb - n_shared)")))
     val mhDropped = verified.filter($"jaccard_fp" >= 524288)
       .select($"doc_b".as("doc_id")).distinct()
-    val s3 = graft.PlanOnly.mark(
+    val s3 = graft.PlanOnly.cut(
       s2.join(mhDropped, Seq("doc_id"), "left_anti"))
     // ---- tier 4: prefix containment over the near-dup survivors -----
-    val contCand = graft.PlanOnly.mark(s3.as("a").join(s3.as("b"),
+    val contCand = graft.PlanOnly.cut(s3.as("a").join(s3.as("b"),
         $"a.k5" === $"b.k5" && $"a.n_chars" < $"b.n_chars")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
         $"a.n_chars".as("ch_a"), $"b.n_chars".as("ch_b"),

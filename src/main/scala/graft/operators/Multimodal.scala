@@ -1219,14 +1219,23 @@ object Multimodal {
     }
     val entry = memF(64, "e_id", "ee").orderBy($"e_id").limit(1)
     // each descent stage is reused by the next layer AND the final
-    // join — mark (persist) the tiny per-query endpoint frames so the
-    // 6-hop chain evaluates once, not once per downstream consumer
-    val h0 = graft.PlanOnly.mark(q.crossJoin(broadcast(entry))
+    // join — CUT (eager checkpoint), not just persist, the tiny
+    // per-query endpoint frames: each hop references its input twice
+    // (candidate join + carry-over union), so the ANALYZED plan of the
+    // un-cut chain nests h0 4^layers times with the whole ranked edge
+    // build inside each copy — measured ~4-6 s of single-threaded
+    // analyzer time per run (r18 opt); the cut truncates the logical
+    // tree per stage. cut ≡ identity in plan-only mode, so plan audits
+    // are unchanged.
+    val h0 = graft.PlanOnly.cut(q.crossJoin(broadcast(entry))
       .select($"q_id", $"qe", $"e_id".as("cur"),
         pack(expr("cosine_similarity(qe, ee)")).as("cs")))
-    val (e2, e1, e0) = (layerEdges(64), layerEdges(16), layerEdges(4))
-    val l2 = graft.PlanOnly.mark(hop(hop(h0, e2), e2))
-    val l1 = graft.PlanOnly.mark(hop(hop(l2, e1), e1))
+    val (e2, e1, e0) = (
+      graft.PlanOnly.cut(layerEdges(64)),
+      graft.PlanOnly.cut(layerEdges(16)),
+      graft.PlanOnly.cut(layerEdges(4)))
+    val l2 = graft.PlanOnly.cut(hop(hop(h0, e2), e2))
+    val l1 = graft.PlanOnly.cut(hop(hop(l2, e1), e1))
     val l0 = hop(hop(l1, e0), e0)
     // exact receipt: one linear base scan against the ≤40-row query
     // panel broadcast (flipped from broadcast(base) so the broadcast
