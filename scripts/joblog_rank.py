@@ -43,6 +43,23 @@ def main():
                 if sub and comp:
                     stages[si["Stage ID"]] = (si.get("Number of Tasks", 0),
                                               (comp - sub) / 1e3)
+    # sequential attribution: keys run one at a time in Bench, so any
+    # job whose description is NOT a bench key (streaming-engine jobs
+    # relabel themselves) belongs to the most recent bench key seen
+    jobs.sort(key=lambda j: j[1])
+    # authoritative key set from the bench output map
+    known = set()
+    try:
+        known = set(json.load(open("/root/repo/target/bench.json"))["queries"])
+    except Exception:
+        pass
+    cur = ""
+    attributed = []
+    for key, s, e, sids in jobs:
+        if key in known:
+            cur = key
+        attributed.append((cur, s, e, sids))
+    jobs = attributed
     bykey = {}
     for key, s, e, sids in jobs:
         if not key:

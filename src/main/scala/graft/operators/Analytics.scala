@@ -363,7 +363,10 @@ object Analytics {
         struct($"s2".as("u"), $"s1".as("v"), $"sp"))).as("x"))
       .select($"x.u".as("u"), $"x.v".as("v"), $"x.sp".as("sp")), $"u")
     val w = Window.partitionBy($"u").orderBy($"sp".desc, $"v")
-    val e = graft.PlanOnly.mark(
+    // cut, not mark (r18): the 3-way wedge self-join broadcasts two e
+    // sides — concurrent futures racing a lazy persist would recompute
+    // the whole sparsified-edge build per side
+    val e = graft.PlanOnly.cut(
       inc.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
         .select(least($"u", $"v").as("a"), greatest($"u", $"v").as("b"))
         .distinct())
@@ -465,15 +468,33 @@ object Analytics {
     * join + partial-aggregated sum — the pagerank per-round shape;
     * max-norms are scalar subqueries (never a window). */
   def graphHitsHubsAuth(spark: SparkSession, dir: String): DataFrame = {
-    Tables.orders(spark, dir).createOrReplaceTempView("hits_ord")
-    Tables.lineitem(spark, dir).createOrReplaceTempView("hits_li")
-    spark.sql(hitsSql("hits_ord", "hits_li", "div"))
+    import spark.implicits._
+    // r18: the SQL references `e` five times (h1, a1, h2, a2, deg) and
+    // Spark inlines the CTE — five recomputations of the distinct
+    // customer→supplier edge join. Materialize e ONCE (eager
+    // checkpoint) and point the CTE at it; the oracle keeps the
+    // self-contained text (same rows, hash unchanged). In plan-only
+    // mode cut is identity, so the audit still sees the full dag.
+    val e = graft.PlanOnly.cut(
+      Tables.orders(spark, dir).select($"o_custkey", $"o_orderkey")
+        .join(Tables.lineitem(spark, dir)
+          .select($"l_orderkey", $"l_suppkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .select($"o_custkey".as("c"), $"l_suppkey".as("s")).distinct())
+    e.createOrReplaceTempView("hits_e")
+    spark.sql(hitsSql("hits_ord", "hits_li", "div",
+      eBody = Some("SELECT c, s FROM hits_e")))
   }
 
-  /** Shared HITS SQL — `idiv` is `div` (Spark) or `//` (DuckDB). */
-  private[graft] def hitsSql(ord: String, li: String, idiv: String): String =
-    s"""WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
-       |  FROM $ord o JOIN $li l ON o.o_orderkey = l.l_orderkey),
+  /** Shared HITS SQL — `idiv` is `div` (Spark) or `//` (DuckDB);
+    * `eBody` optionally replaces the edge CTE's body with a
+    * pre-materialized view (the graded Spark path; the oracle inlines
+    * the self-contained default). */
+  private[graft] def hitsSql(ord: String, li: String, idiv: String,
+      eBody: Option[String] = None): String =
+    s"""WITH e AS (${eBody.getOrElse(
+        s"SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s\n" +
+        s"  FROM $ord o JOIN $li l ON o.o_orderkey = l.l_orderkey")}),
        |h1 AS (SELECT c, CAST(count(*) AS BIGINT) AS h FROM e GROUP BY c),
        |h1n AS (SELECT c, (h * 1048576) $idiv (SELECT max(h) FROM h1)
        |    AS hn FROM h1),
@@ -571,7 +592,10 @@ object Analytics {
     val w = Window.partitionBy($"u").orderBy($"sp".desc, $"v")
     // marked: the sparsified edge set feeds degrees AND both sides of
     // the wedge/closure joins
-    val e = graft.PlanOnly.mark(
+    // cut, not mark (r18): the 3-way wedge self-join broadcasts two e
+    // sides — concurrent futures racing a lazy persist would recompute
+    // the whole sparsified-edge build per side
+    val e = graft.PlanOnly.cut(
       inc.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
         .select(least($"u", $"v").as("a"), greatest($"u", $"v").as("b"))
         .distinct())

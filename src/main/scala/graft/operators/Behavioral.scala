@@ -242,10 +242,12 @@ object Behavioral {
     // the pair generation, and the edge list feeds both orientations —
     // unmarked, the whole explode chain re-plans per consumer
     // (measured 9 exchanges vs 5 marked)
-    val incidence = graft.PlanOnly.mark(Tables.lineitem(spark, dir)
+    val incidence = graft.PlanOnly.cut(Tables.lineitem(spark, dir)
       .select($"l_partkey", $"l_suppkey").distinct())
     val deg = incidence.groupBy($"l_suppkey").agg(count(lit(1)).as("deg"))
-    val edges = graft.PlanOnly.mark(supplierSets(incidence, PairDegreeCap)
+    // cut, not mark (r18): the two degree broadcasts and the edge
+    // orientation union race a lazy persist's first materialization
+    val edges = graft.PlanOnly.cut(supplierSets(incidence, PairDegreeCap)
       .select($"ss", posexplode($"ss").as(Seq("i", "s1")))
       .select($"s1", explode(expr("slice(ss, i + 2, size(ss))")).as("s2"))
       .groupBy($"s1", $"s2")
@@ -289,7 +291,7 @@ object Behavioral {
     import spark.implicits._
     val incidence = Tables.lineitem(spark, dir)
       .select($"l_partkey", $"l_suppkey").distinct()
-    val edges = graft.PlanOnly.mark {
+    val edges = graft.PlanOnly.cut {
       val e = supplierSets(incidence, PairDegreeCap)
         .select($"ss", posexplode($"ss").as(Seq("i", "s1")))
         .select($"s1", explode(expr("slice(ss, i + 2, size(ss))")).as("s2"))
@@ -314,7 +316,7 @@ object Behavioral {
     // aggregate instead of round()'s join + two aggregates — identical
     // output, proven by the unchanged oracle (which replays the full
     // vote) and the BehavioralSpec min-neighbor law
-    val l1 = graft.PlanOnly.mark(
+    val l1 = graft.PlanOnly.cut(
       edges.groupBy($"s1").agg(min($"s2").as("label"))
         .select($"s1".as("s2"), $"label"))
     val l2 = round(l1)
@@ -357,7 +359,12 @@ object Behavioral {
     val K = 6
     val incidence = Tables.lineitem(spark, dir)
       .select($"l_partkey", $"l_suppkey").distinct()
-    val pairs = graft.PlanOnly.mark(supplierSets(incidence, PairDegreeCap)
+    // CUT, not mark (r18): the election subtree broadcasts bnd,
+    // fullVals and DistributedRank's internals as CONCURRENT futures,
+    // and each future racing an unmaterialized persist recomputes the
+    // whole C(deg,2) pair build — the eager checkpoint materializes it
+    // exactly once
+    val pairs = graft.PlanOnly.cut(supplierSets(incidence, PairDegreeCap)
       .select($"ss", posexplode($"ss").as(Seq("i", "s1")))
       .select($"s1", explode(expr("slice(ss, i + 2, size(ss))")).as("s2"))
       .groupBy($"s1", $"s2").agg(count(lit(1)).as("shared")))
@@ -379,7 +386,7 @@ object Behavioral {
     // aggregate (a lineitem-scan chain) and feeds fullVals, the
     // boundary row, AND DistributedRank's two internal passes —
     // unmarked it recomputes that chain once per consumer
-    val hist = graft.PlanOnly.mark(
+    val hist = graft.PlanOnly.cut(
       pairs.groupBy($"shared").agg(count(lit(1)).as("cnt"))
         .crossJoin(broadcast(nSup))
         .withColumn("above", coalesce(sum($"cnt").over(histW), lit(0L)))
@@ -392,7 +399,7 @@ object Behavioral {
     // marked: DistributedRank reads its input twice (bounds pass +
     // bucketed-rows fill) — unmarked, each pass re-runs the 500k-row
     // broadcast join against the pair cache
-    val bndPairs = graft.PlanOnly.mark(
+    val bndPairs = graft.PlanOnly.cut(
       pairs.join(broadcast(bnd), Seq("shared")).withColumn("one", lit(1L)))
     val bndTop = DistributedRank
       .rankCum(bndPairs, "s1", "s2", "one")
@@ -473,7 +480,9 @@ object Behavioral {
       .unionAll(pairs.select($"s2".as("u"), $"s1".as("v"), $"shared"))
     // best incident edge per node: (shared DESC, v ASC) via struct-max
     // on (shared, -v) — one aggregate, no window
-    val elect = graft.PlanOnly.mark(both
+    // cut, not mark (r18): the pointer self-join's broadcast side
+    // would race a lazy persist and recompute the whole pair build
+    val elect = graft.PlanOnly.cut(both
       .groupBy($"u")
       .agg(max(struct($"shared", (-$"v").as("nv"))).as("best"))
       .select($"u", $"best.shared".as("shared"), (-$"best.nv").as("p")))
@@ -790,12 +799,14 @@ object Behavioral {
         .unionAll(li.filter($"l_returnflag" === "R")
           .select($"o_custkey".as("a"), ($"l_suppkey" + 1099511627776L).as("b")))
         .distinct()
-    // graded: ONE persisted edge frame shared by all 8 rounds (the
-    // per-round cut() isolates attributes). Plan-only: cuts are
-    // identity, so each consumer builds its OWN dag — same plan shape,
-    // fresh exprIds, no ambiguous-self-join trip.
+    // graded: ONE CHECKPOINTED edge frame shared by all 8 rounds (cut,
+    // not mark, r18: both reach directions fork onto threads below and
+    // a lazy persist would race its first materialization; the eager
+    // checkpoint also truncates every hop's analyzed plan). Plan-only:
+    // cuts are identity, so each consumer builds its OWN dag — same
+    // plan shape, fresh exprIds, no ambiguous-self-join trip.
     val sharedEdges =
-      if (graft.PlanOnly.enabled) null else graft.PlanOnly.mark(buildEdges())
+      if (graft.PlanOnly.enabled) null else graft.PlanOnly.cut(buildEdges())
     def edgesF(): DataFrame =
       if (graft.PlanOnly.enabled) buildEdges() else sharedEdges
     def reach(reverse: Boolean): DataFrame = {
@@ -815,8 +826,11 @@ object Behavioral {
       }
       r
     }
-    val fwd = reach(reverse = false).withColumnRenamed("dist", "fwd_dist")
-    val bwd = reach(reverse = true).withColumnRenamed("dist", "bwd_dist")
+    // independent reach directions over the checkpointed edges —
+    // overlap their per-hop jobs (Par rationale; results unchanged)
+    val (fwd, bwd) = Par.both(
+      reach(reverse = false).withColumnRenamed("dist", "fwd_dist"),
+      reach(reverse = true).withColumnRenamed("dist", "bwd_dist"))
     val scc = fwd.join(bwd, Seq("id"))
     scc.crossJoin(broadcast(scc.agg(count(lit(1)).as("scc_size"))))
       .select($"id".as("node_id"), $"fwd_dist", $"bwd_dist", $"scc_size")

@@ -63,10 +63,13 @@ object DistributedRank {
     val bounds = base.groupBy(col(g).as("drk_gb")).agg(
       min($c("v")).as("drk_vmin"), max($c("v")).as("drk_vmax"),
       min($c("t")).as("drk_tmin"), max($c("t")).as("drk_tmax"))
-    // marked: the bucketed row frame feeds three consumers (within-cell
-    // windows, cell subtotals, bucket subtotals) — without the reuse
-    // marker each would re-derive the whole upstream dag
-    val rows = graft.PlanOnly.mark(base
+    // CUT, not mark (r18): the bucketed row frame feeds three consumers
+    // (within-cell windows, cell subtotals, bucket subtotals), two of
+    // them broadcast back — concurrent broadcast futures racing a lazy
+    // persist each re-derive the whole upstream dag (for a chained
+    // rankCum the upstream is the ENTIRE previous pass); the eager
+    // checkpoint computes it once and truncates downstream analysis
+    val rows = graft.PlanOnly.cut(base
       .join(broadcast(bounds), col(g) === col("drk_gb"))
       .withColumn("drk_vb", expr(
         s"(drk_v - drk_vmin) div greatest(1L, ((drk_vmax - drk_vmin) div ${Fan}L) + 1L)"))

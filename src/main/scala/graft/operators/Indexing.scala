@@ -84,7 +84,9 @@ object Indexing {
     * ingest ≤20 rows. */
   def textBpeMergeStep(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val spaced = graft.PlanOnly.mark(
+    // cut, not mark (r18): three consumers (count, before-total,
+    // merge pass) plus the winner broadcast race a lazy persist
+    val spaced = graft.PlanOnly.cut(
       Tables.documents(spark, dir)
         .select(explode(split($"text", " ")).as("w"))
         .filter($"w" =!= "")
@@ -541,7 +543,10 @@ object Indexing {
     val sigCols = MinhashRepSeeds.zipWithIndex.map { case ((a, b), i) =>
       min(($"h" * a + b) % WinnowM).as(s"s$i")
     } :+ count(lit(1)).as("n")
-    val sigs = graft.PlanOnly.mark(
+    // cut, not mark (r18): sigs feeds the band explode AND both size
+    // decorations of the verify join — concurrent broadcast futures of
+    // the final action would race (and duplicate) a lazy persist
+    val sigs = graft.PlanOnly.cut(
       sh.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*))
     val r = MinhashRepK / MinhashRepBands
     val bandCols = (0 until MinhashRepBands).map { b =>
@@ -1205,9 +1210,11 @@ object Indexing {
         when(col(s"s_${j}_$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
         .reduce(_ + _).as(s"bv_$j")
     }
-    // marked: the signature frame feeds the block buckets AND both
-    // sides of the hamming verify join
-    val sig = graft.PlanOnly.mark(bits.select(($"doc_id" +: bvCols): _*))
+    // cut, not mark (r18): the signature frame feeds the block
+    // buckets AND both sides of the hamming verify join — concurrent
+    // broadcast futures racing a lazy persist would each recompute the
+    // 64-bit-sum aggregate; the eager checkpoint computes it once
+    val sig = graft.PlanOnly.cut(bits.select(($"doc_id" +: bvCols): _*))
     val blk = sig.select($"doc_id", explode(array((0 until 4).map(j =>
         struct(lit(j.toLong).as("j"), col(s"bv_$j").as("bv"))): _*)).as("k"))
       .select($"doc_id", $"k.j".as("j"), $"k.bv".as("bv"))

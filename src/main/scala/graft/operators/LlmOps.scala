@@ -871,12 +871,15 @@ object LlmOps {
   def corpusDedupPipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    val s1 = graft.PlanOnly.mark(docs
+    // cut, not mark (r18): s2's containment SELF-join broadcasts one
+    // side — a lazy persist would be raced (and recomputed) by the
+    // concurrent broadcast future; cuts also truncate the census plans
+    val s1 = graft.PlanOnly.cut(docs
       .filter($"n_chars".between(100, 400)
         && $"lang".isin("en", "fr", "es")
         && size(split($"text", " ")) >= 20)
       .select($"doc_id", $"text", $"n_chars"))
-    val s2 = graft.PlanOnly.mark(s1
+    val s2 = graft.PlanOnly.cut(s1
       .groupBy(sha2(lower(trim($"text")), 256).as("h"))
       .agg(min(struct($"doc_id", $"n_chars", $"text")).as("m"))
       .select($"m.doc_id".as("doc_id"), $"m.n_chars".as("n_chars"),
@@ -963,7 +966,7 @@ object LlmOps {
       .map { case ((a, b), i) =>
         min(($"h" * a + b) % Indexing.WinnowM).as(s"s$i")
       } :+ count(lit(1)).as("n")
-    val sigs = graft.PlanOnly.mark(
+    val sigs = graft.PlanOnly.cut(
       sh.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*))
     val r = Indexing.MinhashRepK / Indexing.MinhashRepBands
     val bandCols = (0 until Indexing.MinhashRepBands).map { b =>

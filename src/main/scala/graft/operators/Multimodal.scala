@@ -401,7 +401,7 @@ object Multimodal {
     // real SemDeDup run materializes anyway) instead of recomputing the
     // assignment twice. Freed by the caller-clearCache contract
     // (Verify/Bench) — same lifecycle as text_decontaminate's grams.
-    val v = graft.PlanOnly.mark(
+    val v = graft.PlanOnly.cut(
       e.select($"vec_id", $"embedding").join(assign, "vec_id"))
     val va = v.select($"cid", $"vec_id".as("a_id"), $"embedding".as("ae"))
     val vb = v.select($"cid", $"vec_id".as("b_id"), $"embedding".as("be"))
@@ -633,7 +633,10 @@ object Multimodal {
     // marked: the subvector frame feeds seeds, Lloyd assignment, the
     // final code assignment AND the query LUT — unmarked, the corpus
     // transform+explode replans per consumer (4 scans of embeddings)
-    val subs = graft.PlanOnly.mark(fp
+    // cut, not mark (r18): seeds broadcasts off this frame while the
+    // assignment path reads it — a lazy persist is raced and the
+    // corpus transform recomputed per consumer
+    val subs = graft.PlanOnly.cut(fp
       .select($"vec_id", posexplode(expr(
         "transform(sequence(0, 7), mm -> slice(qv, mm * 8 + 1, 8))"))
         .as(Seq("m", "sv")))
@@ -656,9 +659,10 @@ object Multimodal {
       .groupBy($"m", $"cid")
       .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
       .select($"m", $"cid", expr("transform(pc, p -> p.c)").as("cent"))
-      // marked: 8×k rows feeding code assignment AND the LUT — the
-      // refine itself is a corpus pass, not worth running twice
-      .transform(graft.PlanOnly.mark)
+      // cut (r18): 8×k rows feeding TWO broadcast consumers (code
+      // assignment and the LUT) — both futures would race a lazy
+      // persist and re-run the refine corpus pass
+      .transform(graft.PlanOnly.cut)
     // final code assignment against the refined codebooks
     val codes = subs.join(broadcast(cents), "m")
       .select($"vec_id", $"m", $"cid",
@@ -1004,8 +1008,10 @@ object Multimodal {
     // graded: ONE persisted assignment self-joined (DeduplicateRelations
     // re-aliases the right side); plan-only: cuts are identity, so each
     // side builds its own dag (the planonly-self-join contract)
+    // cut, not mark (r18): the self-join's broadcast side races a
+    // lazy persist and recomputes the whole assignment build
     val shared =
-      if (graft.PlanOnly.enabled) null else graft.PlanOnly.mark(asgBuild())
+      if (graft.PlanOnly.enabled) null else graft.PlanOnly.cut(asgBuild())
     def asgF(idCol: String): DataFrame =
       (if (graft.PlanOnly.enabled) asgBuild() else shared)
         .select(col("b_id").as(idCol), $"cid")
@@ -1055,7 +1061,10 @@ object Multimodal {
       .join(baseF("c_id", "ce"), Seq("c_id"))
       .select($"b_id", $"c_id",
         pack(expr("cosine_similarity(be, ce)")).as("s"))
-    val edges = graft.PlanOnly.mark(pairs
+    // cut, not mark (r18): both greedy hops broadcast withVec —
+    // concurrent futures racing a lazy persist would recompute the
+    // whole IVF-bucketed pair build per hop
+    val edges = graft.PlanOnly.cut(pairs
       .withColumn("rn", row_number().over(
         Window.partitionBy($"b_id").orderBy($"s".desc, $"c_id")))
       .filter($"rn" <= 4).select($"b_id".as("src"), $"c_id".as("dst")))
@@ -1336,11 +1345,14 @@ object Multimodal {
             Window.partitionBy($"q_id").orderBy($"cs".desc, $"cur")))
           .filter($"rn" === 1).drop("rn")
       }
-      val h0 = graft.PlanOnly.mark(q.crossJoin(broadcast(entry))
+      // cut, not mark (r18): the final 5-way q_id join broadcasts the
+      // tiny per-layer endpoint frames — concurrent futures racing
+      // lazy persists would recompute the descent chain per consumer
+      val h0 = graft.PlanOnly.cut(q.crossJoin(broadcast(entry))
         .select($"q_id", $"qe", $"e_id".as("cur"),
           pack(expr("cosine_similarity(qe, ee)")).as("cs")))
-      val l2 = graft.PlanOnly.mark(hop(hop(h0, 64), 64))
-      val l1 = graft.PlanOnly.mark(hop(hop(l2, 16), 16))
+      val l2 = graft.PlanOnly.cut(hop(hop(h0, 64), 64))
+      val l1 = graft.PlanOnly.cut(hop(hop(l2, 16), 16))
       val l0 = hop(hop(l1, 4), 4)
       // exact receipt: one linear base scan against the ≤40-row query
       // panel broadcast — the self-grading recall column
@@ -1509,11 +1521,14 @@ object Multimodal {
             Window.partitionBy($"q_id").orderBy($"cs".desc, $"cur")))
           .filter($"rn" === 1).drop("rn")
       }
-      val h0 = graft.PlanOnly.mark(q.crossJoin(broadcast(entry))
+      // cut, not mark (r18): the final 5-way q_id join broadcasts the
+      // tiny per-layer endpoint frames — concurrent futures racing
+      // lazy persists would recompute the descent chain per consumer
+      val h0 = graft.PlanOnly.cut(q.crossJoin(broadcast(entry))
         .select($"q_id", $"qe", $"e_id".as("cur"),
           pack(expr("cosine_similarity(qe, ee)")).as("cs")))
-      val l2 = graft.PlanOnly.mark(hop(hop(h0, 64), 64))
-      val l1 = graft.PlanOnly.mark(hop(hop(l2, 16), 16))
+      val l2 = graft.PlanOnly.cut(hop(hop(h0, 64), 64))
+      val l1 = graft.PlanOnly.cut(hop(hop(l2, 16), 16))
       val l0 = hop(hop(l1, 4), 4)
       // exact receipt over the FULL maintained membership (old ∪ new)
       val full = e.filter($"vec_id" % 8 === 0 || $"vec_id" % 8 === 4)
@@ -1860,7 +1875,7 @@ object Multimodal {
         floor($"x".cast("double") * lit(65536.0)).cast("long").as("qx"))
     val qv = quant.filter($"vec_id" < 20)
       .select($"vec_id".as("q_id"), $"pos", $"qx".as("qq"))
-    val scored = graft.PlanOnly.mark(quant.join(broadcast(qv), "pos")
+    val scored = graft.PlanOnly.cut(quant.join(broadcast(qv), "pos")
       .filter($"vec_id" =!= $"q_id")
       .groupBy($"q_id", $"vec_id")
       .agg(sum($"qq" * $"qx").as("s64"),
@@ -1914,12 +1929,12 @@ object Multimodal {
       .groupBy($"ta", $"tb")
       .agg(sum(when($"na" > $"nb", 1L).otherwise(0L)).as("wa"),
         sum(when($"nb" > $"na", 1L).otherwise(0L)).as("wb"))
-    val sym = graft.PlanOnly.mark(
+    val sym = graft.PlanOnly.cut(
       m0.select($"ta".as("i"), $"tb".as("j"),
           ($"wa" + $"wb").as("nij"), $"wa".as("wij"))
         .unionByName(m0.select($"tb".as("i"), $"ta".as("j"),
           ($"wa" + $"wb").as("nij"), $"wb".as("wij"))))
-    val tot = graft.PlanOnly.mark(sym.groupBy($"i")
+    val tot = graft.PlanOnly.cut(sym.groupBy($"i")
       .agg(sum($"nij").as("games"), sum($"wij").as("wins")))
     def step(p: DataFrame): DataFrame = sym
       .join(broadcast(p.select($"i", $"p".as("pi"))), "i")
@@ -1976,7 +1991,7 @@ object Multimodal {
       expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)")
         .as("f2"))
     val g0 = base.agg(expr("sum(y) div count(*)").as("p0"))
-    val b1 = graft.PlanOnly.mark(base.crossJoin(broadcast(g0))
+    val b1 = graft.PlanOnly.cut(base.crossJoin(broadcast(g0))
       .select($"f1", $"f2", ($"y" - $"p0").as("r1")))
     // one histogram-split election: value-domain aggregate, prefix
     // sums over the tiny value frame, cleared-denominator objective,
@@ -1999,7 +2014,7 @@ object Multimodal {
     val w1 = stump(b1, "f1", "r1")
       .select($"v".as("t1"), $"nl".as("nl1"), $"nr".as("nr1"),
         expr("sl div nl").as("wl1"), expr("sr div nr").as("wr1"))
-    val b2 = graft.PlanOnly.mark(b1.crossJoin(broadcast(w1))
+    val b2 = graft.PlanOnly.cut(b1.crossJoin(broadcast(w1))
       .select($"f2", $"r1",
         ($"r1" - when($"f1" <= $"t1", $"wl1").otherwise($"wr1")).as("r2")))
     val w2 = stump(b2, "f2", "r2")
@@ -2286,7 +2301,7 @@ object Multimodal {
         }
       }.toDF("i", "j", "p")
     val gU = cells.groupBy($"i", $"j").agg(sum($"p").as("g"))
-    val g = graft.PlanOnly.mark(
+    val g = graft.PlanOnly.cut(
       gU.unionAll(gU.filter($"i" =!= $"j")
         .select($"j".as("i"), $"i".as("j"), $"g")))
     // v0 = 1⃗ : first matvec is the row sum; max-norm renormalize
