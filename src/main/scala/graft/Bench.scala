@@ -28,7 +28,11 @@ object Bench {
       spark.sparkContext.setJobDescription(null)
       // drop intermediates a query persisted for its own lifetime —
       // keeps later keys from timing against another key's leftover
-      // cache and bounds block-manager growth over the 98-key suite
+      // cache. Note (r19): this frees CacheManager entries (PlanOnly.mark)
+      // only; localCheckpoint blocks (PlanOnly.cut, most intermediates
+      // since r18) live outside the CacheManager and are reclaimed by
+      // the ContextCleaner when their RDDs are GC'd — block-manager
+      // growth over the suite is bounded by GC cadence, not this call.
       try spark.catalog.clearCache() catch { case _: Throwable => }
       name -> dt
     }.toMap

@@ -53,8 +53,12 @@ object LocalSession {
       // byte constant — the scale-adaptive direction for compute-bound
       // stages; IO-bound writes that need few large files already
       // coalesce/repartition explicitly in this repo.
+      // read the same escape hatch as Tables.configure so a dev
+      // override (-Dgraft.parallelismFirst=false) works uniformly —
+      // a hardcoded "true" here silently won over the toggle for any
+      // session that never passed through configure (ADVICE r18)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        "true")
+        sys.props.getOrElse("graft.parallelismFirst", "true"))
       .config("spark.sql.warehouse.dir", WarehouseDir)
     extra.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()

@@ -776,9 +776,11 @@ object Aggregations {
 
   def aggHllReplayable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // marked: the distinct (type, user) frame feeds the registers AND
-    // the exact-count audit column
-    val d = graft.PlanOnly.mark(Tables.events(spark, dir)
+    // cut, not mark (r19, X6): est and exact both BROADCAST into the
+    // final decoration while regs probes the same frame — three
+    // consumers racing a lazy persist re-run the events distinct per
+    // racer
+    val d = graft.PlanOnly.cut(Tables.events(spark, dir)
       .select($"event_type", $"user_id").distinct())
     val regs = d
       .withColumn("q1", expr("((user_id + 1) * 2654435761L) % 1048573"))

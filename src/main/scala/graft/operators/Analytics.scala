@@ -843,7 +843,12 @@ object Analytics {
     * cnt — so the event log is scanned exactly once. */
   def qualityWinsorizeClip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val hist = graft.PlanOnly.mark(Tables.events(spark, dir)
+    // cut, not mark (r19, X6): bounds is a BROADCAST build off this
+    // frame while the clamp report probes it — the broadcast future
+    // racing a lazy persist re-runs the event scan + histogram
+    // aggregate; the frame is value-domain scale, so the eager
+    // checkpoint is one tiny job
+    val hist = graft.PlanOnly.cut(Tables.events(spark, dir)
       .filter($"value".isNotNull)
       .select($"event_type",
         (Tables.dec4($"value") * 10000).cast("long").as("v_fp"))

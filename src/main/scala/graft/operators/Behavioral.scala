@@ -422,10 +422,15 @@ object Behavioral {
       .join(alive, Seq("s1"), "left_semi")
       .join(alive.select($"s1".as("s2")), Seq("s2"), "left_semi")
       .groupBy($"s1").agg(count(lit(1)).as("deg"))
-    val d0 = graft.PlanOnly.mark(
+    // cut, not mark (r19, X6): the final 3-way join broadcasts the d1
+    // and d2 subtrees as concurrent futures while the probe reads d0 —
+    // three racers on d0's lazy persist (and two on d1's) re-run the
+    // degree aggregates per racer; both frames are node-scale, so each
+    // eager checkpoint is one tiny job
+    val d0 = graft.PlanOnly.cut(
       edges.groupBy($"s1").agg(count(lit(1)).as("deg")))
     val a1 = d0.filter($"deg" >= K).select($"s1")
-    val d1 = graft.PlanOnly.mark(degrees(a1))
+    val d1 = graft.PlanOnly.cut(degrees(a1))
     val a2 = d1.filter($"deg" >= K).select($"s1")
     val d2 = degrees(a2)
     d0.select($"s1".as("supplier"), $"deg".as("deg_r0"))

@@ -91,9 +91,11 @@ object Indexing {
         .select(explode(split($"text", " ")).as("w"))
         .filter($"w" =!= "")
         .select(trim(regexp_replace($"w", "(.)", "$1 ")).as("s")))
-    // persisted: read twice (top-20 table + top-1 election) and tiny —
-    // the pair domain is ≤|alphabet|² at the first iteration
-    val pairCounts = graft.PlanOnly.mark(spaced
+    // cut, not mark (r19, X6): the top-1 winner BROADCASTS back into
+    // the `after` count while the top-20 probe reads the same frame —
+    // racing futures re-run the pair aggregate; the frame is
+    // ≤|alphabet|² rows, so the eager checkpoint is one tiny job
+    val pairCounts = graft.PlanOnly.cut(spaced
       .select(split($"s", " ").as("ps"))
       .filter(size($"ps") >= 2)
       .select(explode(expr(
@@ -1293,10 +1295,11 @@ object Indexing {
   def qualityBigramCoherence(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val wDoc = Window.partitionBy($"doc_id").orderBy($"p0")
-    // marked: the instance frame feeds the type-count aggregate AND the
-    // decoration join's probe side — unmarked, the corpus tokenization
-    // + lead window runs twice
-    val inst = graft.PlanOnly.mark(Tables.documents(spark, dir)
+    // cut, not mark (r19, X6): the instance frame feeds the type-count
+    // aggregate (the decoration join's BROADCAST build at fixture
+    // scale) AND the probe side — a broadcast future racing a lazy
+    // persist re-runs the corpus tokenization + lead window
+    val inst = graft.PlanOnly.cut(Tables.documents(spark, dir)
       .select($"doc_id", posexplode(split($"text", " ")).as(Seq("p0", "w1")))
       .withColumn("w2", lead($"w1", 1).over(wDoc))
       .filter($"w2".isNotNull && $"w1" =!= "" && $"w2" =!= "")
@@ -1333,9 +1336,10 @@ object Indexing {
   def textPhraseSearch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val wDoc = Window.partitionBy($"doc_id").orderBy($"p0")
-    // persisted: the trigram frame feeds both the election and the
-    // match scan (released by the harness's per-key clearCache)
-    val tri = graft.PlanOnly.mark(Tables.documents(spark, dir)
+    // cut, not mark (r19, X6): the 1-row election winner BROADCASTS
+    // into the match scan that probes the same frame — the racing
+    // future would re-run the corpus trigram window
+    val tri = graft.PlanOnly.cut(Tables.documents(spark, dir)
       .select($"doc_id", posexplode(split($"text", " ")).as(Seq("p0", "w1")))
       .withColumn("w2", lead($"w1", 1).over(wDoc))
       .withColumn("w3", lead($"w1", 2).over(wDoc))

@@ -1162,12 +1162,16 @@ object LlmOps {
   def evalCohensKappa(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pred = textLangid(spark, dir).select($"doc_id", $"pred_lang")
-    // persisted: the ≤|sources|·|langs|² cell frame feeds FOUR
-    // consumers (totals, row marginals, column marginals, and the
-    // marginal-product join) — without the mark each one re-plans the
-    // whole langid chain and re-scans documents (measured 17 exchanges
-    // vs 8 marked)
-    val cells = graft.PlanOnly.mark(Tables.documents(spark, dir)
+    // cut, not mark (r19, the X6 racing-persist rule): the
+    // ≤|sources|·|langs|² cell frame feeds FOUR consumers (totals, row
+    // marginals, column marginals, and the marginal-product join), and
+    // the small marginal frames broadcast — concurrent broadcast
+    // futures racing a lazy persist each recompute the whole langid
+    // chain (driver bench measured this key at 39.8 s under host
+    // contention vs ~2.5 s de-raced; the race outcome is timing-
+    // dependent, so the eager checkpoint is also what makes the key's
+    // cost DETERMINISTIC)
+    val cells = graft.PlanOnly.cut(Tables.documents(spark, dir)
       .select($"doc_id", coalesce($"source", lit("(none)")).as("source"),
         coalesce($"lang", lit("(none)")).as("t"))
       .join(pred, "doc_id")
@@ -1213,7 +1217,11 @@ object LlmOps {
   def evalKrippendorffAlpha(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pred = textLangid(spark, dir).select($"doc_id", $"pred_lang")
-    val base = graft.PlanOnly.mark(Tables.documents(spark, dir)
+    // cut, not mark (r19, X6): base feeds modal (a BROADCAST build) plus
+    // three union branches of the ratings frame — the broadcast future
+    // racing a lazy persist recomputes the whole langid chain (driver
+    // bench: 25.7 s raced under load vs ~2.8 s de-raced)
+    val base = graft.PlanOnly.cut(Tables.documents(spark, dir)
       .select($"doc_id", coalesce($"source", lit("(none)")).as("source"),
         coalesce($"lang", lit("(none)")).as("t"))
       .join(pred, "doc_id"))

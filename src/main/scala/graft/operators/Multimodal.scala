@@ -400,8 +400,14 @@ object Multimodal {
     // persist it once (16 B/row of ids + the embedding — the frame a
     // real SemDeDup run materializes anyway) instead of recomputing the
     // assignment twice. Freed by the caller-clearCache contract
-    // (Verify/Bench) — same lifecycle as text_decontaminate's grams.
-    val v = graft.PlanOnly.cut(
+    // (Verify/Bench). mark, NOT cut (r19, reverting an r18 over-
+    // application): the two readers are the sides of ONE cid equi-join
+    // — same-action reads deduped at block granularity, not the
+    // concurrent-broadcast-future race the X6 rule targets — and the
+    // lazy persist keeps the assign-decorate join visible to the plan
+    // pins (a localCheckpoint truncates the exec plan to a LogicalRDD,
+    // which broke PlanRegressionSpec's cid-pair pin at r18 close).
+    val v = graft.PlanOnly.mark(
       e.select($"vec_id", $"embedding").join(assign, "vec_id"))
     val va = v.select($"cid", $"vec_id".as("a_id"), $"embedding".as("ae"))
     val vb = v.select($"cid", $"vec_id".as("b_id"), $"embedding".as("be"))
@@ -1944,7 +1950,11 @@ object Multimodal {
       .join(broadcast(tot), "i")
       .select($"i", when($"d" === 0L, -1L)
         .otherwise(expr("(wins * 1099511627776) div d")).as("p"))
-    val q1 = graft.PlanOnly.mark(step(tot.select($"i", lit(1048576L).as("p"))))
+    // cut, not mark (r19, X6): step(q1) reads q1 through TWO broadcast
+    // builds (pi and pj) and the final join probes it — three racers on
+    // a lazy persist re-run the whole first iteration; the frame is
+    // |event_type| rows, so the eager checkpoint is one tiny job
+    val q1 = graft.PlanOnly.cut(step(tot.select($"i", lit(1048576L).as("p"))))
     val q2 = step(q1)
     tot.join(q1.select($"i", $"p".as("p1_fp")), "i")
       .join(q2.select($"i", $"p".as("p2_fp")), "i")

@@ -200,17 +200,18 @@ object Pipelines {
   def textDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // materialized once: both the benchmark side and the corpus side
-    // derive from this frame, and without caching the whole
+    // derive from this frame, and without it the whole
     // tokenize → explode → distinct (the dominant cost at any scale)
     // runs twice — once under the broadcast build, once in the probe.
-    // persist (not localCheckpoint): lineage is retained, so an executor
-    // loss recomputes the lost blocks instead of failing the job, and
-    // nothing materializes at query-construction time (localCheckpoint's
-    // eager, non-replicated blocks lose both properties at cluster scale).
-    // Caller contract: the cache lives until the session drops it — the
-    // Verify/Bench harnesses clearCache() after materializing each query;
-    // a long-lived session embedding this operator should do the same.
-    val grams = graft.PlanOnly.mark(Tables.documents(spark, dir)
+    // cut, not mark (r19, X6): the bench side IS a broadcast build, and
+    // its future racing a LAZY persist re-runs the dominant pass anyway
+    // — the eager checkpoint materializes it exactly once. Cluster
+    // caveat (the reason the r18 text kept a lazy persist): a
+    // localCheckpoint severs lineage, so an executor loss fails the job
+    // instead of recomputing — at real cluster scale prefer an eagerly
+    // materialized reliable checkpoint or a persist barriered by its
+    // own action before the broadcast consumers fork.
+    val grams = graft.PlanOnly.cut(Tables.documents(spark, dir)
       .select($"doc_id", split($"text", " ").as("t"))
       .filter(size($"t") >= 8)
       .select($"doc_id", explode(expr(

@@ -650,7 +650,11 @@ object Timeseries {
     import spark.implicits._
     val B = 4
     val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
-    val ranked = graft.PlanOnly.mark(Tables.events(spark, dir)
+    // cut, not mark (r19, X6): lastOf/firstOf are per-(user, bucket)
+    // frames that BROADCAST into the interior join while the probe
+    // reads the same ranked frame — racing futures re-run the event
+    // scan + rank window per consumer
+    val ranked = graft.PlanOnly.cut(Tables.events(spark, dir)
       .filter($"value".isNotNull)
       .select($"user_id", $"event_id", Tables.nsToUs($"ts").as("t"),
         (Tables.dec4($"value") * 10000).cast("long").as("v"))
@@ -774,7 +778,10 @@ object Timeseries {
     * its two join sides. */
   def timeseriesForecastBacktest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val daily = graft.PlanOnly.mark(Tables.events(spark, dir)
+    // cut, not mark (r19, X6): the day−7 self-join reads this frame on
+    // both sides and one side BROADCASTS at fixture scale — the racing
+    // future re-runs the event scan + daily collapse
+    val daily = graft.PlanOnly.cut(Tables.events(spark, dir)
       .filter($"value".isNotNull)
       .select($"user_id", $"event_id", Tables.nsToUs($"ts").as("t"),
         (Tables.dec4($"value") * 10000).cast("long").as("v_fp"))

@@ -17,6 +17,20 @@ class PlanRegressionSpec extends SparkSuite {
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
 
+  /** Plan-only variant: PlanOnly.cut/mark are identity under
+    * `graft.planOnly`, so pins that must see INSIDE a checkpointed
+    * subtree (an eager cut truncates the exec plan to a LogicalRDD —
+    * the r18 lesson) assert through this helper instead. Exec-only
+    * properties (real loop depth, roundTrip layouts, the checkpoint
+    * materialization itself) must keep using [[plan]]. */
+  private def planOnlyPlan(name: String): String = {
+    spark.catalog.clearCache()
+    System.setProperty("graft.planOnly", "true")
+    try SparkEntry.queries(name)(spark, sf001).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    finally System.clearProperty("graft.planOnly")
+  }
+
   /** Count Scan NODES whose own detail block mentions `file`, not raw
     * string occurrences — formatting changes must not flip scan pins
     * (ADVICE r9). Blocks are delimited by the "(n) <NodeName>" headers. */
@@ -183,8 +197,13 @@ class PlanRegressionSpec extends SparkSuite {
     val p = plan("corpus_dedup_pipeline")
     val scans = scanNodes(p, "documents.parquet")
     assert(scans <= 2, s"expected <= 2 documents scan nodes, got $scans: " + p.take(600))
-    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
-      "inter-stage survivor frames must be persisted: " + p.take(600))
+    // materialization witness: since r18 the inter-stage frames are
+    // EAGER checkpoints (PlanOnly.cut — they print as Scan ExistingRDD),
+    // which is a stronger materialize-once than the earlier lazy persist
+    // (InMemoryTableScan); accept either
+    assert(p.contains("Scan ExistingRDD") || p.contains("InMemoryTableScan")
+        || p.contains("InMemoryRelation"),
+      "inter-stage survivor frames must be materialized: " + p.take(600))
   }
 
   test("text_index_delta_merge maintains postings via a term equi-join, never a rescan join") {
@@ -620,7 +639,10 @@ class PlanRegressionSpec extends SparkSuite {
     // the post-commit stored-index read — the cid join runs in the
     // build jobs, so the pin on the shared builder covers it here)
     for (k <- Seq("simsearch_graph_greedy", "simsearch_hnsw_layers")) {
-      val p = plan(k)
+      // plan-only: the exec plan checkpoints the candidate frame (r18
+      // PlanOnly.cut), which truncates everything upstream of the cid
+      // join to a LogicalRDD — the pin must look through the cut
+      val p = planOnlyPlan(k)
       assert(!p.contains("CartesianProduct"), s"$k grew a cartesian product")
       // the IVF candidate generation's cell equi-join must survive as a
       // hash/sort-merge join keyed on cid — the plan-level witness that
