@@ -71,13 +71,18 @@ object LakehouseCow {
       keyCol: String): Seq[FileEntry] = {
     val s = df.sparkSession
     import s.implicits._
-    val stats = df.groupBy($"bkt")
+    // materialize once (r19): the stats collect and the data write are
+    // two separate actions on `df`, and separate actions never share
+    // exchanges — every writeBuckets call was computing its per-version
+    // state chain TWICE (41 call sites across the sink_txn tier)
+    val d = graft.PlanOnly.cut(df)
+    val stats = d.groupBy($"bkt")
       .agg(min(col(keyCol)).as("mn"), max(col(keyCol)).as("mx"),
         count(lit(1)).as("cnt"))
       .collect() // ≤ |buckets|: file-planning metadata, never data
     if (stats.isEmpty) Seq.empty
     else {
-      df.write.mode("overwrite").partitionBy("bkt").parquet(dest)
+      d.write.mode("overwrite").partitionBy("bkt").parquet(dest)
       stats.toSeq.map(r => FileEntry(r.getLong(0),
         s"$dest/bkt=${r.getLong(0)}", r.getLong(1), r.getLong(2),
         rowCount = r.getLong(3)))
@@ -91,14 +96,17 @@ object LakehouseCow {
       k1: String, k2: String): Seq[FileEntry] = {
     val s = df.sparkSession
     import s.implicits._
-    val stats = df.groupBy($"bkt")
+    // materialize once (r19): same stats-then-write double-compute as
+    // writeBuckets
+    val d = graft.PlanOnly.cut(df)
+    val stats = d.groupBy($"bkt")
       .agg(min(col(k1)).as("mn1"), max(col(k1)).as("mx1"),
         min(col(k2)).as("mn2"), max(col(k2)).as("mx2"),
         count(lit(1)).as("cnt"))
       .collect() // ≤ |buckets|: file-planning metadata, never data
     if (stats.isEmpty) Seq.empty
     else {
-      df.write.mode("overwrite").partitionBy("bkt").parquet(dest)
+      d.write.mode("overwrite").partitionBy("bkt").parquet(dest)
       stats.toSeq.map(r => FileEntry(r.getLong(0),
         s"$dest/bkt=${r.getLong(0)}", r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4), rowCount = r.getLong(5)))

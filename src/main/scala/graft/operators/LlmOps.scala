@@ -182,8 +182,21 @@ object LlmOps {
     val e = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding",
         sqrt(expr("dot_product(embedding, embedding)")).as("nrm"))
-    val pairs = e.select($"vec_id".as("a_id"), $"embedding".as("ae"), $"nrm".as("an"))
-      .crossJoin(e.select($"vec_id".as("b_id"), $"embedding".as("be"), $"nrm".as("bn")))
+    // Fanout (r19, guide §2.5 "unsplittable input"): the fixture is one
+    // single-row-group parquet file, so the probe side of the n² scoring
+    // crossJoin is a 1-task scan and every pairwise cosine ran single-
+    // threaded (measured: one 2.5 s 1-task job at sf0.1/local[32]).
+    // Spreading the probe rows by vec_id parallelizes the quadratic
+    // stage; partition count comes from the session conf, never a
+    // constant. At 100 TB a corpus scan splits naturally and this
+    // exchange (compact rows, pre-explosion) is noise vs the n² work.
+    // broadcast(b) pins the build side so the fanned `a` side stays the
+    // streamed (parallel) one
+    val pairs = Fanout.byKey(
+        e.select($"vec_id".as("a_id"), $"embedding".as("ae"), $"nrm".as("an")),
+        $"a_id")
+      .crossJoin(broadcast(
+        e.select($"vec_id".as("b_id"), $"embedding".as("be"), $"nrm".as("bn"))))
       .filter($"a_id" =!= $"b_id")
       .select($"a_id", $"b_id",
         (expr("dot_product(ae, be)") / ($"an" * $"bn")).as("cos"))

@@ -554,10 +554,14 @@ object Multimodal {
     val probes = AnnRecallProbes.toDF("nprobe")
     val probed = ranked.crossJoin(probes).filter($"cr" <= $"nprobe")
       .select($"nprobe".cast("long").as("nprobe"), $"q_id", $"cell")
-    val cand = e.join(broadcast(probed.join(qe, "q_id")), $"label" === $"cell")
-      .filter($"vec_id" =!= $"q_id")
-      .select($"nprobe", $"q_id", $"vec_id",
-        round(expr("cosine_similarity(qe, embedding)"), 6).as("score"))
+    // cut (r19): cand feeds the top-10 window AND the n_cand audit
+    // through two different exchanges — each was re-running the whole
+    // in-cell cosine scoring pass
+    val cand = graft.PlanOnly.cut(
+      e.join(broadcast(probed.join(qe, "q_id")), $"label" === $"cell")
+        .filter($"vec_id" =!= $"q_id")
+        .select($"nprobe", $"q_id", $"vec_id",
+          round(expr("cosine_similarity(qe, embedding)"), 6).as("score")))
     val w = Window.partitionBy($"nprobe", $"q_id")
       .orderBy($"score".desc, $"vec_id")
     val ivfTop = cand.withColumn("rn", row_number().over(w))
@@ -642,11 +646,18 @@ object Multimodal {
     // cut, not mark (r18): seeds broadcasts off this frame while the
     // assignment path reads it — a lazy persist is raced and the
     // corpus transform recomputed per consumer
-    val subs = graft.PlanOnly.cut(fp
+    // Fanout before the cut (r19, guide §2.5): the fixture is one
+    // single-row-group file, so without it the checkpointed frame keeps
+    // the scan's 1 partition and every downstream k×-fan-out zip_with
+    // pass (Lloyd assign, refine, code assignment) runs single-threaded;
+    // the hash spread by (vec_id, m) parallelizes them all, count from
+    // the session conf
+    val subs = graft.PlanOnly.cut(Fanout.byKey(fp
       .select($"vec_id", posexplode(expr(
         "transform(sequence(0, 7), mm -> slice(qv, mm * 8 + 1, 8))"))
         .as(Seq("m", "sv")))
-      .select($"vec_id", $"m".cast("long").as("m"), $"sv"))
+      .select($"vec_id", $"m".cast("long").as("m"), $"sv"),
+      $"vec_id", $"m"))
     val seeds = subs.filter($"vec_id" < k)
       .select($"m", $"vec_id".as("cid"), $"sv".as("cq"))
     val sq = "aggregate(zip_with(%s, %s, (x, y) -> (x - y) * (x - y)), " +
@@ -1642,7 +1653,10 @@ object Multimodal {
   def pqRecall(spark: SparkSession, dir: String, k: Int): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val adc = pqAdcScores(spark, dir, k)
+    // cut (r19): adc feeds both the top-10 window and the n_scored
+    // audit — separate actions never share exchanges, so the whole ADC
+    // chain was computed twice
+    val adc = graft.PlanOnly.cut(pqAdcScores(spark, dir, k))
     val fp = Tables.embeddings(spark, dir)
       .select($"vec_id",
         expr("transform(embedding, x -> CAST(floor(x * 1048576) AS BIGINT))")

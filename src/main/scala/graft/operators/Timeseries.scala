@@ -430,7 +430,10 @@ object Timeseries {
     * it. The raw table never self-joins. */
   def timeseriesTheilSen(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val daily = Tables.events(spark, dir)
+    // cut (r19): both sides of the pair self-join read this frame and
+    // one side broadcasts — without materialization the events scan +
+    // daily collapse ran once per side (and raced under load)
+    val daily = graft.PlanOnly.cut(Tables.events(spark, dir)
       // an all-NULL (type, day) cell would yield y = NULL and desync the
       // median election (Spark NULLS FIRST vs DuckDB NULLS LAST) — filter
       // NULL values before the aggregate, mirrored in the oracle
@@ -439,7 +442,7 @@ object Timeseries {
         Tables.dec4($"value").as("v"))
       .withColumn("day", expr("t div 86400000000"))
       .groupBy($"event_type", $"day")
-      .agg((sum($"v") * 10000).cast("long").as("y"))
+      .agg((sum($"v") * 10000).cast("long").as("y")))
     val a = daily.select($"event_type", $"day".as("d1"), $"y".as("y1"))
     val b = daily.select($"event_type".as("et2"), $"day".as("d2"), $"y".as("y2"))
     val slopes = a.join(b, $"event_type" === $"et2" && $"d1" < $"d2")
