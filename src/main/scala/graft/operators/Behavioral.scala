@@ -416,8 +416,13 @@ object Behavioral {
     // driver-side planning blowup measured at ~2× the key's whole
     // runtime. Checkpointing the 8·n-row edge frame truncates every
     // downstream plan to the small peel shape.
-    val edges = graft.PlanOnly.cut(
-      top.unionByName(top.select($"s2".as("s1"), $"s1".as("s2"))))
+    // Fanout inside the cut (r19): the union of two 32+-partition
+    // parents checkpointed as ~97 partitions of a ~8n-row frame — every
+    // peel job then launched ~97 near-empty tasks. Re-hash by s1 to the
+    // session parallelism (the degrees() semi-joins and aggregates key
+    // on s1, so the spread also matches their distribution).
+    val edges = graft.PlanOnly.cut(Fanout.byKey(
+      top.unionByName(top.select($"s2".as("s1"), $"s1".as("s2"))), $"s1"))
     def degrees(alive: DataFrame): DataFrame = edges
       .join(alive, Seq("s1"), "left_semi")
       .join(alive.select($"s1".as("s2")), Seq("s2"), "left_semi")

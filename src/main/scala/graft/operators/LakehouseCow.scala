@@ -76,17 +76,22 @@ object LakehouseCow {
     // exchanges — every writeBuckets call was computing its per-version
     // state chain TWICE (41 call sites across the sink_txn tier)
     val d = graft.PlanOnly.cut(df)
-    val stats = d.groupBy($"bkt")
-      .agg(min(col(keyCol)).as("mn"), max(col(keyCol)).as("mx"),
-        count(lit(1)).as("cnt"))
-      .collect() // ≤ |buckets|: file-planning metadata, never data
+    // stats and write both read the checkpointed blocks — overlap the
+    // two jobs (guide §2.6). An empty frame now writes an empty (and
+    // unreferenced — the manifest gets no entries) dest dir instead of
+    // skipping the write; readers resolve only manifest paths, so the
+    // zero-rows-removes-the-file contract is unchanged.
+    val (stats, _) = Par.both(
+      d.groupBy($"bkt")
+        .agg(min(col(keyCol)).as("mn"), max(col(keyCol)).as("mx"),
+          count(lit(1)).as("cnt"))
+        .collect(), // ≤ |buckets|: file-planning metadata, never data
+      d.write.mode("overwrite").partitionBy("bkt").parquet(dest))
     if (stats.isEmpty) Seq.empty
-    else {
-      d.write.mode("overwrite").partitionBy("bkt").parquet(dest)
+    else
       stats.toSeq.map(r => FileEntry(r.getLong(0),
         s"$dest/bkt=${r.getLong(0)}", r.getLong(1), r.getLong(2),
         rowCount = r.getLong(3)))
-    }
   }
 
   /** Two-dimensional [[writeBuckets]]: per-file zone maps on BOTH
@@ -99,18 +104,19 @@ object LakehouseCow {
     // materialize once (r19): same stats-then-write double-compute as
     // writeBuckets
     val d = graft.PlanOnly.cut(df)
-    val stats = d.groupBy($"bkt")
-      .agg(min(col(k1)).as("mn1"), max(col(k1)).as("mx1"),
-        min(col(k2)).as("mn2"), max(col(k2)).as("mx2"),
-        count(lit(1)).as("cnt"))
-      .collect() // ≤ |buckets|: file-planning metadata, never data
+    // same stats/write overlap (and empty-case note) as writeBuckets
+    val (stats, _) = Par.both(
+      d.groupBy($"bkt")
+        .agg(min(col(k1)).as("mn1"), max(col(k1)).as("mx1"),
+          min(col(k2)).as("mn2"), max(col(k2)).as("mx2"),
+          count(lit(1)).as("cnt"))
+        .collect(), // ≤ |buckets|: file-planning metadata, never data
+      d.write.mode("overwrite").partitionBy("bkt").parquet(dest))
     if (stats.isEmpty) Seq.empty
-    else {
-      d.write.mode("overwrite").partitionBy("bkt").parquet(dest)
+    else
       stats.toSeq.map(r => FileEntry(r.getLong(0),
         s"$dest/bkt=${r.getLong(0)}", r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4), rowCount = r.getLong(5)))
-    }
   }
 
   /** Morton interleave of the low 16 bits of two BIGINT columns —
@@ -591,23 +597,32 @@ object LakehouseCow {
       defs: Seq[(String, DataFrame)]): Map[String, String] = {
     import spark.implicits._
     TxnTable.drop(spark, sidecarTable)
-    val stored = defs.map { case (nm, df) =>
-      val t = Tables.scratch(nm)
+    // r19: each staged frame was computed THREE times (count, data
+    // write, KMV sidecar build — separate actions never share
+    // exchanges) and the 5 tables staged sequentially. Checkpoint each
+    // frame once and stage the tables on parallel driver threads
+    // (distinct scratch dirs + distinct manifests — the established
+    // X5 overlap shape); only the shared sidecar commit stays on the
+    // caller thread, after all frames exist. Scratch paths are minted
+    // on the caller thread (sweepStaleScratch is not re-entrant).
+    val planned = defs.map { case (nm, df) => (nm, Tables.scratch(nm), df) }
+    val staged = Par.all(planned.map { case (nm, t, df) => () =>
       TxnTable.drop(spark, t)
-      val n = df.count()
-      if (n == 0L) TxnTable.commit(spark, t, 0, df)
+      val d = graft.PlanOnly.cut(df)
+      val n = d.count()
+      if (n == 0L) TxnTable.commit(spark, t, 0, d)
       else {
         val p = s"$t/data/f0"
-        df.write.mode("overwrite").parquet(p)
+        d.write.mode("overwrite").parquet(p)
         TxnTable.commitEntries(spark, t, 0, Seq(FileEntry(0L, p,
           Long.MinValue, Long.MaxValue, rowCount = n)))
       }
-      nm -> t
-    }.toMap
-    TxnTable.commit(spark, sidecarTable, 0, defs.map { case (nm, df) =>
-      cboKmvH(df.select($"user_id")).withColumn("tbl", lit(nm))
+      (nm, t, d)
+    }: _*)
+    TxnTable.commit(spark, sidecarTable, 0, staged.map { case (nm, _, d) =>
+      cboKmvH(d.select($"user_id")).withColumn("tbl", lit(nm))
     }.reduce(_.unionAll(_)))
-    stored
+    staged.map { case (nm, t, _) => nm -> t }.toMap
   }
 
   /** STATS-DRIVEN PLAN CHOICE — the decision rung [[sinkTxnCboEstimate]]
